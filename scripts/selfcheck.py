@@ -20,12 +20,18 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
+    import datetime
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].map(
-                lambda v: tuple(v) if isinstance(v, (list, tuple)) or
-                type(v).__name__ == "ndarray" else v)
+            sample = df[c].dropna()
+            if len(sample) and isinstance(sample.iloc[0], datetime.date) \
+                    and not isinstance(sample.iloc[0], datetime.datetime):
+                df[c] = pd.to_datetime(df[c])
+            else:
+                df[c] = df[c].map(
+                    lambda v: tuple(v) if isinstance(v, (list, tuple)) or
+                    type(v).__name__ == "ndarray" else v)
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
     df = df.sort_values(by=list(df.columns), kind="mergesort",

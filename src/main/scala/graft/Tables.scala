@@ -23,7 +23,19 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown table $name")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") {
+      // events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark's
+      // vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). Read the
+      // raw nanos as Long and convert to Spark's native µs timestamp.
+      // Integer division (`div`), NOT `/1000`: ns-since-epoch ≈ 1.7e18
+      // exceeds double's 2^53 integer range, so float division would
+      // corrupt low-order digits.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
   /** Register every table as a temp view named after itself. */

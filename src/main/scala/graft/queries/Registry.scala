@@ -80,7 +80,10 @@ object Registry {
        ORDER BY o_orderkey"""
 
   private val modules: Seq[(Map[String, Q], Map[String, String])] = Seq(
-    (Relational.queries, Relational.oracle)
+    (Relational.queries, Relational.oracle),
+    (JoinsAggs.queries, JoinsAggs.oracle),
+    (WindowsSets.queries, WindowsSets.oracle),
+    (Scalars.queries, Scalars.oracle)
   )
 
   lazy val all: Map[String, Q] = {
