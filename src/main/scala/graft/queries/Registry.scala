@@ -83,7 +83,10 @@ object Registry {
     (Relational.queries, Relational.oracle),
     (JoinsAggs.queries, JoinsAggs.oracle),
     (WindowsSets.queries, WindowsSets.oracle),
-    (Scalars.queries, Scalars.oracle)
+    (Scalars.queries, Scalars.oracle),
+    (Upserts.queries, Upserts.oracle),
+    (Incremental.queries, Incremental.oracle),
+    (StreamingBatch.queries, StreamingBatch.oracle)
   )
 
   lazy val all: Map[String, Q] = {

@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-windowed aggregations over the events table. The reference has
+  * no streaming engine (SURVEY §2.10) — its closest analog is the
+  * incremental watermark batch. We provide the real thing: these exact
+  * plans run unchanged under Structured Streaming (`readStream` +
+  * `withWatermark` — see `graft.streaming.EventStream`); here they run
+  * in batch mode so the DuckDB oracle can check them.
+  *
+  * Scale: tumbling/sliding windows are hash aggregations on
+  * (window, key) — map-side partial agg applies; session windows need
+  * a per-key sort, bounded by `spark.sql.shuffle.partitions`.
+  */
+object StreamingBatch {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.Tables.load(s, dir, name)
+
+  val queries: Map[String, Q] = Map(
+    // Tumbling 1-hour window: counts + sums per (window, event_type).
+    "st1_tumbling_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(col("w.start").as("bucket_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("bucket_start"), col("event_type"))
+    }),
+
+    // Sliding 2-hour window, 1-hour slide: every event lands in 2
+    // windows. The oracle replays it as two phase-shifted tumbling
+    // passes.
+    "st2_sliding_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("bucket_start"), col("n"))
+        .orderBy(col("bucket_start"))
+    }),
+
+    // Session windows with a 30-minute inactivity gap, per user:
+    // classic lag+cumsum sessionization — expressible identically in
+    // both engines, and the streaming twin is
+    // `session_window(col("ts"), "30 minutes")`.
+    "st3_session_window" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val sess = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull, lit(1))
+            .when(unix_timestamp(col("ts")) -
+              unix_timestamp(col("prev_ts")) > 1800, lit(1))
+            .otherwise(lit(0)))
+        .withColumn("session_id", sum(col("new_session")).over(sess))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(date_trunc("second", min(col("ts"))).as("session_start"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"), col("session_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "st1_tumbling_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+         event_type, count(*) AS n, round(sum(value),2) AS sum_value
+         FROM events GROUP BY 1,2 ORDER BY 1,2""",
+    "st2_sliding_window" ->
+      """SELECT bucket_start, count(*) AS n FROM (
+           SELECT time_bucket(INTERVAL '2 hours', ts) AS bucket_start
+           FROM events
+           UNION ALL
+           SELECT time_bucket(INTERVAL '2 hours', ts,
+             INTERVAL '1 hour') AS bucket_start
+           FROM events)
+         GROUP BY bucket_start ORDER BY bucket_start""",
+    "st3_session_window" ->
+      """SELECT user_id, session_id,
+         date_trunc('second', min(ts)) AS session_start,
+         count(*) AS n_events
+         FROM (
+           SELECT *, sum(new_session) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS session_id
+           FROM (
+             SELECT *, CASE WHEN prev_ts IS NULL THEN 1
+               WHEN date_diff('second', prev_ts, ts) > 1800 THEN 1
+               ELSE 0 END AS new_session
+             FROM (
+               SELECT *, lag(ts) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev_ts
+               FROM events)))
+         GROUP BY user_id, session_id ORDER BY user_id, session_id"""
+  )
+}
