@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Similarity / sketching primitives for near-duplicate detection and
+  * ANN search at corpus scale: MinHash signatures + LSH banding,
+  * SimHash, and double-precision cosine over `array<float>` embedding
+  * columns. All pure `Column` algebra (higher-order functions) —
+  * distributed, codegen-friendly, no driver involvement.
+  */
+object SimilarityFunctions {
+
+  /** k-element MinHash signature of a (distinct) shingle array.
+    * minhash[i] = min over shingles of xxhash64(seed_i, shingle).
+    * Deterministic across runs/executors (xxhash64 is seeded, not
+    * random). Empty shingle set → null signature.
+    */
+  def minhashSignature(shingleArr: Column, k: Int): Column =
+    when(size(shingleArr) <= 0, lit(null)).otherwise(
+      transform(sequence(lit(0), lit(k - 1)),
+        seed => array_min(transform(shingleArr, s => xxhash64(seed, s)))))
+
+  /** LSH bands over a MinHash signature: array of `b` structs
+    * (band_id, band_hash) where band_hash fingerprints `r` consecutive
+    * signature entries. Docs sharing any (band_id, band_hash) are
+    * candidate pairs — the explode+groupBy of these structs IS the
+    * scalable near-dup join (no O(n²) cross product).
+    */
+  def lshBands(signature: Column, b: Int, r: Int): Column =
+    transform(sequence(lit(0), lit(b - 1)),
+      i => struct(
+        i.as("band_id"),
+        xxhash64(concat_ws(",",
+          transform(slice(signature, i * r + 1, lit(r)),
+            x => x.cast("string"))))
+          .as("band_hash")))
+
+  /** 64-bit SimHash of a shingle array: bit j of the result is 1 iff
+    * the sum over shingles of ±1 (sign of bit j of xxhash64(shingle))
+    * is positive. Near-identical docs differ in few bits → hamming
+    * radius search via `bit_count(a ^ b)`.
+    */
+  def simhash64(shingleArr: Column): Column = {
+    val hashes = transform(shingleArr, s => xxhash64(s))
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, j) => {
+        // the Scala `shiftleft`/`shiftrightunsigned` wrappers only take
+        // Int bit counts — call_function passes the lambda-bound Column
+        val balance = aggregate(hashes, lit(0L),
+          (a, h) => a + when(
+            call_function("shiftrightunsigned", h, j)
+              .bitwiseAND(lit(1L)) === 1L,
+            lit(1L)).otherwise(lit(-1L)))
+        acc.bitwiseOR(call_function("shiftleft",
+          when(balance > 0, lit(1L)).otherwise(lit(0L)), j))
+      })
+  }
+
+  /** Hamming distance between two 64-bit sketches. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Double-precision dot product of two float-array embeddings.
+    * Elements are cast to double BEFORE multiplying so accumulation
+    * matches engines that compute in double (and avoids float
+    * rounding differences).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm of a float-array embedding, in double. */
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two embeddings, in double. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Deterministic random-hyperplane LSH bucket for an embedding:
+    * `p` pseudo-hyperplanes whose component d of plane i is derived
+    * from xxhash64(i, d) (uniform in [-0.5, 0.5)); bit i of the bucket
+    * id is the sign of the projection. No RNG — reproducible across
+    * runs, which real pipelines need for incremental indexing.
+    */
+  def hyperplaneBucket(embedding: Column, planes: Int): Column =
+    aggregate(
+      sequence(lit(0), lit(planes - 1)),
+      lit(0L),
+      (acc, i) => {
+        val proj = aggregate(
+          zip_with(embedding, sequence(lit(0), size(embedding) - 1),
+            (x, d) => x.cast("double") *
+              ((pmod(xxhash64(i, d), lit(1000L)).cast("double") / 1000.0) - 0.5)),
+          lit(0.0), (a, v) => a + v)
+        acc.bitwiseOR(call_function("shiftleft",
+          when(proj > 0, lit(1L)).otherwise(lit(0L)), i))
+      })
+}

@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data
+  * pipelines: language ID, quality scoring, token counting, document
+  * fingerprinting. All pure `Column` algebra — codegen'd end to end,
+  * no UDFs, so they run inside whole-stage codegen over 100 TB of
+  * documents.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of a text column. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token estimate: ~4 chars/token heuristic used by LLM
+    * pipelines when the real tokenizer is too expensive for a scan.
+    */
+  def tokenEstimate(text: Column): Column =
+    ceil(length(text).cast("double") / 4.0).cast("long")
+
+  /** Count regex matches by length difference — stays codegen'd. */
+  def matchCount(text: Column, charClass: String): Column =
+    length(text) - length(regexp_replace(text, charClass, ""))
+
+  private def markerRatio(toks: Column, markers: Seq[String]): Column = {
+    val markerArr = array(markers.map(lit): _*)
+    size(filter(toks, t => array_contains(markerArr, t))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** N-gram/stopword-heuristic language ID. Scores each language by
+    * its marker-token ratio and returns the argmax (deterministic
+    * tie-break by score then language code). The marker lists are the
+    * heuristic's "model" — swap per corpus.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    // build struct(score, negLangRank) per language and take array_max:
+    // argmax with total deterministic ordering.
+    val scored = langMarkers.zipWithIndex.map { case ((code, markers), i) =>
+      struct(
+        round(markerRatio(toks, markers), 9).as("score"),
+        lit(-i).as("rank"),
+        lit(code).as("code"))
+    }
+    array_max(array(scored: _*)).getField("code")
+  }
+
+  /** Composite quality score in [0,1]: rewards alpha density and
+    * stopword presence, penalizes very short docs and punctuation
+    * walls. Deterministic, codegen'd.
+    */
+  def qualityScore(text: Column): Column = {
+    val len = greatest(length(text), lit(1)).cast("double")
+    val nonAlphaRatio = matchCount(text, "[^a-zA-Z ]").cast("double") / len
+    val punctRatio = matchCount(text, "[.!?,;:]").cast("double") / len
+    val stopRatio = markerRatio(tokens(text), langMarkers.head._2)
+    val lenScore = least(len / 500.0, lit(1.0))
+    round(
+      lit(0.4) * (lit(1.0) - nonAlphaRatio) +
+        lit(0.3) * least(stopRatio * 5.0, lit(1.0)) +
+        lit(0.2) * lenScore +
+        lit(0.1) * (lit(1.0) - least(punctRatio * 10.0, lit(1.0))),
+      6)
+  }
+
+  /** Canonical text normalization for fingerprinting: lowercase,
+    * strip non-alphanumerics to single spaces, trim.
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Content fingerprint of the normalized text (md5 here; the
+    * rolling-hash variant is `xxhash64` for 64-bit joins). Two docs
+    * with the same fingerprint are exact near-duplicates modulo
+    * casing/punctuation — the first dedup pass of every corpus.
+    */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** 64-bit fingerprint for compact joins at scale. */
+  def fingerprint64(text: Column): Column = xxhash64(normalized(text))
+
+  /** Character n-gram shingles of the normalized text, distinct.
+    * `sequence` + `transform` keeps it inside codegen; empty/short
+    * docs yield an empty array.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val norm = normalized(text)
+    // sequence(1, 0) yields a DESCENDING sequence in Spark, not empty —
+    // short docs must be guarded explicitly.
+    when(length(norm) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(
+          sequence(lit(1), length(norm) - (n - 1)),
+          i => norm.substr(i, lit(n)))))
+  }
+
+  /** Word n-gram shingles (arrays of n consecutive tokens joined by a
+    * space), distinct.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(normalized(text))
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
+  }
+}

@@ -86,7 +86,8 @@ object Registry {
     (Scalars.queries, Scalars.oracle),
     (Upserts.queries, Upserts.oracle),
     (Incremental.queries, Incremental.oracle),
-    (StreamingBatch.queries, StreamingBatch.oracle)
+    (StreamingBatch.queries, StreamingBatch.oracle),
+    (TrainingData.queries, TrainingData.oracle)
   )
 
   lazy val all: Map[String, Q] = {

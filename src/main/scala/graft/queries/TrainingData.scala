@@ -1,0 +1,318 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{SimilarityFunctions => SF, TextFunctions => TF}
+
+/** Large-scale training-data pipeline operators (beyond the reference's
+  * surface, first-class per the build contract): deduplication,
+  * similarity search, text analysis, multimodal plumbing — over the
+  * `documents` / `embeddings` testdata tables.
+  *
+  * Scale design notes:
+  *  - pair-emitting dedup queries avoid O(n²): candidates come from
+  *    postings joins (shared shingle / shared LSH band / shared
+  *    bucket), which shuffle on the shingle/band key and scale with
+  *    corpus size × near-dup density, not corpus².
+  *  - Queries that DO brute-force (the oracle-checkable exact ones)
+  *    bound their input (doc_id < 200 / vec_id < 300) explicitly.
+  *  - Everything is deterministic: hash-seeded sketches, no RNG.
+  */
+object TrainingData {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.Tables.load(s, dir, name)
+
+  /** Shared normalized-token shingle postings (doc_id, shingle). */
+  private def postings(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+      explode(TF.wordShingles(col("text"), n)).as("sh"))
+
+  val queries: Map[String, Q] = Map(
+    // ---- text analysis -------------------------------------------------
+    // Language ID via stopword-marker ratios (n-gram heuristic family).
+    "tx1_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang").as("labeled_lang"),
+          TF.langId(col("text")).as("predicted_lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Composite quality score (length / punctuation / stopword ratios).
+    "tx2_quality_score" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token counting: whitespace tokens + BPE-ish chars/4 estimate.
+    "tx3_token_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TF.tokenCount(col("text")).as("n_tokens"),
+          TF.tokenEstimate(col("text")).as("n_tokens_bpe_est"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Document fingerprint of normalized text (md5 128-bit; the
+    // xxhash64 variant backs 64-bit joins at scale).
+    "tx4_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- deduplication -------------------------------------------------
+    // Exact dedup: hash-groupBy, keep lowest doc_id per content hash.
+    "dd1_exact_dedup" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keeper_doc_id"),
+          count(lit(1)).as("n_copies"))
+        .orderBy(col("keeper_doc_id"))
+    }),
+
+    // MinHash + LSH near-dup: shingle → minhash(k=16) → band(b=8,r=2)
+    // → band-bucket join → exact-Jaccard verification of candidates.
+    // The band join is the scale path: no cross product, shuffle keyed
+    // by (band_id, band_hash). No SQL oracle (xxhash64 is
+    // Spark-specific); planted-duplicate correctness lives in
+    // MinHashLshSpec.
+    "dd2_minhash_lsh" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), TF.wordShingles(col("text"), 2).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val banded = docs.select(col("doc_id"),
+        explode(SF.lshBands(SF.minhashSignature(col("sh"), 16), 8, 2))
+          .as("band"))
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val withSh = cand
+        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+          Seq("doc_a"))
+        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+          Seq("doc_b"))
+      withSh.select(col("doc_a"), col("doc_b"),
+          round(size(array_intersect(col("sh_a"), col("sh_b")))
+            .cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6)
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Exact n-gram Jaccard via shingle-postings join (the
+    // oracle-checkable exact twin of dd2): candidates = docs sharing
+    // ≥1 shingle — a postings self-join, not a cross product.
+    "dd3_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+      val p = postings(docs, 3)
+      val counts = p.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = p.as("a").join(p.as("b"),
+          col("a.sh") === col("b.sh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("ni"))
+      inter
+        .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")),
+          Seq("doc_a"))
+        .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("ni").cast("double") /
+            (col("na") + col("nb") - col("ni")).cast("double"), 6)
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.15)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // SimHash near-dup: 64-bit sketch, bucket by high 8 bits (the
+    // scale path for hamming-radius search), pairwise hamming inside
+    // buckets. No SQL oracle; spec-verified.
+    "dd4_simhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          SF.simhash64(TF.wordShingles(col("text"), 2)).as("sig"))
+      val bucketed = docs.withColumn("bucket",
+        shiftrightunsigned(col("sig"), 56))
+      bucketed.as("a").join(bucketed.as("b"),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          SF.hamming64(col("a.sig"), col("b.sig")).as("hamming"))
+        .filter(col("hamming") <= 24)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Embedding near-dup: exact cosine over a bounded window (oracle
+    // brute-force); the unbounded path goes through ann2's buckets.
+    "dd5_embedding_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+        .select(col("vec_id"), col("embedding"))
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(SF.cosine(col("a.embedding"), col("b.embedding")), 5)
+            .as("cos"))
+        .filter(col("cos") >= 0.4)
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
+    // ---- similarity search --------------------------------------------
+    // Brute-force cosine top-k (the exactness baseline): 5 query
+    // vectors against the full corpus, rank on ROUNDED cosine + vec_id
+    // so both engines break ties identically.
+    "ann1_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(SF.cosine(col("qv"), col("embedding")), 5).as("cos"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // LSH-bucketed ANN (the scale path): deterministic random-
+    // hyperplane buckets (16 buckets here; 2^p grows with corpus),
+    // search only the query's bucket. Approximate → no SQL oracle;
+    // recall-vs-brute-force is spec-checked.
+    "ann2_lsh_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          SF.hyperplaneBucket(col("embedding"), 4).as("bucket"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("bucket").as("qbucket"))
+      val scored = e.join(broadcast(q),
+          col("bucket") === col("qbucket") &&
+            col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(SF.cosine(col("qv"), col("embedding")), 5).as("cos"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- multimodal plumbing ------------------------------------------
+    // Opaque-binary column handling: encode text as the stand-in blob
+    // (the container has no image/audio libs — see graft.multimodal
+    // for the stubbed decode pipeline), extract typed metadata.
+    "mm1_binary_metadata" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"),
+          col("source"))
+        .select(col("doc_id"), octet_length(col("blob")).as("n_bytes"),
+          substring(hex(col("blob")), 1, 8).as("magic_hex"),
+          col("source"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = {
+    val toks = """string_split_regex(trim(text), '\s+')"""
+    val scoreOf = (markers: String) =>
+      s"round(len(list_filter($toks, x -> x IN ($markers)))::DOUBLE / greatest(len($toks), 1), 9)"
+    val sEn = scoreOf("'the','a','of','and','is'")
+    val sDe = scoreOf("'der','die','das','und','ist'")
+    val sEs = scoreOf("'el','la','de','y','es'")
+    val sFr = scoreOf("'le','la','de','et','est'")
+    val sZh = scoreOf("'的','是','了','在','我'")
+    Map(
+      "tx1_lang_id" ->
+        s"""SELECT doc_id, lang AS labeled_lang,
+           CASE
+             WHEN en >= de AND en >= es AND en >= fr AND en >= zh THEN 'en'
+             WHEN de >= es AND de >= fr AND de >= zh THEN 'de'
+             WHEN es >= fr AND es >= zh THEN 'es'
+             WHEN fr >= zh THEN 'fr'
+             ELSE 'zh' END AS predicted_lang
+           FROM (SELECT doc_id, lang, $sEn AS en, $sDe AS de, $sEs AS es,
+             $sFr AS fr, $sZh AS zh FROM documents)
+           ORDER BY doc_id""",
+      "tx2_quality_score" ->
+        """SELECT doc_id, round(
+             0.4 * (1.0 - nonalpha / len) +
+             0.3 * least(stop * 5.0, 1.0) +
+             0.2 * least(len / 500.0, 1.0) +
+             0.1 * (1.0 - least(punct / len * 10.0, 1.0)), 6) AS quality
+           FROM (SELECT doc_id,
+             greatest(length(text), 1)::DOUBLE AS len,
+             (length(text) - length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')))::DOUBLE AS nonalpha,
+             (length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')))::DOUBLE AS punct,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> x IN ('the','a','of','and','is')))::DOUBLE /
+               greatest(len(string_split_regex(trim(text), '\s+')), 1) AS stop
+             FROM documents)
+           ORDER BY doc_id""",
+      "tx3_token_count" ->
+        """SELECT doc_id,
+           len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe_est
+           FROM documents ORDER BY doc_id""",
+      "tx4_fingerprint" ->
+        """SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+             AS fp
+           FROM documents ORDER BY doc_id""",
+      "dd1_exact_dedup" ->
+        """SELECT md5(text) AS content_hash,
+           min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+           FROM documents GROUP BY 1 ORDER BY keeper_doc_id""",
+      "dd3_ngram_jaccard" ->
+        """WITH d AS (SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g')), '\s+') AS toks
+           FROM documents WHERE doc_id < 200),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, greatest(len(toks) - 1, 1)),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+           FROM d),
+         counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS ni
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+           round(ni::DOUBLE / (ca.n + cb.n - ni), 6) AS jaccard
+         FROM inter
+         JOIN counts ca ON ca.doc_id = doc_a
+         JOIN counts cb ON cb.doc_id = doc_b
+         WHERE round(ni::DOUBLE / (ca.n + cb.n - ni), 6) >= 0.15
+         ORDER BY doc_a, doc_b""",
+      "dd5_embedding_neardup" ->
+        """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 5)
+             AS cos
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           WHERE a.vec_id < 300 AND b.vec_id < 300
+             AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 5)
+               >= 0.4
+           ORDER BY vec_a, vec_b""",
+      "ann1_cosine_topk" ->
+        """SELECT query_id, neighbor_id, cos, rank FROM (
+             SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 5)
+                 AS cos,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                   q.embedding, e.embedding), 5) DESC, e.vec_id) AS rank
+             FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+             WHERE q.vec_id < 5)
+           WHERE rank <= 10 ORDER BY query_id, rank""",
+      "mm1_binary_metadata" ->
+        """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+           substr(hex(encode(text)), 1, 8) AS magic_hex, source
+           FROM documents ORDER BY doc_id"""
+    )
+  }
+}

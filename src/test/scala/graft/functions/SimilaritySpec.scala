@@ -1,0 +1,115 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import graft.functions.{SimilarityFunctions => SF, TextFunctions => TF}
+
+/** Planted-duplicate correctness for the sketch-based operators that
+  * have no SQL oracle (dd2 MinHash+LSH, dd4 SimHash, ann2 bucketed
+  * ANN). Determinism is part of the contract: all sketches are
+  * hash-seeded, so every assertion is exact, not probabilistic.
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away " +
+      "into the deep green forest near the old stone bridge"
+  private val nearDup = base.replace("lazy", "sleepy") // 1-token edit
+  private val unrelated =
+    "completely different content about spark query engines shuffle " +
+      "partitions catalyst optimizer tungsten codegen execution plans"
+
+  private def docs = Seq(
+    (0L, base), (1L, base), (2L, nearDup), (3L, unrelated)
+  ).toDF("doc_id", "text")
+
+  test("minhash: identical docs have identical signatures") {
+    val sig = docs.select($"doc_id",
+      SF.minhashSignature(TF.wordShingles($"text", 2), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sig(0L) == sig(1L))
+    assert(sig(0L) != sig(3L))
+    assert(sig(0L).size == 16)
+  }
+
+  test("lsh bands: exact duplicates collide on every band, " +
+    "near-dups on at least one, unrelated docs on none") {
+    val banded = docs.select($"doc_id",
+      explode(SF.lshBands(
+        SF.minhashSignature(TF.wordShingles($"text", 2), 16), 8, 2))
+        .as("band"))
+    val pairs = banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("da"), $"b.doc_id".as("db")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(pairs((0L, 1L)) == 8) // identical: all 8 bands
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)),
+      "near-duplicate must collide on at least one band")
+    assert(!pairs.contains((0L, 3L)) && !pairs.contains((1L, 3L)) &&
+      !pairs.contains((2L, 3L)), "unrelated doc must not collide")
+  }
+
+  test("simhash: identical→0 hamming, near-dup close, unrelated far") {
+    val sh = docs.select($"doc_id",
+      SF.simhash64(TF.wordShingles($"text", 2)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(1L)) == 0)
+    assert(ham(sh(0L), sh(2L)) < ham(sh(0L), sh(3L)),
+      s"near-dup ${ham(sh(0L), sh(2L))} must beat unrelated ${ham(sh(0L), sh(3L))}")
+    assert(ham(sh(0L), sh(2L)) <= 16)
+  }
+
+  test("cosine: exact on hand-computed vectors; identical vectors hit 1") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.6f, 0.8f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cos = vecs.as("a").join(vecs.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id", $"b.vec_id",
+        round(SF.cosine($"a.embedding", $"b.embedding"), 9).as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cos((0L, 1L)) == 1.0)
+    assert(cos((0L, 2L)) == 0.0)
+    // 0.6f/0.8f are not exactly representable in float32 — the cast to
+    // double carries the float rounding, so compare at float precision
+    assert(math.abs(cos((0L, 3L)) - 0.6) < 1e-7)
+  }
+
+  test("hyperplane buckets: deterministic and identical vectors share " +
+    "a bucket") {
+    val vecs = Seq(
+      (0L, Array.tabulate(64)(i => math.sin(i).toFloat)),
+      (1L, Array.tabulate(64)(i => math.sin(i).toFloat)),
+      (2L, Array.tabulate(64)(i => math.cos(i * 3).toFloat))
+    ).toDF("vec_id", "embedding")
+    val b1 = vecs.select($"vec_id",
+      SF.hyperplaneBucket($"embedding", 4).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b2 = vecs.select($"vec_id",
+      SF.hyperplaneBucket($"embedding", 4).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b1 == b2, "buckets must be reproducible across runs")
+    assert(b1(0L) == b1(1L))
+    assert(b1.values.forall(b => b >= 0 && b < 16))
+  }
+
+  test("shingles guard short docs (sequence(1,0) would be descending)") {
+    val tiny = Seq((0L, "ab"), (1L, ""), (2L, "one two")).toDF("doc_id", "text")
+    val rows = tiny.select($"doc_id",
+      TF.shingles($"text", 5).as("c5"),
+      TF.wordShingles($"text", 3).as("w3")).collect()
+      .map(r => r.getLong(0) -> (r.getSeq[String](1), r.getSeq[String](2)))
+      .toMap
+    assert(rows(0L)._1.isEmpty && rows(0L)._2.isEmpty) // 2 chars, 1 token
+    assert(rows(1L)._1.isEmpty && rows(1L)._2.isEmpty) // empty doc
+    // "one two": 7 chars → char-5-grams exist; 2 tokens → no 3-gram
+    assert(rows(2L)._1 == Seq("one t", "ne tw", "e two"))
+    assert(rows(2L)._2.isEmpty)
+  }
+}
