@@ -1,0 +1,119 @@
+package graft.incr
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental-batch engine (SURVEY §2.10, T1–T6): the Spark rewrite
+  * of the reference's checkpoint/resume machinery
+  * (`integrator/integrator.py:702-853`, `status/status.py`).
+  *
+  * State lives in two small checkpoint tables (parquet dirs at scale;
+  * any DataFrames in tests):
+  *  - watermarks(scope_key, watermark_ts)   — T1 per-form high-water
+  *  - failures(api_type, scope_key, item_id, phase, error, ts) — T5 DLQ
+  *
+  * All functions are pure DataFrame → DataFrame so the logic is
+  * unit-testable exactly like the reference's `test_status.py`.
+  */
+object Incremental {
+
+  /** Terminal request statuses (gateway.py:497-501): anything else is
+    * re-fetched every run (T3). */
+  val terminalStatuses: Seq[String] =
+    Seq("completed", "rejected", "canceled", "canceled_after_completion")
+
+  /** T4 — progress ladder (status.py:159-: AppProgress /
+    * is_future_process): completed phases are skipped on resume. */
+  val phases: Seq[String] = Seq(
+    "INITIALIZED", "BASIC_DATA", "FORM_OUTLINE", "FORM_DETAIL",
+    "TERMINATING")
+
+  def isFuturePhase(current: String, phase: String): Boolean =
+    phases.indexOf(phase) > phases.indexOf(current)
+
+  /** T1 — capture the new high-watermark per scope BEFORE fetching
+    * (gateway.py:417-418): max event time per scope in the batch.
+    */
+  def captureWatermarks(batch: DataFrame, scopeCol: String,
+      tsCol: String): DataFrame =
+    batch.groupBy(col(scopeCol).as("scope_key"))
+      .agg(max(col(tsCol)).as("watermark_ts"))
+
+  /** T1 — commit-after-batch: merge newly captured watermarks into the
+    * store, keeping the max per scope. Idempotent (re-commit of the
+    * same batch is a no-op) — the Spark analog of
+    * "write watermark only after every request of the form processed"
+    * (integrator.py:838-840).
+    */
+  def commitWatermarks(store: DataFrame, captured: DataFrame): DataFrame =
+    store.unionByName(captured)
+      .groupBy(col("scope_key"))
+      .agg(max(col("watermark_ts")).as("watermark_ts"))
+
+  /** T1/S3 — incremental filter: rows of `data` strictly after their
+    * scope's committed watermark (rows in scopes with no watermark all
+    * pass). At 100 TB this predicate prunes bronze partitions.
+    */
+  def newerThanWatermark(data: DataFrame, store: DataFrame,
+      scopeCol: String, tsCol: String): DataFrame =
+    data.join(broadcast(store),
+        data(scopeCol) === store("scope_key"), "left")
+      .filter(col("watermark_ts").isNull ||
+        data(tsCol) > col("watermark_ts"))
+      .drop("scope_key", "watermark_ts")
+
+  /** T2 — late-data sweep: the union of the normal incremental window
+    * and a targeted re-sweep predicate (canceled_after_completion,
+    * api_client.py:586-595), deduped on `idCols`.
+    */
+  def withLateSweep(normal: DataFrame, resweep: DataFrame,
+      idCols: Seq[String]): DataFrame =
+    normal.select(idCols.map(col): _*)
+      .union(resweep.select(idCols.map(col): _*)).distinct()
+
+  /** T3 — open-status re-fetch set (gateway.py:495-507):
+    * target = outline ids ∪ non-terminal silver ids − ignore ids.
+    */
+  def refetchTargets(outlineIds: DataFrame, silver: DataFrame,
+      ignoreIds: DataFrame, idCol: String, statusCol: String): DataFrame = {
+    val open = silver.filter(!col(statusCol).isin(terminalStatuses: _*))
+      .select(col(idCol))
+    outlineIds.select(col(idCol)).union(open).distinct()
+      .join(ignoreIds.select(col(idCol)), Seq(idCol), "left_anti")
+  }
+
+  /** T5 — record failures into the DLQ (status.py:277-575 failure
+    * records, keyed per api/scope/item/phase; last failure wins).
+    */
+  def recordFailures(dlq: DataFrame, failures: DataFrame): DataFrame =
+    graft.operators.Upsert.fullRow(dlq, failures,
+      Seq("api_type", "scope_key", "item_id", "phase"))
+
+  /** T5 — selective retry: items of the work list that failed in a
+    * previous run are retried FIRST (they come flagged), everything
+    * already failed `maxAttempts`+ times is dropped to quarantine.
+    */
+  def planRetries(worklist: DataFrame, dlq: DataFrame, idCol: String,
+      maxAttempts: Int = 3): DataFrame = {
+    val counts = dlq.groupBy(col("item_id").as(idCol))
+      .agg(count(lit(1)).as("__n_failures"))
+    worklist.join(broadcast(counts), Seq(idCol), "left")
+      .filter(coalesce(col("__n_failures"), lit(0)) < maxAttempts)
+      .withColumn("retry_priority",
+        coalesce(col("__n_failures"), lit(0)) > 0)
+      .drop("__n_failures")
+  }
+
+  /** T6 — the retry ladder around a whole batch run (app.py:19-36).
+    * Driver-side by design: it wraps the batch, it is not data flow.
+    */
+  def withRetryLadder[A](delays: Seq[Long] = Seq(60000L, 300000L, 900000L),
+      sleep: Long => Unit = Thread.sleep)(run: () => A): A = {
+    def attempt(remaining: Seq[Long]): A =
+      try run() catch {
+        case e: java.io.IOException if remaining.nonEmpty =>
+          sleep(remaining.head); attempt(remaining.tail)
+      }
+    attempt(delays)
+  }
+}

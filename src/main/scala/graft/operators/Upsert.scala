@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** MERGE-style upsert library implementing the reference's four sink
+  * semantics (SURVEY §2.2) as pure DataFrame transforms — the Spark
+  * rewrite of SQLite `INSERT OR REPLACE` / `ON CONFLICT DO UPDATE` /
+  * `WHERE NOT EXISTS` / diff-delete.
+  *
+  * Scale: every operation is one shuffle on the primary key (the
+  * window/groupBy and the join share the key). With a transactional
+  * table format these become real MERGE INTO statements; this
+  * emulation is format-agnostic and idempotent — re-running a batch
+  * yields the same result, which the incremental engine (graft.incr)
+  * relies on.
+  */
+object Upsert {
+
+  /** K1 — full-row upsert (INSERT OR REPLACE by PK, users.py:101-106):
+    * rows in `updates` replace same-key rows in `base` wholesale.
+    * Both sides must share a schema.
+    */
+  def fullRow(base: DataFrame, updates: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val tagged = base.withColumn("__src", lit(0))
+      .unionByName(updates.withColumn("__src", lit(1)))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__src").desc)
+    tagged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__src", "__rn")
+  }
+
+  /** K2 — partial-column upsert (ON CONFLICT DO UPDATE SET
+    * col=excluded.col, _customized_items.py:130-136): only
+    * `updateCols` change; other columns keep their base values; keys
+    * present only in `updates` are inserted (missing non-update
+    * columns null).
+    */
+  def partial(base: DataFrame, updates: DataFrame, keys: Seq[String],
+      updateCols: Seq[String]): DataFrame = {
+    val u = updates.select((keys ++ updateCols).map(col): _*)
+      .withColumnsRenamed(updateCols.map(c => c -> s"__u_$c").toMap)
+      .withColumn("__matched", lit(true))
+    val joined = base.join(u, keys, "full_outer")
+    val merged = updateCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(c,
+        when(col("__matched"), col(s"__u_$c")).otherwise(col(c)))
+    }
+    merged.drop((updateCols.map(c => s"__u_$c") :+ "__matched"): _*)
+  }
+
+  /** K3 — insert-if-absent with NULL-safe key compare
+    * (users.py:114-126): `incoming` rows whose key has no NULL-safe
+    * match in `base` are appended.
+    */
+  def insertIfAbsent(base: DataFrame, incoming: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val cond = keys.map(k => base(k) <=> incoming(k)).reduce(_ && _)
+    val fresh = incoming.join(base, cond, "left_anti")
+    base.unionByName(fresh)
+  }
+
+  /** K4 — diff-delete / child-set reconciliation (users.py:128-135,
+    * _expense.py:184-193): for every parent present in `incoming`,
+    * the child set becomes exactly incoming's; parents absent from
+    * incoming keep their old children. This is the
+    * "replace-children-per-parent" superset of the reference's
+    * partially-implemented deletes (SURVEY §7.4.4).
+    */
+  def reconcileChildren(base: DataFrame, incoming: DataFrame,
+      parentKeys: Seq[String]): DataFrame = {
+    val parents = incoming.select(parentKeys.map(col): _*).distinct()
+    val untouched = base.join(parents, parentKeys, "left_anti")
+    untouched.unionByName(incoming)
+  }
+
+  /** K5 — last-write-wins dedup for the bronze raw-response sink
+    * (api_client.py:154-177 UNIQUE ON CONFLICT REPLACE): keep the
+    * newest row per key by `orderCol` (ties broken by all remaining
+    * columns for determinism).
+    */
+  def lastWriteWins(df: DataFrame, keys: Seq[String],
+      orderCol: String): DataFrame = {
+    val tieBreak = df.columns.filterNot(c => keys.contains(c))
+      .map(c => col(c).desc)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((col(orderCol).desc +: tieBreak.toSeq): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+}
