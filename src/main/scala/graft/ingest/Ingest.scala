@@ -1,0 +1,141 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Ingestion layer (SURVEY §2.1 S1–S6): pluggable fetcher behind the
+  * plan, throttling, pagination, error classification, and the bronze
+  * raw-response sink. The HTTP client itself is a trait — tests and
+  * the harness plug in file/synthetic fetchers (mirroring the
+  * reference's SAVE_RAW_DATA artifacts, api_client.py:307-334); a real
+  * throttled client slots in without touching any dataflow.
+  */
+object Ingest {
+
+  /** One page of an API listing (gateway/_core.py:17-40 ApiResponse). */
+  case class Page(results: Seq[String], next: Option[String],
+    statusCode: Int = 200, error: Option[String] = None)
+
+  /** S1+S2+S4 — the pluggable source. */
+  trait Fetcher extends Serializable {
+    /** Fetch one page; `pageToken` None = first page. */
+    def fetchPage(apiType: String, query: Map[String, String],
+      pageToken: Option[String]): Page
+    /** S4 — point lookup of one detail document by id. */
+    def fetchDetail(apiType: String, id: String): Either[String, String]
+  }
+
+  /** S1 — token-bucket throttle (ThrottledRequests,
+    * gateway/throttled_request.py:36-61): enforces a minimum interval
+    * between calls. Used per executor thread inside mapPartitions, so
+    * the cluster-wide rate is interval × parallelism — size
+    * accordingly (reference default 0.72 s = 5000/hr single-threaded).
+    */
+  final class Throttle(minIntervalMs: Long,
+      clock: () => Long = System.currentTimeMillis,
+      sleep: Long => Unit = Thread.sleep) extends Serializable {
+    // sentinel far in the past so the FIRST call never waits
+    private var last = Long.MinValue / 2
+    def acquire(): Long = synchronized {
+      val now = clock()
+      val wait = (last + minIntervalMs) - now
+      if (wait > 0) sleep(wait)
+      last = clock()
+      wait.max(0L)
+    }
+  }
+
+  /** S2 — exhaustive-pagination scan of one endpoint
+    * (fetch_basic_data, api_client.py:455-519). Pagination is
+    * inherently sequential per endpoint — the parallel axis is ACROSS
+    * endpoints/forms (see fetchMany), exactly the reference's
+    * observation (SURVEY S2).
+    */
+  def drainPages(fetcher: Fetcher, throttle: Throttle, apiType: String,
+      query: Map[String, String] = Map.empty): Seq[Page] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Page]
+    var token: Option[String] = None
+    var continue = true
+    while (continue) {
+      throttle.acquire()
+      val page = fetcher.fetchPage(apiType, query, token)
+      buf += page
+      token = page.next
+      continue = page.next.isDefined && page.error.isEmpty
+    }
+    buf.toSeq
+  }
+
+  /** S3 — incremental query-param pushdown (applied_after watermark,
+    * api_client.py:569-573): builds the source-level predicate. */
+  def incrementalQuery(formId: Option[Long], appliedAfter: Option[String],
+      includeCanceled: Boolean = true): Map[String, String] =
+    Map.empty[String, String] ++
+      formId.map("form_id" -> _.toString) ++
+      appliedAfter.map("applied_after" -> _) ++
+      (if (includeCanceled) Map("include_canceled" -> "true") else Map.empty)
+
+  /** Fan the per-key detail fetches out over executors (S4 at scale):
+    * ids are distributed, each partition runs a throttled fetch loop,
+    * results come back as an Either-style DataFrame (S5) — no
+    * driver-side loop over ids.
+    */
+  def fetchDetails(spark: SparkSession, fetcher: Fetcher, apiType: String,
+      ids: Dataset[String], minIntervalMs: Long = 0L): DataFrame = {
+    import spark.implicits._
+    ids.mapPartitions { it =>
+      val throttle = new Throttle(minIntervalMs)
+      it.map { id =>
+        throttle.acquire()
+        fetcher.fetchDetail(apiType, id) match {
+          case Right(doc) => (id, doc, null: String)
+          case Left(err) => (id, null: String, err)
+        }
+      }
+    }.toDF("id", "doc", "error")
+  }
+
+  /** S5 — error taxonomy over fetched pages (status code → ok /
+    * warning / fatal, api_client.py:390-453 + status/warnings.py):
+    * a classification column + quarantine split instead of exceptions.
+    */
+  def classifyPages(spark: SparkSession, pages: Seq[(String, Page)]): DataFrame = {
+    import spark.implicits._
+    pages.map { case (api, p) =>
+      val cls =
+        if (p.error.exists(e => e.contains("Connection") ||
+          e.contains("Timeout"))) "fatal"
+        else if (p.statusCode != 200 || p.error.isDefined) "warning"
+        else "ok"
+      (api, p.statusCode, p.results.size, cls, p.error.orNull)
+    }.toDF("api_type", "status_code", "n_results", "fetch_class", "error")
+  }
+
+  /** K5/§1.4 — bronze raw-response sink: append JSON pages partitioned
+    * by api_type; replace-on-conflict happens lazily at read time via
+    * lastWriteWins on (api_type, brief_key, detailed_key) — an
+    * append-only log with merge-on-read, which is the scalable form of
+    * the reference's UNIQUE ON CONFLICT REPLACE table.
+    */
+  def appendRaw(df: DataFrame, bronzeDir: String): Unit =
+    df.write.mode("append").partitionBy("api_type").parquet(bronzeDir)
+
+  def readRawDeduped(spark: SparkSession, bronzeDir: String): DataFrame =
+    graft.operators.Upsert.lastWriteWins(
+      spark.read.parquet(bronzeDir),
+      Seq("api_type", "brief_key", "detailed_key"), "ingest_ts")
+
+  /** Parse a bronze JSON-string column with an explicit schema (F7);
+    * unparseable documents land in a quarantine column instead of
+    * failing the batch (S5). PERMISSIVE mode yields an all-null struct
+    * (not a null) for malformed input, so validity is detected via a
+    * required key field.
+    */
+  def parseDocs(raw: DataFrame, docCol: String, schema: StructType,
+      requiredField: String = "id"): DataFrame =
+    raw.withColumn("parsed", from_json(col(docCol), schema))
+      .withColumn("parse_ok",
+        col("parsed").isNotNull &&
+          col(s"parsed.$requiredField").isNotNull)
+}

@@ -1,0 +1,143 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling for training-data pipelines: media
+  * payloads ride as opaque `binary` columns with typed metadata
+  * structs; decode / feature-extract / resize / frame-sample run as
+  * batched partition-level transforms.
+  *
+  * ==== STUBBED DECODERS ====
+  * This container has no image/audio/video libraries, so every actual
+  * decoder below is a clearly-marked DETERMINISTIC FAKE (derived from
+  * the payload bytes) — the Spark-side plumbing (schema, batch shape,
+  * partitioning, metadata contract) is real and tested. Swapping in a
+  * real decoder (e.g. JavaCV/ImageIO on the executor classpath) only
+  * replaces the function bodies marked STUB.
+  *
+  * Scale notes: payloads are the dominant bytes — never shuffle them
+  * unless the operator needs pixel data. Metadata extraction projects
+  * the blob away as early as possible; repartition by id BEFORE
+  * decode so one straggler partition doesn't hold 10 GB of video.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = true), // image|audio|video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("source_uri", StringType, nullable = true)))
+
+  val imageMetaSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("format", StringType, nullable = true),
+    StructField("n_bytes", LongType, nullable = true)))
+
+  /** Cheap metadata that needs no decode — pure Column algebra, stays
+    * in codegen, blob never leaves the scan. */
+  def byteMetadata(payload: org.apache.spark.sql.Column) = struct(
+    octet_length(payload).as("n_bytes"),
+    substring(hex(payload), 1, 16).as("magic_hex"),
+    xxhash64(payload).as("content_hash"))
+
+  /** STUB — deterministic fake image decode: dimensions/format derived
+    * from the payload hash. A real implementation decodes the header
+    * bytes (ImageIO) and returns the same struct.
+    */
+  private def decodeImageStub(payload: Array[Byte]): Row = {
+    if (payload == null || payload.isEmpty) Row(null, null, null, 0L)
+    else {
+      val h = java.util.Arrays.hashCode(payload)
+      Row(64 + math.abs(h % 1024), 64 + math.abs((h >> 10) % 1024),
+        Seq("png", "jpeg", "webp")(math.abs(h % 3)),
+        payload.length.toLong)
+    }
+  }
+
+  /** STUB — deterministic fake feature extraction: a 16-dim
+    * pseudo-embedding from rolling byte hashes. A real implementation
+    * runs the vision encoder over the decoded image batch here —
+    * the mapPartitions batch shape is exactly where an ONNX/JNI
+    * session amortizes its init cost across a partition.
+    */
+  private def embedStub(payload: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](16)
+    if (payload != null) {
+      var h = 1125899906842597L
+      var i = 0
+      while (i < payload.length) {
+        h = 31 * h + payload(i); i += 1
+        out(i % 16) += (h % 1000L).toFloat / 1000f
+      }
+    }
+    out
+  }
+
+  /** Decode metadata for a media table: batched per partition (one
+    * decoder instance per partition, not per row), blob dropped from
+    * the output so downstream stages shuffle only metadata.
+    */
+  def decodeImages(media: DataFrame): DataFrame = {
+    val schema = media.schema
+    val payloadIdx = schema.fieldIndex("payload")
+    val keepIdx = schema.indices.filterNot(_ == payloadIdx)
+    val outSchema = StructType(keepIdx.map(schema(_)) :+
+      StructField("image_meta", imageMetaSchema, nullable = true))
+    val rdd = media.rdd.mapPartitions { it =>
+      // STUB decoder init happens once per partition — the real
+      // decoder (ImageIO/ONNX session) goes here
+      it.map { row =>
+        val payload = if (row.isNullAt(payloadIdx)) null
+          else row.getAs[Array[Byte]](payloadIdx)
+        Row.fromSeq(keepIdx.map(row.get) :+ decodeImageStub(payload))
+      }
+    }
+    media.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** Pseudo-embedding column over the payload — the ANN entry point
+    * for multimodal near-dup (feeds SimilarityFunctions.cosine /
+    * hyperplaneBucket unchanged).
+    */
+  def embedImages(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val withId = media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+    withId.mapPartitions { it =>
+      it.map { case (id, payload) => (id, embedStub(payload)) }
+    }.toDF("media_id", "embedding")
+  }
+
+  /** STUB — frame sampling for video payloads: emits every k-th
+    * "frame" (fixed-size byte windows of the fake container). Real
+    * implementation: demux + decode keyframes. The explode shape —
+    * one row in, n frame-rows out, frame_index attached — is the real
+    * contract.
+    */
+  def sampleFrames(media: DataFrame, everyK: Int = 10,
+      frameBytes: Int = 4096): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        if (payload == null) Iterator.empty
+        else payload.grouped(frameBytes).zipWithIndex
+          .filter(_._2 % everyK == 0)
+          .map { case (frame, idx) => (id, idx, frame) }
+      }.toDF("media_id", "frame_index", "frame_payload")
+  }
+
+  /** Build a media table from any (id, text) source — the harness
+    * stand-in for real binary ingestion (documents.text → UTF-8 blob).
+    */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("media_id"),
+      lit("image").as("kind"),
+      encode(col("text"), "UTF-8").as("payload"),
+      concat(lit("synthetic://"), col("doc_id")).as("source_uri"))
+}

@@ -128,21 +128,30 @@ object Normalize {
         col("index_2"), col("cell.column_number").as("column_number"),
         col("cell.value").as("value"),
         col("cell.generic_master").as("generic_master"))
-    // generic_masters dedup by natural key with merge (A8,
-    // _data_class.py:345-380): one row per distinct (record_name,
-    // record_code, additional_items) across items + cells
+    // generic_masters: one row per USAGE SITE (customized item or table
+    // cell — the corrected R3 correlation, not the reference's
+    // hardcoded customized_item_id=1, SURVEY §7.4.6), deduped content
+    // in generic_master_additional_items by natural key (A8,
+    // _data_class.py:345-380)
     val gmFromItems = ci.filter(col("c.generic_master").isNotNull)
-      .select(col("c.generic_master").as("gm"))
+      .select(col("request_id"), col("item_index"),
+        lit(null).cast("int").as("index_1"),
+        lit(null).cast("int").as("index_2"),
+        col("c.generic_master").as("gm"))
     val gmFromCells = tableData.filter(col("generic_master").isNotNull)
-      .select(col("generic_master").as("gm"))
+      .select(col("request_id"), col("item_index"), col("index_1"),
+        col("index_2"), col("generic_master").as("gm"))
     val genericMasters = gmFromItems.unionByName(gmFromCells)
-      .select(col("gm.record_name").as("record_name"),
+      .select(col("request_id"), col("item_index"), col("index_1"),
+        col("index_2"), col("gm.record_name").as("record_name"),
         col("gm.record_code").as("record_code"),
         col("gm.additional_items").as("additional_items"))
-      .distinct()
     val gmAdditional = genericMasters
       .select(col("record_name"), col("record_code"),
+        col("additional_items")).distinct()
+      .select(col("record_name"), col("record_code"),
         posexplode(col("additional_items")).as(Seq("item_index", "item_value")))
+    val genericMastersOut = genericMasters.drop("additional_items")
     val tableDataOut = tableData.drop("generic_master")
 
     // expense → specifics → rows → custom_items → values → extensions
@@ -227,11 +236,12 @@ object Normalize {
       col("detail.ec.related_request_title").as("related_request_title"),
       col("detail.ec.content_description").as("content_description"),
       col("detail.ec.billing_destination").as("billing_destination"))
+    // divergence from the reference's globally-deduped shipping_address
+    // registry: keyed by request_id (1:1 with ec) so the document can
+    // be reassembled without a surrogate FK
     val shippingAddress = raw
       .filter(col("detail.ec.shipping_address").isNotNull)
-      .select(col("detail.ec.shipping_address.*")).distinct()
-    val ecShip = raw.filter(col("detail.ec").isNotNull)
-      .select(rid, col("detail.ec.shipping_address").as("sa"))
+      .select(rid, col("detail.ec.shipping_address.*"))
     val ecSpecifics = raw.filter(col("detail.ec.specifics").isNotNull)
       .select(rid,
         col("detail.ec.specifics.order_id").as("order_id"),
@@ -281,14 +291,15 @@ object Normalize {
     // comments: dedup by (user_name, date, text) across steps + the
     // after-completion block (A8, _data_class.py:213-254)
     val stepComments = approversEx
-      .select(col("request_id"), col("step_index"),
+      .select(col("request_id"), col("step_index"), col("approver_index"),
         explode(col("av.comments")).as("c"))
     val aacComments = raw
       .select(rid, lit(null).cast("int").as("step_index"),
+        lit(null).cast("int").as("approver_index"),
         explode(col("detail.approval_process.approval_after_completion.comments"))
           .as("c"))
     val allComments = stepComments.unionByName(aacComments)
-      .select(col("request_id"), col("step_index"),
+      .select(col("request_id"), col("step_index"), col("approver_index"),
         col("c.user_name").as("user_name"), parseTs(col("c.date")).as("date"),
         col("c.text").as("text"), col("c.deleted").as("deleted"))
     val comments = allComments
@@ -296,7 +307,7 @@ object Normalize {
       .agg(max(col("deleted")).as("deleted"))
     val commentAssociations = allComments
       .select(col("user_name"), col("date"), col("text"),
-        col("request_id"), col("step_index"),
+        col("request_id"), col("step_index"), col("approver_index"),
         col("step_index").isNull.as("is_after_completion"))
       .distinct()
 
@@ -373,7 +384,7 @@ object Normalize {
       "requests" -> requests,
       "customized_items" -> customizedItems,
       "table_data" -> tableDataOut,
-      "generic_masters" -> genericMasters,
+      "generic_masters" -> genericMastersOut,
       "generic_master_additional_items" -> gmAdditional,
       "expense" -> expense,
       "expense_specifics" -> expenseSpecifics,

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming twins of the incremental/batch operators: the
+  * reference has no streaming engine (SURVEY §2.10) — its watermark
+  * batch (T1) is re-expressed here as real event-time streaming, so the
+  * same library serves both the nightly batch and a live feed.
+  *
+  * Every transform takes a DataFrame and doesn't care whether it came
+  * from `read` or `readStream` — the plans are identical (verified in
+  * StreamingSpec via MemoryStream); only the sink differs.
+  */
+object EventStream {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+  case class UserSessionState(nEvents: Long, lastTs: Long)
+  case class SessionUpdate(user_id: Long, nEvents: Long, closed: Boolean)
+
+  /** Tumbling 1-hour counts with a 2-hour event-time watermark — the
+    * streaming form of queries.StreamingBatch.st1. Late events beyond
+    * the watermark are dropped, state is bounded.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("bucket_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Session windows (30-minute gap) per user via the built-in
+    * session_window — the streaming form of st3.
+    */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"))
+
+  /** Custom keyed state via mapGroupsWithState: running per-user event
+    * counter with processing-time timeout — the pattern for state the
+    * built-in windows can't express (T4's resume-state analog).
+    */
+  def runningUserCounts(events: Dataset[Event],
+      expireAfter: Option[String] = None): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    // NOTE: a processing-time timeout makes the engine self-trigger to
+    // check expiry, so the stream never quiesces — opt in only for
+    // production jobs that want state expiry (expireAfter=Some("30
+    // minutes")); tests and bounded replays leave it off.
+    val timeout = if (expireAfter.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout
+    else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserSessionState, SessionUpdate](timeout) {
+        case (userId, batch, state: GroupState[UserSessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionUpdate(userId, s.nEvents, closed = true)
+          } else {
+            val events = batch.toSeq
+            val prev = state.getOption.getOrElse(UserSessionState(0L, 0L))
+            val next = UserSessionState(prev.nEvents + events.size,
+              math.max(prev.lastTs, events.map(_.ts.getTime).max))
+            state.update(next)
+            expireAfter.foreach(state.setTimeoutDuration)
+            SessionUpdate(userId, next.nEvents, closed = false)
+          }
+      }
+  }
+
+  /** Streaming MERGE sink: every micro-batch is applied to the target
+    * parquet table with last-write-wins semantics (K5) inside
+    * foreachBatch — the streaming twin of the bronze raw-response sink.
+    * Checkpointing makes this exactly-once at the table level: replays
+    * re-apply idempotent merges (T4).
+    */
+  def mergeSink(stream: DataFrame, targetDir: String,
+      checkpointDir: String, keys: Seq[String], orderCol: String) =
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val target = scala.util.Try(spark.read.parquet(targetDir)).toOption
+        val merged = target match {
+          case Some(existing) => graft.operators.Upsert.lastWriteWins(
+            existing.unionByName(batch.toDF()), keys, orderCol)
+          case None => batch.toDF()
+        }
+        // overwrite-after-merge; at scale this is a MERGE INTO on a
+        // transactional table instead of a full rewrite
+        merged.cache().count()
+        merged.write.mode("overwrite").parquet(targetDir)
+        merged.unpersist()
+        ()
+      }
+}

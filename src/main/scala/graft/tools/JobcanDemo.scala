@@ -85,6 +85,13 @@ object JobcanDemo {
       """SELECT `申請ID`, `申請ステータス`, `金額`
          FROM view_expense_report_f3 ORDER BY `申請ID`""")
       .show(truncate = false)
+
+    // the retrieve() read API: silver tables → nested JSON documents
+    println("reassembled documents (retrieve() analog):")
+    graft.docs.Reassembly.toJsonDocs(tables)
+      .orderBy("id").collect()
+      .foreach(r => println(s"  ${r.getString(0)}: " +
+        r.getString(1).take(160) + "..."))
     spark.stop()
   }
 }

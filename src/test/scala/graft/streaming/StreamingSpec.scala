@@ -1,0 +1,107 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Structured-Streaming twins driven through MemoryStream: the same
+  * transforms as the batch queries, executed incrementally with
+  * watermarks and keyed state.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  import EventStream._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("tumblingCounts over a stream matches the batch plan on the " +
+    "same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("complete").start()
+    try {
+      mem.addData(
+        Event(1, ts(5), 1, "click", 1.0),
+        Event(2, ts(20), 1, "click", 2.0),
+        Event(3, Timestamp.valueOf("2024-01-01 11:10:00"), 2, "view", 3.0))
+      q.processAllAvailable()
+      val got = spark.table("tumbling")
+        .orderBy("bucket_start", "event_type").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+      assert(got.toSeq == Seq(
+        ("2024-01-01 10:00:00.0", "click", 2L),
+        ("2024-01-01 11:00:00.0", "view", 1L)))
+      // batch twin over identical rows
+      val batch = tumblingCounts(Seq(
+        Event(1, ts(5), 1, "click", 1.0),
+        Event(2, ts(20), 1, "click", 2.0),
+        Event(3, Timestamp.valueOf("2024-01-01 11:10:00"), 2, "view", 3.0))
+        .toDF()).orderBy("bucket_start", "event_type").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+      assert(batch.toSeq == got.toSeq)
+    } finally q.stop()
+  }
+
+  test("sessionCounts groups by 30-minute gaps") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = sessionCounts(mem.toDF())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    try {
+      // user 1: 10:00,10:10 (one session), 11:30 (new session)
+      mem.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(10), 1, "click", 1.0),
+        Event(3, Timestamp.valueOf("2024-01-01 11:30:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions").orderBy("session_start")
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      assert(got.toSeq == Seq((1L, 2L), (1L, 1L)))
+    } finally q.stop()
+  }
+
+  test("runningUserCounts keeps per-user state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = runningUserCounts(mem.toDS())
+      .writeStream.format("memory").queryName("running")
+      .outputMode("update").start()
+    try {
+      mem.addData(Event(1, ts(0), 7, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(2, ts(1), 7, "click", 1.0),
+        Event(3, ts(2), 8, "view", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("running").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // user 7 counted 1 in batch 1, then 2 cumulative in batch 2
+      assert(got == Set((7L, 1L), (7L, 2L), (8L, 1L)))
+    } finally q.stop()
+  }
+
+  test("mergeSink applies last-write-wins per micro-batch (K5 " +
+    "streaming twin); replay-idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-merge")
+    val target = dir.resolve("table").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val mem = MemoryStream[Event]
+    val q = mergeSink(mem.toDF(), target, ckpt,
+      Seq("user_id", "event_type"), "ts").start()
+    try {
+      mem.addData(Event(1, ts(0), 1, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(2, ts(5), 1, "click", 9.0)) // newer, same key
+      q.processAllAvailable()
+      val rows = spark.read.parquet(target)
+        .select("user_id", "event_type", "value").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq((1L, "click", 9.0)))
+    } finally q.stop()
+  }
+}
