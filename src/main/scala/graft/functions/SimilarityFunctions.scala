@@ -42,21 +42,27 @@ object SimilarityFunctions {
     * radius search via `bit_count(a ^ b)`.
     */
   def simhash64(shingleArr: Column): Column = {
-    val hashes = transform(shingleArr, s => xxhash64(s))
+    // Single pass over the shingles with a 64-slot balance accumulator.
+    // (The obvious formulation — for each bit, aggregate over shingles —
+    // re-evaluates the whole hash array per bit: 64× the work, measured
+    // 473 s vs ~7 s on 200 docs at sf0.1.) xxhash64 runs once per
+    // shingle via the outer transform; the Scala `shiftleft`/
+    // `shiftrightunsigned` wrappers only take Int bit counts, so
+    // call_function passes the lambda-bound bit index.
+    val bitIdx = sequence(lit(0), lit(63))
+    val balances = aggregate(
+      transform(shingleArr, s => xxhash64(s)),
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, bitIdx, (a, j) =>
+        a + when(
+          call_function("shiftrightunsigned", h, j)
+            .bitwiseAND(lit(1L)) === 1L,
+          lit(1L)).otherwise(lit(-1L))))
     aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, j) => {
-        // the Scala `shiftleft`/`shiftrightunsigned` wrappers only take
-        // Int bit counts — call_function passes the lambda-bound Column
-        val balance = aggregate(hashes, lit(0L),
-          (a, h) => a + when(
-            call_function("shiftrightunsigned", h, j)
-              .bitwiseAND(lit(1L)) === 1L,
-            lit(1L)).otherwise(lit(-1L)))
-        acc.bitwiseOR(call_function("shiftleft",
-          when(balance > 0, lit(1L)).otherwise(lit(0L)), j))
-      })
+      zip_with(balances, bitIdx, (b, j) =>
+        call_function("shiftleft",
+          when(b > 0, lit(1L)).otherwise(lit(0L)), j)),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
   }
 
   /** Hamming distance between two 64-bit sketches. */

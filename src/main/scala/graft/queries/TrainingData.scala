@@ -81,9 +81,12 @@ object TrainingData {
     // Spark-specific); planted-duplicate correctness lives in
     // MinHashLshSpec.
     "dd2_minhash_lsh" -> ((s, dir) => {
+      // the shingle table feeds the band join AND both verification
+      // joins — persist it (at scale: write the sketch table once)
       val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
         .select(col("doc_id"), TF.wordShingles(col("text"), 2).as("sh"))
         .filter(size(col("sh")) > 0)
+        .cache()
       val banded = docs.select(col("doc_id"),
         explode(SF.lshBands(SF.minhashSignature(col("sh"), 16), 8, 2))
           .as("band"))
@@ -138,8 +141,10 @@ object TrainingData {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
         .select(col("doc_id"),
           SF.simhash64(TF.wordShingles(col("text"), 2)).as("sig"))
+      // sketch computed once, joined twice — persist (the 16-byte-per-
+      // doc sketch table is exactly what you'd materialize at 100 TB)
       val bucketed = docs.withColumn("bucket",
-        shiftrightunsigned(col("sig"), 56))
+        shiftrightunsigned(col("sig"), 56)).cache()
       bucketed.as("a").join(bucketed.as("b"),
           col("a.bucket") === col("b.bucket") &&
             col("a.doc_id") < col("b.doc_id"))

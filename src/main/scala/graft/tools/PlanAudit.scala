@@ -1,0 +1,52 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints `explain("formatted")` for selected queries and
+  * greps the physical plan for the scale-relevant properties —
+  * PushedFilters reaching the parquet scan, broadcast joins on
+  * dimension tables, whole-stage codegen coverage, and shuffle
+  * (Exchange) counts.
+  *
+  *   PlanAudit [queryName ...]    (defaults to a headline set)
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .appName("plan-audit")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.01")
+    val names = if (args.nonEmpty) args.toSeq else Seq(
+      "flagship_report", "p3_eq_filter", "j1_left_join_dim",
+      "a1_pivot_max_case", "w4_topk_limit", "dd3_ngram_jaccard",
+      "ann1_cosine_topk")
+    names.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val nExchange = "Exchange".r.findAllIn(plan).size
+      val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).size
+      val nCodegen = "codegen id : (\\d+)".r.findAllMatchIn(plan)
+        .map(_.group(1)).toSet.size
+      val pushed = plan.linesIterator
+        .filter(l => l.contains("PushedFilters") && !l.contains("[]"))
+        .size
+      println(s"\n========== $name ==========")
+      println(s"exchanges=$nExchange broadcastJoins=$nBroadcast " +
+        s"codegenStages=$nCodegen scansWithPushedFilters=$pushed")
+      if (args.nonEmpty) println(plan)
+      else println(plan.linesIterator
+        .filter(l => l.matches("^\\(\\d+\\) .*") ||
+          l.contains("PushedFilters") || l.contains("ReadSchema"))
+        .take(60).mkString("\n"))
+    }
+    spark.stop()
+  }
+}
