@@ -1,0 +1,24 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: injects graft's native
+  * expressions into every session built with
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions) — or
+  *   spark.sql.extensions=graft.expressions.GraftExtensions
+  *
+  * (the extension-injection route, preferred over per-session
+  * `register` because it survives session cloning and applies to
+  * thrift/connect sessions too).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+  }
+}

@@ -82,8 +82,18 @@ object SimilarityFunctions {
   /** L2 norm of a float-array embedding, in double. */
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity of two embeddings, in double. */
+  /** Cosine similarity of two embeddings: the native codegen'd
+    * expression (one fused loop inside whole-stage codegen). Identical
+    * numerics to [[cosineHof]] — index-order double accumulation.
+    */
   def cosine(a: Column, b: Column): Column =
+    graft.expressions.CosineSimilarity(a, b)
+
+  /** Higher-order-function cosine (built-ins only): the reference
+    * formulation the native expression is checked against; kept for
+    * engines/sessions where custom expressions can't be deployed.
+    */
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
 
   /** Deterministic random-hyperplane LSH bucket for an embedding:

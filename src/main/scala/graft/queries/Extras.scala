@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Remaining SURVEY §2 line items + the SQL-API surface: P2
+  * passthrough views, the explicit A4 COUNT(DISTINCT) guard, queries
+  * issued through `spark.sql` over registered temp views, and the
+  * native `cosine_sim` expression exercised from SQL.
+  */
+object Extras {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.Tables.load(s, dir, name)
+
+  val queries: Map[String, Q] = Map(
+    // P2 — `SELECT *` passthrough view with a constant filter
+    // (view_立替精算・交通費(書式3-3.), create_views.sql:368-374).
+    "p2_passthrough_view" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // A4 — COUNT(DISTINCT) guard (users.py:211,219), standalone.
+    "a4_count_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+          countDistinct(col("l_partkey"), col("l_suppkey"))
+            .as("n_part_supp"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // The spark.sql surface over registered temp views — same names
+    // the DuckDB oracle uses, same SQL text runs on both engines
+    // (§3.2: the reference's BI surface is plain SQL over views).
+    "sql1_sql_surface" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT n_name, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY n_name ORDER BY n_name""")
+    }),
+
+    // The native codegen'd CosineSimilarity expression called from
+    // SQL (registered via GraftExtensions / register()) — §2.11's
+    // custom-Expression surface.
+    "sql2_native_cosine" -> ((s, dir) => {
+      graft.expressions.CosineSimilarity.register(s)
+      graft.Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT e.vec_id AS neighbor_id,
+           round(cosine_sim(q.embedding, e.embedding), 5) AS cos
+           FROM embeddings q JOIN embeddings e
+             ON q.vec_id = 0 AND e.vec_id <> 0
+           ORDER BY cos DESC, neighbor_id LIMIT 15""")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "p2_passthrough_view" ->
+      """SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
+         ORDER BY o_orderkey""",
+    "a4_count_distinct" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_suppkey) AS n_suppliers,
+         count(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "sql1_sql_surface" ->
+      """SELECT n_name, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS revenue
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+    "sql2_native_cosine" ->
+      """SELECT e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[],
+           e.embedding::DOUBLE[]), 5) AS cos
+         FROM embeddings q JOIN embeddings e
+           ON q.vec_id = 0 AND e.vec_id <> 0
+         ORDER BY cos DESC, neighbor_id LIMIT 15"""
+  )
+}

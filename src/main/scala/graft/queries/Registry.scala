@@ -87,7 +87,8 @@ object Registry {
     (Upserts.queries, Upserts.oracle),
     (Incremental.queries, Incremental.oracle),
     (StreamingBatch.queries, StreamingBatch.oracle),
-    (TrainingData.queries, TrainingData.oracle)
+    (TrainingData.queries, TrainingData.oracle),
+    (Extras.queries, Extras.oracle)
   )
 
   lazy val all: Map[String, Q] = {
