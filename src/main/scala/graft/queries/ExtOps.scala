@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Joins
+import graft.functions.GroupConcatOrdered
+
+/** Extended operators beyond the reference's surface: as-of join
+  * (composed union+window — no O(n·m) range product), skew-salted
+  * join, and the custom ordered-GROUP_CONCAT Aggregator (§2.11).
+  */
+object ExtOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.Tables.load(s, dir, name)
+
+  val queries: Map[String, Q] = Map(
+    // As-of backward join: each purchase event picks up the user's
+    // latest signup-or-earlier state. Oracle is DuckDB's native
+    // ASOF LEFT JOIN.
+    "xj1_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"),
+          round(col("value"), 6).as("signup_value"))
+      Joins.asofBackward(purchases, signups, Seq("user_id"), "ts", "ts")
+        .select(col("event_id"), col("user_id"),
+          date_trunc("second", col("ts")).as("ts_sec"),
+          col("signup_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Salted join must be result-identical to the plain join — the
+    // oracle is the UNSALTED SQL, so correctness of the salting is
+    // what's checked.
+    "xj2_salted_join" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      Joins.saltedJoin(l, sup, Seq("l_suppkey"), saltFactor = 8)
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("s_name"))
+    }),
+
+    // Custom Aggregator: ordered GROUP_CONCAT via typed
+    // Aggregator/udaf (string sort keys; timestamps serialize to
+    // ISO so lexicographic == chronological).
+    "xa1_group_concat_udaf" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.groupBy(col("o_custkey"))
+        .agg(GroupConcatOrdered(
+          concat_ws("|", col("o_orderdate").cast("string"),
+            lpad(col("o_orderkey").cast("string"), 10, "0")),
+          col("o_orderkey").cast("string"), ", ").as("order_history"))
+        .orderBy(col("o_custkey"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "xj1_asof_join" ->
+      """SELECT p.event_id, p.user_id,
+         date_trunc('second', p.ts) AS ts_sec, s.signup_value
+         FROM (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT user_id, ts,
+               round(value, 6) AS signup_value
+             FROM events WHERE event_type = 'signup') s
+           ON p.user_id = s.user_id AND p.ts >= s.ts
+         ORDER BY p.event_id""",
+    "xj2_salted_join" ->
+      """SELECT s_name, count(*) AS n_lines,
+         round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_name ORDER BY s_name""",
+    "xa1_group_concat_udaf" ->
+      """SELECT o_custkey,
+         string_agg(CAST(o_orderkey AS VARCHAR), ', '
+           ORDER BY CAST(o_orderdate AS VARCHAR) || '|' ||
+             lpad(CAST(o_orderkey AS VARCHAR), 10, '0')) AS order_history
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey"""
+  )
+}

@@ -88,7 +88,8 @@ object Registry {
     (Incremental.queries, Incremental.oracle),
     (StreamingBatch.queries, StreamingBatch.oracle),
     (TrainingData.queries, TrainingData.oracle),
-    (Extras.queries, Extras.oracle)
+    (Extras.queries, Extras.oracle),
+    (ExtOps.queries, ExtOps.oracle)
   )
 
   lazy val all: Map[String, Q] = {
