@@ -1,0 +1,229 @@
+package graft.integrator
+
+import graft.incr.Incremental
+import graft.ingest.Ingest
+import graft.ingest.Ingest.{Fetcher, Page, Throttle}
+import graft.model.JobcanSchemas
+import graft.normalize.Normalize
+import graft.operators.Upsert
+import graft.views.Views
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's primary entry point rebuilt Spark-first: the
+  * 4-phase ETL run of `app.py main()` / `integrator.py _run()`
+  * (SURVEY §3.1):
+  *
+  *   1. basic data — 7 independent master endpoints (parallel in the
+  *      reference only by accident of being a loop; genuinely
+  *      parallelizable here);
+  *   2. form outline — per-form incremental scan with watermark
+  *      pushdown (T1/S3) + canceled-after-completion re-sweep (T2);
+  *   3. form detail — target set = outline ∪ open-status − ignore
+  *      (T3/U2), fetched, shredded to the 26 tables, MERGE-upserted
+  *      (K1–K4), watermark committed after the batch (T1);
+  *   4. views registered (the BI surface, §3.2).
+  *
+  * State (silver tables, watermarks, DLQ) lives in a parquet directory
+  * tree at `statePath`; every write is an idempotent overwrite-after-
+  * merge so a crashed run resumes safely (T4). Fetching is pluggable
+  * (`Ingest.Fetcher`) and throttled (S1).
+  */
+class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
+    minIntervalMs: Long = 0L) {
+
+  private val throttle = new Throttle(minIntervalMs)
+
+  private def tablePath(name: String) = s"$statePath/silver/$name"
+
+  def readTable(name: String): Option[DataFrame] =
+    scala.util.Try(spark.read.parquet(tablePath(name))).toOption
+
+  private def writeTable(name: String, df: DataFrame): Unit = {
+    // self-overwrite-safe: materialize the merged result before
+    // clobbering its own input files...
+    val out = df.cache(); out.count()
+    out.write.mode("overwrite").parquet(tablePath(name))
+    out.unpersist()
+    // ...and drop Spark's cached file listing for the path, or later
+    // reads in this session resolve to the deleted part files
+    spark.catalog.refreshByPath(tablePath(name))
+  }
+
+  private def mergeTable(name: String, incoming: DataFrame,
+      keys: Seq[String]): Unit = {
+    val merged = readTable(name) match {
+      case Some(existing) => Upsert.fullRow(existing, incoming, keys)
+      case None => incoming
+    }
+    writeTable(name, merged)
+  }
+
+  private def replaceChildren(name: String, incoming: DataFrame,
+      parentKeys: Seq[String]): Unit = {
+    val merged = readTable(name) match {
+      case Some(existing) =>
+        Upsert.reconcileChildren(existing, incoming, parentKeys)
+      case None => incoming
+    }
+    writeTable(name, merged)
+  }
+
+  private def pagesToDf(apiType: String, schema:
+      org.apache.spark.sql.types.StructType): DataFrame = {
+    import spark.implicits._
+    val pages = Ingest.drainPages(fetcher, throttle, apiType)
+    val docs = pages.flatMap(_.results)
+    spark.read.schema(schema).json(docs.toDS)
+  }
+
+  /** Phase 1 — the 7 master endpoints (integrator.py:535-539). */
+  def updateBasicData(): Unit = {
+    Normalize.users(pagesToDf("users", JobcanSchemas.userSchema))
+      .foreach {
+        case ("users", df) => mergeTable("users", df, Seq("id"))
+        case (child, df) => replaceChildren(child, df, Seq("user_id"))
+      }
+    mergeTable("groups",
+      Normalize.groups(pagesToDf("groups", JobcanSchemas.groupSchema)),
+      Seq("group_code"))
+    mergeTable("positions",
+      Normalize.positions(
+        pagesToDf("positions", JobcanSchemas.positionSchema)),
+      Seq("position_code"))
+    mergeTable("projects",
+      Normalize.projects(
+        pagesToDf("projects", JobcanSchemas.projectSchema)),
+      Seq("project_code"))
+    mergeTable("companies",
+      Normalize.companies(
+        pagesToDf("companies", JobcanSchemas.companySchema)),
+      Seq("company_code"))
+    Normalize.fixJournals(
+      pagesToDf("fix_journals", JobcanSchemas.fixJournalSchema))
+      .foreach {
+        case ("fix_journals", df) =>
+          mergeTable("fix_journals", df, Seq("journal_id"))
+        case (child, df) => replaceChildren(child, df, Seq("journal_id"))
+      }
+    mergeTable("forms",
+      Normalize.forms(pagesToDf("forms", JobcanSchemas.formSchema)),
+      Seq("id"))
+  }
+
+  private def watermarks: DataFrame =
+    readTable("_watermarks").getOrElse {
+      import spark.implicits._
+      Seq.empty[(String, java.sql.Timestamp)]
+        .toDF("scope_key", "watermark_ts")
+    }
+
+  /** Phase 2 — per-form outline scan with watermark pushdown +
+    * canceled re-sweep (gateway.py:342-432, api_client.py:521-597).
+    * Returns (form_id → outline ids) and the captured watermarks.
+    */
+  def fetchOutlines(): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val wm = watermarks.collect()
+      .map(r => r.getString(0) -> r.getTimestamp(1)).toMap
+    val formIds = readTable("forms").map(_.select("id").as[Long]
+      .collect().toSeq).getOrElse(Seq.empty)
+    val outlines = formIds.flatMap { fid =>
+      val after = wm.get(fid.toString)
+        .map(_.toString.substring(0, 19).replace('-', '/'))
+      val normal = Ingest.drainPages(fetcher, throttle, "request_outline",
+        Ingest.incrementalQuery(Some(fid), after))
+      // T2: canceled-after-completion re-sweep
+      val resweep = Ingest.drainPages(fetcher, throttle, "request_outline",
+        Ingest.incrementalQuery(Some(fid), after) +
+          ("status" -> "canceled_after_completion"))
+      (normal ++ resweep).flatMap(_.results)
+    }
+    val outlineDf = spark.read.schema(JobcanSchemas.requestOutlineSchema)
+      .json(outlines.toDS)
+      .select(col("id"), col("form_id"),
+        Normalize.parseTs(col("applied_date")).as("applied_date"))
+      .distinct()
+    // T1: capture new high-watermarks BEFORE the detail fetches
+    val captured = Incremental.captureWatermarks(
+      outlineDf.withColumn("form_id", col("form_id").cast("string")),
+      "form_id", "applied_date")
+    (outlineDf, captured)
+  }
+
+  /** Phase 3 — detail fetch + 26-table shred + MERGE + watermark
+    * commit (gateway.py:434-541, integrator.py:816-853).
+    */
+  def updateFormDetails(outline: DataFrame, captured: DataFrame): Unit = {
+    import spark.implicits._
+    val silver = readTable("requests")
+    val ignore = readTable("_ignore_ids").getOrElse(Seq.empty[String].toDF("id"))
+    val targets = silver match {
+      case Some(reqs) => Incremental.refetchTargets(
+        outline.select("id"), reqs, ignore, "id", "status")
+      case None =>
+        outline.select("id").join(ignore, Seq("id"), "left_anti")
+    }
+    // S4: fan the per-id fetches out over executors
+    val fetched = Ingest.fetchDetails(spark, fetcher, "request_detail",
+      targets.as[String], minIntervalMs)
+    // T5: failures → DLQ
+    val failures = fetched.filter(col("error").isNotNull)
+      .select(lit("request_detail").as("api_type"),
+        lit("").as("scope_key"), col("id").as("item_id"),
+        lit("fetch").as("phase"), col("error"),
+        lit(System.currentTimeMillis()).as("ts"))
+    if (failures.limit(1).count() > 0) {
+      val dlq = readTable("_dlq").getOrElse(failures.limit(0))
+      writeTable("_dlq", Incremental.recordFailures(dlq, failures))
+    }
+    // localCheckpoint truncates the lineage: every child-table merge
+    // below would otherwise re-execute the fetch pipeline — including
+    // the scan of the OLD requests parquet, which the requests merge
+    // overwrites first (and it re-fires the HTTP fetches, which is
+    // worse at 5000 req/h)
+    val parsed = Ingest.parseDocs(
+      fetched.filter(col("error").isNull), "doc",
+      JobcanSchemas.requestDetailSchema)
+      .filter(col("parse_ok")).select("parsed.*")
+      .localCheckpoint(true)
+    if (parsed.limit(1).count() > 0) {
+      Normalize.requests(parsed).foreach {
+        case ("requests", df) => mergeTable("requests", df, Seq("id"))
+        case ("generic_masters", df) =>
+          replaceChildren("generic_masters", df, Seq("request_id"))
+        case ("generic_master_additional_items", df) =>
+          replaceChildren("generic_master_additional_items", df,
+            Seq("record_name", "record_code"))
+        case ("shipping_address", df) =>
+          replaceChildren("shipping_address", df, Seq("request_id"))
+        case ("files", df) => mergeTable("files", df, Seq("id"))
+        case ("comments", df) =>
+          mergeTable("comments", df, Seq("user_name", "date", "text"))
+        case (child, df) => replaceChildren(child, df, Seq("request_id"))
+      }
+    }
+    // T1: commit watermarks only after the batch landed
+    writeTable("_watermarks",
+      Incremental.commitWatermarks(watermarks, captured))
+  }
+
+  /** Phase 4 — register the BI view surface. */
+  def registerViews(): Views = {
+    val names = graft.normalize.NormalizeTables.all
+    val tables = names.flatMap(n => readTable(n).map(n -> _)).toMap
+    val v = new Views(tables)
+    v.registerAll()
+    v
+  }
+
+  /** The full 4-phase run (app.py main() / integrator.py _run()),
+    * wrapped in the T6 retry ladder.
+    */
+  def run(): Views = Incremental.withRetryLadder() { () =>
+    updateBasicData()
+    val (outline, captured) = fetchOutlines()
+    updateFormDetails(outline, captured)
+    registerViews()
+  }
+}

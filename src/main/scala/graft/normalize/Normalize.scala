@@ -413,3 +413,24 @@ object Normalize {
       "file_associations" -> fileAssociations)
   }
 }
+
+/** The full silver-table name catalog (masters + request shred +
+  * checkpoint tables use an underscore prefix and are not listed).
+  */
+object NormalizeTables {
+  val masters: Seq[String] = Seq(
+    "users", "user_groups", "user_positions", "user_bank_accounts",
+    "groups", "positions", "projects", "companies", "forms",
+    "fix_journals", "custom_journal_items")
+  val requestTables: Seq[String] = Seq(
+    "requests", "customized_items", "table_data", "generic_masters",
+    "generic_master_additional_items", "expense", "expense_specifics",
+    "expense_specific_rows", "custom_items", "custom_item_values",
+    "custom_item_value_extension_items", "payment", "payment_specifics",
+    "payment_specific_rows", "ec", "shipping_address", "ec_specifics",
+    "ec_specific_rows", "approval_process", "approval_route_modify_logs",
+    "approval_steps", "approvers", "comments", "comment_associations",
+    "viewers", "modify_logs", "modify_log_details",
+    "modify_log_detail_specifics", "files", "file_associations")
+  val all: Seq[String] = masters ++ requestTables
+}
