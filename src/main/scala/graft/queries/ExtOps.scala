@@ -47,6 +47,50 @@ object ExtOps {
         .orderBy(col("s_name"))
     }),
 
+    // IVF-style ANN (the second scale path besides LSH buckets): the
+    // label column stands in for k-means cell assignments, centroids
+    // are elementwise means per cell, queries probe the top-2 cells by
+    // centroid cosine and search only those. Approximate → no SQL
+    // oracle; structural invariants spec'd in ExtOpsSpec.
+    "ann3_ivf_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      // centroids: posexplode dims → mean per (cell, dim) → rebuild
+      val dims = e.select(col("label").as("cell"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      val centroids = dims.groupBy(col("cell"), col("dim"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("m")))),
+          x => x.getField("m").cast("float")).as("centroid"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      // probe: top-2 cells per query by centroid cosine
+      val wCell = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("ccos").desc, col("cell"))
+      val probed = q.join(broadcast(centroids))
+        .select(col("query_id"), col("qv"), col("cell"),
+          round(graft.functions.SimilarityFunctions
+            .cosine(col("qv"), col("centroid")), 5).as("ccos"))
+        .withColumn("crank", row_number().over(wCell))
+        .filter(col("crank") <= 2)
+        .select(col("query_id"), col("qv"), col("cell"))
+      // search only the probed cells
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      probed.join(e, probed("cell") === e("label") &&
+          col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("cell"),
+          round(graft.functions.SimilarityFunctions
+            .cosine(col("qv"), col("embedding")), 5).as("cos"))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Custom Aggregator: ordered GROUP_CONCAT via typed
     // Aggregator/udaf (string sort keys; timestamps serialize to
     // ISO so lexicographic == chronological).

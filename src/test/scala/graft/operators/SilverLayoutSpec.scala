@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The co-located-join claim, proven on plans: joining two tables
+  * bucketed by the same key produces ZERO shuffle exchanges, while the
+  * same join on plain parquet shuffles both sides.
+  */
+class SilverLayoutSpec extends SparkSpec {
+
+  test("bucketed-by-key join is exchange-free; unbucketed join shuffles") {
+    val l = graft.Tables.load(spark, sf0001, "lineitem")
+    val o = graft.Tables.load(spark, sf0001, "orders")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      SilverLayout.writeBucketed(l, "li_bucketed", Seq("l_orderkey"), 8,
+        Seq("l_orderkey"))
+      SilverLayout.writeBucketed(o, "o_bucketed", Seq("o_orderkey"), 8,
+        Seq("o_orderkey"))
+      val bl = spark.table("li_bucketed")
+      val bo = spark.table("o_bucketed")
+
+      val bucketedJoin = bo.join(bl,
+        bo("o_orderkey") === bl("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+      val plainJoin = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+
+      val bucketedEx = SilverLayout.exchangeCount(bucketedJoin)
+      val plainEx = SilverLayout.exchangeCount(plainJoin)
+      assert(bucketedEx == 0,
+        s"bucketed join+agg must not shuffle, saw $bucketedEx exchanges")
+      assert(plainEx >= 2,
+        s"plain join should shuffle both sides, saw $plainEx")
+      // and the results agree
+      assert(bucketedJoin.count() == plainJoin.count())
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    }
+  }
+}
