@@ -45,4 +45,24 @@ class SilverLayoutSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS o_bucketed")
     }
   }
+
+  test("bronze partition layout prunes incremental scans to the " +
+    "matching partitions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bronze2")
+      .toString
+    val pages = Seq(
+      ("users", "2024-08-01", "{\"id\":1}"),
+      ("users", "2024-08-02", "{\"id\":2}"),
+      ("forms", "2024-08-02", "{\"id\":3}"))
+      .toDF("api_type", "ingest_date", "response")
+    SilverLayout.writeBronze(pages, dir)
+    val scan = spark.read.parquet(dir)
+      .filter(col("api_type") === "users" &&
+        col("ingest_date") === "2024-08-02")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("api_type"), "partition filters must reach the scan")
+    assert(scan.count() == 1)
+  }
 }
