@@ -7,6 +7,12 @@ import org.apache.spark.sql.SparkSession
   * for tests/bench; on a cluster the same settings apply with
   * shuffle.partitions sized to ~2-3× total cores (or left to AQE
   * coalescing).
+  *
+  * WARNING: `getOrCreate` returns any pre-existing session UNCHANGED —
+  * builder confs (including the extensions that register `cosine_sim`)
+  * are silently dropped. Embedders with an existing session should set
+  * `spark.sql.extensions=graft.expressions.GraftExtensions` at session
+  * creation, or call `CosineSimilarity.register(spark)` explicitly.
   */
 object GraftSession {
 

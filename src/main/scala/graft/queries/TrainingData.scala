@@ -64,6 +64,23 @@ object TrainingData {
         .orderBy(col("doc_id"))
     }),
 
+    // Character-trigram frequency profile per labeled language — the
+    // n-gram machinery actual language-ID models train on: top-5 most
+    // frequent char 3-grams per lang (rank ties broken by gram).
+    "tx5_ngram_profile" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val grams = d.select(col("lang"),
+        explode(TF.shingles(col("text"), 3)).as("gram"))
+      val counts = grams.groupBy(col("lang"), col("gram"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n").desc, col("gram"))
+      counts.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("lang"), col("rank"), col("gram"), col("n"))
+        .orderBy(col("lang"), col("rank"))
+    }),
+
     // ---- deduplication -------------------------------------------------
     // Exact dedup: hash-groupBy, keep lowest doc_id per content hash.
     "dd1_exact_dedup" -> ((s, dir) => {
@@ -244,6 +261,18 @@ object TrainingData {
            FROM (SELECT doc_id, lang, $sEn AS en, $sDe AS de, $sEs AS es,
              $sFr AS fr, $sZh AS zh FROM documents)
            ORDER BY doc_id""",
+      "tx5_ngram_profile" ->
+        """WITH d AS (SELECT lang,
+             list_distinct(list_transform(
+               range(1, greatest(length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) - 1, 1)),
+               i -> substr(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), i, 3))) AS gs
+           FROM documents),
+         g AS (SELECT lang, unnest(gs) AS gram FROM d),
+         c AS (SELECT lang, gram, count(*) AS n FROM g GROUP BY 1, 2)
+         SELECT lang, rank, gram, n FROM (
+           SELECT *, row_number() OVER (PARTITION BY lang
+             ORDER BY n DESC, gram) AS rank FROM c)
+         WHERE rank <= 5 ORDER BY lang, rank""",
       "tx2_quality_score" ->
         """SELECT doc_id, round(
              0.4 * (1.0 - nonalpha / len) +
