@@ -5,7 +5,7 @@ import graft.ingest.Ingest
 import graft.ingest.Ingest.{Fetcher, Page, Throttle}
 import graft.model.JobcanSchemas
 import graft.normalize.Normalize
-import graft.operators.Upsert
+
 import graft.views.Views
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -37,37 +37,16 @@ class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
   private def tablePath(name: String) = s"$statePath/silver/$name"
 
   def readTable(name: String): Option[DataFrame] =
-    scala.util.Try(spark.read.parquet(tablePath(name))).toOption
+    graft.operators.ParquetMerge.read(spark, tablePath(name))
 
-  private def writeTable(name: String, df: DataFrame): Unit = {
-    // self-overwrite-safe: materialize the merged result before
-    // clobbering its own input files...
-    val out = df.cache(); out.count()
-    out.write.mode("overwrite").parquet(tablePath(name))
-    out.unpersist()
-    // ...and drop Spark's cached file listing for the path, or later
-    // reads in this session resolve to the deleted part files
-    spark.catalog.refreshByPath(tablePath(name))
-  }
+  private def writeTable(name: String, df: DataFrame): Unit =
+    graft.operators.ParquetMerge.write(spark, tablePath(name), df)
 
-  private def mergeTable(name: String, incoming: DataFrame,
-      keys: Seq[String]): Unit = {
-    val merged = readTable(name) match {
-      case Some(existing) => Upsert.fullRow(existing, incoming, keys)
-      case None => incoming
-    }
-    writeTable(name, merged)
-  }
-
-  private def replaceChildren(name: String, incoming: DataFrame,
-      parentKeys: Seq[String]): Unit = {
-    val merged = readTable(name) match {
-      case Some(existing) =>
-        Upsert.reconcileChildren(existing, incoming, parentKeys)
-      case None => incoming
-    }
-    writeTable(name, merged)
-  }
+  /** Merge per the table's canonical strategy (shared with the
+    * streaming sink — NormalizeTables.mergeStrategy). */
+  private def mergeByStrategy(name: String, incoming: DataFrame): Unit =
+    graft.operators.ParquetMerge.mergeTable(spark, tablePath(name), name,
+      incoming)
 
   private def pagesToDf(apiType: String, schema:
       org.apache.spark.sql.types.StructType): DataFrame = {
@@ -80,35 +59,20 @@ class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
   /** Phase 1 — the 7 master endpoints (integrator.py:535-539). */
   def updateBasicData(): Unit = {
     Normalize.users(pagesToDf("users", JobcanSchemas.userSchema))
-      .foreach {
-        case ("users", df) => mergeTable("users", df, Seq("id"))
-        case (child, df) => replaceChildren(child, df, Seq("user_id"))
-      }
-    mergeTable("groups",
-      Normalize.groups(pagesToDf("groups", JobcanSchemas.groupSchema)),
-      Seq("group_code"))
-    mergeTable("positions",
-      Normalize.positions(
-        pagesToDf("positions", JobcanSchemas.positionSchema)),
-      Seq("position_code"))
-    mergeTable("projects",
-      Normalize.projects(
-        pagesToDf("projects", JobcanSchemas.projectSchema)),
-      Seq("project_code"))
-    mergeTable("companies",
-      Normalize.companies(
-        pagesToDf("companies", JobcanSchemas.companySchema)),
-      Seq("company_code"))
+      .foreach { case (name, df) => mergeByStrategy(name, df) }
+    mergeByStrategy("groups",
+      Normalize.groups(pagesToDf("groups", JobcanSchemas.groupSchema)))
+    mergeByStrategy("positions", Normalize.positions(
+      pagesToDf("positions", JobcanSchemas.positionSchema)))
+    mergeByStrategy("projects", Normalize.projects(
+      pagesToDf("projects", JobcanSchemas.projectSchema)))
+    mergeByStrategy("companies", Normalize.companies(
+      pagesToDf("companies", JobcanSchemas.companySchema)))
     Normalize.fixJournals(
       pagesToDf("fix_journals", JobcanSchemas.fixJournalSchema))
-      .foreach {
-        case ("fix_journals", df) =>
-          mergeTable("fix_journals", df, Seq("journal_id"))
-        case (child, df) => replaceChildren(child, df, Seq("journal_id"))
-      }
-    mergeTable("forms",
-      Normalize.forms(pagesToDf("forms", JobcanSchemas.formSchema)),
-      Seq("id"))
+      .foreach { case (name, df) => mergeByStrategy(name, df) }
+    mergeByStrategy("forms",
+      Normalize.forms(pagesToDf("forms", JobcanSchemas.formSchema)))
   }
 
   private def watermarks: DataFrame =
@@ -189,18 +153,7 @@ class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
       .localCheckpoint(true)
     if (parsed.limit(1).count() > 0) {
       Normalize.requests(parsed).foreach {
-        case ("requests", df) => mergeTable("requests", df, Seq("id"))
-        case ("generic_masters", df) =>
-          replaceChildren("generic_masters", df, Seq("request_id"))
-        case ("generic_master_additional_items", df) =>
-          replaceChildren("generic_master_additional_items", df,
-            Seq("record_name", "record_code"))
-        case ("shipping_address", df) =>
-          replaceChildren("shipping_address", df, Seq("request_id"))
-        case ("files", df) => mergeTable("files", df, Seq("id"))
-        case ("comments", df) =>
-          mergeTable("comments", df, Seq("user_name", "date", "text"))
-        case (child, df) => replaceChildren(child, df, Seq("request_id"))
+        case (name, df) => mergeByStrategy(name, df)
       }
     }
     // T1: commit watermarks only after the batch landed

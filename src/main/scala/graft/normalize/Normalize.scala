@@ -433,4 +433,29 @@ object NormalizeTables {
     "viewers", "modify_logs", "modify_log_details",
     "modify_log_detail_specifics", "files", "file_associations")
   val all: Seq[String] = masters ++ requestTables
+
+  /** Canonical merge semantics per silver table:
+    * Left(pk)       = K1 full-row upsert by primary key;
+    * Right(parents) = K4 replace-children-per-parent.
+    * Single source for the batch Integrator AND the streaming
+    * BronzeStream — the two sinks must never disagree on this.
+    */
+  def mergeStrategy(table: String): Either[Seq[String], Seq[String]] =
+    table match {
+      case "users" | "forms" => Left(Seq("id"))
+      case "groups" => Left(Seq("group_code"))
+      case "positions" => Left(Seq("position_code"))
+      case "projects" => Left(Seq("project_code"))
+      case "companies" => Left(Seq("company_code"))
+      case "fix_journals" => Left(Seq("journal_id"))
+      case "custom_journal_items" => Right(Seq("journal_id"))
+      case "user_groups" | "user_positions" | "user_bank_accounts" =>
+        Right(Seq("user_id"))
+      case "requests" => Left(Seq("id"))
+      case "files" => Left(Seq("id"))
+      case "comments" => Left(Seq("user_name", "date", "text"))
+      case "generic_master_additional_items" =>
+        Right(Seq("record_name", "record_code"))
+      case _ => Right(Seq("request_id"))
+    }
 }

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared read-merge-overwrite mechanics for parquet-backed silver
+  * tables — used by both the batch Integrator and the streaming
+  * BronzeStream so merge semantics can't drift between them.
+  *
+  * Overwrite-in-place over parquet needs two guards (learned the hard
+  * way, see Integrator history): materialize the merged result BEFORE
+  * clobbering its own input files, and drop Spark's cached file
+  * listing afterwards or later same-session reads resolve to deleted
+  * part files. At scale this whole object is replaced by MERGE INTO on
+  * a transactional table format; call sites don't change shape.
+  */
+object ParquetMerge {
+
+  def read(spark: SparkSession, path: String): Option[DataFrame] =
+    scala.util.Try(spark.read.parquet(path)).toOption
+
+  def write(spark: SparkSession, path: String, df: DataFrame): Unit = {
+    val out = df.cache(); out.count()
+    out.write.mode("overwrite").parquet(path)
+    out.unpersist()
+    spark.catalog.refreshByPath(path)
+  }
+
+  /** K1 full-row upsert into the table at `path`. */
+  def mergeFull(spark: SparkSession, path: String, incoming: DataFrame,
+      keys: Seq[String]): Unit =
+    write(spark, path, read(spark, path)
+      .map(Upsert.fullRow(_, incoming, keys)).getOrElse(incoming))
+
+  /** K4 replace-children-per-parent into the table at `path`. */
+  def replaceChildren(spark: SparkSession, path: String,
+      incoming: DataFrame, parentKeys: Seq[String]): Unit =
+    write(spark, path, read(spark, path)
+      .map(Upsert.reconcileChildren(_, incoming, parentKeys))
+      .getOrElse(incoming))
+
+  /** Apply a table's canonical merge strategy
+    * (NormalizeTables.mergeStrategy). */
+  def mergeTable(spark: SparkSession, path: String, table: String,
+      incoming: DataFrame): Unit =
+    graft.normalize.NormalizeTables.mergeStrategy(table) match {
+      case Left(pk) => mergeFull(spark, path, incoming, pk)
+      case Right(parents) => replaceChildren(spark, path, incoming, parents)
+    }
+}

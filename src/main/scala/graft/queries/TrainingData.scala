@@ -339,7 +339,8 @@ object TrainingData {
                  AS cos,
                row_number() OVER (PARTITION BY q.vec_id
                  ORDER BY round(list_cosine_similarity(
-                   q.embedding, e.embedding), 5) DESC, e.vec_id) AS rank
+                   q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 5)
+                   DESC, e.vec_id) AS rank
              FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
              WHERE q.vec_id < 5)
            WHERE rank <= 10 ORDER BY query_id, rank""",

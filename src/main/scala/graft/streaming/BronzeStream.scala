@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.model.JobcanSchemas
 import graft.normalize.Normalize
-import graft.operators.Upsert
+
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
@@ -40,32 +40,11 @@ object BronzeStream {
     val docs = batch.localCheckpoint(true)
     if (docs.isEmpty) return
     Normalize.requests(docs).foreach { case (name, df) =>
-      val path = s"$silverDir/$name"
-      val (keys, merged) = name match {
-        case "requests" => (Seq("id"),
-          scala.util.Try(spark.read.parquet(path)).toOption
-            .map(Upsert.fullRow(_, df, Seq("id"))).getOrElse(df))
-        case "files" => (Seq("id"),
-          scala.util.Try(spark.read.parquet(path)).toOption
-            .map(Upsert.fullRow(_, df, Seq("id"))).getOrElse(df))
-        case "comments" => (Seq("user_name", "date", "text"),
-          scala.util.Try(spark.read.parquet(path)).toOption
-            .map(Upsert.fullRow(_, df, Seq("user_name", "date", "text")))
-            .getOrElse(df))
-        case "generic_master_additional_items" =>
-          (Seq("record_name", "record_code"),
-            scala.util.Try(spark.read.parquet(path)).toOption
-              .map(Upsert.reconcileChildren(_, df,
-                Seq("record_name", "record_code"))).getOrElse(df))
-        case _ => (Seq("request_id"),
-          scala.util.Try(spark.read.parquet(path)).toOption
-            .map(Upsert.reconcileChildren(_, df, Seq("request_id")))
-            .getOrElse(df))
-      }
-      val out = merged.cache(); out.count()
-      out.write.mode("overwrite").parquet(path)
-      out.unpersist()
-      spark.catalog.refreshByPath(path)
+      // the SAME canonical merge semantics as the batch Integrator
+      // (NormalizeTables.mergeStrategy via ParquetMerge) — the two
+      // sinks cannot drift
+      graft.operators.ParquetMerge.mergeTable(spark,
+        s"$silverDir/$name", name, df)
     }
   }
 
