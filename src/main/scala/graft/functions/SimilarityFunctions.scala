@@ -17,9 +17,16 @@ object SimilarityFunctions {
     * random). Empty shingle set → null signature.
     */
   def minhashSignature(shingleArr: Column, k: Int): Column =
+    // single pass over the shingles with a k-slot min accumulator
+    // (the per-seed `array_min(transform(...))` form materializes k
+    // intermediate hash arrays per row — same trap as simhash64)
     when(size(shingleArr) <= 0, lit(null)).otherwise(
-      transform(sequence(lit(0), lit(k - 1)),
-        seed => array_min(transform(shingleArr, s => xxhash64(seed, s)))))
+      aggregate(
+        shingleArr,
+        array_repeat(lit(Long.MaxValue), k),
+        (acc, s) => zip_with(acc,
+          sequence(lit(0), lit(k - 1)),
+          (a, seed) => least(a, xxhash64(seed, s)))))
 
   /** LSH bands over a MinHash signature: array of `b` structs
     * (band_id, band_hash) where band_hash fingerprints `r` consecutive

