@@ -91,6 +91,18 @@ object ExtOps {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ROLLUP with grouping_id — subtotal/grand-total reporting (absent
+    // from the reference, standard for the BI surface it feeds).
+    "xa2_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
     // Custom Aggregator: ordered GROUP_CONCAT via typed
     // Aggregator/udaf (string sort keys; timestamps serialize to
     // ISO so lexicographic == chronological).
@@ -121,6 +133,13 @@ object ExtOps {
          round(sum(l_quantity), 2) AS sum_qty
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          GROUP BY s_name ORDER BY s_name""",
+    "xa2_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows,
+         GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag NULLS FIRST,
+           l_linestatus NULLS FIRST""",
     "xa1_group_concat_udaf" ->
       """SELECT o_custkey,
          string_agg(CAST(o_orderkey AS VARCHAR), ', '
