@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Diff graft's view output (ViewsDump) against the reference engine's
+(reference_oracle.py) on identical fixture input.
+
+Normalizations (representation, not semantics):
+ - booleans ↔ SQLite 0/1
+ - timestamps: Spark JSON ISO ("2024-08-01T09:30:00.000Z") vs SQLite's
+   stored text ("2024-08-01 09:30:00") → canonical "YYYY-MM-DD HH:MM:SS"
+ - row order (views without ORDER BY): rows sorted by canonical JSON
+
+Usage: compare_reference.py <refDir> <graftDir>
+"""
+import json
+import re
+import sys
+from pathlib import Path
+
+TS = re.compile(r"^(\d{4}-\d{2}-\d{2})[T ](\d{2}:\d{2}:\d{2})(\.\d+)?(Z|[+-]\d{2}:?\d{2})?$")
+
+
+def canon(v):
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, float) and v.is_integer():
+        return int(v)
+    if isinstance(v, str):
+        m = TS.match(v)
+        if m:
+            return f"{m.group(1)} {m.group(2)}"
+    return v
+
+
+# Documented divergences from the reference (implemented-intent vs
+# reference bug — SURVEY §7.4.6): the reference's approvers writer
+# omits approver_code (_approval_process.py:58-72), so its
+# view_approval_process always emits NULL there; graft stores the real
+# code. Excluded from the diff, reported explicitly.
+DIVERGENCES = {"view_approval_process.json": {"approver_code"}}
+
+
+def rows_of(path, all_keys, drop):
+    rows = json.loads(path.read_text())
+    out = []
+    for r in rows:
+        # Spark's toJSON omits null fields; the reference emits them —
+        # fill the union of keys with null so only VALUES are compared
+        full = {k: canon(r.get(k)) for k in all_keys if k not in drop}
+        out.append(json.dumps(full, ensure_ascii=False, sort_keys=True))
+    return sorted(out)
+
+
+def keys_of(path):
+    return {k for r in json.loads(path.read_text()) for k in r}
+
+
+def main():
+    ref_dir, graft_dir = Path(sys.argv[1]), Path(sys.argv[2])
+    n_pass = n_fail = 0
+    for ref_file in sorted(ref_dir.glob("*.json")):
+        g_file = graft_dir / ref_file.name
+        if not g_file.exists():
+            print(f"MISS {ref_file.name}: graft produced no file")
+            n_fail += 1
+            continue
+        drop = DIVERGENCES.get(ref_file.name, set())
+        if drop:
+            print(f"NOTE {ref_file.name}: excluding documented "
+                  f"divergence columns {sorted(drop)}")
+        all_keys = keys_of(ref_file) | keys_of(g_file)
+        ref_rows = rows_of(ref_file, all_keys, drop)
+        g_rows = rows_of(g_file, all_keys, drop)
+        if ref_rows == g_rows:
+            print(f"MATCH {ref_file.name} ({len(ref_rows)} rows)")
+            n_pass += 1
+        else:
+            print(f"DIFF {ref_file.name}: ref={len(ref_rows)} graft={len(g_rows)}")
+            for a, b in zip(ref_rows, g_rows):
+                if a != b:
+                    print(f"  ref:   {a[:240]}")
+                    print(f"  graft: {b[:240]}")
+                    break
+            n_fail += 1
+    print(f"\n{n_pass} match, {n_fail} differ")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

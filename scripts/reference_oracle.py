@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Fidelity oracle: run the REFERENCE ENGINE ITSELF (the read-only repo
+at /root/reference — its Python update() writers + SQLite executing its
+actual create_views.sql) over the shared fixture documents, and dump
+each view's rows to JSON for comparison against graft's Views output.
+
+Dev tooling only (driver-side python), not part of the Scala library.
+Usage: reference_oracle.py <fixtureDir> <outDir>
+
+Note: SQLite's strftime requires ISO datetimes; the bundled fixtures
+use the API's "YYYY/MM/DD HH:MM:SS" shape, so BOTH engines are fed an
+ISO-converted copy (the comparison is on identical input).
+"""
+import json
+import re
+import sqlite3
+import sys
+from pathlib import Path
+
+sys.path.insert(0, "/root/reference")
+
+from jobcan_di.database import users as u_io          # noqa: E402
+from jobcan_di.database import group as g_io          # noqa: E402
+from jobcan_di.database import positions as pos_io    # noqa: E402
+from jobcan_di.database import project as prj_io      # noqa: E402
+from jobcan_di.database import company as c_io        # noqa: E402
+from jobcan_di.database import forms as f_io          # noqa: E402
+from jobcan_di.database import fix_journal as fj_io   # noqa: E402
+from jobcan_di.database import requests as r_io       # noqa: E402
+
+VIEWS = [
+    "view_user_details", "view_user_group_position", "view_groups",
+    "view_positions", "view_forms", "view_companies",
+    "view_request_details", "view_approval_process",
+    "view_expense_specifics", "view_form_items", "view_form_items_by_name",
+    "view_request_approval_history",
+    'view_立替精算(書式3)', 'view_立替精算(書式3)_明細',
+    'view_立替精算・交通費(書式3-3.)', 'view_立替精算・交通費(書式3-3.)_明細',
+]
+
+SLASH_DT = re.compile(r"^(\d{4})/(\d{2})/(\d{2})( \d{2}:\d{2}:\d{2})?$")
+
+
+def isoize(obj):
+    """Convert the API's slash datetimes to ISO so SQLite strftime works
+    (both engines receive this same converted input)."""
+    if isinstance(obj, dict):
+        return {k: isoize(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [isoize(v) for v in obj]
+    if isinstance(obj, str):
+        m = SLASH_DT.match(obj)
+        if m:
+            return f"{m.group(1)}-{m.group(2)}-{m.group(3)}" + \
+                (m.group(4) or "")
+    return obj
+
+
+def main():
+    fixture_dir, out_dir = Path(sys.argv[1]), Path(sys.argv[2])
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    def doc(name):
+        return isoize(json.loads((fixture_dir / name).read_text()))
+
+    conn = sqlite3.connect(":memory:")
+    for mod in (u_io, g_io, pos_io, prj_io, c_io, f_io, fj_io, r_io):
+        mod.create_tables(conn)
+
+    u_io.update(conn, doc("user1.json"))
+    u_io.update(conn, doc("user2.json"))
+    g_io.update(conn, doc("group1.json"))
+    pos_io.update(conn, doc("position1.json"))
+    prj_io.update(conn, doc("project1.json"))
+    c_io.update(conn, doc("company1.json"))
+    f_io.update(conn, doc("form1.json"))
+    fj_io.update(conn, doc("fix_journal1.json"))
+    r_io.update(conn, doc("request_sa10.json"))
+    r_io.update(conn, doc("request_sa11.json"))
+
+    views_sql = Path(
+        "/root/reference/jobcan_di/config/create_views.sql").read_text()
+    conn.executescript(views_sql)
+
+    for view in VIEWS:
+        cur = conn.execute(f'SELECT * FROM "{view}"')
+        cols = [d[0] for d in cur.description]
+        rows = [dict(zip(cols, r)) for r in cur.fetchall()]
+        fn = out_dir / (re.sub(r"[^0-9A-Za-z_]", "_", view) + ".json")
+        fn.write_text(json.dumps(rows, ensure_ascii=False, indent=1,
+                                 default=str))
+        print(f"{view}: {len(rows)} rows -> {fn.name}")
+
+
+if __name__ == "__main__":
+    main()

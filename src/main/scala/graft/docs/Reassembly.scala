@@ -254,38 +254,39 @@ object Reassembly {
           col("ca.text") <=> col("cm.text"))
       .select(col("ca.request_id").as("request_id"),
         col("ca.step_index").as("step_index"),
-        col("ca.approver_index").as("approver_index"),
         col("ca.is_after_completion").as("is_after_completion"),
         col("cm.user_name").as("user_name"), col("cm.date").as("date"),
         col("cm.text").as("text"), col("cm.deleted").as("deleted"))
-    val stepApproverComments = approverComments
+    // comments/files attach at the STEP level (the API's real shape,
+    // _approval_process.py:91-117)
+    val stepComments = approverComments
       .filter(!col("is_after_completion"))
-      .groupBy(col("request_id"), col("step_index"), col("approver_index"))
+      .groupBy(col("request_id"), col("step_index"))
       .agg(sortedList(struct(col("date"), col("text")), commentStruct)
         .as("comments"))
     val stepFiles = filesFor(col("approval_step_index").isNotNull,
       Seq("approval_step_index"))
       .withColumnRenamed("approval_step_index", "step_index")
-    val approverList = t("approvers").alias("av")
-      .join(stepApproverComments.alias("sac"),
-        Seq("request_id", "step_index", "approver_index"), "left")
-      .join(stepFiles.alias("sf"), Seq("request_id", "step_index"), "left")
+    val approverList = t("approvers")
       .groupBy(col("request_id"), col("step_index"))
       .agg(sortedList(col("approver_index"),
         struct(col("status"), fmtTs(col("approved_date")).as("approved_date"),
           col("approver_name"), col("approver_code"),
-          col("proxy_approver_name"), col("proxy_approver_code"),
+          col("proxy_approver_name"), col("proxy_approver_code")))
+        .as("approvers"))
+    val stepList = t("approval_steps").alias("ast")
+      .join(approverList.alias("avl"), Seq("request_id", "step_index"), "left")
+      .join(stepComments.alias("sc"), Seq("request_id", "step_index"), "left")
+      .join(stepFiles.alias("sf"), Seq("request_id", "step_index"), "left")
+      .groupBy(col("request_id"))
+      .agg(sortedList(col("step_index"),
+        struct(col("name"), col("condition"), col("status"),
+          col("approvers"),
           coalesce(col("comments"), expr("array()").cast(
             "array<struct<user_name:string,date:string,text:string," +
               "deleted:boolean>>")).as("comments"),
           coalesce(col("files"), emptyArr(fileDdl)).as("files")))
-        .as("approvers"))
-    val stepList = t("approval_steps").alias("ast")
-      .join(approverList.alias("avl"), Seq("request_id", "step_index"), "left")
-      .groupBy(col("request_id"))
-      .agg(sortedList(col("step_index"),
-        struct(col("name"), col("condition"), col("status"),
-          col("approvers"))).as("steps"))
+        .as("steps"))
     val apLogs = t("approval_route_modify_logs")
       .groupBy(col("request_id"))
       .agg(sortedList(col("log_index"),
@@ -313,14 +314,14 @@ object Reassembly {
               "array<struct<user_name:string,date:string,text:string," +
                 "deleted:boolean>>")).as("comments"),
             coalesce(col("aac_files"), emptyArr(fileDdl)).as("files"))
-            .as("approval_after_completion")).as("approval_process"))
+            .as("after_completion")).as("approval_process"))
 
     // ---- viewers / default attachments / modify logs -----------------
     val viewersDoc = t("viewers")
       .groupBy(col("request_id"))
       .agg(sortedList(col("viewer_index"),
-        struct(col("user_name"), col("status"), col("group_name"),
-          col("position"))).as("viewers"))
+        struct(col("user_name"), col("status"),
+          col("group_name").as("group"), col("position"))).as("viewers"))
     // R1: repeat each default-attachment file `default_attachment`
     // times — explode(array_repeat(...)) replaces the recursive CTE
     val defaultFiles = filesFull
@@ -340,17 +341,17 @@ object Reassembly {
         "left")
       .groupBy(col("request_id"), col("log_index"))
       .agg(sortedList(col("log_detail_index"),
-        struct(col("title"), col("old_value"), col("new_value"),
-          col("log_type"),
+        struct(col("title"), col("old_value").as("old"),
+          col("new_value").as("new"), col("log_type"),
           coalesce(col("specifics"),
             emptyArr("struct<status:string,difference:string>"))
-            .as("specifics"))).as("details"))
+            .as("specifics"))).as("detail"))
     val modifyLogsDoc = t("modify_logs")
       .join(mlDetails, Seq("request_id", "log_index"), "left")
       .groupBy(col("request_id"))
       .agg(sortedList(col("log_index"),
         struct(fmtTs(col("date")).as("date"), col("user_name"),
-          col("details"))).as("modify_logs"))
+          col("detail"))).as("modify_logs"))
 
     // ---- assemble ----------------------------------------------------
     def lj(base: DataFrame, child: DataFrame): DataFrame =
@@ -392,13 +393,13 @@ object Reassembly {
         col("expense"), col("payment"), col("ec"),
         col("approval_process"),
         coalesce(col("viewers"), expr("array()").cast(
-          "array<struct<user_name:string,status:string,group_name:string," +
+          "array<struct<user_name:string,status:string,group:string," +
             "position:string>>")).as("viewers"),
         coalesce(col("default_attachment_files"), emptyArr(fileDdl))
           .as("default_attachment_files"),
         coalesce(col("modify_logs"), expr("array()").cast(
-          "array<struct<date:string,user_name:string,details:array<" +
-            "struct<title:string,old_value:string,new_value:string," +
+          "array<struct<date:string,user_name:string,detail:array<" +
+            "struct<title:string,old:string,new:string," +
             "log_type:string,specifics:array<struct<status:string," +
             "difference:string>>>>>>")).as("modify_logs"))
         .as("detail"))

@@ -210,6 +210,9 @@ object JobcanSchemas {
         "is_route_changed_by_applicant" -> BooleanType,
         "approval_route_modify_logs" -> ArrayType(s(
           "date" -> StringType, "user_name" -> StringType)),
+        // comments/files live at the STEP level, not per approver —
+        // verified against the reference's writer
+        // (_approval_process.py:91-117 reads as_i["comments"]/["files"])
         "steps" -> ArrayType(s(
           "name" -> StringType, "condition" -> StringType,
           "status" -> StringType,
@@ -217,21 +220,25 @@ object JobcanSchemas {
             "status" -> StringType, "approved_date" -> StringType,
             "approver_name" -> StringType, "approver_code" -> StringType,
             "proxy_approver_name" -> StringType,
-            "proxy_approver_code" -> StringType,
-            "comments" -> ArrayType(comment),
-            "files" -> ArrayType(fileRef))))),
-        "approval_after_completion" -> s(
+            "proxy_approver_code" -> StringType)),
           "comments" -> ArrayType(comment),
           "files" -> ArrayType(fileRef))),
+        "after_completion" -> s(
+          "comments" -> ArrayType(comment),
+          "files" -> ArrayType(fileRef))),
+      // the viewers element uses key "group" (reference reads
+      // v_i["group"], _viewers.py:45), stored as group_name in silver
       "viewers" -> ArrayType(s(
         "user_name" -> StringType, "status" -> StringType,
-        "group_name" -> StringType, "position" -> StringType)),
+        "group" -> StringType, "position" -> StringType)),
       "default_attachment_files" -> ArrayType(fileRef),
+      // element keys verified against the reference's writer
+      // (_modify_logs.py:74-86: ml["detail"], d["old"], d["new"])
       "modify_logs" -> ArrayType(s(
         "date" -> StringType, "user_name" -> StringType,
-        "details" -> ArrayType(s(
-          "title" -> StringType, "old_value" -> StringType,
-          "new_value" -> StringType, "log_type" -> StringType,
+        "detail" -> ArrayType(s(
+          "title" -> StringType, "old" -> StringType,
+          "new" -> StringType, "log_type" -> StringType,
           "specifics" -> ArrayType(s(
             "status" -> StringType, "difference" -> StringType))))))))
 }

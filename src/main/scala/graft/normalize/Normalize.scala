@@ -288,18 +288,19 @@ object Normalize {
       col("av.proxy_approver_name").as("proxy_approver_name"),
       col("av.proxy_approver_code").as("proxy_approver_code"))
 
-    // comments: dedup by (user_name, date, text) across steps + the
-    // after-completion block (A8, _data_class.py:213-254)
-    val stepComments = approversEx
-      .select(col("request_id"), col("step_index"), col("approver_index"),
-        explode(col("av.comments")).as("c"))
+    // comments: STEP-level in the API (the reference's writer reads
+    // as_i["comments"], _approval_process.py:109-112), deduped by
+    // (user_name, date, text) across steps + the after-completion
+    // block (A8, _data_class.py:213-254)
+    val stepComments = steps
+      .select(col("request_id"), col("step_index"),
+        explode(col("st.comments")).as("c"))
     val aacComments = raw
       .select(rid, lit(null).cast("int").as("step_index"),
-        lit(null).cast("int").as("approver_index"),
-        explode(col("detail.approval_process.approval_after_completion.comments"))
+        explode(col("detail.approval_process.after_completion.comments"))
           .as("c"))
     val allComments = stepComments.unionByName(aacComments)
-      .select(col("request_id"), col("step_index"), col("approver_index"),
+      .select(col("request_id"), col("step_index"),
         col("c.user_name").as("user_name"), parseTs(col("c.date")).as("date"),
         col("c.text").as("text"), col("c.deleted").as("deleted"))
     val comments = allComments
@@ -307,7 +308,7 @@ object Normalize {
       .agg(max(col("deleted")).as("deleted"))
     val commentAssociations = allComments
       .select(col("user_name"), col("date"), col("text"),
-        col("request_id"), col("step_index"), col("approver_index"),
+        col("request_id"), col("step_index"),
         col("step_index").isNull.as("is_after_completion"))
       .distinct()
 
@@ -316,16 +317,16 @@ object Normalize {
       .select(rid, posexplode(col("detail.viewers")).as(Seq("viewer_index", "v")))
       .select(col("request_id"), col("viewer_index"),
         col("v.user_name").as("user_name"), col("v.status").as("status"),
-        col("v.group_name").as("group_name"), col("v.position").as("position"))
+        col("v.group").as("group_name"), col("v.position").as("position"))
     val ml = raw.select(rid,
       posexplode(col("detail.modify_logs")).as(Seq("log_index", "m")))
     val modifyLogs = ml.select(col("request_id"), col("log_index"),
       parseTs(col("m.date")).as("date"), col("m.user_name").as("user_name"))
     val mld = ml.select(col("request_id"), col("log_index"),
-      posexplode(col("m.details")).as(Seq("log_detail_index", "d")))
+      posexplode(col("m.detail")).as(Seq("log_detail_index", "d")))
     val modifyLogDetails = mld.select(col("request_id"), col("log_index"),
       col("log_detail_index"), col("d.title").as("title"),
-      col("d.old_value").as("old_value"), col("d.new_value").as("new_value"),
+      col("d.old").as("old_value"), col("d.new").as("new_value"),
       col("d.log_type").as("log_type"))
     val modifyLogDetailSpecifics = mld
       .select(col("request_id"), col("log_index"), col("log_detail_index"),
@@ -343,11 +344,11 @@ object Normalize {
         explode(col("r.files")).as("f"),
         concat_ws("/", col("col_number"), col("r.row_number"))
           .as("parent_key")),
-      "approval_step" -> approversEx.select(col("request_id"),
-        explode(col("av.files")).as("f"),
+      "approval_step" -> steps.select(col("request_id"),
+        explode(col("st.files")).as("f"),
         col("step_index").cast("string").as("parent_key")),
       "approval_after_completion" -> raw.select(rid,
-        explode(col("detail.approval_process.approval_after_completion.files"))
+        explode(col("detail.approval_process.after_completion.files"))
           .as("f"), lit(null).cast("string").as("parent_key")),
       "default_attachment" -> raw.select(rid,
         explode(col("detail.default_attachment_files")).as("f"),

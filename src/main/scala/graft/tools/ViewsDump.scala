@@ -1,0 +1,49 @@
+package graft.tools
+
+import graft.views.Views
+import org.apache.spark.sql.DataFrame
+import java.nio.file.{Files, Paths}
+
+/** Dump every view over the bundled fixture documents as JSON — one
+  * file per view, named like scripts/reference_oracle.py names them —
+  * so scripts/compare_reference.py can diff this engine against the
+  * REFERENCE ENGINE ITSELF running on identical input.
+  *
+  *   ViewsDump <outDir>
+  */
+object ViewsDump {
+  def main(args: Array[String]): Unit = {
+    val outDir = Paths.get(args(0))
+    Files.createDirectories(outDir)
+    val spark = graft.GraftSession.builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val tables = JobcanDemo.fixtureTables(spark)
+    val views = new Views(tables)
+    val dump: Seq[(String, DataFrame)] = Seq(
+      "view_user_details" -> views.viewUserDetails,
+      "view_user_group_position" -> views.viewUserGroupPosition,
+      "view_groups" -> views.viewGroups,
+      "view_positions" -> views.viewPositions,
+      "view_forms" -> views.viewForms,
+      "view_companies" -> views.viewCompanies,
+      "view_request_details" -> views.viewRequestDetails,
+      "view_approval_process" -> views.viewApprovalProcess,
+      "view_expense_specifics" -> views.viewExpenseSpecifics,
+      "view_form_items" -> views.viewFormItems,
+      "view_form_items_by_name" -> views.viewFormItemsByName,
+      "view_request_approval_history" -> views.viewRequestApprovalHistory,
+      "view_立替精算(書式3)" -> views.viewExpenseReportFormat3(),
+      "view_立替精算(書式3)_明細" -> views.viewExpenseReportFormat3Detail(),
+      "view_立替精算・交通費(書式3-3.)" -> views.viewExpenseReportFormat33(),
+      "view_立替精算・交通費(書式3-3.)_明細" ->
+        views.viewExpenseReportFormat33Detail())
+    dump.foreach { case (name, df) =>
+      val fn = name.replaceAll("[^0-9A-Za-z_]", "_") + ".json"
+      val rows = df.toJSON.collect().mkString("[", ",", "]")
+      Files.writeString(outDir.resolve(fn), rows)
+      println(s"$name -> $fn")
+    }
+    spark.stop()
+  }
+}

@@ -175,11 +175,14 @@ class Views(t: Map[String, DataFrame], localTz: String = "UTC") {
   // -- form item catalogs (create_views.sql:228-256): SQLite
   // bare-column GROUP BY → deterministic first-per-key (A5)
   private def formItems(keyCols: Seq[String]): DataFrame = {
-    val ci = tbl("customized_items")
-    val r = tbl("requests")
+    // aliases: both tables shred from the same bronze lineage
+    val ci = tbl("customized_items").alias("ci")
+    val r = tbl("requests").alias("r")
     import org.apache.spark.sql.expressions.Window
-    val joined = ci.join(r, ci("request_id") === r("id"), "inner")
-      .select(r("form_id"), r("form_name"), ci("title"), ci("item_index"))
+    val joined = ci.join(r, col("ci.request_id") === col("r.id"), "inner")
+      .select(col("r.form_id").as("form_id"),
+        col("r.form_name").as("form_name"), col("ci.title").as("title"),
+        col("ci.item_index").as("item_index"))
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("form_id"), col("item_index"), col("title"),
         col("form_name"))
