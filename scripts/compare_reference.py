@@ -74,11 +74,18 @@ def main():
             n_pass += 1
         else:
             print(f"DIFF {ref_file.name}: ref={len(ref_rows)} graft={len(g_rows)}")
+            shown = False
             for a, b in zip(ref_rows, g_rows):
                 if a != b:
                     print(f"  ref:   {a[:240]}")
                     print(f"  graft: {b[:240]}")
+                    shown = True
                     break
+            if not shown:  # equal prefix — the diff is trailing rows
+                for extra, side in ((ref_rows[len(g_rows):], "ref only"),
+                                    (g_rows[len(ref_rows):], "graft only")):
+                    for r in extra[:2]:
+                        print(f"  {side}: {r[:240]}")
             n_fail += 1
     print(f"\n{n_pass} match, {n_fail} differ")
     sys.exit(1 if n_fail else 0)

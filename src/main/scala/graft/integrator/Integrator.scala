@@ -128,9 +128,12 @@ class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
       case None =>
         outline.select("id").join(ignore, Seq("id"), "left_anti")
     }
-    // S4: fan the per-id fetches out over executors
+    // S4: fan the per-id fetches out over executors. localCheckpoint
+    // IMMEDIATELY: every derived action (DLQ probe, DLQ write, parse)
+    // would otherwise re-execute the mapPartitions fetch — duplicate
+    // HTTP calls against a 5000 req/h budget.
     val fetched = Ingest.fetchDetails(spark, fetcher, "request_detail",
-      targets.as[String], minIntervalMs)
+      targets.as[String], minIntervalMs).localCheckpoint(true)
     // T5: failures → DLQ
     val failures = fetched.filter(col("error").isNotNull)
       .select(lit("request_detail").as("api_type"),
@@ -141,11 +144,9 @@ class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
       val dlq = readTable("_dlq").getOrElse(failures.limit(0))
       writeTable("_dlq", Incremental.recordFailures(dlq, failures))
     }
-    // localCheckpoint truncates the lineage: every child-table merge
-    // below would otherwise re-execute the fetch pipeline — including
-    // the scan of the OLD requests parquet, which the requests merge
-    // overwrites first (and it re-fires the HTTP fetches, which is
-    // worse at 5000 req/h)
+    // second lineage cut: the 30 child-table merges below must not
+    // re-read the OLD requests parquet (overwritten by the requests
+    // merge first) through the parse plan
     val parsed = Ingest.parseDocs(
       fetched.filter(col("error").isNull), "doc",
       JobcanSchemas.requestDetailSchema)

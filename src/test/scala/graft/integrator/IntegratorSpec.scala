@@ -18,7 +18,15 @@ class IntegratorSpec extends SparkSpec {
     val integ = new Integrator(spark, api, dir)
 
     // ---- run 1: cold start ------------------------------------------
+    IntegratorSpec.SyntheticApi.detailCalls.clear()
     val views = integ.run()
+    // each request fetched EXACTLY once (the DLQ probe / DLQ write /
+    // parse must not re-execute the fetch pipeline — 5000 req/h budget)
+    import scala.jdk.CollectionConverters._
+    val calls = IntegratorSpec.SyntheticApi.detailCalls.asScala
+      .map { case (k, v) => k -> v.get() }.toMap
+    assert(calls == Map("sa-10" -> 1, "sa-11" -> 1),
+      s"detail fetches must run once per id, saw $calls")
     assert(integ.readTable("users").get.count() == 2)
     assert(integ.readTable("requests").get.count() == 2)
     assert(integ.readTable("expense_specific_rows").get.count() == 3)
@@ -100,7 +108,18 @@ object IntegratorSpec {
       case other => Ingest.Page(Nil, None, 404, Some(s"unknown $other"))
     }
 
-    def fetchDetail(apiType: String, id: String): Either[String, String] =
+    def fetchDetail(apiType: String, id: String): Either[String, String] = {
+      SyntheticApi.detailCalls.computeIfAbsent(id,
+        _ => new java.util.concurrent.atomic.AtomicInteger).incrementAndGet()
       requests.get(id).toRight(s"404 $id")
+    }
+  }
+
+  object SyntheticApi {
+    /** per-id detail-fetch call counter (local mode: executors share
+      * the JVM, so a static map observes executor-side calls) */
+    val detailCalls =
+      new java.util.concurrent.ConcurrentHashMap[String,
+        java.util.concurrent.atomic.AtomicInteger]
   }
 }
