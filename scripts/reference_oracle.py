@@ -36,6 +36,11 @@ VIEWS = [
     "view_request_approval_history",
     'view_立替精算(書式3)', 'view_立替精算(書式3)_明細',
     'view_立替精算・交通費(書式3-3.)', 'view_立替精算・交通費(書式3-3.)_明細',
+    'view_支払依頼申請書（書式4-1. 支払・請求書）',
+    'view_支払依頼申請書（書式4-2. 社員振込）',
+    'view_支払依頼申請書（書式4-3. 窓口・コンビニ払い）',
+    'view_支払依頼申請書（書式4-4. 口座振替）',
+    'view_支払依頼申請書（書式4-5. コーポレートカード領収書提出）',
 ]
 
 SLASH_DT = re.compile(r"^(\d{4})/(\d{2})/(\d{2})( \d{2}:\d{2}:\d{2})?$")
@@ -75,8 +80,11 @@ def main():
     c_io.update(conn, doc("company1.json"))
     f_io.update(conn, doc("form1.json"))
     fj_io.update(conn, doc("fix_journal1.json"))
+    fj_io.update(conn, doc("fix_journal2.json"))
+    fj_io.update(conn, doc("fix_journal3.json"))
     r_io.update(conn, doc("request_sa10.json"))
     r_io.update(conn, doc("request_sa11.json"))
+    r_io.update(conn, doc("request_sa12.json"))
 
     views_sql = Path(
         "/root/reference/jobcan_di/config/create_views.sql").read_text()

@@ -38,9 +38,10 @@ object JobcanDemo {
     Normalize.users(fixtureDf(spark, JobcanSchemas.userSchema,
       "user1.json", "user2.json")) ++
       Normalize.requests(fixtureDf(spark, JobcanSchemas.requestDetailSchema,
-        "request_sa10.json", "request_sa11.json")) ++
+        "request_sa10.json", "request_sa11.json", "request_sa12.json")) ++
       Normalize.fixJournals(fixtureDf(spark,
-        JobcanSchemas.fixJournalSchema, "fix_journal1.json")) ++
+        JobcanSchemas.fixJournalSchema, "fix_journal1.json",
+        "fix_journal2.json", "fix_journal3.json")) ++
       Map(
         "groups" -> Normalize.groups(fixtureDf(spark,
           JobcanSchemas.groupSchema, "group1.json")),

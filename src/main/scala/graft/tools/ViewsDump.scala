@@ -37,7 +37,17 @@ object ViewsDump {
       "view_立替精算(書式3)_明細" -> views.viewExpenseReportFormat3Detail(),
       "view_立替精算・交通費(書式3-3.)" -> views.viewExpenseReportFormat33(),
       "view_立替精算・交通費(書式3-3.)_明細" ->
-        views.viewExpenseReportFormat33Detail())
+        views.viewExpenseReportFormat33Detail(),
+      "view_支払依頼申請書（書式4-1. 支払・請求書）" ->
+        views.viewPaymentRequest41(),
+      "view_支払依頼申請書（書式4-2. 社員振込）" ->
+        views.viewPaymentRequest42(),
+      "view_支払依頼申請書（書式4-3. 窓口・コンビニ払い）" ->
+        views.viewPaymentRequest43(),
+      "view_支払依頼申請書（書式4-4. 口座振替）" ->
+        views.viewPaymentRequest44(),
+      "view_支払依頼申請書（書式4-5. コーポレートカード領収書提出）" ->
+        views.viewPaymentRequest45())
     dump.foreach { case (name, df) =>
       val fn = name.replaceAll("[^0-9A-Za-z_]", "_") + ".json"
       val rows = df.toJSON.collect().mkString("[", ",", "]")
