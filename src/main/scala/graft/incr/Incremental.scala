@@ -83,20 +83,39 @@ object Incremental {
   }
 
   /** T5 — record failures into the DLQ (status.py:277-575 failure
-    * records, keyed per api/scope/item/phase; last failure wins).
+    * records, keyed per api/scope/item/phase). The newest error/ts win,
+    * but the attempt count ACCUMULATES across merges (`n_failures`) —
+    * a last-write-wins row would cap every item at one recorded
+    * failure and the maxAttempts quarantine below could never fire.
     */
-  def recordFailures(dlq: DataFrame, failures: DataFrame): DataFrame =
-    graft.operators.Upsert.fullRow(dlq, failures,
-      Seq("api_type", "scope_key", "item_id", "phase"))
+  def recordFailures(dlq: DataFrame, failures: DataFrame): DataFrame = {
+    val keys = Seq("api_type", "scope_key", "item_id", "phase")
+    val old =
+      if (dlq.columns.contains("n_failures")) dlq
+      else dlq.withColumn("n_failures", lit(1L))
+    // __gen breaks ts ties in favor of the incoming batch
+    old.withColumn("__gen", lit(0))
+      .unionByName(failures.withColumn("n_failures", lit(1L))
+        .withColumn("__gen", lit(1)))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n_failures")).as("n_failures"),
+        max_by(col("error"), struct(col("ts"), col("__gen"))).as("error"),
+        max(col("ts")).as("ts"))
+  }
 
   /** T5 — selective retry: items of the work list that failed in a
     * previous run are retried FIRST (they come flagged), everything
     * already failed `maxAttempts`+ times is dropped to quarantine.
+    * Counts come from the DLQ's accumulated `n_failures` (summed over
+    * phases); a legacy DLQ without the column counts rows.
     */
   def planRetries(worklist: DataFrame, dlq: DataFrame, idCol: String,
       maxAttempts: Int = 3): DataFrame = {
+    val perRow =
+      if (dlq.columns.contains("n_failures")) col("n_failures")
+      else lit(1L)
     val counts = dlq.groupBy(col("item_id").as(idCol))
-      .agg(count(lit(1)).as("__n_failures"))
+      .agg(sum(perRow).as("__n_failures"))
     worklist.join(broadcast(counts), Seq(idCol), "left")
       .filter(coalesce(col("__n_failures"), lit(0)) < maxAttempts)
       .withColumn("retry_priority",

@@ -76,6 +76,20 @@ object Ingest {
       appliedAfter.map("applied_after" -> _) ++
       (if (includeCanceled) Map("include_canceled" -> "true") else Map.empty)
 
+  /** T2 — the canceled-after-completion re-sweep predicate
+    * (api_client.py:586-589): keyed on `completed_after` (which the
+    * API maps to final_approved_date), NOT `applied_after` — a request
+    * applied before the watermark but canceled since the last run
+    * would be filtered out by an applied_after predicate and, being
+    * terminal in silver, never refetched.
+    */
+  def resweepQuery(formId: Option[Long],
+      completedAfter: String): Map[String, String] =
+    Map("include_canceled" -> "true",
+      "status" -> "canceled_after_completion",
+      "completed_after" -> completedAfter) ++
+      formId.map("form_id" -> _.toString)
+
   /** Fan the per-key detail fetches out over executors (S4 at scale):
     * ids are distributed, each partition runs a throttled fetch loop,
     * results come back as an Either-style DataFrame (S5) — no

@@ -97,10 +97,14 @@ class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
         .map(_.toString.substring(0, 19).replace('-', '/'))
       val normal = Ingest.drainPages(fetcher, throttle, "request_outline",
         Ingest.incrementalQuery(Some(fid), after))
-      // T2: canceled-after-completion re-sweep
-      val resweep = Ingest.drainPages(fetcher, throttle, "request_outline",
-        Ingest.incrementalQuery(Some(fid), after) +
-          ("status" -> "canceled_after_completion"))
+      // T2: canceled-after-completion re-sweep — only once a watermark
+      // exists, and keyed on completed_after, not applied_after
+      // (api_client.py:585-589): requests applied before the watermark
+      // but canceled since the last run match only this predicate.
+      val resweep = after.toSeq.flatMap { wm =>
+        Ingest.drainPages(fetcher, throttle, "request_outline",
+          Ingest.resweepQuery(Some(fid), wm))
+      }
       (normal ++ resweep).flatMap(_.results)
     }
     val outlineDf = spark.read.schema(JobcanSchemas.requestOutlineSchema)
@@ -122,11 +126,27 @@ class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
     import spark.implicits._
     val silver = readTable("requests")
     val ignore = readTable("_ignore_ids").getOrElse(Seq.empty[String].toDF("id"))
-    val targets = silver match {
+    val dlq0 = readTable("_dlq")
+    val base = silver match {
       case Some(reqs) => Incremental.refetchTargets(
         outline.select("id"), reqs, ignore, "id", "status")
       case None =>
         outline.select("id").join(ignore, Seq("id"), "left_anti")
+    }
+    // T5: replay previously failed detail fetches into this run's
+    // target set (the reference subtracts failure records from the
+    // ignore set, gateway.py:725) — without this a transiently failed
+    // NEW request is skipped forever once its form watermark advances.
+    // planRetries then drops items already failed maxAttempts times.
+    val targets = dlq0 match {
+      case Some(d) =>
+        val retryIds = d.filter(col("api_type") === "request_detail" &&
+            col("phase") === "fetch")
+          .select(col("item_id").as("id")).distinct()
+          .join(ignore, Seq("id"), "left_anti")
+        Incremental.planRetries(base.union(retryIds).distinct(), d, "id")
+          .select("id")
+      case None => base
     }
     // S4: fan the per-id fetches out over executors. localCheckpoint
     // IMMEDIATELY: every derived action (DLQ probe, DLQ write, parse)
@@ -140,9 +160,19 @@ class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
         lit("").as("scope_key"), col("id").as("item_id"),
         lit("fetch").as("phase"), col("error"),
         lit(System.currentTimeMillis()).as("ts"))
-    if (failures.limit(1).count() > 0) {
-      val dlq = readTable("_dlq").getOrElse(failures.limit(0))
-      writeTable("_dlq", Incremental.recordFailures(dlq, failures))
+    val anyFailures = failures.limit(1).count() > 0
+    if (dlq0.isDefined || anyFailures) {
+      // resolve DLQ entries whose retry succeeded this run (otherwise a
+      // healed item would be replayed into every future run), then fold
+      // in this run's failures (attempt counter accumulates).
+      val succeeded = fetched.filter(col("error").isNull)
+        .select(col("id").as("item_id")).withColumn("__ok", lit(1))
+      val dlqKept = dlq0.getOrElse(failures.limit(0))
+        .join(succeeded, Seq("item_id"), "left")
+        .filter(!(col("api_type") === "request_detail" &&
+          col("phase") === "fetch" && col("__ok").isNotNull))
+        .drop("__ok")
+      writeTable("_dlq", Incremental.recordFailures(dlqKept, failures))
     }
     // second lineage cut: the 30 child-table merges below must not
     // re-read the OLD requests parquet (overwritten by the requests
@@ -157,9 +187,18 @@ class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
         case (name, df) => mergeByStrategy(name, df)
       }
     }
-    // T1: commit watermarks only after the batch landed
+    // T1: commit watermarks only after the batch landed, and only for
+    // forms whose detail fetches ALL succeeded — the reference writes
+    // a form's watermark only once every request of that form is
+    // processed (integrator.py:838-840). A failed form keeps its old
+    // watermark so the next outline scan re-covers the gap; the DLQ
+    // replay above covers failures outside any form's outline.
+    val failedForms = failures.select(col("item_id").as("id"))
+      .join(outline.select(col("id"), col("form_id")), Seq("id"))
+      .select(col("form_id").cast("string").as("scope_key")).distinct()
+    val commitable = captured.join(failedForms, Seq("scope_key"), "left_anti")
     writeTable("_watermarks",
-      Incremental.commitWatermarks(watermarks, captured))
+      Incremental.commitWatermarks(watermarks, commitable))
   }
 
   /** Phase 4 — register the BI view surface. */

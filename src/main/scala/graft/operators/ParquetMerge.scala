@@ -19,9 +19,15 @@ object ParquetMerge {
     scala.util.Try(spark.read.parquet(path)).toOption
 
   def write(spark: SparkSession, path: String, df: DataFrame): Unit = {
-    val out = df.cache(); out.count()
+    // localCheckpoint(eager = true), NOT cache(): cache is a soft
+    // barrier — evicted blocks recompute through the original lineage,
+    // which after the overwrite below points at deleted part files.
+    // A local checkpoint TRUNCATES lineage, so the overwrite can never
+    // re-read its own input. (On a real cluster a lost executor fails
+    // the job instead of corrupting it; a transactional table format
+    // with MERGE INTO replaces this whole object at scale.)
+    val out = df.localCheckpoint(true)
     out.write.mode("overwrite").parquet(path)
-    out.unpersist()
     spark.catalog.refreshByPath(path)
   }
 

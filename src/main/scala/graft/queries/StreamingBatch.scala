@@ -63,7 +63,11 @@ object StreamingBatch {
             .otherwise(lit(0)))
         .withColumn("session_id", sum(col("new_session")).over(sess))
         .groupBy(col("user_id"), col("session_id"))
-        .agg(date_trunc("second", min(col("ts"))).as("session_start"),
+        // Serialize the timestamp: raw timestamp cells hash differently
+        // across engines (repo convention: no array- or timestamp-typed
+        // output columns — render to string).
+        .agg(date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
           count(lit(1)).as("n_events"))
         .orderBy(col("user_id"), col("session_id"))
     })
@@ -85,7 +89,7 @@ object StreamingBatch {
          GROUP BY bucket_start ORDER BY bucket_start""",
     "st3_session_window" ->
       """SELECT user_id, session_id,
-         date_trunc('second', min(ts)) AS session_start,
+         strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
          count(*) AS n_events
          FROM (
            SELECT *, sum(new_session) OVER (PARTITION BY user_id

@@ -57,17 +57,81 @@ class IntegratorSpec extends SparkSpec {
     assert(integ.readTable("expense_specific_rows").get.count() == 3)
   }
 
-  test("fetch failures land in the DLQ, run continues") {
+  test("fetch failures: DLQ + watermark held back + retried and " +
+    "resolved next run") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dlq").toString
-    val api = new SyntheticApi {
-      override def fetchDetail(apiType: String, id: String) =
-        if (id == "sa-11") Left("500 flaky") else super.fetchDetail(apiType, id)
-    }
+    val api = new SyntheticApi
+    api.failIds = Set("sa-11")
     val integ = new Integrator(spark, api, dir)
     integ.run()
     assert(integ.readTable("requests").get.count() == 1) // sa-10 only
     val dlq = integ.readTable("_dlq").get.collect()
     assert(dlq.length == 1 && dlq.head.getAs[String]("item_id") == "sa-11")
+    assert(dlq.head.getAs[Long]("n_failures") == 1L)
+    // the failed form's watermark must NOT advance (integrator.py:838):
+    // next run's outline scan re-covers the gap
+    assert(integ.readTable("_watermarks").get.count() == 0,
+      "watermark must be held back while a form has failed fetches")
+
+    // ---- run 2: API heals — the gap is re-fetched, DLQ resolved -----
+    api.failIds = Set.empty
+    integ.run()
+    val reqs = integ.readTable("requests").get
+      .select("id", "status").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(reqs.keySet == Set("sa-10", "sa-11"),
+      "failed fetch must be retried once the API heals")
+    assert(integ.readTable("_dlq").get.count() == 0,
+      "successful retry must resolve its DLQ entry")
+    val wm = integ.readTable("_watermarks").get.collect()
+    assert(wm.length == 1 &&
+      wm.head.getTimestamp(1).toString.startsWith("2024-08-05"))
+
+    // ---- run 3: nothing failed, nothing to retry — sa-11 must NOT be
+    // refetched again just because it once sat in the DLQ
+    IntegratorSpec.SyntheticApi.detailCalls.clear()
+    integ.run()
+    import scala.jdk.CollectionConverters._
+    val calls3 = IntegratorSpec.SyntheticApi.detailCalls.asScala
+      .map { case (k, v) => k -> v.get() }.toMap
+    assert(!calls3.contains("sa-11"),
+      s"resolved DLQ item must not be replayed, saw $calls3")
+  }
+
+  test("T2 re-sweep is completed_after-keyed and fires only once a " +
+    "watermark exists (api_client.py:585-589)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-t2").toString
+    val api = new SyntheticApi
+    val integ = new Integrator(spark, api, dir)
+    integ.run()
+    // cold start: no watermark → no re-sweep call at all
+    assert(!api.outlineQueries.exists(
+      _.get("status").contains("canceled_after_completion")),
+      "re-sweep must not fire before a watermark exists")
+
+    // sa-10 (applied 2024-08-01, BEFORE the 2024-08-05 watermark) is
+    // canceled after completion since the last run: only a
+    // completed_after predicate can surface it.
+    api.requests += ("sa-10" -> Fixtures.requestSa10
+      .replace("\"status\": \"completed\"",
+        "\"status\": \"canceled_after_completion\""))
+    api.canceled = Seq((
+      """{"id": "sa-10", "form_id": 54142953,
+         "status": "canceled_after_completion",
+         "applied_date": "2024/08/01 09:30:00"}""",
+      "2024/08/06 10:00:00"))
+    api.outlineQueries.clear()
+    integ.run()
+    val sweeps = api.outlineQueries.filter(
+      _.get("status").contains("canceled_after_completion"))
+    assert(sweeps.nonEmpty, "re-sweep must fire once a watermark exists")
+    assert(sweeps.forall(q => !q.contains("applied_after") &&
+      q("completed_after") == "2024/08/05 11:00:00"),
+      s"re-sweep must be completed_after-keyed, saw $sweeps")
+    val sa10 = integ.readTable("requests").get
+      .filter(col("id") === "sa-10").collect().head
+    assert(sa10.getAs[String]("status") == "canceled_after_completion",
+      "late cancellation must be re-fetched and merged")
   }
 }
 
@@ -83,6 +147,14 @@ object IntegratorSpec {
          "applied_date": "2024/08/01 09:30:00"}""",
       """{"id": "sa-11", "form_id": 54142953, "status": "in_progress",
          "applied_date": "2024/08/05 11:00:00"}""")
+    /** ids whose detail fetch fails (DLQ tests) */
+    @volatile var failIds: Set[String] = Set.empty
+    /** canceled-after-completion outline docs: (doc, completed_date) —
+      * returned ONLY by the completed_after re-sweep */
+    @volatile var canceled: Seq[(String, String)] = Nil
+    /** every request_outline query seen (driver-side, no sync needed) */
+    val outlineQueries =
+      scala.collection.mutable.ArrayBuffer.empty[Map[String, String]]
 
     def fetchPage(apiType: String, query: Map[String, String],
         pageToken: Option[String]): Ingest.Page = apiType match {
@@ -94,9 +166,13 @@ object IntegratorSpec {
       case "fix_journals" => Ingest.Page(Seq(Fixtures.fixJournal1), None)
       case "forms" => Ingest.Page(Seq(Fixtures.form1), None)
       case "request_outline" =>
-        if (query.get("status").contains("canceled_after_completion"))
-          Ingest.Page(Nil, None) // T2 re-sweep: nothing canceled
-        else {
+        outlineQueries += query
+        if (query.get("status").contains("canceled_after_completion")) {
+          // T2 re-sweep: matches on completion (not application) date
+          val after = query.get("completed_after")
+          Ingest.Page(canceled.collect {
+            case (doc, cd) if after.forall(cd > _) => doc }, None)
+        } else {
           // honor the applied_after watermark pushdown (S3)
           val after = query.get("applied_after")
           val filtered = outline.filter { doc =>
@@ -111,7 +187,8 @@ object IntegratorSpec {
     def fetchDetail(apiType: String, id: String): Either[String, String] = {
       SyntheticApi.detailCalls.computeIfAbsent(id,
         _ => new java.util.concurrent.atomic.AtomicInteger).incrementAndGet()
-      requests.get(id).toRight(s"404 $id")
+      if (failIds(id)) Left("500 flaky")
+      else requests.get(id).toRight(s"404 $id")
     }
   }
 

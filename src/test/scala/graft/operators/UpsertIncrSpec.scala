@@ -117,18 +117,22 @@ class UpsertIncrSpec extends SparkSpec {
       .toDF("api_type", "scope_key", "item_id", "phase", "error", "ts")
     val dlq2 = Incremental.recordFailures(dlq1, f2)
     assert(dlq2.count() == 2)
-    assert(dlq2.filter(col("item_id") === "r1").collect()
-      .head.getAs[String]("error") == "timeout2")
+    val r1Row = dlq2.filter(col("item_id") === "r1").collect().head
+    assert(r1Row.getAs[String]("error") == "timeout2")
+    // same-key repeat failure ACCUMULATES the attempt counter
+    assert(r1Row.getAs[Long]("n_failures") == 2L)
 
     val work = Seq("r1", "r3").toDF("id")
     val planned = Incremental.planRetries(work, dlq2, "id", maxAttempts = 3)
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
     assert(planned == Map("r1" -> true, "r3" -> false))
-    // exhausted after maxAttempts distinct phases/errors
-    val exhausted = (1 to 3).map(i =>
-      ("req", "f1", "r1", s"fetch$i", "err", i.toLong))
+    // a THIRD same-phase failure reaches maxAttempts → quarantined,
+    // even though the DLQ still holds a single row for the key
+    val f3 = Seq(("req", "f1", "r1", "fetch", "timeout3", 3L))
       .toDF("api_type", "scope_key", "item_id", "phase", "error", "ts")
-    val dlq3 = Incremental.recordFailures(dlq2, exhausted)
+    val dlq3 = Incremental.recordFailures(dlq2, f3)
+    assert(dlq3.filter(col("item_id") === "r1").collect()
+      .head.getAs[Long]("n_failures") == 3L)
     val planned2 = Incremental.planRetries(work, dlq3, "id", maxAttempts = 3)
       .collect().map(_.getString(0)).toSet
     assert(planned2 == Set("r3"))
