@@ -78,8 +78,20 @@ def main():
             n_fail += 1
             continue
         try:
-            pd.testing.assert_frame_equal(g, w, check_dtype=False,
-                                          check_exact=False, rtol=1e-9)
+            # Strict compare: exact values for non-float columns, and the
+            # dtype KIND (int/float/bool/object/…) must agree — the driver
+            # hashes rendered values, so int-vs-float drift (DuckDB HUGEINT
+            # → pandas float64: 1.0 vs Spark's 1) is a real failure, while
+            # integer width (int32 vs int64) renders identically and isn't.
+            for c in g.columns:
+                gk, wk = g[c].dtype.kind, w[c].dtype.kind
+                if gk != wk:
+                    raise AssertionError(
+                        f"column {c}: dtype kind {g[c].dtype} != {w[c].dtype}")
+                is_float = gk == "f"
+                pd.testing.assert_series_equal(
+                    g[c], w[c], check_dtype=False,
+                    check_exact=not is_float, rtol=1e-9)
             print(f"PASS {name} ({len(g)} rows)")
             n_pass += 1
         except AssertionError as e:

@@ -92,8 +92,10 @@ object StreamingBatch {
          strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
          count(*) AS n_events
          FROM (
-           SELECT *, sum(new_session) OVER (PARTITION BY user_id
-             ORDER BY ts, event_id) AS session_id
+           -- CAST: DuckDB window sum() yields HUGEINT, which pandas
+           -- renders float64 (1.0 vs Spark's bigint 1) → hash mismatch.
+           SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS BIGINT) AS session_id
            FROM (
              SELECT *, CASE WHEN prev_ts IS NULL THEN 1
                WHEN date_diff('second', prev_ts, ts) > 1800 THEN 1

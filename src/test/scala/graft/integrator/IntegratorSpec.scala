@@ -74,6 +74,13 @@ class IntegratorSpec extends SparkSpec {
       "watermark must be held back while a form has failed fetches")
 
     // ---- run 2: API heals — the gap is re-fetched, DLQ resolved -----
+    // Serve sa-11 as TERMINAL so run 3 isolates DLQ-replay behavior
+    // from T3's open-status refetch (which correctly re-pulls any
+    // in_progress request every run — gateway.py:497-501).
+    api.requests += ("sa-11" -> Fixtures.requestSa11
+      .replace("\"in_progress\"", "\"completed\"")
+      .replace("\"final_approved_date\": null",
+        "\"final_approved_date\": \"2024/08/06 12:00:00\""))
     api.failIds = Set.empty
     integ.run()
     val reqs = integ.readTable("requests").get
