@@ -30,7 +30,7 @@ object Reassembly {
 
   /** collect_list(struct(sortKey, payload)) sorted by sortKey, then
     * stripped to payload — deterministic nested-array assembly (W2). */
-  private def sortedList(sortKey: Column, payload: Column): Column =
+  private[docs] def sortedList(sortKey: Column, payload: Column): Column =
     transform(
       array_sort(collect_list(struct(sortKey.as("k"), payload.as("v")))),
       x => x.getField("v"))

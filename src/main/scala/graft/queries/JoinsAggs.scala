@@ -117,6 +117,36 @@ object JoinsAggs {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // J12 — master-document reassembly shape (MasterDocs.usersDoc,
+    // users.py:185-266): parent + distinct-sorted scalar array +
+    // ordered struct array + 1:1 nested object, each child built ONCE
+    // and joined on the parent key — customer plays users, orders
+    // plays user_groups/user_positions, nation plays the bank account.
+    "j12_master_doc_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val n = t(s, dir, "nation")
+      val prios = o.groupBy(col("o_custkey").as("k1")).agg(
+        to_json(array_sort(collect_set(col("o_orderpriority"))))
+          .as("prios_json"))
+      val ords = o.groupBy(col("o_custkey").as("k2")).agg(
+        to_json(transform(
+          array_sort(collect_list(struct(
+            col("o_orderkey").as("k"), col("o_orderstatus").as("st")))),
+          x => struct(x.getField("k").as("k"),
+            x.getField("st").as("st")))).as("orders_json"))
+      c.join(prios, col("c_custkey") === col("k1"), "left")
+        .join(ords, col("c_custkey") === col("k2"), "left")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"),
+          "left")
+        .select(col("c_custkey"), col("c_name"),
+          coalesce(col("prios_json"), lit("[]")).as("prios_json"),
+          coalesce(col("orders_json"), lit("[]")).as("orders_json"),
+          to_json(struct(col("n_name").as("nm"),
+            col("n_regionkey").as("rk"))).as("nation_json"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // A5 — GROUP BY as first-per-key dedup (view_form_items,
     // create_views.sql:228-241). SQLite picks "some row"; we pin
     // determinism with an explicit row_number ordering.
@@ -202,6 +232,23 @@ object JoinsAggs {
       """SELECT l_orderkey, l_linenumber, s_name FROM lineitem
          JOIN supplier ON l_suppkey = s_suppkey
          ORDER BY l_orderkey, l_linenumber""",
+    "j12_master_doc_join" ->
+      """SELECT c_custkey, c_name,
+         coalesce(p.prios_json, '[]') AS prios_json,
+         coalesce(k.orders_json, '[]') AS orders_json,
+         to_json(struct_pack(nm := n_name, rk := n_regionkey))
+           AS nation_json
+         FROM customer
+         LEFT JOIN (SELECT o_custkey,
+             to_json(list(DISTINCT o_orderpriority
+               ORDER BY o_orderpriority)) AS prios_json
+           FROM orders GROUP BY o_custkey) p ON c_custkey = p.o_custkey
+         LEFT JOIN (SELECT o_custkey,
+             to_json(list(struct_pack(k := o_orderkey, st := o_orderstatus)
+               ORDER BY o_orderkey, o_orderstatus)) AS orders_json
+           FROM orders GROUP BY o_custkey) k ON c_custkey = k.o_custkey
+         LEFT JOIN nation ON c_nationkey = n_nationkey
+         ORDER BY c_custkey""",
     "a5_first_per_key" ->
       """SELECT l_orderkey, l_partkey, l_quantity FROM (
            SELECT *, row_number() OVER (PARTITION BY l_orderkey

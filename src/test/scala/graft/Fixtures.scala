@@ -35,4 +35,6 @@ object Fixtures {
   val project1: String = resource("project1.json")
   val form1: String = resource("form1.json")
   val fixJournal1: String = resource("fix_journal1.json")
+  val fixJournal2: String = resource("fix_journal2.json")
+  val fixJournal3: String = resource("fix_journal3.json")
 }
