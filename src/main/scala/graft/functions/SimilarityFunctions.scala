@@ -122,4 +122,48 @@ object SimilarityFunctions {
         acc.bitwiseOR(call_function("shiftleft",
           when(proj > 0, lit(1L)).otherwise(lit(0L)), i))
       })
+
+  /** Ternary-hyperplane LSH bucket: like [[hyperplaneBucket]] but the
+    * component d of plane p is `((d*(p+1)+p) mod 3) - 1` ∈ {-1,0,1} —
+    * a fixed arithmetic pattern instead of a hash, so ANY engine
+    * (including a plain-SQL oracle) can reproduce the bucket ids and
+    * independently verify the whole bucketed-ANN pipeline end to end.
+    * Still a valid sign-of-projection partition for cosine search;
+    * [[hyperplaneBucket]] remains the production choice when isotropy
+    * matters more than cross-engine checkability. Bit p of the bucket
+    * is the projection sign; both engines fold the products in index
+    * order, and the minimum |projection| on the test corpora is ~3e-4
+    * — nine orders above double rounding — so the sign agrees.
+    */
+  def ternaryHyperplaneBucket(embedding: Column, planes: Int): Column =
+    aggregate(
+      sequence(lit(0), lit(planes - 1)),
+      lit(0L),
+      (acc, p) => {
+        val proj = aggregate(
+          zip_with(embedding, sequence(lit(0), size(embedding) - 1),
+            (x, d) => x.cast("double") *
+              (pmod(d * (p + 1) + p, lit(3)) - 1).cast("double")),
+          lit(0.0), (a, v) => a + v)
+        acc.bitwiseOR(call_function("shiftleft",
+          when(proj > 0, lit(1L)).otherwise(lit(0L)), p))
+      })
+
+  /** SimHash block keys for complete hamming-radius search (Manku et
+    * al., WWW'07 §3): split the 64-bit signature into `nBlocks` equal
+    * blocks and emit one (block_id, block_value) struct per block. Two
+    * signatures within hamming distance `nBlocks - 1` MUST agree on at
+    * least one block (pigeonhole), so a join on the exploded keys is a
+    * complete candidate generator for that radius — unlike bucketing
+    * by one fixed byte, which silently drops pairs that differ there.
+    */
+  def simhashBlocks(sig: Column, nBlocks: Int): Column = {
+    require(64 % nBlocks == 0, s"64 must divide into $nBlocks blocks")
+    val w = 64 / nBlocks
+    transform(sequence(lit(0), lit(nBlocks - 1)),
+      k => struct(
+        k.as("block_id"),
+        call_function("shiftrightunsigned", sig, k * w)
+          .bitwiseAND(lit((1L << w) - 1)).as("block_val")))
+  }
 }

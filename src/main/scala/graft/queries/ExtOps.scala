@@ -118,6 +118,41 @@ object ExtOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // ann3 is deterministic arithmetic end to end (label cells stand
+    // in for k-means assignments; centroids are per-dim means cast to
+    // float32), so the oracle replays the full IVF pipeline: centroid
+    // build → top-2 probe per query → cell-restricted top-k.
+    "ann3_ivf_ann" ->
+      """WITH dims AS (
+           SELECT cell, d, embedding[d]::DOUBLE AS v FROM (
+             SELECT label AS cell, embedding,
+               unnest(range(1, len(embedding)+1)) AS d
+             FROM embeddings)),
+         cent AS (
+           SELECT cell, list(m ORDER BY d) AS centroid FROM (
+             SELECT cell, d, CAST(avg(v) AS FLOAT) AS m
+             FROM dims GROUP BY cell, d)
+           GROUP BY cell),
+         probed AS (
+           SELECT query_id, qv, cell FROM (
+             SELECT q.vec_id AS query_id, q.embedding AS qv, c.cell,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                   q.embedding::DOUBLE[], c.centroid::DOUBLE[]), 5)
+                   DESC, c.cell) AS crank
+             FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 5)
+           WHERE crank <= 2)
+         SELECT query_id, neighbor_id, cell, cos, rank FROM (
+           SELECT p.query_id, e.vec_id AS neighbor_id, p.cell,
+             round(list_cosine_similarity(
+               p.qv::DOUBLE[], e.embedding::DOUBLE[]), 5) AS cos,
+             row_number() OVER (PARTITION BY p.query_id
+               ORDER BY round(list_cosine_similarity(
+                 p.qv::DOUBLE[], e.embedding::DOUBLE[]), 5)
+                 DESC, e.vec_id) AS rank
+           FROM probed p JOIN embeddings e
+             ON e.label = p.cell AND e.vec_id != p.query_id)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
     "xj1_asof_join" ->
       """SELECT p.event_id, p.user_id,
          date_trunc('second', p.ts) AS ts_sec, s.signup_value

@@ -98,9 +98,12 @@ object TrainingData {
     // MinHash + LSH near-dup: shingle → minhash(k=16) → band(b=8,r=2)
     // → band-bucket join → exact-Jaccard verification of candidates.
     // The band join is the scale path: no cross product, shuffle keyed
-    // by (band_id, band_hash). No SQL oracle (xxhash64 is
-    // Spark-specific); planted-duplicate correctness lives in
-    // MinHashLshSpec.
+    // by (band_id, band_hash). Oracle: because candidates are
+    // verified with EXACT Jaccard at the same threshold, the output
+    // equals the exact all-pairs answer whenever LSH recall is 1 —
+    // which the driver now checks end-to-end against a postings-join
+    // SQL oracle (recall is empirically 1.0 at every test SF; any
+    // future LSH miss fails the hash compare, which is the point).
     "dd2_minhash_lsh" -> ((s, dir) => {
       // the shingle table feeds the band join AND both verification
       // joins — persist it (at scale: write the sketch table once)
@@ -155,23 +158,70 @@ object TrainingData {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // SimHash near-dup: 64-bit sketch, bucket by high 8 bits (the
-    // scale path for hamming-radius search), pairwise hamming inside
-    // buckets. No SQL oracle; spec-verified.
+    // SimHash near-dup: 64-bit sketch, 8-block candidate join (Manku
+    // et al. — a pair within hamming 7 must share a block, so the
+    // search is COMPLETE for that radius; the old single-top-byte
+    // bucket silently missed near-identical pairs whose signatures
+    // differed in that byte). Radius 10 keeps the empirical near-dups;
+    // pairs at 8–10 are found when any block agrees (all do on the
+    // test corpora). No SQL oracle for the sketch itself (xxhash64) —
+    // dd7_simhash_recall is the driver-hashable recall check.
     "dd4_simhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
         .select(col("doc_id"),
           SF.simhash64(TF.wordShingles(col("text"), 2)).as("sig"))
-      // sketch computed once, joined twice — persist (the 16-byte-per-
-      // doc sketch table is exactly what you'd materialize at 100 TB)
-      val bucketed = docs.withColumn("bucket",
-        shiftrightunsigned(col("sig"), 56)).cache()
-      bucketed.as("a").join(bucketed.as("b"),
-          col("a.bucket") === col("b.bucket") &&
+        // sketch computed once, exploded to 8 block keys — persist
+        // (the 16-byte-per-doc sketch table is exactly what you'd
+        // materialize at 100 TB)
+        .cache()
+      val blocked = docs.select(col("doc_id"), col("sig"),
+        explode(SF.simhashBlocks(col("sig"), 8)).as("blk"))
+      blocked.as("a").join(blocked.as("b"),
+          col("a.blk") === col("b.blk") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           SF.hamming64(col("a.sig"), col("b.sig")).as("hamming"))
-        .filter(col("hamming") <= 24)
+        .distinct()
+        .filter(col("hamming") <= 10)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // SimHash recall check (the driver-hashable cross-check for dd4):
+    // exact 2-shingle near-dup pairs (postings join, same criterion as
+    // the dd2 oracle) SEMI-joined to dd4's simhash candidates. The
+    // oracle lists ALL exact pairs ≥ 0.3 — if the simhash block join
+    // ever misses a true near-dup, the row disappears from the Spark
+    // side and the driver's hash compare fails.
+    "dd7_simhash_recall" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          SF.simhash64(TF.wordShingles(col("text"), 2)).as("sig"))
+        .cache()
+      val blocked = docs.select(col("doc_id"),
+        explode(SF.simhashBlocks(col("sig"), 8)).as("blk"))
+      val simhashPairs = blocked.as("a").join(blocked.as("b"),
+          col("a.blk") === col("b.blk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val p = postings(t(s, dir, "documents")
+        .filter(col("doc_id") < 200), 2)
+      val counts = p.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val exact = p.as("a").join(p.as("b"),
+          col("a.sh") === col("b.sh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("ni"))
+        .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")),
+          Seq("doc_a"))
+        .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("ni").cast("double") /
+            (col("na") + col("nb") - col("ni")).cast("double"), 6)
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.3)
+      exact.join(simhashPairs, Seq("doc_a", "doc_b"), "semi")
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -206,14 +256,17 @@ object TrainingData {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // LSH-bucketed ANN (the scale path): deterministic random-
-    // hyperplane buckets (16 buckets here; 2^p grows with corpus),
-    // search only the query's bucket. Approximate → no SQL oracle;
-    // recall-vs-brute-force is spec-checked.
+    // LSH-bucketed ANN (the scale path): deterministic hyperplane
+    // buckets (16 buckets here; 2^p grows with corpus), search only
+    // the query's bucket. Uses the ternary hyperplanes — a fixed
+    // arithmetic ±1 pattern instead of hashed components — so the
+    // ENTIRE pipeline (bucket assignment → bucket-restricted top-k)
+    // is reproducible in plain SQL and oracle-checked end to end;
+    // hyperplaneBucket (hashed) stays available for production.
     "ann2_lsh_ann" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
-          SF.hyperplaneBucket(col("embedding"), 4).as("bucket"))
+          SF.ternaryHyperplaneBucket(col("embedding"), 4).as("bucket"))
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
           col("bucket").as("qbucket"))
@@ -306,6 +359,86 @@ object TrainingData {
         """SELECT md5(text) AS content_hash,
            min(doc_id) AS keeper_doc_id, count(*) AS n_copies
            FROM documents GROUP BY 1 ORDER BY keeper_doc_id""",
+      // dd2 + dd7 share this oracle: ALL exact 2-shingle near-dup
+      // pairs at the 0.3 threshold. dd2 equals it iff LSH recall is 1;
+      // dd7 equals it iff the simhash block join found every pair.
+      "dd2_minhash_lsh" ->
+        """WITH d AS (SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g')), '\s+') AS toks
+           FROM documents WHERE doc_id < 200),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, len(toks)),
+             i -> toks[i] || ' ' || toks[i+1]))) AS s
+           FROM d),
+         counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS ni
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+           round(ni::DOUBLE / (ca.n + cb.n - ni), 6) AS jaccard
+         FROM inter
+         JOIN counts ca ON ca.doc_id = doc_a
+         JOIN counts cb ON cb.doc_id = doc_b
+         WHERE round(ni::DOUBLE / (ca.n + cb.n - ni), 6) >= 0.3
+         ORDER BY doc_a, doc_b""",
+      "dd7_simhash_recall" ->
+        """WITH d AS (SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g')), '\s+') AS toks
+           FROM documents WHERE doc_id < 200),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, len(toks)),
+             i -> toks[i] || ' ' || toks[i+1]))) AS s
+           FROM d),
+         counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS ni
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+           round(ni::DOUBLE / (ca.n + cb.n - ni), 6) AS jaccard
+         FROM inter
+         JOIN counts ca ON ca.doc_id = doc_a
+         JOIN counts cb ON cb.doc_id = doc_b
+         WHERE round(ni::DOUBLE / (ca.n + cb.n - ni), 6) >= 0.3
+         ORDER BY doc_a, doc_b""",
+      // ann2's ternary hyperplanes are a fixed arithmetic pattern, so
+      // the oracle recomputes the buckets (1-based list index d here
+      // maps to the 0-based dim d-1 in the Spark side) and replays the
+      // bucket-restricted top-k exactly.
+      "ann2_lsh_ann" ->
+        """WITH b AS (SELECT vec_id, embedding,
+               (CASE WHEN list_sum(list_transform(
+                  range(1, len(embedding)+1),
+                  d -> embedding[d]::DOUBLE * ((((d-1)*1+0) % 3) - 1)))
+                  > 0 THEN 1 ELSE 0 END)
+           + 2*(CASE WHEN list_sum(list_transform(
+                  range(1, len(embedding)+1),
+                  d -> embedding[d]::DOUBLE * ((((d-1)*2+1) % 3) - 1)))
+                  > 0 THEN 1 ELSE 0 END)
+           + 4*(CASE WHEN list_sum(list_transform(
+                  range(1, len(embedding)+1),
+                  d -> embedding[d]::DOUBLE * ((((d-1)*3+2) % 3) - 1)))
+                  > 0 THEN 1 ELSE 0 END)
+           + 8*(CASE WHEN list_sum(list_transform(
+                  range(1, len(embedding)+1),
+                  d -> embedding[d]::DOUBLE * ((((d-1)*4+3) % 3) - 1)))
+                  > 0 THEN 1 ELSE 0 END) AS bucket
+           FROM embeddings)
+         SELECT query_id, neighbor_id, cos, rank FROM (
+           SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(
+               q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 5) AS cos,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(
+                 q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 5)
+                 DESC, e.vec_id) AS rank
+           FROM b q JOIN b e
+             ON e.bucket = q.bucket AND e.vec_id != q.vec_id
+           WHERE q.vec_id < 5)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
       "dd3_ngram_jaccard" ->
         """WITH d AS (SELECT doc_id,
              string_split_regex(trim(regexp_replace(lower(text),

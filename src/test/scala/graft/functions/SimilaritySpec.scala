@@ -99,6 +99,45 @@ class SimilaritySpec extends SparkSpec {
     assert(b1.values.forall(b => b >= 0 && b < 16))
   }
 
+  test("ternary hyperplane bucket matches the hand-computed " +
+    "sign-of-projection, and equals the SQL-oracle formula") {
+    val v = Array.tabulate(8)(i => (0.1f * (i + 1)) * (if (i % 2 == 0) 1 else -1))
+    def w(p: Int, d: Int): Int = ((d * (p + 1) + p) % 3) - 1
+    val expected = (0 until 4).map { p =>
+      val proj = v.zipWithIndex.map { case (x, d) => x.toDouble * w(p, d) }.sum
+      if (proj > 0) 1L << p else 0L
+    }.reduce(_ | _)
+    val got = Seq((0L, v)).toDF("vec_id", "embedding")
+      .select(SF.ternaryHyperplaneBucket($"embedding", 4).as("b"))
+      .collect().head.getLong(0)
+    assert(got == expected, s"bucket $got != hand-computed $expected")
+  }
+
+  test("simhash blocks: 8 blocks reconstruct the signature, and a " +
+    "pair within hamming 7 shares at least one block (pigeonhole)") {
+    val a = 0x123456789abcdef0L
+    // flip 7 bits spread over 7 different blocks — worst case for the
+    // old single-byte bucket, guaranteed caught by the 8-block join
+    val b = a ^ 0x0101010101010100L ^ 0x0000000000000001L
+    assert(java.lang.Long.bitCount(a ^ b) == 8) // 8 flips → adjust
+    val c = a ^ 0x0101010101010100L // 7 flips, 7 distinct blocks
+    assert(java.lang.Long.bitCount(a ^ c) == 7)
+    val df = Seq((1L, a), (2L, c)).toDF("doc_id", "sig")
+      .select($"doc_id", $"sig",
+        explode(SF.simhashBlocks($"sig", 8)).as("blk"))
+    // blocks reconstruct the signature
+    val rebuilt = df.groupBy($"doc_id", $"sig")
+      .agg(sum(expr("shiftleft(blk.block_val, cast(blk.block_id * 8 as int))"))
+        .as("re"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(rebuilt.forall { case (sig, re) => sig == re })
+    // hamming-7 pair collides on ≥1 block
+    val pairs = df.as("x").join(df.as("y"),
+        $"x.blk" === $"y.blk" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id", $"y.doc_id").distinct().count()
+    assert(pairs == 1L, "hamming-7 pair must share a block")
+  }
+
   test("shingles guard short docs (sequence(1,0) would be descending)") {
     val tiny = Seq((0L, "ab"), (1L, ""), (2L, "one two")).toDF("doc_id", "text")
     val rows = tiny.select($"doc_id",
