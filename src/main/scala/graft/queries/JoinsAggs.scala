@@ -149,17 +149,20 @@ object JoinsAggs {
 
     // A5 — GROUP BY as first-per-key dedup (view_form_items,
     // create_views.sql:228-241). SQLite picks "some row"; we pin
-    // determinism with an explicit row_number ordering.
+    // determinism by taking min(struct(...)) — lexicographic over
+    // every emitted column, same pick as an ORDER BY row_number
+    // filter but with MAP-SIDE PARTIAL AGGREGATION instead of a full
+    // per-key sort (the plan that survives a 100× scale-up).
     "a5_first_per_key" -> ((s, dir) => {
       val l = t(s, dir, "lineitem")
       // (l_orderkey, l_linenumber) is NOT unique in the testdata — the
-      // ordering must be total over every emitted column or the
+      // struct ordering must be total over every emitted column or the
       // first-row pick is engine-dependent.
-      val w = Window.partitionBy(col("l_orderkey"))
-        .orderBy(col("l_linenumber"), col("l_partkey"), col("l_quantity"))
-      l.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      l.groupBy(col("l_orderkey"))
+        .agg(min(struct(col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"))).as("m"))
+        .select(col("l_orderkey"), col("m.l_partkey").as("l_partkey"),
+          col("m.l_quantity").as("l_quantity"))
         .orderBy(col("l_orderkey"))
     }),
 

@@ -173,21 +173,24 @@ class Views(t: Map[String, DataFrame], localTz: String = "UTC") {
   }
 
   // -- form item catalogs (create_views.sql:228-256): SQLite
-  // bare-column GROUP BY → deterministic first-per-key (A5)
+  // bare-column GROUP BY → deterministic first-per-key (A5) via
+  // min(struct(...)): same lexicographic pick as a row_number window,
+  // but with map-side partial aggregation and no per-key sort.
   private def formItems(keyCols: Seq[String]): DataFrame = {
     // aliases: both tables shred from the same bronze lineage
     val ci = tbl("customized_items").alias("ci")
     val r = tbl("requests").alias("r")
-    import org.apache.spark.sql.expressions.Window
     val joined = ci.join(r, col("ci.request_id") === col("r.id"), "inner")
       .select(col("r.form_id").as("form_id"),
         col("r.form_name").as("form_name"), col("ci.title").as("title"),
         col("ci.item_index").as("item_index"))
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("form_id"), col("item_index"), col("title"),
-        col("form_name"))
-    joined.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    joined.groupBy(keyCols.map(col): _*)
+      .agg(min(struct(col("form_id"), col("item_index"), col("title"),
+        col("form_name"))).as("__m"))
+      .select(col("__m.form_id").as("form_id"),
+        col("__m.form_name").as("form_name"),
+        col("__m.title").as("title"),
+        col("__m.item_index").as("item_index"))
       .orderBy(col("form_id"), col("item_index"))
   }
 
