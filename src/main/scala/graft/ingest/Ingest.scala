@@ -110,6 +110,34 @@ object Ingest {
     }.toDF("id", "doc", "error")
   }
 
+  /** S2 at cluster scale — fan per-scope paginated scans out over
+    * executors. Pagination stays sequential WITHIN a scope (the API's
+    * page tokens force that), but scopes (forms) scan in parallel —
+    * the same fan-out axis as [[fetchDetails]]. Each partition runs
+    * its own throttle, so the cluster-wide rate is interval ×
+    * parallelism; size `minIntervalMs` accordingly (the reference's
+    * budget is 5000 req/h TOTAL, gateway/throttled_request.py:36-61).
+    * Returns one row per result doc (scope_key, doc, null) plus one
+    * (scope_key, null, error) row per failed page so callers can hold
+    * back watermarks / route to the DLQ.
+    */
+  def fetchScans(spark: SparkSession, fetcher: Fetcher, apiType: String,
+      scopes: Dataset[(String, Map[String, String])],
+      minIntervalMs: Long = 0L): DataFrame = {
+    import spark.implicits._
+    scopes.mapPartitions { it =>
+      val throttle = new Throttle(minIntervalMs)
+      it.flatMap { case (key, query) =>
+        drainPages(fetcher, throttle, apiType, query).flatMap { p =>
+          p.error match {
+            case Some(e) => Seq((key, null: String, e))
+            case None => p.results.map(d => (key, d, null: String))
+          }
+        }
+      }
+    }.toDF("scope_key", "doc", "error")
+  }
+
   /** S5 — error taxonomy over fetched pages (status code → ok /
     * warning / fatal, api_client.py:390-453 + status/warnings.py):
     * a classification column + quarantine split instead of exceptions.

@@ -85,6 +85,11 @@ class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
   /** Phase 2 — per-form outline scan with watermark pushdown +
     * canceled re-sweep (gateway.py:342-432, api_client.py:521-597).
     * Returns (form_id → outline ids) and the captured watermarks.
+    *
+    * The per-form scans fan out over EXECUTORS (Ingest.fetchScans) —
+    * pagination is sequential within a form, but forms scan in
+    * parallel, same as the detail fetches. Only the watermark map and
+    * form-id list (driver state, tiny) are collected.
     */
   def fetchOutlines(): (DataFrame, DataFrame) = {
     import spark.implicits._
@@ -92,27 +97,32 @@ class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
       .map(r => r.getString(0) -> r.getTimestamp(1)).toMap
     val formIds = readTable("forms").map(_.select("id").as[Long]
       .collect().toSeq).getOrElse(Seq.empty)
-    val outlines = formIds.flatMap { fid =>
+    val scopes: Seq[(String, Map[String, String])] = formIds.flatMap { fid =>
       val after = wm.get(fid.toString)
         .map(_.toString.substring(0, 19).replace('-', '/'))
-      val normal = Ingest.drainPages(fetcher, throttle, "request_outline",
-        Ingest.incrementalQuery(Some(fid), after))
       // T2: canceled-after-completion re-sweep — only once a watermark
       // exists, and keyed on completed_after, not applied_after
       // (api_client.py:585-589): requests applied before the watermark
       // but canceled since the last run match only this predicate.
-      val resweep = after.toSeq.flatMap { wm =>
-        Ingest.drainPages(fetcher, throttle, "request_outline",
-          Ingest.resweepQuery(Some(fid), wm))
-      }
-      (normal ++ resweep).flatMap(_.results)
+      Seq(fid.toString -> Ingest.incrementalQuery(Some(fid), after)) ++
+        after.map(a => fid.toString -> Ingest.resweepQuery(Some(fid), a))
     }
+    // one scope per partition up to a cap; localCheckpoint IMMEDIATELY
+    // so the json parse below (and every later action) reads the
+    // materialized pages instead of re-running the HTTP scans
+    val nPart = math.max(1, math.min(scopes.size, 64))
+    val fetched = Ingest.fetchScans(spark, fetcher, "request_outline",
+        scopes.toDS.repartition(nPart), minIntervalMs)
+      .localCheckpoint(true)
     val outlineDf = spark.read.schema(JobcanSchemas.requestOutlineSchema)
-      .json(outlines.toDS)
+      .json(fetched.filter(col("error").isNull).select("doc").as[String])
       .select(col("id"), col("form_id"),
         Normalize.parseTs(col("applied_date")).as("applied_date"))
       .distinct()
-    // T1: capture new high-watermarks BEFORE the detail fetches
+    // T1: capture new high-watermarks BEFORE the detail fetches.
+    // A form whose scan errored mid-pagination only ever UNDER-counts
+    // its max applied_date, so the committed watermark stays behind
+    // and the next run's scan re-covers the gap.
     val captured = Incremental.captureWatermarks(
       outlineDf.withColumn("form_id", col("form_id").cast("string")),
       "form_id", "applied_date")

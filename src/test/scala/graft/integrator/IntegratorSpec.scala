@@ -105,14 +105,35 @@ class IntegratorSpec extends SparkSpec {
       s"resolved DLQ item must not be replayed, saw $calls3")
   }
 
+  test("outline scans run executor-side, exactly once per (form, " +
+    "page), with pagination drained to the last page") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pg").toString
+    val api = new SyntheticApi
+    val integ = new Integrator(spark, api, dir)
+    SyntheticApi.outlinePageCalls.clear()
+    integ.run()
+    import scala.jdk.CollectionConverters._
+    val calls = SyntheticApi.outlinePageCalls.asScala
+      .map { case (k, v) => k -> v.get() }.toMap
+    // 2 outline docs served one per page → pages 0 and 1 of the normal
+    // scan, each hit exactly once (lineage re-execution would double
+    // them; a dropped token would lose page 1)
+    assert(calls == Map("54142953|normal|0" -> 1,
+      "54142953|normal|1" -> 1),
+      s"expected exactly-once per (form, page), saw $calls")
+    // both pages' docs made it through the shred
+    assert(integ.readTable("requests").get.count() == 2)
+  }
+
   test("T2 re-sweep is completed_after-keyed and fires only once a " +
     "watermark exists (api_client.py:585-589)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-t2").toString
     val api = new SyntheticApi
     val integ = new Integrator(spark, api, dir)
+    SyntheticApi.outlineQueries.clear()
     integ.run()
     // cold start: no watermark → no re-sweep call at all
-    assert(!api.outlineQueries.exists(
+    assert(!SyntheticApi.outlineQueriesSeq.exists(
       _.get("status").contains("canceled_after_completion")),
       "re-sweep must not fire before a watermark exists")
 
@@ -127,9 +148,9 @@ class IntegratorSpec extends SparkSpec {
          "status": "canceled_after_completion",
          "applied_date": "2024/08/01 09:30:00"}""",
       "2024/08/06 10:00:00"))
-    api.outlineQueries.clear()
+    SyntheticApi.outlineQueries.clear()
     integ.run()
-    val sweeps = api.outlineQueries.filter(
+    val sweeps = SyntheticApi.outlineQueriesSeq.filter(
       _.get("status").contains("canceled_after_completion"))
     assert(sweeps.nonEmpty, "re-sweep must fire once a watermark exists")
     assert(sweeps.forall(q => !q.contains("applied_after") &&
@@ -159,9 +180,6 @@ object IntegratorSpec {
     /** canceled-after-completion outline docs: (doc, completed_date) —
       * returned ONLY by the completed_after re-sweep */
     @volatile var canceled: Seq[(String, String)] = Nil
-    /** every request_outline query seen (driver-side, no sync needed) */
-    val outlineQueries =
-      scala.collection.mutable.ArrayBuffer.empty[Map[String, String]]
 
     def fetchPage(apiType: String, query: Map[String, String],
         pageToken: Option[String]): Ingest.Page = apiType match {
@@ -173,21 +191,37 @@ object IntegratorSpec {
       case "fix_journals" => Ingest.Page(Seq(Fixtures.fixJournal1), None)
       case "forms" => Ingest.Page(Seq(Fixtures.form1), None)
       case "request_outline" =>
-        outlineQueries += query
-        if (query.get("status").contains("canceled_after_completion")) {
-          // T2 re-sweep: matches on completion (not application) date
-          val after = query.get("completed_after")
-          Ingest.Page(canceled.collect {
-            case (doc, cd) if after.forall(cd > _) => doc }, None)
-        } else {
-          // honor the applied_after watermark pushdown (S3)
-          val after = query.get("applied_after")
-          val filtered = outline.filter { doc =>
-            after.forall(a => doc.split("applied_date\": \"")(1)
-              .takeWhile(_ != '"') > a)
+        // outline scans now run EXECUTOR-side on a deserialized copy
+        // of this fetcher, so observations must go through the static
+        // companion (same trick as detailCalls)
+        SyntheticApi.outlineQueries.add(query)
+        val kind = if (query.contains("completed_after")) "resweep"
+          else "normal"
+        SyntheticApi.outlinePageCalls.computeIfAbsent(
+          s"${query.getOrElse("form_id", "?")}|$kind|" +
+            pageToken.getOrElse("0"),
+          _ => new java.util.concurrent.atomic.AtomicInteger)
+          .incrementAndGet()
+        val matching =
+          if (query.get("status").contains("canceled_after_completion")) {
+            // T2 re-sweep: matches on completion (not application) date
+            val after = query.get("completed_after")
+            canceled.collect {
+              case (doc, cd) if after.forall(cd > _) => doc }
+          } else {
+            // honor the applied_after watermark pushdown (S3)
+            val after = query.get("applied_after")
+            outline.filter { doc =>
+              after.forall(a => doc.split("applied_date\": \"")(1)
+                .takeWhile(_ != '"') > a)
+            }
           }
-          Ingest.Page(filtered, None)
-        }
+        // serve ONE doc per page so pagination (S2) is exercised: the
+        // exactly-once-per-(form, page) assertion needs >1 page
+        val i = pageToken.map(_.toInt).getOrElse(0)
+        val next = if (i + 1 < matching.length) Some((i + 1).toString)
+          else None
+        Ingest.Page(matching.slice(i, i + 1), next)
       case other => Ingest.Page(Nil, None, 404, Some(s"unknown $other"))
     }
 
@@ -203,6 +237,17 @@ object IntegratorSpec {
     /** per-id detail-fetch call counter (local mode: executors share
       * the JVM, so a static map observes executor-side calls) */
     val detailCalls =
+      new java.util.concurrent.ConcurrentHashMap[String,
+        java.util.concurrent.atomic.AtomicInteger]
+    /** every request_outline query seen, from any executor thread */
+    val outlineQueries =
+      new java.util.concurrent.ConcurrentLinkedQueue[Map[String, String]]
+    def outlineQueriesSeq: Seq[Map[String, String]] = {
+      import scala.jdk.CollectionConverters._
+      outlineQueries.asScala.toSeq
+    }
+    /** per-(form, scan-kind, page-token) outline call counter */
+    val outlinePageCalls =
       new java.util.concurrent.ConcurrentHashMap[String,
         java.util.concurrent.atomic.AtomicInteger]
   }
