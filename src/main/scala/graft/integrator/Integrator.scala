@@ -230,3 +230,14 @@ class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
     registerViews()
   }
 }
+
+object Integrator {
+  /** Build an integrator from the typed config surface
+    * (integrator_config.py:50-182): state path from DB_PATH, throttle
+    * interval from REQUESTS_PER_SEC (with the negative → hourly-cap
+    * fallback already resolved by GraftConfig).
+    */
+  def fromConfig(spark: SparkSession, fetcher: Fetcher,
+      cfg: graft.config.GraftConfig): Integrator =
+    new Integrator(spark, fetcher, cfg.dbPath, cfg.minIntervalMs)
+}

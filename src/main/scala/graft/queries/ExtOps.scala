@@ -103,6 +103,32 @@ object ExtOps {
           col("l_linestatus").asc_nulls_first)
     }),
 
+    // GROUPING SETS — the rollup's sibling the BI surface emits
+    // (subtotal by flag AND by status, no grand total): one shuffle,
+    // the Expand operator replicates rows per set map-side.
+    "xa3_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // CUBE — every subtotal combination, grouping_id-tagged.
+    "xa4_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
     // Custom Aggregator: ordered GROUP_CONCAT via typed
     // Aggregator/udaf (string sort keys; timestamps serialize to
     // ISO so lexicographic == chronological).
@@ -173,6 +199,21 @@ object ExtOps {
          round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows,
          GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag NULLS FIRST,
+           l_linestatus NULLS FIRST""",
+    "xa3_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows,
+         GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+         ORDER BY gid, l_returnflag NULLS FIRST,
+           l_linestatus NULLS FIRST""",
+    "xa4_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows,
+         GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
          ORDER BY gid, l_returnflag NULLS FIRST,
            l_linestatus NULLS FIRST""",
     "xa1_group_concat_udaf" ->

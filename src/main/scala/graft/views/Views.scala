@@ -492,10 +492,13 @@ class Views(t: Map[String, DataFrame], localTz: String = "UTC") {
         (() => viewPaymentRequest45()))
     // Spark 4 temp-view identifiers are ASCII-only, so the CSV views
     // use stable ASCII aliases for their reference names (the mapping
-    // is documented in each view's Scaladoc). Views whose silver
-    // tables weren't ingested are skipped.
+    // is documented in each view's Scaladoc). ONLY a missing silver
+    // table (not yet ingested → tbl's key lookup fails) skips a view;
+    // any other failure is a real bug in the view definition and must
+    // surface, not silently unregister the view.
     all.foreach { case (n, mk) =>
-      scala.util.Try(mk()).foreach(_.createOrReplaceTempView(n))
+      try mk().createOrReplaceTempView(n)
+      catch { case _: NoSuchElementException => () }
     }
   }
 }

@@ -165,4 +165,19 @@ class NormalizeViewsSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM view_request_details")
       .collect().head.getLong(0) == 2)
   }
+
+  test("registerAll skips views whose tables are missing but THROWS " +
+    "on a broken view definition (no silent unregister)") {
+    // nothing ingested → every view skipped, no error
+    new graft.views.Views(Map.empty).registerAll()
+    // tables present but schema-broken → the resolution error must
+    // surface (a Try(...) here once hid a real self-join ambiguity)
+    import spark.implicits._
+    val broken = Map(
+      "users" -> Seq((1L, "u001")).toDF("id", "user_code"),
+      "user_bank_accounts" -> Seq((1L, "0001")).toDF("user_id", "bank_code"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      new graft.views.Views(broken).registerAll()
+    }
+  }
 }
