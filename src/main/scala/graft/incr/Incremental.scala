@@ -104,17 +104,26 @@ object Incremental {
   }
 
   /** T5 — selective retry: items of the work list that failed in a
-    * previous run are retried FIRST (they come flagged), everything
-    * already failed `maxAttempts`+ times is dropped to quarantine.
-    * Counts come from the DLQ's accumulated `n_failures` (summed over
-    * phases); a legacy DLQ without the column counts rows.
+    * previous run come back flagged (`retry_priority`, for callers to
+    * sort first), everything already failed `maxAttempts`+ times is
+    * dropped to quarantine. Counts come from the DLQ's accumulated
+    * `n_failures`; a legacy DLQ without the column counts rows.
+    * `apiType`/`phase` scope the count to the relevant failure class —
+    * the DLQ is keyed per (api, scope, item, phase) precisely so that
+    * unrelated apis' attempts don't conflate and quarantine an item
+    * early.
     */
   def planRetries(worklist: DataFrame, dlq: DataFrame, idCol: String,
-      maxAttempts: Int = 3): DataFrame = {
+      maxAttempts: Int = 3, apiType: Option[String] = None,
+      phase: Option[String] = None): DataFrame = {
     val perRow =
       if (dlq.columns.contains("n_failures")) col("n_failures")
       else lit(1L)
-    val counts = dlq.groupBy(col("item_id").as(idCol))
+    val scoped = Seq(
+      apiType.map(a => col("api_type") === a),
+      phase.map(p => col("phase") === p)
+    ).flatten.foldLeft(dlq)((d, pred) => d.filter(pred))
+    val counts = scoped.groupBy(col("item_id").as(idCol))
       .agg(sum(perRow).as("__n_failures"))
     worklist.join(broadcast(counts), Seq(idCol), "left")
       .filter(coalesce(col("__n_failures"), lit(0)) < maxAttempts)

@@ -147,16 +147,31 @@ class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
     // target set (the reference subtracts failure records from the
     // ignore set, gateway.py:725) — without this a transiently failed
     // NEW request is skipped forever once its form watermark advances.
-    // planRetries then drops items already failed maxAttempts times.
-    val targets = dlq0 match {
+    // planRetries then drops items already failed maxAttempts times,
+    // counting ONLY this api/phase's attempts, and retries sort FIRST
+    // (the reference processes failure records before new outlines).
+    val targets0 = dlq0 match {
       case Some(d) =>
         val retryIds = d.filter(col("api_type") === "request_detail" &&
             col("phase") === "fetch")
           .select(col("item_id").as("id")).distinct()
           .join(ignore, Seq("id"), "left_anti")
-        Incremental.planRetries(base.union(retryIds).distinct(), d, "id")
+        Incremental.planRetries(base.union(retryIds).distinct(), d, "id",
+            maxAttempts = Integrator.MaxAttempts,
+            apiType = Some("request_detail"), phase = Some("fetch"))
+          .orderBy(col("retry_priority").desc)
           .select("id")
       case None => base
+    }
+    // items quarantined in an earlier run stay out of the target set
+    // permanently (their n_failures history left the live DLQ)
+    val targets = readTable("_dlq_quarantine") match {
+      case Some(q) => targets0.join(
+        q.filter(col("api_type") === "request_detail" &&
+          col("phase") === "fetch")
+          .select(col("item_id").as("id")).distinct(),
+        Seq("id"), "left_anti")
+      case None => targets0
     }
     // S4: fan the per-id fetches out over executors. localCheckpoint
     // IMMEDIATELY: every derived action (DLQ probe, DLQ write, parse)
@@ -182,7 +197,34 @@ class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
         .filter(!(col("api_type") === "request_detail" &&
           col("phase") === "fetch" && col("__ok").isNotNull))
         .drop("__ok")
-      writeTable("_dlq", Incremental.recordFailures(dlqKept, failures))
+      // lineage cut BEFORE the two writes below: both the live-DLQ
+      // overwrite and the quarantine append derive from `merged`,
+      // which reads the OLD _dlq parquet — without the checkpoint the
+      // second action would re-read files the first one deleted
+      val merged = Incremental.recordFailures(dlqKept, failures)
+        // ignored ids never retry — drop them instead of re-filtering
+        // them out of the target set on every future run
+        .join(ignore.select(col("id").as("item_id")), Seq("item_id"),
+          "left_anti")
+        .localCheckpoint(true)
+      // exhausted entries move to the quarantine table so the live DLQ
+      // stays bounded by the in-flight failure set
+      val exhausted = merged.filter(
+        col("n_failures") >= Integrator.MaxAttempts)
+      writeTable("_dlq", merged.filter(
+        col("n_failures") < Integrator.MaxAttempts))
+      if (exhausted.limit(1).count() > 0) {
+        val q = readTable("_dlq_quarantine") match {
+          case Some(q0) => q0.unionByName(exhausted)
+            .groupBy("api_type", "scope_key", "item_id", "phase")
+            .agg(max(col("n_failures")).as("n_failures"),
+              max_by(col("error"), col("ts")).as("error"),
+              max(col("ts")).as("ts"))
+          case None => exhausted
+        }
+        writeTable("_dlq_quarantine", q)
+      }
+      merged.unpersist()
     }
     // second lineage cut: the 30 child-table merges below must not
     // re-read the OLD requests parquet (overwritten by the requests
@@ -232,6 +274,9 @@ class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
 }
 
 object Integrator {
+  /** Attempts before a DLQ entry is quarantined (T5). */
+  val MaxAttempts = 3
+
   /** Build an integrator from the typed config surface
     * (integrator_config.py:50-182): state path from DB_PATH, throttle
     * interval from REQUESTS_PER_SEC (with the negative → hourly-cap

@@ -9,13 +9,16 @@ import org.apache.spark.sql.types._
   * structs; decode / feature-extract / resize / frame-sample run as
   * batched partition-level transforms.
   *
-  * ==== STUBBED DECODERS ====
-  * This container has no image/audio/video libraries, so every actual
-  * decoder below is a clearly-marked DETERMINISTIC FAKE (derived from
-  * the payload bytes) — the Spark-side plumbing (schema, batch shape,
-  * partitioning, metadata contract) is real and tested. Swapping in a
-  * real decoder (e.g. JavaCV/ImageIO on the executor classpath) only
-  * replaces the function bodies marked STUB.
+  * ==== DECODERS ====
+  * Image metadata decode has a REAL path (JDK ImageIO, header-only —
+  * `decodeImages(media, realDecoder = true)`, spec'd against an
+  * actual PNG) and a deterministic STUB used by the synthetic harness
+  * whose payloads aren't real media. Audio/video decode and the
+  * vision-embedding body remain clearly-marked DETERMINISTIC FAKES
+  * (no codec/ONNX libraries in this container) — the Spark-side
+  * plumbing (schema, batch shape, partitioning, metadata contract) is
+  * real and tested; swapping in JavaCV/ONNX replaces only the bodies
+  * marked STUB.
   *
   * Scale notes: payloads are the dominant bytes — never shuffle them
   * unless the operator needs pixel data. Metadata extraction projects
@@ -44,8 +47,8 @@ object Multimodal {
     xxhash64(payload).as("content_hash"))
 
   /** STUB — deterministic fake image decode: dimensions/format derived
-    * from the payload hash. A real implementation decodes the header
-    * bytes (ImageIO) and returns the same struct.
+    * from the payload hash. Used for payloads that are not real media
+    * (the synthetic harness) or when the real decoder is disabled.
     */
   private def decodeImageStub(payload: Array[Byte]): Row = {
     if (payload == null || payload.isEmpty) Row(null, null, null, 0L)
@@ -54,6 +57,38 @@ object Multimodal {
       Row(64 + math.abs(h % 1024), 64 + math.abs((h >> 10) % 1024),
         Seq("png", "jpeg", "webp")(math.abs(h % 3)),
         payload.length.toLong)
+    }
+  }
+
+  /** REAL image decode via the JDK's ImageIO (java.desktop): header-
+    * only — an ImageReader reads format name + dimensions without
+    * decoding pixel data, so cost per blob is O(header), not
+    * O(pixels). Unrecognized/corrupt payloads yield a null-field
+    * struct instead of failing the task (a 100 TB scrape always
+    * contains garbage).
+    */
+  private def decodeImageReal(payload: Array[Byte]): Row = {
+    if (payload == null || payload.isEmpty) Row(null, null, null, 0L)
+    else {
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext)
+            Row(null, null, null, payload.length.toLong)
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              Row(r.getWidth(0), r.getHeight(0),
+                r.getFormatName.toLowerCase, payload.length.toLong)
+            } finally r.dispose()
+          }
+        } finally if (iis != null) iis.close()
+      } catch {
+        case _: Exception => Row(null, null, null, payload.length.toLong)
+      }
     }
   }
 
@@ -80,19 +115,23 @@ object Multimodal {
     * decoder instance per partition, not per row), blob dropped from
     * the output so downstream stages shuffle only metadata.
     */
-  def decodeImages(media: DataFrame): DataFrame = {
+  def decodeImages(media: DataFrame,
+      realDecoder: Boolean = false): DataFrame = {
     val schema = media.schema
     val payloadIdx = schema.fieldIndex("payload")
     val keepIdx = schema.indices.filterNot(_ == payloadIdx)
     val outSchema = StructType(keepIdx.map(schema(_)) :+
       StructField("image_meta", imageMetaSchema, nullable = true))
     val rdd = media.rdd.mapPartitions { it =>
-      // STUB decoder init happens once per partition — the real
-      // decoder (ImageIO/ONNX session) goes here
+      // decoder selection once per partition; ImageIO readers are
+      // fetched per blob (they are stateful), but the header-only
+      // read keeps per-blob cost O(header)
+      val decode: Array[Byte] => Row =
+        if (realDecoder) decodeImageReal else decodeImageStub
       it.map { row =>
         val payload = if (row.isNullAt(payloadIdx)) null
           else row.getAs[Array[Byte]](payloadIdx)
-        Row.fromSeq(keepIdx.map(row.get) :+ decodeImageStub(payload))
+        Row.fromSeq(keepIdx.map(row.get) :+ decode(payload))
       }
     }
     media.sparkSession.createDataFrame(rdd, outSchema)

@@ -29,6 +29,10 @@ object ParquetMerge {
     val out = df.localCheckpoint(true)
     out.write.mode("overwrite").parquet(path)
     spark.catalog.refreshByPath(path)
+    // the checkpoint blocks served their one purpose (the overwrite);
+    // without this they'd pin executor memory/disk until GC across the
+    // ~30 table writes of a run
+    out.unpersist()
   }
 
   /** K1 full-row upsert into the table at `path`. */

@@ -105,6 +105,35 @@ class IntegratorSpec extends SparkSpec {
       s"resolved DLQ item must not be replayed, saw $calls3")
   }
 
+  test("DLQ quarantine: an item failing maxAttempts runs moves to " +
+    "_dlq_quarantine, leaves the live DLQ, and is never fetched again") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-qr").toString
+    val api = new SyntheticApi
+    api.failIds = Set("sa-11")
+    val integ = new Integrator(spark, api, dir)
+    (1 to Integrator.MaxAttempts).foreach(_ => integ.run())
+    // after MaxAttempts failures: live DLQ is empty of sa-11,
+    // quarantine holds its full attempt history
+    assert(integ.readTable("_dlq").get
+      .filter(col("item_id") === "sa-11").count() == 0,
+      "exhausted entry must leave the live DLQ")
+    val q = integ.readTable("_dlq_quarantine").get.collect()
+    assert(q.length == 1 && q.head.getAs[String]("item_id") == "sa-11" &&
+      q.head.getAs[Long]("n_failures") == Integrator.MaxAttempts.toLong)
+
+    // run 4: even though the API healed, the quarantined item must not
+    // be fetched (the reference's quarantine semantics: give up after
+    // maxAttempts; an operator clears the quarantine to force a retry)
+    api.failIds = Set.empty
+    IntegratorSpec.SyntheticApi.detailCalls.clear()
+    integ.run()
+    import scala.jdk.CollectionConverters._
+    val calls = IntegratorSpec.SyntheticApi.detailCalls.asScala
+      .map { case (k, v) => k -> v.get() }.toMap
+    assert(!calls.contains("sa-11"),
+      s"quarantined item must not be fetched, saw $calls")
+  }
+
   test("outline scans run executor-side, exactly once per (form, " +
     "page), with pagination drained to the last page") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pg").toString

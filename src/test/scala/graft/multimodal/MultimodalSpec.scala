@@ -39,6 +39,32 @@ class MultimodalSpec extends SparkSpec {
     assert(Seq("png", "jpeg", "webp").contains(meta.getString(2)))
   }
 
+  test("decodeImages(realDecoder): decodes an actual PNG header via " +
+    "ImageIO and null-structs garbage payloads") {
+    import spark.implicits._
+    // a real 5x3 PNG rendered in-memory
+    val img = new java.awt.image.BufferedImage(5, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(2, 1, 0xff8800)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    val garbage = "definitely not an image".getBytes("UTF-8")
+    val media = Seq(
+      (1L, "image", png, "mem://png"),
+      (2L, "image", garbage, "mem://junk"))
+      .toDF("media_id", "kind", "payload", "source_uri")
+    val out = Multimodal.decodeImages(media, realDecoder = true)
+      .orderBy("media_id").collect()
+    val ok = out(0).getStruct(out(0).fieldIndex("image_meta"))
+    assert(ok.getInt(0) == 5 && ok.getInt(1) == 3)
+    assert(ok.getString(2) == "png")
+    assert(ok.getLong(3) == png.length.toLong)
+    val bad = out(1).getStruct(out(1).fieldIndex("image_meta"))
+    assert(bad.isNullAt(0) && bad.isNullAt(1) && bad.isNullAt(2))
+    assert(bad.getLong(3) == garbage.length.toLong)
+  }
+
   test("embedImages feeds the existing ANN operators") {
     import graft.functions.{SimilarityFunctions => SF}
     val emb = Multimodal.embedImages(media)
