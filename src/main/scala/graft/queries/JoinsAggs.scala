@@ -181,13 +181,14 @@ object JoinsAggs {
     // create_views.sql:309-310): earliest order per customer plus the
     // attributes of that earliest row.
     "a9_earliest_per_group" -> ((s, dir) => {
+      // min(struct) instead of a row_number window: same
+      // deterministic earliest row, map-side partial aggregation (the
+      // a5 optimization — one row per key reaches the shuffle)
       val o = t(s, dir, "orders")
-      val w = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_orderdate"), col("o_orderkey"))
-      o.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("o_custkey"), col("o_orderkey"),
-          col("o_orderdate").as("first_orderdate"))
+      o.groupBy(col("o_custkey"))
+        .agg(min(struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
+        .select(col("o_custkey"), col("m.o_orderkey").as("o_orderkey"),
+          col("m.o_orderdate").as("first_orderdate"))
         .orderBy(col("o_custkey"))
     })
   )
