@@ -84,6 +84,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("append mode + watermark EVICTS late events: a row older than " +
+    "the watermark is dropped, closed windows emit exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val agg = mem.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("user_id"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("evict")
+      .outputMode("append").start()
+    try {
+      // window [10:00,10:10): one event
+      mem.addData(Event(1, ts(5), 1, "click", 1.0))
+      q.processAllAvailable()
+      // advance the watermark past 10:10 → the window closes and emits
+      mem.addData(Event(2, ts(30), 1, "click", 1.0))
+      q.processAllAvailable()
+      // LATE event inside the closed window — must be evicted, the
+      // emitted count must not change and no duplicate row may appear
+      mem.addData(Event(3, ts(2), 1, "click", 1.0))
+      q.processAllAvailable()
+      // close the second window too
+      mem.addData(
+        Event(4, Timestamp.valueOf("2024-01-01 11:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("evict").orderBy("w_start").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)))
+      assert(got.toSeq == Seq(
+        ("2024-01-01 10:00:00.0", 1L, 1L), // late event NOT counted
+        ("2024-01-01 10:30:00.0", 1L, 1L)))
+    } finally q.stop()
+  }
+
   test("mergeSink applies last-write-wins per micro-batch (K5 " +
     "streaming twin); replay-idempotent") {
     implicit val sqlCtx = spark.sqlContext
