@@ -18,8 +18,9 @@ object PlanAudit {
       "/root/testdata/sf0.01")
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "flagship_report", "p3_eq_filter", "j1_left_join_dim",
-      "a1_pivot_max_case", "w4_topk_limit", "dd3_ngram_jaccard",
-      "ann1_cosine_topk")
+      "a1_pivot_max_case", "a5_first_per_key", "w4_topk_limit",
+      "dd2_minhash_lsh", "dd3_ngram_jaccard", "ann1_cosine_topk",
+      "ann2_lsh_ann", "ann3_ivf_ann", "j12_master_doc_join")
     names.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(
