@@ -24,12 +24,16 @@ object Upsert {
     */
   def fullRow(base: DataFrame, updates: DataFrame,
       keys: Seq[String]): DataFrame = {
+    // max_by(payload, __src), not a row_number window: same winner
+    // (updates beat base per key), but partial aggregation halves the
+    // shuffled rows — at most one survivor per key per map task
     val tagged = base.withColumn("__src", lit(0))
       .unionByName(updates.withColumn("__src", lit(1)))
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__src").desc)
-    tagged.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__src", "__rn")
+    val dataCols = base.columns.filterNot(keys.contains).toSeq
+    tagged.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(dataCols.map(col): _*), col("__src")).as("__m"))
+      .select(base.columns.toSeq.map(c =>
+        if (keys.contains(c)) col(c) else col(s"__m.$c").as(c)): _*)
   }
 
   /** K2 — partial-column upsert (ON CONFLICT DO UPDATE SET
@@ -83,11 +87,16 @@ object Upsert {
     */
   def lastWriteWins(df: DataFrame, keys: Seq[String],
       orderCol: String): DataFrame = {
-    val tieBreak = df.columns.filterNot(c => keys.contains(c))
-      .map(c => col(c).desc)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy((col(orderCol).desc +: tieBreak.toSeq): _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    // the ordering tuple (orderCol, then every remaining column)
+    // contains the whole payload, so max(struct) both PICKS the newest
+    // row and CARRIES it — one partial-aggregating shuffle, no
+    // per-key sort. Struct comparison ranks null fields lowest, which
+    // matches the previous desc-nulls-last ordering.
+    val nonKey = df.columns.filterNot(keys.contains).toSeq
+    val ordFields = orderCol +: nonKey.filterNot(_ == orderCol)
+    df.groupBy(keys.map(col): _*)
+      .agg(max(struct(ordFields.map(col): _*)).as("__m"))
+      .select(df.columns.toSeq.map(c =>
+        if (keys.contains(c)) col(c) else col(s"__m.$c").as(c)): _*)
   }
 }
