@@ -13,6 +13,9 @@ import java.nio.file.{Files, Paths}
   */
 object ViewsDump {
   def main(args: Array[String]): Unit = {
+    // fail fast on the 2-arg misuse (fixtureDir outDir): args(0) would
+    // silently become the OUTPUT dir and pollute the fixtures
+    require(args.length == 1, s"usage: ViewsDump <outDir>; got ${args.toSeq}")
     val outDir = Paths.get(args(0))
     Files.createDirectories(outDir)
     val spark = graft.GraftSession.builder().getOrCreate()
