@@ -83,14 +83,20 @@ object ConfigIni {
     }
   }
 
-  final case class CfgVar(name: String, raw: String,
+  final case class CfgVar(name: String, key: String, raw: String,
       typ: CfgType, range: Option[CfgRange], default: Option[String],
       comments: Seq[String], tags: Map[String, String]) {
 
     private def fail(msg: String) = throw new IllegalArgumentException(
       s"config $name: $msg")
 
-    def str: String = raw
+    def str: String = {
+      // a set-range on a string variable is an allowed-value list —
+      // enforce it like the reference's typed editor does
+      range.filter(_.set.isDefined).filterNot(_.checkStr(raw))
+        .foreach(r => fail(s"'$raw' not in allowed set ${r.raw}"))
+      raw
+    }
     def bool: Boolean = raw.trim.toLowerCase match {
       case "1" | "true" => true
       case "0" | "false" => false
@@ -171,12 +177,16 @@ object ConfigIni {
                 pendingType = Some(CfgType.parse(typ))
                 rest.split(";").map(_.trim).filter(_.nonEmpty).foreach {
                   seg =>
-                    val Array(k, v) = seg.split(":", 2).map(_.trim)
-                    k.toLowerCase match {
-                      case "range" =>
-                        pendingRange = Some(CfgRange.parse(v))
-                      case "default" => pendingDefault =
-                        Some(v.stripPrefix("\"").stripSuffix("\""))
+                    // tolerate colon-less segments like configparser
+                    // (a bare `foo;` is noise, not a crash)
+                    seg.split(":", 2).map(_.trim) match {
+                      case Array(k, v) => k.toLowerCase match {
+                        case "range" =>
+                          pendingRange = Some(CfgRange.parse(v))
+                        case "default" => pendingDefault =
+                          Some(v.stripPrefix("\"").stripSuffix("\""))
+                        case _ => ()
+                      }
                       case _ => ()
                     }
                 }
@@ -193,7 +203,8 @@ object ConfigIni {
           val sec = curSection.getOrElse(
             throw new IllegalArgumentException(
               s"key ${k.trim} outside any section"))
-          val cv = CfgVar(s"[$sec] ${k.trim.toUpperCase}", v.trim,
+          val cv = CfgVar(s"[$sec] ${k.trim.toUpperCase}",
+            k.trim.toUpperCase, v.trim,
             pendingType.getOrElse(CfgType.Str), pendingRange,
             pendingDefault, pendingComments, pendingTags)
           val s0 = sections(sec)
@@ -237,7 +248,7 @@ object ConfigIni {
           v.range.foreach(r => hint.append(s" range: ${r.raw};"))
           v.default.foreach(d => hint.append(s""" default: "$d";"""))
           sb.append(hint).append("\n")
-          sb.append(s"${v.name.split(' ').last}=${v.raw}\n")
+          sb.append(s"${v.key}=${v.raw}\n")
         }
         sb.append("\n")
       }

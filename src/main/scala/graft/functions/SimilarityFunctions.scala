@@ -123,19 +123,27 @@ object SimilarityFunctions {
           when(proj > 0, lit(1L)).otherwise(lit(0L)), i))
       })
 
-  /** Ternary-hyperplane LSH bucket: like [[hyperplaneBucket]] but the
-    * component d of plane p is `((d*(p+1)+p) mod 3) - 1` ∈ {-1,0,1} —
-    * a fixed arithmetic pattern instead of a hash, so ANY engine
-    * (including a plain-SQL oracle) can reproduce the bucket ids and
-    * independently verify the whole bucketed-ANN pipeline end to end.
+  /** Arithmetic-hyperplane LSH bucket: like [[hyperplaneBucket]] but
+    * the component d of plane p is `((d*(p+1)+p) mod 5) - 2` ∈
+    * {-2..2} — a fixed arithmetic pattern instead of a hash, so ANY
+    * engine (including a plain-SQL oracle) can reproduce the bucket
+    * ids and independently verify the whole bucketed-ANN pipeline end
+    * to end. Modulus 5 (not 3): plane p's weight pattern is the
+    * residue class of its multiplier `(p+1) mod 5`, so planes 0..3
+    * get four genuinely DISTINCT patterns (a mod-3 scheme repeats
+    * with period 3 — planes 0 and 3 would be identical, capping the
+    * partition at 8 buckets no matter how many planes are asked for).
     * Still a valid sign-of-projection partition for cosine search;
     * [[hyperplaneBucket]] remains the production choice when isotropy
     * matters more than cross-engine checkability. Bit p of the bucket
     * is the projection sign; both engines fold the products in index
-    * order, and the minimum |projection| on the test corpora is ~3e-4
-    * — nine orders above double rounding — so the sign agrees.
+    * order, and the minimum |projection| on the test corpora is
+    * ~2.5e-4 — nine orders above double rounding — so the sign agrees.
     */
-  def ternaryHyperplaneBucket(embedding: Column, planes: Int): Column =
+  def ternaryHyperplaneBucket(embedding: Column, planes: Int): Column = {
+    require(planes >= 1 && planes <= 4,
+      s"$planes planes: multipliers (p+1) mod 5 are distinct only for" +
+        " p in 0..3 — beyond that, planes repeat (use hyperplaneBucket)")
     aggregate(
       sequence(lit(0), lit(planes - 1)),
       lit(0L),
@@ -143,11 +151,12 @@ object SimilarityFunctions {
         val proj = aggregate(
           zip_with(embedding, sequence(lit(0), size(embedding) - 1),
             (x, d) => x.cast("double") *
-              (pmod(d * (p + 1) + p, lit(3)) - 1).cast("double")),
+              (pmod(d * (p + 1) + p, lit(5)) - 2).cast("double")),
           lit(0.0), (a, v) => a + v)
         acc.bitwiseOR(call_function("shiftleft",
           when(proj > 0, lit(1L)).otherwise(lit(0L)), p))
       })
+  }
 
   /** SimHash block keys for complete hamming-radius search (Manku et
     * al., WWW'07 §3): split the 64-bit signature into `nBlocks` equal
@@ -158,7 +167,11 @@ object SimilarityFunctions {
     * by one fixed byte, which silently drops pairs that differ there.
     */
   def simhashBlocks(sig: Column, nBlocks: Int): Column = {
-    require(64 % nBlocks == 0, s"64 must divide into $nBlocks blocks")
+    // nBlocks == 1 would make w = 64 and (1L << 64) wrap to 1 on the
+    // JVM (shifts are mod 64) — mask 0, every block_val 0, and the
+    // candidate join degenerates to a cross product
+    require(64 % nBlocks == 0 && nBlocks > 1,
+      s"need 2..64 blocks dividing 64, got $nBlocks")
     val w = 64 / nBlocks
     transform(sequence(lit(0), lit(nBlocks - 1)),
       k => struct(

@@ -109,24 +109,41 @@ class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
     }
     // one scope per partition up to a cap; localCheckpoint IMMEDIATELY
     // so the json parse below (and every later action) reads the
-    // materialized pages instead of re-running the HTTP scans
+    // materialized pages instead of re-running the HTTP scans.
+    // Throttle: the configured interval is the TOTAL request budget
+    // (5000 req/h, gateway/throttled_request.py) but each partition
+    // runs its own throttle — scale the per-partition interval by the
+    // fan-out so the aggregate rate stays within budget.
     val nPart = math.max(1, math.min(scopes.size, 64))
     val fetched = Ingest.fetchScans(spark, fetcher, "request_outline",
-        scopes.toDS.repartition(nPart), minIntervalMs)
+        scopes.toDS.repartition(nPart), minIntervalMs * nPart)
       .localCheckpoint(true)
     val outlineDf = spark.read.schema(JobcanSchemas.requestOutlineSchema)
       .json(fetched.filter(col("error").isNull).select("doc").as[String])
       .select(col("id"), col("form_id"),
         Normalize.parseTs(col("applied_date")).as("applied_date"))
       .distinct()
+      // cut lineage so `fetched` can be released: outlineDf is ids
+      // only (small), the page bodies need not stay pinned for the
+      // whole detail phase
+      .localCheckpoint(true)
     // T1: capture new high-watermarks BEFORE the detail fetches.
-    // A form whose scan errored mid-pagination only ever UNDER-counts
-    // its max applied_date, so the committed watermark stays behind
-    // and the next run's scan re-covers the gap.
+    // Forms whose scan errored must NOT advance their watermark: the
+    // API does not guarantee applied_date-ordered pages, so the pages
+    // that DID arrive can carry a later applied_date than the ones
+    // lost with the failed page — committing that max would skip the
+    // lost docs forever. (Detail-fetch failures get the same
+    // hold-back in updateFormDetails.)
+    val failedScopes = fetched.filter(col("error").isNotNull)
+      .select(col("scope_key")).distinct()
     val captured = Incremental.captureWatermarks(
       outlineDf.withColumn("form_id", col("form_id").cast("string")),
       "form_id", "applied_date")
-    (outlineDf, captured)
+      .join(failedScopes.withColumnRenamed("scope_key", "__f"),
+        col("scope_key") === col("__f"), "left_anti")
+    val capturedCp = captured.localCheckpoint(true)
+    fetched.unpersist()
+    (outlineDf, capturedCp)
   }
 
   /** Phase 3 — detail fetch + 26-table shred + MERGE + watermark
@@ -159,9 +176,9 @@ class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
         Incremental.planRetries(base.union(retryIds).distinct(), d, "id",
             maxAttempts = Integrator.MaxAttempts,
             apiType = Some("request_detail"), phase = Some("fetch"))
-          .orderBy(col("retry_priority").desc)
-          .select("id")
-      case None => base
+          .select(col("id"), col("retry_priority"))
+      case None => base.select(col("id"),
+        lit(false).as("retry_priority"))
     }
     // items quarantined in an earlier run stay out of the target set
     // permanently (their n_failures history left the live DLQ)
@@ -173,12 +190,23 @@ class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
         Seq("id"), "left_anti")
       case None => targets0
     }
-    // S4: fan the per-id fetches out over executors. localCheckpoint
-    // IMMEDIATELY: every derived action (DLQ probe, DLQ write, parse)
-    // would otherwise re-execute the mapPartitions fetch — duplicate
-    // HTTP calls against a 5000 req/h budget.
-    val fetched = Ingest.fetchDetails(spark, fetcher, "request_detail",
-      targets.as[String], minIntervalMs).localCheckpoint(true)
+    // S4: fan the per-id fetches out over executors, RETRIES FIRST as
+    // two sequential eager batches (the reference processes failure
+    // records before new outlines; a row ordering would not survive
+    // the joins/partitioning, separate jobs actually guarantee it).
+    // localCheckpoint IMMEDIATELY: every derived action (DLQ probe,
+    // DLQ write, parse) would otherwise re-execute the mapPartitions
+    // fetch — duplicate HTTP calls against a 5000 req/h budget. The
+    // per-partition throttle interval scales by the fan-out so the
+    // aggregate rate stays within the configured total budget.
+    val fetchedParts = Seq(true, false).map { pri =>
+      val ids = targets.filter(col("retry_priority") === pri)
+        .select("id").as[String]
+      val np = math.max(1, ids.rdd.getNumPartitions)
+      Ingest.fetchDetails(spark, fetcher, "request_detail", ids,
+        minIntervalMs * np).localCheckpoint(true)
+    }
+    val fetched = fetchedParts.reduce(_ unionByName _)
     // T5: failures → DLQ
     val failures = fetched.filter(col("error").isNotNull)
       .select(lit("request_detail").as("api_type"),
@@ -251,6 +279,10 @@ class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
     val commitable = captured.join(failedForms, Seq("scope_key"), "left_anti")
     writeTable("_watermarks",
       Incremental.commitWatermarks(watermarks, commitable))
+    // all consumers (DLQ, merges, watermarks) are done — release the
+    // checkpointed page/doc blocks instead of pinning them until GC
+    fetchedParts.foreach(_.unpersist())
+    parsed.unpersist()
   }
 
   /** Phase 4 — register the BI view surface. */

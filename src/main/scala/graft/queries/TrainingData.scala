@@ -412,19 +412,19 @@ object TrainingData {
         """WITH b AS (SELECT vec_id, embedding,
                (CASE WHEN list_sum(list_transform(
                   range(1, len(embedding)+1),
-                  d -> embedding[d]::DOUBLE * ((((d-1)*1+0) % 3) - 1)))
+                  d -> embedding[d]::DOUBLE * ((((d-1)*1+0) % 5) - 2)))
                   > 0 THEN 1 ELSE 0 END)
            + 2*(CASE WHEN list_sum(list_transform(
                   range(1, len(embedding)+1),
-                  d -> embedding[d]::DOUBLE * ((((d-1)*2+1) % 3) - 1)))
+                  d -> embedding[d]::DOUBLE * ((((d-1)*2+1) % 5) - 2)))
                   > 0 THEN 1 ELSE 0 END)
            + 4*(CASE WHEN list_sum(list_transform(
                   range(1, len(embedding)+1),
-                  d -> embedding[d]::DOUBLE * ((((d-1)*3+2) % 3) - 1)))
+                  d -> embedding[d]::DOUBLE * ((((d-1)*3+2) % 5) - 2)))
                   > 0 THEN 1 ELSE 0 END)
            + 8*(CASE WHEN list_sum(list_transform(
                   range(1, len(embedding)+1),
-                  d -> embedding[d]::DOUBLE * ((((d-1)*4+3) % 3) - 1)))
+                  d -> embedding[d]::DOUBLE * ((((d-1)*4+3) % 5) - 2)))
                   > 0 THEN 1 ELSE 0 END) AS bucket
            FROM embeddings)
          SELECT query_id, neighbor_id, cos, rank FROM (

@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
   */
 class Views(t: Map[String, DataFrame], localTz: String = "UTC") {
 
-  private def tbl(n: String): DataFrame = t(n)
+  private def tbl(n: String): DataFrame =
+    t.getOrElse(n, throw new Views.MissingTableException(n))
 
   /** strftime('%Y/%m/%d  %H:%M:%S', ts, 'localtime') — F2; note the
     * reference's double space. */
@@ -493,12 +494,20 @@ class Views(t: Map[String, DataFrame], localTz: String = "UTC") {
     // Spark 4 temp-view identifiers are ASCII-only, so the CSV views
     // use stable ASCII aliases for their reference names (the mapping
     // is documented in each view's Scaladoc). ONLY a missing silver
-    // table (not yet ingested → tbl's key lookup fails) skips a view;
-    // any other failure is a real bug in the view definition and must
-    // surface, not silently unregister the view.
+    // table (not yet ingested → tbl throws MissingTableException,
+    // nothing else does) skips a view; any other failure — including
+    // an incidental NoSuchElementException from a buggy view body —
+    // is a real bug and must surface, not silently unregister.
     all.foreach { case (n, mk) =>
       try mk().createOrReplaceTempView(n)
-      catch { case _: NoSuchElementException => () }
+      catch { case _: Views.MissingTableException => () }
     }
   }
+}
+
+object Views {
+  /** Thrown only by the silver-table lookup, so registerAll can skip
+    * exactly the not-yet-ingested case. */
+  final class MissingTableException(table: String)
+    extends RuntimeException(s"silver table not ingested: $table")
 }

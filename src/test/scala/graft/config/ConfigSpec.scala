@@ -81,6 +81,25 @@ class ConfigSpec extends AnyFunSuite {
     }
   }
 
+  test("string set-range is enforced; malformed hint segments are " +
+    "tolerated; spaced keys survive the round-trip") {
+    val bad = ConfigIni.parse(
+      "[A]\n; type: string; range: {\"utf-8\", \"shift_jis\"};\n" +
+        "ENC=latin-1\n")
+    intercept[IllegalArgumentException] { bad("A")("ENC").str }
+    val ok = ConfigIni.parse(
+      "[A]\n; type: string; range: {\"utf-8\", \"shift_jis\"};\n" +
+        "ENC=shift_jis\n")
+    assert(ok("A")("ENC").str == "shift_jis")
+    // colon-less hint segment must not crash the parser
+    val noisy = ConfigIni.parse("[A]\n; type: int; foo;\nX=1\n")
+    assert(noisy("A")("X").int == 1)
+    // a key containing a space keeps its full name through save
+    val spaced = ConfigIni.parse("[A]\n; type: string;\nMY KEY=v\n")
+    val again = ConfigIni.parse(spaced.render)
+    assert(again("A")("MY KEY").str == "v")
+  }
+
   test("render → parse round-trips (ConfigEditor.save contract)") {
     val again = ConfigIni.parse(parsed.render)
     assert(again == parsed)

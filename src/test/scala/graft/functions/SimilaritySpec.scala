@@ -102,7 +102,7 @@ class SimilaritySpec extends SparkSpec {
   test("ternary hyperplane bucket matches the hand-computed " +
     "sign-of-projection, and equals the SQL-oracle formula") {
     val v = Array.tabulate(8)(i => (0.1f * (i + 1)) * (if (i % 2 == 0) 1 else -1))
-    def w(p: Int, d: Int): Int = ((d * (p + 1) + p) % 3) - 1
+    def w(p: Int, d: Int): Int = ((d * (p + 1) + p) % 5) - 2
     val expected = (0 until 4).map { p =>
       val proj = v.zipWithIndex.map { case (x, d) => x.toDouble * w(p, d) }.sum
       if (proj > 0) 1L << p else 0L
@@ -111,6 +111,18 @@ class SimilaritySpec extends SparkSpec {
       .select(SF.ternaryHyperplaneBucket($"embedding", 4).as("b"))
       .collect().head.getLong(0)
     assert(got == expected, s"bucket $got != hand-computed $expected")
+    // the 4 weight patterns must be genuinely distinct (a mod-3
+    // scheme would repeat plane 0 at plane 3)
+    val patterns = (0 until 4).map(p => (0 until 10).map(d => w(p, d)))
+    assert(patterns.distinct.size == 4, s"planes repeat: $patterns")
+    // beyond 4 planes the multipliers repeat mod 5 → refuse
+    intercept[IllegalArgumentException] {
+      SF.ternaryHyperplaneBucket($"embedding", 5)
+    }
+    // simhashBlocks: nBlocks=1 would wrap (1L<<64)==1 → refuse
+    intercept[IllegalArgumentException] {
+      SF.simhashBlocks($"embedding", 1)
+    }
   }
 
   test("simhash blocks: 8 blocks reconstruct the signature, and a " +

@@ -105,6 +105,31 @@ class IntegratorSpec extends SparkSpec {
       s"resolved DLQ item must not be replayed, saw $calls3")
   }
 
+  test("a mid-pagination outline failure holds back the form's " +
+    "watermark even though earlier pages landed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ow").toString
+    val api = new SyntheticApi
+    // page 0 (sa-10, applied 08/01) succeeds; page 1 (sa-11, 08/05)
+    // fails — pages are NOT applied_date-ordered in general, so
+    // committing max(applied_date) of the pages that DID arrive could
+    // skip the lost docs forever
+    api.failOutlinePages = Set("1")
+    val integ = new Integrator(spark, api, dir)
+    integ.run()
+    assert(integ.readTable("requests").get.count() == 1) // sa-10 only
+    assert(integ.readTable("_watermarks")
+      .forall(_.count() == 0),
+      "watermark must not advance past a failed outline page")
+
+    // heal: the next scan re-covers the whole window and commits
+    api.failOutlinePages = Set.empty
+    integ.run()
+    assert(integ.readTable("requests").get.count() == 2)
+    val wm = integ.readTable("_watermarks").get.collect()
+    assert(wm.length == 1 &&
+      wm.head.getTimestamp(1).toString.startsWith("2024-08-05"))
+  }
+
   test("DLQ quarantine: an item failing maxAttempts runs moves to " +
     "_dlq_quarantine, leaves the live DLQ, and is never fetched again") {
     val dir = java.nio.file.Files.createTempDirectory("graft-qr").toString
@@ -209,6 +234,8 @@ object IntegratorSpec {
     /** canceled-after-completion outline docs: (doc, completed_date) —
       * returned ONLY by the completed_after re-sweep */
     @volatile var canceled: Seq[(String, String)] = Nil
+    /** outline page tokens whose fetch fails (watermark hold-back test) */
+    @volatile var failOutlinePages: Set[String] = Set.empty
 
     def fetchPage(apiType: String, query: Map[String, String],
         pageToken: Option[String]): Ingest.Page = apiType match {
@@ -248,9 +275,13 @@ object IntegratorSpec {
         // serve ONE doc per page so pagination (S2) is exercised: the
         // exactly-once-per-(form, page) assertion needs >1 page
         val i = pageToken.map(_.toInt).getOrElse(0)
-        val next = if (i + 1 < matching.length) Some((i + 1).toString)
-          else None
-        Ingest.Page(matching.slice(i, i + 1), next)
+        if (failOutlinePages(i.toString))
+          Ingest.Page(Nil, None, 500, Some("flaky outline page"))
+        else {
+          val next = if (i + 1 < matching.length) Some((i + 1).toString)
+            else None
+          Ingest.Page(matching.slice(i, i + 1), next)
+        }
       case other => Ingest.Page(Nil, None, 404, Some(s"unknown $other"))
     }
 
