@@ -138,6 +138,28 @@ object Ingest {
     }.toDF("scope_key", "doc", "error")
   }
 
+  /** S2 across ENDPOINTS: exhaustive-pagination scans of several api
+    * types in one executor-parallel pass (the reference loops the 7
+    * master endpoints serially, integrator.py:535-539 — the parallel
+    * axis it observes but never uses). Same contract as [[fetchScans]]
+    * with api_type as the scope key.
+    */
+  def fetchEndpoints(spark: SparkSession, fetcher: Fetcher,
+      apiTypes: Dataset[String], minIntervalMs: Long = 0L): DataFrame = {
+    import spark.implicits._
+    apiTypes.mapPartitions { it =>
+      val throttle = new Throttle(minIntervalMs)
+      it.flatMap { api =>
+        drainPages(fetcher, throttle, api).flatMap { p =>
+          p.error match {
+            case Some(e) => Seq((api, null: String, e))
+            case None => p.results.map(d => (api, d, null: String))
+          }
+        }
+      }
+    }.toDF("api_type", "doc", "error")
+  }
+
   /** S5 — error taxonomy over fetched pages (status code → ok /
     * warning / fatal, api_client.py:390-453 + status/warnings.py):
     * a classification column + quarantine split instead of exceptions.

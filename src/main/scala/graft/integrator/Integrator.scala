@@ -30,9 +30,8 @@ import org.apache.spark.sql.functions._
   * (`Ingest.Fetcher`) and throttled (S1).
   */
 class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
-    minIntervalMs: Long = 0L) {
-
-  private val throttle = new Throttle(minIntervalMs)
+    minIntervalMs: Long = 0L,
+    ignoreBasicDataError: Boolean = false) {
 
   private def tablePath(name: String) = s"$statePath/silver/$name"
 
@@ -48,31 +47,70 @@ class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
     graft.operators.ParquetMerge.mergeTable(spark, tablePath(name), name,
       incoming)
 
-  private def pagesToDf(apiType: String, schema:
-      org.apache.spark.sql.types.StructType): DataFrame = {
-    import spark.implicits._
-    val pages = Ingest.drainPages(fetcher, throttle, apiType)
-    val docs = pages.flatMap(_.results)
-    spark.read.schema(schema).json(docs.toDS)
-  }
-
-  /** Phase 1 — the 7 master endpoints (integrator.py:535-539). */
+  /** Phase 1 — the 7 master endpoints (integrator.py:535-539). The
+    * reference drains them one after another; here all 7 scan in one
+    * executor-parallel pass (pagination stays sequential per
+    * endpoint), throttle interval scaled by the fan-out to keep the
+    * aggregate rate inside the configured total budget. A failed page
+    * aborts the run unless `ignoreBasicDataError` is set
+    * (IGNORE_BASIC_DATA_ERROR, integrator_config.py:117-119) — stale
+    * masters are tolerable, HALF-fetched masters would diff-delete
+    * rows that still exist upstream.
+    */
   def updateBasicData(): Unit = {
-    Normalize.users(pagesToDf("users", JobcanSchemas.userSchema))
-      .foreach { case (name, df) => mergeByStrategy(name, df) }
-    mergeByStrategy("groups",
-      Normalize.groups(pagesToDf("groups", JobcanSchemas.groupSchema)))
-    mergeByStrategy("positions", Normalize.positions(
-      pagesToDf("positions", JobcanSchemas.positionSchema)))
-    mergeByStrategy("projects", Normalize.projects(
-      pagesToDf("projects", JobcanSchemas.projectSchema)))
-    mergeByStrategy("companies", Normalize.companies(
-      pagesToDf("companies", JobcanSchemas.companySchema)))
-    Normalize.fixJournals(
-      pagesToDf("fix_journals", JobcanSchemas.fixJournalSchema))
-      .foreach { case (name, df) => mergeByStrategy(name, df) }
-    mergeByStrategy("forms",
-      Normalize.forms(pagesToDf("forms", JobcanSchemas.formSchema)))
+    import spark.implicits._
+    val endpoints = Seq("users", "groups", "positions", "projects",
+      "companies", "fix_journals", "forms")
+    val nPart = endpoints.size
+    val fetched = Ingest.fetchEndpoints(spark, fetcher,
+        endpoints.toDS.repartition(nPart), minIntervalMs * nPart)
+      .localCheckpoint(true)
+    val errors = fetched.filter(col("error").isNotNull)
+      .select("api_type", "error").collect()
+    if (errors.nonEmpty && !ignoreBasicDataError)
+      throw new IllegalStateException(
+        "basic-data fetch failed (set ignoreBasicDataError to " +
+          s"proceed with stale masters): ${errors.toSeq.mkString(", ")}")
+    val failedApis = errors.map(_.getString(0)).toSet
+    def docsOf(api: String, schema:
+        org.apache.spark.sql.types.StructType): DataFrame =
+      spark.read.schema(schema).json(
+        fetched.filter(col("api_type") === api && col("error").isNull)
+          .select("doc").as[String])
+    // a partially-fetched endpoint must not merge: its diff-deletes
+    // (K4) would drop rows that still exist upstream
+    def whenClean(api: String)(merge: => Unit): Unit =
+      if (!failedApis(api)) merge
+    whenClean("users") {
+      Normalize.users(docsOf("users", JobcanSchemas.userSchema))
+        .foreach { case (name, df) => mergeByStrategy(name, df) }
+    }
+    whenClean("groups") {
+      mergeByStrategy("groups",
+        Normalize.groups(docsOf("groups", JobcanSchemas.groupSchema)))
+    }
+    whenClean("positions") {
+      mergeByStrategy("positions", Normalize.positions(
+        docsOf("positions", JobcanSchemas.positionSchema)))
+    }
+    whenClean("projects") {
+      mergeByStrategy("projects", Normalize.projects(
+        docsOf("projects", JobcanSchemas.projectSchema)))
+    }
+    whenClean("companies") {
+      mergeByStrategy("companies", Normalize.companies(
+        docsOf("companies", JobcanSchemas.companySchema)))
+    }
+    whenClean("fix_journals") {
+      Normalize.fixJournals(
+        docsOf("fix_journals", JobcanSchemas.fixJournalSchema))
+        .foreach { case (name, df) => mergeByStrategy(name, df) }
+    }
+    whenClean("forms") {
+      mergeByStrategy("forms",
+        Normalize.forms(docsOf("forms", JobcanSchemas.formSchema)))
+    }
+    fetched.unpersist()
   }
 
   private def watermarks: DataFrame =
@@ -169,13 +207,16 @@ class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
     // (the reference processes failure records before new outlines).
     val targets0 = dlq0 match {
       case Some(d) =>
-        val retryIds = d.filter(col("api_type") === "request_detail" &&
-            col("phase") === "fetch")
+        // fetch- AND parse-phase entries both retry via a re-fetch
+        // (the cure for a bad body is pulling it again); their
+        // attempt counts accumulate together per item — same
+        // pipeline, same quarantine budget
+        val retryIds = d.filter(col("api_type") === "request_detail")
           .select(col("item_id").as("id")).distinct()
           .join(ignore, Seq("id"), "left_anti")
         Incremental.planRetries(base.union(retryIds).distinct(), d, "id",
             maxAttempts = Integrator.MaxAttempts,
-            apiType = Some("request_detail"), phase = Some("fetch"))
+            apiType = Some("request_detail"))
           .select(col("id"), col("retry_priority"))
       case None => base.select(col("id"),
         lit(false).as("retry_priority"))
@@ -184,8 +225,7 @@ class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
     // permanently (their n_failures history left the live DLQ)
     val targets = readTable("_dlq_quarantine") match {
       case Some(q) => targets0.join(
-        q.filter(col("api_type") === "request_detail" &&
-          col("phase") === "fetch")
+        q.filter(col("api_type") === "request_detail")
           .select(col("item_id").as("id")).distinct(),
         Seq("id"), "left_anti")
       case None => targets0
@@ -207,24 +247,45 @@ class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
         minIntervalMs * np).localCheckpoint(true)
     }
     val fetched = fetchedParts.reduce(_ unionByName _)
-    // T5: failures → DLQ
+    // parse here (not after the DLQ block) so parse failures can be
+    // recorded alongside fetch failures; the eager checkpoint also
+    // stops the 30 child-table merges below from re-reading the OLD
+    // requests parquet (overwritten first) through the parse plan
+    val parsedAll = Ingest.parseDocs(
+      fetched.filter(col("error").isNull), "doc",
+      JobcanSchemas.requestDetailSchema).localCheckpoint(true)
+    // T5: fetch AND parse failures → DLQ (S5: a 200 response whose
+    // body doesn't parse is a failure record in the reference too,
+    // api_client.py:390-453 JSON-decode warnings)
     val failures = fetched.filter(col("error").isNotNull)
       .select(lit("request_detail").as("api_type"),
         lit("").as("scope_key"), col("id").as("item_id"),
         lit("fetch").as("phase"), col("error"),
         lit(System.currentTimeMillis()).as("ts"))
+      .unionByName(parsedAll.filter(!col("parse_ok"))
+        .select(lit("request_detail").as("api_type"),
+          lit("").as("scope_key"), col("id").as("item_id"),
+          lit("parse").as("phase"),
+          lit("detail document failed to parse").as("error"),
+          lit(System.currentTimeMillis()).as("ts")))
     val anyFailures = failures.limit(1).count() > 0
     if (dlq0.isDefined || anyFailures) {
       // resolve DLQ entries whose retry succeeded this run (otherwise a
       // healed item would be replayed into every future run), then fold
-      // in this run's failures (attempt counter accumulates).
-      val succeeded = fetched.filter(col("error").isNull)
-        .select(col("id").as("item_id")).withColumn("__ok", lit(1))
+      // in this run's failures (attempt counter accumulates). Fetch-
+      // and parse-phase entries resolve on their own success signal.
+      val okFetch = fetched.filter(col("error").isNull)
+        .select(col("id").as("item_id")).withColumn("__okf", lit(1))
+      val okParse = parsedAll.filter(col("parse_ok"))
+        .select(col("id").as("item_id")).withColumn("__okp", lit(1))
       val dlqKept = dlq0.getOrElse(failures.limit(0))
-        .join(succeeded, Seq("item_id"), "left")
+        .join(okFetch, Seq("item_id"), "left")
+        .join(okParse, Seq("item_id"), "left")
         .filter(!(col("api_type") === "request_detail" &&
-          col("phase") === "fetch" && col("__ok").isNotNull))
-        .drop("__ok")
+            col("phase") === "fetch" && col("__okf").isNotNull) &&
+          !(col("api_type") === "request_detail" &&
+            col("phase") === "parse" && col("__okp").isNotNull))
+        .drop("__okf", "__okp")
       // lineage cut BEFORE the two writes below: both the live-DLQ
       // overwrite and the quarantine append derive from `merged`,
       // which reads the OLD _dlq parquet — without the checkpoint the
@@ -254,14 +315,10 @@ class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
       }
       merged.unpersist()
     }
-    // second lineage cut: the 30 child-table merges below must not
-    // re-read the OLD requests parquet (overwritten by the requests
-    // merge first) through the parse plan
-    val parsed = Ingest.parseDocs(
-      fetched.filter(col("error").isNull), "doc",
-      JobcanSchemas.requestDetailSchema)
-      .filter(col("parse_ok")).select("parsed.*")
-      .localCheckpoint(true)
+    // derive the clean documents from the already-checkpointed parse
+    // result (the checkpoint above is the lineage cut that keeps the
+    // 30 child-table merges from re-reading the OLD requests parquet)
+    val parsed = parsedAll.filter(col("parse_ok")).select("parsed.*")
     if (parsed.limit(1).count() > 0) {
       Normalize.requests(parsed).foreach {
         case (name, df) => mergeByStrategy(name, df)
@@ -282,7 +339,7 @@ class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
     // all consumers (DLQ, merges, watermarks) are done — release the
     // checkpointed page/doc blocks instead of pinning them until GC
     fetchedParts.foreach(_.unpersist())
-    parsed.unpersist()
+    parsedAll.unpersist()
   }
 
   /** Phase 4 — register the BI view surface. */
@@ -316,5 +373,6 @@ object Integrator {
     */
   def fromConfig(spark: SparkSession, fetcher: Fetcher,
       cfg: graft.config.GraftConfig): Integrator =
-    new Integrator(spark, fetcher, cfg.dbPath, cfg.minIntervalMs)
+    new Integrator(spark, fetcher, cfg.dbPath, cfg.minIntervalMs,
+      cfg.ignoreBasicDataError)
 }

@@ -105,6 +105,49 @@ class IntegratorSpec extends SparkSpec {
       s"resolved DLQ item must not be replayed, saw $calls3")
   }
 
+  test("an unparseable detail body is a parse-phase DLQ entry that " +
+    "holds the watermark and resolves on a clean refetch (S5)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-px").toString
+    val api = new SyntheticApi
+    api.corruptIds = Set("sa-11")
+    val integ = new Integrator(spark, api, dir)
+    integ.run()
+    // fetch succeeded, body didn't parse → requests has only sa-10,
+    // DLQ records the parse phase, watermark held back
+    assert(integ.readTable("requests").get.count() == 1)
+    val dlq = integ.readTable("_dlq").get.collect()
+    assert(dlq.length == 1 &&
+      dlq.head.getAs[String]("item_id") == "sa-11" &&
+      dlq.head.getAs[String]("phase") == "parse")
+    assert(integ.readTable("_watermarks").forall(_.count() == 0),
+      "watermark must be held while a form has parse failures")
+
+    // body heals → refetched (DLQ replay), parsed, DLQ resolved
+    api.corruptIds = Set.empty
+    integ.run()
+    assert(integ.readTable("requests").get.count() == 2)
+    assert(integ.readTable("_dlq").get.count() == 0,
+      "clean re-parse must resolve the parse-phase DLQ entry")
+  }
+
+  test("a failed master endpoint aborts the run unless " +
+    "ignoreBasicDataError is set (IGNORE_BASIC_DATA_ERROR)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mb").toString
+    val api = new SyntheticApi
+    api.failEndpoints = Set("groups")
+    intercept[IllegalStateException] {
+      new Integrator(spark, api, dir).run()
+    }
+    // tolerant mode: run proceeds, the clean endpoints merge, the
+    // failed one is skipped (stale beats half-fetched: a partial
+    // merge would diff-delete rows that still exist upstream)
+    val integ = new Integrator(spark, api, dir,
+      ignoreBasicDataError = true)
+    integ.run()
+    assert(integ.readTable("users").get.count() == 2)
+    assert(integ.readTable("groups").isEmpty)
+  }
+
   test("a mid-pagination outline failure holds back the form's " +
     "watermark even though earlier pages landed") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ow").toString
@@ -231,6 +274,10 @@ object IntegratorSpec {
          "applied_date": "2024/08/05 11:00:00"}""")
     /** ids whose detail fetch fails (DLQ tests) */
     @volatile var failIds: Set[String] = Set.empty
+    /** ids whose detail fetch returns an unparseable body */
+    @volatile var corruptIds: Set[String] = Set.empty
+    /** master endpoints whose scan fails (basic-data error tests) */
+    @volatile var failEndpoints: Set[String] = Set.empty
     /** canceled-after-completion outline docs: (doc, completed_date) —
       * returned ONLY by the completed_after re-sweep */
     @volatile var canceled: Seq[(String, String)] = Nil
@@ -238,7 +285,10 @@ object IntegratorSpec {
     @volatile var failOutlinePages: Set[String] = Set.empty
 
     def fetchPage(apiType: String, query: Map[String, String],
-        pageToken: Option[String]): Ingest.Page = apiType match {
+        pageToken: Option[String]): Ingest.Page =
+      if (failEndpoints(apiType))
+        Ingest.Page(Nil, None, 500, Some(s"flaky master $apiType"))
+      else apiType match {
       case "users" => Ingest.Page(Seq(Fixtures.user1, Fixtures.user2), None)
       case "groups" => Ingest.Page(Seq(Fixtures.group1), None)
       case "positions" => Ingest.Page(Seq(Fixtures.position1), None)
@@ -289,6 +339,7 @@ object IntegratorSpec {
       SyntheticApi.detailCalls.computeIfAbsent(id,
         _ => new java.util.concurrent.atomic.AtomicInteger).incrementAndGet()
       if (failIds(id)) Left("500 flaky")
+      else if (corruptIds(id)) Right("this is { not json")
       else requests.get(id).toRight(s"404 $id")
     }
   }
