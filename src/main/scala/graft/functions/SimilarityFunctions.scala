@@ -140,7 +140,7 @@ object SimilarityFunctions {
     * order, and the minimum |projection| on the test corpora is
     * ~2.5e-4 — nine orders above double rounding — so the sign agrees.
     */
-  def ternaryHyperplaneBucket(embedding: Column, planes: Int): Column = {
+  def arithmeticHyperplaneBucket(embedding: Column, planes: Int): Column = {
     require(planes >= 1 && planes <= 4,
       s"$planes planes: multipliers (p+1) mod 5 are distinct only for" +
         " p in 0..3 — beyond that, planes repeat (use hyperplaneBucket)")

@@ -128,15 +128,23 @@ object Ingest {
     scopes.mapPartitions { it =>
       val throttle = new Throttle(minIntervalMs)
       it.flatMap { case (key, query) =>
-        drainPages(fetcher, throttle, apiType, query).flatMap { p =>
-          p.error match {
-            case Some(e) => Seq((key, null: String, e))
-            case None => p.results.map(d => (key, d, null: String))
-          }
-        }
+        pageRows(key, drainPages(fetcher, throttle, apiType, query))
       }
     }.toDF("scope_key", "doc", "error")
   }
+
+  /** Flatten a scope's pages to (key, doc, null) result rows and
+    * (key, null, error) failure rows — shared by [[fetchScans]] and
+    * [[fetchEndpoints]] so the error-row contract can't drift.
+    */
+  private def pageRows(key: String,
+      pages: Seq[Page]): Seq[(String, String, String)] =
+    pages.flatMap { p =>
+      p.error match {
+        case Some(e) => Seq((key, null: String, e))
+        case None => p.results.map(d => (key, d, null: String))
+      }
+    }
 
   /** S2 across ENDPOINTS: exhaustive-pagination scans of several api
     * types in one executor-parallel pass (the reference loops the 7
@@ -150,12 +158,7 @@ object Ingest {
     apiTypes.mapPartitions { it =>
       val throttle = new Throttle(minIntervalMs)
       it.flatMap { api =>
-        drainPages(fetcher, throttle, api).flatMap { p =>
-          p.error match {
-            case Some(e) => Seq((api, null: String, e))
-            case None => p.results.map(d => (api, d, null: String))
-          }
-        }
+        pageRows(api, drainPages(fetcher, throttle, api))
       }
     }.toDF("api_type", "doc", "error")
   }

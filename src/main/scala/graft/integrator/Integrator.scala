@@ -33,6 +33,13 @@ class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
     minIntervalMs: Long = 0L,
     ignoreBasicDataError: Boolean = false) {
 
+  /** Detail-fetch fan-out: capped by the session's parallelism — more
+    * partitions than cores adds scheduling overhead without extra
+    * concurrency, and the throttle scaling keeps the budget either
+    * way. */
+  private val fetchFanout = math.max(1, math.min(
+    Integrator.FetchFanout, spark.sparkContext.defaultParallelism * 2))
+
   private def tablePath(name: String) = s"$statePath/silver/$name"
 
   def readTable(name: String): Option[DataFrame] =
@@ -62,9 +69,15 @@ class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
     val endpoints = Seq("users", "groups", "positions", "projects",
       "companies", "fix_journals", "forms")
     val nPart = endpoints.size
+    // parallelize with explicit slices — round-robin repartition can
+    // co-locate two endpoints in one partition (they'd then paginate
+    // serially at the scaled interval while another partition idles)
     val fetched = Ingest.fetchEndpoints(spark, fetcher,
-        endpoints.toDS.repartition(nPart), minIntervalMs * nPart)
+        spark.createDataset(
+          spark.sparkContext.parallelize(endpoints, nPart)),
+        minIntervalMs * nPart)
       .localCheckpoint(true)
+    try {
     val errors = fetched.filter(col("error").isNotNull)
       .select("api_type", "error").collect()
     if (errors.nonEmpty && !ignoreBasicDataError)
@@ -110,7 +123,7 @@ class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
       mergeByStrategy("forms",
         Normalize.forms(docsOf("forms", JobcanSchemas.formSchema)))
     }
-    fetched.unpersist()
+    } finally fetched.unpersist() // incl. the abort path above
   }
 
   private def watermarks: DataFrame =
@@ -152,9 +165,13 @@ class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
     // (5000 req/h, gateway/throttled_request.py) but each partition
     // runs its own throttle — scale the per-partition interval by the
     // fan-out so the aggregate rate stays within budget.
-    val nPart = math.max(1, math.min(scopes.size, 64))
+    val nPart = math.max(1, math.min(scopes.size, fetchFanout))
+    // explicit slices, not round-robin repartition: scopes spread
+    // evenly so no partition serializes two forms while others idle
     val fetched = Ingest.fetchScans(spark, fetcher, "request_outline",
-        scopes.toDS.repartition(nPart), minIntervalMs * nPart)
+        spark.createDataset(
+          spark.sparkContext.parallelize(scopes, nPart)),
+        minIntervalMs * nPart)
       .localCheckpoint(true)
     val outlineDf = spark.read.schema(JobcanSchemas.requestOutlineSchema)
       .json(fetched.filter(col("error").isNull).select("doc").as[String])
@@ -240,11 +257,15 @@ class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
     // per-partition throttle interval scales by the fan-out so the
     // aggregate rate stays within the configured total budget.
     val fetchedParts = Seq(true, false).map { pri =>
+      // repartition to a KNOWN fan-out and scale the interval by it —
+      // the joined plan's own partition count (often
+      // spark.sql.shuffle.partitions, mostly empty) would wildly
+      // over-throttle. Empty partitions never wait: a throttle's
+      // first call is free, so small batches are unaffected.
       val ids = targets.filter(col("retry_priority") === pri)
-        .select("id").as[String]
-      val np = math.max(1, ids.rdd.getNumPartitions)
+        .select("id").as[String].repartition(fetchFanout)
       Ingest.fetchDetails(spark, fetcher, "request_detail", ids,
-        minIntervalMs * np).localCheckpoint(true)
+        minIntervalMs * fetchFanout).localCheckpoint(true)
     }
     val fetched = fetchedParts.reduce(_ unionByName _)
     // parse here (not after the DLQ block) so parse failures can be
@@ -297,11 +318,20 @@ class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
           "left_anti")
         .localCheckpoint(true)
       // exhausted entries move to the quarantine table so the live DLQ
-      // stays bounded by the in-flight failure set
-      val exhausted = merged.filter(
-        col("n_failures") >= Integrator.MaxAttempts)
-      writeTable("_dlq", merged.filter(
-        col("n_failures") < Integrator.MaxAttempts))
+      // stays bounded by the in-flight failure set. Exhaustion is per
+      // (api_type, item_id) TOTAL across phases — the same sum
+      // planRetries uses to stop retrying — so an item alternating
+      // between fetch- and parse-phase failures still quarantines
+      // (per-row counts would strand it in the live DLQ forever once
+      // the combined total crossed the threshold).
+      val itemTotals = merged.groupBy("api_type", "item_id")
+        .agg(sum(col("n_failures")).as("__total"))
+      val flagged = merged.join(broadcast(itemTotals),
+        Seq("api_type", "item_id"))
+      val exhausted = flagged.filter(
+        col("__total") >= Integrator.MaxAttempts).drop("__total")
+      writeTable("_dlq", flagged.filter(
+        col("__total") < Integrator.MaxAttempts).drop("__total"))
       if (exhausted.limit(1).count() > 0) {
         val q = readTable("_dlq_quarantine") match {
           case Some(q0) => q0.unionByName(exhausted)
@@ -357,7 +387,13 @@ class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
   def run(): Views = Incremental.withRetryLadder() { () =>
     updateBasicData()
     val (outline, captured) = fetchOutlines()
-    updateFormDetails(outline, captured)
+    try updateFormDetails(outline, captured)
+    finally {
+      // release the checkpointed outline/watermark blocks once their
+      // only consumer is done (they'd otherwise pin storage until GC)
+      outline.unpersist()
+      captured.unpersist()
+    }
     registerViews()
   }
 }
@@ -365,6 +401,11 @@ class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
 object Integrator {
   /** Attempts before a DLQ entry is quarantined (T5). */
   val MaxAttempts = 3
+
+  /** Executor fan-out for detail fetches; the per-partition throttle
+    * interval is scaled by this so the aggregate rate stays within
+    * the configured total budget. */
+  val FetchFanout = 64
 
   /** Build an integrator from the typed config surface
     * (integrator_config.py:50-182): state path from DB_PATH, throttle

@@ -258,15 +258,16 @@ object TrainingData {
 
     // LSH-bucketed ANN (the scale path): deterministic hyperplane
     // buckets (16 buckets here; 2^p grows with corpus), search only
-    // the query's bucket. Uses the ternary hyperplanes — a fixed
-    // arithmetic ±1 pattern instead of hashed components — so the
+    // the query's bucket. Uses the arithmetic hyperplanes — a fixed
+    // mod-5 weight pattern in {-2..2} instead of hashed components —
+    // so the
     // ENTIRE pipeline (bucket assignment → bucket-restricted top-k)
     // is reproducible in plain SQL and oracle-checked end to end;
     // hyperplaneBucket (hashed) stays available for production.
     "ann2_lsh_ann" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
-          SF.ternaryHyperplaneBucket(col("embedding"), 4).as("bucket"))
+          SF.arithmeticHyperplaneBucket(col("embedding"), 4).as("bucket"))
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
           col("bucket").as("qbucket"))
@@ -404,7 +405,7 @@ object TrainingData {
          JOIN counts cb ON cb.doc_id = doc_b
          WHERE round(ni::DOUBLE / (ca.n + cb.n - ni), 6) >= 0.3
          ORDER BY doc_a, doc_b""",
-      // ann2's ternary hyperplanes are a fixed arithmetic pattern, so
+      // ann2's arithmetic hyperplanes are a fixed weight pattern, so
       // the oracle recomputes the buckets (1-based list index d here
       // maps to the 0-based dim d-1 in the Spark side) and replays the
       // bucket-restricted top-k exactly.

@@ -99,7 +99,7 @@ class SimilaritySpec extends SparkSpec {
     assert(b1.values.forall(b => b >= 0 && b < 16))
   }
 
-  test("ternary hyperplane bucket matches the hand-computed " +
+  test("arithmetic hyperplane bucket matches the hand-computed " +
     "sign-of-projection, and equals the SQL-oracle formula") {
     val v = Array.tabulate(8)(i => (0.1f * (i + 1)) * (if (i % 2 == 0) 1 else -1))
     def w(p: Int, d: Int): Int = ((d * (p + 1) + p) % 5) - 2
@@ -108,7 +108,7 @@ class SimilaritySpec extends SparkSpec {
       if (proj > 0) 1L << p else 0L
     }.reduce(_ | _)
     val got = Seq((0L, v)).toDF("vec_id", "embedding")
-      .select(SF.ternaryHyperplaneBucket($"embedding", 4).as("b"))
+      .select(SF.arithmeticHyperplaneBucket($"embedding", 4).as("b"))
       .collect().head.getLong(0)
     assert(got == expected, s"bucket $got != hand-computed $expected")
     // the 4 weight patterns must be genuinely distinct (a mod-3
@@ -117,7 +117,7 @@ class SimilaritySpec extends SparkSpec {
     assert(patterns.distinct.size == 4, s"planes repeat: $patterns")
     // beyond 4 planes the multipliers repeat mod 5 → refuse
     intercept[IllegalArgumentException] {
-      SF.ternaryHyperplaneBucket($"embedding", 5)
+      SF.arithmeticHyperplaneBucket($"embedding", 5)
     }
     // simhashBlocks: nBlocks=1 would wrap (1L<<64)==1 → refuse
     intercept[IllegalArgumentException] {

@@ -202,6 +202,35 @@ class IntegratorSpec extends SparkSpec {
       s"quarantined item must not be fetched, saw $calls")
   }
 
+  test("alternating fetch/parse failures share one attempt budget " +
+    "and quarantine together (no stranded live-DLQ rows)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mx").toString
+    val api = new SyntheticApi
+    api.corruptIds = Set("sa-11") // run 1: parse failure (n=1)
+    val integ = new Integrator(spark, api, dir)
+    integ.run()
+    api.corruptIds = Set.empty
+    api.failIds = Set("sa-11") // runs 2-3: fetch failures (n=1, n=2)
+    integ.run()
+    integ.run()
+    // combined total = 3 = MaxAttempts → BOTH phase rows quarantined;
+    // per-row thresholds would strand them in the live DLQ forever
+    assert(integ.readTable("_dlq").get
+      .filter(col("item_id") === "sa-11").count() == 0,
+      "exhausted item must not linger in the live DLQ")
+    val q = integ.readTable("_dlq_quarantine").get
+      .filter(col("item_id") === "sa-11").collect()
+    assert(q.map(_.getAs[String]("phase")).sorted.toSeq ==
+      Seq("fetch", "parse"), s"both phase rows must quarantine")
+    // run 4: healed but quarantined → never fetched again
+    api.failIds = Set.empty
+    IntegratorSpec.SyntheticApi.detailCalls.clear()
+    integ.run()
+    import scala.jdk.CollectionConverters._
+    assert(!IntegratorSpec.SyntheticApi.detailCalls.asScala
+      .contains("sa-11"))
+  }
+
   test("outline scans run executor-side, exactly once per (form, " +
     "page), with pagination drained to the last page") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pg").toString
