@@ -195,6 +195,12 @@ object ConfigIni {
           }
         case SectionLine(name) =>
           seenFirstSection = true
+          // strict like the reference's configparser base
+          // (DuplicateSectionError) — silently replacing would drop
+          // every key parsed under the first occurrence
+          if (sections.contains(name.toUpperCase))
+            throw new IllegalArgumentException(
+              s"duplicate section [${name.toUpperCase}]")
           sections += name.toUpperCase -> CfgSection(name.toUpperCase,
             pendingComments, pendingTags, ListMap.empty)
           curSection = Some(name.toUpperCase)
@@ -299,8 +305,15 @@ object GraftConfig {
       apiTokenEnv = api("TOKEN_ENV_NAME").str,
       apiToken = api("API_TOKEN").str,
       requestsPerHour = rph,
-      // integrator_config.py:99: negative → derive from the hourly cap
-      requestsPerSec = if (rpsRaw >= 0) rpsRaw else 3600.0 / rph,
+      // integrator_config.py:99: negative → derive from the hourly cap.
+      // Fail fast on rph <= 0 here: 3600.0/0 = Infinity would turn
+      // minIntervalMs into Long.MaxValue and the second throttled
+      // request would sleep forever.
+      requestsPerSec = if (rpsRaw >= 0) rpsRaw else {
+        require(rph > 0, s"REQUESTS_PER_SEC < 0 derives the rate from " +
+          s"REQUESTS_PER_HOUR, which must be positive (got $rph)")
+        3600.0 / rph
+      },
       saveRawData = dr("SAVE_RAW_DATA").bool,
       rawDataDir = sub(dr("RAW_DATA_DIR").str),
       jsonEncoding = dr("JSON_ENCODING").str,

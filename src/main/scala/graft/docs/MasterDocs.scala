@@ -37,24 +37,35 @@ object MasterDocs {
   /** `users.retrieve()`: one document per user with nested groups /
     * positions / bank_account (users.py:185-266). */
   def usersDoc(t: Map[String, DataFrame]): DataFrame = {
+    // users.py:211-216 gates the groups array on COUNT(DISTINCT
+    // group_code) > 0 — a user whose every membership row has a null
+    // group_code gets [], not [null].
     val groups = t("user_groups")
       .groupBy(col("user_id").as("g_uid"))
-      .agg(transform(
+      .agg(
         array_sort(collect_set(coalesce(col("group_code"),
-          lit(NullSentinel)))),
-        x => when(x === NullSentinel, lit(null: String)).otherwise(x))
-        .as("user_groups"))
+          lit(NullSentinel)))).as("g_codes"),
+        count(col("group_code")).as("g_nonnull"))
+      .select(col("g_uid"),
+        when(col("g_nonnull") === 0, array().cast("array<string>"))
+          .otherwise(transform(col("g_codes"),
+            x => when(x === NullSentinel, lit(null: String)).otherwise(x)))
+          .as("user_groups"))
     val positions = t("user_positions")
       .groupBy(col("user_id").as("p_uid"))
       .agg(array_sort(collect_set(struct(
         col("position_code").as("position_code"),
         col("group_code").as("group_code")))).as("user_positions"))
+    // the reference's GROUP BY u.id collapses multiple bank rows into
+    // one (SQLite picks an arbitrary one); pin determinism with
+    // min(struct) and guarantee the 1:1 join shape
     val bank = t("user_bank_accounts")
-      .select(col("user_id").as("b_uid"), struct(
+      .groupBy(col("user_id").as("b_uid"))
+      .agg(min(struct(
         col("bank_code"), col("bank_name"), col("bank_name_kana"),
         col("branch_code"), col("branch_name"), col("branch_name_kana"),
         col("bank_account_type_code"), col("bank_account_code"),
-        col("bank_account_name_kana")).as("user_bank_account"))
+        col("bank_account_name_kana"))).as("user_bank_account"))
 
     t("users").alias("u")
       .join(groups, col("u.id") === col("g_uid"), "left")

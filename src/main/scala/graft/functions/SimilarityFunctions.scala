@@ -48,18 +48,36 @@ object SimilarityFunctions {
     * is positive. Near-identical docs differ in few bits → hamming
     * radius search via `bit_count(a ^ b)`.
     */
-  def simhash64(shingleArr: Column): Column = {
-    // Single pass over the shingles with a 64-slot balance accumulator.
-    // (The obvious formulation — for each bit, aggregate over shingles —
-    // re-evaluates the whole hash array per bit: 64× the work, measured
-    // 473 s vs ~7 s on 200 docs at sf0.1.) xxhash64 runs once per
-    // shingle via the outer transform; the Scala `shiftleft`/
-    // `shiftrightunsigned` wrappers only take Int bit counts, so
-    // call_function passes the lambda-bound bit index.
-    val bitIdx = sequence(lit(0), lit(63))
+  def simhash64(shingleArr: Column): Column =
+    simhashBits(shingleArr, 64, xxhash64(_))
+
+  /** The first 15 hex chars of md5 as a 60-bit non-negative long —
+    * an "engine-portable" hash: any SQL engine with md5() reproduces
+    * it exactly (the DuckDB oracle does), unlike xxhash64. Use it when
+    * a sketch must be independently recomputable; use xxhash64 when
+    * only Spark needs to agree with itself (it is ~5× cheaper).
+    */
+  def md5hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** SimHash over an arbitrary bit width / hash function (simhash64 is
+    * `simhashBits(_, 64, xxhash64)`; the oracle-portable variant is
+    * `simhashBits(_, 60, md5hash60)`).
+    */
+  def simhashBits(shingleArr: Column, bits: Int,
+      hashFn: Column => Column): Column = {
+    require(bits >= 2 && bits <= 64, s"bits must be 2..64, got $bits")
+    // Single pass over the shingles with a bits-slot balance
+    // accumulator. (The obvious formulation — for each bit, aggregate
+    // over shingles — re-evaluates the whole hash array per bit: 64×
+    // the work, measured 473 s vs ~7 s on 200 docs at sf0.1.) hashFn
+    // runs once per shingle via the outer transform; the Scala
+    // `shiftleft`/`shiftrightunsigned` wrappers only take Int bit
+    // counts, so call_function passes the lambda-bound bit index.
+    val bitIdx = sequence(lit(0), lit(bits - 1))
     val balances = aggregate(
-      transform(shingleArr, s => xxhash64(s)),
-      array_repeat(lit(0L), 64),
+      transform(shingleArr, hashFn),
+      array_repeat(lit(0L), bits),
       (acc, h) => zip_with(acc, bitIdx, (a, j) =>
         a + when(
           call_function("shiftrightunsigned", h, j)
@@ -166,13 +184,13 @@ object SimilarityFunctions {
     * complete candidate generator for that radius — unlike bucketing
     * by one fixed byte, which silently drops pairs that differ there.
     */
-  def simhashBlocks(sig: Column, nBlocks: Int): Column = {
+  def simhashBlocks(sig: Column, nBlocks: Int, bits: Int = 64): Column = {
     // nBlocks == 1 would make w = 64 and (1L << 64) wrap to 1 on the
     // JVM (shifts are mod 64) — mask 0, every block_val 0, and the
     // candidate join degenerates to a cross product
-    require(64 % nBlocks == 0 && nBlocks > 1,
-      s"need 2..64 blocks dividing 64, got $nBlocks")
-    val w = 64 / nBlocks
+    require(bits % nBlocks == 0 && nBlocks > 1 && bits <= 64,
+      s"need 2..$bits blocks dividing $bits, got $nBlocks")
+    val w = bits / nBlocks
     transform(sequence(lit(0), lit(nBlocks - 1)),
       k => struct(
         k.as("block_id"),

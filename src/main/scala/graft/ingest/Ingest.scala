@@ -34,16 +34,38 @@ object Ingest {
     */
   final class Throttle(minIntervalMs: Long,
       clock: () => Long = System.currentTimeMillis,
-      sleep: Long => Unit = Thread.sleep) extends Serializable {
-    // sentinel far in the past so the FIRST call never waits
+      sleep: Long => Unit = Thread.sleep,
+      initialOffsetMs: Long = 0L) extends Serializable {
+    // sentinel far in the past so the FIRST call never waits (unless
+    // an initial offset staggers it across partitions)
     private var last = Long.MinValue / 2
+    private var first = true
     def acquire(): Long = synchronized {
+      val wasFirst = first
+      first = false
       val now = clock()
-      val wait = (last + minIntervalMs) - now
+      val wait =
+        if (wasFirst) initialOffsetMs
+        else (last + minIntervalMs) - now
       if (wait > 0) sleep(wait)
       last = clock()
       wait.max(0L)
     }
+  }
+
+  /** A per-partition throttle whose FIRST acquire is staggered by
+    * `partitionId / numPartitions` of the interval, so a fan-out of N
+    * partitions doesn't burst N simultaneous requests at t=0 of every
+    * phase — the instantaneous rate stays inside the same budget the
+    * sustained rate obeys (a server-side limiter sized from the same
+    * 5000 req/h cap would otherwise see the spike).
+    */
+  def staggeredThrottle(minIntervalMs: Long): Throttle = {
+    val tc = org.apache.spark.TaskContext.get()
+    val off =
+      if (tc == null || minIntervalMs <= 0 || tc.numPartitions() <= 1) 0L
+      else (minIntervalMs * tc.partitionId()) / tc.numPartitions()
+    new Throttle(minIntervalMs, initialOffsetMs = off)
   }
 
   /** S2 — exhaustive-pagination scan of one endpoint
@@ -99,7 +121,7 @@ object Ingest {
       ids: Dataset[String], minIntervalMs: Long = 0L): DataFrame = {
     import spark.implicits._
     ids.mapPartitions { it =>
-      val throttle = new Throttle(minIntervalMs)
+      val throttle = staggeredThrottle(minIntervalMs)
       it.map { id =>
         throttle.acquire()
         fetcher.fetchDetail(apiType, id) match {
@@ -126,7 +148,7 @@ object Ingest {
       minIntervalMs: Long = 0L): DataFrame = {
     import spark.implicits._
     scopes.mapPartitions { it =>
-      val throttle = new Throttle(minIntervalMs)
+      val throttle = staggeredThrottle(minIntervalMs)
       it.flatMap { case (key, query) =>
         pageRows(key, drainPages(fetcher, throttle, apiType, query))
       }
@@ -156,7 +178,7 @@ object Ingest {
       apiTypes: Dataset[String], minIntervalMs: Long = 0L): DataFrame = {
     import spark.implicits._
     apiTypes.mapPartitions { it =>
-      val throttle = new Throttle(minIntervalMs)
+      val throttle = staggeredThrottle(minIntervalMs)
       it.flatMap { api =>
         pageRows(api, drainPages(fetcher, throttle, api))
       }

@@ -158,31 +158,33 @@ object TrainingData {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // SimHash near-dup: 64-bit sketch, 8-block candidate join (Manku
-    // et al. — a pair within hamming 7 must share a block, so the
-    // search is COMPLETE for that radius; the old single-top-byte
-    // bucket silently missed near-identical pairs whose signatures
-    // differed in that byte). Radius 10 keeps the empirical near-dups;
-    // pairs at 8–10 are found when any block agrees (all do on the
-    // test corpora). No SQL oracle for the sketch itself (xxhash64) —
-    // dd7_simhash_recall is the driver-hashable recall check.
+    // SimHash near-dup: 60-bit engine-portable sketch (md5hash60 —
+    // any engine with md5() recomputes it bit-for-bit, so the DuckDB
+    // oracle replays the WHOLE pipeline: shingle → hash → bit-vote →
+    // pairwise hamming), 10-block candidate join (Manku et al. —
+    // pigeonhole-complete for hamming ≤ 9, so every radius-7 pair
+    // must share a block and the output is EXACTLY "all pairs with
+    // hamming ≤ 7", independent of the blocking). The production
+    // xxhash64/64-bit variant stays under dd7's recall check.
     "dd4_simhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
         .select(col("doc_id"),
-          SF.simhash64(TF.wordShingles(col("text"), 2)).as("sig"))
-        // sketch computed once, exploded to 8 block keys — persist
+          SF.simhashBits(TF.wordShingles(col("text"), 2), 60,
+            SF.md5hash60).as("sig"))
+        // sketch computed once, exploded to 10 block keys — persist
         // (the 16-byte-per-doc sketch table is exactly what you'd
         // materialize at 100 TB)
         .cache()
       val blocked = docs.select(col("doc_id"), col("sig"),
-        explode(SF.simhashBlocks(col("sig"), 8)).as("blk"))
+        explode(SF.simhashBlocks(col("sig"), 10, 60)).as("blk"))
       blocked.as("a").join(blocked.as("b"),
           col("a.blk") === col("b.blk") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          SF.hamming64(col("a.sig"), col("b.sig")).as("hamming"))
+          SF.hamming64(col("a.sig"), col("b.sig")).cast("long")
+            .as("hamming"))
         .distinct()
-        .filter(col("hamming") <= 10)
+        .filter(col("hamming") <= 7)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -383,6 +385,36 @@ object TrainingData {
          JOIN counts ca ON ca.doc_id = doc_a
          JOIN counts cb ON cb.doc_id = doc_b
          WHERE round(ni::DOUBLE / (ca.n + cb.n - ni), 6) >= 0.3
+         ORDER BY doc_a, doc_b""",
+      // dd4's oracle replays the ENTIRE portable simhash pipeline:
+      // same shingles, same md5-60-bit hash, same bit-vote, exact
+      // pairwise hamming (the Spark side's block join is pigeonhole-
+      // complete for radius 7 < 10 blocks, so both sides define the
+      // identical pair set).
+      "dd4_simhash" ->
+        """WITH d AS (SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g')), '\s+') AS toks
+           FROM documents WHERE doc_id < 200),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, len(toks)),
+             i -> toks[i] || ' ' || toks[i+1]))) AS s
+           FROM d),
+         hashed AS (SELECT doc_id,
+             ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+           FROM sh),
+         votes AS (SELECT doc_id, j,
+             sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS bal
+           FROM hashed CROSS JOIN range(60) r(j)
+           GROUP BY 1, 2),
+         sigs AS (SELECT doc_id,
+             sum(CASE WHEN bal > 0 THEN (1::BIGINT << j) ELSE 0 END)
+               AS sig
+           FROM votes GROUP BY 1)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+         FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sig, b.sig)) <= 7
          ORDER BY doc_a, doc_b""",
       "dd7_simhash_recall" ->
         """WITH d AS (SELECT doc_id,

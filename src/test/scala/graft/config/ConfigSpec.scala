@@ -123,4 +123,24 @@ class ConfigSpec extends AnyFunSuite {
       if (e == "MY_TOKEN_ENV") Some("from-env") else None) == "from-env")
     assert(cfg.resolveToken(_ => None) == "fallback-token")
   }
+
+  test("duplicate [SECTION] is rejected, not silently replaced " +
+    "(configparser DuplicateSectionError semantics)") {
+    val dup = "[API]\nA=1\n[API]\nB=2\n"
+    val e = intercept[IllegalArgumentException](ConfigIni.parse(dup))
+    assert(e.getMessage.contains("duplicate section"))
+  }
+
+  test("negative REQUESTS_PER_SEC with non-positive " +
+    "REQUESTS_PER_HOUR fails fast instead of sleeping forever") {
+    // drop the range hint too — the (0, 10000] range would reject 0
+    // earlier with its own message; the require guards inis without one
+    val bad = ConfigIni.parse(sample
+      .replace("; type: int; range: (0, 10000]; default: 5000;",
+        "; type: int; default: 5000;")
+      .replace("REQUESTS_PER_HOUR=5000", "REQUESTS_PER_HOUR=0"))
+    val e = intercept[IllegalArgumentException](
+      GraftConfig.fromIni(bad, "/app"))
+    assert(e.getMessage.contains("REQUESTS_PER_HOUR"))
+  }
 }

@@ -53,6 +53,28 @@ class MasterDocsSpec extends SparkSpec {
     assert(u2.isNullAt(u2.fieldIndex("user_bank_account")))
   }
 
+  test("all-null group memberships yield an empty groups array " +
+    "(users.py:211-216 gates on COUNT(DISTINCT group_code) > 0)") {
+    val raw = Fixtures.df(spark, JobcanSchemas.userSchema,
+      """{"id": 103, "user_code": "u003", "email": "x@example.com",
+         "last_name": "a", "first_name": "b", "is_approver": false,
+         "user_role": 2, "memo": "", "user_groups": [null, null],
+         "user_positions": [], "user_bank_account": null}""")
+    val doc = MasterDocs.usersDoc(Normalize.users(raw)).collect().head
+    assert(doc.getSeq[String](doc.fieldIndex("user_groups")).isEmpty)
+  }
+
+  test("duplicate bank-account rows collapse to one user doc " +
+    "(reference GROUP BY u.id, users.py:185-196)") {
+    val tables = Normalize.users(usersRaw)
+    val dupBank = tables("user_bank_accounts")
+    val doubled = tables + ("user_bank_accounts" ->
+      dupBank.unionAll(dupBank))
+    val rebuilt = MasterDocs.usersDoc(doubled)
+    assert(rebuilt.count() == usersRaw.count())
+    assert(docs(rebuilt, "id") == docs(usersRebuilt, "id"))
+  }
+
   private lazy val fjRaw = Fixtures.df(spark,
     JobcanSchemas.fixJournalSchema, Fixtures.fixJournal1,
     Fixtures.fixJournal2, Fixtures.fixJournal3)

@@ -23,6 +23,17 @@ class IngestSpec extends SparkSpec {
     assert(slept == Seq(720L, 620L))
   }
 
+  test("throttle initial offset staggers only the FIRST acquire " +
+    "(burst smoothing across fan-out partitions)") {
+    var now = 0L
+    var slept = Seq.empty[Long]
+    val t = new Throttle(720, () => now, d => { slept :+= d; now += d },
+      initialOffsetMs = 180)
+    t.acquire() // staggered by the offset
+    t.acquire() // then the normal interval applies
+    assert(slept == Seq(180L, 720L))
+  }
+
   test("S2 drainPages follows next-links and stops at the last page " +
     "(api_client.py:493-517)") {
     val fetcher = new FakeFetcher(Map("users" -> Seq(
