@@ -197,10 +197,15 @@ object ConfigIni {
           seenFirstSection = true
           // strict like the reference's configparser base
           // (DuplicateSectionError) — silently replacing would drop
-          // every key parsed under the first occurrence
+          // every key parsed under the first occurrence. Deviation:
+          // sections are canonically uppercase here, so [Api] after
+          // [API] is also rejected, where case-sensitive configparser
+          // would keep them as two distinct sections.
           if (sections.contains(name.toUpperCase))
             throw new IllegalArgumentException(
-              s"duplicate section [${name.toUpperCase}]")
+              s"duplicate section [$name]: section names are" +
+                s" case-insensitive (canonical [${name.toUpperCase}]" +
+                " already defined)")
           sections += name.toUpperCase -> CfgSection(name.toUpperCase,
             pendingComments, pendingTags, ListMap.empty)
           curSection = Some(name.toUpperCase)

@@ -51,11 +51,20 @@ object MasterDocs {
           .otherwise(transform(col("g_codes"),
             x => when(x === NullSentinel, lit(null: String)).otherwise(x)))
           .as("user_groups"))
+    // users.py:218-222 gates positions the same way, on COUNT(DISTINCT
+    // position_code) > 0 — all-null position_code rows yield [], but a
+    // mixed set keeps its null-coded entries.
     val positions = t("user_positions")
       .groupBy(col("user_id").as("p_uid"))
-      .agg(array_sort(collect_set(struct(
-        col("position_code").as("position_code"),
-        col("group_code").as("group_code")))).as("user_positions"))
+      .agg(
+        array_sort(collect_set(struct(
+          col("position_code").as("position_code"),
+          col("group_code").as("group_code")))).as("p_structs"),
+        count(col("position_code")).as("p_nonnull"))
+      .select(col("p_uid"),
+        when(col("p_nonnull") === 0, array().cast(
+          "array<struct<position_code:string,group_code:string>>"))
+          .otherwise(col("p_structs")).as("user_positions"))
     // the reference's GROUP BY u.id collapses multiple bank rows into
     // one (SQLite picks an arbitrary one); pin determinism with
     // min(struct) and guarantee the 1:1 join shape

@@ -187,8 +187,10 @@ object SimilarityFunctions {
   def simhashBlocks(sig: Column, nBlocks: Int, bits: Int = 64): Column = {
     // nBlocks == 1 would make w = 64 and (1L << 64) wrap to 1 on the
     // JVM (shifts are mod 64) — mask 0, every block_val 0, and the
-    // candidate join degenerates to a cross product
-    require(bits % nBlocks == 0 && nBlocks > 1 && bits <= 64,
+    // candidate join degenerates to a cross product; nBlocks > bits
+    // (e.g. bits = 0) makes w = 0 with the same degenerate mask
+    require(bits % nBlocks == 0 && nBlocks > 1 && nBlocks <= bits &&
+      bits <= 64,
       s"need 2..$bits blocks dividing $bits, got $nBlocks")
     val w = bits / nBlocks
     transform(sequence(lit(0), lit(nBlocks - 1)),

@@ -167,10 +167,15 @@ object TrainingData {
     // hamming ≤ 7", independent of the blocking). The production
     // xxhash64/64-bit variant stays under dd7's recall check.
     "dd4_simhash" -> ((s, dir) => {
+      // a <2-token doc has no shingles and would sketch to sig = 0
+      // (pairing all such docs at hamming 0) while the oracle's `sigs`
+      // CTE drops it — exclude shingle-less docs so both engines
+      // define the same doc set (dd5 already guards the same way)
       val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), TF.wordShingles(col("text"), 2).as("sh"))
+        .filter(size(col("sh")) > 0)
         .select(col("doc_id"),
-          SF.simhashBits(TF.wordShingles(col("text"), 2), 60,
-            SF.md5hash60).as("sig"))
+          SF.simhashBits(col("sh"), 60, SF.md5hash60).as("sig"))
         // sketch computed once, exploded to 10 block keys — persist
         // (the 16-byte-per-doc sketch table is exactly what you'd
         // materialize at 100 TB)

@@ -64,6 +64,32 @@ class MasterDocsSpec extends SparkSpec {
     assert(doc.getSeq[String](doc.fieldIndex("user_groups")).isEmpty)
   }
 
+  test("all-null position codes yield an empty positions array " +
+    "(users.py:218-222 gates on COUNT(DISTINCT position_code) > 0)") {
+    val raw = Fixtures.df(spark, JobcanSchemas.userSchema,
+      """{"id": 104, "user_code": "u004", "email": "y@example.com",
+         "last_name": "a", "first_name": "b", "is_approver": false,
+         "user_role": 2, "memo": "", "user_groups": [],
+         "user_positions": [
+           {"position_code": null, "group_code": "G1"},
+           {"position_code": null, "group_code": "G2"}],
+         "user_bank_account": null}""")
+    val doc = MasterDocs.usersDoc(Normalize.users(raw)).collect().head
+    assert(doc.getSeq[Any](doc.fieldIndex("user_positions")).isEmpty)
+    // a mixed set keeps its null-coded entries (only the all-null
+    // case collapses to [])
+    val mixed = Fixtures.df(spark, JobcanSchemas.userSchema,
+      """{"id": 105, "user_code": "u005", "email": "z@example.com",
+         "last_name": "a", "first_name": "b", "is_approver": false,
+         "user_role": 2, "memo": "", "user_groups": [],
+         "user_positions": [
+           {"position_code": null, "group_code": "G1"},
+           {"position_code": "P1", "group_code": "G2"}],
+         "user_bank_account": null}""")
+    val md = MasterDocs.usersDoc(Normalize.users(mixed)).collect().head
+    assert(md.getSeq[Any](md.fieldIndex("user_positions")).size == 2)
+  }
+
   test("duplicate bank-account rows collapse to one user doc " +
     "(reference GROUP BY u.id, users.py:185-196)") {
     val tables = Normalize.users(usersRaw)

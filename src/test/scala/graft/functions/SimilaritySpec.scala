@@ -123,6 +123,11 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       SF.simhashBlocks($"embedding", 1)
     }
+    // bits < nBlocks (e.g. bits=0) would make the block width 0 and
+    // every block_val 0 → candidate join degenerates to cross product
+    intercept[IllegalArgumentException] {
+      SF.simhashBlocks($"embedding", 2, 0)
+    }
   }
 
   test("simhash blocks: 8 blocks reconstruct the signature, and a " +
