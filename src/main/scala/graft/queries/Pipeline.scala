@@ -1,0 +1,249 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{SimilarityFunctions => SF, TextFunctions => TF}
+import graft.operators.ConnectedComponents
+
+/** Training-data pipeline composites (round 5): the steps BETWEEN the
+  * primitive operators that a 100 TB preprocessing run actually
+  * chains — dedup-cluster closure, deterministic sampling,
+  * anonymization, corpus statistics, and the staged filter funnel.
+  *
+  * Scale design:
+  *  - dd6 turns pair lists into the cluster drop-list with iterative
+  *    min-label propagation (one shuffle per round, rounds = component
+  *    diameter — tiny for near-dup families).
+  *  - Sampling is HASH-based, never rand(): reproducible across
+  *    retries, engines, and partitionings, and embarrassingly parallel
+  *    (a pure filter — no shuffle at all for sx1).
+  *  - The funnel (px2) is ONE scan with conditional aggregates, not
+  *    one pass per stage.
+  */
+object Pipeline {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.Tables.load(s, dir, name)
+
+  /** Shared normalized-token shingle postings (doc_id, sh). */
+  private def postings(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+      explode(TF.wordShingles(col("text"), n)).as("sh"))
+
+  /** 60-bit engine-portable hash of a salted key — the sampling committee:
+    * any engine with md5() recomputes membership bit-for-bit. */
+  private def sampleHash(salt: String, key: org.apache.spark.sql.Column) =
+    SF.md5hash60(concat(lit(salt), key.cast("string")))
+
+  val queries: Map[String, Q] = Map(
+    // Dedup-cluster closure: exact 2-gram-Jaccard near-dup pairs
+    // (dd2/dd3's criterion) closed into connected components, keeper =
+    // min doc_id per component. THIS is the artifact a dedup pipeline
+    // applies — pair lists aren't transitive; the closure is.
+    "dd6_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+      val p = postings(docs, 2)
+      val counts = p.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val edges = p.as("a").join(p.as("b"),
+          col("a.sh") === col("b.sh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+        .agg(count(lit(1)).as("ni"))
+        .join(counts.select(col("doc_id").as("src"), col("n").as("na")),
+          Seq("src"))
+        .join(counts.select(col("doc_id").as("dst"), col("n").as("nb")),
+          Seq("dst"))
+        .filter(round(col("ni").cast("double") /
+          (col("na") + col("nb") - col("ni")).cast("double"), 6) >= 0.3)
+        .select(col("src"), col("dst"))
+      ConnectedComponents
+        .dedupClusters(docs.select(col("doc_id").as("id")), edges)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic stratified sampling: per-language keep rates via a
+    // salted 60-bit hash mod 100 — a pure filter (no shuffle), fully
+    // reproducible, and the oracle recomputes membership exactly.
+    "sx1_stratified_sample" -> ((s, dir) => {
+      val rate = when(col("lang") === "en", lit(10L)).otherwise(lit(50L))
+      t(s, dir, "documents")
+        .filter(pmod(sampleHash("sample:", col("doc_id")), lit(100L)) < rate)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Fixed-size per-stratum sample: deterministic top-20 per language
+    // by (hash, doc_id) — the "exactly k per stratum" variant; one
+    // shuffle on lang, per-partition top-k.
+    "sx2_stratum_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("h"), col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("h", sampleHash("strat:", col("doc_id")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20)
+        .select(col("lang"), col("rk"), col("doc_id"))
+        .orderBy(col("lang"), col("rk"))
+    }),
+
+    // Corpus token-length histogram (64-token buckets) — the length
+    // distribution every data card reports; map-side partial agg on a
+    // tiny key space.
+    "tx7_token_histogram" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(floor(TF.tokenCount(col("text")) / lit(64)).as("bucket"),
+          TF.tokenCount(col("text")).as("nt"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), min(col("nt")).as("min_tokens"),
+          max(col("nt")).as("max_tokens"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Deterministic anonymization: format-preserving digit masking +
+    // salted-hash pseudonym token + value banding. Pure per-row Column
+    // algebra — no shuffle, codegen throughout.
+    "px1_pii_mask" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          regexp_replace(col("c_name"), "[0-9]", "#").as("masked_name"),
+          md5(concat(lit("pseudo:"), col("c_name"))).as("name_token"),
+          floor(col("c_acctbal") / 1000).as("acctbal_band"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // The preprocessing funnel: raw → lang filter → quality filter →
+    // length filter → vocabulary-fingerprint dedup (order-insensitive
+    // exact dedup: md5 of the sorted distinct token set, which catches
+    // token-shuffled copies plain md5(text) misses), reported as
+    // per-stage survivor counts. ONE scan with conditional aggregates
+    // (count(when) + countDistinct(when)) — not one pass per stage.
+    "px2_prep_funnel" -> ((s, dir) => {
+      val q = TF.qualityScore(col("text"))
+      val nt = TF.tokenCount(col("text"))
+      val en = col("lang") === "en"
+      val keepQ = en && (q >= 0.65)
+      val keepL = keepQ && (nt >= 32)
+      val vocabFp = md5(concat_ws(" ",
+        array_sort(array_distinct(TF.tokens(col("text"))))))
+      val agg = t(s, dir, "documents").agg(
+        count(lit(1)).as("raw"),
+        count(when(en, 1)).as("lang_en"),
+        count(when(keepQ, 1)).as("quality"),
+        count(when(keepL, 1)).as("length"),
+        countDistinct(when(keepL, vocabFp)).as("dedup"))
+      agg.select(explode(array(
+          struct(lit(1).as("stage_id"), lit("raw").as("stage"),
+            col("raw").as("n_docs")),
+          struct(lit(2).as("stage_id"), lit("lang_en").as("stage"),
+            col("lang_en").as("n_docs")),
+          struct(lit(3).as("stage_id"), lit("quality").as("stage"),
+            col("quality").as("n_docs")),
+          struct(lit(4).as("stage_id"), lit("length").as("stage"),
+            col("length").as("n_docs")),
+          struct(lit(5).as("stage_id"), lit("dedup").as("stage"),
+            col("dedup").as("n_docs")))).as("r"))
+        .select(col("r.stage_id"), col("r.stage"), col("r.n_docs"))
+        .orderBy(col("stage_id"))
+    })
+  )
+
+  private val qualitySql =
+    """round(
+         0.4 * (1.0 - nonalpha / len) +
+         0.3 * least(stop * 5.0, 1.0) +
+         0.2 * least(len / 500.0, 1.0) +
+         0.1 * (1.0 - least(punct / len * 10.0, 1.0)), 6)"""
+
+  val oracle: Map[String, String] = Map(
+    // WITH RECURSIVE closure over the same exact-Jaccard edges dd2's
+    // oracle emits: reach propagates labels along symmetrized edges;
+    // min(reachable) IS the component id.
+    "dd6_dedup_clusters" ->
+      """WITH RECURSIVE d AS (SELECT doc_id,
+           string_split_regex(trim(regexp_replace(lower(text),
+             '[^a-z0-9]+', ' ', 'g')), '\s+') AS toks
+         FROM documents WHERE doc_id < 200),
+       sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(toks)),
+           i -> toks[i] || ' ' || toks[i+1]))) AS s
+         FROM d),
+       counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS ni
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       edges AS (SELECT doc_a, doc_b FROM inter
+         JOIN counts ca ON ca.doc_id = doc_a
+         JOIN counts cb ON cb.doc_id = doc_b
+         WHERE round(ni::DOUBLE / (ca.n + cb.n - ni), 6) >= 0.3),
+       sym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+         UNION SELECT doc_b, doc_a FROM edges),
+       reach AS (
+         SELECT doc_id AS id, doc_id AS comp FROM d
+         UNION
+         SELECT s.dst AS id, r.comp FROM reach r
+         JOIN sym s ON s.src = r.id)
+       SELECT id AS doc_id, min(comp) AS cluster_id,
+         CAST(id = min(comp) AS INT) AS is_keeper
+       FROM reach GROUP BY id ORDER BY doc_id""",
+    "sx1_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)),
+             1, 15))::BIGINT % 100 <
+           CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+         ORDER BY doc_id""",
+    "sx2_stratum_topk" ->
+      """SELECT lang, rk, doc_id FROM (
+           SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+             ORDER BY ('0x' || substr(md5('strat:' ||
+               CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id) AS rk
+           FROM documents)
+         WHERE rk <= 20 ORDER BY lang, rk""",
+    "tx7_token_histogram" ->
+      """SELECT nt // 64 AS bucket, count(*) AS n_docs,
+           min(nt) AS min_tokens, max(nt) AS max_tokens
+         FROM (SELECT len(string_split_regex(trim(text), '\s+')) AS nt
+           FROM documents)
+         GROUP BY 1 ORDER BY bucket""",
+    "px1_pii_mask" ->
+      """SELECT c_custkey,
+           regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,
+           md5('pseudo:' || c_name) AS name_token,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS acctbal_band
+         FROM customer ORDER BY c_custkey""",
+    "px2_prep_funnel" ->
+      s"""WITH s AS (SELECT lang, text,
+           $qualitySql AS q,
+           len(string_split_regex(trim(text), '\\s+')) AS nt
+         FROM (SELECT lang, text,
+           greatest(length(text), 1)::DOUBLE AS len,
+           (length(text) - length(regexp_replace(text, '[^a-zA-Z ]', '',
+             'g')))::DOUBLE AS nonalpha,
+           (length(text) - length(regexp_replace(text, '[.!?,;:]', '',
+             'g')))::DOUBLE AS punct,
+           len(list_filter(string_split_regex(trim(text), '\\s+'),
+             x -> x IN ('the','a','of','and','is')))::DOUBLE /
+             greatest(len(string_split_regex(trim(text), '\\s+')), 1)
+             AS stop
+           FROM documents)),
+       a AS (SELECT count(*) AS raw,
+           count(CASE WHEN lang = 'en' THEN 1 END) AS lang_en,
+           count(CASE WHEN lang = 'en' AND q >= 0.65 THEN 1 END)
+             AS quality,
+           count(CASE WHEN lang = 'en' AND q >= 0.65 AND nt >= 32
+             THEN 1 END) AS len_pass,
+           count(DISTINCT CASE WHEN lang = 'en' AND q >= 0.65
+             AND nt >= 32 THEN md5(array_to_string(list_sort(
+               list_distinct(string_split_regex(trim(text), '\\s+'))),
+               ' ')) END) AS dedup
+         FROM s)
+       SELECT 1 AS stage_id, 'raw' AS stage, raw AS n_docs FROM a
+       UNION ALL SELECT 2, 'lang_en', lang_en FROM a
+       UNION ALL SELECT 3, 'quality', quality FROM a
+       UNION ALL SELECT 4, 'length', len_pass FROM a
+       UNION ALL SELECT 5, 'dedup', dedup FROM a
+       ORDER BY stage_id"""
+  )
+}

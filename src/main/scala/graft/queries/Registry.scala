@@ -89,7 +89,8 @@ object Registry {
     (StreamingBatch.queries, StreamingBatch.oracle),
     (TrainingData.queries, TrainingData.oracle),
     (Extras.queries, Extras.oracle),
-    (ExtOps.queries, ExtOps.oracle)
+    (ExtOps.queries, ExtOps.oracle),
+    (Pipeline.queries, Pipeline.oracle)
   )
 
   lazy val all: Map[String, Q] = {

@@ -70,6 +70,35 @@ object StreamingBatch {
           .as("session_start"),
           count(lit(1)).as("n_events"))
         .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // Streaming dedup, batch-checkable twin: first event per
+    // (user_id, event_type) via min(struct) — map-side partial agg,
+    // no sort. The streaming form is `EventStream.dedupFirstSeen`
+    // (`dropDuplicatesWithinWatermark`, state bounded by watermark).
+    "st4_stream_dedup" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(struct(col("ts"), col("event_id"))).as("first"))
+        .select(col("user_id"), col("event_type"),
+          col("first.event_id").as("first_event_id"),
+          date_format(col("first.ts"), "yyyy-MM-dd HH:mm:ss")
+            .as("first_ts"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // Stream-static enrichment: events joined to the customer dim
+    // (broadcast — the dim is small and the join is shuffle-free),
+    // aggregated per market segment. Streaming form:
+    // `EventStream.enrich` — stream-static joins need no watermark.
+    "st5_stream_static_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      t(s, dir, "events")
+        .join(broadcast(c), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("c_mktsegment"))
     })
   )
 
@@ -104,6 +133,18 @@ object StreamingBatch {
                SELECT *, lag(ts) OVER (PARTITION BY user_id
                  ORDER BY ts, event_id) AS prev_ts
                FROM events)))
-         GROUP BY user_id, session_id ORDER BY user_id, session_id"""
+         GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "st4_stream_dedup" ->
+      """SELECT user_id, event_type, event_id AS first_event_id,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id,
+             event_type ORDER BY ts, event_id) AS rn
+           FROM events)
+         WHERE rn = 1 ORDER BY user_id, event_type""",
+    "st5_stream_static_join" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+         round(sum(value), 2) AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment"""
   )
 }

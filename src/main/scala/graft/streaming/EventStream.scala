@@ -45,6 +45,26 @@ object EventStream {
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"))
 
+  /** Streaming dedup — first event per (user_id, event_type), the
+    * streaming form of queries.StreamingBatch.st4: state is bounded by
+    * the watermark (keys older than it are evicted), so this runs
+    * forever without unbounded state — exactly the contract a
+    * continuous training-data intake needs.
+    */
+  def dedupFirstSeen(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Stream-static enrichment, the streaming form of st5: the static
+    * dim side is broadcast per micro-batch (re-read each trigger, so a
+    * slowly-changing dim is picked up without restart); no watermark
+    * needed — stream-static joins are stateless.
+    */
+  def enrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim),
+      col("user_id") === col("c_custkey"))
+
   /** Custom keyed state via mapGroupsWithState: running per-user event
     * counter with processing-time timeout — the pattern for state the
     * built-in windows can't express (T4's resume-state analog).

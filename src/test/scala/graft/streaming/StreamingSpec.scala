@@ -118,6 +118,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupFirstSeen keeps only the first (user_id, event_type) " +
+    "occurrence across micro-batches (st4 streaming twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = dedupFirstSeen(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(1), 1, "click", 2.0), // same key, same batch → drop
+        Event(3, ts(2), 2, "view", 3.0))
+      q.processAllAvailable()
+      mem.addData(Event(4, ts(3), 1, "click", 4.0)) // next batch → drop
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream").orderBy("event_id")
+        .collect().map(_.getLong(0))
+      assert(got.toSeq == Seq(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("enrich joins the stream to a static dim without state (st5 " +
+    "streaming twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "AUTOMOBILE"), (2L, "BUILDING"))
+      .toDF("c_custkey", "c_mktsegment")
+    val mem = MemoryStream[Event]
+    val q = enrich(mem.toDF(), dim)
+      .select(col("event_id"), col("c_mktsegment"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(1), 2, "view", 2.0),
+        Event(3, ts(2), 99, "view", 3.0)) // no dim row → inner-dropped
+      q.processAllAvailable()
+      val got = spark.table("enriched").orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(got.toSeq == Seq((1L, "AUTOMOBILE"), (2L, "BUILDING")))
+    } finally q.stop()
+  }
+
   test("mergeSink applies last-write-wins per micro-batch (K5 " +
     "streaming twin); replay-idempotent") {
     implicit val sqlCtx = spark.sqlContext
