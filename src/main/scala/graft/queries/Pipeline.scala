@@ -101,6 +101,60 @@ object Pipeline {
         .orderBy(col("bucket"))
     }),
 
+    // Benchmark decontamination: flag training docs whose 5-gram
+    // overlap with the eval set (here: doc_id < 10 as the stand-in
+    // benchmark) exceeds 50%. The eval gram set is tiny relative to
+    // the corpus — BROADCAST it; the train side then needs no shuffle
+    // until the per-doc count, which is keyed on doc_id (the scan
+    // key). At 100 TB: identical plan, eval grams stay < a few MB.
+    "px3_decontaminate" -> ((s, dir) => {
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TF.wordShingles(col("text"), 5)).as("gram"))
+      val evalGrams = grams.filter(col("doc_id") < 10)
+        .select(col("gram")).distinct().withColumn("hit", lit(1))
+      grams.filter(col("doc_id") >= 10)
+        .join(broadcast(evalGrams), Seq("gram"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
+        .select(col("doc_id"), col("n_grams"), col("n_hit"),
+          round(col("n_hit").cast("double") /
+            col("n_grams").cast("double"), 6).as("contamination"),
+          (col("n_hit").cast("double") / col("n_grams").cast("double")
+            >= 0.5).cast("int").as("flagged"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style repetition/quality rules (Rae et al. 2021 §A1.1
+    // family): mean word length, distinct-token fraction, top-token
+    // dominance — pure per-row Column algebra (the token array is
+    // bound ONCE; the nested frequency count runs inside codegen, no
+    // UDF, no shuffle until the final sort).
+    "tx8_quality_rules" -> ((s, dir) => {
+      val m = TF.bindOnce(TF.tokens(col("text"))) { toks =>
+        val nt = size(toks).cast("double")
+        val meanLen = round(
+          aggregate(toks, lit(0), (a, x) => a + length(x))
+            .cast("double") / nt, 6)
+        val distinctFrac = round(
+          size(array_distinct(toks)).cast("double") / nt, 6)
+        val topFrac = round(
+          array_max(transform(array_distinct(toks),
+            tk => size(filter(toks, x => x === tk))))
+            .cast("double") / nt, 6)
+        struct(size(toks).as("nt"), meanLen.as("mean_word_len"),
+          distinctFrac.as("distinct_frac"), topFrac.as("top_token_frac"))
+      }
+      t(s, dir, "documents").withColumn("m", m)
+        .select(col("doc_id"), col("m.nt").as("n_tokens"),
+          col("m.mean_word_len"), col("m.distinct_frac"),
+          col("m.top_token_frac"),
+          (col("m.distinct_frac") < 0.35).cast("int").as("repetitive"),
+          (col("m.top_token_frac") > 0.15).cast("int").as("dominated"),
+          (col("m.mean_word_len") < 4.0).cast("int").as("short_words"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic anonymization: format-preserving digit masking +
     // salted-hash pseudonym token + value banding. Pure per-row Column
     // algebra — no shuffle, codegen throughout.
@@ -207,6 +261,42 @@ object Pipeline {
          FROM (SELECT len(string_split_regex(trim(text), '\s+')) AS nt
            FROM documents)
          GROUP BY 1 ORDER BY bucket""",
+    "px3_decontaminate" ->
+      """WITH d AS (SELECT doc_id,
+           string_split_regex(trim(regexp_replace(lower(text),
+             '[^a-z0-9]+', ' ', 'g')), '\s+') AS toks
+         FROM documents),
+       g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(toks) - 3),
+           i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+         FROM d),
+       e AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10),
+       tr AS (SELECT g.doc_id, count(*) AS n_grams,
+           count(e.gram) AS n_hit
+         FROM g LEFT JOIN e ON g.gram = e.gram
+         WHERE g.doc_id >= 10 GROUP BY 1)
+       SELECT doc_id, n_grams, n_hit,
+         round(n_hit::DOUBLE / n_grams, 6) AS contamination,
+         CAST(n_hit::DOUBLE / n_grams >= 0.5 AS INT) AS flagged
+       FROM tr ORDER BY doc_id""",
+    "tx8_quality_rules" ->
+      """SELECT doc_id, nt AS n_tokens, mean_word_len, distinct_frac,
+           top_token_frac,
+           CAST(distinct_frac < 0.35 AS INT) AS repetitive,
+           CAST(top_token_frac > 0.15 AS INT) AS dominated,
+           CAST(mean_word_len < 4.0 AS INT) AS short_words
+         FROM (SELECT doc_id, len(toks) AS nt,
+           round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+             / len(toks), 6) AS mean_word_len,
+           round(len(list_distinct(toks))::DOUBLE / len(toks), 6)
+             AS distinct_frac,
+           round(list_max(list_transform(list_distinct(toks),
+             t -> len(list_filter(toks, x -> x = t))))::DOUBLE
+             / len(toks), 6) AS top_token_frac
+           FROM (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS toks
+             FROM documents))
+         ORDER BY doc_id""",
     "px1_pii_mask" ->
       """SELECT c_custkey,
            regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,

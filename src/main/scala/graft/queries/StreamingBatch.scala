@@ -99,6 +99,28 @@ object StreamingBatch {
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value")), 2).as("sum_value"))
         .orderBy(col("c_mktsegment"))
+    }),
+
+    // Stream-stream interval join, batch-checkable twin: purchases by
+    // the same user within 10 minutes after each click. The streaming
+    // form is `EventStream.followupJoin` (two watermarked streams,
+    // time-range join condition bounds the buffered state on both
+    // sides). LEFT join so clicks with no follow-up stay visible.
+    "st6_stream_stream_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("c_uid"), col("ts").as("c_ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_uid"), col("ts").as("p_ts"))
+      clicks.join(purchases,
+          col("c_uid") === col("p_uid") &&
+            col("p_ts") >= col("c_ts") &&
+            col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"),
+          "left")
+        .groupBy(col("click_id"))
+        .agg(count(col("p_uid")).as("n_purchases_10m"))
+        .orderBy(col("click_id"))
     })
   )
 
@@ -145,6 +167,15 @@ object StreamingBatch {
       """SELECT c_mktsegment, count(*) AS n_events,
          round(sum(value), 2) AS sum_value
          FROM events JOIN customer ON user_id = c_custkey
-         GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "st6_stream_stream_join" ->
+      """SELECT c.event_id AS click_id,
+         count(p.user_id) AS n_purchases_10m
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id
+           AND p.ts >= c.ts
+           AND p.ts <= c.ts + INTERVAL 10 MINUTE
+         GROUP BY 1 ORDER BY click_id"""
   )
 }

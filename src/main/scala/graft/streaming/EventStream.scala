@@ -65,6 +65,25 @@ object EventStream {
     events.join(broadcast(dim),
       col("user_id") === col("c_custkey"))
 
+  /** Stream-stream interval join, the streaming form of st6: each
+    * side is watermarked and the join condition carries a time-range
+    * bound, so the engine can evict buffered rows — clicks are held at
+    * most (watermark + 10 min), purchases at most the watermark. The
+    * state never grows unboundedly, which is what makes stream-stream
+    * joins viable on an endless feed.
+    */
+  def followupJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "30 minutes")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("c_uid"), col("ts").as("c_ts"))
+    val p = purchases.withWatermark("ts", "30 minutes")
+      .select(col("user_id").as("p_uid"), col("ts").as("p_ts"))
+    c.join(p,
+      col("c_uid") === col("p_uid") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"))
+  }
+
   /** Custom keyed state via mapGroupsWithState: running per-user event
     * counter with processing-time timeout — the pattern for state the
     * built-in windows can't express (T4's resume-state analog).

@@ -161,6 +161,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("followupJoin pairs clicks with purchases inside the 10-minute " +
+    "window only (st6 streaming twin, stream-stream join)") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = followupJoin(clicks.toDF(), purchases.toDF())
+      .select(col("click_id"), col("p_ts"))
+      .writeStream.format("memory").queryName("followups")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Event(1, ts(0), 7, "click", 1.0))
+      purchases.addData(
+        Event(10, ts(5), 7, "purchase", 9.0), // inside window → joins
+        Event(11, ts(20), 7, "purchase", 9.0), // outside 10 min → no
+        Event(12, ts(5), 8, "purchase", 9.0)) // other user → no
+      q.processAllAvailable()
+      val got = spark.table("followups").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1)))
+      assert(got.toSeq == Seq((1L, ts(5))))
+    } finally q.stop()
+  }
+
   test("mergeSink applies last-write-wins per micro-batch (K5 " +
     "streaming twin); replay-idempotent") {
     implicit val sqlCtx = spark.sqlContext
