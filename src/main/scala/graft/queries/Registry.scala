@@ -90,7 +90,8 @@ object Registry {
     (TrainingData.queries, TrainingData.oracle),
     (Extras.queries, Extras.oracle),
     (ExtOps.queries, ExtOps.oracle),
-    (Pipeline.queries, Pipeline.oracle)
+    (Pipeline.queries, Pipeline.oracle),
+    (Sketches.queries, Sketches.oracle)
   )
 
   lazy val all: Map[String, Q] = {

@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{SimilarityFunctions => SF}
+
+/** Sketch operators — the approximate structures that make 100 TB
+  * queries affordable: HyperLogLog cardinality, quantile sketches,
+  * and a Bloom-filter semi-join. Sketches can't be hash-compared
+  * directly against an exact oracle, so each query emits the EXACT
+  * answer plus a deterministic acceptance flag (estimate within
+  * tolerance / zero false negatives); the oracle expects the exact
+  * value and flag=1 — a drifting sketch flips the flag and fails the
+  * driver's hash compare.
+  *
+  * The Bloom filter is built from PORTABLE md5-60 hashes (not
+  * xxhash64), so the DuckDB oracle replays the full build+probe via
+  * position-set semantics — bit-identical candidate sets.
+  */
+object Sketches {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.Tables.load(s, dir, name)
+
+  /** Bloom bit width (16384 bits = 256 longs): sized so the sf0.01
+    * urgent-custkey set (~1.3k keys, k=2) yields a small but nonzero
+    * false-positive rate — both engines count the same FPs. */
+  private val BloomBits = 16384
+
+  private def bloomPos(salt: String, key: Column): Column =
+    pmod(SF.md5hash60(concat(lit(salt), key.cast("string"))),
+      lit(BloomBits.toLong))
+
+  val queries: Map[String, Q] = Map(
+    // HyperLogLog cardinality (DataSketches HLL): exact distinct count
+    // + flag that the sketch estimate lands within 5%. At scale the
+    // sketch is mergeable across partitions/days (hll_union_agg) —
+    // the property countDistinct lacks.
+    "xs1_hll_distinct" -> ((s, dir) => {
+      t(s, dir, "orders").agg(
+          countDistinct(col("o_custkey")).as("n_exact"),
+          hll_sketch_estimate(hll_sketch_agg(col("o_custkey")))
+            .as("est"))
+        .select(col("n_exact"),
+          (abs(col("est") - col("n_exact")).cast("double") /
+            col("n_exact").cast("double") <= 0.05).cast("int")
+            .as("hll_ok"))
+    }),
+
+    // Quantile sketch: exact interpolated median per return flag +
+    // flag that percentile_approx(accuracy=10000) is within 5% —
+    // the single-pass mergeable path for 100 TB percentiles.
+    "xs2_quantile_sketch" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(percentile(col("l_quantity"), lit(0.5)), 2)
+            .as("p50_exact"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
+            .as("p50_est"))
+        .select(col("l_returnflag"), col("p50_exact"),
+          (abs(col("p50_est") - col("p50_exact")) /
+            col("p50_exact") <= 0.05).cast("int").as("sketch_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Bloom-filter semi-join: build a 16384-bit filter over the
+    // distinct urgent-order custkeys (k=2 portable hashes, bitset =
+    // groupBy word + bit_or — map-side partial agg), broadcast it,
+    // probe every customer. Emits candidate/exact/false-positive
+    // counts and n_missed, which MUST be 0 (Bloom filters cannot have
+    // false negatives — a miss is a bug, and the oracle pins it).
+    "xs3_bloom_join" -> ((s, dir) => {
+      val keys = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("key")).distinct()
+      // build: one row per set bit word — 256 rows max, broadcastable
+      val positions = keys.select(bloomPos("b1:", col("key")).as("pos"))
+        .union(keys.select(bloomPos("b2:", col("key")).as("pos")))
+      val bitset = positions
+        .groupBy((col("pos") / 64).cast("long").as("word"))
+        .agg(bit_or(call_function("shiftleft", lit(1L),
+          pmod(col("pos"), lit(64L)).cast("int"))).as("bits"))
+      val probe = t(s, dir, "customer")
+        .select(col("c_custkey"),
+          bloomPos("b1:", col("c_custkey")).as("h1"),
+          bloomPos("b2:", col("c_custkey")).as("h2"))
+      def hasBit(h: Column, word: Column, bits: Column): Column =
+        word.isNotNull &&
+          call_function("shiftrightunsigned", bits, pmod(h, lit(64L))
+            .cast("int")).bitwiseAND(lit(1L)) === lit(1L)
+      val b1 = bitset.select(col("word").as("w1"), col("bits").as("bits1"))
+      val b2 = bitset.select(col("word").as("w2"), col("bits").as("bits2"))
+      val tested = probe
+        .join(broadcast(b1), (col("h1") / 64).cast("long") === col("w1"),
+          "left")
+        .join(broadcast(b2), (col("h2") / 64).cast("long") === col("w2"),
+          "left")
+        .select(col("c_custkey"),
+          (hasBit(col("h1"), col("w1"), col("bits1")) &&
+            hasBit(col("h2"), col("w2"), col("bits2"))).as("candidate"))
+      val exact = keys.select(col("key").as("c_custkey"))
+        .withColumn("is_exact", lit(1))
+      tested.join(broadcast(exact), Seq("c_custkey"), "left")
+        .agg(count(lit(1)).as("n_probed"),
+          count(when(col("candidate"), 1)).as("n_candidates"),
+          count(col("is_exact")).as("n_exact"),
+          count(when(col("candidate") && col("is_exact").isNull, 1))
+            .as("n_false_pos"),
+          count(when(!col("candidate") && col("is_exact").isNotNull, 1))
+            .as("n_missed"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "xs1_hll_distinct" ->
+      """SELECT count(DISTINCT o_custkey) AS n_exact, 1 AS hll_ok
+         FROM orders""",
+    "xs2_quantile_sketch" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_quantity, 0.5), 2) AS p50_exact,
+         1 AS sketch_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // position-set semantics ≡ the bitset: a probe key is a candidate
+    // iff both its bit positions were set by some build key
+    "xs3_bloom_join" ->
+      """WITH k AS (SELECT DISTINCT o_custkey AS key FROM orders
+           WHERE o_orderpriority = '1-URGENT'),
+       pos AS (
+         SELECT ('0x' || substr(md5('b1:' || CAST(key AS VARCHAR)),
+           1, 15))::BIGINT % 16384 AS p FROM k
+         UNION
+         SELECT ('0x' || substr(md5('b2:' || CAST(key AS VARCHAR)),
+           1, 15))::BIGINT % 16384 FROM k),
+       c AS (SELECT c_custkey,
+           ('0x' || substr(md5('b1:' || CAST(c_custkey AS VARCHAR)),
+             1, 15))::BIGINT % 16384 AS h1,
+           ('0x' || substr(md5('b2:' || CAST(c_custkey AS VARCHAR)),
+             1, 15))::BIGINT % 16384 AS h2
+         FROM customer),
+       tested AS (SELECT c_custkey,
+           (h1 IN (SELECT p FROM pos) AND h2 IN (SELECT p FROM pos))
+             AS candidate,
+           c_custkey IN (SELECT key FROM k) AS is_exact
+         FROM c)
+       SELECT count(*) AS n_probed,
+         count(CASE WHEN candidate THEN 1 END) AS n_candidates,
+         count(CASE WHEN is_exact THEN 1 END) AS n_exact,
+         count(CASE WHEN candidate AND NOT is_exact THEN 1 END)
+           AS n_false_pos,
+         count(CASE WHEN NOT candidate AND is_exact THEN 1 END)
+           AS n_missed
+       FROM tested"""
+  )
+}
