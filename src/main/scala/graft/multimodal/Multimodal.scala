@@ -13,9 +13,12 @@ import org.apache.spark.sql.types._
   * Image metadata decode has a REAL path (JDK ImageIO, header-only —
   * `decodeImages(media, realDecoder = true)`, spec'd against an
   * actual PNG) and a deterministic STUB used by the synthetic harness
-  * whose payloads aren't real media. Audio/video decode and the
-  * vision-embedding body remain clearly-marked DETERMINISTIC FAKES
-  * (no codec/ONNX libraries in this container) — the Spark-side
+  * whose payloads aren't real media. Audio metadata decode is REAL
+  * too: `wavMeta` parses canonical PCM WAV (RIFF) headers in pure
+  * Column algebra (spec'd against a ByteBuffer-built header; oracle
+  * round-trip in `mm2_wav_metadata`). Video demux/sample decode and
+  * the vision-embedding body remain clearly-marked DETERMINISTIC
+  * FAKES (no codec/ONNX libraries in this container) — the Spark-side
   * plumbing (schema, batch shape, partitioning, metadata contract) is
   * real and tested; swapping in JavaCV/ONNX replaces only the bodies
   * marked STUB.
@@ -169,6 +172,74 @@ object Multimodal {
           .filter(_._2 % everyK == 0)
           .map { case (frame, idx) => (id, idx, frame) }
       }.toDF("media_id", "frame_index", "frame_payload")
+  }
+
+  import org.apache.spark.sql.Column
+
+  /** Little-endian unsigned int read from a binary column: byte-wise
+    * hex → conv — stays in codegen, no UDF. `off` is 1-based. */
+  private def leUInt(payload: Column, off: Int, n: Int): Column =
+    (0 until n).map(i =>
+      conv(hex(substring(payload, off + i, 1)), 16, 10).cast("long") *
+        lit(1L << (8 * i)))
+      .reduce(_ + _)
+
+  /** Little-endian byte encoding of a non-negative int column —
+    * the inverse of leUInt, for building binary headers in-plan. */
+  def leBytes(v: Column, n: Int): Column =
+    unhex(concat((0 until n).map(i =>
+      lpad(hex(pmod(shiftright(v, 8 * i), lit(256))), 2, "0")): _*))
+
+  private def ascii(payload: Column, off: Int, n: Int): Column =
+    decode(substring(payload, off, n), "UTF-8")
+
+  /** REAL audio metadata decode: canonical 44-byte PCM WAV (RIFF)
+    * headers parsed with pure Column algebra — format/channels/rate/
+    * bits/data size/duration from fixed little-endian offsets
+    * (RIFF1991 spec layout). No codec library involved, nothing
+    * stubbed; non-WAV or non-canonical payloads yield a null struct
+    * (scrapes contain garbage — never fail the task). Pixel-data-free
+    * like the ImageIO path: cost is O(header) per blob and the
+    * expression stays inside whole-stage codegen.
+    */
+  def wavMeta(payload: Column): Column = {
+    val isWav = ascii(payload, 1, 4) === "RIFF" &&
+      ascii(payload, 9, 4) === "WAVE" &&
+      ascii(payload, 13, 4) === "fmt " &&
+      ascii(payload, 37, 4) === "data" &&
+      octet_length(payload) >= 44
+    val channels = leUInt(payload, 23, 2)
+    val rate = leUInt(payload, 25, 4)
+    val bits = leUInt(payload, 35, 2)
+    val dataBytes = leUInt(payload, 41, 4)
+    val byteRate = leUInt(payload, 29, 4)
+    val meta = struct(
+      leUInt(payload, 21, 2).as("audio_format"),
+      channels.as("channels"), rate.as("sample_rate"),
+      bits.as("bits_per_sample"), dataBytes.as("data_bytes"),
+      floor((dataBytes * 1000).cast("double") / byteRate).cast("long")
+        .as("duration_ms"))
+    // `when` without `otherwise` yields NULL of the branch type — no
+    // need to spell the struct type (Column.expr is private[sql])
+    when(isWav, meta)
+  }
+
+  /** Build a canonical 44-byte PCM WAV header in-plan (binary concat
+    * of magics + little-endian fields) — the synthesis twin of
+    * `wavMeta`, used by the round-trip oracle query and as the binary
+    * envelope for synthetic audio payloads.
+    */
+  def wavHeader(channels: Column, sampleRate: Column, bits: Column,
+      dataBytes: Column): Column = {
+    val byteRate = sampleRate * channels * bits / lit(8)
+    val blockAlign = channels * bits / lit(8)
+    concat(
+      lit("RIFF".getBytes("UTF-8")), leBytes(dataBytes + 36, 4),
+      lit("WAVEfmt ".getBytes("UTF-8")), leBytes(lit(16), 4),
+      leBytes(lit(1), 2), leBytes(channels, 2),
+      leBytes(sampleRate, 4), leBytes(byteRate.cast("long"), 4),
+      leBytes(blockAlign.cast("long"), 2), leBytes(bits, 2),
+      lit("data".getBytes("UTF-8")), leBytes(dataBytes, 4))
   }
 
   /** Build a media table from any (id, text) source — the harness

@@ -155,6 +155,28 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL WAV header round-trip: build canonical PCM RIFF headers
+    // in-plan from table values (binary concat + little-endian
+    // encode), then parse them back with the real header decoder —
+    // field-for-field. The oracle computes the same fields straight
+    // from the table, so a decode bug anywhere (offsets, endianness,
+    // magic checks, duration math) breaks the hash compare.
+    "mm2_wav_metadata" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val ch = (lit(1) + pmod(col("doc_id"), lit(2))).cast("long")
+      val rate = (lit(8000) + pmod(col("doc_id"), lit(5)) * 4000)
+        .cast("long")
+      val bits = lit(16L)
+      val payload = Multimodal.wavHeader(ch, rate, bits, col("n_chars"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.wavMeta(payload).as("m"))
+        .select(col("doc_id"), col("m.audio_format"), col("m.channels"),
+          col("m.sample_rate"), col("m.bits_per_sample"),
+          col("m.data_bytes"), col("m.duration_ms"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic anonymization: format-preserving digit masking +
     // salted-hash pseudonym token + value banding. Pure per-row Column
     // algebra — no shuffle, codegen throughout.
@@ -297,6 +319,17 @@ object Pipeline {
              string_split_regex(trim(text), '\s+') AS toks
              FROM documents))
          ORDER BY doc_id""",
+    // mirrors the header-construction formulas; duration =
+    // data*1000 // byte_rate with byte_rate = rate*ch*16/8
+    "mm2_wav_metadata" ->
+      """SELECT doc_id, 1 AS audio_format,
+           (1 + doc_id % 2) AS channels,
+           (8000 + (doc_id % 5) * 4000) AS sample_rate,
+           16 AS bits_per_sample,
+           n_chars AS data_bytes,
+           (n_chars * 1000) // ((8000 + (doc_id % 5) * 4000) *
+             (1 + doc_id % 2) * 2) AS duration_ms
+         FROM documents ORDER BY doc_id""",
     "px1_pii_mask" ->
       """SELECT c_custkey,
            regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,

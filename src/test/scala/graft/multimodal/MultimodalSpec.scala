@@ -28,6 +28,42 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.map(_.getLong(3)).distinct.length == rows.length)
   }
 
+  test("wavMeta parses a REAL PCM WAV header built with ByteBuffer " +
+    "(independent of the in-plan encoder), rejects garbage") {
+    // canonical 44-byte header: stereo, 44100 Hz, 16-bit, 1 s of data
+    val bb = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val dataBytes = 44100 * 2 * 2
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataBytes)
+    bb.put("WAVE".getBytes); bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(2); bb.putInt(44100)
+    bb.putInt(44100 * 2 * 2); bb.putShort(4); bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(dataBytes)
+    val rows = Seq((1L, bb.array()), (2L, "not a wav at all".getBytes))
+      .toDF("id", "payload")
+      .select(col("id"), Multimodal.wavMeta(col("payload")).as("m"))
+      .orderBy("id").collect()
+    val m = rows.head.getStruct(1)
+    assert(m.getLong(0) == 1L)      // PCM
+    assert(m.getLong(1) == 2L)      // channels
+    assert(m.getLong(2) == 44100L)  // sample rate
+    assert(m.getLong(3) == 16L)     // bits
+    assert(m.getLong(4) == dataBytes.toLong)
+    assert(m.getLong(5) == 1000L)   // duration
+    assert(rows(1).isNullAt(1), "garbage payload must decode to null")
+  }
+
+  test("wavHeader → wavMeta round-trips every field") {
+    val meta = Seq((3L, 180000L)).toDF("id", "n")
+      .select(Multimodal.wavMeta(Multimodal.wavHeader(
+        lit(1L), lit(16000L), lit(16L), col("n"))).as("m"))
+      .collect().head.getStruct(0)
+    assert(meta.getLong(1) == 1L && meta.getLong(2) == 16000L)
+    assert(meta.getLong(4) == 180000L)
+    // 180000 bytes / (16000 Hz * 1 ch * 2 B) = 5.625 s
+    assert(meta.getLong(5) == 5625L)
+  }
+
   test("decodeImages drops the payload, returns typed metadata, " +
     "and is deterministic") {
     val d1 = Multimodal.decodeImages(media).orderBy("media_id").collect()
