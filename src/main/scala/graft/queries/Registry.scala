@@ -91,7 +91,8 @@ object Registry {
     (Extras.queries, Extras.oracle),
     (ExtOps.queries, ExtOps.oracle),
     (Pipeline.queries, Pipeline.oracle),
-    (Sketches.queries, Sketches.oracle)
+    (Sketches.queries, Sketches.oracle),
+    (TimeSeries.queries, TimeSeries.oracle)
   )
 
   lazy val all: Map[String, Q] = {

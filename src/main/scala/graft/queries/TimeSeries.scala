@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators over the events table: gap-filled resampling
+  * with last-observation-carried-forward, and range-based (time-
+  * interval) rolling windows — the two shapes BI/feature pipelines
+  * need that plain row-frame windows (W1-W4) can't express.
+  *
+  * Scale: the spine join and the LOCF window both partition on
+  * user_id — one shuffle, reused by both steps; the rolling window
+  * sorts within user partitions only (no global sort until the
+  * deterministic output ORDER BY).
+  */
+object TimeSeries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.Tables.load(s, dir, name)
+
+  val queries: Map[String, Q] = Map(
+    // Hourly resample + LOCF: build each user's hour spine (min..max),
+    // take the last value per present hour (max(struct) — partial agg,
+    // no sort), left-join the spine, carry the last non-null forward.
+    "ts1_resample_locf" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val hourly = e
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .agg(max(struct(col("ts"), col("event_id"), col("value")))
+          .as("last"))
+        .select(col("user_id"), col("h"),
+          round(col("last.value"), 2).as("v"))
+      val spine = e.groupBy(col("user_id"))
+        .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"),
+            expr("INTERVAL 1 HOUR"))).as("h"))
+      val locf = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, Seq("user_id", "h"), "left")
+        .withColumn("value_locf",
+          last(col("v"), ignoreNulls = true).over(locf))
+        .select(col("user_id"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("value_locf"), col("v").isNull.cast("int").as("filled"))
+        .orderBy(col("user_id"), col("hour"))
+    }),
+
+    // Range-frame rolling aggregates: count + avg of each user's
+    // events in the hour BEFORE each event (inclusive), keyed on
+    // epoch microseconds so both engines bound the frame identically
+    // (events carry sub-second components; never range over seconds).
+    "ts2_rolling_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      // values are exact 2-decimal — sum in integer cents so the
+      // sliding-frame accumulation is EXACT (a float running sum with
+      // add/remove drifts by ulps; and round() on the exact-half
+      // quotients of an avg disagrees between engines — Spark rounds
+      // the decimal string, DuckDB the binary double — so emit the
+      // exact sum, not a rounded average)
+      t(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          (sum(col("cents")).over(w).cast("double") / 100.0)
+            .as("sum_1h"))
+        .orderBy(col("event_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ts1_resample_locf" ->
+      """WITH hourly AS (
+           SELECT user_id, h, round(value, 2) AS v FROM (
+             SELECT user_id, date_trunc('hour', ts) AS h, value,
+               row_number() OVER (PARTITION BY user_id,
+                 date_trunc('hour', ts)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events) WHERE rn = 1),
+         bounds AS (SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1
+           FROM events GROUP BY 1),
+         spine AS (SELECT user_id, unnest(generate_series(h0, h1,
+             INTERVAL 1 HOUR)) AS h FROM bounds)
+         SELECT s.user_id,
+           strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour,
+           last_value(v IGNORE NULLS) OVER (PARTITION BY s.user_id
+             ORDER BY s.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS value_locf,
+           CAST(v IS NULL AS INT) AS filled
+         FROM spine s LEFT JOIN hourly USING (user_id, h)
+         ORDER BY user_id, hour""",
+    "ts2_rolling_window" ->
+      """SELECT event_id, user_id,
+         count(*) OVER w AS n_1h,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+             AS BIGINT) / 100.0 AS sum_1h
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id"""
+  )
+}
