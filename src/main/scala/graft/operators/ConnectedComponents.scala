@@ -38,7 +38,8 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint(true)
 
-    var labels = vertices.select(col("id"), col("id").as("comp"))
+    var labels = vertices.select(col("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
       .localCheckpoint(true)
     var changed = 1L
     var i = 0
