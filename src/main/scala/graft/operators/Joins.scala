@@ -60,6 +60,51 @@ object Joins {
       .withColumnRenamed("__ts", leftTs)
   }
 
+  /** Native as-of (backward) join via the custom plan
+    * (`graft.plans.AsOfJoinNode` → `AsOfJoinExec`): same semantics as
+    * `asofBackward` (latest right with `right.ts <= left.ts` per key,
+    * ties visible), but executed as a single merge scan over
+    * co-partitioned sorted children — no union, no window buffer.
+    * Requires the session to carry `GraftExtensions` (GraftSession
+    * does) and 64-bit key/time columns (long / timestamp); right
+    * payload column names must not collide with left columns.
+    */
+  def asofNative(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val lp = left.queryExecution.analyzed
+    // re-alias the right side with FRESH exprIds: when both inputs
+    // derive from the same relation (self-as-of), the analyzer's
+    // DeduplicateRelations rewrites the right branch's duplicate
+    // attribute ids but cannot remap them inside a custom node — so
+    // the node must only reference ids that are never ambiguous
+    val rp0 = right.queryExecution.analyzed
+    val rAliases = rp0.output.map(a => Alias(a, a.name)())
+    val rp = Project(rAliases, rp0)
+    val rOut = rAliases.map(_.toAttribute)
+    def lattr(name: String) = lp.output.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"column $name not found in ${lp.output.map(_.name)}"))
+    def rattr(name: String) = rOut.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"column $name not found in ${rOut.map(_.name)}"))
+    val ok = Set[org.apache.spark.sql.types.DataType](LongType,
+      TimestampType)
+    Seq(lattr(key), rattr(key), lattr(leftTs), rattr(rightTs))
+      .foreach(a => require(ok.contains(a.dataType),
+        s"asofNative needs long/timestamp key+time, ${a.name} is " +
+          a.dataType.simpleString))
+    require(!payload.exists(left.columns.contains),
+      "right payload names must not collide with left columns")
+    GraftColumnBridge.ofRows(left.sparkSession,
+      graft.plans.AsOfJoinNode(lp, rp, lattr(key), rattr(key),
+        lattr(leftTs), rattr(rightTs), payload.map(rattr)))
+  }
+
   /** Skew-safe equi join: salt the skewed (big) side into
     * `saltFactor` sub-keys and explode the small side across all
     * salts, so one hot key spreads over `saltFactor` reducers. Use

@@ -33,6 +33,25 @@ object ExtOps {
         .orderBy(col("event_id"))
     }),
 
+    // The NATIVE as-of join (custom LogicalPlan + Strategy +
+    // merge-scan SparkPlan, planned via GraftExtensions) on the same
+    // inputs and oracle as xj1 — the driver checks the custom
+    // operator's results bit-for-bit against DuckDB's ASOF LEFT JOIN.
+    "xj3_asof_native" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("s_ts"),
+          round(col("value"), 6).as("signup_value"))
+      Joins.asofNative(purchases, signups, "user_id", "ts", "s_ts",
+        Seq("signup_value"))
+        .select(col("event_id"), col("user_id"),
+          date_trunc("second", col("ts")).as("ts_sec"),
+          col("signup_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // Salted join must be result-identical to the plain join — the
     // oracle is the UNSALTED SQL, so correctness of the salting is
     // what's checked.
@@ -129,6 +148,22 @@ object ExtOps {
           col("l_linestatus").asc_nulls_first)
     }),
 
+    // UNPIVOT / melt (wide → long), the inverse of the A1 pivot —
+    // the Dataset.unpivot API compiles to a single Expand, one scan,
+    // no shuffle until the output sort.
+    "xa5_unpivot" -> ((s, dir) => {
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("quantity"),
+          col("l_extendedprice").as("extendedprice"),
+          col("l_discount").as("discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity"), col("extendedprice"), col("discount")),
+          "measure", "val")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+    }),
+
     // Custom Aggregator: ordered GROUP_CONCAT via typed
     // Aggregator/udaf (string sort keys; timestamps serialize to
     // ISO so lexicographic == chronological).
@@ -189,6 +224,18 @@ object ExtOps {
              FROM events WHERE event_type = 'signup') s
            ON p.user_id = s.user_id AND p.ts >= s.ts
          ORDER BY p.event_id""",
+    // identical oracle to xj1 — the native exec must reproduce the
+    // composed union+window plan's answer exactly
+    "xj3_asof_native" ->
+      """SELECT p.event_id, p.user_id,
+         date_trunc('second', p.ts) AS ts_sec, s.signup_value
+         FROM (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT user_id, ts,
+               round(value, 6) AS signup_value
+             FROM events WHERE event_type = 'signup') s
+           ON p.user_id = s.user_id AND p.ts >= s.ts
+         ORDER BY p.event_id""",
     "xj2_salted_join" ->
       """SELECT s_name, count(*) AS n_lines,
          round(sum(l_quantity), 2) AS sum_qty
@@ -209,6 +256,16 @@ object ExtOps {
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
          ORDER BY gid, l_returnflag NULLS FIRST,
            l_linestatus NULLS FIRST""",
+    "xa5_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, val FROM (
+           SELECT l_orderkey, l_linenumber,
+             l_quantity AS quantity,
+             l_extendedprice AS extendedprice,
+             l_discount AS discount
+           FROM lineitem WHERE l_orderkey < 100)
+         UNPIVOT (val FOR measure IN (quantity, extendedprice,
+           discount))
+         ORDER BY l_orderkey, l_linenumber, measure""",
     "xa4_cube" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows,

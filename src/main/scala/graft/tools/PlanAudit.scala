@@ -20,7 +20,9 @@ object PlanAudit {
       "flagship_report", "p3_eq_filter", "j1_left_join_dim",
       "a1_pivot_max_case", "a5_first_per_key", "w4_topk_limit",
       "dd2_minhash_lsh", "dd3_ngram_jaccard", "ann1_cosine_topk",
-      "ann2_lsh_ann", "ann3_ivf_ann", "j12_master_doc_join")
+      "ann2_lsh_ann", "ann3_ivf_ann", "j12_master_doc_join",
+      "dd6_dedup_clusters", "px3_decontaminate", "xj3_asof_native",
+      "ts1_resample_locf", "xs3_bloom_join")
     names.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(

@@ -14,4 +14,12 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** DataFrame from a custom LogicalPlan (`Dataset.ofRows` is
+    * `private[sql]` in Spark 4) — the entry point for custom logical
+    * operators like `graft.plans.AsOfJoinNode`. */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

@@ -19,6 +19,10 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same extension set as GraftSession: native expressions + the
+      // AsOfJoin planner strategy
+      .config("spark.sql.extensions",
+        "graft.expressions.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
