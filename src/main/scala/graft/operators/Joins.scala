@@ -122,4 +122,39 @@ object Joins {
     saltedBig.join(saltedSmall, keys :+ "__salt", joinType)
       .drop("__salt")
   }
+
+  /** Binned (bucketed) range join: match each point row to every
+    * interval row whose [start, end] contains it, WITHOUT the O(n·m)
+    * cross product a naive `BETWEEN` theta-join plans. Both sides map
+    * their time axis onto integer bins of `binWidth` (same unit as
+    * `binOf`'s output): each point lands in exactly ONE bin; each
+    * interval is exploded to every bin it overlaps. The join is then a
+    * plain equi-join on the bin (shuffle-partitionable, AQE-skew-
+    * handled) followed by the exact containment filter. No distinct
+    * needed — a point's unique bin means each (interval, point) pair
+    * is produced at most once.
+    *
+    * Scale: cost is |points| + Σ interval_bins instead of |points| ×
+    * |intervals|; pick `binWidth` near the median interval length so
+    * most intervals explode to ≤ 2 bins. Skewed bins (a hot day)
+    * split further under AQE.
+    *
+    * `binOf` maps a time column to a LONG axis position (e.g.
+    * `datediff(c, lit("1992-01-01"))` for day resolution); it must be
+    * monotone non-decreasing in the time value.
+    */
+  def rangeJoinBinned(points: DataFrame, pointTs: String,
+      intervals: DataFrame, startTs: String, endTs: String,
+      binOf: Column => Column, binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val shared = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(shared.isEmpty,
+      s"point/interval column names must be disjoint, both have: $shared")
+    val bin = (c: Column) => floor(binOf(c).cast("long") / binWidth)
+    val p = points.withColumn("__bin", bin(col(pointTs)))
+    val iv = intervals.withColumn("__bin",
+      explode(sequence(bin(col(startTs)), bin(col(endTs)))))
+    p.join(iv, Seq("__bin")).drop("__bin")
+      .filter(col(pointTs) >= col(startTs) && col(pointTs) <= col(endTs))
+  }
 }

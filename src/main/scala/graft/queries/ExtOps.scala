@@ -66,6 +66,26 @@ object ExtOps {
         .orderBy(col("s_name"))
     }),
 
+    // Binned range join: ship events (points) against variable-length
+    // order windows (intervals) — the naive BETWEEN theta-join is an
+    // O(n·m) BroadcastNestedLoop; rangeJoinBinned turns it into an
+    // equi-join on 32-day bins + exact containment filter. The oracle
+    // IS the naive inequality join, so the binning must be lossless.
+    "xj4_range_join" -> ((s, dir) => {
+      val iv = t(s, dir, "orders").filter(col("o_orderkey") < 100)
+        .select(col("o_orderkey"), col("o_orderdate").as("start_ts"),
+          expr("o_orderdate + make_interval(0, 0, 0, " +
+            "CAST(o_orderkey % 30 + 1 AS INT))").as("end_ts"))
+      val pts = t(s, dir, "lineitem")
+        .select(col("l_shipdate"), col("l_quantity"))
+      Joins.rangeJoinBinned(pts, "l_shipdate", iv, "start_ts", "end_ts",
+          c => datediff(c, lit("1992-01-01")), binWidth = 32L)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_pts"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // IVF-style ANN (the second scale path besides LSH buckets): the
     // label column stands in for k-means cell assignments, centroids
     // are elementwise means per cell, queries probe the top-2 cells by
@@ -241,6 +261,15 @@ object ExtOps {
          round(sum(l_quantity), 2) AS sum_qty
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          GROUP BY s_name ORDER BY s_name""",
+    "xj4_range_join" ->
+      """SELECT o_orderkey, count(*) AS n_pts,
+         round(sum(l_quantity), 2) AS sum_qty
+         FROM orders o JOIN lineitem l
+           ON l.l_shipdate >= o.o_orderdate
+           AND l.l_shipdate <= o.o_orderdate
+             + to_days(CAST(o.o_orderkey % 30 + 1 AS INT))
+         WHERE o.o_orderkey < 100
+         GROUP BY o_orderkey ORDER BY o_orderkey""",
     "xa2_rollup" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows,

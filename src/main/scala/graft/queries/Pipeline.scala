@@ -101,6 +101,25 @@ object Pipeline {
         .orderBy(col("bucket"))
     }),
 
+    // Sequence packing (concatenate-and-split): assign every doc a
+    // (pack_id, offset) in fixed 2048-token training packs, in a
+    // deterministic hash order. The running token total comes from
+    // operators.PrefixSum — a two-pass distributed prefix sum (range
+    // partition → per-partition subtotals → broadcast offsets), NOT a
+    // partition-less window, which would serialize 100 TB through one
+    // task. Result is provably independent of partition boundaries.
+    "px4_pack_sequences" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h"),
+          TF.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.PrefixSum
+        .withRunningSum(d, Seq("h", "doc_id"), "n_tokens", "cum")
+        .select(col("doc_id"), col("n_tokens"),
+          expr("(cum - n_tokens) div 2048").as("pack_id"),
+          expr("(cum - n_tokens) % 2048").as("pack_offset"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Benchmark decontamination: flag training docs whose 5-gram
     // overlap with the eval set (here: doc_id < 10 as the stand-in
     // benchmark) exceeds 50%. The eval gram set is tiny relative to
@@ -283,6 +302,22 @@ object Pipeline {
          FROM (SELECT len(string_split_regex(trim(text), '\s+')) AS nt
            FROM documents)
          GROUP BY 1 ORDER BY bucket""",
+    // the oracle computes the same running sum with a plain window —
+    // the distributed two-pass result must be bit-identical
+    "px4_pack_sequences" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h,
+           len(string_split_regex(trim(text), '\s+'))::BIGINT
+             AS n_tokens
+         FROM documents),
+       c AS (SELECT doc_id, n_tokens,
+           CAST(sum(n_tokens) OVER (ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum
+         FROM d)
+       SELECT doc_id, n_tokens,
+         (cum - n_tokens) // 2048 AS pack_id,
+         (cum - n_tokens) % 2048 AS pack_offset
+       FROM c ORDER BY doc_id""",
     "px3_decontaminate" ->
       """WITH d AS (SELECT doc_id,
            string_split_regex(trim(regexp_replace(lower(text),

@@ -110,6 +110,34 @@ object Sketches {
             .as("n_false_pos"),
           count(when(!col("candidate") && col("is_exact").isNotNull, 1))
             .as("n_missed"))
+    }),
+
+    // Two-pass heavy hitters: pass 1 is a Misra-Gries sketch (typed
+    // Aggregator, capacity 15, O(k) memory, mergeable map-side like
+    // any partial agg) whose candidate set provably SUPERSETS every
+    // key with frequency > n/16; pass 2 broadcast-semi-joins the ≤15
+    // candidates and counts them EXACTLY, so the output is the exact
+    // heavy-hitter set regardless of sketch noise — the shape that
+    // replaces a full 100 TB groupBy with one O(k) scan + one
+    // filtered count. The key is a deterministically skewed domain
+    // extraction (3 hot keys ≈ 10% of rows each, the rest ~0.7%).
+    "xs4_heavy_hitters" -> ((s, dir) => {
+      val key = when(col("user_id") % 10 < 3,
+          concat(lit("hot_"), (col("user_id") % 3).cast("string")))
+        .otherwise(concat(lit("u_"), col("user_id").cast("string")))
+      val keyed = t(s, dir, "events").select(key.as("key"))
+      val sketch = keyed.agg(
+        graft.functions.MisraGries(col("key"), 15).as("mg"),
+        count(lit(1)).as("n"))
+      val cand = sketch.select(
+        explode(map_keys(col("mg"))).as("key"), col("n"))
+      keyed.join(broadcast(cand.select("key")), Seq("key"), "left_semi")
+        .groupBy(col("key")).agg(count(lit(1)).as("freq"))
+        .join(broadcast(cand), Seq("key"))
+        .filter(col("freq").cast("double") >
+          col("n").cast("double") / 16.0)
+        .select(col("key"), col("freq"))
+        .orderBy(col("key"))
     })
   )
 
@@ -151,6 +179,19 @@ object Sketches {
            AS n_false_pos,
          count(CASE WHEN NOT candidate AND is_exact THEN 1 END)
            AS n_missed
-       FROM tested"""
+       FROM tested""",
+    // exact heavy hitters — the sketch pass may only change HOW the
+    // answer is found, never the answer itself
+    "xs4_heavy_hitters" ->
+      """WITH keyed AS (
+           SELECT CASE WHEN user_id % 10 < 3
+             THEN 'hot_' || CAST(user_id % 3 AS VARCHAR)
+             ELSE 'u_' || CAST(user_id AS VARCHAR) END AS key
+           FROM events),
+         tot AS (SELECT count(*) AS n FROM keyed)
+         SELECT key, count(*) AS freq
+         FROM keyed, tot GROUP BY key, n
+         HAVING count(*) > n / 16.0
+         ORDER BY key"""
   )
 }

@@ -70,6 +70,38 @@ object TimeSeries {
           (sum(col("cents")).over(w).cast("double") / 100.0)
             .as("sum_1h"))
         .orderBy(col("event_id"))
+    }),
+
+    // Gap-based batch sessionization (the batch twin of st3's
+    // streaming session_window): a new session starts when the gap
+    // since the user's previous event exceeds 4 hours; session_id =
+    // running count of session starts. Both windows share ONE
+    // partition-sort on (user_id, ts) — Spark plans a single
+    // Exchange+Sort for the lag and the cumulative sum. At 100 TB
+    // this is the canonical "one shuffle, two window passes" shape.
+    "ts3_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val e = t(s, dir, "events")
+        .withColumn("gap_s",
+          unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1)
+            .over(byUser))
+        .withColumn("new_session",
+          (col("gap_s").isNull || col("gap_s") > 4L * 3600 * 1000000L)
+            .cast("long"))
+        .withColumn("session_id", sum(col("new_session"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+      e.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          // integer seconds (div truncates; both durations are >= 0 so
+          // it agrees with DuckDB's floor //) — a double quotient here
+          // would hash-compare floats
+          expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000")
+            .as("duration_s"))
+        .orderBy(col("user_id"), col("session_id"))
     })
   )
 
@@ -104,6 +136,28 @@ object TimeSeries {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-         ORDER BY event_id"""
+         ORDER BY event_id""",
+    "ts3_sessionize" ->
+      """WITH marked AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                  > 14400000000::BIGINT THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+           FROM marked)
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+             AS duration_s
+         FROM sess GROUP BY user_id, session_id
+         ORDER BY user_id, session_id"""
   )
 }

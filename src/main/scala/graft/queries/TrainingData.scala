@@ -245,6 +245,81 @@ object TrainingData {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
+    // Fuzzy near-dup via edit distance with prefix blocking: candidate
+    // pairs share (lang, 16-char prefix) and are within 20 chars in
+    // length — an equi-join on the block key, NOT an O(n²) distance
+    // matrix — then exact Levenshtein verifies. The oracle replays the
+    // identical blocking + distance, so blocking and verification are
+    // both checked. At 100 TB the block key shuffles like any join
+    // key; prefix blocking catches same-head edits, and pairing it
+    // with dd2/dd4 (which catch edits anywhere) covers the rest.
+    "dd8_fuzzy_edit" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
+          substring(col("text"), 1, 16).as("blk"))
+      d.as("a").join(d.as("b"),
+          col("a.lang") === col("b.lang") &&
+            col("a.blk") === col("b.blk") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            abs(col("a.n_chars") - col("b.n_chars")) <= 20)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          levenshtein(col("a.text"), col("b.text")).cast("long")
+            .as("edit_dist"))
+        .filter(col("edit_dist") <= 8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Context-window chunking: split each doc into 64-token windows
+    // every 48 tokens (16-token overlap) — the chunking step of a
+    // RAG/pretraining pipeline. One narrow projection + explode, no
+    // shuffle until the output sort; chunk text is fingerprinted, not
+    // materialized, so the shuffled bytes stay small.
+    "tx6_chunk_windows" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")))
+        .filter(col("n") > 0)
+      d.select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), col("n") - 1, lit(48))).as("start"))
+        .select(col("doc_id"),
+          (col("start") / 48).cast("long").as("chunk_id"),
+          size(slice(col("toks"), col("start") + 1, lit(64)))
+            .cast("long").as("n_tokens"),
+          md5(array_join(slice(col("toks"), col("start") + 1, lit(64)),
+            " ")).as("chunk_fp"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // TF-IDF keyword extraction: top-3 terms per doc. The idf factor
+    // is the RATIONAL n_docs/df (not ln) so the ranking key is an
+    // exact IEEE quotient both engines compute bit-identically —
+    // log-scaled idf only reorders monotonically, and transcendental
+    // libm differences would make the oracle flaky. df is a distinct
+    // postings agg; n_docs a 1-row broadcast.
+    "tx9_tfidf" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 200)
+      val terms = d.select(col("doc_id"),
+        explode(TF.tokens(lower(col("text")))).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = terms.distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // count docs from `terms` (not `d`) so a null-text doc can't
+      // skew n_docs on one side only
+      val total = terms.agg(countDistinct(col("doc_id")).as("n_docs"))
+      val scored = tf.join(df, Seq("term"))
+        .crossJoin(broadcast(total))
+        .withColumn("score",
+          col("tf") * (col("n_docs").cast("double") / col("df")))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+          col("df"), round(col("score"), 6).as("tfidf_lin"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
     // ---- similarity search --------------------------------------------
     // Brute-force cosine top-k (the exactness baseline): 5 query
     // vectors against the full corpus, rank on ROUNDED cosine + vec_id
@@ -442,6 +517,50 @@ object TrainingData {
          JOIN counts cb ON cb.doc_id = doc_b
          WHERE round(ni::DOUBLE / (ca.n + cb.n - ni), 6) >= 0.3
          ORDER BY doc_a, doc_b""",
+      // identical blocking (lang + 16-char prefix + length band) and
+      // identical Levenshtein — the oracle replays the whole pipeline
+      "dd8_fuzzy_edit" ->
+        """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.text, b.text)::BIGINT AS edit_dist
+           FROM documents a JOIN documents b
+             ON a.lang = b.lang
+             AND substr(a.text, 1, 16) = substr(b.text, 1, 16)
+             AND a.doc_id < b.doc_id
+             AND abs(a.n_chars - b.n_chars) <= 20
+           WHERE levenshtein(a.text, b.text) <= 8
+           ORDER BY doc_a, doc_b""",
+      "tx6_chunk_windows" ->
+        """WITH d AS (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS toks
+           FROM documents WHERE len(string_split_regex(trim(text),
+             '\s+')) > 0),
+         s AS (SELECT doc_id, toks,
+             unnest(generate_series(0, len(toks) - 1, 48)) AS start
+           FROM d)
+         SELECT doc_id, start // 48 AS chunk_id,
+           len(toks[start+1 : least(start+64, len(toks))])::BIGINT
+             AS n_tokens,
+           md5(array_to_string(
+             toks[start+1 : least(start+64, len(toks))], ' '))
+             AS chunk_fp
+         FROM s ORDER BY doc_id, chunk_id""",
+      "tx9_tfidf" ->
+        """WITH terms AS (SELECT doc_id, unnest(string_split_regex(
+             trim(lower(text)), '\s+')) AS term
+           FROM documents WHERE doc_id < 200),
+         tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM terms GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM (
+             SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+         tot AS (SELECT count(DISTINCT doc_id) AS n_docs FROM terms),
+         scored AS (SELECT doc_id, term, tf, df,
+             tf * (n_docs::DOUBLE / df) AS score
+           FROM tf JOIN df USING (term) CROSS JOIN tot)
+         SELECT doc_id, rank, term, tf, df,
+           round(score, 6) AS tfidf_lin FROM (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, term) AS rank FROM scored)
+         WHERE rank <= 3 ORDER BY doc_id, rank""",
       // ann2's arithmetic hyperplanes are a fixed weight pattern, so
       // the oracle recomputes the buckets (1-based list index d here
       // maps to the 0-based dim d-1 in the Spark side) and replays the

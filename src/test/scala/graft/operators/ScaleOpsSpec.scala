@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-5 scale operators: the distributed prefix
+  * sum (PrefixSum), the binned range join (Joins.rangeJoinBinned), and
+  * the Misra-Gries heavy-hitter sketch (functions.MisraGries).
+  */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("PrefixSum equals a single-partition window cumsum, at any partitioning") {
+    val df = (1 to 500).map(i => (i.toLong, (i * 37 % 101).toLong))
+      .toDF("k", "v")
+    val expected = df
+      .withColumn("cum", sum($"v").over(
+        Window.orderBy($"k")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy($"k").collect().map(r => (r.getLong(0), r.getLong(2)))
+    for (parts <- Seq(1, 3, 16)) {
+      val got = PrefixSum
+        .withRunningSum(df.repartition(parts), Seq("k"), "v", "cum")
+        .orderBy($"k").collect().map(r => (r.getLong(0), r.getLong(2)))
+      assert(got.toSeq == expected.toSeq, s"parts=$parts")
+    }
+  }
+
+  test("PrefixSum tolerates empty input and all-equal keys with tiebreaker") {
+    val empty = Seq.empty[(Long, Long)].toDF("k", "v")
+    assert(PrefixSum.withRunningSum(empty, Seq("k"), "v", "cum")
+      .count() == 0)
+    // constant order key + unique tiebreaker still yields a total order
+    val const = (1 to 50).map(i => (0L, i.toLong, 2L)).toDF("k", "id", "v")
+    val cums = PrefixSum
+      .withRunningSum(const, Seq("k", "id"), "v", "cum")
+      .orderBy($"id").collect().map(_.getLong(3))
+    assert(cums.toSeq == (1 to 50).map(_ * 2L))
+  }
+
+  test("rangeJoinBinned equals the naive theta join, across bin widths") {
+    val points = (0L to 300L).map(p => (p, s"p$p")).toDF("pt", "pname")
+    val intervals = (0L until 40L)
+      .map(i => (i, i * 7, i * 7 + (i % 13) * 3)).toDF("iid", "s", "e")
+    val naive = points.join(intervals,
+        $"pt" >= $"s" && $"pt" <= $"e")
+      .select($"iid", $"pt").orderBy($"iid", $"pt")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    for (w <- Seq(1L, 8L, 64L, 1000L)) {
+      val got = Joins.rangeJoinBinned(points, "pt", intervals, "s", "e",
+          identity, w)
+        .select($"iid", $"pt").orderBy($"iid", $"pt")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSeq == naive.toSeq, s"binWidth=$w")
+      assert(got.length == got.distinct.length,
+        s"binWidth=$w produced duplicate pairs")
+    }
+  }
+
+  test("rangeJoinBinned rejects colliding column names") {
+    val p = Seq((1L, 2L)).toDF("ts", "x")
+    val iv = Seq((1L, 2L)).toDF("ts", "e")
+    intercept[IllegalArgumentException] {
+      Joins.rangeJoinBinned(p, "ts", iv, "ts", "e", identity, 10L)
+    }
+  }
+
+  test("MisraGries: candidate set supersets all true > n/(k+1) hitters") {
+    // 10k rows: 'hot1' 2000, 'hot2' 1500, tail of 650 keys ~10 each
+    val rows = (Seq.fill(2000)("hot1") ++ Seq.fill(1500)("hot2") ++
+      (0 until 6500).map(i => s"t${i % 650}"))
+    // scatter deterministically so hot keys span partitions
+    val df = rows.zipWithIndex.sortBy(x => (x._2 * 2654435761L) % 10007)
+      .map(_._1).toDF("key").repartition(7)
+    val k = 9 // threshold n/10 = 1000
+    val mg = df.agg(graft.functions.MisraGries($"key", k).as("mg"))
+      .select(explode(map_keys($"mg")).as("key"))
+      .collect().map(_.getString(0)).toSet
+    assert(mg.size <= k, s"sketch exceeded capacity: ${mg.size}")
+    assert(mg.contains("hot1") && mg.contains("hot2"),
+      s"true heavy hitters missing from candidates: $mg")
+  }
+
+  test("MisraGries: under-capacity domains are preserved exactly") {
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c"))
+      .toDF("key").repartition(3)
+    val m = df.agg(graft.functions.MisraGries($"key", 10).as("mg"))
+      .collect()(0).getMap[String, Long](0)
+    assert(m == Map("a" -> 5L, "b" -> 3L, "c" -> 1L))
+  }
+}
