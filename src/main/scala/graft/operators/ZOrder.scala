@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) data layout for multi-dimensional file
+  * pruning. Sorting 100 TB by one column gives perfect min/max
+  * pruning on that column and NONE on any other; sorting by the
+  * interleaved-bit Z-value gives ~sqrt pruning on BOTH dimensions —
+  * the standard layout for fact tables queried by more than one key
+  * (Delta/Iceberg expose the same idea as OPTIMIZE ZORDER BY).
+  *
+  * Everything is Column algebra (statically unrolled shifts — stays
+  * inside whole-stage codegen): quantize each dimension to `bits`
+  * levels between its observed min/max, then interleave the bits.
+  */
+object ZOrder {
+
+  /** Interleave the low `bits` bits of x (even positions) and y (odd
+    * positions) into a single Morton key. Inputs must already be
+    * non-negative quantized longs < 2^bits. */
+  def interleave2(x: Column, y: Column, bits: Int): Column = {
+    require(bits > 0 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).foldLeft(lit(0L)) { (acc, j) =>
+      acc +
+        shiftleft(shiftrightunsigned(x.cast("long"), j)
+          .bitwiseAND(lit(1L)), 2 * j) +
+        shiftleft(shiftrightunsigned(y.cast("long"), j)
+          .bitwiseAND(lit(1L)), 2 * j + 1)
+    }
+  }
+
+  /** Linear min/max quantization of a numeric column to [0, 2^bits). */
+  def quantize(c: Column, cMin: Double, cMax: Double, bits: Int): Column = {
+    val span = math.max(cMax - cMin, Double.MinPositiveValue)
+    least(lit((1 << bits) - 1), greatest(lit(0),
+      floor((c.cast("double") - cMin) / span * (1 << bits)).cast("long")))
+  }
+
+  /** Write `df` as `numFiles` parquet files clustered on the Z-curve
+    * of (xCol, yCol). One pass to collect the 4 quantization bounds
+    * (an agg of 4 scalars — never the data), one range-partitioned
+    * sort-write. Readers then prune files via parquet column min/max
+    * on BOTH xCol and yCol. */
+  def writeZOrdered(df: DataFrame, xCol: String, yCol: String,
+      path: String, numFiles: Int, bits: Int = 12): Unit = {
+    val b = df.agg(min(col(xCol)).cast("double"), max(col(xCol)).cast("double"),
+      min(col(yCol)).cast("double"), max(col(yCol)).cast("double")).head()
+    val zkey = interleave2(
+      quantize(col(xCol), b.getDouble(0), b.getDouble(1), bits),
+      quantize(col(yCol), b.getDouble(2), b.getDouble(3), bits), bits)
+    df.withColumn("__z", zkey)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Joins
 import graft.functions.GroupConcatOrdered
@@ -128,6 +128,58 @@ object ExtOps {
         .withColumn("rank", row_number().over(wRank))
         .filter(col("rank") <= 5)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // K-means training (Lloyd's algorithm, 2 unrolled iterations,
+    // k=4, fixed seed vectors): the iterative-ML workload shape —
+    // each round is assign (broadcast k centroids, row-local argmin,
+    // NO shuffle of the vectors) + recompute (posexplode → mean per
+    // (cluster, dim), one shuffle keyed on 256 tiny groups). Per-dim
+    // means are rounded to 6 dp each round, which pins the floating
+    // point: any ULP drift from parallel summation order is resynced
+    // before it can propagate, so the DuckDB oracle replays BOTH
+    // iterations bit-identically. At 100 TB: same plan, centroids
+    // stay k×dims doubles — always broadcastable.
+    "ann4_kmeans" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("dist"), col("cl"))
+      def dist2(v: Column, c: Column): Column =
+        aggregate(zip_with(v, c,
+            (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+          lit(0.0), (acc, x) => acc + x)
+      def assign(e: DataFrame, centroids: DataFrame): DataFrame =
+        e.crossJoin(broadcast(centroids))
+          .select(col("vec_id"), col("embedding"), col("cl"),
+            dist2(col("embedding"), col("c")).as("dist"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+      def recompute(assigned: DataFrame): DataFrame =
+        assigned
+          .select(col("cl"), posexplode(col("embedding"))
+            .as(Seq("dim", "vf")))
+          .groupBy(col("cl"), col("dim"))
+          .agg(round(avg(col("vf").cast("double")), 6).as("m"))
+          .groupBy(col("cl"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("dim"), col("m")))),
+            x => x.getField("m")).as("c"))
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val seeds = Seq(0, 7, 19, 41)
+      val init = e.filter(col("vec_id").isin(seeds.map(_.toLong): _*))
+        .select(seeds.zipWithIndex.tail.foldLeft(
+            when(col("vec_id") === seeds.head, 0)) {
+            case (acc, (v, i)) => acc.when(col("vec_id") === v, i)
+          }.as("cl"),
+          transform(col("embedding"), x => x.cast("double")).as("c"))
+      val c2 = recompute(assign(e, recompute(assign(e, init))))
+      assign(e, c2)
+        .groupBy(col("cl")).agg(count(lit(1)).as("n_members"))
+        .join(broadcast(c2), Seq("cl"))
+        .select(col("cl").as("cluster"), col("n_members"),
+          round(aggregate(col("c"), lit(0.0), (a, x) => a + x), 5)
+            .as("centroid_sum"))
+        .orderBy(col("cluster"))
     }),
 
     // ROLLUP with grouping_id — subtotal/grand-total reporting (absent
@@ -261,6 +313,43 @@ object ExtOps {
          round(sum(l_quantity), 2) AS sum_qty
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          GROUP BY s_name ORDER BY s_name""",
+    // the oracle replays BOTH Lloyd iterations: per-dim means are
+    // rounded to 6 dp in each engine, so the centroid streams stay
+    // bit-identical through the unrolled rounds
+    "ann4_kmeans" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+           FROM embeddings),
+       c0 AS (SELECT CASE vec_id WHEN 0 THEN 0 WHEN 7 THEN 1
+             WHEN 19 THEN 2 ELSE 3 END AS cl, v AS c
+           FROM e WHERE vec_id IN (0, 7, 19, 41)),
+       a1 AS (SELECT vec_id, v, cl FROM (
+           SELECT e.vec_id, e.v, c0.cl, row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(range(1, 65),
+               i -> (e.v[i]-c0.c[i])*(e.v[i]-c0.c[i]))), c0.cl) AS rn
+           FROM e CROSS JOIN c0) WHERE rn = 1),
+       m1 AS (SELECT cl, i, round(avg(v[i]), 6) AS m
+           FROM a1 CROSS JOIN range(1, 65) r(i) GROUP BY cl, i),
+       c1 AS (SELECT cl, list(m ORDER BY i) AS c FROM m1 GROUP BY cl),
+       a2 AS (SELECT vec_id, v, cl FROM (
+           SELECT e.vec_id, e.v, c1.cl, row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(range(1, 65),
+               i -> (e.v[i]-c1.c[i])*(e.v[i]-c1.c[i]))), c1.cl) AS rn
+           FROM e CROSS JOIN c1) WHERE rn = 1),
+       m2 AS (SELECT cl, i, round(avg(v[i]), 6) AS m
+           FROM a2 CROSS JOIN range(1, 65) r(i) GROUP BY cl, i),
+       c2 AS (SELECT cl, list(m ORDER BY i) AS c FROM m2 GROUP BY cl),
+       a3 AS (SELECT vec_id, cl FROM (
+           SELECT e.vec_id, c2.cl, row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(range(1, 65),
+               i -> (e.v[i]-c2.c[i])*(e.v[i]-c2.c[i]))), c2.cl) AS rn
+           FROM e CROSS JOIN c2) WHERE rn = 1)
+       SELECT a3.cl AS cluster, count(*) AS n_members,
+         round(list_sum(c2.c), 5) AS centroid_sum
+       FROM a3 JOIN c2 ON a3.cl = c2.cl
+       GROUP BY a3.cl, c2.c ORDER BY cluster""",
     "xj4_range_join" ->
       """SELECT o_orderkey, count(*) AS n_pts,
          round(sum(l_quantity), 2) AS sum_qty

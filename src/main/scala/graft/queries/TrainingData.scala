@@ -263,9 +263,14 @@ object TrainingData {
             col("a.doc_id") < col("b.doc_id") &&
             abs(col("a.n_chars") - col("b.n_chars")) <= 20)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          levenshtein(col("a.text"), col("b.text")).cast("long")
+          // banded levenshtein: Catalyst pushes this filter INTO the
+          // join condition (ahead of the cheap predicates), so the
+          // unbounded O(len²) variant would run on every same-block
+          // pair; the threshold form is O(len·9) and returns -1 above
+          // the band, which the <= 8 filter then drops
+          levenshtein(col("a.text"), col("b.text"), 9).cast("long")
             .as("edit_dist"))
-        .filter(col("edit_dist") <= 8)
+        .filter(col("edit_dist") >= 0 && col("edit_dist") <= 8)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 

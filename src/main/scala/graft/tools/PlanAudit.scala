@@ -22,7 +22,9 @@ object PlanAudit {
       "dd2_minhash_lsh", "dd3_ngram_jaccard", "ann1_cosine_topk",
       "ann2_lsh_ann", "ann3_ivf_ann", "j12_master_doc_join",
       "dd6_dedup_clusters", "px3_decontaminate", "xj3_asof_native",
-      "ts1_resample_locf", "xs3_bloom_join")
+      "ts1_resample_locf", "xs3_bloom_join", "xj4_range_join",
+      "px4_pack_sequences", "ann4_kmeans", "dd8_fuzzy_edit",
+      "ts3_sessionize", "xs4_heavy_hitters")
     names.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(
