@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("l2_dist_sq"),
+      new ExpressionInfo(classOf[L2DistanceSq].getName, "l2_dist_sq"),
+      (exprs: Seq[Expression]) => L2DistanceSq(exprs(0), exprs(1))))
     // whole-operator extension: plans graft.plans.AsOfJoinNode onto
     // the native merge-scan AsOfJoinExec
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

@@ -143,10 +143,11 @@ object ExtOps {
     "ann4_kmeans" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_id")).orderBy(col("dist"), col("cl"))
+      // native fused-loop expression (same index-ordered double
+      // accumulation as the HOF zip_with+aggregate form, but one
+      // codegen loop instead of interpreted lambdas × k centroids)
       def dist2(v: Column, c: Column): Column =
-        aggregate(zip_with(v, c,
-            (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
-          lit(0.0), (acc, x) => acc + x)
+        graft.expressions.L2DistanceSq(v, c)
       def assign(e: DataFrame, centroids: DataFrame): DataFrame =
         e.crossJoin(broadcast(centroids))
           .select(col("vec_id"), col("embedding"), col("cl"),

@@ -59,6 +59,20 @@ object Extras {
            FROM embeddings q JOIN embeddings e
              ON q.vec_id = 0 AND e.vec_id <> 0
            ORDER BY cos DESC, neighbor_id LIMIT 15""")
+    }),
+
+    // The second native expression (fused-loop squared L2 with
+    // doGenCode) through the same SQL surface; the DuckDB oracle
+    // replays the identical index-ordered double accumulation.
+    "sql3_native_l2" -> ((s, dir) => {
+      graft.expressions.L2DistanceSq.register(s)
+      graft.Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT e.vec_id AS neighbor_id,
+           round(l2_dist_sq(q.embedding, e.embedding), 5) AS d2
+           FROM embeddings q JOIN embeddings e
+             ON q.vec_id = 0 AND e.vec_id <> 0
+           ORDER BY d2 ASC, neighbor_id LIMIT 15""")
     })
   )
 
@@ -84,6 +98,15 @@ object Extras {
            e.embedding::DOUBLE[]), 5) AS cos
          FROM embeddings q JOIN embeddings e
            ON q.vec_id = 0 AND e.vec_id <> 0
-         ORDER BY cos DESC, neighbor_id LIMIT 15"""
+         ORDER BY cos DESC, neighbor_id LIMIT 15""",
+    "sql3_native_l2" ->
+      """SELECT e.vec_id AS neighbor_id,
+         round(list_sum(list_transform(range(1, 65),
+           i -> (q.embedding[i]::DOUBLE - e.embedding[i]::DOUBLE)
+              * (q.embedding[i]::DOUBLE - e.embedding[i]::DOUBLE))), 5)
+           AS d2
+         FROM embeddings q JOIN embeddings e
+           ON q.vec_id = 0 AND e.vec_id <> 0
+         ORDER BY d2 ASC, neighbor_id LIMIT 15"""
   )
 }

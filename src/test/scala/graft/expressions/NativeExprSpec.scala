@@ -1,0 +1,53 @@
+package graft.expressions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Native codegen expressions: L2DistanceSq must be bit-identical to
+  * the higher-order-function formulation it replaces (same index-
+  * ordered double accumulation), handle mixed float/double element
+  * types, and type-check through the SQL surface.
+  */
+class NativeExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet(s"$sf0001/embeddings.parquet").limit(50).cache()
+
+  test("l2_dist_sq equals the zip_with+aggregate HOF form, bit for bit") {
+    val q = emb.filter($"vec_id" === 0)
+      .select($"embedding".as("qv"))
+    val both = emb.crossJoin(broadcast(q)).select(
+      L2DistanceSq($"embedding", $"qv").as("native"),
+      aggregate(zip_with($"embedding", $"qv",
+          (a, b) => (a.cast("double") - b.cast("double")) *
+            (a.cast("double") - b.cast("double"))),
+        lit(0.0), (acc, x) => acc + x).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"native=${r.getDouble(0)} hof=${r.getDouble(1)}")
+    }
+  }
+
+  test("l2_dist_sq accepts mixed float/double sides") {
+    val d = emb.select($"embedding",
+      transform($"embedding", x => x.cast("double")).as("emb_d"))
+      .select(L2DistanceSq($"embedding", $"emb_d").as("d2"))
+      .collect().map(_.getDouble(0))
+    assert(d.forall(_ == 0.0))
+  }
+
+  test("l2_dist_sq rejects non-array inputs through SQL analysis") {
+    L2DistanceSq.register(spark)
+    emb.createOrReplaceTempView("emb_ne")
+    val e = intercept[Exception] {
+      spark.sql("SELECT l2_dist_sq(vec_id, embedding) FROM emb_ne")
+        .collect()
+    }
+    assert(e.getMessage.contains("l2_dist_sq") ||
+      e.getMessage.toLowerCase.contains("data type mismatch"))
+  }
+}
