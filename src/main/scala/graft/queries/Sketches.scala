@@ -112,6 +112,41 @@ object Sketches {
             .as("n_missed"))
     }),
 
+    // Count-Min frequency sketch: depth 2 × width 1024 counter matrix
+    // from PORTABLE md5-60 hashes (one groupBy per row — map-side
+    // partial agg, 1024 cells each, always broadcastable), probed with
+    // est = min over rows. CMS never undercounts, and because the
+    // hashes are engine-portable the DuckDB oracle replays the build
+    // AND the probe — the estimates match cell for cell, not just
+    // within tolerance. The 100 TB story: frequency queries over an
+    // unbounded key domain in O(depth × width) memory.
+    "xs5_count_min" -> ((s, dir) => {
+      val keys = t(s, dir, "orders").select(col("o_custkey").as("key"))
+      def cells(salt: String) = keys
+        .groupBy(pmod(SF.md5hash60(concat(lit(salt),
+          col("key").cast("string"))), lit(1024L)).as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val c1 = cells("c1:").select(col("b").as("b1"), col("cnt").as("n1"))
+      val c2 = cells("c2:").select(col("b").as("b2"), col("cnt").as("n2"))
+      val truth = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_true"))
+      t(s, dir, "customer").filter(col("c_custkey") < 50)
+        .select(col("c_custkey"),
+          pmod(SF.md5hash60(concat(lit("c1:"),
+            col("c_custkey").cast("string"))), lit(1024L)).as("b1"),
+          pmod(SF.md5hash60(concat(lit("c2:"),
+            col("c_custkey").cast("string"))), lit(1024L)).as("b2"))
+        .join(broadcast(c1), Seq("b1"), "left")
+        .join(broadcast(c2), Seq("b2"), "left")
+        .join(truth.select(col("o_custkey").as("c_custkey"),
+          col("n_true")), Seq("c_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("n_true"), lit(0L)).as("n_true"),
+          least(coalesce(col("n1"), lit(0L)),
+            coalesce(col("n2"), lit(0L))).as("n_est"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Two-pass heavy hitters: pass 1 is a Misra-Gries sketch (typed
     // Aggregator, capacity 15, O(k) memory, mergeable map-side like
     // any partial agg) whose candidate set provably SUPERSETS every
@@ -180,6 +215,29 @@ object Sketches {
          count(CASE WHEN NOT candidate AND is_exact THEN 1 END)
            AS n_missed
        FROM tested""",
+    // cell-for-cell CMS replay: same salted md5-60 buckets, same
+    // depth-2 min — the estimate itself must match, not a tolerance
+    "xs5_count_min" ->
+      """WITH k AS (SELECT o_custkey AS key FROM orders),
+         c1 AS (SELECT ('0x' || substr(md5('c1:' ||
+               CAST(key AS VARCHAR)), 1, 15))::BIGINT % 1024 AS b1,
+             count(*) AS n1 FROM k GROUP BY 1),
+         c2 AS (SELECT ('0x' || substr(md5('c2:' ||
+               CAST(key AS VARCHAR)), 1, 15))::BIGINT % 1024 AS b2,
+             count(*) AS n2 FROM k GROUP BY 1),
+         tr AS (SELECT o_custkey, count(*) AS n_true FROM orders
+           GROUP BY 1),
+         p AS (SELECT c_custkey,
+             ('0x' || substr(md5('c1:' || CAST(c_custkey AS VARCHAR)),
+               1, 15))::BIGINT % 1024 AS b1,
+             ('0x' || substr(md5('c2:' || CAST(c_custkey AS VARCHAR)),
+               1, 15))::BIGINT % 1024 AS b2
+           FROM customer WHERE c_custkey < 50)
+         SELECT p.c_custkey, coalesce(tr.n_true, 0) AS n_true,
+           least(coalesce(c1.n1, 0), coalesce(c2.n2, 0)) AS n_est
+         FROM p LEFT JOIN c1 USING (b1) LEFT JOIN c2 USING (b2)
+         LEFT JOIN tr ON tr.o_custkey = p.c_custkey
+         ORDER BY p.c_custkey""",
     // exact heavy hitters — the sketch pass may only change HOW the
     // answer is found, never the answer itself
     "xs4_heavy_hitters" ->
