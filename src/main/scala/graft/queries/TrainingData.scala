@@ -274,6 +274,43 @@ object TrainingData {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Duplicate-span accounting (the n-gram-granular dedup of Lee et
+    // al. 2021, "Deduplicating Training Data Makes Language Models
+    // Better"): for every doc, the fraction of token positions covered
+    // by an 8-gram that also appears in ANOTHER doc. Positional
+    // 8-grams → global doc-frequency on the gram key (one shuffle,
+    // map-side partial agg) → covered positions via sequence-explode →
+    // distinct count per doc. The usual next step — splicing out the
+    // covered spans — is a cheap filter on the same covered-position
+    // set.
+    "dd9_dup_spans" -> ((s, dir) => {
+      val n = 8
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        .withColumn("nt", size(col("toks")))
+      val grams = d.filter(col("nt") >= n)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), col("nt") - n),
+            i => struct(i.as("i"),
+              array_join(slice(col("toks"), i + 1, lit(n)), " ")
+                .as("gram")))).as("g"))
+        .select(col("doc_id"), col("g.i").as("i"), col("g.gram").as("gram"))
+      val dupGrams = grams.groupBy(col("gram"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1)
+      val covered = grams.join(dupGrams.select("gram"), Seq("gram"))
+        .select(col("doc_id"),
+          explode(sequence(col("i"), col("i") + (n - 1))).as("pos"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("pos")).as("n_dup_tokens"))
+      d.join(covered, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("nt").cast("long").as("n_tokens"),
+          coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+          round(coalesce(col("n_dup_tokens"), lit(0L)).cast("double") /
+            col("nt").cast("double"), 6).as("dup_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Context-window chunking: split each doc into 64-token windows
     // every 48 tokens (16-token overlap) — the chunking step of a
     // RAG/pretraining pipeline. One narrow projection + explode, no
@@ -534,6 +571,29 @@ object TrainingData {
              AND abs(a.n_chars - b.n_chars) <= 20
            WHERE levenshtein(a.text, b.text) <= 8
            ORDER BY doc_a, doc_b""",
+      "dd9_dup_spans" ->
+        """WITH d AS (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         g AS (SELECT doc_id,
+             unnest(range(0, greatest(len(toks) - 7, 0)))::INT AS i,
+             toks
+           FROM d),
+         g2 AS (SELECT doc_id, i,
+             array_to_string(toks[i+1 : i+8], ' ') AS gram FROM g),
+         dup AS (SELECT gram FROM g2
+           GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+         cov AS (SELECT doc_id, count(DISTINCT pos) AS n_dup_tokens
+           FROM (SELECT g2.doc_id,
+               unnest(generate_series(g2.i, g2.i + 7)) AS pos
+             FROM g2 JOIN dup USING (gram))
+           GROUP BY doc_id)
+         SELECT d.doc_id, len(d.toks)::BIGINT AS n_tokens,
+           coalesce(cov.n_dup_tokens, 0)::BIGINT AS n_dup_tokens,
+           round(coalesce(cov.n_dup_tokens, 0)::DOUBLE / len(d.toks), 6)
+             AS dup_frac
+         FROM d LEFT JOIN cov USING (doc_id)
+         ORDER BY d.doc_id""",
       "tx6_chunk_windows" ->
         """WITH d AS (SELECT doc_id,
              string_split_regex(trim(text), '\s+') AS toks
