@@ -1,0 +1,105 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: k-element MinHash signature of a
+  * string-shingle array — `minhash[i] = min over shingles of
+  * xxhash64(i, shingle)`, exactly the semantics of
+  * `SimilarityFunctions.minhashSignatureHof` (whose seed column is an
+  * INT, so the chained hash is `hashString(s, hashInt(i, 42))`).
+  *
+  * The HOF formulation (`aggregate` over `zip_with` against a
+  * `sequence(0, k-1)`) allocates a k-element array per shingle per row
+  * and interprets three nested lambdas; this is one fused loop over a
+  * k-slot accumulator with `doGenCode` — the map-side hot loop of
+  * corpus-scale MinHash dedup, and (being one compact expression) it
+  * also planning/codegen-compiles in milliseconds where the unrolled
+  * HOF tree does not.
+  *
+  * Empty or null input → null, matching the HOF's
+  * `when(size <= 0, null)` guard.
+  */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k > 0, s"k must be positive, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig expects array<string>, got ${t.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val acc = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val s = arr.getUTF8String(j)
+      var i = 0
+      while (i < k) {
+        val h = XXH64.hashUTF8String(s, XXH64.hashInt(i, 42L))
+        if (h < acc(i)) acc(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val xxh = classOf[XXH64].getName
+    val gad = classOf[GenericArrayData].getName
+    val utf8 = classOf[UTF8String].getName
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      s"""
+        |int $n = $c.numElements();
+        |if ($n == 0) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  long[] $acc = new long[$k];
+        |  java.util.Arrays.fill($acc, Long.MAX_VALUE);
+        |  for (int $j = 0; $j < $n; $j++) {
+        |    $utf8 $s = $c.getUTF8String($j);
+        |    for (int $i = 0; $i < $k; $i++) {
+        |      long $h = $xxh.hashUTF8String($s,
+        |        $xxh.hashInt($i, 42L));
+        |      if ($h < $acc[$i]) $acc[$i] = $h;
+        |    }
+        |  }
+        |  ${ev.value} = new $gad($acc);
+        |}
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression):
+      Expression = copy(child = newChild)
+}
+
+object MinHashSig {
+  /** Column-API entry point. */
+  def apply(shingles: Column, k: Int): Column = {
+    val eu = org.apache.spark.sql.GraftColumnBridge
+    eu.column(MinHashSig(eu.expression(shingles), k))
+  }
+}

@@ -17,6 +17,16 @@ object SimilarityFunctions {
     * random). Empty shingle set → null signature.
     */
   def minhashSignature(shingleArr: Column, k: Int): Column =
+    // native fused-loop expression (graft.expressions.MinHashSig):
+    // bit-identical to minhashSignatureHof below, but one codegen
+    // loop — no per-shingle k-array allocation, and a compact
+    // expression tree that plans/compiles in milliseconds
+    graft.expressions.MinHashSig(shingleArr, k)
+
+  /** The higher-order-function formulation MinHashSig replaces — kept
+    * as the executable semantics reference (SimilaritySpec asserts the
+    * two produce identical signatures). */
+  def minhashSignatureHof(shingleArr: Column, k: Int): Column =
     // single pass over the shingles with a k-slot min accumulator
     // (the per-seed `array_min(transform(...))` form materializes k
     // intermediate hash arrays per row — same trap as simhash64)

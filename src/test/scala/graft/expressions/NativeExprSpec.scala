@@ -40,6 +40,26 @@ class NativeExprSpec extends SparkSpec {
     assert(d.forall(_ == 0.0))
   }
 
+  test("minhash_sig is bit-identical to the HOF formulation; empty -> null") {
+    import graft.functions.{SimilarityFunctions => SF, TextFunctions => TF}
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .limit(100)
+      .select($"doc_id", TF.wordShingles($"text", 2).as("sh"))
+    val both = docs.select(
+        SF.minhashSignature($"sh", 16).as("native"),
+        SF.minhashSignatureHof($"sh", 16).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0))
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+    val empty = Seq(Seq.empty[String]).toDF("sh")
+      .select(SF.minhashSignature($"sh", 4).as("sig")).collect()
+    assert(empty(0).isNullAt(0))
+  }
+
   test("l2_dist_sq rejects non-array inputs through SQL analysis") {
     L2DistanceSq.register(spark)
     emb.createOrReplaceTempView("emb_ne")
