@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape regression guards: the optimizations that make these
+  * operators scale are properties of the PHYSICAL PLAN, not of the
+  * row counts a correctness oracle checks — a silent regression to a
+  * nested-loop join or an extra global sort would still pass the
+  * oracle. Lock the load-bearing shapes down here.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def count(plan: String, token: String): Int =
+    token.r.findAllIn(plan).size
+
+  test("xj4 range join plans a hash join on the bin key, never a nested loop") {
+    val p = plan("xj4_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.linesIterator.take(25).mkString("\n"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+  }
+
+  test("dd8's join condition evaluates the cheap conjuncts before levenshtein") {
+    val p = plan("dd8_fuzzy_edit")
+    val cond = p.linesIterator.find(_.contains("Join condition"))
+      .getOrElse(fail("no join condition in plan"))
+    val lev = cond.indexOf("levenshtein")
+    val cheap = cond.indexOf("<")
+    assert(lev >= 0 && cheap >= 0 && cheap < lev,
+      s"levenshtein must come after the cheap predicates: $cond")
+  }
+
+  test("ts3 sessionize reuses ONE exchange+sort for both window passes") {
+    val p = plan("ts3_sessionize")
+    // windows (lag + cumsum) sit back-to-back over a single sort; the
+    // only other exchanges are the aggregation and the output sort
+    val win = count(p, "\\(\\d+\\) Window")
+    assert(win == 2, s"expected 2 Window nodes, got $win")
+    assert(count(p, "\\(\\d+\\) (?:Exchange|AQEShuffleRead)") <= 4 &&
+      count(p, "Exchange hashpartitioning") <= 3,
+      s"too many exchanges:\n${p.linesIterator.take(25).mkString("\n")}")
+  }
+
+  test("w4 top-k compiles to TakeOrderedAndProject with zero exchanges") {
+    val p = plan("w4_topk_limit")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(count(p, "\\(\\d+\\) Exchange") == 0)
+  }
+
+  test("flagship broadcasts both dims and shuffles only on the agg/join key") {
+    val p = plan("flagship_report")
+    assert(count(p, "BroadcastHashJoin") >= 2)
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("xs4 heavy hitters: the exact second pass is broadcast, not shuffled") {
+    val p = plan("xs4_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+}
