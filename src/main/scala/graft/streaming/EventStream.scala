@@ -117,6 +117,62 @@ object EventStream {
       }
   }
 
+  case class GapSessionState(sessionStart: Long, lastTs: Long,
+    nEvents: Long)
+  case class ClosedSession(user_id: Long, session_start: Timestamp,
+    n_events: Long, duration_s: Long)
+
+  /** Gap-based sessionization with CUSTOM state — the streaming twin
+    * of queries.TimeSeries.ts3 and the flatMapGroupsWithState shape
+    * session_window can't express when per-session state is richer
+    * than an aggregate (resume ladders, per-session spill files, …).
+    *
+    * A session closes when (a) a later event for the same user
+    * arrives more than `gapMs` after the previous one, or (b) the
+    * event-time watermark passes lastTs + gapMs (EventTimeTimeout) —
+    * so state is bounded by the watermark and closed sessions are
+    * emitted exactly once (Append mode).
+    */
+  def gapSessions(events: Dataset[Event],
+      gapMs: Long = 4L * 3600 * 1000): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    def close(uid: Long, s: GapSessionState): ClosedSession =
+      ClosedSession(uid, new Timestamp(s.sessionStart), s.nEvents,
+        (s.lastTs - s.sessionStart) / 1000)
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[GapSessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, batch, state: GroupState[GapSessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(close(uid, s))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+            var st = state.getOption.orNull
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (st == null) st = GapSessionState(t, t, 1L)
+              else if (t - st.lastTs > gapMs) {
+                out += close(uid, st)
+                st = GapSessionState(t, t, 1L)
+              } else st = GapSessionState(st.sessionStart,
+                math.max(st.lastTs, t), st.nEvents + 1)
+            }
+            state.update(st)
+            // the timeout must sit at-or-after the watermark; a
+            // session whose close point the watermark already passed
+            // times out on the next trigger
+            state.setTimeoutTimestamp(math.max(st.lastTs + gapMs,
+              state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming MERGE sink: every micro-batch is applied to the target
     * parquet table with last-write-wins semantics (K5) inside
     * foreachBatch — the streaming twin of the bronze raw-response sink.

@@ -139,6 +139,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gapSessions closes a session on in-stream gap AND on watermark " +
+    "timeout (flatMapGroupsWithState, EventTimeTimeout; ts3 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    def at(hour: Int, minute: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-01 $hour%02d:$minute%02d:00")
+    val mem = MemoryStream[Event]
+    val q = gapSessions(mem.toDS(), gapMs = 30L * 60 * 1000)
+      .writeStream.format("memory").queryName("gap_sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session), then an event
+      // 3h later IN THE SAME STREAM → the gap closes session 1 inline
+      mem.addData(
+        Event(1, at(10, 0), 1, "click", 1.0),
+        Event(2, at(10, 10), 1, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(3, at(13, 0), 1, "click", 1.0))
+      q.processAllAvailable()
+      val afterGap = spark.table("gap_sessions")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+          r.getLong(2), r.getLong(3)))
+      assert(afterGap.toSeq == Seq((1L, at(10, 0), 2L, 600L)))
+      // advance the watermark far past 13:00+gap via another user →
+      // user 1's open session times out and closes with ONE event
+      mem.addData(Event(4, at(23, 0), 2, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(5, at(23, 1), 2, "click", 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("gap_sessions")
+        .filter(col("user_id") === 1).orderBy(col("session_start"))
+        .collect().map(r => (r.getTimestamp(1), r.getLong(2)))
+      assert(closed.toSeq == Seq((at(10, 0), 2L), (at(13, 0), 1L)))
+    } finally q.stop()
+  }
+
   test("enrich joins the stream to a static dim without state (st5 " +
     "streaming twin)") {
     implicit val sqlCtx = spark.sqlContext
