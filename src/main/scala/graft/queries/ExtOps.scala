@@ -15,6 +15,78 @@ object ExtOps {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.Tables.load(s, dir, name)
 
+  /** Argmin cell assignment against broadcast centroids (cl, c):
+    * row-local L2 via the native fused-loop expression, ties broken
+    * by cluster id — no shuffle of the vectors themselves. */
+  private def assignCells(e: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("dist"), col("cl"))
+    e.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cl"),
+        graft.expressions.L2DistanceSq(col("embedding"), col("c"))
+          .as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+  }
+
+  /** The DuckDB replay of [[kmeansCentroids]] + final assignment:
+    * shared CTE prefix for the ann4/ann5 oracles (e = double vectors,
+    * c0..c2 = centroid generations, a3 = final cell assignment). */
+  private val kmeansCteSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+           FROM embeddings),
+       c0 AS (SELECT CASE vec_id WHEN 0 THEN 0 WHEN 7 THEN 1
+             WHEN 19 THEN 2 ELSE 3 END AS cl, v AS c
+           FROM e WHERE vec_id IN (0, 7, 19, 41)),
+       a1 AS (SELECT vec_id, v, cl FROM (
+           SELECT e.vec_id, e.v, c0.cl, row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(range(1, 65),
+               i -> (e.v[i]-c0.c[i])*(e.v[i]-c0.c[i]))), c0.cl) AS rn
+           FROM e CROSS JOIN c0) WHERE rn = 1),
+       m1 AS (SELECT cl, i, round(avg(v[i]), 6) AS m
+           FROM a1 CROSS JOIN range(1, 65) r(i) GROUP BY cl, i),
+       c1 AS (SELECT cl, list(m ORDER BY i) AS c FROM m1 GROUP BY cl),
+       a2 AS (SELECT vec_id, v, cl FROM (
+           SELECT e.vec_id, e.v, c1.cl, row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(range(1, 65),
+               i -> (e.v[i]-c1.c[i])*(e.v[i]-c1.c[i]))), c1.cl) AS rn
+           FROM e CROSS JOIN c1) WHERE rn = 1),
+       m2 AS (SELECT cl, i, round(avg(v[i]), 6) AS m
+           FROM a2 CROSS JOIN range(1, 65) r(i) GROUP BY cl, i),
+       c2 AS (SELECT cl, list(m ORDER BY i) AS c FROM m2 GROUP BY cl),
+       a3 AS (SELECT vec_id, cl FROM (
+           SELECT e.vec_id, c2.cl, row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(range(1, 65),
+               i -> (e.v[i]-c2.c[i])*(e.v[i]-c2.c[i]))), c2.cl) AS rn
+           FROM e CROSS JOIN c2) WHERE rn = 1)"""
+
+  /** Two unrolled Lloyd iterations from the fixed seed vectors
+    * (0, 7, 19, 41); per-dim means rounded to 6 dp each round so the
+    * centroid stream is engine-replayable (see ann4's oracle). */
+  private def kmeansCentroids(e: DataFrame): DataFrame = {
+    def recompute(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("cl"), posexplode(col("embedding"))
+          .as(Seq("dim", "vf")))
+        .groupBy(col("cl"), col("dim"))
+        .agg(round(avg(col("vf").cast("double")), 6).as("m"))
+        .groupBy(col("cl"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("m")))),
+          x => x.getField("m")).as("c"))
+    val seeds = Seq(0, 7, 19, 41)
+    val init = e.filter(col("vec_id").isin(seeds.map(_.toLong): _*))
+      .select(seeds.zipWithIndex.tail.foldLeft(
+          when(col("vec_id") === seeds.head, 0)) {
+          case (acc, (v, i)) => acc.when(col("vec_id") === v, i)
+        }.as("cl"),
+        transform(col("embedding"), x => x.cast("double")).as("c"))
+    recompute(assignCells(e, recompute(assignCells(e, init))))
+  }
+
   val queries: Map[String, Q] = Map(
     // As-of backward join: each purchase event picks up the user's
     // latest signup-or-earlier state. Oracle is DuckDB's native
@@ -141,46 +213,54 @@ object ExtOps {
     // iterations bit-identically. At 100 TB: same plan, centroids
     // stay k×dims doubles — always broadcastable.
     "ann4_kmeans" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("dist"), col("cl"))
-      // native fused-loop expression (same index-ordered double
-      // accumulation as the HOF zip_with+aggregate form, but one
-      // codegen loop instead of interpreted lambdas × k centroids)
-      def dist2(v: Column, c: Column): Column =
-        graft.expressions.L2DistanceSq(v, c)
-      def assign(e: DataFrame, centroids: DataFrame): DataFrame =
-        e.crossJoin(broadcast(centroids))
-          .select(col("vec_id"), col("embedding"), col("cl"),
-            dist2(col("embedding"), col("c")).as("dist"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-      def recompute(assigned: DataFrame): DataFrame =
-        assigned
-          .select(col("cl"), posexplode(col("embedding"))
-            .as(Seq("dim", "vf")))
-          .groupBy(col("cl"), col("dim"))
-          .agg(round(avg(col("vf").cast("double")), 6).as("m"))
-          .groupBy(col("cl"))
-          .agg(transform(
-            array_sort(collect_list(struct(col("dim"), col("m")))),
-            x => x.getField("m")).as("c"))
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
-      val seeds = Seq(0, 7, 19, 41)
-      val init = e.filter(col("vec_id").isin(seeds.map(_.toLong): _*))
-        .select(seeds.zipWithIndex.tail.foldLeft(
-            when(col("vec_id") === seeds.head, 0)) {
-            case (acc, (v, i)) => acc.when(col("vec_id") === v, i)
-          }.as("cl"),
-          transform(col("embedding"), x => x.cast("double")).as("c"))
-      val c2 = recompute(assign(e, recompute(assign(e, init))))
-      assign(e, c2)
+      val c2 = kmeansCentroids(e)
+      assignCells(e, c2)
         .groupBy(col("cl")).agg(count(lit(1)).as("n_members"))
         .join(broadcast(c2), Seq("cl"))
         .select(col("cl").as("cluster"), col("n_members"),
           round(aggregate(col("c"), lit(0.0), (a, x) => a + x), 5)
             .as("centroid_sum"))
         .orderBy(col("cluster"))
+    }),
+
+    // IVF search over the TRAINED centroids — ann4's index feeding
+    // ann3's probe shape, end to end: cells = final Lloyd assignment,
+    // queries probe their top-2 cells by centroid distance and search
+    // only those (same L2 metric as training). The oracle replays
+    // training AND search. At scale the cell table is the
+    // partition/bucket key for the vector corpus; queries touch 2/k
+    // of the data.
+    "ann5_ivf_trained" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val c2 = kmeansCentroids(e)
+      val cells = assignCells(e, c2)
+        .select(col("vec_id"), col("embedding"), col("cl"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val wProbe = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cdist"), col("cl"))
+      val probed = q.join(broadcast(c2))
+        .select(col("query_id"), col("qv"), col("cl"),
+          graft.expressions.L2DistanceSq(col("qv"), col("c"))
+            .as("cdist"))
+        .withColumn("crank", row_number().over(wProbe))
+        .filter(col("crank") <= 2)
+        .select(col("query_id"), col("qv"), col("cl"))
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("d2raw"), col("neighbor_id"))
+      probed.join(cells, Seq("cl"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          graft.expressions.L2DistanceSq(col("qv"), col("embedding"))
+            .as("d2raw"))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("d2raw"), 5).as("d2"))
+        .orderBy(col("query_id"), col("rank"))
     }),
 
     // ROLLUP with grouping_id — subtotal/grand-total reporting (absent
@@ -318,39 +398,35 @@ object ExtOps {
     // rounded to 6 dp in each engine, so the centroid streams stay
     // bit-identical through the unrolled rounds
     "ann4_kmeans" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-           FROM embeddings),
-       c0 AS (SELECT CASE vec_id WHEN 0 THEN 0 WHEN 7 THEN 1
-             WHEN 19 THEN 2 ELSE 3 END AS cl, v AS c
-           FROM e WHERE vec_id IN (0, 7, 19, 41)),
-       a1 AS (SELECT vec_id, v, cl FROM (
-           SELECT e.vec_id, e.v, c0.cl, row_number() OVER (
-             PARTITION BY e.vec_id ORDER BY
-             list_sum(list_transform(range(1, 65),
-               i -> (e.v[i]-c0.c[i])*(e.v[i]-c0.c[i]))), c0.cl) AS rn
-           FROM e CROSS JOIN c0) WHERE rn = 1),
-       m1 AS (SELECT cl, i, round(avg(v[i]), 6) AS m
-           FROM a1 CROSS JOIN range(1, 65) r(i) GROUP BY cl, i),
-       c1 AS (SELECT cl, list(m ORDER BY i) AS c FROM m1 GROUP BY cl),
-       a2 AS (SELECT vec_id, v, cl FROM (
-           SELECT e.vec_id, e.v, c1.cl, row_number() OVER (
-             PARTITION BY e.vec_id ORDER BY
-             list_sum(list_transform(range(1, 65),
-               i -> (e.v[i]-c1.c[i])*(e.v[i]-c1.c[i]))), c1.cl) AS rn
-           FROM e CROSS JOIN c1) WHERE rn = 1),
-       m2 AS (SELECT cl, i, round(avg(v[i]), 6) AS m
-           FROM a2 CROSS JOIN range(1, 65) r(i) GROUP BY cl, i),
-       c2 AS (SELECT cl, list(m ORDER BY i) AS c FROM m2 GROUP BY cl),
-       a3 AS (SELECT vec_id, cl FROM (
-           SELECT e.vec_id, c2.cl, row_number() OVER (
-             PARTITION BY e.vec_id ORDER BY
-             list_sum(list_transform(range(1, 65),
-               i -> (e.v[i]-c2.c[i])*(e.v[i]-c2.c[i]))), c2.cl) AS rn
-           FROM e CROSS JOIN c2) WHERE rn = 1)
+      s"""$kmeansCteSql
        SELECT a3.cl AS cluster, count(*) AS n_members,
          round(list_sum(c2.c), 5) AS centroid_sum
        FROM a3 JOIN c2 ON a3.cl = c2.cl
        GROUP BY a3.cl, c2.c ORDER BY cluster""",
+    // trained-index search: the same kmeans CTEs, then the probe
+    // (top-2 cells per query by centroid L2) and the cell-restricted
+    // top-5 — the full train→search pipeline replayed in SQL
+    "ann5_ivf_trained" ->
+      s"""$kmeansCteSql,
+       q AS (SELECT vec_id AS query_id, v AS qv FROM e
+           WHERE vec_id < 5),
+       probe AS (SELECT query_id, qv, cl FROM (
+           SELECT q.query_id, q.qv, c2.cl, row_number() OVER (
+             PARTITION BY q.query_id ORDER BY
+             list_sum(list_transform(range(1, 65),
+               i -> (q.qv[i]-c2.c[i])*(q.qv[i]-c2.c[i]))), c2.cl)
+             AS crank
+           FROM q CROSS JOIN c2) WHERE crank <= 2),
+       cand AS (SELECT p.query_id, e.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, 65),
+             i -> (p.qv[i]-e.v[i])*(p.qv[i]-e.v[i]))) AS d2raw
+         FROM probe p JOIN a3 ON a3.cl = p.cl
+         JOIN e ON e.vec_id = a3.vec_id
+         WHERE e.vec_id != p.query_id)
+       SELECT query_id, rank, neighbor_id, round(d2raw, 5) AS d2
+       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY d2raw, neighbor_id) AS rank FROM cand)
+       WHERE rank <= 5 ORDER BY query_id, rank""",
     "xj4_range_join" ->
       """SELECT o_orderkey, count(*) AS n_pts,
          round(sum(l_quantity), 2) AS sum_qty
