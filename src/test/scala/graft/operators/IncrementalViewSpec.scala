@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.{Fixtures, SparkSpec}
+import graft.model.JobcanSchemas
+import graft.normalize.Normalize
+import graft.views.Views
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental view maintenance must be indistinguishable from a full
+  * recompute after any mix of update / insert / delete in one batch.
+  */
+class IncrementalViewSpec extends SparkSpec {
+
+  private def baseTables: Map[String, DataFrame] = {
+    val reqs = Normalize.requests(
+      Fixtures.df(spark, JobcanSchemas.requestDetailSchema,
+        Fixtures.requestSa10, Fixtures.requestSa11))
+    reqs
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).sorted.toSeq
+
+  test("refreshKeyed(update+insert+delete) equals a full recompute") {
+    import spark.implicits._
+    val t0 = baseTables
+    // the view as-of t0 — stands in for the persisted materialization
+    // (t0's DataFrames are immutable; the batch builds a new map)
+    val materialized = new Views(t0).viewRequestDetails
+
+    // one batch: sa-10 updated, sa-11 deleted, sa-99 inserted
+    val r0 = t0("requests")
+    val updated = r0.filter(col("id") =!= "sa-11")
+      .withColumn("status",
+        when(col("id") === "sa-10", lit("completed"))
+          .otherwise(col("status")))
+    val inserted = r0.filter(col("id") === "sa-10")
+      .withColumn("id", lit("sa-99"))
+      .withColumn("title", lit("cloned request"))
+    val t1 = t0 + ("requests" -> updated.unionByName(inserted))
+
+    val v1 = new Views(t1).viewRequestDetails
+    val full = sortedRows(v1)
+    val incr = sortedRows(IncrementalView.refreshKeyed(
+      materialized, v1,
+      "id", Seq("sa-10", "sa-11", "sa-99").toDF("id")))
+    assert(incr == full)
+    // the delete really vanished and the insert really appeared
+    assert(!incr.exists(_.startsWith("sa-11|")))
+    assert(incr.exists(_.startsWith("sa-99|")))
+  }
+
+  test("refreshKeyed with an empty change set is the identity") {
+    import spark.implicits._
+    val t0 = baseTables
+    val v0 = new Views(t0).viewRequestDetails
+    val out = IncrementalView.refreshKeyed(v0, v0, "id",
+      Seq.empty[String].toDF("id"))
+    assert(sortedRows(out) == sortedRows(v0))
+  }
+
+  test("refreshKeyed rejects malformed change-key frames") {
+    import spark.implicits._
+    val v = Seq(("a", 1)).toDF("id", "x")
+    intercept[IllegalArgumentException] {
+      IncrementalView.refreshKeyed(v, v, "id",
+        Seq(("a", 1)).toDF("id", "x"))
+    }
+  }
+}
