@@ -364,6 +364,26 @@ object TrainingData {
         .orderBy(col("doc_id"), col("rank"))
     }),
 
+    // Vocabulary induction with contiguous token ids: corpus term
+    // frequencies, ids assigned densely in (freq desc, term) order.
+    // The id assignment is a global rank — at scale NOT a
+    // partition-less row_number window (single task) but a
+    // distributed prefix sum of ones over the range-partitioned sort
+    // order (operators.PrefixSum, same machinery as px4).
+    "tx10_vocab_ids" -> ((s, dir) => {
+      val terms = t(s, dir, "documents")
+        .select(explode(TF.tokens(lower(col("text")))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+        .filter(col("freq") >= 2)
+        .withColumn("nf", -col("freq"))
+        .withColumn("one", lit(1L))
+      graft.operators.PrefixSum
+        .withRunningSum(terms, Seq("nf", "term"), "one", "cum")
+        .select(col("term"), col("freq"),
+          (col("cum") - 1).as("token_id"))
+        .orderBy(col("token_id"))
+    }),
+
     // ---- similarity search --------------------------------------------
     // Brute-force cosine top-k (the exactness baseline): 5 query
     // vectors against the full corpus, rank on ROUNDED cosine + vec_id
@@ -611,6 +631,15 @@ object TrainingData {
              toks[start+1 : least(start+64, len(toks))], ' '))
              AS chunk_fp
          FROM s ORDER BY doc_id, chunk_id""",
+      "tx10_vocab_ids" ->
+        """SELECT term, freq,
+           row_number() OVER (ORDER BY freq DESC, term) - 1
+             AS token_id
+           FROM (SELECT term, count(*) AS freq FROM (
+               SELECT unnest(string_split_regex(trim(lower(text)),
+                 '\s+')) AS term FROM documents)
+             GROUP BY term HAVING count(*) >= 2)
+           ORDER BY token_id""",
       "tx9_tfidf" ->
         """WITH terms AS (SELECT doc_id, unnest(string_split_regex(
              trim(lower(text)), '\s+')) AS term
