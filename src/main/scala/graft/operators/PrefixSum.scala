@@ -68,4 +68,55 @@ object PrefixSum {
         sum(col(valueCol)).over(w) + offsetExpr)
       .drop("__pid")
   }
+
+  /** Adds `outCol` = max of `valueCol` over all rows STRICTLY BEFORE
+    * the current one in the global order (null for the first row) —
+    * the same two-pass scheme with the max monoid. The exclusive
+    * frame is what dominance-style operators (2D skyline) need:
+    * "best value among everything that sorts earlier".
+    */
+  def withRunningMaxBefore(df: DataFrame, orderCols: Seq[String],
+      valueCol: String, outCol: String): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    val reserved = Seq("__pid", "__local_before")
+    require(!reserved.exists(df.columns.contains),
+      s"column names $reserved are reserved")
+
+    val parted = df
+      .repartitionByRange(orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+    parted.cache()
+
+    val totals = parted.groupBy(col("__pid"))
+      .agg(max(col(valueCol).cast("long")).as("t"))
+      .collect()
+      .map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .sortBy(_._1)
+    // offset for partition p = max over all earlier partitions
+    val offsetOf: Map[Int, Option[Long]] = {
+      var acc: Option[Long] = None
+      totals.map { case (pid, t) =>
+        val entry = pid -> acc
+        acc = (acc.toSeq ++ t.toSeq).reduceOption(_ max _); entry
+      }.toMap
+    }
+
+    val offsetExpr = offsetOf.foldLeft(lit(null).cast("long")) {
+      case (acc, (pid, off)) =>
+        when(col("__pid") === pid,
+          off.map(lit(_).cast("long")).getOrElse(lit(null).cast("long")))
+          .otherwise(acc)
+    }
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parted
+      .withColumn("__local_before", max(col(valueCol).cast("long")).over(w))
+      // greatest() skips nulls: null only when BOTH the local prefix
+      // and every earlier partition are empty — i.e. the first row
+      .withColumn(outCol, greatest(col("__local_before"), offsetExpr))
+      .drop("__pid", "__local_before")
+  }
 }

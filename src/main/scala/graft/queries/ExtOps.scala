@@ -263,6 +263,31 @@ object ExtOps {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // 2D skyline (Pareto front: minimize price, maximize size) — the
+    // Spark-SQL skyline operator of Integration of Skyline Queries
+    // into Spark SQL (EDBT'23, PAPERS.md). The naive dominance test is
+    // an O(n²) self-join; for two dimensions the skyline is exactly
+    // the rows whose size beats the running max over all STRICTLY
+    // cheaper rows (and ties the max within their own price group) —
+    // one distributed running-max pass (operators.PrefixSum) over the
+    // price order, O(n log n) and shuffle-bounded. Oracle = the naive
+    // NOT EXISTS dominance test, so the rewrite must be lossless.
+    "xq1_skyline" -> ((s, dir) => {
+      val pts = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_retailprice").as("price"),
+          col("p_size").cast("long").as("size"))
+      val grp = pts.groupBy(col("price"))
+        .agg(max(col("size")).as("gmax"))
+      val g2 = graft.operators.PrefixSum
+        .withRunningMaxBefore(grp, Seq("price"), "gmax", "max_before")
+      pts.join(g2, Seq("price"))
+        .filter((col("max_before").isNull ||
+            col("max_before") < col("size")) &&
+          col("size") === col("gmax"))
+        .select(col("p_partkey"), col("price"), col("size"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // ROLLUP with grouping_id — subtotal/grand-total reporting (absent
     // from the reference, standard for the BI surface it feeds).
     "xa2_rollup" -> ((s, dir) => {
@@ -436,6 +461,18 @@ object ExtOps {
              + to_days(CAST(o.o_orderkey % 30 + 1 AS INT))
          WHERE o.o_orderkey < 100
          GROUP BY o_orderkey ORDER BY o_orderkey""",
+    // the oracle is the DEFINITION of dominance, not the rewrite
+    "xq1_skyline" ->
+      """SELECT p_partkey, p_retailprice AS price,
+         CAST(p_size AS BIGINT) AS size
+         FROM part p
+         WHERE NOT EXISTS (
+           SELECT 1 FROM part q
+           WHERE q.p_retailprice <= p.p_retailprice
+             AND q.p_size >= p.p_size
+             AND (q.p_retailprice < p.p_retailprice
+               OR q.p_size > p.p_size))
+         ORDER BY p_partkey""",
     "xa2_rollup" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows,

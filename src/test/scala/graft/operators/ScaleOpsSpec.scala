@@ -39,6 +39,23 @@ class ScaleOpsSpec extends SparkSpec {
     assert(cums.toSeq == (1 to 50).map(_ * 2L))
   }
 
+  test("withRunningMaxBefore equals a single-partition exclusive cummax") {
+    val df = (1 to 300).map(i => (i.toLong, ((i * 73) % 97).toLong))
+      .toDF("k", "v")
+    val expected = df
+      .withColumn("m", max($"v").over(
+        Window.orderBy($"k").rowsBetween(Window.unboundedPreceding, -1)))
+      .orderBy($"k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    for (parts <- Seq(1, 4, 13)) {
+      val got = PrefixSum
+        .withRunningMaxBefore(df.repartition(parts), Seq("k"), "v", "m")
+        .orderBy($"k").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      assert(got.toSeq == expected.toSeq, s"parts=$parts")
+    }
+  }
+
   test("rangeJoinBinned equals the naive theta join, across bin widths") {
     val points = (0L to 300L).map(p => (p, s"p$p")).toDF("pt", "pname")
     val intervals = (0L until 40L)
