@@ -47,6 +47,16 @@ class PlanShapeSpec extends SparkSpec {
       s"too many exchanges:\n${p.linesIterator.take(25).mkString("\n")}")
   }
 
+  test("PrefixSum consumers never plan a single-partition window exchange") {
+    // px4/tx10/xq1 exist to avoid Window.orderBy-without-partition,
+    // which plans Exchange SinglePartition before the window
+    for (q <- Seq("px4_pack_sequences", "tx10_vocab_ids", "xq1_skyline")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q plans an Exchange SinglePartition")
+    }
+  }
+
   test("w4 top-k compiles to TakeOrderedAndProject with zero exchanges") {
     val p = plan("w4_topk_limit")
     assert(p.contains("TakeOrderedAndProject"))
