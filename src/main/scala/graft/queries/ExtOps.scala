@@ -288,6 +288,39 @@ object ExtOps {
         .orderBy(col("p_partkey"))
     }),
 
+    // Behavioral-sequence similarity (the distributed trajectory-
+    // similarity family — REPOSE, ICDE'21 in PAPERS.md — reduced to
+    // 1D event sequences): each user's ordered event-type-initial
+    // string, pairwise edit distance, 10 most-similar pairs. The
+    // aggregation shrinks events→users before the quadratic step, and
+    // the pair join carries only the compact sequence strings. Both
+    // engines sequence on (epoch µs, event_id) — the events table is
+    // ns-precision parquet, which Spark truncates; raw ts order would
+    // diverge.
+    "xq2_sequence_similarity" -> ((s, dir) => {
+      val seqs = t(s, dir, "events").filter(col("user_id") < 100)
+        .groupBy(col("user_id"))
+        .agg(concat_ws("", transform(
+          array_sort(collect_list(struct(unix_micros(col("ts")).as("us"),
+            col("event_id"), substring(col("event_type"), 1, 1)
+              .as("c")))),
+          x => x.getField("c"))).as("seq"))
+      // top-10 via orderBy+limit (TakeOrderedAndProject — no global
+      // window over the quadratic pair table); rank assigned after
+      // the limit, over 10 rows
+      val top = seqs.as("a").join(seqs.as("b"),
+          col("a.user_id") < col("b.user_id"))
+        .select(col("a.user_id").as("user_a"),
+          col("b.user_id").as("user_b"),
+          levenshtein(col("a.seq"), col("b.seq")).cast("long").as("d"))
+        .orderBy(col("d"), col("user_a"), col("user_b"))
+        .limit(10)
+      top.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("d"), col("user_a"), col("user_b"))))
+        .orderBy(col("rank"))
+    }),
+
     // ROLLUP with grouping_id — subtotal/grand-total reporting (absent
     // from the reference, standard for the BI surface it feeds).
     "xa2_rollup" -> ((s, dir) => {
@@ -461,6 +494,18 @@ object ExtOps {
              + to_days(CAST(o.o_orderkey % 30 + 1 AS INT))
          WHERE o.o_orderkey < 100
          GROUP BY o_orderkey ORDER BY o_orderkey""",
+    "xq2_sequence_similarity" ->
+      """WITH s AS (SELECT user_id,
+           string_agg(substr(event_type, 1, 1), ''
+             ORDER BY epoch_us(ts), event_id) AS seq
+         FROM events WHERE user_id < 100 GROUP BY user_id)
+       SELECT user_a, user_b, d, rank FROM (
+         SELECT a.user_id AS user_a, b.user_id AS user_b,
+           levenshtein(a.seq, b.seq)::BIGINT AS d,
+           row_number() OVER (ORDER BY levenshtein(a.seq, b.seq),
+             a.user_id, b.user_id) AS rank
+         FROM s a JOIN s b ON a.user_id < b.user_id)
+       WHERE rank <= 10 ORDER BY rank""",
     // the oracle is the DEFINITION of dominance, not the rewrite
     "xq1_skyline" ->
       """SELECT p_partkey, p_retailprice AS price,
