@@ -242,6 +242,36 @@ object Multimodal {
       lit("data".getBytes("UTF-8")), leBytes(dataBytes, 4))
   }
 
+  /** REAL GIF header decode (GIF87a/89a logical screen descriptor,
+    * GIF89a spec §17-18): version, width/height (little-endian 16-bit
+    * at offsets 6/8), global-color-table flag and its 2^(N+1) size
+    * from the packed byte at offset 10. Same contract as wavMeta:
+    * pure Column algebra, O(header) per blob, null struct for
+    * non-GIF payloads.
+    */
+  def gifMeta(payload: Column): Column = {
+    val isGif = ascii(payload, 1, 3) === "GIF" &&
+      ascii(payload, 4, 3).isin("87a", "89a") &&
+      octet_length(payload) >= 13
+    val packed = leUInt(payload, 11, 1)
+    val meta = struct(
+      ascii(payload, 4, 3).as("version"),
+      leUInt(payload, 7, 2).as("width"),
+      leUInt(payload, 9, 2).as("height"),
+      shiftright(packed, 7).bitwiseAND(lit(1L)).as("has_gct"),
+      call_function("shiftleft", lit(1L),
+        (packed.bitwiseAND(lit(7L)) + 1).cast("int")).as("gct_colors"))
+    when(isGif, meta)
+  }
+
+  /** Build a 13-byte GIF89a header in-plan — the synthesis twin of
+    * `gifMeta` for the round-trip oracle query. */
+  def gifHeader(width: Column, height: Column, packed: Column): Column =
+    concat(
+      lit("GIF89a".getBytes("UTF-8")),
+      leBytes(width, 2), leBytes(height, 2),
+      leBytes(packed, 1), leBytes(lit(0), 1), leBytes(lit(0), 1))
+
   /** Build a media table from any (id, text) source — the harness
     * stand-in for real binary ingestion (documents.text → UTF-8 blob).
     */

@@ -196,6 +196,24 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL GIF header round-trip (the image sibling of mm2): build
+    // GIF89a logical-screen descriptors in-plan, parse them back with
+    // the real decoder — version, LE dimensions, packed
+    // global-color-table byte. Oracle recomputes the fields from the
+    // table directly.
+    "mm3_gif_metadata" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val w = (lit(100) + pmod(col("doc_id"), lit(900))).cast("long")
+      val h = (lit(50) + pmod(col("doc_id"), lit(500))).cast("long")
+      val packed = (lit(128) + pmod(col("doc_id"), lit(8))).cast("long")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.gifMeta(Multimodal.gifHeader(w, h, packed)).as("m"))
+        .select(col("doc_id"), col("m.version"), col("m.width"),
+          col("m.height"), col("m.has_gct"), col("m.gct_colors"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic anonymization: format-preserving digit masking +
     // salted-hash pseudonym token + value banding. Pure per-row Column
     // algebra — no shuffle, codegen throughout.
@@ -364,6 +382,14 @@ object Pipeline {
            n_chars AS data_bytes,
            (n_chars * 1000) // ((8000 + (doc_id % 5) * 4000) *
              (1 + doc_id % 2) * 2) AS duration_ms
+         FROM documents ORDER BY doc_id""",
+    // has_gct is always 1 (packed = 128 + k); gct_colors = 2^(k+1)
+    "mm3_gif_metadata" ->
+      """SELECT doc_id, '89a' AS version,
+           (100 + doc_id % 900) AS width,
+           (50 + doc_id % 500) AS height,
+           1 AS has_gct,
+           CAST(power(2, (doc_id % 8) + 1) AS BIGINT) AS gct_colors
          FROM documents ORDER BY doc_id""",
     "px1_pii_mask" ->
       """SELECT c_custkey,
