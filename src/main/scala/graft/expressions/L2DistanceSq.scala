@@ -43,13 +43,19 @@ case class L2DistanceSq(left: Expression, right: Expression)
     case _ => false
   }
 
+  // HOF parity (zip_with + aggregate): mismatched lengths null-pad and
+  // a null element nulls the whole sum — so the fused form returns
+  // null for ragged or null-holding vectors instead of a confidently
+  // small distance
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val (fx, fy) = (isFloat(left), isFloat(right))
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var acc = 0.0; var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = if (fx) x.getFloat(i).toDouble else x.getDouble(i)
       val yi = if (fy) y.getFloat(i).toDouble else y.getDouble(i)
       val d = xi - yi
@@ -69,16 +75,25 @@ case class L2DistanceSq(left: Expression, right: Expression)
         if (float) s"(double) $arr.getFloat($idx)"
         else s"$arr.getDouble($idx)"
       s"""
-        |int $n = Math.min($a.numElements(), $b.numElements());
-        |double $acc = 0.0;
-        |for (int $i = 0; $i < $n; $i++) {
-        |  double $d = ${get(a, i, isFloat(left))} -
-        |    ${get(b, i, isFloat(right))};
-        |  $acc += $d * $d;
+        |int $n = $a.numElements();
+        |if ($b.numElements() != $n) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  double $acc = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+        |      ${ev.isNull} = true; break;
+        |    }
+        |    double $d = ${get(a, i, isFloat(left))} -
+        |      ${get(b, i, isFloat(right))};
+        |    $acc += $d * $d;
+        |  }
+        |  if (!${ev.isNull}) ${ev.value} = $acc;
         |}
-        |${ev.value} = $acc;
       """.stripMargin
     })
+
+  override def nullable: Boolean = true
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Expression = copy(newLeft, newRight)

@@ -47,10 +47,13 @@ case class MinHashSig(child: Expression, k: Int)
     val acc = Array.fill(k)(Long.MaxValue)
     var j = 0
     while (j < n) {
-      val s = arr.getUTF8String(j)
+      // a null shingle matches xxhash64(seed, NULL): the null child is
+      // skipped, leaving hashInt(i, 42) — not an NPE
+      val s = if (arr.isNullAt(j)) null else arr.getUTF8String(j)
       var i = 0
       while (i < k) {
-        val h = XXH64.hashUTF8String(s, XXH64.hashInt(i, 42L))
+        val seeded = XXH64.hashInt(i, 42L)
+        val h = if (s == null) seeded else XXH64.hashUTF8String(s, seeded)
         if (h < acc(i)) acc(i) = h
         i += 1
       }
@@ -79,10 +82,10 @@ case class MinHashSig(child: Expression, k: Int)
         |  long[] $acc = new long[$k];
         |  java.util.Arrays.fill($acc, Long.MAX_VALUE);
         |  for (int $j = 0; $j < $n; $j++) {
-        |    $utf8 $s = $c.getUTF8String($j);
+        |    $utf8 $s = $c.isNullAt($j) ? null : $c.getUTF8String($j);
         |    for (int $i = 0; $i < $k; $i++) {
-        |      long $h = $xxh.hashUTF8String($s,
-        |        $xxh.hashInt($i, 42L));
+        |      long $h = $xxh.hashInt($i, 42L);
+        |      if ($s != null) $h = $xxh.hashUTF8String($s, $h);
         |      if ($h < $acc[$i]) $acc[$i] = $h;
         |    }
         |  }

@@ -20,7 +20,9 @@ object ZOrder {
     * positions) into a single Morton key. Inputs must already be
     * non-negative quantized longs < 2^bits. */
   def interleave2(x: Column, y: Column, bits: Int): Column = {
-    require(bits > 0 && bits <= 31, s"bits must be in [1,31], got $bits")
+    // 30 keeps both 1L << bits in quantize and the 2*bits-wide key in
+    // long range with headroom
+    require(bits > 0 && bits <= 30, s"bits must be in [1,30], got $bits")
     (0 until bits).foldLeft(lit(0L)) { (acc, j) =>
       acc +
         shiftleft(shiftrightunsigned(x.cast("long"), j)
@@ -32,9 +34,10 @@ object ZOrder {
 
   /** Linear min/max quantization of a numeric column to [0, 2^bits). */
   def quantize(c: Column, cMin: Double, cMax: Double, bits: Int): Column = {
+    require(bits > 0 && bits <= 30, s"bits must be in [1,30], got $bits")
     val span = math.max(cMax - cMin, Double.MinPositiveValue)
-    least(lit((1 << bits) - 1), greatest(lit(0),
-      floor((c.cast("double") - cMin) / span * (1 << bits)).cast("long")))
+    least(lit((1L << bits) - 1), greatest(lit(0L),
+      floor((c.cast("double") - cMin) / span * (1L << bits)).cast("long")))
   }
 
   /** Write `df` as `numFiles` parquet files clustered on the Z-curve

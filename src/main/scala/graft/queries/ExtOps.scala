@@ -16,17 +16,31 @@ object ExtOps {
     graft.Tables.load(s, dir, name)
 
   /** Argmin cell assignment against broadcast centroids (cl, c):
-    * row-local L2 via the native fused-loop expression, ties broken
-    * by cluster id — no shuffle of the vectors themselves. */
+    * the k centroids are packed into ONE broadcast row and the argmin
+    * is an `aggregate` fold over that array per vector — genuinely
+    * row-local (no exchange of the vectors; a k-way crossJoin +
+    * row_number window would re-shuffle the whole embedding corpus on
+    * vec_id every Lloyd round). Ties break to the lower cluster id,
+    * same as ORDER BY (dist, cl). */
   private def assignCells(e: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("dist"), col("cl"))
-    e.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("cl"),
-        graft.expressions.L2DistanceSq(col("embedding"), col("c"))
-          .as("dist"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    val packed = centroids
+      .agg(collect_list(struct(col("cl"), col("c"))).as("cents"))
+    e.crossJoin(broadcast(packed))
+      .withColumn("best", aggregate(
+        col("cents"),
+        struct(lit(Double.MaxValue).as("dist"),
+          lit(Int.MaxValue).as("cl")),
+        (acc, ct) => {
+          val d = graft.expressions.L2DistanceSq(col("embedding"),
+            ct.getField("c"))
+          when(d < acc.getField("dist") ||
+              (d === acc.getField("dist") &&
+                ct.getField("cl") < acc.getField("cl")),
+            struct(d.as("dist"), ct.getField("cl").as("cl")))
+            .otherwise(acc)
+        }))
+      .select(col("vec_id"), col("embedding"),
+        col("best.cl").as("cl"), col("best.dist").as("dist"))
   }
 
   /** The DuckDB replay of [[kmeansCentroids]] + final assignment:

@@ -119,6 +119,7 @@ object EventStream {
 
   case class GapSessionState(sessionStart: Long, lastTs: Long,
     nEvents: Long)
+  case class OpenSessions(open: Seq[GapSessionState])
   case class ClosedSession(user_id: Long, session_start: Timestamp,
     n_events: Long, duration_s: Long)
 
@@ -127,11 +128,15 @@ object EventStream {
     * session_window can't express when per-session state is richer
     * than an aggregate (resume ladders, per-session spill files, …).
     *
-    * A session closes when (a) a later event for the same user
-    * arrives more than `gapMs` after the previous one, or (b) the
-    * event-time watermark passes lastTs + gapMs (EventTimeTimeout) —
-    * so state is bounded by the watermark and closed sessions are
-    * emitted exactly once (Append mode).
+    * State is the user's OPEN session set (plural: a late-but-within-
+    * watermark event may open or extend an EARLIER session than the
+    * newest one — single-session state would mis-attribute it). Each
+    * trigger folds the incoming events in, coalesces sessions within
+    * `gapMs` of each other (out-of-order arrivals extend session
+    * start as well as end), and closes exactly the sessions whose
+    * close point the watermark has passed — no future event can be
+    * earlier than the watermark, so emission is exactly-once and
+    * final (Append mode), and state stays watermark-bounded.
     */
   def gapSessions(events: Dataset[Event],
       gapMs: Long = 4L * 3600 * 1000): Dataset[ClosedSession] = {
@@ -139,37 +144,37 @@ object EventStream {
     def close(uid: Long, s: GapSessionState): ClosedSession =
       ClosedSession(uid, new Timestamp(s.sessionStart), s.nEvents,
         (s.lastTs - s.sessionStart) / 1000)
+    // merge time-sorted sessions that sit within one gap of each other
+    def coalesced(ss: Seq[GapSessionState]): Seq[GapSessionState] =
+      ss.sortBy(s => (s.sessionStart, s.lastTs))
+        .foldLeft(Vector.empty[GapSessionState]) { (acc, s) =>
+          acc.lastOption match {
+            case Some(p) if s.sessionStart <= p.lastTs + gapMs =>
+              acc.init :+ GapSessionState(p.sessionStart,
+                math.max(p.lastTs, s.lastTs), p.nEvents + s.nEvents)
+            case _ => acc :+ s
+          }
+        }
     events
       .withWatermark("ts", "2 hours")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[GapSessionState, ClosedSession](
+      .flatMapGroupsWithState[OpenSessions, ClosedSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        case (uid, batch, state: GroupState[GapSessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(close(uid, s))
-          } else {
-            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            val out = scala.collection.mutable.ArrayBuffer[ClosedSession]()
-            var st = state.getOption.orNull
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              if (st == null) st = GapSessionState(t, t, 1L)
-              else if (t - st.lastTs > gapMs) {
-                out += close(uid, st)
-                st = GapSessionState(t, t, 1L)
-              } else st = GapSessionState(st.sessionStart,
-                math.max(st.lastTs, t), st.nEvents + 1)
-            }
-            state.update(st)
-            // the timeout must sit at-or-after the watermark; a
-            // session whose close point the watermark already passed
-            // times out on the next trigger
-            state.setTimeoutTimestamp(math.max(st.lastTs + gapMs,
-              state.getCurrentWatermarkMs() + 1))
-            out.iterator
+        case (uid, batch, state: GroupState[OpenSessions]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val prior = state.getOption.map(_.open).getOrElse(Seq.empty)
+          val incoming = batch.map(e =>
+            GapSessionState(e.ts.getTime, e.ts.getTime, 1L)).toSeq
+          val all = coalesced(prior ++ incoming)
+          // closed = no event ≥ watermark can still fall within gap
+          val (closed, open) = all.partition(_.lastTs + gapMs < wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(OpenSessions(open))
+            state.setTimeoutTimestamp(math.max(
+              open.map(_.lastTs + gapMs).min, wm + 1))
           }
+          closed.sortBy(_.sessionStart).map(close(uid, _)).iterator
       }
   }
 

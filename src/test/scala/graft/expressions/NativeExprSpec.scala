@@ -32,6 +32,35 @@ class NativeExprSpec extends SparkSpec {
     }
   }
 
+  test("l2_dist_sq nulls on ragged or null-holding vectors, like the HOF") {
+    val df = Seq(
+      (Seq[Option[Float]](Some(1f)), Seq[Option[Float]](Some(1f), Some(2f))),
+      (Seq[Option[Float]](Some(1f), None), Seq[Option[Float]](Some(1f), Some(2f))),
+      (Seq[Option[Float]](Some(1f), Some(2f)), Seq[Option[Float]](Some(1f), Some(2f))))
+      .toDF("a", "b")
+    val got = df.select(
+        L2DistanceSq($"a", $"b").as("native"),
+        aggregate(zip_with($"a", $"b",
+            (x, y) => (x.cast("double") - y.cast("double")) *
+              (x.cast("double") - y.cast("double"))),
+          lit(0.0), (acc, v) => acc + v).as("hof"))
+      .collect()
+    got.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1),
+        s"native=${r.get(0)} hof=${r.get(1)}")
+    }
+    assert(got(0).isNullAt(0) && got(1).isNullAt(0) && !got(2).isNullAt(0))
+  }
+
+  test("minhash_sig tolerates null shingles, matching the HOF") {
+    import graft.functions.{SimilarityFunctions => SF}
+    val df = Seq(Seq[Option[String]](Some("a b"), None, Some("b c")))
+      .toDF("sh")
+    val r = df.select(SF.minhashSignature($"sh", 8).as("native"),
+      SF.minhashSignatureHof($"sh", 8).as("hof")).collect()(0)
+    assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+  }
+
   test("l2_dist_sq accepts mixed float/double sides") {
     val d = emb.select($"embedding",
       transform($"embedding", x => x.cast("double")).as("emb_d"))

@@ -139,8 +139,8 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("gapSessions closes a session on in-stream gap AND on watermark " +
-    "timeout (flatMapGroupsWithState, EventTimeTimeout; ts3 twin)") {
+  test("gapSessions: late events extend session start, sessions close " +
+    "only once the watermark passes (flatMapGroupsWithState; ts3 twin)") {
     implicit val sqlCtx = spark.sqlContext
     def at(hour: Int, minute: Int): Timestamp =
       Timestamp.valueOf(f"2024-01-01 $hour%02d:$minute%02d:00")
@@ -149,28 +149,35 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("gap_sessions")
       .outputMode("append").start()
     try {
-      // user 1: two events 10 min apart (one session), then an event
-      // 3h later IN THE SAME STREAM → the gap closes session 1 inline
+      // batch 1: one user-1 session 10:00-10:10 → watermark 08:10
       mem.addData(
         Event(1, at(10, 0), 1, "click", 1.0),
         Event(2, at(10, 10), 1, "click", 1.0))
       q.processAllAvailable()
-      mem.addData(Event(3, at(13, 0), 1, "click", 1.0))
+      assert(spark.table("gap_sessions").count() == 0,
+        "nothing may close while the watermark sits at 08:10")
+      // batch 2: a LATE but in-watermark event at 09:50 must extend
+      // the session's START (the single-session-state bug emitted
+      // start=10:00 for it); plus a gap-separated event at 13:00.
+      // The watermark then advances to 11:00 and the engine's timeout
+      // sweep closes session 1 (close point 10:40) — with the
+      // late-extended start and duration.
+      mem.addData(
+        Event(3, at(9, 50), 1, "click", 1.0),
+        Event(4, at(13, 0), 1, "click", 1.0))
       q.processAllAvailable()
-      val afterGap = spark.table("gap_sessions")
-        .collect().map(r => (r.getLong(0), r.getTimestamp(1),
-          r.getLong(2), r.getLong(3)))
-      assert(afterGap.toSeq == Seq((1L, at(10, 0), 2L, 600L)))
-      // advance the watermark far past 13:00+gap via another user →
-      // user 1's open session times out and closes with ONE event
-      mem.addData(Event(4, at(23, 0), 2, "click", 1.0))
-      q.processAllAvailable()
-      mem.addData(Event(5, at(23, 1), 2, "click", 1.0))
+      val afterLate = spark.table("gap_sessions")
+        .collect().map(r => (r.getTimestamp(1), r.getLong(2), r.getLong(3)))
+      assert(afterLate.toSeq == Seq((at(9, 50), 3L, 1200L)))
+      // batch 3: user 2 advances the watermark to 21:00 → user-1's
+      // remaining session (close point 13:30) times out too
+      mem.addData(Event(5, at(23, 0), 2, "click", 1.0))
       q.processAllAvailable()
       val closed = spark.table("gap_sessions")
         .filter(col("user_id") === 1).orderBy(col("session_start"))
-        .collect().map(r => (r.getTimestamp(1), r.getLong(2)))
-      assert(closed.toSeq == Seq((at(10, 0), 2L), (at(13, 0), 1L)))
+        .collect().map(r => (r.getTimestamp(1), r.getLong(2), r.getLong(3)))
+      assert(closed.toSeq == Seq((at(9, 50), 3L, 1200L),
+        (at(13, 0), 1L, 0L)))
     } finally q.stop()
   }
 
