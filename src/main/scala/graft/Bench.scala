@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -11,17 +11,33 @@ object Bench {
       graft.Tables.names.foreach(n =>
         graft.Tables.load(spark, sfDir, n).count())
     } catch { case _: Throwable => () }
+    val progress = new java.io.PrintWriter("bench_progress.log")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-28s $dt%8.2fs")
+      // per-query progress goes to a FILE, not the console: the driver
+      // captures a bounded window of output, and 120+ progress lines
+      // were crowding out the one JSON line it parses.
+      progress.println(f"[bench] $name%-28s $dt%8.2fs"); progress.flush()
+      graft.operators.ManagedCache.releaseAll()
       name -> dt
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    progress.close()
+    // 3-decimal timings keep the one-line JSON compact (millisecond
+    // resolution is already below bench noise). Locale.ROOT so a
+    // locale with comma decimal separators can't corrupt the JSON.
+    def num(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // full vector also lands in a file so a truncated console capture
+    // can never lose the per-query timings
+    Files.writeString(Paths.get("bench_results.json"), line + "\n")
+    println(line)
     spark.stop()
   }
 }

@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Tracked persistence for intra-query working sets (sketch tables,
+  * range-partitioned frames) that are read more than once inside ONE
+  * query's DAG. A bare `.cache()` in a query builder leaks a
+  * MEMORY_ONLY copy per invocation for the lifetime of the session —
+  * a harness that runs the query repeatedly (Bench) accumulates them.
+  * Here every persist is (a) MEMORY_AND_DISK by default so a frame
+  * that outgrows executor memory degrades to disk instead of
+  * evicting, and (b) registered, so the driver releases everything
+  * with one [[releaseAll]] once the consuming action has drained.
+  */
+object ManagedCache {
+
+  private val persisted =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Persist `df` at `level` and track it for [[releaseAll]]. */
+  def persist(df: DataFrame,
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    df.persist(level)
+    persisted.add(df)
+    df
+  }
+
+  /** Unpersist every tracked frame. Safe once the actions consuming
+    * the dependent results have completed; a result not yet drained
+    * would recompute (correct, just slower). */
+  def releaseAll(): Unit = {
+    var df = persisted.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = persisted.poll()
+    }
+  }
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{SimilarityFunctions => SF, TextFunctions => TF}
+import graft.operators.ManagedCache
 
 /** Large-scale training-data pipeline operators (beyond the reference's
   * surface, first-class per the build contract): deduplication,
@@ -106,11 +107,12 @@ object TrainingData {
     // future LSH miss fails the hash compare, which is the point).
     "dd2_minhash_lsh" -> ((s, dir) => {
       // the shingle table feeds the band join AND both verification
-      // joins — persist it (at scale: write the sketch table once)
-      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
-        .select(col("doc_id"), TF.wordShingles(col("text"), 2).as("sh"))
-        .filter(size(col("sh")) > 0)
-        .cache()
+      // joins — persist it tracked + disk-spillable (at scale: write
+      // the sketch table once); Bench/Verify release after the action
+      val docs = ManagedCache.persist(
+        t(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"), TF.wordShingles(col("text"), 2).as("sh"))
+          .filter(size(col("sh")) > 0))
       val banded = docs.select(col("doc_id"),
         explode(SF.lshBands(SF.minhashSignature(col("sh"), 16), 8, 2))
           .as("band"))
@@ -171,15 +173,15 @@ object TrainingData {
       // (pairing all such docs at hamming 0) while the oracle's `sigs`
       // CTE drops it — exclude shingle-less docs so both engines
       // define the same doc set (dd5 already guards the same way)
-      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
-        .select(col("doc_id"), TF.wordShingles(col("text"), 2).as("sh"))
-        .filter(size(col("sh")) > 0)
-        .select(col("doc_id"),
-          SF.simhashBits(col("sh"), 60, SF.md5hash60).as("sig"))
+      val docs = ManagedCache.persist(
+        t(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"), TF.wordShingles(col("text"), 2).as("sh"))
+          .filter(size(col("sh")) > 0)
+          .select(col("doc_id"),
+            SF.simhashBits(col("sh"), 60, SF.md5hash60).as("sig")))
         // sketch computed once, exploded to 10 block keys — persist
-        // (the 16-byte-per-doc sketch table is exactly what you'd
-        // materialize at 100 TB)
-        .cache()
+        // tracked (the 16-byte-per-doc sketch table is exactly what
+        // you'd materialize at 100 TB)
       val blocked = docs.select(col("doc_id"), col("sig"),
         explode(SF.simhashBlocks(col("sig"), 10, 60)).as("blk"))
       blocked.as("a").join(blocked.as("b"),
@@ -200,10 +202,10 @@ object TrainingData {
     // ever misses a true near-dup, the row disappears from the Spark
     // side and the driver's hash compare fails.
     "dd7_simhash_recall" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
-        .select(col("doc_id"),
-          SF.simhash64(TF.wordShingles(col("text"), 2)).as("sig"))
-        .cache()
+      val docs = ManagedCache.persist(
+        t(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"),
+            SF.simhash64(TF.wordShingles(col("text"), 2)).as("sig")))
       val blocked = docs.select(col("doc_id"),
         explode(SF.simhashBlocks(col("sig"), 8)).as("blk"))
       val simhashPairs = blocked.as("a").join(blocked.as("b"),

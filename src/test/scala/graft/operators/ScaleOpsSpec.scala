@@ -56,6 +56,61 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("PrefixSum at 2000 shuffle partitions stays codegen'd (broadcast offsets, no when-chain)") {
+    // the scale regime the operator exists for: thousands of shuffle
+    // partitions. A when-chain offset map would be a 2000-branch
+    // CaseWhen — past the 64KB codegen method limit — so the guard is
+    // that the executed plan maps offsets with a BroadcastHashJoin and
+    // contains no CaseWhen at all.
+    val conf = spark.conf
+    val oldParts = conf.get("spark.sql.shuffle.partitions")
+    val oldAqe = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.shuffle.partitions", "2000")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = (1 to 4000).map(i => (i.toLong, (i % 7).toLong))
+        .toDF("k", "v")
+      val res = PrefixSum
+        .withRunningSum(df.repartition(64), Seq("k"), "v", "cum")
+      val p = res.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(!p.contains("CASE WHEN") && !p.contains("CaseWhen"),
+        "offset mapping regressed to a when-chain")
+      assert(p.contains("BroadcastHashJoin"),
+        s"expected broadcast offset join:\n${p.take(2000)}")
+      // formatted mode tags codegen'd operators with [codegen id : n];
+      // the offset-applying Project must carry one
+      assert(p.contains("codegen id"))
+      val got = res.orderBy($"k").collect().map(_.getLong(2))
+      val exp = (1 to 4000).map(i => (i % 7).toLong)
+        .scanLeft(0L)(_ + _).tail
+      assert(got.toSeq == exp)
+    } finally {
+      conf.set("spark.sql.shuffle.partitions", oldParts)
+      conf.set("spark.sql.adaptive.enabled", oldAqe)
+      PrefixSum.unpersistAll()
+    }
+  }
+
+  test("PrefixSum honors the StorageLevel parameter and unpersistAll releases the cache") {
+    import org.apache.spark.storage.StorageLevel
+    PrefixSum.unpersistAll()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val df = (1 to 100).map(i => (i.toLong, 1L)).toDF("k", "v")
+    val res = PrefixSum.withRunningSum(df, Seq("k"), "v", "cum",
+      StorageLevel.DISK_ONLY)
+    assert(res.count() == 100)
+    val added = spark.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => !before.contains(id) }
+    assert(added.nonEmpty, "expected the range-partitioned frame cached")
+    assert(added.values.forall(_.getStorageLevel == StorageLevel.DISK_ONLY),
+      s"wrong storage level: ${added.values.map(_.getStorageLevel)}")
+    PrefixSum.unpersistAll()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(added.keySet.forall(!after.contains(_)),
+      "unpersistAll left the frame cached")
+  }
+
   test("rangeJoinBinned equals the naive theta join, across bin widths") {
     val points = (0L to 300L).map(p => (p, s"p$p")).toDF("pt", "pname")
     val intervals = (0L until 40L)
