@@ -93,5 +93,6 @@ object CosineSimilarity {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
-      exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+      GraftExtensions.binaryBuilder("cosine_sim", CosineSimilarity(_, _)),
+      "built-in")
 }

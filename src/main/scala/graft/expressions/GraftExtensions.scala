@@ -15,17 +15,33 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * thrift/connect sessions too).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions.binaryBuilder
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+      binaryBuilder("cosine_sim", CosineSimilarity(_, _))))
     ext.injectFunction((
       FunctionIdentifier("l2_dist_sq"),
       new ExpressionInfo(classOf[L2DistanceSq].getName, "l2_dist_sq"),
-      (exprs: Seq[Expression]) => L2DistanceSq(exprs(0), exprs(1))))
+      binaryBuilder("l2_dist_sq", L2DistanceSq(_, _))))
     // whole-operator extension: plans graft.plans.AsOfJoinNode onto
     // the native merge-scan AsOfJoinExec
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
+}
+
+object GraftExtensions {
+  /** Arity-validated builder for a binary SQL function: wrong argument
+    * counts raise the standard WRONG_NUM_ARGS AnalysisException naming
+    * the function, not an IndexOutOfBoundsException from `exprs(1)`. */
+  private[expressions] def binaryBuilder(name: String,
+      make: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = { exprs =>
+    if (exprs.length != 2)
+      org.apache.spark.sql.GraftColumnBridge
+        .wrongNumArgs(name, 2, exprs.length)
+    make(exprs(0), exprs(1))
   }
 }

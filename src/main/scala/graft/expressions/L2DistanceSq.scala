@@ -110,5 +110,6 @@ object L2DistanceSq {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "l2_dist_sq",
-      exprs => L2DistanceSq(exprs(0), exprs(1)), "built-in")
+      GraftExtensions.binaryBuilder("l2_dist_sq", L2DistanceSq(_, _)),
+      "built-in")
 }

@@ -40,6 +40,14 @@ case class MinHashSig(child: Expression, k: Int)
   override def prettyName: String = "minhash_sig"
   override def nullable: Boolean = true
 
+  /** The k per-slot seed values `xxhash64(i, 42)` are constants of the
+    * expression — computed once here instead of n_shingles × k times
+    * inside the innermost loop (the map-side hot path of corpus-scale
+    * dedup). Transient: recomputed cheaply after task deserialization.
+    */
+  @transient private lazy val seeds: Array[Long] =
+    Array.tabulate(k)(i => XXH64.hashInt(i, 42L))
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
@@ -52,7 +60,7 @@ case class MinHashSig(child: Expression, k: Int)
       val s = if (arr.isNullAt(j)) null else arr.getUTF8String(j)
       var i = 0
       while (i < k) {
-        val seeded = XXH64.hashInt(i, 42L)
+        val seeded = seeds(i)
         val h = if (s == null) seeded else XXH64.hashUTF8String(s, seeded)
         if (h < acc(i)) acc(i) = h
         i += 1
@@ -67,9 +75,13 @@ case class MinHashSig(child: Expression, k: Int)
     val xxh = classOf[XXH64].getName
     val gad = classOf[GenericArrayData].getName
     val utf8 = classOf[UTF8String].getName
+    // the k seed constants ride along as a broadcast-once reference
+    // object instead of being rehashed n_shingles × k times per row
+    val seedsRef = ctx.addReferenceObj("minhashSeeds", seeds, "long[]")
     nullSafeCodeGen(ctx, ev, c => {
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val sd = ctx.freshName("sd")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val s = ctx.freshName("s")
@@ -79,12 +91,13 @@ case class MinHashSig(child: Expression, k: Int)
         |if ($n == 0) {
         |  ${ev.isNull} = true;
         |} else {
+        |  long[] $sd = $seedsRef;
         |  long[] $acc = new long[$k];
         |  java.util.Arrays.fill($acc, Long.MAX_VALUE);
         |  for (int $j = 0; $j < $n; $j++) {
         |    $utf8 $s = $c.isNullAt($j) ? null : $c.getUTF8String($j);
         |    for (int $i = 0; $i < $k; $i++) {
-        |      long $h = $xxh.hashInt($i, 42L);
+        |      long $h = $sd[$i];
         |      if ($s != null) $h = $xxh.hashUTF8String($s, $h);
         |      if ($h < $acc[$i]) $acc[$i] = $h;
         |    }

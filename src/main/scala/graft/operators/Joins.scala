@@ -150,7 +150,17 @@ object Joins {
     val shared = points.columns.toSet.intersect(intervals.columns.toSet)
     require(shared.isEmpty,
       s"point/interval column names must be disjoint, both have: $shared")
-    val bin = (c: Column) => floor(binOf(c).cast("long") / binWidth)
+    // pure LONG floor-division: Spark's `/` promotes to double, whose
+    // 53-bit mantissa would silently mis-bin axis values beyond 2^53
+    // (a microsecond epoch is already ~2^50, so the cliff is reachable
+    // for a generic axis). (x - pmod(x, w)) is exactly divisible by w,
+    // so integral `div` equals mathematical floor division, negatives
+    // included.
+    val bin = (c: Column) => {
+      val x = binOf(c).cast("long")
+      val w = lit(binWidth)
+      call_function("div", x - pmod(x, w), w)
+    }
     val p = points.withColumn("__bin", bin(col(pointTs)))
     val iv = intervals.withColumn("__bin",
       explode(sequence(bin(col(startTs)), bin(col(endTs)))))

@@ -15,6 +15,14 @@ object GraftColumnBridge {
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** The standard analysis error for a SQL function called with the
+    * wrong argument count (`private[sql]` QueryCompilationErrors) —
+    * so `l2_dist_sq(a)` fails with a proper AnalysisException naming
+    * the function instead of an IndexOutOfBoundsException. */
+  def wrongNumArgs(name: String, expected: Int, actual: Int): Nothing =
+    throw org.apache.spark.sql.errors.QueryCompilationErrors
+      .wrongNumArgsError(name, Seq(expected), actual)
+
   /** DataFrame from a custom LogicalPlan (`Dataset.ofRows` is
     * `private[sql]` in Spark 4) — the entry point for custom logical
     * operators like `graft.plans.AsOfJoinNode`. */

@@ -89,6 +89,18 @@ class NativeExprSpec extends SparkSpec {
     assert(empty(0).isNullAt(0))
   }
 
+  test("wrong arity raises an AnalysisException naming the function, not an index error") {
+    L2DistanceSq.register(spark)
+    CosineSimilarity.register(spark)
+    emb.createOrReplaceTempView("emb_ar")
+    for (fn <- Seq("l2_dist_sq", "cosine_sim")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT $fn(embedding) FROM emb_ar").collect()
+      }
+      assert(e.getMessage.contains(fn), e.getMessage)
+    }
+  }
+
   test("l2_dist_sq rejects non-array inputs through SQL analysis") {
     L2DistanceSq.register(spark)
     emb.createOrReplaceTempView("emb_ne")

@@ -130,6 +130,28 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("rangeJoinBinned bins exactly beyond 2^53 and on negative axes") {
+    // double division would round these axis values (53-bit mantissa)
+    // into the wrong bin and silently drop matching pairs; the long
+    // floor-div must not. Also covers negative axis floor semantics.
+    val base = (1L << 60) + 12345L
+    val points = Seq(base, base + 1, base + 2, -base, -base - 7)
+      .zipWithIndex.map { case (p, i) => (p, s"p$i") }.toDF("pt", "pname")
+    val intervals = Seq(
+      (1L, base, base + 1),        // matches base, base+1
+      (2L, base + 2, base + 2),    // matches base+2 exactly
+      (3L, -base - 10, -base))     // matches both negatives
+      .toDF("iid", "s", "e")
+    for (w <- Seq(1L, 7L, 1000L)) {
+      val got = Joins.rangeJoinBinned(points, "pt", intervals,
+          "s", "e", identity, w)
+        .select($"iid", $"pt").orderBy($"iid", $"pt")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSeq == Seq((1L, base), (1L, base + 1), (2L, base + 2),
+        (3L, -base - 7), (3L, -base)), s"binWidth=$w: ${got.toSeq}")
+    }
+  }
+
   test("rangeJoinBinned rejects colliding column names") {
     val p = Seq((1L, 2L)).toDF("ts", "x")
     val iv = Seq((1L, 2L)).toDF("ts", "e")
