@@ -48,13 +48,23 @@ object ConnectedComponents {
       val nbrMin = sym.join(labels, sym("src") === labels("id"))
         .groupBy(sym("dst").as("nid"))
         .agg(min(col("comp")).as("nbr_comp"))
+      // the convergence counter rides the SAME job that materializes
+      // the checkpoint (observed metric) — a separate count() action
+      // would re-run a full pass per round, doubling every round's work
+      val obs = new org.apache.spark.sql.Observation(s"cc_round_$i")
       val next = labels.join(nbrMin, labels("id") === col("nid"), "left")
         .select(labels("id").as("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
             .as("comp"),
           col("comp").as("prev"))
+        .observe(obs,
+          sum(when(col("comp") =!= col("prev"), 1L).otherwise(0L))
+            .as("changed"))
         .localCheckpoint(true) // bound lineage growth per round
-      changed = next.filter(col("comp") =!= col("prev")).count()
+      changed = obs.get("changed") match {
+        case null => 0L // empty vertex set: sum over zero rows
+        case n: java.lang.Long => n.longValue()
+      }
       labels = next.select(col("id"), col("comp"))
       i += 1
     }

@@ -50,6 +50,39 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(keepersPerCluster.forall(_ == 1))
   }
 
+  test("convergence check rides the checkpoint job: one action per round") {
+    // diameter-5 path, min label at the far end: 5 propagation rounds
+    // + 1 fixpoint round = 6 rounds. Each round must cost ONE SQL
+    // execution (the localCheckpoint materialization, which carries
+    // the observed changed-counter); a separate count() per round —
+    // the old scheme — would show ~2x the executions.
+    val sc = spark.sparkContext
+    val execs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case _: org.apache.spark.sql.execution.ui
+              .SparkListenerSQLExecutionStart => execs.incrementAndGet()
+          case _ => ()
+        }
+    }
+    org.apache.spark.GraftTestBridge.drainListenerBus(sc)
+    sc.addSparkListener(listener)
+    try {
+      val got = labels(0L to 5L,
+        Seq((5, 4), (4, 3), (3, 2), (2, 1), (1, 0)))
+      assert(got.values.toSet == Set(0L))
+      org.apache.spark.GraftTestBridge.drainListenerBus(sc)
+      // 2 setup checkpoints (sym, initial labels) + 6 round
+      // checkpoints + the collect = 9; leave headroom of 1 for AQE
+      // sub-executions, still strictly below the ~15 of a
+      // count-per-round scheme
+      assert(execs.get() <= 10,
+        s"expected one action per round, saw ${execs.get()} SQL executions")
+    } finally sc.removeSparkListener(listener)
+  }
+
   test("maxIter too small to converge throws instead of returning " +
     "wrong labels") {
     val vs = (0L to 10L).toDF("id")
