@@ -195,6 +195,45 @@ object TrainingData {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Unbounded scale twin of dd2: the SAME minhash band-join near-dup
+    // pipeline over the FULL corpus (no doc_id bound), reduced to a
+    // deterministic one-row aggregate — pair count, key checksum,
+    // integer-micros jaccard sum — so the oracle (exact postings join
+    // over the full corpus) hash-compares without materializing the
+    // pair list. dd2 verifies the band join's CORRECTNESS on a bounded
+    // subset; this entry MEASURES its scale shape at full SF in Bench
+    // instead of arguing it. Equals the exact twin iff LSH recall is 1
+    // (any miss shifts all three aggregates — the point of the check).
+    "dd10_minhash_full" -> ((s, dir) => {
+      val docs = ManagedCache.persist(
+        t(s, dir, "documents")
+          .select(col("doc_id"), TF.wordShingles(col("text"), 2).as("sh"))
+          .filter(size(col("sh")) > 0))
+      val banded = docs.select(col("doc_id"),
+        explode(SF.lshBands(SF.minhashSignature(col("sh"), 16), 8, 2))
+          .as("band"))
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val pairs = cand
+        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+          Seq("doc_a"))
+        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+            .as("j"))
+        .filter(col("j") >= 0.3)
+      pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("doc_a") * lit(1000003L) + col("doc_b")).as("key_sum"),
+        sum(round(col("j") * lit(1e6)).cast("long"))
+          .as("jaccard_micros_sum"))
+    }),
+
     // SimHash recall check (the driver-hashable cross-check for dd4):
     // exact 2-shingle near-dup pairs (postings join, same criterion as
     // the dd2 oracle) SEMI-joined to dd4's simhash candidates. The
@@ -532,6 +571,36 @@ object TrainingData {
          JOIN counts cb ON cb.doc_id = doc_b
          WHERE round(ni::DOUBLE / (ca.n + cb.n - ni), 6) >= 0.3
          ORDER BY doc_a, doc_b""",
+      // dd10's oracle: the exact postings-join twin over the FULL
+      // corpus, collapsed to the same one-row aggregate. Integer
+      // count/key/micros sums are order-independent, so parallel
+      // summation cannot flip a ULP.
+      "dd10_minhash_full" ->
+        """WITH d AS (SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g')), '\s+') AS toks
+           FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, len(toks)),
+             i -> toks[i] || ' ' || toks[i+1]))) AS s
+           FROM d),
+         counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS ni
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (SELECT doc_a, doc_b,
+             ni::DOUBLE / (ca.n + cb.n - ni) AS j
+           FROM inter
+           JOIN counts ca ON ca.doc_id = doc_a
+           JOIN counts cb ON cb.doc_id = doc_b
+           WHERE ni::DOUBLE / (ca.n + cb.n - ni) >= 0.3)
+         SELECT count(*) AS n_pairs,
+           CAST(sum(doc_a * 1000003::BIGINT + doc_b) AS BIGINT)
+             AS key_sum,
+           CAST(sum(CAST(round(j * 1e6) AS BIGINT)) AS BIGINT)
+             AS jaccard_micros_sum
+         FROM pairs""",
       // dd4's oracle replays the ENTIRE portable simhash pipeline:
       // same shingles, same md5-60-bit hash, same bit-vote, exact
       // pairwise hamming (the Spark side's block join is pigeonhole-
