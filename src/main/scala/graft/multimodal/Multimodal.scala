@@ -10,18 +10,21 @@ import org.apache.spark.sql.types._
   * batched partition-level transforms.
   *
   * ==== DECODERS ====
-  * Image metadata decode has a REAL path (JDK ImageIO, header-only —
-  * `decodeImages(media, realDecoder = true)`, spec'd against an
-  * actual PNG) and a deterministic STUB used by the synthetic harness
-  * whose payloads aren't real media. Audio metadata decode is REAL
-  * too: `wavMeta` parses canonical PCM WAV (RIFF) headers in pure
-  * Column algebra (spec'd against a ByteBuffer-built header; oracle
-  * round-trip in `mm2_wav_metadata`). Video demux/sample decode and
-  * the vision-embedding body remain clearly-marked DETERMINISTIC
-  * FAKES (no codec/ONNX libraries in this container) — the Spark-side
-  * plumbing (schema, batch shape, partitioning, metadata contract) is
-  * real and tested; swapping in JavaCV/ONNX replaces only the bodies
-  * marked STUB.
+  * Image decode has TWO real paths: header-only metadata
+  * (`decodeImages(media, realDecoder = true)` — ImageReader, O(header)
+  * per blob) and full pixel decode + resize
+  * (`thumbnailImages(media, realDecoder = true)` — BufferedImage +
+  * deterministic nearest-neighbour scaling + PNG re-encode), both
+  * spec'd against real PNG/JPEG bytes; deterministic STUB twins serve
+  * the synthetic harness whose payloads aren't real media. Audio
+  * metadata decode is REAL too: `wavMeta` parses canonical PCM WAV
+  * (RIFF) headers in pure Column algebra (spec'd against a
+  * ByteBuffer-built header; oracle round-trip in `mm2_wav_metadata`).
+  * Video demux/sample decode and the vision-embedding body remain
+  * clearly-marked DETERMINISTIC FAKES (no codec/ONNX libraries in
+  * this container) — the Spark-side plumbing (schema, batch shape,
+  * partitioning, metadata contract) is real and tested; swapping in
+  * JavaCV/ONNX replaces only the bodies marked STUB.
   *
   * Scale notes: payloads are the dominant bytes — never shuffle them
   * unless the operator needs pixel data. Metadata extraction projects
@@ -93,6 +96,102 @@ object Multimodal {
         case _: Exception => Row(null, null, null, payload.length.toLong)
       }
     }
+  }
+
+  val thumbSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("pixel_hash", LongType, nullable = true),
+    StructField("pixel_sum", LongType, nullable = true),
+    StructField("png", BinaryType, nullable = true)))
+
+  /** REAL pixel path: full ImageIO `BufferedImage` decode (PNG/JPEG/
+    * GIF/BMP — whatever the JDK's readers handle) + resize to fit
+    * within maxW x maxH preserving aspect ratio, re-encoded as PNG.
+    * The resize is a hand-rolled nearest-neighbour loop over
+    * `getRGB`/`setRGB` rather than a Graphics2D draw: pure integer
+    * arithmetic, so the output pixels — and the 31-fold rolling
+    * `pixel_hash` — are bit-deterministic across JVMs and platforms
+    * (no AWT rendering-pipeline variance). Cost is O(thumb pixels)
+    * per blob after the decode. Corrupt/unrecognized payloads yield a
+    * null-field struct, never a task failure.
+    */
+  private def thumbnailReal(payload: Array[Byte], maxW: Int,
+      maxH: Int): Row = {
+    if (payload == null || payload.isEmpty)
+      return Row(null, null, null, null, null)
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) return Row(null, null, null, null, null)
+      val w = img.getWidth
+      val h = img.getHeight
+      val scale = math.min(1.0,
+        math.min(maxW.toDouble / w, maxH.toDouble / h))
+      val tw = math.max(1, math.floor(w * scale).toInt)
+      val th = math.max(1, math.floor(h * scale).toInt)
+      val out = new java.awt.image.BufferedImage(tw, th,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var hash = 1125899906842597L
+      var sum = 0L
+      var y = 0
+      while (y < th) {
+        var x = 0
+        while (x < tw) {
+          val rgb = img.getRGB(x * w / tw, y * h / th) & 0xFFFFFF
+          out.setRGB(x, y, rgb)
+          hash = hash * 31 + rgb
+          sum += rgb
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      Row(tw, th, hash, sum, bos.toByteArray)
+    } catch { case _: Exception => Row(null, null, null, null, null) }
+  }
+
+  /** STUB — thumbnail twin for payloads that are not real media (the
+    * synthetic harness): fake dims from the payload hash, clamped into
+    * the same fit-box geometry as the real path; "pixels" are a
+    * rolling byte hash; no PNG body. */
+  private def thumbnailStub(payload: Array[Byte], maxW: Int,
+      maxH: Int): Row = {
+    if (payload == null || payload.isEmpty) Row(null, null, null, null, null)
+    else {
+      val h = java.util.Arrays.hashCode(payload)
+      Row(1 + math.abs(h % maxW), 1 + math.abs((h >> 8) % maxH),
+        payload.foldLeft(1125899906842597L)((a, b) => a * 31 + b),
+        null, null)
+    }
+  }
+
+  /** Decode + resize a media table to thumbnails: batched per
+    * partition, payload dropped from the output so downstream stages
+    * shuffle thumb-sized structs, never source blobs. Real pixel work
+    * behind `realDecoder = true` ([[thumbnailReal]]); the stub serves
+    * the synthetic harness whose payloads aren't decodable media.
+    */
+  def thumbnailImages(media: DataFrame, maxW: Int = 64, maxH: Int = 64,
+      realDecoder: Boolean = false): DataFrame = {
+    require(maxW > 0 && maxH > 0, s"bad thumb box ${maxW}x$maxH")
+    val schema = media.schema
+    val payloadIdx = schema.fieldIndex("payload")
+    val keepIdx = schema.indices.filterNot(_ == payloadIdx)
+    val outSchema = StructType(keepIdx.map(schema(_)) :+
+      StructField("thumb", thumbSchema, nullable = true))
+    val rdd = media.rdd.mapPartitions { it =>
+      val make: Array[Byte] => Row =
+        if (realDecoder) thumbnailReal(_, maxW, maxH)
+        else thumbnailStub(_, maxW, maxH)
+      it.map { row =>
+        val payload = if (row.isNullAt(payloadIdx)) null
+          else row.getAs[Array[Byte]](payloadIdx)
+        Row.fromSeq(keepIdx.map(row.get) :+ make(payload))
+      }
+    }
+    media.sparkSession.createDataFrame(rdd, outSchema)
   }
 
   /** STUB — deterministic fake feature extraction: a 16-dim
@@ -271,6 +370,43 @@ object Multimodal {
       lit("GIF89a".getBytes("UTF-8")),
       leBytes(width, 2), leBytes(height, 2),
       leBytes(packed, 1), leBytes(lit(0), 1), leBytes(lit(0), 1))
+
+  /** Build a REAL uncompressed 24-bit grayscale BMP in pure Column
+    * algebra — the synthesis twin of [[thumbnailImages]]'s real pixel
+    * path, playing the same role the WAV/GIF header builders play for
+    * the metadata decoders. BMP is the one mainstream raster format
+    * with no compression (no zlib/LZW), so a spec-exact file — 14-byte
+    * file header + 40-byte BITMAPINFOHEADER + bottom-up BGR rows
+    * padded to 4 bytes — is expressible as a binary concat that
+    * ImageIO's standard BMP reader decodes. `pixelOf(x, y)` gives the
+    * 0-255 gray level at image coordinates (top-down y); it is
+    * evaluated per pixel inside nested `transform`s, so keep it to
+    * plain arithmetic on the lambda vars and the row's columns.
+    */
+  def bmpGray(w: Int, h: Int,
+      pixelOf: (Column, Column) => Column): Column = {
+    require(w > 0 && h > 0, s"bad bmp dims ${w}x$h")
+    val rowPad = (4 - (w * 3) % 4) % 4
+    val dataSize = (w * 3 + rowPad) * h
+    val header: Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(54)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte)
+        .putInt(54 + dataSize).putInt(0).putInt(54)
+      bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .putInt(0).putInt(dataSize).putInt(2835).putInt(2835)
+        .putInt(0).putInt(0)
+      bb.array()
+    }
+    // rows stored bottom-up per spec: y = h-1 .. 0; each pixel is the
+    // gray byte three times (B=G=R); hex-assemble then unhex once
+    val hexRows = transform(sequence(lit(h - 1), lit(0), lit(-1)), y =>
+      concat(array_join(transform(sequence(lit(0), lit(w - 1)), x => {
+        val g = lpad(hex(pmod(pixelOf(x, y), lit(256))), 2, "0")
+        concat(g, g, g)
+      }), ""), lit("00" * rowPad)))
+    concat(lit(header), unhex(array_join(hexRows, "")))
+  }
 
   /** Build a media table from any (id, text) source — the harness
     * stand-in for real binary ingestion (documents.text → UTF-8 blob).

@@ -214,6 +214,29 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL pixel round-trip (the full-decode sibling of mm2/mm3):
+    // synthesize REAL uncompressed 24-bit BMPs in pure Column algebra
+    // (bmpGray — BMP has no compression, so a spec-exact file is a
+    // binary concat), then run the ACTUAL pixel path: ImageIO
+    // BufferedImage decode + deterministic nearest-neighbour resize
+    // (8x6 -> 4x3), emitting thumb dims + pixel sum. The oracle
+    // recomputes the expected NN-sampled pixels arithmetically, so a
+    // bug anywhere in the BMP writer, the decoder, the fit-box
+    // geometry, or the NN sampling breaks the hash compare.
+    "mm4_thumbnail_pixels" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val media = t(s, dir, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id").as("media_id"), lit("image").as("kind"),
+          Multimodal.bmpGray(8, 6, (x, y) =>
+            col("doc_id") * 7 + x * 13 + y * 29).as("payload"),
+          lit("bmp://synth").as("source_uri"))
+      Multimodal.thumbnailImages(media, 4, 4, realDecoder = true)
+        .select(col("media_id"), col("thumb.width").as("width"),
+          col("thumb.height").as("height"),
+          col("thumb.pixel_sum").as("pixel_sum"))
+        .orderBy(col("media_id"))
+    }),
+
     // Deterministic anonymization: format-preserving digit masking +
     // salted-hash pseudonym token + value banding. Pure per-row Column
     // algebra — no shuffle, codegen throughout.
@@ -391,6 +414,15 @@ object Pipeline {
            1 AS has_gct,
            CAST(power(2, (doc_id % 8) + 1) AS BIGINT) AS gct_colors
          FROM documents ORDER BY doc_id""",
+    // thumb is 4x3 of an 8x6 source: NN sample at (2x, 2y), gray g =
+    // (id*7 + 13*2x + 29*2y) % 256, RGB int = g * 0x010101 = g * 65793
+    "mm4_thumbnail_pixels" ->
+      """SELECT d.doc_id AS media_id, 4 AS width, 3 AS height,
+           CAST(sum(((d.doc_id * 7 + 26 * x.i + 58 * y.i) % 256)
+             * 65793) AS BIGINT) AS pixel_sum
+         FROM documents d, range(4) x(i), range(3) y(i)
+         WHERE d.doc_id < 50
+         GROUP BY 1 ORDER BY media_id""",
     "px1_pii_mask" ->
       """SELECT c_custkey,
            regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,

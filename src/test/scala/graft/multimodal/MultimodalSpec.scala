@@ -101,6 +101,80 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.getLong(3) == garbage.length.toLong)
   }
 
+  test("thumbnailImages(realDecoder): real PNG pixel decode + resize " +
+    "with an independently computed pixel oracle") {
+    // 100x60 source with a known pattern; the expected thumb pixels
+    // are computed from the PATTERN FUNCTION, not from the image, so
+    // the assert covers decode + nearest-neighbour geometry + hashing
+    // end-to-end. PNG is lossless, so pattern round-trips exactly.
+    def pattern(x: Int, y: Int): Int =
+      ((x * 2 & 0xff) << 16) | ((y * 3 & 0xff) << 8) | ((x + y) & 0xff)
+    val (w, h) = (100, 60)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pattern(x, y))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    val media = Seq((1L, "image", png, "mem://png"),
+        (2L, "image", "junk".getBytes("UTF-8"), "mem://junk"))
+      .toDF("media_id", "kind", "payload", "source_uri")
+    val out = Multimodal
+      .thumbnailImages(media, maxW = 32, maxH = 32, realDecoder = true)
+      .orderBy("media_id").collect()
+    val t = out(0).getStruct(out(0).fieldIndex("thumb"))
+    // scale = min(32/100, 32/60) = 0.32 -> 32 x 19
+    val (tw, th) = (32, 19)
+    assert(t.getInt(0) == tw && t.getInt(1) == th,
+      s"got ${t.getInt(0)}x${t.getInt(1)}")
+    var expHash = 1125899906842597L
+    for (y <- 0 until th; x <- 0 until tw)
+      expHash = expHash * 31 + pattern(x * w / tw, y * h / th)
+    assert(t.getLong(2) == expHash, "pixel hash diverged from the " +
+      "independently computed nearest-neighbour oracle")
+    // the emitted PNG body decodes back to exactly those pixels
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(t.getAs[Array[Byte]](4)))
+    assert(back.getWidth == tw && back.getHeight == th)
+    for (y <- 0 until th; x <- 0 until tw)
+      assert((back.getRGB(x, y) & 0xFFFFFF) ==
+        pattern(x * w / tw, y * h / th))
+    val bad = out(1).getStruct(out(1).fieldIndex("thumb"))
+    assert(bad.isNullAt(0) && bad.isNullAt(4))
+  }
+
+  test("thumbnailImages(realDecoder) handles JPEG and never upscales") {
+    val img = new java.awt.image.BufferedImage(40, 20,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 20; x <- 0 until 40)
+      img.setRGB(x, y, ((x * 6) << 16) | ((y * 12) << 8))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    val media = Seq((1L, "image", baos.toByteArray, "mem://jpg"))
+      .toDF("media_id", "kind", "payload", "source_uri")
+    // box larger than the source: no upscale, dims pass through
+    val rows = Multimodal
+      .thumbnailImages(media, maxW = 64, maxH = 64, realDecoder = true)
+      .collect()
+    val t = rows(0).getStruct(rows(0).fieldIndex("thumb"))
+    assert(t.getInt(0) == 40 && t.getInt(1) == 20)
+    // decode is deterministic: same payload, same pixel hash
+    val again = Multimodal
+      .thumbnailImages(media, maxW = 64, maxH = 64, realDecoder = true)
+      .collect()(0).getStruct(rows(0).fieldIndex("thumb"))
+    assert(again.getLong(2) == t.getLong(2))
+  }
+
+  test("thumbnailImages stub keeps the schema contract on synthetic blobs") {
+    val out = Multimodal.thumbnailImages(media, maxW = 64, maxH = 64)
+      .orderBy("media_id").collect()
+    assert(!out.head.schema.fieldNames.contains("payload"))
+    val t = out.head.getStruct(out.head.fieldIndex("thumb"))
+    assert(t.getInt(0) >= 1 && t.getInt(0) <= 64 &&
+      t.getInt(1) >= 1 && t.getInt(1) <= 64)
+    assert(!t.isNullAt(2) && t.isNullAt(3) && t.isNullAt(4))
+  }
+
   test("embedImages feeds the existing ANN operators") {
     import graft.functions.{SimilarityFunctions => SF}
     val emb = Multimodal.embedImages(media)
