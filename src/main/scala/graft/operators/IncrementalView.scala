@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** Incremental maintenance for keyed materialized views.
   *
@@ -30,5 +31,39 @@ object IncrementalView {
         s"got ${changedKeys.columns.mkString(",")}")
     materialized.join(changedKeys, Seq(keyCol), "left_anti")
       .unionByName(view.join(changedKeys, Seq(keyCol), "left_semi"))
+  }
+
+  /** Join-delta refresh: a view whose rows combine MULTIPLE source
+    * tables must be refreshed when ANY of them changes — e.g. a
+    * request-details view is stale when only its child expense table
+    * took a batch. Each source contributes its batch's changed rows
+    * plus the name of the column in those rows that carries (or
+    * renames to) the view key — the FK path. CDC batches carry full
+    * rows, so a child-table delta names its parent directly; deeper
+    * paths (grandchild tables) pre-join their delta to the
+    * intermediate table before calling this and hand in the resulting
+    * frame.
+    *
+    * Affected view keys = the union of every delta's mapped keys,
+    * de-duplicated; rows with a null FK (orphans) touch no view row
+    * and are dropped. The union stays change-batch-sized, so the
+    * semi/anti joins in [[refreshKeyed]] broadcast exactly as in the
+    * single-source case — the view recompute still reads a
+    * batch-sized slice of each fact table, never the corpus.
+    *
+    * @param deltas (changedRows, fkCol) per changed source table:
+    *               `changedRows(fkCol)` is the view key this source
+    *               row affects
+    */
+  def refreshMultiKeyed(materialized: DataFrame, view: DataFrame,
+      keyCol: String, deltas: Seq[(DataFrame, String)]): DataFrame = {
+    require(deltas.nonEmpty, "need at least one source delta")
+    val changedKeys = deltas
+      .map { case (rows, fkCol) =>
+        rows.select(col(fkCol).as(keyCol)).filter(col(keyCol).isNotNull)
+      }
+      .reduce(_.unionByName(_))
+      .distinct()
+    refreshKeyed(materialized, view, keyCol, changedKeys)
   }
 }

@@ -286,6 +286,41 @@ object ExtOps {
     // one distributed running-max pass (operators.PrefixSum) over the
     // price order, O(n log n) and shuffle-bounded. Oracle = the naive
     // NOT EXISTS dominance test, so the rewrite must be lossless.
+    // Join-delta incremental view maintenance, driven end to end: a
+    // per-order totals view depends on TWO tables (orders ⋈ lineitem),
+    // so a batch touching EITHER must refresh the affected order rows
+    // (operators.IncrementalView.refreshMultiKeyed). A deterministic
+    // "previous state" t0 is derived from the current tables
+    // (quantity +10 where l_orderkey%100==0; custkey +1 where
+    // o_orderkey%97==0); the view is materialized at t0, then
+    // refreshed with BOTH sides' CDC-style delta rows (current rows at
+    // the perturbed keys, carrying their FKs). Correct maintenance
+    // makes the result equal the view over the CURRENT tables — which
+    // is exactly what the oracle computes directly. Both deltas are
+    // key-sliced and tiny, so the semi/anti refresh joins broadcast
+    // and the rebuild reads a batch-sized slice, never the corpus.
+    "xv1_incr_view_multi" -> ((s, dir) => {
+      def view(o: DataFrame, l: DataFrame): DataFrame =
+        o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey"), col("o_custkey"))
+          .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+            count(lit(1)).as("n_items"))
+      val o1 = t(s, dir, "orders")
+      val l1 = t(s, dir, "lineitem")
+      val l0 = l1.withColumn("l_quantity",
+        when(pmod(col("l_orderkey"), lit(100)) === 0,
+          col("l_quantity") + 10).otherwise(col("l_quantity")))
+      val o0 = o1.withColumn("o_custkey",
+        when(pmod(col("o_orderkey"), lit(97)) === 0,
+          col("o_custkey") + 1).otherwise(col("o_custkey")))
+      val lDelta = l1.filter(pmod(col("l_orderkey"), lit(100)) === 0)
+      val oDelta = o1.filter(pmod(col("o_orderkey"), lit(97)) === 0)
+      graft.operators.IncrementalView.refreshMultiKeyed(
+        view(o0, l0), view(o1, l1), "o_orderkey",
+        Seq(lDelta -> "l_orderkey", oDelta -> "o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "xq1_skyline" -> ((s, dir) => {
       val pts = t(s, dir, "part")
         .select(col("p_partkey"), col("p_retailprice").as("price"),
@@ -404,6 +439,14 @@ object ExtOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // a correctly maintained view IS the view over the current
+    // tables — the oracle computes that directly, no machinery
+    "xv1_incr_view_multi" ->
+      """SELECT o_orderkey, o_custkey,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           count(*) AS n_items
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY 1, 2 ORDER BY o_orderkey""",
     // ann3 is deterministic arithmetic end to end (label cells stand
     // in for k-means assignments; centroids are per-dim means cast to
     // float32), so the oracle replays the full IVF pipeline: centroid

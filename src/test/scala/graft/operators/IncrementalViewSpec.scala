@@ -51,6 +51,60 @@ class IncrementalViewSpec extends SparkSpec {
     assert(incr.exists(_.startsWith("sa-99|")))
   }
 
+  test("refreshMultiKeyed: a child-table-only batch (expense changed, " +
+    "requests untouched) equals a full recompute") {
+    val t0 = baseTables
+    val materialized = new Views(t0).viewRequestDetails
+
+    // the batch touches ONLY the expense table: sa-10's expense row
+    // gets a new description. The view key (request id) is reached
+    // through the child row's request_id FK.
+    val e0 = t0("expense")
+    val delta = e0.filter(col("request_id") === "sa-10")
+      .withColumn("content_description", lit("re-filed expense"))
+    val e1 = e0.filter(col("request_id") =!= "sa-10")
+      .unionByName(delta)
+    val t1 = t0 + ("expense" -> e1)
+
+    val v1 = new Views(t1).viewRequestDetails
+    val incr = IncrementalView.refreshMultiKeyed(
+      materialized, v1, "id", Seq(delta -> "request_id"))
+    assert(sortedRows(incr) == sortedRows(v1))
+    // and it actually picked the child change up
+    assert(sortedRows(incr).exists(_.contains("re-filed expense")))
+    assert(sortedRows(materialized) != sortedRows(v1),
+      "fixture must actually change the view or the test proves nothing")
+  }
+
+  test("refreshMultiKeyed: simultaneous parent+child deltas, null FKs " +
+    "dropped, keys de-duplicated across sources") {
+    import spark.implicits._
+    val t0 = baseTables
+    val materialized = new Views(t0).viewRequestDetails
+
+    // one batch touches BOTH sides of the join: sa-10's request row
+    // (status) and sa-10's + sa-11's expense rows; the expense delta
+    // also carries an orphan row with a null FK
+    val r1 = t0("requests").withColumn("status",
+      when(col("id") === "sa-10", lit("completed"))
+        .otherwise(col("status")))
+    val reqDelta = r1.filter(col("id") === "sa-10")
+    val e0 = t0("expense")
+    val expDelta = e0.filter(col("request_id").isin("sa-10", "sa-11"))
+      .withColumn("advanced_payment", lit(1L))
+      .unionByName(e0.limit(1).withColumn("request_id",
+        lit(null).cast("string")))
+    val e1 = e0.filter(!col("request_id").isin("sa-10", "sa-11"))
+      .unionByName(expDelta.filter(col("request_id").isNotNull))
+    val t1 = t0 + ("requests" -> r1) + ("expense" -> e1)
+
+    val v1 = new Views(t1).viewRequestDetails
+    val incr = IncrementalView.refreshMultiKeyed(
+      materialized, v1, "id",
+      Seq(reqDelta -> "id", expDelta -> "request_id"))
+    assert(sortedRows(incr) == sortedRows(v1))
+  }
+
   test("refreshKeyed with an empty change set is the identity") {
     import spark.implicits._
     val t0 = baseTables

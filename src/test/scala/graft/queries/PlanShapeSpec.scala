@@ -57,6 +57,23 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("xv1 incremental refresh broadcasts the change-key set into " +
+    "both the anti and semi joins") {
+    val p = plan("xv1_incr_view_multi")
+    assert(p.contains("BroadcastHashJoin") &&
+      p.contains("LeftAnti") && p.contains("LeftSemi"))
+    // the keep/rebuild split must never shuffle the materialized view
+    // against the (tiny) change-key set: every TREE line carrying the
+    // anti/semi join (operator lines end in "(n)") must be a broadcast
+    // join. Detail lines like "Join type: LeftAnti" are skipped.
+    val opLine = """\(\d+\)""".r
+    for (line <- p.linesIterator
+        if (line.contains("LeftAnti") || line.contains("LeftSemi")) &&
+          opLine.findFirstIn(line).isDefined)
+      assert(line.contains("BroadcastHashJoin"),
+        s"refresh join regressed to a shuffle: $line")
+  }
+
   test("w4 top-k compiles to TakeOrderedAndProject with zero exchanges") {
     val p = plan("w4_topk_limit")
     assert(p.contains("TakeOrderedAndProject"))
