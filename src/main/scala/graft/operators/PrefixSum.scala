@@ -1,9 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
 /** Distributed running (prefix) aggregates in a global sort order —
@@ -11,35 +10,40 @@ import org.apache.spark.storage.StorageLevel
   * partition key, which Spark executes on a SINGLE task and which
   * therefore cannot work at 100 TB.
   *
-  * Classic two-pass scheme:
+  * Classic two-pass scheme, ONE shuffle total:
   *   1. range-partition the rows by the order key, sort within each
-  *      partition (Spark's sort machinery — spills, codegen);
+  *      partition (Spark's sort machinery — spills, codegen) — the
+  *      only exchange in the operator;
   *   2. aggregate one subtotal PER PARTITION (a few hundred rows,
   *      collected to the driver — bounded by the partition count,
   *      never by the data) and turn them into per-partition starting
   *      offsets;
-  *   3. per-partition window pass + the per-partition offset, mapped
-  *      in via a BROADCAST JOIN on a tiny (pid, offset) frame. A
-  *      when-chain keyed on __pid would be O(#partitions) deep — at
-  *      thousands of shuffle partitions that blows the 64KB codegen
-  *      method limit and falls back to interpreted evaluation; the
-  *      broadcast join stays flat at any partition count.
+  *   3. a NARROW per-partition scan (`mapPartitionsWithIndex`) over
+  *      the already-sorted frame folds the running aggregate with the
+  *      partition's offset from the closure. Earlier shapes paid for
+  *      this step: a `Window.partitionBy(__pid)` plans an extra
+  *      `Exchange hashpartitioning(__pid)` + full re-sort (a second
+  *      shuffle of ALL the data), and mapping offsets with a
+  *      when-chain builds an O(#partitions) CaseWhen that falls out
+  *      of codegen at thousands of shuffle partitions. The narrow
+  *      scan has neither: no second exchange, no re-sort, no
+  *      partition-count-sized expression — the per-row work is one
+  *      accumulator update.
   *
   * The result is independent of where the range partitioner happens
   * to place its boundaries (offsets are computed from the actual
   * subtotals), so it is deterministic even though `repartitionByRange`
   * samples.
   *
-  * The range-partitioned frame is read by both passes, so it is
-  * persisted — `storageLevel` controls where (default
-  * MEMORY_AND_DISK; pass DISK_ONLY for frames near executor-memory
-  * size). Persisting also pins the __pid assignment: without it a
-  * cache-less recompute between pass 1 and pass 2 would rerun the
-  * range sampling, and a nondeterministic input could then map rows
-  * to different pids than the collected subtotals. Every persisted
-  * frame is tracked; call [[unpersistAll]] once the consuming action
-  * has drained the result (harness drivers do this between queries)
-  * to release the storage.
+  * Both passes read the range-partitioned frame, so it is persisted —
+  * `storageLevel` controls where (default MEMORY_AND_DISK; pass
+  * DISK_ONLY for frames near executor-memory size). Persisting also
+  * pins the partition layout: without it a recompute between pass 1
+  * and pass 2 would rerun the range sampling, and a nondeterministic
+  * input could then map rows to different partitions than the
+  * collected subtotals. Every persisted frame is tracked; call
+  * [[unpersistAll]] once the consuming action has drained the result
+  * (harness drivers do this between queries) to release the storage.
   *
   * Values are accumulated as LONG; a non-integral value column is
   * rejected rather than silently truncated.
@@ -56,24 +60,26 @@ object PrefixSum {
     */
   def unpersistAll(): Unit = ManagedCache.releaseAll()
 
-  /** steps 1+2: partitioned/sorted frame with __pid, and the ordered
-    * per-partition subtotals of `aggOf(valueCol)` (None = all-null). */
+  /** steps 1+2: the persisted range-partitioned sorted frame, and the
+    * per-partition subtotals of `aggOf(valueCol)` indexed by physical
+    * partition id (None = partition has no non-null value). Partitions
+    * the aggregation saw no rows for (empty after the range split) are
+    * absent from the map and contribute nothing.
+    */
   private def twoPassSetup(df: DataFrame, orderCols: Seq[String],
       valueCol: String, aggOf: Column => Column,
       storageLevel: StorageLevel):
       (DataFrame, Array[(Int, Option[Long])]) = {
     require(orderCols.nonEmpty, "need at least one order column")
-    require(!df.columns.contains("__pid"), "column name __pid is reserved")
-    require(!df.columns.contains("__off"), "column name __off is reserved")
     val vType = df.schema(valueCol).dataType
     require(integral.contains(vType),
       s"$valueCol must be an integral type, got ${vType.simpleString}")
     val parted = df
       .repartitionByRange(orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
-      .withColumn("__pid", spark_partition_id())
     ManagedCache.persist(parted, storageLevel)
-    val totals = parted.groupBy(col("__pid"))
+    val totals = parted
+      .groupBy(spark_partition_id().as("__pid"))
       .agg(aggOf(col(valueCol).cast("long")).as("t"))
       .collect()
       .map(r => r.getInt(0) ->
@@ -82,70 +88,92 @@ object PrefixSum {
     (parted, totals)
   }
 
-  /** Maps each row's __pid to its Option[Long] offset as column
-    * `__off`, via a broadcast hash join against the tiny per-partition
-    * offset table — flat in the plan regardless of partition count. */
-  private def joinOffsets(parted: DataFrame,
-      offsets: Seq[(Int, Option[Long])]): DataFrame = {
-    val spark = parted.sparkSession
-    import spark.implicits._
-    val offDf = offsets.toDF("__off_pid", "__off")
-    parted
-      .join(broadcast(offDf), col("__pid") === col("__off_pid"), "left")
-      .drop("__off_pid")
+  /** step 3: narrow per-partition fold over the sorted frame. `seed`
+    * gives each partition its starting state from the offset table;
+    * `step` consumes (state, value-or-null-as-MinValue-flag) and emits
+    * (next state, output cell). The output column is appended as LONG.
+    */
+  private def narrowScan(parted: DataFrame, outCol: String,
+      seedOf: Int => Option[Long],
+      step: (Option[Long], Option[Long]) => (Option[Long], Option[Long]),
+      valueCol: String): DataFrame = {
+    val schema = parted.schema
+    val vIdx = schema.fieldIndex(valueCol)
+    val outSchema = StructType(schema.fields :+
+      StructField(outCol, LongType, nullable = true))
+    // the offset table is O(#partitions) — rides the task closure
+    val rdd = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var state = seedOf(pid)
+      it.map { row =>
+        val v = if (row.isNullAt(vIdx)) None
+          else Some(row.getAs[Number](vIdx).longValue())
+        val (next, out) = step(state, v)
+        state = next
+        Row.fromSeq(row.toSeq :+ out.map(java.lang.Long.valueOf).orNull)
+      }
+    }
+    parted.sparkSession.createDataFrame(rdd, outSchema)
   }
-
-  private def localWindow(orderCols: Seq[String], lastRow: Long) =
-    Window.partitionBy(col("__pid"))
-      .orderBy(orderCols.map(col): _*)
-      .rowsBetween(Window.unboundedPreceding, lastRow)
 
   /** Adds `cumCol` = running sum of `valueCol` (inclusive of the
     * current row) over the global order defined by `orderCols` (which
-    * must be a total order — add a unique tiebreaker if needed). */
+    * must be a total order — add a unique tiebreaker if needed). Rows
+    * whose value is null leave the running total unchanged; a row
+    * before any non-null value in the GLOBAL order has a null running
+    * sum (matching `sum(...) over (rows unbounded preceding)`).
+    */
   def withRunningSum(df: DataFrame, orderCols: Seq[String],
       valueCol: String, cumCol: String,
       storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK)
       : DataFrame = {
     val (parted, totals) = twoPassSetup(df, orderCols, valueCol,
-      v => coalesce(sum(v), lit(0L)), storageLevel)
-    val offsets: Seq[(Int, Option[Long])] = {
-      var acc = 0L
-      totals.toSeq.map { case (pid, t) =>
-        val entry = pid -> Some(acc); acc += t.getOrElse(0L); entry
-      }
+      v => sum(v), storageLevel)
+    // running state per partition: None until the first non-null value
+    // anywhere in the global prefix, then Some(total so far)
+    val seeds: Map[Int, Option[Long]] = {
+      var acc: Option[Long] = None
+      totals.map { case (pid, t) =>
+        val entry = pid -> acc
+        acc = t.map(_ + acc.getOrElse(0L)).orElse(acc)
+        entry
+      }.toMap
     }
-    joinOffsets(parted, offsets)
-      .withColumn(cumCol,
-        sum(col(valueCol)).over(localWindow(orderCols, 0)) +
-          coalesce(col("__off"), lit(0L)))
-      .drop("__pid", "__off")
+    narrowScan(parted, cumCol,
+      pid => seeds.getOrElse(pid, None),
+      (state, v) => {
+        val next = v.map(_ + state.getOrElse(0L)).orElse(state)
+        (next, next)
+      },
+      valueCol)
   }
 
   /** Adds `outCol` = max of `valueCol` over all rows STRICTLY BEFORE
-    * the current one in the global order (null for the first row) —
-    * the exclusive frame dominance-style operators (2D skyline) need:
-    * "best value among everything that sorts earlier". */
+    * the current one in the global order (null when no earlier row
+    * has a non-null value) — the exclusive frame dominance-style
+    * operators (2D skyline) need: "best value among everything that
+    * sorts earlier".
+    */
   def withRunningMaxBefore(df: DataFrame, orderCols: Seq[String],
       valueCol: String, outCol: String,
       storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK)
       : DataFrame = {
     val (parted, totals) = twoPassSetup(df, orderCols, valueCol, max,
       storageLevel)
-    val offsets: Seq[(Int, Option[Long])] = {
+    val seeds: Map[Int, Option[Long]] = {
       var acc: Option[Long] = None
-      totals.toSeq.map { case (pid, t) =>
+      totals.map { case (pid, t) =>
         val entry = pid -> acc
-        acc = (acc.toSeq ++ t.toSeq).reduceOption(_ max _); entry
-      }
+        acc = (acc.toSeq ++ t.toSeq).reduceOption(_ max _)
+        entry
+      }.toMap
     }
-    joinOffsets(parted, offsets)
-      .withColumn("__local_before",
-        max(col(valueCol).cast("long")).over(localWindow(orderCols, -1)))
-      // greatest() skips nulls: null only when BOTH the local prefix
-      // and every earlier partition are empty — i.e. the first row
-      .withColumn(outCol,
-        greatest(col("__local_before"), col("__off")))
-      .drop("__pid", "__local_before", "__off")
+    narrowScan(parted, outCol,
+      pid => seeds.getOrElse(pid, None),
+      (state, v) => {
+        val out = state
+        val next = (state.toSeq ++ v.toSeq).reduceOption(_ max _)
+        (next, out)
+      },
+      valueCol)
   }
 }

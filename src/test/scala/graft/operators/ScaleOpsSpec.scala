@@ -56,12 +56,16 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
-  test("PrefixSum at 2000 shuffle partitions stays codegen'd (broadcast offsets, no when-chain)") {
+  test("PrefixSum at 2000 shuffle partitions: pass 2 is a narrow scan " +
+    "(no second exchange, no window, no when-chain)") {
     // the scale regime the operator exists for: thousands of shuffle
-    // partitions. A when-chain offset map would be a 2000-branch
-    // CaseWhen — past the 64KB codegen method limit — so the guard is
-    // that the executed plan maps offsets with a BroadcastHashJoin and
-    // contains no CaseWhen at all.
+    // partitions. Failure modes this guards against: a when-chain
+    // offset map (a 2000-branch CaseWhen, past the 64KB codegen
+    // method limit) and a Window.partitionBy(pid) second pass (an
+    // extra Exchange hashpartitioning + full re-sort of ALL the
+    // data). The correct shape has ONE shuffle — the range partition
+    // inside pass 1 — and the consumer-visible plan is a pure narrow
+    // scan over it.
     val conf = spark.conf
     val oldParts = conf.get("spark.sql.shuffle.partitions")
     val oldAqe = conf.get("spark.sql.adaptive.enabled")
@@ -76,11 +80,10 @@ class ScaleOpsSpec extends SparkSpec {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       assert(!p.contains("CASE WHEN") && !p.contains("CaseWhen"),
         "offset mapping regressed to a when-chain")
-      assert(p.contains("BroadcastHashJoin"),
-        s"expected broadcast offset join:\n${p.take(2000)}")
-      // formatted mode tags codegen'd operators with [codegen id : n];
-      // the offset-applying Project must carry one
-      assert(p.contains("codegen id"))
+      assert(!p.contains("Window"),
+        "pass 2 regressed to a window (second exchange + re-sort)")
+      assert(!p.contains("Exchange"),
+        s"pass 2 must add no shuffle:\n${p.take(2000)}")
       val got = res.orderBy($"k").collect().map(_.getLong(2))
       val exp = (1 to 4000).map(i => (i % 7).toLong)
         .scanLeft(0L)(_ + _).tail
