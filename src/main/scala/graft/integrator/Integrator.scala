@@ -31,7 +31,20 @@ import org.apache.spark.sql.functions._
   */
 class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
     minIntervalMs: Long = 0L,
-    ignoreBasicDataError: Boolean = false) {
+    ignoreBasicDataError: Boolean = false,
+    notifier: Progress.Notifier = null) {
+
+  /** Progress side-channel (integrator.py:307-357): log lines + a
+    * durable app_status.json under the state path by default; pass a
+    * custom notifier to add a GUI/toast sink. */
+  private val progress: Progress.Notifier = Option(notifier).getOrElse(
+    new Progress.Composite(Seq(new Progress.LogNotifier(),
+      new Progress.StatusFile(s"$statePath/app_status.json"))))
+
+  private def report(phase: Progress.Phase, detail: String,
+      current: Long = 0, total: Option[Long] = None,
+      level: Int = Progress.Info): Unit =
+    progress.update(Progress.Update(phase, detail, current, total, level))
 
   /** Detail-fetch fan-out: capped by the session's parallelism — more
     * partitions than cores adds scheduling overhead without extra
@@ -123,6 +136,11 @@ class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
       mergeByStrategy("forms",
         Normalize.forms(docsOf("forms", JobcanSchemas.formSchema)))
     }
+    report(Progress.BasicData,
+      if (failedApis.isEmpty) "master endpoints merged"
+      else s"master endpoints merged (stale: ${failedApis.mkString(",")})",
+      nPart - failedApis.size, Some(nPart),
+      if (failedApis.isEmpty) Progress.Info else Progress.Warn)
     } finally fetched.unpersist() // incl. the abort path above
   }
 
@@ -197,7 +215,15 @@ class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
       .join(failedScopes.withColumnRenamed("scope_key", "__f"),
         col("scope_key") === col("__f"), "left_anti")
     val capturedCp = captured.localCheckpoint(true)
+    // count BEFORE the page blocks are released: failedScopes reads
+    // `fetched`, and a post-unpersist action would re-run the scans
+    val nFailed = failedScopes.count()
     fetched.unpersist()
+    report(Progress.FormOutline,
+      if (nFailed == 0) "outline scans complete"
+      else s"outline scans complete ($nFailed scopes held back)",
+      math.max(0, formIds.size - nFailed), Some(formIds.size.toLong),
+      if (nFailed == 0) Progress.Info else Progress.Warn)
     (outlineDf, capturedCp)
   }
 
@@ -370,6 +396,7 @@ class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
     // checkpointed page/doc blocks instead of pinning them until GC
     fetchedParts.foreach(_.unpersist())
     parsedAll.unpersist()
+    report(Progress.FormDetail, "detail batch merged", 1, Some(1))
   }
 
   /** Phase 4 — register the BI view surface. */
@@ -378,6 +405,9 @@ class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
     val tables = names.flatMap(n => readTable(n).map(n -> _)).toMap
     val v = new Views(tables)
     v.registerAll()
+    report(Progress.RegisterViews,
+      s"${tables.size} silver tables registered",
+      tables.size.toLong, Some(names.size.toLong))
     v
   }
 
@@ -385,6 +415,7 @@ class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
     * wrapped in the T6 retry ladder.
     */
   def run(): Views = Incremental.withRetryLadder() { () =>
+    report(Progress.Initializing, s"state at $statePath", 0, Some(1))
     updateBasicData()
     val (outline, captured) = fetchOutlines()
     try updateFormDetails(outline, captured)
@@ -394,7 +425,9 @@ class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
       outline.unpersist()
       captured.unpersist()
     }
-    registerViews()
+    val v = registerViews()
+    report(Progress.Done, "run complete", 1, Some(1))
+    v
   }
 }
 

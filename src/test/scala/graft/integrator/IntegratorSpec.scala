@@ -12,6 +12,34 @@ class IntegratorSpec extends SparkSpec {
 
   import IntegratorSpec.SyntheticApi
 
+  test("progress side-channel: ordered phase updates reach the " +
+    "notifier and the durable status file ends at done") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prog").toString
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Progress.Update]
+    val recorder = new Progress.Notifier {
+      override def update(u: Progress.Update): Unit =
+        seen.synchronized { seen += u }
+    }
+    val integ = new Integrator(spark, new SyntheticApi, dir,
+      notifier = new Progress.Composite(Seq(recorder,
+        new Progress.StatusFile(s"$dir/app_status.json"))))
+    integ.run()
+    val phases = seen.map(_.phase).toSeq
+    assert(phases == Seq(Progress.Initializing, Progress.BasicData,
+      Progress.FormOutline, Progress.FormDetail, Progress.RegisterViews,
+      Progress.Done), s"phase ladder out of order: $phases")
+    // clean run: nothing above info level, every known total at 100%
+    assert(seen.forall(_.level == Progress.Info))
+    assert(seen.last.percent == 100)
+    assert(seen.find(_.phase == Progress.BasicData).get.message
+      .contains("7/7"))
+    // the app_status analog survives on disk with the LAST phase
+    val status = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/app_status.json"))
+    assert(status.contains("\"phase\":\"done\"") &&
+      status.contains("\"percent\":100"), status)
+  }
+
   test("full 4-phase run + incremental second run") {
     val dir = java.nio.file.Files.createTempDirectory("graft-int").toString
     val api = new SyntheticApi
