@@ -31,6 +31,39 @@ object TrainingData {
     docs.select(col("doc_id"),
       explode(TF.wordShingles(col("text"), n)).as("sh"))
 
+  /** The FULL-corpus minhash near-dup pipeline shared by dd10/dd11:
+    * 2-shingles → 16-slot minhash → 8×2 LSH band join for candidates →
+    * exact-Jaccard verification at the 0.3 threshold. Returns
+    * (doc_a, doc_b, j). The shingle table feeds the band join and both
+    * verification joins, so it rides a tracked persist (at scale:
+    * materialize the sketch table once); Bench/Verify release it after
+    * each query's action.
+    */
+  private def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = ManagedCache.persist(
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.wordShingles(col("text"), 2).as("sh"))
+        .filter(size(col("sh")) > 0))
+    val banded = docs.select(col("doc_id"),
+      explode(SF.lshBands(SF.minhashSignature(col("sh"), 16), 8, 2))
+        .as("band"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+          .as("j"))
+      .filter(col("j") >= 0.3)
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- text analysis -------------------------------------------------
     // Language ID via stopword-marker ratios (n-gram heuristic family).
@@ -205,33 +238,34 @@ object TrainingData {
     // instead of arguing it. Equals the exact twin iff LSH recall is 1
     // (any miss shifts all three aggregates — the point of the check).
     "dd10_minhash_full" -> ((s, dir) => {
-      val docs = ManagedCache.persist(
-        t(s, dir, "documents")
-          .select(col("doc_id"), TF.wordShingles(col("text"), 2).as("sh"))
-          .filter(size(col("sh")) > 0))
-      val banded = docs.select(col("doc_id"),
-        explode(SF.lshBands(SF.minhashSignature(col("sh"), 16), 8, 2))
-          .as("band"))
-      val cand = banded.as("a").join(banded.as("b"),
-          col("a.band") === col("b.band") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      val pairs = cand
-        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
-          Seq("doc_a"))
-        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
-          Seq("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-            .as("j"))
-        .filter(col("j") >= 0.3)
-      pairs.agg(
+      lshVerifiedPairs(s, dir).agg(
         count(lit(1)).as("n_pairs"),
         sum(col("doc_a") * lit(1000003L) + col("doc_b")).as("key_sum"),
         sum(round(col("j") * lit(1e6)).cast("long"))
           .as("jaccard_micros_sum"))
+    }),
+
+    // Unbounded scale twin of dd6: the dedup CLOSURE over the full
+    // corpus — LSH-candidate edges (dd10's verified pairs) closed into
+    // connected components, reduced to component-census aggregates the
+    // recursive-CTE oracle replays over the exact edge set. This is
+    // the full 100 TB dedup pipeline measured end to end at full SF:
+    // sketch → band join → exact verify → min-label closure.
+    "dd11_cc_full" -> ((s, dir) => {
+      val edges = lshVerifiedPairs(s, dir)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val cc = graft.operators.ConnectedComponents.dedupClusters(
+        t(s, dir, "documents").select(col("doc_id").as("id")), edges)
+      val census = cc.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"),
+        sum(when(col("doc_id") =!= col("cluster_id"), 1L).otherwise(0L))
+          .as("n_dropped"),
+        sum(col("cluster_id")).as("cluster_id_sum"))
+      val biggest = cc.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("csize"))
+        .agg(max(col("csize")).as("max_cluster_size"))
+      census.crossJoin(biggest) // two 1-row frames
     }),
 
     // SimHash recall check (the driver-hashable cross-check for dd4):
@@ -601,6 +635,46 @@ object TrainingData {
            CAST(sum(CAST(round(j * 1e6) AS BIGINT)) AS BIGINT)
              AS jaccard_micros_sum
          FROM pairs""",
+      // dd11's oracle: recursive-CTE closure over the exact full-corpus
+      // edge set, collapsed to the same component census. Equals the
+      // Spark side iff LSH recall is 1 (a missed edge splits a
+      // component and shifts every aggregate).
+      "dd11_cc_full" ->
+        """WITH RECURSIVE d AS (SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g')), '\s+') AS toks
+           FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, len(toks)),
+             i -> toks[i] || ' ' || toks[i+1]))) AS s
+           FROM d),
+         counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS ni
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         edges AS (SELECT doc_a, doc_b FROM inter
+           JOIN counts ca ON ca.doc_id = doc_a
+           JOIN counts cb ON cb.doc_id = doc_b
+           WHERE ni::DOUBLE / (ca.n + cb.n - ni) >= 0.3),
+         sym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+           UNION SELECT doc_b, doc_a FROM edges),
+         reach AS (
+           SELECT doc_id AS id, doc_id AS comp FROM d
+           UNION
+           SELECT s.dst AS id, r.comp FROM reach r
+           JOIN sym s ON s.src = r.id),
+         comps AS (SELECT id, min(comp) AS cluster_id
+           FROM reach GROUP BY id),
+         sizes AS (SELECT cluster_id, count(*) AS csize
+           FROM comps GROUP BY 1)
+         SELECT count(*) AS n_docs,
+           count(DISTINCT c.cluster_id) AS n_clusters,
+           CAST(sum(CASE WHEN c.id <> c.cluster_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dropped,
+           CAST(sum(c.cluster_id) AS BIGINT) AS cluster_id_sum,
+           (SELECT max(csize) FROM sizes) AS max_cluster_size
+         FROM comps c""",
       // dd4's oracle replays the ENTIRE portable simhash pipeline:
       // same shingles, same md5-60-bit hash, same bit-vote, exact
       // pairwise hamming (the Spark side's block join is pigeonhole-
