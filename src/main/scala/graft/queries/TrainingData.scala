@@ -31,6 +31,34 @@ object TrainingData {
     docs.select(col("doc_id"),
       explode(TF.wordShingles(col("text"), n)).as("sh"))
 
+  /** TF-IDF top-3 terms per doc, shared by tx9 (bounded row dump) and
+    * tx11 (full-corpus aggregate). The idf factor is the RATIONAL
+    * n_docs/df (not ln) so the ranking key is an exact IEEE quotient
+    * both engines compute bit-identically — log-scaled idf only
+    * reorders monotonically, and transcendental libm differences would
+    * make the oracle flaky. df is a distinct postings agg; n_docs a
+    * 1-row broadcast. Emits (doc_id, rank, term, tf, df, score).
+    */
+  private def tfidfTop3(d: DataFrame): DataFrame = {
+    val terms = d.select(col("doc_id"),
+      explode(TF.tokens(lower(col("text")))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = terms.distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // count docs from `terms` (not `d`) so a null-text doc can't
+    // skew n_docs on one side only
+    val total = terms.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val scored = tf.join(df, Seq("term"))
+      .crossJoin(broadcast(total))
+      .withColumn("score",
+        col("tf") * (col("n_docs").cast("double") / col("df")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+  }
+
   /** The FULL-corpus minhash near-dup pipeline shared by dd10/dd11:
     * 2-shingles → 16-slot minhash → 8×2 LSH band join for candidates →
     * exact-Jaccard verification at the 0.3 threshold. Returns
@@ -228,6 +256,34 @@ object TrainingData {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Unbounded scale twin of dd4: the simhash block join over the
+    // FULL corpus, reduced to (pair count, key checksum, hamming sum).
+    // The oracle replays the whole portable md5-60 pipeline on the
+    // full corpus with exact pairwise hamming — the Manku 10-block
+    // join is pigeonhole-complete at radius 7, so the Spark side must
+    // reproduce the exact pair set or the checksums shift.
+    "dd12_simhash_full" -> ((s, dir) => {
+      val docs = ManagedCache.persist(
+        t(s, dir, "documents")
+          .select(col("doc_id"), TF.wordShingles(col("text"), 2).as("sh"))
+          .filter(size(col("sh")) > 0)
+          .select(col("doc_id"),
+            SF.simhashBits(col("sh"), 60, SF.md5hash60).as("sig")))
+      val blocked = docs.select(col("doc_id"), col("sig"),
+        explode(SF.simhashBlocks(col("sig"), 10, 60)).as("blk"))
+      blocked.as("a").join(blocked.as("b"),
+          col("a.blk") === col("b.blk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          SF.hamming64(col("a.sig"), col("b.sig")).cast("long")
+            .as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 7)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("doc_a") * lit(1000003L) + col("doc_b")).as("key_sum"),
+          sum(col("hamming")).as("hamming_sum"))
+    }),
+
     // Unbounded scale twin of dd2: the SAME minhash band-join near-dup
     // pipeline over the FULL corpus (no doc_id bound), reduced to a
     // deterministic one-row aggregate — pair count, key checksum,
@@ -416,27 +472,30 @@ object TrainingData {
     // libm differences would make the oracle flaky. df is a distinct
     // postings agg; n_docs a 1-row broadcast.
     "tx9_tfidf" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 200)
-      val terms = d.select(col("doc_id"),
-        explode(TF.tokens(lower(col("text")))).as("term"))
-      val tf = terms.groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("tf"))
-      val df = terms.distinct()
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      // count docs from `terms` (not `d`) so a null-text doc can't
-      // skew n_docs on one side only
-      val total = terms.agg(countDistinct(col("doc_id")).as("n_docs"))
-      val scored = tf.join(df, Seq("term"))
-        .crossJoin(broadcast(total))
-        .withColumn("score",
-          col("tf") * (col("n_docs").cast("double") / col("df")))
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("score").desc, col("term"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
+      tfidfTop3(t(s, dir, "documents").filter(col("doc_id") < 200))
         .select(col("doc_id"), col("rank"), col("term"), col("tf"),
           col("df"), round(col("score"), 6).as("tfidf_lin"))
         .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // Unbounded scale twin of tx9: TF-IDF keyword extraction over the
+    // FULL corpus, reduced to aggregates over the per-doc top-3 rows
+    // (row count, tf/df sums, 60-bit term-hash checksum, integer-
+    // micros score sum) so the oracle hash-compares without dumping
+    // 3 × n_docs rows. Everything is key-partitioned — the top-3 is a
+    // doc-partitioned window, never a global sort — so this measures
+    // the corpus-scale shape in Bench.
+    "tx11_tfidf_full" -> ((s, dir) => {
+      tfidfTop3(t(s, dir, "documents")).agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("tf")).as("tf_sum"),
+        sum(col("df")).as("df_sum"),
+        // 40-bit hash, not 60: the sum of ~3n_docs 60-bit values
+        // overflows ANSI long; 2^40 × corpus stays in range
+        sum(conv(substring(md5(col("term")), 1, 10), 16, 10)
+          .cast("long")).as("term_hash_sum"),
+        sum(round(col("score") * lit(1e6)).cast("long"))
+          .as("score_micros_sum"))
     }),
 
     // Vocabulary induction with contiguous token ids: corpus term
@@ -705,6 +764,38 @@ object TrainingData {
          FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.sig, b.sig)) <= 7
          ORDER BY doc_a, doc_b""",
+      // dd12's oracle: the dd4 replay (same shingles, md5-60 hash,
+      // bit-vote, exact pairwise hamming) over the FULL corpus,
+      // collapsed to order-independent integer aggregates.
+      "dd12_simhash_full" ->
+        """WITH d AS (SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g')), '\s+') AS toks
+           FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, len(toks)),
+             i -> toks[i] || ' ' || toks[i+1]))) AS s
+           FROM d),
+         hashed AS (SELECT doc_id,
+             ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+           FROM sh),
+         votes AS (SELECT doc_id, j,
+             sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS bal
+           FROM hashed CROSS JOIN range(60) r(j)
+           GROUP BY 1, 2),
+         sigs AS (SELECT doc_id,
+             sum(CASE WHEN bal > 0 THEN (1::BIGINT << j) ELSE 0 END)
+               AS sig
+           FROM votes GROUP BY 1),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+           FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.sig, b.sig)) <= 7)
+         SELECT count(*) AS n_pairs,
+           CAST(sum(doc_a * 1000003::BIGINT + doc_b) AS BIGINT)
+             AS key_sum,
+           CAST(sum(hamming) AS BIGINT) AS hamming_sum
+         FROM pairs""",
       "dd7_simhash_recall" ->
         """WITH d AS (SELECT doc_id,
              string_split_regex(trim(regexp_replace(lower(text),
@@ -802,6 +893,32 @@ object TrainingData {
            SELECT *, row_number() OVER (PARTITION BY doc_id
              ORDER BY score DESC, term) AS rank FROM scored)
          WHERE rank <= 3 ORDER BY doc_id, rank""",
+      // tx11's oracle: the same TF-IDF pipeline over the full corpus,
+      // collapsed to order-independent integer aggregates.
+      "tx11_tfidf_full" ->
+        """WITH terms AS (SELECT doc_id, unnest(string_split_regex(
+             trim(lower(text)), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM terms GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM (
+             SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+         tot AS (SELECT count(DISTINCT doc_id) AS n_docs FROM terms),
+         scored AS (SELECT doc_id, term, tf, df,
+             tf * (n_docs::DOUBLE / df) AS score
+           FROM tf JOIN df USING (term) CROSS JOIN tot),
+         top3 AS (SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, term) AS rank FROM scored)
+           WHERE rank <= 3)
+         SELECT count(*) AS n_rows,
+           CAST(sum(tf) AS BIGINT) AS tf_sum,
+           CAST(sum(df) AS BIGINT) AS df_sum,
+           CAST(sum(('0x' || substr(md5(term), 1, 10))::BIGINT)
+             AS BIGINT) AS term_hash_sum,
+           CAST(sum(CAST(round(score * 1e6) AS BIGINT)) AS BIGINT)
+             AS score_micros_sum
+         FROM top3""",
       // ann2's arithmetic hyperplanes are a fixed weight pattern, so
       // the oracle recomputes the buckets (1-based list index d here
       // maps to the 0-based dim d-1 in the Spark side) and replays the
