@@ -80,16 +80,30 @@ object TrainingData {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
-        Seq("doc_a"))
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
-        Seq("doc_b"))
+    // Exact verification, hot-bucket-proof: common shingles make a few
+    // LSH buckets huge (measured: 150+ docs -> 100k+ candidates of
+    // which a few hundred are real), so per-candidate array work is
+    // the cost that matters. The j >= 0.3 test is rewritten in pure
+    // integer arithmetic with the CHEAP conjuncts first —
+    //   size band:  10*min(na,nb) >= 3*max(na,nb)   (j <= min/max)
+    //   exact:      13*ni >= 3*(na+nb)              (<=> ni/(na+nb-ni) >= 0.3)
+    // so array_intersect runs only on size-band survivors, array_union
+    // is never built (shingles are distinct, so union = na+nb-ni), and
+    // the double j is computed only for emitted pairs. Identical pair
+    // set and j values as the naive form (integer test is exact; the
+    // oracle keeps the double filter).
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+      size(col("sh")).as("n_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+      size(col("sh")).as("n_b"))
+    val ni = size(array_intersect(col("sh_a"), col("sh_b")))
+    cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .filter(lit(10) * least(col("n_a"), col("n_b")) >=
+          lit(3) * greatest(col("n_a"), col("n_b")) &&
+        lit(13) * ni >= lit(3) * (col("n_a") + col("n_b")))
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        (ni.cast("double") / (col("n_a") + col("n_b") - ni))
           .as("j"))
-      .filter(col("j") >= 0.3)
   }
 
   val queries: Map[String, Q] = Map(

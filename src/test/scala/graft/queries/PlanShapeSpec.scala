@@ -57,6 +57,19 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("dd10's verify evaluates the integer size band before " +
+    "array_intersect (hot-bucket cost control)") {
+    val p = plan("dd10_minhash_full")
+    // wherever Catalyst placed the pushed verify predicate (join
+    // condition or filter), the cheap size-band comparison must
+    // precede the per-candidate array work
+    val line = p.linesIterator
+      .find(l => l.contains("array_intersect") && l.contains("least"))
+      .getOrElse(fail("verify predicate not found in plan"))
+    assert(line.indexOf("least") < line.indexOf("array_intersect"),
+      s"size band must evaluate before array_intersect: $line")
+  }
+
   test("xv1 incremental refresh broadcasts the change-key set into " +
     "both the anti and semi joins") {
     val p = plan("xv1_incr_view_multi")
