@@ -11,19 +11,24 @@ object Bench {
       graft.Tables.names.foreach(n =>
         graft.Tables.load(spark, sfDir, n).count())
     } catch { case _: Throwable => () }
-    val progress = new java.io.PrintWriter("bench_progress.log")
+    // per-query progress goes to a FILE, not the console: the driver
+    // captures a bounded window of output, and 120+ progress lines
+    // were crowding out the one JSON line it parses. Logging must
+    // never fail the bench — an unwritable cwd just drops progress.
+    val progress: Option[java.io.PrintWriter] =
+      try Some(new java.io.PrintWriter("bench_progress.log"))
+      catch { case _: Exception => None }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      // per-query progress goes to a FILE, not the console: the driver
-      // captures a bounded window of output, and 120+ progress lines
-      // were crowding out the one JSON line it parses.
-      progress.println(f"[bench] $name%-28s $dt%8.2fs"); progress.flush()
+      progress.foreach { p =>
+        p.println(f"[bench] $name%-28s $dt%8.2fs"); p.flush()
+      }
       graft.operators.ManagedCache.releaseAll()
       name -> dt
     }.toMap
-    progress.close()
+    progress.foreach(_.close())
     // 3-decimal timings keep the one-line JSON compact (millisecond
     // resolution is already below bench noise). Locale.ROOT so a
     // locale with comma decimal separators can't corrupt the JSON.
@@ -35,8 +40,10 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // full vector also lands in a file so a truncated console capture
-    // can never lose the per-query timings
-    Files.writeString(Paths.get("bench_results.json"), line + "\n")
+    // can never lose the per-query timings; the console line is the
+    // contract, so a failed file write must not kill the run
+    try Files.writeString(Paths.get("bench_results.json"), line + "\n")
+    catch { case _: Exception => () }
     println(line)
     spark.stop()
   }
