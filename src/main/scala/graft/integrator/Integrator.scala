@@ -35,16 +35,23 @@ class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
     notifier: Progress.Notifier = null) {
 
   /** Progress side-channel (integrator.py:307-357): log lines + a
-    * durable app_status.json under the state path by default; pass a
-    * custom notifier to add a GUI/toast sink. */
-  private val progress: Progress.Notifier = Option(notifier).getOrElse(
-    new Progress.Composite(Seq(new Progress.LogNotifier(),
-      new Progress.StatusFile(s"$statePath/app_status.json"))))
+    * durable app_status.json under the state path, ALWAYS; a custom
+    * notifier (GUI/toast sink) is added on top — the reference fans
+    * out to its logger + notifier + app_status trio the same way. */
+  private val progress: Progress.Notifier = new Progress.Composite(
+    Seq(new Progress.LogNotifier(),
+      new Progress.StatusFile(s"$statePath/app_status.json")) ++
+      Option(notifier))
 
+  /** The side-channel must never fail the run: a full disk or a lost
+    * mount under app_status.json drops the update (the next phase
+    * retries the write); the data work continues. */
   private def report(phase: Progress.Phase, detail: String,
       current: Long = 0, total: Option[Long] = None,
       level: Int = Progress.Info): Unit =
-    progress.update(Progress.Update(phase, detail, current, total, level))
+    try progress.update(Progress.Update(phase, detail, current, total,
+      level))
+    catch { case scala.util.control.NonFatal(_) => () }
 
   /** Detail-fetch fan-out: capped by the session's parallelism — more
     * partitions than cores adds scheduling overhead without extra

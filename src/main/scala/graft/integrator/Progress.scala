@@ -68,9 +68,24 @@ object Progress {
     override def update(u: Update): Unit = sinks.foreach(_.update(u))
   }
 
+  /** Full JSON string escape — backslash, quote, and every control
+    * char; a Windows-style path or stray control byte in `detail`
+    * must not produce an unparseable status file. */
+  private[integrator] def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   /** Durable last-status sink — the `app_status.progress.set` +
     * `save_status` analog: one small JSON file an external observer
-    * polls. Atomic rename so a crash mid-write never leaves a torn
+    * polls. Atomic rename (plain-replace fallback for filesystems
+    * without atomic move) so a crash mid-write never leaves a torn
     * file, and a crashed run's LAST phase survives for the resume
     * diagnosis. */
   class StatusFile(path: String) extends Notifier {
@@ -79,15 +94,20 @@ object Progress {
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
       val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
       val json =
-        s"""{"phase":"${u.phase.name}","order":${u.phase.order},""" +
-          s""""detail":"${u.detail.replace("\"", "'")}",""" +
+        s"""{"phase":${jsonStr(u.phase.name)},"order":${u.phase.order},""" +
+          s""""detail":${jsonStr(u.detail)},""" +
           s""""current":${u.current},""" +
           s""""total":${u.total.map(_.toString).getOrElse("null")},""" +
           s""""percent":${u.percent}}"""
       java.nio.file.Files.writeString(tmp, json + "\n")
-      java.nio.file.Files.move(tmp, p,
+      try java.nio.file.Files.move(tmp, p,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch {
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          java.nio.file.Files.move(tmp, p,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
     }
   }
 }

@@ -182,6 +182,9 @@ object Multimodal {
     val outSchema = StructType(keepIdx.map(schema(_)) :+
       StructField("thumb", thumbSchema, nullable = true))
     val rdd = media.rdd.mapPartitions { it =>
+      // in-memory byte arrays in, PNG byte arrays out — no temp files
+      // (ImageIO's default stream cache is disk-backed)
+      javax.imageio.ImageIO.setUseCache(false)
       val make: Array[Byte] => Row =
         if (realDecoder) thumbnailReal(_, maxW, maxH)
         else thumbnailStub(_, maxW, maxH)
@@ -227,7 +230,10 @@ object Multimodal {
     val rdd = media.rdd.mapPartitions { it =>
       // decoder selection once per partition; ImageIO readers are
       // fetched per blob (they are stateful), but the header-only
-      // read keeps per-blob cost O(header)
+      // read keeps per-blob cost O(header). Payloads are already
+      // in-memory byte arrays — disable ImageIO's default DISK-backed
+      // stream cache or every blob pays a temp-file create/delete.
+      javax.imageio.ImageIO.setUseCache(false)
       val decode: Array[Byte] => Row =
         if (realDecoder) decodeImageReal else decodeImageStub
       it.map { row =>

@@ -153,13 +153,15 @@ object Joins {
     // pure LONG floor-division: Spark's `/` promotes to double, whose
     // 53-bit mantissa would silently mis-bin axis values beyond 2^53
     // (a microsecond epoch is already ~2^50, so the cliff is reachable
-    // for a generic axis). (x - pmod(x, w)) is exactly divisible by w,
-    // so integral `div` equals mathematical floor division, negatives
-    // included.
+    // for a generic axis). Truncate-then-adjust rather than the
+    // (x - pmod(x, w)) form: the subtraction there underflows for x
+    // within binWidth of Long.MinValue, while q = x div w and
+    // r = x - q*w never leave the long range for any x and w > 0.
     val bin = (c: Column) => {
       val x = binOf(c).cast("long")
       val w = lit(binWidth)
-      call_function("div", x - pmod(x, w), w)
+      val q = call_function("div", x, w)
+      when(x - q * w < 0, q - 1).otherwise(q)
     }
     val p = points.withColumn("__bin", bin(col(pointTs)))
     val iv = intervals.withColumn("__bin",

@@ -5,13 +5,15 @@ import org.apache.spark.storage.StorageLevel
 
 /** Tracked persistence for intra-query working sets (sketch tables,
   * range-partitioned frames) that are read more than once inside ONE
-  * query's DAG. A bare `.cache()` in a query builder leaks a
-  * MEMORY_ONLY copy per invocation for the lifetime of the session —
-  * a harness that runs the query repeatedly (Bench) accumulates them.
-  * Here every persist is (a) MEMORY_AND_DISK by default so a frame
-  * that outgrows executor memory degrades to disk instead of
-  * evicting, and (b) registered, so the driver releases everything
-  * with one [[releaseAll]] once the consuming action has drained.
+  * query's DAG. A bare `.cache()` in a query builder leaks one cached
+  * copy per invocation for the lifetime of the session (CacheManager
+  * entries are never GC'd) — a harness that runs the query repeatedly
+  * (Bench) accumulates them. The real fix is the REGISTRY: every
+  * persist is tracked so the driver releases everything with one
+  * [[releaseAll]] once the consuming action has drained. The
+  * StorageLevel parameter (MEMORY_AND_DISK default, same as
+  * `Dataset.cache()`) is there so corpus-sized frames can opt down to
+  * DISK_ONLY explicitly.
   */
 object ManagedCache {
 

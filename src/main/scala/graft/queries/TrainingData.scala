@@ -40,8 +40,11 @@ object TrainingData {
     * 1-row broadcast. Emits (doc_id, rank, term, tf, df, score).
     */
   private def tfidfTop3(d: DataFrame): DataFrame = {
-    val terms = d.select(col("doc_id"),
-      explode(TF.tokens(lower(col("text")))).as("term"))
+    // three independent aggregations (tf, df, n_docs) read this frame;
+    // without the tracked persist the tokenize+explode of every
+    // document — the dominant cost at full corpus — would run 3×
+    val terms = ManagedCache.persist(d.select(col("doc_id"),
+      explode(TF.tokens(lower(col("text")))).as("term")))
     val tf = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = terms.distinct()

@@ -20,9 +20,11 @@ class IntegratorSpec extends SparkSpec {
       override def update(u: Progress.Update): Unit =
         seen.synchronized { seen += u }
     }
+    // the custom notifier rides ALONGSIDE the default log + status-file
+    // sinks (reference trio) — app_status.json below comes from the
+    // default sink, not from anything passed here
     val integ = new Integrator(spark, new SyntheticApi, dir,
-      notifier = new Progress.Composite(Seq(recorder,
-        new Progress.StatusFile(s"$dir/app_status.json"))))
+      notifier = recorder)
     integ.run()
     val phases = seen.map(_.phase).toSeq
     assert(phases == Seq(Progress.Initializing, Progress.BasicData,

@@ -153,6 +153,17 @@ class ScaleOpsSpec extends SparkSpec {
       assert(got.toSeq == Seq((1L, base), (1L, base + 1), (2L, base + 2),
         (3L, -base - 7), (3L, -base)), s"binWidth=$w: ${got.toSeq}")
     }
+    // the Long.MinValue shore: (x - pmod(x, w)) would underflow here;
+    // truncate-then-adjust must bin and match exactly
+    val lo = Long.MinValue
+    val extremePts = Seq(lo, lo + 1, lo + 6).zipWithIndex
+      .map { case (p, i) => (p, s"x$i") }.toDF("pt", "pname")
+    val extremeIv = Seq((9L, lo, lo + 2)).toDF("iid", "s", "e")
+    val got = Joins.rangeJoinBinned(extremePts, "pt", extremeIv,
+        "s", "e", identity, 7L)
+      .select($"iid", $"pt").orderBy($"pt")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((9L, lo), (9L, lo + 1)), got.toSeq.toString)
   }
 
   test("rangeJoinBinned rejects colliding column names") {
