@@ -20,9 +20,13 @@ import org.apache.spark.sql.types._
   * metadata decode is REAL too: `wavMeta` parses canonical PCM WAV
   * (RIFF) headers in pure Column algebra (spec'd against a
   * ByteBuffer-built header; oracle round-trip in `mm2_wav_metadata`).
-  * Video demux/sample decode and the vision-embedding body remain
-  * clearly-marked DETERMINISTIC FAKES (no codec/ONNX libraries in
-  * this container) — the Spark-side plumbing (schema, batch shape,
+  * Multi-frame demux is REAL for animated GIFs (`gifFrameTable` walks
+  * the container's block structure — frames, geometry, coded payload
+  * sizes — with `gifAnimated` as its in-plan synthesis twin and the
+  * `mm5_gif_frames` oracle round-trip); general video-codec demux,
+  * frame PIXEL decode (LZW/H.264), and the vision-embedding body
+  * remain clearly-marked DETERMINISTIC FAKES (no codec/ONNX libraries
+  * in this container) — the Spark-side plumbing (schema, batch shape,
   * partitioning, metadata contract) is real and tested; swapping in
   * JavaCV/ONNX replaces only the bodies marked STUB.
   *
@@ -376,6 +380,123 @@ object Multimodal {
       lit("GIF89a".getBytes("UTF-8")),
       leBytes(width, 2), leBytes(height, 2),
       leBytes(packed, 1), leBytes(lit(0), 1), leBytes(lit(0), 1))
+
+  val gifFrameSchema: StructType = StructType(Seq(
+    StructField("frame_index", IntegerType, nullable = false),
+    StructField("x", IntegerType, nullable = false),
+    StructField("y", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("data_bytes", LongType, nullable = false)))
+
+  /** REAL multi-frame demux for animated GIFs (GIF89a spec §20-26) —
+    * the slice of "video demux" implementable without codec
+    * libraries, because GIF containers are walkable with pure block
+    * arithmetic: header + optional global color table, then a block
+    * sequence of extensions (0x21: label + length-prefixed data
+    * sub-blocks), image descriptors (0x2C: geometry + optional local
+    * color table + LZW-coded sub-blocks), and the 0x3B trailer. One
+    * row out per frame — geometry + coded-payload size — with the
+    * pixel data left LZW-encoded (decode is a codec concern; demux is
+    * not). Truncated/corrupt containers yield the frames walked so
+    * far, never a task failure.
+    */
+  private def walkGifFrames(payload: Array[Byte]): Seq[Row] = {
+    def u8(i: Int) = payload(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    if (payload == null || payload.length < 14) return Seq.empty
+    val magic = new String(payload, 0, 6, "US-ASCII")
+    if (magic != "GIF87a" && magic != "GIF89a") return Seq.empty
+    val frames = Seq.newBuilder[Row]
+    try {
+      var pos = 13
+      if ((u8(10) & 0x80) != 0) pos += 3 * (1 << ((u8(10) & 7) + 1))
+      var idx = 0
+      var done = false
+      while (!done && pos < payload.length) {
+        u8(pos) match {
+          case 0x3b => done = true
+          case 0x21 => // extension: introducer + label + sub-blocks
+            pos += 2
+            while (pos < payload.length && u8(pos) != 0)
+              pos += 1 + u8(pos)
+            pos += 1
+          case 0x2c =>
+            val (x, y) = (le16(pos + 1), le16(pos + 3))
+            val (fw, fh) = (le16(pos + 5), le16(pos + 7))
+            val ipacked = u8(pos + 9)
+            pos += 10
+            if ((ipacked & 0x80) != 0) pos += 3 * (1 << ((ipacked & 7) + 1))
+            pos += 1 // LZW minimum code size
+            var dataBytes = 0L
+            while (pos < payload.length && u8(pos) != 0) {
+              dataBytes += u8(pos)
+              pos += 1 + u8(pos)
+            }
+            pos += 1
+            frames += Row(idx, x, y, fw, fh, dataBytes)
+            idx += 1
+          case _ => done = true // malformed: stop walking
+        }
+      }
+    } catch {
+      // a cut mid-block reads past the payload: the frames BEFORE the
+      // cut are valid and are kept — never fail the task
+      case _: IndexOutOfBoundsException => ()
+    }
+    frames.result()
+  }
+
+  /** Demux a media table of GIF payloads into frame rows (the
+    * explode shape of [[sampleFrames]], but REAL boundaries from the
+    * container): payload dropped, one row per frame. */
+  def gifFrameTable(media: DataFrame): DataFrame = {
+    val schema = media.schema
+    val payloadIdx = schema.fieldIndex("payload")
+    val keepIdx = schema.indices.filterNot(_ == payloadIdx)
+    val outSchema = StructType(keepIdx.map(schema(_)) ++
+      gifFrameSchema.fields)
+    val rdd = media.rdd.mapPartitions { it =>
+      it.flatMap { row =>
+        val payload = if (row.isNullAt(payloadIdx)) null
+          else row.getAs[Array[Byte]](payloadIdx)
+        walkGifFrames(payload).map(f =>
+          Row.fromSeq(keepIdx.map(row.get) ++ f.toSeq))
+      }
+    }
+    media.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** Build a REAL multi-frame (animated) GIF in pure Column algebra —
+    * the synthesis twin of [[gifFrameTable]]: the 13-byte GIF89a
+    * header ([[gifHeader]], packed = 0 so no global color table),
+    * then `nFrames` image descriptors at x=y=0 with `width`×`height`
+    * geometry, LZW-min-code byte 0x02, ONE data sub-block of
+    * `dataLenOf(i)` bytes (1-255) of 0x5A filler, and the 0x3B
+    * trailer. The emitted container is spec-valid block structure —
+    * exactly what a demuxer consumes.
+    */
+  def gifAnimated(width: Column, height: Column, nFrames: Column,
+      dataLenOf: Column => Column): Column = {
+    val frameHex = (i: Column) => {
+      val len = dataLenOf(i)
+      concat(
+        lit("2c" + "0000" + "0000"), // descriptor, x=0, y=0 (LE)
+        lpad(hex(pmod(width, lit(256))), 2, "0"),
+        lpad(hex(call_function("div", width, lit(256))), 2, "0"),
+        lpad(hex(pmod(height, lit(256))), 2, "0"),
+        lpad(hex(call_function("div", height, lit(256))), 2, "0"),
+        lit("00" + "02"), // no local color table; LZW min code 2
+        lpad(hex(len), 2, "0"),
+        array_join(transform(sequence(lit(1), len), _ => lit("5a")), ""),
+        lit("00")) // sub-block terminator
+    }
+    concat(
+      gifHeader(width, height, lit(0)),
+      unhex(concat(
+        array_join(transform(sequence(lit(1), nFrames), frameHex), ""),
+        lit("3b"))))
+  }
 
   /** Build a REAL uncompressed 24-bit grayscale BMP in pure Column
     * algebra — the synthesis twin of [[thumbnailImages]]'s real pixel

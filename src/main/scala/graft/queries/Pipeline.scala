@@ -237,6 +237,35 @@ object Pipeline {
         .orderBy(col("media_id"))
     }),
 
+    // REAL multi-frame demux round-trip (the video-container sibling
+    // of mm4): synthesize spec-valid ANIMATED GIFs in pure Column
+    // algebra — header + per-frame image descriptors + LZW-coded
+    // sub-blocks + trailer — then demux them back with the ACTUAL
+    // block walker (gifFrameTable) and aggregate per media. The
+    // oracle recomputes frame counts/geometry/payload sizes
+    // arithmetically, so a bug in either the container writer or the
+    // walker's block arithmetic (GCT skip, sub-block chains,
+    // extension skip) breaks the hash compare.
+    "mm5_gif_frames" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val w = lit(4) + pmod(col("doc_id"), lit(16))
+      val h = lit(3) + pmod(col("doc_id"), lit(8))
+      val n = lit(1) + pmod(col("doc_id"), lit(5))
+      val media = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id").as("media_id"), lit("video").as("kind"),
+          Multimodal.gifAnimated(w, h, n,
+            i => lit(1) + pmod(col("doc_id") * 3 + i * 7, lit(200)))
+            .as("payload"),
+          lit("gif://synth").as("source_uri"))
+      Multimodal.gifFrameTable(media)
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          max(col("width")).as("width"),
+          max(col("height")).as("height"),
+          sum(col("data_bytes")).as("data_bytes_sum"))
+        .orderBy(col("media_id"))
+    }),
+
     // Deterministic anonymization: format-preserving digit masking +
     // salted-hash pseudonym token + value banding. Pure per-row Column
     // algebra — no shuffle, codegen throughout.
@@ -423,6 +452,19 @@ object Pipeline {
          FROM documents d, range(4) x(i), range(3) y(i)
          WHERE d.doc_id < 50
          GROUP BY 1 ORDER BY media_id""",
+    // frame i of doc d carries 1 + (d*3 + i*7) % 200 coded bytes;
+    // geometry is constant per doc
+    "mm5_gif_frames" ->
+      """SELECT d.doc_id AS media_id,
+           count(*) AS n_frames,
+           CAST(max(4 + d.doc_id % 16) AS INT) AS width,
+           CAST(max(3 + d.doc_id % 8) AS INT) AS height,
+           CAST(sum(1 + (d.doc_id * 3 + i.i * 7) % 200) AS BIGINT)
+             AS data_bytes_sum
+         FROM documents d JOIN range(1, 6) i(i)
+           ON i.i <= 1 + d.doc_id % 5
+         WHERE d.doc_id < 100
+         GROUP BY d.doc_id ORDER BY media_id""",
     "px1_pii_mask" ->
       """SELECT c_custkey,
            regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,

@@ -175,6 +175,54 @@ class MultimodalSpec extends SparkSpec {
     assert(!t.isNullAt(2) && t.isNullAt(3) && t.isNullAt(4))
   }
 
+  test("gifFrameTable demuxes a hand-built animated GIF: global color " +
+    "table, extension blocks, local color table, sub-block chains") {
+    // built with ByteBuffer, independent of the in-plan gifAnimated
+    // builder, and exercising every skip path the walker has
+    val bos = new java.io.ByteArrayOutputStream()
+    def b(xs: Int*): Unit = xs.foreach(x => bos.write(x & 0xff))
+    bos.write("GIF89a".getBytes("US-ASCII"))
+    b(10, 0, 20, 0)          // 10 x 20 logical screen (LE)
+    b(0x91)                  // GCT present, 2^(1+1)=4 entries
+    b(0, 0)                  // bg, aspect
+    (1 to 4 * 3).foreach(_ => b(0xAB)) // global color table
+    b(0x21, 0xF9, 4, 0, 0, 0, 0, 0)    // graphic control extension
+    // frame 0: 8x6 at (1,2), no LCT, data split over TWO sub-blocks
+    b(0x2C, 1, 0, 2, 0, 8, 0, 6, 0, 0x00, 0x02)
+    b(3, 0x11, 0x22, 0x33, 2, 0x44, 0x55, 0)
+    b(0x21, 0xFE, 5); bos.write("hello".getBytes); b(0)  // comment ext
+    // frame 1: 4x4 at (0,0), LOCAL color table (2^(0+1)=2 entries)
+    b(0x2C, 0, 0, 0, 0, 4, 0, 4, 0, 0x80)
+    (1 to 2 * 3).foreach(_ => b(0xCD))
+    b(0x02, 4, 1, 2, 3, 4, 0)
+    b(0x3B)
+    val gif = bos.toByteArray
+    val media = Seq((7L, "video", gif, "mem://gif"),
+        (8L, "video", "not a gif".getBytes("UTF-8"), "mem://junk"))
+      .toDF("media_id", "kind", "payload", "source_uri")
+    val out = Multimodal.gifFrameTable(media)
+      .orderBy("media_id", "frame_index").collect()
+    assert(out.length == 2, s"expected 2 frames, got ${out.length}")
+    val f0 = out(0)
+    assert(f0.getLong(0) == 7L && f0.getInt(f0.fieldIndex("frame_index")) == 0)
+    assert(f0.getInt(f0.fieldIndex("x")) == 1 &&
+      f0.getInt(f0.fieldIndex("y")) == 2)
+    assert(f0.getInt(f0.fieldIndex("width")) == 8 &&
+      f0.getInt(f0.fieldIndex("height")) == 6)
+    assert(f0.getLong(f0.fieldIndex("data_bytes")) == 5L) // 3 + 2
+    val f1 = out(1)
+    assert(f1.getInt(f1.fieldIndex("frame_index")) == 1)
+    assert(f1.getInt(f1.fieldIndex("width")) == 4 &&
+      f1.getLong(f1.fieldIndex("data_bytes")) == 4L)
+    // truncated container: frames before the cut still demux
+    val cut = java.util.Arrays.copyOfRange(gif, 0, gif.length - 15)
+    val partial = Multimodal.gifFrameTable(
+      Seq((9L, "video", cut, "mem://cut"))
+        .toDF("media_id", "kind", "payload", "source_uri")).collect()
+    assert(partial.length == 1 &&
+      partial(0).getInt(partial(0).fieldIndex("width")) == 8)
+  }
+
   test("embedImages feeds the existing ANN operators") {
     import graft.functions.{SimilarityFunctions => SF}
     val emb = Multimodal.embedImages(media)
