@@ -27,10 +27,22 @@ object PlanAudit {
       "ts3_sessionize", "xs4_heavy_hitters")
     names.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      // run THIS plan first (toRdd, not count() — count() builds a
+      // different QueryExecution): under AQE the pre-execution explain
+      // shows an unfinalized AdaptiveSparkPlan with no codegen ids and
+      // possibly different join strategies — the audit must read the
+      // plan that actually executed
+      try df.queryExecution.toRdd.count() catch { case _: Throwable => () }
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      val nExchange = "Exchange".r.findAllIn(plan).size
-      val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).size
+      // adaptive explain prints Final AND Initial plan TREES before
+      // the per-operator details: count tree-level operators (joins,
+      // exchanges) only in the plan that ran, but keep the full text
+      // for the detail-section metrics (codegen ids, PushedFilters)
+      val tree = if (plan.contains("== Initial Plan =="))
+        plan.substring(0, plan.indexOf("== Initial Plan ==")) else plan
+      val nExchange = "Exchange".r.findAllIn(tree).size
+      val nBroadcast = "BroadcastHashJoin".r.findAllIn(tree).size
       val nCodegen = "codegen id : (\\d+)".r.findAllMatchIn(plan)
         .map(_.group(1)).toSet.size
       val pushed = plan.linesIterator
