@@ -63,9 +63,15 @@ object Progress {
   }
 
   /** Fan-out to several sinks (log + GUI + file, like the reference's
-    * logger + notifier + app_status trio). */
+    * logger + notifier + app_status trio). Sinks are ISOLATED: one
+    * sink failing (a status file on a full disk) must not starve the
+    * sinks after it — every other sink still receives every update.
+    */
   class Composite(sinks: Seq[Notifier]) extends Notifier {
-    override def update(u: Update): Unit = sinks.foreach(_.update(u))
+    override def update(u: Update): Unit = sinks.foreach { s =>
+      try s.update(u)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   /** Full JSON string escape — backslash, quote, and every control

@@ -77,12 +77,20 @@ object Multimodal {
     * struct instead of failing the task (a 100 TB scrape always
     * contains garbage).
     */
+  /** In-heap ImageInputStream over bytes that are ALREADY in memory —
+    * the process-global `ImageIO.setUseCache` default wraps streams in
+    * a disk-backed temp-file cache (one create/write/delete per blob),
+    * and flipping that static from executor tasks would leak the
+    * setting to every other ImageIO user in the JVM. */
+  private def memStream(payload: Array[Byte]) =
+    new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+
   private def decodeImageReal(payload: Array[Byte]): Row = {
     if (payload == null || payload.isEmpty) Row(null, null, null, 0L)
     else {
       try {
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(payload))
+        val iis = memStream(payload)
         try {
           val readers = javax.imageio.ImageIO.getImageReaders(iis)
           if (!readers.hasNext)
@@ -125,8 +133,7 @@ object Multimodal {
     if (payload == null || payload.isEmpty)
       return Row(null, null, null, null, null)
     try {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(payload))
+      val img = javax.imageio.ImageIO.read(memStream(payload))
       if (img == null) return Row(null, null, null, null, null)
       val w = img.getWidth
       val h = img.getHeight
@@ -151,7 +158,9 @@ object Multimodal {
         y += 1
       }
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(out, "png", bos)
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try javax.imageio.ImageIO.write(out, "png", ios)
+      finally ios.close() // flushes the memory cache into bos
       Row(tw, th, hash, sum, bos.toByteArray)
     } catch { case _: Exception => Row(null, null, null, null, null) }
   }
@@ -180,25 +189,13 @@ object Multimodal {
   def thumbnailImages(media: DataFrame, maxW: Int = 64, maxH: Int = 64,
       realDecoder: Boolean = false): DataFrame = {
     require(maxW > 0 && maxH > 0, s"bad thumb box ${maxW}x$maxH")
-    val schema = media.schema
-    val payloadIdx = schema.fieldIndex("payload")
-    val keepIdx = schema.indices.filterNot(_ == payloadIdx)
-    val outSchema = StructType(keepIdx.map(schema(_)) :+
-      StructField("thumb", thumbSchema, nullable = true))
-    val rdd = media.rdd.mapPartitions { it =>
-      // in-memory byte arrays in, PNG byte arrays out — no temp files
-      // (ImageIO's default stream cache is disk-backed)
-      javax.imageio.ImageIO.setUseCache(false)
-      val make: Array[Byte] => Row =
-        if (realDecoder) thumbnailReal(_, maxW, maxH)
-        else thumbnailStub(_, maxW, maxH)
-      it.map { row =>
-        val payload = if (row.isNullAt(payloadIdx)) null
-          else row.getAs[Array[Byte]](payloadIdx)
-        Row.fromSeq(keepIdx.map(row.get) :+ make(payload))
-      }
+    val make: Array[Byte] => Row =
+      if (realDecoder) thumbnailReal(_, maxW, maxH)
+      else thumbnailStub(_, maxW, maxH)
+    mapMedia(media,
+      Seq(StructField("thumb", thumbSchema, nullable = true))) {
+      p => Iterator.single(Seq(make(p)))
     }
-    media.sparkSession.createDataFrame(rdd, outSchema)
   }
 
   /** STUB — deterministic fake feature extraction: a 16-dim
@@ -220,33 +217,40 @@ object Multimodal {
     out
   }
 
-  /** Decode metadata for a media table: batched per partition (one
-    * decoder instance per partition, not per row), blob dropped from
-    * the output so downstream stages shuffle only metadata.
+  /** Shared shape of every per-blob transform: drop `payload` (so
+    * downstream stages never shuffle source blobs), keep the other
+    * columns, append `extra` fields from `f(payload)` — one output
+    * row per emitted value sequence (1:1 decoders emit one, demuxers
+    * emit one per frame). Runs as a partition-batched RDD map.
     */
-  def decodeImages(media: DataFrame,
-      realDecoder: Boolean = false): DataFrame = {
+  private def mapMedia(media: DataFrame, extra: Seq[StructField])(
+      f: Array[Byte] => Iterator[Seq[Any]]): DataFrame = {
     val schema = media.schema
     val payloadIdx = schema.fieldIndex("payload")
     val keepIdx = schema.indices.filterNot(_ == payloadIdx)
-    val outSchema = StructType(keepIdx.map(schema(_)) :+
-      StructField("image_meta", imageMetaSchema, nullable = true))
+    val outSchema = StructType(keepIdx.map(schema(_)) ++ extra)
     val rdd = media.rdd.mapPartitions { it =>
-      // decoder selection once per partition; ImageIO readers are
-      // fetched per blob (they are stateful), but the header-only
-      // read keeps per-blob cost O(header). Payloads are already
-      // in-memory byte arrays — disable ImageIO's default DISK-backed
-      // stream cache or every blob pays a temp-file create/delete.
-      javax.imageio.ImageIO.setUseCache(false)
-      val decode: Array[Byte] => Row =
-        if (realDecoder) decodeImageReal else decodeImageStub
-      it.map { row =>
+      it.flatMap { row =>
         val payload = if (row.isNullAt(payloadIdx)) null
           else row.getAs[Array[Byte]](payloadIdx)
-        Row.fromSeq(keepIdx.map(row.get) :+ decode(payload))
+        f(payload).map(vals => Row.fromSeq(keepIdx.map(row.get) ++ vals))
       }
     }
     media.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** Decode metadata for a media table: batched per partition, blob
+    * dropped from the output so downstream stages shuffle only
+    * metadata.
+    */
+  def decodeImages(media: DataFrame,
+      realDecoder: Boolean = false): DataFrame = {
+    val decode: Array[Byte] => Row =
+      if (realDecoder) decodeImageReal else decodeImageStub
+    mapMedia(media,
+      Seq(StructField("image_meta", imageMetaSchema, nullable = true))) {
+      p => Iterator.single(Seq(decode(p)))
+    }
   }
 
   /** Pseudo-embedding column over the payload — the ANN entry point
@@ -429,13 +433,23 @@ object Multimodal {
             if ((ipacked & 0x80) != 0) pos += 3 * (1 << ((ipacked & 7) + 1))
             pos += 1 // LZW minimum code size
             var dataBytes = 0L
-            while (pos < payload.length && u8(pos) != 0) {
-              dataBytes += u8(pos)
-              pos += 1 + u8(pos)
+            var complete = true
+            while (complete && pos < payload.length && u8(pos) != 0) {
+              // a sub-block whose declared data runs past the payload
+              // is the frame AT the cut: drop it, don't report bytes
+              // that don't exist
+              if (pos + 1 + u8(pos) > payload.length) complete = false
+              else {
+                dataBytes += u8(pos)
+                pos += 1 + u8(pos)
+              }
             }
-            pos += 1
-            frames += Row(idx, x, y, fw, fh, dataBytes)
-            idx += 1
+            // the terminator itself may be the cut point too
+            if (complete && pos < payload.length) {
+              pos += 1
+              frames += Row(idx, x, y, fw, fh, dataBytes)
+              idx += 1
+            } else done = true
           case _ => done = true // malformed: stop walking
         }
       }
@@ -450,36 +464,30 @@ object Multimodal {
   /** Demux a media table of GIF payloads into frame rows (the
     * explode shape of [[sampleFrames]], but REAL boundaries from the
     * container): payload dropped, one row per frame. */
-  def gifFrameTable(media: DataFrame): DataFrame = {
-    val schema = media.schema
-    val payloadIdx = schema.fieldIndex("payload")
-    val keepIdx = schema.indices.filterNot(_ == payloadIdx)
-    val outSchema = StructType(keepIdx.map(schema(_)) ++
-      gifFrameSchema.fields)
-    val rdd = media.rdd.mapPartitions { it =>
-      it.flatMap { row =>
-        val payload = if (row.isNullAt(payloadIdx)) null
-          else row.getAs[Array[Byte]](payloadIdx)
-        walkGifFrames(payload).map(f =>
-          Row.fromSeq(keepIdx.map(row.get) ++ f.toSeq))
-      }
+  def gifFrameTable(media: DataFrame): DataFrame =
+    mapMedia(media, gifFrameSchema.fields.toSeq) {
+      p => walkGifFrames(p).iterator.map(_.toSeq)
     }
-    media.sparkSession.createDataFrame(rdd, outSchema)
-  }
 
   /** Build a REAL multi-frame (animated) GIF in pure Column algebra —
     * the synthesis twin of [[gifFrameTable]]: the 13-byte GIF89a
     * header ([[gifHeader]], packed = 0 so no global color table),
     * then `nFrames` image descriptors at x=y=0 with `width`×`height`
     * geometry, LZW-min-code byte 0x02, ONE data sub-block of
-    * `dataLenOf(i)` bytes (1-255) of 0x5A filler, and the 0x3B
-    * trailer. The emitted container is spec-valid block structure —
-    * exactly what a demuxer consumes.
+    * `dataLenOf(i)` bytes of 0x5A filler, and the 0x3B trailer. The
+    * emitted container is spec-valid block structure — exactly what a
+    * demuxer consumes. Out-of-contract inputs are CLAMPED rather than
+    * silently corrupting the container: `nFrames < 1` emits zero
+    * frames (Spark's `sequence(1, 0)` would otherwise produce a
+    * DESCENDING [1, 0] — two frames), and sub-block lengths clamp
+    * into [1, 255] (a longer declared length would hex-truncate and
+    * desynchronize the block walk). Geometry is masked to the
+    * format's 16 bits by the little-endian encoder itself.
     */
   def gifAnimated(width: Column, height: Column, nFrames: Column,
       dataLenOf: Column => Column): Column = {
     val frameHex = (i: Column) => {
-      val len = dataLenOf(i)
+      val len = least(greatest(dataLenOf(i), lit(1)), lit(255))
       concat(
         lit("2c" + "0000" + "0000"), // descriptor, x=0, y=0 (LE)
         lpad(hex(pmod(width, lit(256))), 2, "0"),
@@ -491,10 +499,12 @@ object Multimodal {
         array_join(transform(sequence(lit(1), len), _ => lit("5a")), ""),
         lit("00")) // sub-block terminator
     }
+    val frameIdxs = when(nFrames >= 1, sequence(lit(1), nFrames))
+      .otherwise(array())
     concat(
       gifHeader(width, height, lit(0)),
       unhex(concat(
-        array_join(transform(sequence(lit(1), nFrames), frameHex), ""),
+        array_join(transform(frameIdxs, frameHex), ""),
         lit("3b"))))
   }
 

@@ -32,7 +32,14 @@ object PlanAudit {
       // shows an unfinalized AdaptiveSparkPlan with no codegen ids and
       // possibly different join strategies — the audit must read the
       // plan that actually executed
-      try df.queryExecution.toRdd.count() catch { case _: Throwable => () }
+      val executed =
+        try { df.queryExecution.toRdd.count(); true }
+        catch { case scala.util.control.NonFatal(e) =>
+          println(s"WARN $name failed to execute (${e.getClass.getSimpleName}: " +
+            s"${e.getMessage}) — stats below are from the UNEXECUTED plan")
+          false
+        }
+      graft.operators.ManagedCache.releaseAll()
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       // adaptive explain prints Final AND Initial plan TREES before
@@ -48,7 +55,8 @@ object PlanAudit {
       val pushed = plan.linesIterator
         .filter(l => l.contains("PushedFilters") && !l.contains("[]"))
         .size
-      println(s"\n========== $name ==========")
+      println(s"\n========== $name ==========" +
+        (if (executed) "" else " [UNEXECUTED]"))
       println(s"exchanges=$nExchange broadcastJoins=$nBroadcast " +
         s"codegenStages=$nCodegen scansWithPushedFilters=$pushed")
       if (args.nonEmpty) println(plan)

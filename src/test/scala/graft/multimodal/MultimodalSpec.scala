@@ -221,6 +221,15 @@ class MultimodalSpec extends SparkSpec {
         .toDF("media_id", "kind", "payload", "source_uri")).collect()
     assert(partial.length == 1 &&
       partial(0).getInt(partial(0).fieldIndex("width")) == 8)
+    // cut MID-SUB-BLOCK (length byte survives, its data doesn't): the
+    // frame AT the cut is dropped — never emitted with data_bytes
+    // counting bytes that don't exist
+    val midCut = java.util.Arrays.copyOfRange(gif, 0, gif.length - 4)
+    val p2 = Multimodal.gifFrameTable(
+      Seq((10L, "video", midCut, "mem://midcut"))
+        .toDF("media_id", "kind", "payload", "source_uri")).collect()
+    assert(p2.length == 1 &&
+      p2(0).getInt(p2(0).fieldIndex("width")) == 8, p2.mkString(","))
   }
 
   test("embedImages feeds the existing ANN operators") {
