@@ -28,9 +28,18 @@ object ManagedCache {
     df
   }
 
-  /** Unpersist every tracked frame. Safe once the actions consuming
-    * the dependent results have completed; a result not yet drained
-    * would recompute (correct, just slower). */
+  /** Unpersist every tracked frame. Call ONLY once the actions
+    * consuming the dependent results have completed. For most frames
+    * an undrained result merely recomputes (slower but correct), but
+    * NOT for [[PrefixSum]]: its persisted range-partitioned frame pins
+    * the sampled partition layout that its collected per-partition
+    * offsets were computed against — a recompute re-runs the range
+    * sampling, and over a nondeterministic input the new layout can
+    * diverge from the offsets, silently corrupting prefix values. The
+    * registry is also process-global: releaseAll from one component
+    * drops frames a concurrently-running query still pins. Current
+    * call sites (Bench/Verify/PlanAudit) release strictly between
+    * queries, after the consuming action; keep that discipline. */
   def releaseAll(): Unit = {
     var df = persisted.poll()
     while (df != null) {

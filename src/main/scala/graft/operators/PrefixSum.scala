@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{JoinedRow, SpecificInternalRow, UnsafeProjection}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
@@ -54,9 +56,12 @@ object PrefixSum {
     ByteType, ShortType, IntegerType, LongType)
 
   /** Release every frame [[twoPassSetup]] has persisted (delegates to
-    * the shared [[ManagedCache]] registry). Safe to call once the
-    * actions consuming the returned DataFrames have completed;
-    * results not yet drained would recompute (correct, just slower).
+    * the shared [[ManagedCache]] registry). Call ONLY after the
+    * actions consuming the returned DataFrames have completed: an
+    * undrained PrefixSum result would recompute the range partitioning
+    * with FRESH boundary sampling, and over a nondeterministic input
+    * the new layout can diverge from the already-collected offsets —
+    * wrong prefixes, not just slower (see [[ManagedCache.releaseAll]]).
     */
   def unpersistAll(): Unit = ManagedCache.releaseAll()
 
@@ -92,6 +97,13 @@ object PrefixSum {
     * gives each partition its starting state from the offset table;
     * `step` consumes (state, value-or-null-as-MinValue-flag) and emits
     * (next state, output cell). The output column is appended as LONG.
+    *
+    * The fold runs at the InternalRow level (`queryExecution.toRdd` +
+    * `UnsafeProjection`), never leaving Tungsten format: the earlier
+    * `df.rdd` + `createDataFrame` shape deserialized every row to a
+    * boxed external Row and re-encoded it — a ~3× per-row constant
+    * that is pure linear CPU at 100 TB. The offset table is
+    * O(#partitions) and rides the task closure.
     */
   private def narrowScan(parted: DataFrame, outCol: String,
       seedOf: Int => Option[Long],
@@ -99,20 +111,37 @@ object PrefixSum {
       valueCol: String): DataFrame = {
     val schema = parted.schema
     val vIdx = schema.fieldIndex(valueCol)
+    val vType = schema(valueCol).dataType
     val outSchema = StructType(schema.fields :+
       StructField(outCol, LongType, nullable = true))
-    // the offset table is O(#partitions) — rides the task closure
-    val rdd = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val outTypes = outSchema.fields.map(_.dataType)
+    val rdd = parted.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+      val proj = UnsafeProjection.create(outTypes)
+      val joined = new JoinedRow
+      val extra = new SpecificInternalRow(Seq(LongType))
+      val read: InternalRow => Long = vType match {
+        case ByteType    => r => r.getByte(vIdx).toLong
+        case ShortType   => r => r.getShort(vIdx).toLong
+        case IntegerType => r => r.getInt(vIdx).toLong
+        case _           => r => r.getLong(vIdx)
+      }
       var state = seedOf(pid)
       it.map { row =>
-        val v = if (row.isNullAt(vIdx)) None
-          else Some(row.getAs[Number](vIdx).longValue())
+        val v = if (row.isNullAt(vIdx)) None else Some(read(row))
         val (next, out) = step(state, v)
         state = next
-        Row.fromSeq(row.toSeq :+ out.map(java.lang.Long.valueOf).orNull)
+        out match {
+          case Some(x) => extra.setLong(0, x)
+          case None    => extra.setNullAt(0)
+        }
+        // proj reuses one UnsafeRow buffer — the contract every Spark
+        // operator iterator already follows (consumers copy if they
+        // buffer), same as Spark's own projection-based scans
+        proj(joined(row, extra)): InternalRow
       }
     }
-    parted.sparkSession.createDataFrame(rdd, outSchema)
+    org.apache.spark.sql.GraftColumnBridge
+      .internalCreateDataFrame(parted.sparkSession, rdd, outSchema)
   }
 
   /** Adds `cumCol` = running sum of `valueCol` (inclusive of the

@@ -30,4 +30,16 @@ object GraftColumnBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** DataFrame over an InternalRow RDD without the external-Row
+    * round-trip (`SparkSession.internalCreateDataFrame` is
+    * `private[sql]`). Rows MUST already be UnsafeRows (e.g. from an
+    * `UnsafeProjection`); callers keep per-partition scans inside
+    * Tungsten format instead of boxing through `df.rdd` +
+    * `createDataFrame`. */
+  def internalCreateDataFrame(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }
