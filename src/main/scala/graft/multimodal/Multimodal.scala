@@ -393,6 +393,12 @@ object Multimodal {
     StructField("height", IntegerType, nullable = false),
     StructField("data_bytes", LongType, nullable = false)))
 
+  /** One demuxed GIF frame: geometry, coded-payload size, and — when
+    * the walk collected it — the LZW minimum code size plus the
+    * de-sub-blocked code stream ready for [[lzwDecode]]. */
+  private case class GifFrame(idx: Int, x: Int, y: Int, w: Int, h: Int,
+      dataBytes: Long, minCode: Int, data: Array[Byte])
+
   /** REAL multi-frame demux for animated GIFs (GIF89a spec §20-26) —
     * the slice of "video demux" implementable without codec
     * libraries, because GIF containers are walkable with pure block
@@ -400,18 +406,20 @@ object Multimodal {
     * sequence of extensions (0x21: label + length-prefixed data
     * sub-blocks), image descriptors (0x2C: geometry + optional local
     * color table + LZW-coded sub-blocks), and the 0x3B trailer. One
-    * row out per frame — geometry + coded-payload size — with the
-    * pixel data left LZW-encoded (decode is a codec concern; demux is
-    * not). Truncated/corrupt containers yield the frames walked so
-    * far, never a task failure.
+    * [[GifFrame]] out per frame; `collectData = true` additionally
+    * concatenates each frame's sub-block payloads into the contiguous
+    * LZW code stream (demux proper never materializes it — only the
+    * pixel path pays for the copy). Truncated/corrupt containers
+    * yield the frames walked so far, never a task failure.
     */
-  private def walkGifFrames(payload: Array[Byte]): Seq[Row] = {
+  private def walkGifCore(payload: Array[Byte],
+      collectData: Boolean): Seq[GifFrame] = {
     def u8(i: Int) = payload(i) & 0xff
     def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
     if (payload == null || payload.length < 14) return Seq.empty
     val magic = new String(payload, 0, 6, "US-ASCII")
     if (magic != "GIF87a" && magic != "GIF89a") return Seq.empty
-    val frames = Seq.newBuilder[Row]
+    val frames = Seq.newBuilder[GifFrame]
     try {
       var pos = 13
       if ((u8(10) & 0x80) != 0) pos += 3 * (1 << ((u8(10) & 7) + 1))
@@ -431,9 +439,12 @@ object Multimodal {
             val ipacked = u8(pos + 9)
             pos += 10
             if ((ipacked & 0x80) != 0) pos += 3 * (1 << ((ipacked & 7) + 1))
+            val minCode = if (pos < payload.length) u8(pos) else 0
             pos += 1 // LZW minimum code size
             var dataBytes = 0L
             var complete = true
+            val sink = if (collectData)
+              new java.io.ByteArrayOutputStream() else null
             while (complete && pos < payload.length && u8(pos) != 0) {
               // a sub-block whose declared data runs past the payload
               // is the frame AT the cut: drop it, don't report bytes
@@ -441,13 +452,15 @@ object Multimodal {
               if (pos + 1 + u8(pos) > payload.length) complete = false
               else {
                 dataBytes += u8(pos)
+                if (sink != null) sink.write(payload, pos + 1, u8(pos))
                 pos += 1 + u8(pos)
               }
             }
             // the terminator itself may be the cut point too
             if (complete && pos < payload.length) {
               pos += 1
-              frames += Row(idx, x, y, fw, fh, dataBytes)
+              frames += GifFrame(idx, x, y, fw, fh, dataBytes, minCode,
+                if (sink != null) sink.toByteArray else null)
               idx += 1
             } else done = true
           case _ => done = true // malformed: stop walking
@@ -461,12 +474,146 @@ object Multimodal {
     frames.result()
   }
 
+  /** REAL GIF LZW decode (GIF89a spec appendix F): variable-width
+    * codes read LSB-first from the de-sub-blocked stream, dictionary
+    * of (prefix, suffix) chains growing from `2^min + 2`, code width
+    * growing with the dictionary to the spec's 12-bit cap (after
+    * which entries stop being added — the "deferred clear" state),
+    * CLEAR resetting everything, the KwKwK case (a code equal to the
+    * next unassigned entry) handled per spec. Pure JVM integer
+    * arithmetic, no codec library. Output is the pixel-INDEX stream
+    * in code order, truncated at `maxPixels` (the frame's w*h — a
+    * corrupt stream cannot allocate past the declared geometry);
+    * corrupt input (over-wide code, compound code right after clear,
+    * bits exhausted before EOI) ends the decode with the pixels
+    * produced so far, never a task failure.
+    */
+  private[multimodal] def lzwDecode(minCodeSize: Int, data: Array[Byte],
+      maxPixels: Int): Array[Int] = {
+    if (data == null || maxPixels <= 0) return Array.emptyIntArray
+    val mcs = math.max(2, math.min(8, minCodeSize))
+    val clear = 1 << mcs
+    val eoi = clear + 1
+    val MaxCodes = 4096
+    val prefix = new Array[Int](MaxCodes)
+    val suffix = new Array[Int](MaxCodes)
+    val stack = new Array[Int](MaxCodes)
+    val px = new Array[Int](maxPixels)
+    var np = 0
+    var dictSize = eoi + 1
+    var width = mcs + 1
+    var prev = -1
+    var bitPos = 0L
+    val nBits = data.length.toLong * 8
+    def readCode(): Int = {
+      if (bitPos + width > nBits) -1
+      else {
+        var v = 0
+        var i = 0
+        while (i < width) {
+          val bp = bitPos + i
+          if (((data((bp >> 3).toInt) >> (bp & 7).toInt) & 1) != 0)
+            v |= 1 << i
+          i += 1
+        }
+        bitPos += width
+        v
+      }
+    }
+    // expand a code's chain onto the stack, emit in string order;
+    // returns the chain's FIRST pixel (the suffix of the next entry)
+    def emit(code: Int): Int = {
+      var sp = 0
+      var c = code
+      while (c >= eoi + 1) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+      val first = c
+      if (np < maxPixels) { px(np) = c; np += 1 }
+      while (sp > 0) {
+        sp -= 1
+        if (np < maxPixels) { px(np) = stack(sp); np += 1 }
+      }
+      first
+    }
+    var done = false
+    while (!done && np < maxPixels) {
+      val code = readCode()
+      if (code < 0 || code == eoi) done = true
+      else if (code == clear) {
+        dictSize = eoi + 1; width = mcs + 1; prev = -1
+      } else if (prev == -1) {
+        // first code after a clear must be a literal
+        if (code >= clear) done = true
+        else { px(np) = code; np += 1; prev = code }
+      } else if (code < dictSize) {
+        val first = emit(code)
+        if (dictSize < MaxCodes) {
+          prefix(dictSize) = prev; suffix(dictSize) = first
+          dictSize += 1
+          if (dictSize == (1 << width) && width < 12) width += 1
+        }
+        prev = code
+      } else if (code == dictSize && dictSize < MaxCodes) {
+        // KwKwK: the entry being referenced is the one we are about
+        // to add — prev's chain plus prev's first pixel
+        var c = prev
+        while (c >= eoi + 1) c = prefix(c)
+        prefix(dictSize) = prev; suffix(dictSize) = c
+        dictSize += 1
+        emit(code)
+        if (dictSize == (1 << width) && width < 12) width += 1
+        prev = code
+      } else done = true // over-wide code: corrupt stream
+    }
+    if (np == maxPixels) px else java.util.Arrays.copyOf(px, np)
+  }
+
   /** Demux a media table of GIF payloads into frame rows (the
     * explode shape of [[sampleFrames]], but REAL boundaries from the
     * container): payload dropped, one row per frame. */
   def gifFrameTable(media: DataFrame): DataFrame =
-    mapMedia(media, gifFrameSchema.fields.toSeq) {
-      p => walkGifFrames(p).iterator.map(_.toSeq)
+    mapMedia(media, gifFrameSchema.fields.toSeq) { p =>
+      // Seq[Any], not Seq(...): a mixed Int/Long literal Seq would
+      // weak-conform everything to Long and break the INT fields
+      walkGifCore(p, collectData = false).iterator
+        .map(f => Seq[Any](f.idx, f.x, f.y, f.w, f.h, f.dataBytes))
+    }
+
+  val gifPixelSchema: StructType = StructType(Seq(
+    StructField("frame_index", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_pixels", IntegerType, nullable = false),
+    StructField("px_sum", LongType, nullable = false),
+    StructField("px_wsum", LongType, nullable = false)))
+
+  /** FULL GIF frame decode: demux ([[walkGifCore]]) + REAL LZW
+    * ([[lzwDecode]]) per frame, emitting order-sensitive pixel-index
+    * statistics — count, sum, and position-weighted sum over the code
+    * stream (`Σ px[i]·i` — catches reordering that plain sums would
+    * miss). Stats are over the CODE-STREAM order; deinterlacing
+    * (packed bit 0x40) is a presentation concern and does not change
+    * any of the three. Pixel indices, not RGB: color-table lookup is
+    * a trivial gather the caller applies when it has a palette (the
+    * MultimodalSpec round-trips indices through a real palette).
+    * `n_pixels < width*height` signals a truncated/corrupt stream.
+    * Per-frame allocation is bounded by the declared geometry capped
+    * at 2^24 pixels (64 MB of indices) — a forged 65535x65535 header
+    * cannot allocate 17 GB on an executor; a capped frame reports the
+    * first 2^24 pixels and the cap is visible as n_pixels = 2^24.
+    */
+  def gifFramePixels(media: DataFrame): DataFrame =
+    mapMedia(media, gifPixelSchema.fields.toSeq) { p =>
+      walkGifCore(p, collectData = true).iterator.map { f =>
+        val maxPx = math.min(f.w.toLong * f.h, 1L << 24).toInt
+        val px = lzwDecode(f.minCode, f.data, maxPx)
+        var sum = 0L
+        var wsum = 0L
+        var i = 0
+        while (i < px.length) {
+          sum += px(i); wsum += px(i).toLong * i; i += 1
+        }
+        Seq[Any](f.idx, f.w, f.h, px.length, sum, wsum)
+      }
     }
 
   /** Build a REAL multi-frame (animated) GIF in pure Column algebra —
@@ -479,21 +626,26 @@ object Multimodal {
     * demuxer consumes. Out-of-contract inputs are CLAMPED rather than
     * silently corrupting the container: `nFrames < 1` emits zero
     * frames (Spark's `sequence(1, 0)` would otherwise produce a
-    * DESCENDING [1, 0] — two frames), and sub-block lengths clamp
+    * DESCENDING [1, 0] — two frames), sub-block lengths clamp
     * into [1, 255] (a longer declared length would hex-truncate and
-    * desynchronize the block walk). Geometry is masked to the
-    * format's 16 bits by the little-endian encoder itself.
+    * desynchronize the block walk), and geometry is masked to the
+    * format's 16 bits with an explicit `pmod(·, 65536)` before the
+    * byte split (the high byte is a plain division, so an unmasked
+    * width ≥ 65536 — or a negative one — would hex() to more than two
+    * digits and `lpad` would keep the WRONG end).
     */
   def gifAnimated(width: Column, height: Column, nFrames: Column,
       dataLenOf: Column => Column): Column = {
+    val w16 = pmod(width, lit(65536))
+    val h16 = pmod(height, lit(65536))
     val frameHex = (i: Column) => {
       val len = least(greatest(dataLenOf(i), lit(1)), lit(255))
       concat(
         lit("2c" + "0000" + "0000"), // descriptor, x=0, y=0 (LE)
-        lpad(hex(pmod(width, lit(256))), 2, "0"),
-        lpad(hex(call_function("div", width, lit(256))), 2, "0"),
-        lpad(hex(pmod(height, lit(256))), 2, "0"),
-        lpad(hex(call_function("div", height, lit(256))), 2, "0"),
+        lpad(hex(pmod(w16, lit(256))), 2, "0"),
+        lpad(hex(call_function("div", w16, lit(256))), 2, "0"),
+        lpad(hex(pmod(h16, lit(256))), 2, "0"),
+        lpad(hex(call_function("div", h16, lit(256))), 2, "0"),
         lit("00" + "02"), // no local color table; LZW min code 2
         lpad(hex(len), 2, "0"),
         array_join(transform(sequence(lit(1), len), _ => lit("5a")), ""),
@@ -503,6 +655,53 @@ object Multimodal {
       .otherwise(array())
     concat(
       gifHeader(width, height, lit(0)),
+      unhex(concat(
+        array_join(transform(frameIdxs, frameHex), ""),
+        lit("3b"))))
+  }
+
+  /** Build an animated GIF whose frames carry a VALID LZW code stream
+    * encoding a known pixel sequence — the synthesis twin of
+    * [[gifFramePixels]] (where [[gifAnimated]] twins the demux-only
+    * walker). The trick that keeps the stream expressible in Column
+    * algebra: LZW minimum code size 7 makes every code exactly 8 bits
+    * wide (clear = 0x80, EOI = 0x81, literals 0x00-0x7F), and GIF's
+    * LSB-first packing of 8-bit codes is byte-identity — so the code
+    * stream is literally `0x80, p_0 … p_{n-1}, 0x81` as bytes. The
+    * literals-only stream still GROWS the decoder's dictionary (one
+    * compound entry per literal after the first), so the decode
+    * exercises real entry bookkeeping, not just pass-through; the
+    * frame pixel count is capped at 126 literals because the 127th
+    * entry would push the dictionary to 256 and widen codes to 9 bits,
+    * breaking byte alignment (the spec covers wide/compound streams
+    * with a hand-built container and an ImageIO-encoded round-trip).
+    * `pixelOf(frameIdx, pos)` gives the pixel INDEX at stream position
+    * `pos` (0-based), masked to the 7-bit literal range.
+    */
+  def gifAnimatedPixels(width: Column, height: Column, nFrames: Column,
+      pixelOf: (Column, Column) => Column): Column = {
+    val w16 = pmod(width, lit(65536))
+    val h16 = pmod(height, lit(65536))
+    val np = least(w16 * h16, lit(126))
+    val frameHex = (i: Column) => {
+      val pxHex = array_join(
+        transform(sequence(lit(0), np - 1),
+          p => lpad(hex(pmod(pixelOf(i, p), lit(128))), 2, "0")), "")
+      concat(
+        lit("2c" + "0000" + "0000"), // descriptor, x=0, y=0 (LE)
+        lpad(hex(pmod(w16, lit(256))), 2, "0"),
+        lpad(hex(call_function("div", w16, lit(256))), 2, "0"),
+        lpad(hex(pmod(h16, lit(256))), 2, "0"),
+        lpad(hex(call_function("div", h16, lit(256))), 2, "0"),
+        lit("00" + "07"), // no local color table; LZW min code 7
+        lpad(hex(np + 2), 2, "0"), // one sub-block: clear + px + EOI
+        lit("80"), pxHex, lit("81"),
+        lit("00")) // sub-block terminator
+    }
+    val frameIdxs = when(nFrames >= 1, sequence(lit(1), nFrames))
+      .otherwise(array())
+    concat(
+      gifHeader(w16, h16, lit(0)),
       unhex(concat(
         array_join(transform(frameIdxs, frameHex), ""),
         lit("3b"))))

@@ -266,6 +266,32 @@ object Pipeline {
         .orderBy(col("media_id"))
     }),
 
+    // FULL pixel decode round-trip (closes the demux→decode gap mm5
+    // left): synthesize animated GIFs whose frames carry a VALID
+    // byte-aligned LZW code stream encoding a known pixel formula
+    // (gifAnimatedPixels — min code 7 makes every code one byte),
+    // then run the ACTUAL demux + LZW decoder (gifFramePixels) and
+    // emit per-frame pixel statistics, including a position-weighted
+    // sum that breaks if the decoder reorders, drops, or duplicates
+    // a single pixel. The oracle recomputes all three stats
+    // arithmetically from the formula. Synthesis i is 1-based; the
+    // walker's frame_index is 0-based.
+    "mm6_gif_pixels" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val w = lit(3) + pmod(col("doc_id"), lit(10))
+      val h = lit(2) + pmod(col("doc_id"), lit(7))
+      val n = lit(1) + pmod(col("doc_id"), lit(4))
+      val media = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id").as("media_id"), lit("video").as("kind"),
+          Multimodal.gifAnimatedPixels(w, h, n,
+            (i, p) => col("doc_id") * 5 + i * 11 + p * 3).as("payload"),
+          lit("gif://synth").as("source_uri"))
+      Multimodal.gifFramePixels(media)
+        .select(col("media_id"), col("frame_index"), col("width"),
+          col("height"), col("n_pixels"), col("px_sum"), col("px_wsum"))
+        .orderBy(col("media_id"), col("frame_index"))
+    }),
+
     // Deterministic anonymization: format-preserving digit masking +
     // salted-hash pseudonym token + value banding. Pure per-row Column
     // algebra — no shuffle, codegen throughout.
@@ -465,6 +491,27 @@ object Pipeline {
            ON i.i <= 1 + d.doc_id % 5
          WHERE d.doc_id < 100
          GROUP BY d.doc_id ORDER BY media_id""",
+    // frame (1-based synthesis index i) of doc d is w x h with pixel
+    // p = (d*5 + i*11 + pos*3) % 128 at stream position pos; w*h <= 96
+    // so the 126-literal cap never binds and n_pixels = w*h exactly
+    "mm6_gif_pixels" ->
+      """SELECT d.doc_id AS media_id,
+           CAST(f.i - 1 AS INT) AS frame_index,
+           CAST(3 + d.doc_id % 10 AS INT) AS width,
+           CAST(2 + d.doc_id % 7 AS INT) AS height,
+           CAST((3 + d.doc_id % 10) * (2 + d.doc_id % 7) AS INT)
+             AS n_pixels,
+           CAST(sum((d.doc_id * 5 + f.i * 11 + p.p * 3) % 128)
+             AS BIGINT) AS px_sum,
+           CAST(sum(((d.doc_id * 5 + f.i * 11 + p.p * 3) % 128) * p.p)
+             AS BIGINT) AS px_wsum
+         FROM documents d
+         JOIN range(1, 5) f(i) ON f.i <= 1 + d.doc_id % 4
+         JOIN range(0, 96) p(p)
+           ON p.p < (3 + d.doc_id % 10) * (2 + d.doc_id % 7)
+         WHERE d.doc_id < 100
+         GROUP BY 1, 2, 3, 4, 5
+         ORDER BY media_id, frame_index""",
     "px1_pii_mask" ->
       """SELECT c_custkey,
            regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,
