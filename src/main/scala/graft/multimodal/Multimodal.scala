@@ -23,10 +23,18 @@ import org.apache.spark.sql.types._
   * Multi-frame demux is REAL for animated GIFs (`gifFrameTable` walks
   * the container's block structure — frames, geometry, coded payload
   * sizes — with `gifAnimated` as its in-plan synthesis twin and the
-  * `mm5_gif_frames` oracle round-trip); general video-codec demux,
-  * frame PIXEL decode (LZW/H.264), and the vision-embedding body
-  * remain clearly-marked DETERMINISTIC FAKES (no codec/ONNX libraries
-  * in this container) — the Spark-side plumbing (schema, batch shape,
+  * `mm5_gif_frames` oracle round-trip) AND for AVI/RIFF video
+  * containers (`aviFrameTable` recursively walks the RIFF tree —
+  * avih geometry, movi/rec chunk offsets and sizes — with
+  * `aviContainer` as its twin and the `mm7_avi_frames` oracle).
+  * GIF frame PIXEL decode is REAL too: `gifFramePixels` runs a full
+  * pure-JVM LZW decoder (`lzwDecode` — variable-width codes, KwKwK,
+  * 12-bit cap) over the demuxed code streams, spec'd against an
+  * ImageIO-encoded GIF and oracle'd via `gifAnimatedPixels`
+  * (`mm6_gif_pixels`). What remains DETERMINISTIC FAKE, clearly
+  * marked: general video-codec PIXEL decode (H.264 etc.) and the
+  * vision-embedding body (no codec/ONNX libraries in this
+  * container) — the Spark-side plumbing (schema, batch shape,
   * partitioning, metadata contract) is real and tested; swapping in
   * JavaCV/ONNX replaces only the bodies marked STUB.
   *
@@ -297,11 +305,16 @@ object Multimodal {
         lit(1L << (8 * i)))
       .reduce(_ + _)
 
+  /** Little-endian HEX encoding of a non-negative int column — the
+    * string-assembly form of [[leBytes]], for builders that compose a
+    * whole container as one hex string and `unhex` once. */
+  private def leHex(v: Column, n: Int): Column =
+    concat((0 until n).map(i =>
+      lpad(hex(pmod(shiftright(v, 8 * i), lit(256))), 2, "0")): _*)
+
   /** Little-endian byte encoding of a non-negative int column —
     * the inverse of leUInt, for building binary headers in-plan. */
-  def leBytes(v: Column, n: Int): Column =
-    unhex(concat((0 until n).map(i =>
-      lpad(hex(pmod(shiftright(v, 8 * i), lit(256))), 2, "0")): _*))
+  def leBytes(v: Column, n: Int): Column = unhex(leHex(v, n))
 
   private def ascii(payload: Column, off: Int, n: Int): Column =
     decode(substring(payload, off, n), "UTF-8")
@@ -705,6 +718,139 @@ object Multimodal {
       unhex(concat(
         array_join(transform(frameIdxs, frameHex), ""),
         lit("3b"))))
+  }
+
+  val aviFrameSchema: StructType = StructType(Seq(
+    StructField("frame_index", IntegerType, nullable = false),
+    StructField("stream_id", IntegerType, nullable = false),
+    StructField("chunk_type", StringType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("size", LongType, nullable = false),
+    StructField("avi_width", IntegerType, nullable = true),
+    StructField("avi_height", IntegerType, nullable = true)))
+
+  /** REAL AVI (RIFF) container demux — the video sibling of the
+    * [[wavMeta]] RIFF parse and the [[walkGifCore]] block walk. An AVI
+    * is a RIFF tree: `RIFF('AVI ' LIST('hdrl' avih …) LIST('movi'
+    * ##dc/##db/##wb chunks…) [idx1])`, every chunk `fourcc + LE32 size
+    * + data` padded to even offsets (MS RIFF/AVI spec). The walk
+    * recurses into LISTs, reads frame geometry from `avih` (dwWidth/
+    * dwHeight at +32/+36), and emits one row per stream-data chunk in
+    * any `movi` (or nested `rec `) list: stream id (the two leading
+    * digits), chunk type (dc = compressed video, db = uncompressed,
+    * wb = audio), ABSOLUTE payload offset, and size. Codec payloads
+    * stay undecoded (that genuinely needs codec libraries); the
+    * container walk — the demux — is complete and real. Truncated or
+    * corrupt containers yield the frames walked so far, never a task
+    * failure.
+    */
+  private def walkAviFrames(payload: Array[Byte]): Seq[Seq[Any]] = {
+    def u8(i: Int) = payload(i) & 0xff
+    def le32(i: Int): Long = u8(i) | (u8(i + 1) << 8) |
+      (u8(i + 2) << 16) | (u8(i + 3).toLong << 24)
+    def fourcc(i: Int) = new String(payload, i, 4, "US-ASCII")
+    if (payload == null || payload.length < 12) return Seq.empty
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return Seq.empty
+    var aviW: Any = null
+    var aviH: Any = null
+    var idx = 0
+    val frames = Seq.newBuilder[Seq[Any]]
+    try {
+      // malformed LE32 sizes can exceed Int range: walk with Longs and
+      // clamp the window to the real payload
+      val end = math.min(payload.length.toLong, 8L + le32(4))
+      def walkChunks(start: Long, lend: Long, inMovi: Boolean): Unit = {
+        var pos = start
+        var ok = true
+        while (ok && pos + 8 <= lend) {
+          val id = fourcc(pos.toInt)
+          val sz = le32(pos.toInt + 4)
+          val dataStart = pos + 8
+          val complete = dataStart + sz <= lend
+          if (id == "LIST" && sz >= 4 && dataStart + 4 <= lend) {
+            // 'rec ' groups inside movi still hold frame chunks; a
+            // truncated LIST walks its surviving prefix — same
+            // keep-the-frames-before-the-cut contract as the GIF walk
+            val ltype = fourcc(dataStart.toInt)
+            walkChunks(dataStart + 4, math.min(dataStart + sz, lend),
+              inMovi || ltype == "movi")
+            if (!complete) ok = false
+          } else if (!complete) {
+            ok = false // truncated non-LIST chunk: the frame AT the cut
+          } else if (id == "avih" && sz >= 40) {
+            aviW = le32(dataStart.toInt + 32).toInt
+            aviH = le32(dataStart.toInt + 36).toInt
+          } else if (inMovi && id(0).isDigit && id(1).isDigit &&
+              Seq("dc", "db", "wb").contains(id.substring(2))) {
+            frames += Seq[Any](idx,
+              (id(0) - '0') * 10 + (id(1) - '0'), id.substring(2),
+              dataStart, sz)
+            idx += 1
+          } // else: strl/strh/strf/JUNK/idx1/ix## — skip
+          if (ok) pos = dataStart + sz + (sz & 1L) // chunks pad to even
+        }
+      }
+      walkChunks(12, end, inMovi = false)
+    } catch {
+      // a cut mid-header reads past the payload: keep what was walked
+      case _: IndexOutOfBoundsException => ()
+    }
+    // avih precedes movi in a spec AVI, but don't rely on it: attach
+    // the header geometry after the whole walk
+    frames.result().map(f => f ++ Seq(aviW, aviH))
+  }
+
+  /** Demux a media table of AVI payloads into stream-chunk rows:
+    * payload dropped, one row per movi chunk, header geometry
+    * attached. The frame-table shape [[gifFrameTable]] establishes,
+    * for the container format real video scrapes actually use. */
+  def aviFrameTable(media: DataFrame): DataFrame =
+    mapMedia(media, aviFrameSchema.fields.toSeq)(
+      p => walkAviFrames(p).iterator)
+
+  /** Build a minimal spec-valid AVI container in pure Column algebra —
+    * the synthesis twin of [[aviFrameTable]]: RIFF header, one
+    * `LIST('hdrl')` holding a 56-byte `avih` (micros/frame, total
+    * frames, geometry — zeros elsewhere), and a `LIST('movi')` of
+    * `00dc` video chunks with `frameLenOf(i)` bytes of 0x5A filler,
+    * odd sizes padded to even offsets per spec. All RIFF sizes are
+    * computed in-plan (`aggregate` over the frame lengths), so the
+    * container is internally consistent — exactly what the walker's
+    * size arithmetic consumes. Frame lengths clamp to [0, 10000] (a
+    * negative length would corrupt the size fields; the cap bounds
+    * the in-plan hex string).
+    */
+  def aviContainer(width: Column, height: Column, nFrames: Column,
+      microsPerFrame: Column, frameLenOf: Column => Column): Column = {
+    val idxs = when(nFrames >= 1, sequence(lit(1), nFrames))
+      .otherwise(array())
+    val lenOf = (i: Column) =>
+      least(greatest(frameLenOf(i), lit(0)), lit(10000)).cast("long")
+    val zero4 = "00000000" // one LE32 zero, as hex
+    def asciiHex(s: String): Column = hex(lit(s.getBytes("US-ASCII")))
+    // chunk bytes in movi: fourcc+size (8) + data + pad-to-even
+    val chunkBytes = aggregate(idxs, lit(0L),
+      (acc, i) => acc + lit(8L) + lenOf(i) + pmod(lenOf(i), lit(2)))
+    val avihHex = concat(
+      leHex(microsPerFrame.cast("long"), 4), lit(zero4 * 3),
+      leHex(nFrames.cast("long"), 4), lit(zero4),
+      leHex(lit(1L), 4), lit(zero4),
+      leHex(pmod(width.cast("long"), lit(1L << 32)), 4),
+      leHex(pmod(height.cast("long"), lit(1L << 32)), 4),
+      lit(zero4 * 4))
+    val frameHex = (i: Column) => concat(
+      asciiHex("00dc"), leHex(lenOf(i), 4),
+      call_function("repeat", lit("5a"), lenOf(i).cast("int")),
+      when(pmod(lenOf(i), lit(2)) === 1, "00").otherwise(""))
+    concat(
+      lit("RIFF".getBytes("US-ASCII")),
+      leBytes(lit(92L) + chunkBytes, 4), // "AVI "+hdrl(76)+movi(12+data)
+      unhex(concat(
+        asciiHex("AVI LIST"), leHex(lit(68L), 4), asciiHex("hdrlavih"),
+        leHex(lit(56L), 4), avihHex,
+        asciiHex("LIST"), leHex(lit(4L) + chunkBytes, 4),
+        asciiHex("movi"),
+        array_join(transform(idxs, frameHex), ""))))
   }
 
   /** Build a REAL uncompressed 24-bit grayscale BMP in pure Column

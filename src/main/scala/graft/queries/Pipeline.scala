@@ -292,6 +292,33 @@ object Pipeline {
         .orderBy(col("media_id"), col("frame_index"))
     }),
 
+    // REAL video-container demux round-trip (the AVI sibling of mm5,
+    // reusing the RIFF machinery wavMeta established): synthesize
+    // spec-valid AVI containers in Column algebra — RIFF tree, hdrl
+    // avih header, movi chunk list with even-offset padding — then
+    // demux with the ACTUAL recursive RIFF walker. Absolute chunk
+    // offsets are part of the output, so a single mis-sized or
+    // mis-padded chunk anywhere desynchronizes every later offset and
+    // breaks the hash compare. The oracle replays the offset
+    // arithmetic with a window prefix-sum over frame lengths.
+    "mm7_avi_frames" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val w = lit(16) + pmod(col("doc_id"), lit(32))
+      val h = lit(9) + pmod(col("doc_id"), lit(16))
+      val n = lit(1) + pmod(col("doc_id"), lit(4))
+      val media = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id").as("media_id"), lit("video").as("kind"),
+          Multimodal.aviContainer(w, h, n, lit(33333),
+            i => lit(1) + pmod(col("doc_id") * 3 + i * 7, lit(50)))
+            .as("payload"),
+          lit("avi://synth").as("source_uri"))
+      Multimodal.aviFrameTable(media)
+        .select(col("media_id"), col("frame_index"), col("stream_id"),
+          col("chunk_type"), col("offset"), col("size"),
+          col("avi_width"), col("avi_height"))
+        .orderBy(col("media_id"), col("frame_index"))
+    }),
+
     // Deterministic anonymization: format-preserving digit masking +
     // salted-hash pseudonym token + value banding. Pure per-row Column
     // algebra — no shuffle, codegen throughout.
@@ -512,6 +539,28 @@ object Pipeline {
          WHERE d.doc_id < 100
          GROUP BY 1, 2, 3, 4, 5
          ORDER BY media_id, frame_index""",
+    // frame j (1-based) of doc d carries len = 1 + (d*3 + j*7) % 50
+    // bytes; its data starts at RIFF(12) + hdrl(76) + movi hdr(12) +
+    // sum of earlier chunks (8 + len + pad) + its own 8-byte header
+    "mm7_avi_frames" ->
+      """WITH f AS (
+           SELECT d.doc_id, i.i,
+                  1 + (d.doc_id * 3 + i.i * 7) % 50 AS len
+           FROM documents d JOIN range(1, 5) i(i)
+             ON i.i <= 1 + d.doc_id % 4
+           WHERE d.doc_id < 100)
+         SELECT doc_id AS media_id,
+           CAST(i - 1 AS INT) AS frame_index,
+           CAST(0 AS INT) AS stream_id,
+           'dc' AS chunk_type,
+           CAST(108 + coalesce(sum(8 + len + len % 2) OVER (
+             PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS "offset",
+           CAST(len AS BIGINT) AS size,
+           CAST(16 + doc_id % 32 AS INT) AS avi_width,
+           CAST(9 + doc_id % 16 AS INT) AS avi_height
+         FROM f ORDER BY media_id, frame_index""",
     "px1_pii_mask" ->
       """SELECT c_custkey,
            regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,

@@ -359,6 +359,65 @@ class MultimodalSpec extends SparkSpec {
     assert(g.getInt(g.fieldIndex("n_pixels")) == 21)
   }
 
+  test("aviFrameTable demuxes a hand-built AVI: avih geometry, movi " +
+    "walk, rec nesting, JUNK/idx1 skips, odd-size padding, truncation") {
+    // ByteBuffer-built, independent of the in-plan aviContainer
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(bs: Array[Byte]): Unit = bos.write(bs)
+    def cc(s: String): Unit = w(s.getBytes("US-ASCII"))
+    def le32(v: Int): Unit = w(java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array())
+    val avih = new Array[Byte](56)
+    val ab = java.nio.ByteBuffer.wrap(avih)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    ab.putInt(0, 40000); ab.putInt(16, 3)
+    ab.putInt(32, 320); ab.putInt(36, 240)
+    // movi body: 00dc(5 bytes + pad), JUNK(4), rec [01wb(4)], 00dc(6)
+    val moviBody = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write("00dc".getBytes); b.write(Array[Byte](5, 0, 0, 0))
+      b.write(Array[Byte](1, 2, 3, 4, 5, 0)) // odd size -> pad byte
+      b.write("JUNK".getBytes); b.write(Array[Byte](4, 0, 0, 0))
+      b.write(Array[Byte](9, 9, 9, 9))
+      b.write("LIST".getBytes); b.write(Array[Byte](16, 0, 0, 0))
+      b.write("rec ".getBytes)
+      b.write("01wb".getBytes); b.write(Array[Byte](4, 0, 0, 0))
+      b.write(Array[Byte](7, 7, 7, 7))
+      b.write("00dc".getBytes); b.write(Array[Byte](6, 0, 0, 0))
+      b.write(Array[Byte](1, 1, 2, 2, 3, 3))
+      b.toByteArray
+    }
+    cc("RIFF"); le32(4 + 8 + 68 + 8 + 4 + moviBody.length + 8 + 4)
+    cc("AVI ")
+    cc("LIST"); le32(68); cc("hdrl")
+    cc("avih"); le32(56); w(avih)
+    cc("LIST"); le32(4 + moviBody.length); cc("movi"); w(moviBody)
+    cc("idx1"); le32(4); w(Array[Byte](0, 0, 0, 0)) // index: skipped
+    val avi = bos.toByteArray
+    val out = Multimodal.aviFrameTable(
+      Seq((5L, "video", avi, "mem://avi"),
+          (6L, "video", "RIFFnope".getBytes("US-ASCII"), "mem://junk"))
+        .toDF("media_id", "kind", "payload", "source_uri"))
+      .orderBy("media_id", "frame_index").collect()
+    assert(out.length == 3, out.mkString(";"))
+    def f(i: Int, name: String) = out(i).get(out(i).fieldIndex(name))
+    assert(f(0, "chunk_type") == "dc" && f(0, "size") == 5L)
+    assert(f(0, "avi_width") == 320 && f(0, "avi_height") == 240)
+    // movi data starts at 12 + 76 + 12 = 100; first chunk data at 108
+    assert(f(0, "offset") == 108L, out(0).toString)
+    // rec -nested audio chunk: stream 1, type wb, after 00dc(5+pad)
+    // at 108+5+1 -> JUNK at 114+8+4=126... 01wb data at 126+12+8=146
+    assert(f(1, "stream_id") == 1 && f(1, "chunk_type") == "wb")
+    assert(f(1, "offset") == 108L + 5 + 1 + 8 + 4 + 8 + 4 + 8)
+    assert(f(2, "chunk_type") == "dc" && f(2, "size") == 6L)
+    // truncation mid-chunk: frames before the cut survive
+    val cut = java.util.Arrays.copyOfRange(avi, 0, avi.length - 30)
+    val p = Multimodal.aviFrameTable(
+      Seq((7L, "video", cut, "mem://cut"))
+        .toDF("media_id", "kind", "payload", "source_uri")).collect()
+    assert(p.nonEmpty && p.length < 3)
+  }
+
   test("embedImages feeds the existing ANN operators") {
     import graft.functions.{SimilarityFunctions => SF}
     val emb = Multimodal.embedImages(media)
