@@ -65,12 +65,19 @@ object TrainingData {
   /** The FULL-corpus minhash near-dup pipeline shared by dd10/dd11:
     * 2-shingles → 16-slot minhash → 8×2 LSH band join for candidates →
     * exact-Jaccard verification at the 0.3 threshold. Returns
-    * (doc_a, doc_b, j). The shingle table feeds the band join and both
-    * verification joins, so it rides a tracked persist (at scale:
-    * materialize the sketch table once); Bench/Verify release it after
-    * each query's action.
+    * (pairs (doc_a, doc_b, j), over-cap bucket accounting). The band
+    * join rides [[graft.operators.HotBuckets]] with a 1000-doc bucket
+    * cap: a pathological bucket can't quadratically explode one task
+    * at scale, and excluded buckets are SURFACED (dd10 pins the
+    * accounting to zero against the exact oracle at test SFs — if the
+    * cap ever bites, both the dropped-pair checksums AND the nonzero
+    * accounting fail the compare, no silent truncation). The shingle
+    * table feeds the band join and both verification joins, so it
+    * rides a tracked persist (at scale: materialize the sketch table
+    * once); Bench/Verify release it after each query's action.
     */
-  private def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+  private def lshVerifiedPairsWithStats(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     val docs = ManagedCache.persist(
       t(s, dir, "documents")
         .select(col("doc_id"), TF.wordShingles(col("text"), 2).as("sh"))
@@ -78,11 +85,10 @@ object TrainingData {
     val banded = docs.select(col("doc_id"),
       explode(SF.lshBands(SF.minhashSignature(col("sh"), 16), 8, 2))
         .as("band"))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val (cand0, overCap) = graft.operators.HotBuckets
+      .cappedCandidates(banded, "doc_id", "band", cap = 1000)
+    val cand = cand0
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
     // Exact verification, hot-bucket-proof: common shingles make a few
     // LSH buckets huge (measured: 150+ docs -> 100k+ candidates of
     // which a few hundred are real), so per-candidate array work is
@@ -100,14 +106,18 @@ object TrainingData {
     val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
       size(col("sh")).as("n_b"))
     val ni = size(array_intersect(col("sh_a"), col("sh_b")))
-    cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+    val pairs = cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
       .filter(lit(10) * least(col("n_a"), col("n_b")) >=
           lit(3) * greatest(col("n_a"), col("n_b")) &&
         lit(13) * ni >= lit(3) * (col("n_a") + col("n_b")))
       .select(col("doc_a"), col("doc_b"),
         (ni.cast("double") / (col("n_a") + col("n_b") - ni))
           .as("j"))
+    (pairs, overCap)
   }
+
+  private def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame =
+    lshVerifiedPairsWithStats(s, dir)._1
 
   val queries: Map[String, Q] = Map(
     // ---- text analysis -------------------------------------------------
@@ -311,11 +321,20 @@ object TrainingData {
     // instead of arguing it. Equals the exact twin iff LSH recall is 1
     // (any miss shifts all three aggregates — the point of the check).
     "dd10_minhash_full" -> ((s, dir) => {
-      lshVerifiedPairs(s, dir).agg(
+      val (pairs, overCap) = lshVerifiedPairsWithStats(s, dir)
+      val agg = pairs.agg(
         count(lit(1)).as("n_pairs"),
         sum(col("doc_a") * lit(1000003L) + col("doc_b")).as("key_sum"),
         sum(round(col("j") * lit(1e6)).cast("long"))
           .as("jaccard_micros_sum"))
+      // hot-bucket accounting rides the output: the oracle (which is
+      // EXACT all-pairs) pins both to zero, so a cap that ever bites
+      // at this SF fails the compare twice over — once in the missing
+      // pairs' checksums, once here. No silent truncation.
+      val hotAgg = overCap.agg(
+        count(lit(1)).as("n_hot_buckets"),
+        coalesce(sum(col("bucket_n")), lit(0L)).as("hot_docs"))
+      agg.crossJoin(hotAgg) // two 1-row frames
     }),
 
     // Unbounded scale twin of dd6: the dedup CLOSURE over the full
@@ -709,7 +728,9 @@ object TrainingData {
            CAST(sum(doc_a * 1000003::BIGINT + doc_b) AS BIGINT)
              AS key_sum,
            CAST(sum(CAST(round(j * 1e6) AS BIGINT)) AS BIGINT)
-             AS jaccard_micros_sum
+             AS jaccard_micros_sum,
+           CAST(0 AS BIGINT) AS n_hot_buckets,
+           CAST(0 AS BIGINT) AS hot_docs
          FROM pairs""",
       // dd11's oracle: recursive-CTE closure over the exact full-corpus
       // edge set, collapsed to the same component census. Equals the

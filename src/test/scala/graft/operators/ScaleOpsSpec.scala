@@ -56,6 +56,34 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("HotBuckets: a planted 1200-doc identical-band bucket is " +
+    "excluded from the join and accounted; normal buckets unaffected") {
+    // without the cap this bucket alone is C(1200,2) = 719 400
+    // candidates on ONE key — the straggler shape the cap exists for
+    val banded = ((1 to 1200).map(i => (i.toLong, "HOT")) ++
+      Seq((2001L, "ok1"), (2002L, "ok1"), (2003L, "ok1"), (2004L, "ok1"),
+        (3001L, "ok2"), (3002L, "ok2"), (3003L, "ok2")))
+      .toDF("doc_id", "band")
+    val (cand, hot) = HotBuckets.cappedCandidates(
+      banded, "doc_id", "band", cap = 100)
+    val pairs = cand.collect()
+    assert(pairs.length == 6 + 3, s"got ${pairs.length}") // C(4,2)+C(3,2)
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    val h = hot.collect()
+    assert(h.length == 1 && h(0).getString(0) == "HOT" &&
+      h(0).getLong(1) == 1200L, h.mkString(","))
+    // the exclusion must be a BROADCAST anti join (the over-cap set is
+    // |rows|/cap-bounded): no extra shuffle of the big table
+    cand.queryExecution.toRdd.count()
+    val plan = cand.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"), plan.take(2000))
+    // boundary: a bucket AT the cap still joins
+    val edge = (1 to 100).map(i => (i.toLong, "edge")).toDF("doc_id", "band")
+    val (c2, h2) = HotBuckets.cappedCandidates(edge, "doc_id", "band", 100)
+    assert(h2.count() == 0L && c2.count() == 100L * 99 / 2)
+  }
+
   test("PrefixSum at 2000 shuffle partitions: pass 2 is a narrow scan " +
     "(no second exchange, no window, no when-chain)") {
     // the scale regime the operator exists for: thousands of shuffle
