@@ -82,9 +82,13 @@ object TrainingData {
       t(s, dir, "documents")
         .select(col("doc_id"), TF.wordShingles(col("text"), 2).as("sh"))
         .filter(size(col("sh")) > 0))
-    val banded = docs.select(col("doc_id"),
+    // the banded frame is scanned THREE times (bucket sizes, join
+    // side a, join side b) and the 16-slot minhash above it is the
+    // expensive part — persist the (doc_id, band) result, not the
+    // recompute; it is 8 small rows per doc
+    val banded = ManagedCache.persist(docs.select(col("doc_id"),
       explode(SF.lshBands(SF.minhashSignature(col("sh"), 16), 8, 2))
-        .as("band"))
+        .as("band")))
     val (cand0, overCap) = graft.operators.HotBuckets
       .cappedCandidates(banded, "doc_id", "band", cap = 1000)
     val cand = cand0
