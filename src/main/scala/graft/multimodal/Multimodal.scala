@@ -729,6 +729,12 @@ object Multimodal {
     StructField("avi_width", IntegerType, nullable = true),
     StructField("avi_height", IntegerType, nullable = true)))
 
+  /** One demuxed AVI stream chunk: position in the movi list, stream
+    * id + type, absolute payload range, and the container's declared
+    * geometry from avih (null when the header was missing/cut). */
+  private case class AviChunk(idx: Int, streamId: Int, ctype: String,
+      offset: Long, size: Long, aviW: Any, aviH: Any)
+
   /** REAL AVI (RIFF) container demux — the video sibling of the
     * [[wavMeta]] RIFF parse and the [[walkGifCore]] block walk. An AVI
     * is a RIFF tree: `RIFF('AVI ' LIST('hdrl' avih …) LIST('movi'
@@ -744,7 +750,7 @@ object Multimodal {
     * corrupt containers yield the frames walked so far, never a task
     * failure.
     */
-  private def walkAviFrames(payload: Array[Byte]): Seq[Seq[Any]] = {
+  private def walkAviFrames(payload: Array[Byte]): Seq[AviChunk] = {
     def u8(i: Int) = payload(i) & 0xff
     def le32(i: Int): Long = u8(i) | (u8(i + 1) << 8) |
       (u8(i + 2) << 16) | (u8(i + 3).toLong << 24)
@@ -754,7 +760,7 @@ object Multimodal {
     var aviW: Any = null
     var aviH: Any = null
     var idx = 0
-    val frames = Seq.newBuilder[Seq[Any]]
+    val frames = Seq.newBuilder[AviChunk]
     try {
       // malformed LE32 sizes can exceed Int range: walk with Longs and
       // clamp the window to the real payload
@@ -782,9 +788,9 @@ object Multimodal {
             aviH = le32(dataStart.toInt + 36).toInt
           } else if (inMovi && id(0).isDigit && id(1).isDigit &&
               Seq("dc", "db", "wb").contains(id.substring(2))) {
-            frames += Seq[Any](idx,
+            frames += AviChunk(idx,
               (id(0) - '0') * 10 + (id(1) - '0'), id.substring(2),
-              dataStart, sz)
+              dataStart, sz, null, null)
             idx += 1
           } // else: strl/strh/strf/JUNK/idx1/ix## — skip
           if (ok) pos = dataStart + sz + (sz & 1L) // chunks pad to even
@@ -797,7 +803,7 @@ object Multimodal {
     }
     // avih precedes movi in a spec AVI, but don't rely on it: attach
     // the header geometry after the whole walk
-    frames.result().map(f => f ++ Seq(aviW, aviH))
+    frames.result().map(f => f.copy(aviW = aviW, aviH = aviH))
   }
 
   /** Demux a media table of AVI payloads into stream-chunk rows:
@@ -806,7 +812,8 @@ object Multimodal {
     * for the container format real video scrapes actually use. */
   def aviFrameTable(media: DataFrame): DataFrame =
     mapMedia(media, aviFrameSchema.fields.toSeq)(
-      p => walkAviFrames(p).iterator)
+      p => walkAviFrames(p).iterator.map(f => Seq[Any](f.idx, f.streamId,
+        f.ctype, f.offset, f.size, f.aviW, f.aviH)))
 
   /** Build a minimal spec-valid AVI container in pure Column algebra —
     * the synthesis twin of [[aviFrameTable]]: RIFF header, one
@@ -821,11 +828,26 @@ object Multimodal {
     * the in-plan hex string).
     */
   def aviContainer(width: Column, height: Column, nFrames: Column,
-      microsPerFrame: Column, frameLenOf: Column => Column): Column = {
+      microsPerFrame: Column, frameLenOf: Column => Column): Column =
+    aviContainerWith(width, height, nFrames, microsPerFrame, i =>
+      unhex(call_function("repeat", lit("5a"),
+        least(greatest(frameLenOf(i), lit(0)), lit(10000)).cast("int"))))
+
+  /** [[aviContainer]] generalized to ARBITRARY per-frame payload
+    * bytes — `framePayloadOf(i)` is any binary Column (e.g. a
+    * [[bmpGray]] image), carried as the `00dc` chunk body with all
+    * RIFF sizes derived from its actual length. This is how the
+    * frame-PIXEL oracle builds a container whose frames genuinely
+    * decode ([[aviFramePixels]]); note `framePayloadOf` is evaluated
+    * twice per frame (size pass + body pass), so keep it to the
+    * bounded synthesis sizes oracle queries use.
+    */
+  def aviContainerWith(width: Column, height: Column, nFrames: Column,
+      microsPerFrame: Column, framePayloadOf: Column => Column)
+      : Column = {
     val idxs = when(nFrames >= 1, sequence(lit(1), nFrames))
       .otherwise(array())
-    val lenOf = (i: Column) =>
-      least(greatest(frameLenOf(i), lit(0)), lit(10000)).cast("long")
+    val lenOf = (i: Column) => octet_length(framePayloadOf(i)).cast("long")
     val zero4 = "00000000" // one LE32 zero, as hex
     def asciiHex(s: String): Column = hex(lit(s.getBytes("US-ASCII")))
     // chunk bytes in movi: fourcc+size (8) + data + pad-to-even
@@ -840,7 +862,7 @@ object Multimodal {
       lit(zero4 * 4))
     val frameHex = (i: Column) => concat(
       asciiHex("00dc"), leHex(lenOf(i), 4),
-      call_function("repeat", lit("5a"), lenOf(i).cast("int")),
+      hex(framePayloadOf(i)),
       when(pmod(lenOf(i), lit(2)) === 1, "00").otherwise(""))
     concat(
       lit("RIFF".getBytes("US-ASCII")),
@@ -852,6 +874,53 @@ object Multimodal {
         asciiHex("movi"),
         array_join(transform(idxs, frameHex), ""))))
   }
+
+  val aviPixelSchema: StructType = StructType(Seq(
+    StructField("frame_index", IntegerType, nullable = false),
+    StructField("chunk_type", StringType, nullable = false),
+    StructField("img_width", IntegerType, nullable = true),
+    StructField("img_height", IntegerType, nullable = true),
+    StructField("pixel_sum", LongType, nullable = true)))
+
+  /** FULL video-frame pixel decode for MJPEG-style AVIs — the codec
+    * slice that IS implementable without external libraries, because
+    * motion-JPEG (and raster-in-AVI generally) makes every `00dc`
+    * chunk an independent still image: demux ([[walkAviFrames]])
+    * yields each frame's byte range, and ImageIO decodes whatever
+    * raster it sniffs there (JPEG, BMP, PNG...). One row per video
+    * chunk: decoded dimensions + the 24-bit RGB pixel sum (the same
+    * statistic [[thumbnailImages]]' oracle pins). Audio (`wb`) chunks
+    * and undecodable payloads yield null fields, never a task
+    * failure. Inter-frame codecs (H.264...) stay out of scope — their
+    * chunks simply don't decode as stills and null out honestly.
+    */
+  def aviFramePixels(media: DataFrame): DataFrame =
+    mapMedia(media, aviPixelSchema.fields.toSeq) { p =>
+      walkAviFrames(p).iterator.map { f =>
+        val stats: (Any, Any, Any) =
+          if (f.ctype == "wb") (null, null, null)
+          else try {
+            val bytes = java.util.Arrays.copyOfRange(p,
+              f.offset.toInt, (f.offset + f.size).toInt)
+            val img = javax.imageio.ImageIO.read(memStream(bytes))
+            if (img == null) (null, null, null)
+            else {
+              var sum = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  sum += img.getRGB(x, y) & 0xFFFFFF
+                  x += 1
+                }
+                y += 1
+              }
+              (img.getWidth, img.getHeight, sum)
+            }
+          } catch { case _: Exception => (null, null, null) }
+        Seq[Any](f.idx, f.ctype, stats._1, stats._2, stats._3)
+      }
+    }
 
   /** Build a REAL uncompressed 24-bit grayscale BMP in pure Column
     * algebra — the synthesis twin of [[thumbnailImages]]'s real pixel

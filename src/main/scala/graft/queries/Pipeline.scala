@@ -319,6 +319,30 @@ object Pipeline {
         .orderBy(col("media_id"), col("frame_index"))
     }),
 
+    // FULL video-frame pixel decode (the MJPEG-shaped slice that needs
+    // no codec library): synthesize AVI containers whose 00dc chunks
+    // are REAL BMP images (aviContainerWith composing bmpGray), then
+    // run the ACTUAL demux + per-frame ImageIO decode (aviFramePixels)
+    // and emit decoded dims + 24-bit RGB pixel sums. The oracle
+    // recomputes the sums arithmetically, so a bug in the container
+    // writer, the chunk walk, the byte slicing, OR the raster decode
+    // breaks the hash compare. Synthesis i is 1-based.
+    "mm8_avi_frame_pixels" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val n = lit(1) + pmod(col("doc_id"), lit(3))
+      val media = t(s, dir, "documents").filter(col("doc_id") < 40)
+        .select(col("doc_id").as("media_id"), lit("video").as("kind"),
+          Multimodal.aviContainerWith(lit(8), lit(6), n, lit(33333),
+            i => Multimodal.bmpGray(8, 6, (x, y) =>
+              col("doc_id") * 7 + x * 13 + y * 29 + i * 11))
+            .as("payload"),
+          lit("avi://bmp").as("source_uri"))
+      Multimodal.aviFramePixels(media)
+        .select(col("media_id"), col("frame_index"), col("chunk_type"),
+          col("img_width"), col("img_height"), col("pixel_sum"))
+        .orderBy(col("media_id"), col("frame_index"))
+    }),
+
     // Deterministic anonymization: format-preserving digit masking +
     // salted-hash pseudonym token + value banding. Pure per-row Column
     // algebra — no shuffle, codegen throughout.
@@ -561,6 +585,22 @@ object Pipeline {
            CAST(16 + doc_id % 32 AS INT) AS avi_width,
            CAST(9 + doc_id % 16 AS INT) AS avi_height
          FROM f ORDER BY media_id, frame_index""",
+    // frame i (1-based) of doc d is an 8x6 BMP with gray
+    // g = (d*7 + 13x + 29y + 11i) % 256 at (x, y); RGB int = g*65793
+    "mm8_avi_frame_pixels" ->
+      """SELECT d.doc_id AS media_id,
+           CAST(f.i - 1 AS INT) AS frame_index,
+           'dc' AS chunk_type,
+           CAST(8 AS INT) AS img_width,
+           CAST(6 AS INT) AS img_height,
+           CAST(sum(((d.doc_id * 7 + 13 * x.i + 29 * y.i + 11 * f.i)
+             % 256) * 65793) AS BIGINT) AS pixel_sum
+         FROM documents d
+         JOIN range(1, 4) f(i) ON f.i <= 1 + d.doc_id % 3
+         CROSS JOIN range(8) x(i) CROSS JOIN range(6) y(i)
+         WHERE d.doc_id < 40
+         GROUP BY 1, 2, 3, 4, 5
+         ORDER BY media_id, frame_index""",
     "px1_pii_mask" ->
       """SELECT c_custkey,
            regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,

@@ -418,6 +418,59 @@ class MultimodalSpec extends SparkSpec {
     assert(p.nonEmpty && p.length < 3)
   }
 
+  test("aviFramePixels decodes REAL JPEG and BMP frames from a " +
+    "hand-built MJPEG-style AVI; audio chunks null out") {
+    def encode(fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(10, 7,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 7; x <- 0 until 10)
+        img.setRGB(x, y, ((x * 20) << 16) | ((y * 30) << 8) | 40)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try javax.imageio.ImageIO.write(img, fmt, ios) finally ios.close()
+      bos.toByteArray
+    }
+    // expected sums from an INDEPENDENT decode of the same encoded
+    // bytes (JPEG is lossy — the sum must match the decoder's view)
+    def sumOf(bytes: Array[Byte]): Long = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      (for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        yield (img.getRGB(x, y) & 0xFFFFFF).toLong).sum
+    }
+    val jpeg = encode("jpg")
+    val bmp = encode("bmp")
+    val bos = new java.io.ByteArrayOutputStream()
+    def cc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    def le32(v: Int): Unit = bos.write(java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array())
+    def chunk(id: String, data: Array[Byte]): Unit = {
+      cc(id); le32(data.length); bos.write(data)
+      if (data.length % 2 == 1) bos.write(0)
+    }
+    val pad = (n: Int) => n + (n & 1)
+    val moviSz = 4 + (8 + pad(jpeg.length)) + (8 + 12) + (8 + pad(bmp.length))
+    cc("RIFF"); le32(4 + 8 + 68 + 8 + moviSz); cc("AVI ")
+    cc("LIST"); le32(68); cc("hdrl")
+    chunk("avih", new Array[Byte](56))
+    cc("LIST"); le32(moviSz); cc("movi")
+    chunk("00dc", jpeg)
+    chunk("01wb", new Array[Byte](12)) // audio: no decode attempt
+    chunk("00dc", bmp)
+    val out = Multimodal.aviFramePixels(
+      Seq((1L, "video", bos.toByteArray, "mem://mjpeg"))
+        .toDF("media_id", "kind", "payload", "source_uri"))
+      .orderBy("frame_index").collect()
+    assert(out.length == 3, out.mkString(";"))
+    def g(i: Int, n: String) = out(i).get(out(i).fieldIndex(n))
+    assert(g(0, "chunk_type") == "dc" && g(0, "img_width") == 10 &&
+      g(0, "img_height") == 7)
+    assert(g(0, "pixel_sum") == sumOf(jpeg), s"${g(0, "pixel_sum")}")
+    assert(g(1, "chunk_type") == "wb" && out(1).isNullAt(
+      out(1).fieldIndex("pixel_sum")))
+    assert(g(2, "pixel_sum") == sumOf(bmp))
+  }
+
   test("embedImages feeds the existing ANN operators") {
     import graft.functions.{SimilarityFunctions => SF}
     val emb = Multimodal.embedImages(media)
