@@ -26,6 +26,23 @@ import org.apache.spark.sql.functions._
   */
 object HotBuckets {
 
+  /** The rows of `banded` whose bucket has at most `cap` members,
+    * plus the excluded buckets' `(bandCol, bucket_n)` accounting
+    * frame. Use directly when the self-join must carry extra columns
+    * (e.g. a signature for in-join verification) — the join itself
+    * stays the caller's.
+    */
+  def filterOverCap(banded: DataFrame, bandCol: String,
+      cap: Int): (DataFrame, DataFrame) = {
+    require(cap > 1, s"cap must exceed 1, got $cap")
+    val sizes = banded.groupBy(col(bandCol))
+      .agg(count(lit(1)).as("bucket_n"))
+    val overCap = sizes.filter(col("bucket_n") > cap)
+    val safe = banded.join(broadcast(overCap.select(col(bandCol))),
+      Seq(bandCol), "left_anti")
+    (safe, overCap)
+  }
+
   /** Candidate pairs `(id_a, id_b)` (id_a < id_b, distinct) from a
     * bucket-membership table, joining only within buckets of at most
     * `cap` members. Returns (candidates, overCap) where overCap is
@@ -33,12 +50,7 @@ object HotBuckets {
     */
   def cappedCandidates(banded: DataFrame, idCol: String,
       bandCol: String, cap: Int): (DataFrame, DataFrame) = {
-    require(cap > 1, s"cap must exceed 1, got $cap")
-    val sizes = banded.groupBy(col(bandCol))
-      .agg(count(lit(1)).as("bucket_n"))
-    val overCap = sizes.filter(col("bucket_n") > cap)
-    val safe = banded.join(broadcast(overCap.select(col(bandCol))),
-      Seq(bandCol), "left_anti")
+    val (safe, overCap) = filterOverCap(banded, bandCol, cap)
     val cand = safe.as("a").join(safe.as("b"),
         col(s"a.$bandCol") === col(s"b.$bandCol") &&
           col(s"a.$idCol") < col(s"b.$idCol"))

@@ -294,15 +294,25 @@ object TrainingData {
     // join is pigeonhole-complete at radius 7, so the Spark side must
     // reproduce the exact pair set or the checksums shift.
     "dd12_simhash_full" -> ((s, dir) => {
-      val docs = ManagedCache.persist(
-        t(s, dir, "documents")
-          .select(col("doc_id"), TF.wordShingles(col("text"), 2).as("sh"))
-          .filter(size(col("sh")) > 0)
-          .select(col("doc_id"),
-            SF.simhashBits(col("sh"), 60, SF.md5hash60).as("sig")))
-      val blocked = docs.select(col("doc_id"), col("sig"),
-        explode(SF.simhashBlocks(col("sig"), 10, 60)).as("blk"))
-      blocked.as("a").join(blocked.as("b"),
+      // blocked is scanned three times (bucket sizes + both join
+      // sides); persist the exploded result, not the md5-simhash
+      // recompute. The block join carries the 8-byte sig through the
+      // shuffle so verification is in-join — HotBuckets.filterOverCap
+      // (not cappedCandidates) keeps that shape while still bounding
+      // a pathological block bucket; the accounting is oracle-pinned
+      // to zero like dd10's (the oracle is the exact brute twin — a
+      // biting cap fails the compare twice).
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TF.wordShingles(col("text"), 2).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"),
+          SF.simhashBits(col("sh"), 60, SF.md5hash60).as("sig"))
+      val blocked = ManagedCache.persist(
+        docs.select(col("doc_id"), col("sig"),
+          explode(SF.simhashBlocks(col("sig"), 10, 60)).as("blk")))
+      val (safe, overCap) = graft.operators.HotBuckets
+        .filterOverCap(blocked, "blk", cap = 1000)
+      val agg = safe.as("a").join(safe.as("b"),
           col("a.blk") === col("b.blk") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -313,6 +323,10 @@ object TrainingData {
         .agg(count(lit(1)).as("n_pairs"),
           sum(col("doc_a") * lit(1000003L) + col("doc_b")).as("key_sum"),
           sum(col("hamming")).as("hamming_sum"))
+      val hotAgg = overCap.agg(
+        count(lit(1)).as("n_hot_buckets"),
+        coalesce(sum(col("bucket_n")), lit(0L)).as("hot_docs"))
+      agg.crossJoin(hotAgg) // two 1-row frames
     }),
 
     // Unbounded scale twin of dd2: the SAME minhash band-join near-dup
@@ -836,7 +850,9 @@ object TrainingData {
          SELECT count(*) AS n_pairs,
            CAST(sum(doc_a * 1000003::BIGINT + doc_b) AS BIGINT)
              AS key_sum,
-           CAST(sum(hamming) AS BIGINT) AS hamming_sum
+           CAST(sum(hamming) AS BIGINT) AS hamming_sum,
+           CAST(0 AS BIGINT) AS n_hot_buckets,
+           CAST(0 AS BIGINT) AS hot_docs
          FROM pairs""",
       "dd7_simhash_recall" ->
         """WITH d AS (SELECT doc_id,
