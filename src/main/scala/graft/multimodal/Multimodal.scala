@@ -838,41 +838,46 @@ object Multimodal {
     * [[bmpGray]] image), carried as the `00dc` chunk body with all
     * RIFF sizes derived from its actual length. This is how the
     * frame-PIXEL oracle builds a container whose frames genuinely
-    * decode ([[aviFramePixels]]); note `framePayloadOf` is evaluated
-    * twice per frame (size pass + body pass), so keep it to the
-    * bounded synthesis sizes oracle queries use.
+    * decode ([[aviFramePixels]]). The payload array is built ONCE and
+    * bound through `bindOnce` — higher-order Column lambdas
+    * re-evaluate referenced outer expressions per use, and the size
+    * pass + body pass would otherwise run the (per-pixel-expensive)
+    * payload expression twice per frame.
     */
   def aviContainerWith(width: Column, height: Column, nFrames: Column,
       microsPerFrame: Column, framePayloadOf: Column => Column)
       : Column = {
     val idxs = when(nFrames >= 1, sequence(lit(1), nFrames))
       .otherwise(array())
-    val lenOf = (i: Column) => octet_length(framePayloadOf(i)).cast("long")
     val zero4 = "00000000" // one LE32 zero, as hex
     def asciiHex(s: String): Column = hex(lit(s.getBytes("US-ASCII")))
-    // chunk bytes in movi: fourcc+size (8) + data + pad-to-even
-    val chunkBytes = aggregate(idxs, lit(0L),
-      (acc, i) => acc + lit(8L) + lenOf(i) + pmod(lenOf(i), lit(2)))
-    val avihHex = concat(
-      leHex(microsPerFrame.cast("long"), 4), lit(zero4 * 3),
-      leHex(nFrames.cast("long"), 4), lit(zero4),
-      leHex(lit(1L), 4), lit(zero4),
-      leHex(pmod(width.cast("long"), lit(1L << 32)), 4),
-      leHex(pmod(height.cast("long"), lit(1L << 32)), 4),
-      lit(zero4 * 4))
-    val frameHex = (i: Column) => concat(
-      asciiHex("00dc"), leHex(lenOf(i), 4),
-      hex(framePayloadOf(i)),
-      when(pmod(lenOf(i), lit(2)) === 1, "00").otherwise(""))
-    concat(
-      lit("RIFF".getBytes("US-ASCII")),
-      leBytes(lit(92L) + chunkBytes, 4), // "AVI "+hdrl(76)+movi(12+data)
-      unhex(concat(
-        asciiHex("AVI LIST"), leHex(lit(68L), 4), asciiHex("hdrlavih"),
-        leHex(lit(56L), 4), avihHex,
-        asciiHex("LIST"), leHex(lit(4L) + chunkBytes, 4),
-        asciiHex("movi"),
-        array_join(transform(idxs, frameHex), ""))))
+    graft.functions.TextFunctions
+      .bindOnce(transform(idxs, framePayloadOf)) { payloads =>
+        val lenOf = (p: Column) => octet_length(p).cast("long")
+        // chunk bytes in movi: fourcc+size (8) + data + pad-to-even
+        val chunkBytes = aggregate(payloads, lit(0L),
+          (acc, p) => acc + lit(8L) + lenOf(p) + pmod(lenOf(p), lit(2)))
+        val avihHex = concat(
+          leHex(microsPerFrame.cast("long"), 4), lit(zero4 * 3),
+          leHex(nFrames.cast("long"), 4), lit(zero4),
+          leHex(lit(1L), 4), lit(zero4),
+          leHex(pmod(width.cast("long"), lit(1L << 32)), 4),
+          leHex(pmod(height.cast("long"), lit(1L << 32)), 4),
+          lit(zero4 * 4))
+        val frameHex = (p: Column) => concat(
+          asciiHex("00dc"), leHex(lenOf(p), 4),
+          hex(p),
+          when(pmod(lenOf(p), lit(2)) === 1, "00").otherwise(""))
+        concat(
+          lit("RIFF".getBytes("US-ASCII")),
+          leBytes(lit(92L) + chunkBytes, 4), // "AVI "+hdrl+movi hdr
+          unhex(concat(
+            asciiHex("AVI LIST"), leHex(lit(68L), 4),
+            asciiHex("hdrlavih"), leHex(lit(56L), 4), avihHex,
+            asciiHex("LIST"), leHex(lit(4L) + chunkBytes, 4),
+            asciiHex("movi"),
+            array_join(transform(payloads, frameHex), ""))))
+      }
   }
 
   val aviPixelSchema: StructType = StructType(Seq(
