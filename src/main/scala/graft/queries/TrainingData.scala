@@ -498,6 +498,46 @@ object TrainingData {
         .orderBy(col("doc_id"))
     }),
 
+    // Corpus-wide exact chunk dedup — the REWRITE counterpart to
+    // dd9's accounting (C4's line dedup / Lee et al. 2021 exact
+    // substring dedup, at chunk granularity since this corpus's docs
+    // are single-line): split every document into NON-overlapping
+    // 8-token chunks, drop each chunk whose exact text already
+    // occurred earlier in the corpus (first occurrence by
+    // (doc_id, chunk_idx) wins), and reassemble the survivors into
+    // the cleaned document. Scale shape: exactly two shuffles — one
+    // on the chunk text (first-occurrence window; min(struct) over an
+    // UNORDERED whole-partition frame, so no per-partition sort key
+    // beyond the partition hash), one on doc_id (reassembly). No
+    // self-join and no candidate pairs: exact equality dedups via
+    // grouping, so cost is linear in corpus size, not density².
+    "dd13_chunk_dedup" -> ((s, dir) => {
+      val n = 8
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        .withColumn("nt", size(col("toks")))
+        .filter(col("nt") > 0)
+      val chunks = d.select(col("doc_id"),
+          explode(transform(
+            sequence(lit(0), floor((col("nt") - 1) / n).cast("int")),
+            i => struct(i.as("i"),
+              array_join(slice(col("toks"), i * n + 1, lit(n)), " ")
+                .as("t")))).as("c"))
+        .select(col("doc_id"), col("c.i").as("ci"), col("c.t").as("chunk"))
+      val firstSeen = min(struct(col("doc_id"), col("ci")))
+        .over(Window.partitionBy(col("chunk")))
+      val marked = chunks.withColumn("keep",
+        struct(col("doc_id"), col("ci")) === firstSeen)
+      marked.groupBy(col("doc_id")).agg(
+          concat_ws(" ", transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("ci").as("i"), col("chunk").as("t"))))),
+            x => x.getField("t"))).as("text_clean"),
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Context-window chunking: split each doc into 64-token windows
     // every 48 tokens (16-token overlap) — the chunking step of a
     // RAG/pretraining pipeline. One narrow projection + explode, no
@@ -910,6 +950,28 @@ object TrainingData {
              AS dup_frac
          FROM d LEFT JOIN cov USING (doc_id)
          ORDER BY d.doc_id""",
+      "dd13_chunk_dedup" ->
+        """WITH d AS (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS toks
+           FROM documents WHERE len(string_split_regex(trim(text),
+             '\s+')) > 0),
+         c AS (SELECT doc_id,
+             unnest(range(0, (len(toks) - 1) // 8 + 1))::INT AS ci,
+             toks FROM d),
+         c2 AS (SELECT doc_id, ci,
+             array_to_string(toks[ci*8+1 : least(ci*8+8, len(toks))],
+               ' ') AS chunk
+           FROM c),
+         m AS (SELECT doc_id, ci, chunk,
+             row_number() OVER (PARTITION BY chunk
+               ORDER BY doc_id, ci) AS rn
+           FROM c2)
+         SELECT doc_id,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+             ORDER BY ci), '') AS text_clean,
+           count(*)::BIGINT AS n_chunks,
+           sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END)::BIGINT AS n_removed
+         FROM m GROUP BY doc_id ORDER BY doc_id""",
       "tx6_chunk_windows" ->
         """WITH d AS (SELECT doc_id,
              string_split_regex(trim(text), '\s+') AS toks

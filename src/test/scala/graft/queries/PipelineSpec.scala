@@ -125,4 +125,26 @@ class PipelineSpec extends SparkSpec {
     assert(ns.sliding(2).forall { case Array(a, b) => b <= a },
       s"funnel must shrink: ${ns.toSeq}")
   }
+
+  test("dd13 removes corpus-wide duplicate chunks, keeps the first " +
+    "occurrence by (doc_id, chunk_idx), and partial tail chunks " +
+    "participate") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("dd13fix").toString
+    Seq(
+      (0L, "a b c d e f g h i j k l m n o p"), // both chunks original
+      (1L, "a b c d e f g h x y"), // chunk0 dups doc0; tail "x y" kept
+      (2L, "i j k l m n o p"), // whole doc dups doc0's chunk1
+      (3L, "x y")) // dups doc1's TAIL chunk (later (doc_id,ci) loses)
+      .toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = TrainingData.queries("dd13_chunk_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (0L, "a b c d e f g h i j k l m n o p", 2L, 0L),
+      (1L, "x y", 2L, 1L),
+      (2L, "", 1L, 1L),
+      (3L, "", 1L, 1L)))
+  }
 }
