@@ -104,4 +104,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("dd13 chunk dedup plans no join at all and exactly three " +
+    "exchanges (chunk window, doc reassembly, output sort)") {
+    val p = plan("dd13_chunk_dedup")
+    // the scale property: exact dedup via grouping, never a self-join
+    assert(!p.contains("Join"),
+      s"dd13 must not plan a join:\n${p.linesIterator.take(25).mkString("\n")}")
+    val ex = count(p, "\\(\\d+\\) Exchange")
+    assert(ex == 3, s"expected 3 exchanges, got $ex:\n" +
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
 }
