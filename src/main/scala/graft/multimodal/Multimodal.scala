@@ -368,6 +368,43 @@ object Multimodal {
       lit("data".getBytes("UTF-8")), leBytes(dataBytes, 4))
   }
 
+  /** REAL PCM sample decode (the full-decode sibling of [[wavMeta]]'s
+    * header parse): the data chunk of a canonical mono 16-bit PCM WAV
+    * decoded to an array of SIGNED samples in pure Column algebra —
+    * per sample, two 1-byte substrings assembled little-endian and
+    * two's-complement-converted (u >= 2^15 → u - 2^16). No codec
+    * library: 16-bit PCM is raw samples, so this is a complete real
+    * decoder, not a stub. Cost is O(data bytes) per blob inside
+    * whole-stage codegen; for multi-MB payloads chunk the blob
+    * upstream (the feature aggregates below are associative).
+    */
+  def wavPcm16(payload: Column): Column = {
+    val n = (leUInt(payload, 41, 4) / 2).cast("long")
+    val sample = (i: Column) => {
+      val lo = conv(hex(payload.substr(lit(45) + i * 2, lit(1))), 16, 10)
+        .cast("long")
+      val hi = conv(hex(payload.substr(lit(46) + i * 2, lit(1))), 16, 10)
+        .cast("long")
+      val u = lo + hi * 256
+      u - when(u >= 32768L, lit(65536L)).otherwise(lit(0L))
+    }
+    // sequence(0, n-1) is DESCENDING for n=0 — guard the empty chunk
+    when(n >= 1, transform(sequence(lit(0L), n - 1), sample))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Synthesis twin of [[wavPcm16]]: a canonical mono 16-bit PCM WAV
+    * whose data chunk encodes samples[i] = signed16((seed*131 + i*7)
+    * mod 2^16) — one [[leHex]] per sample, one `unhex` for the whole
+    * chunk. */
+  def wavPcm16Synth(seed: Column, nSamples: Column,
+      rate: Column): Column = {
+    val dataHex = array_join(transform(sequence(lit(0L), nSamples - 1),
+      i => leHex(pmod(seed * 131 + i * 7, lit(65536L)), 2)), "")
+    concat(wavHeader(lit(1L), rate, lit(16L), nSamples * 2),
+      unhex(dataHex))
+  }
+
   /** REAL GIF header decode (GIF87a/89a logical screen descriptor,
     * GIF89a spec §17-18): version, width/height (little-endian 16-bit
     * at offsets 6/8), global-color-table flag and its 2^(N+1) size

@@ -196,6 +196,34 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL PCM sample decode round-trip (the full-decode audio
+    // sibling of mm2): synthesize mono 16-bit WAVs whose data chunks
+    // encode a known signed waveform, run the ACTUAL byte-level
+    // decoder (wavPcm16 — LE pair assembly + two's complement), and
+    // aggregate audio features: peak amplitude, signed sum, energy
+    // (sum of squares) and integer-milli RMS. The oracle replays the
+    // waveform formula arithmetically, so a bug in the synth writer,
+    // the LE assembly, the sign conversion, or the aggregates breaks
+    // the hash compare. Zero shuffles before the output sort: decode
+    // and features are per-row Column algebra.
+    "mm9_wav_pcm" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val n = (lit(64) + pmod(col("doc_id"), lit(64))).cast("long")
+      val payload = Multimodal.wavPcm16Synth(col("doc_id"), n, lit(8000L))
+      t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id").as("media_id"),
+          Multimodal.wavPcm16(payload).as("sm"))
+        .select(col("media_id"),
+          size(col("sm")).cast("long").as("n_samples"),
+          array_max(transform(col("sm"), x => abs(x))).as("peak"),
+          aggregate(col("sm"), lit(0L), (a, x) => a + x).as("sum_val"),
+          aggregate(col("sm"), lit(0L), (a, x) => a + x * x).as("sum_sq"))
+        .withColumn("rms_milli",
+          floor(sqrt(col("sum_sq").cast("double") / col("n_samples")) *
+            1000).cast("long"))
+        .orderBy(col("media_id"))
+    }),
+
     // REAL GIF header round-trip (the image sibling of mm2): build
     // GIF89a logical-screen descriptors in-plan, parse them back with
     // the real decoder — version, LE dimensions, packed
@@ -512,6 +540,25 @@ object Pipeline {
            (n_chars * 1000) // ((8000 + (doc_id % 5) * 4000) *
              (1 + doc_id % 2) * 2) AS duration_ms
          FROM documents ORDER BY doc_id""",
+    // replays samples[i] = ((doc_id*131 + i*7) % 65536) - 2^16·[u>=2^15]
+    // over 64 + doc_id % 64 samples per doc
+    "mm9_wav_pcm" ->
+      """WITH s AS (
+           SELECT d.doc_id AS media_id,
+             ((d.doc_id * 131 + i.i * 7) % 65536) AS u
+           FROM documents d, range(128) i(i)
+           WHERE d.doc_id < 100 AND i.i < 64 + d.doc_id % 64),
+         v AS (SELECT media_id,
+             u - CASE WHEN u >= 32768 THEN 65536 ELSE 0 END AS sv
+           FROM s)
+         SELECT media_id, count(*)::BIGINT AS n_samples,
+           max(abs(sv))::BIGINT AS peak,
+           sum(sv)::BIGINT AS sum_val,
+           sum(sv * sv)::BIGINT AS sum_sq,
+           CAST(floor(sqrt(sum(sv * sv)::DOUBLE / count(*)) * 1000)
+             AS BIGINT) AS rms_milli
+         FROM v GROUP BY media_id ORDER BY media_id""",
+
     // has_gct is always 1 (packed = 128 + k); gct_colors = 2^(k+1)
     "mm3_gif_metadata" ->
       """SELECT doc_id, '89a' AS version,
