@@ -15,7 +15,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * thrift/connect sessions too).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  import GraftExtensions.binaryBuilder
+  import GraftExtensions.{binaryBuilder, unaryBuilder}
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -26,6 +26,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("l2_dist_sq"),
       new ExpressionInfo(classOf[L2DistanceSq].getName, "l2_dist_sq"),
       binaryBuilder("l2_dist_sq", L2DistanceSq(_, _))))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName,
+        "nfc_normalize"),
+      unaryBuilder("nfc_normalize", UnicodeNormalize(_, "NFC"))))
+    ext.injectFunction((
+      FunctionIdentifier("nfkc_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName,
+        "nfkc_normalize"),
+      unaryBuilder("nfkc_normalize", UnicodeNormalize(_, "NFKC"))))
     // whole-operator extension: plans graft.plans.AsOfJoinNode onto
     // the native merge-scan AsOfJoinExec
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
@@ -43,5 +53,14 @@ object GraftExtensions {
       org.apache.spark.sql.GraftColumnBridge
         .wrongNumArgs(name, 2, exprs.length)
     make(exprs(0), exprs(1))
+  }
+
+  private[expressions] def unaryBuilder(name: String,
+      make: Expression => Expression): Seq[Expression] => Expression = {
+    exprs =>
+      if (exprs.length != 1)
+        org.apache.spark.sql.GraftColumnBridge
+          .wrongNumArgs(name, 1, exprs.length)
+      make(exprs(0))
   }
 }

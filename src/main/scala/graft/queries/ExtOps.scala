@@ -101,6 +101,76 @@ object ExtOps {
     recompute(assignCells(e, recompute(assignCells(e, init))))
   }
 
+  /** PQ geometry: 64 dims split into 4 subspaces × 16 dims, 4
+    * centroids per subspace — 64 float dims (256 B) compress to 4
+    * small codes per vector. */
+  private val PqM = 4
+  private val PqK = 4
+  private val PqDim = 16
+
+  /** (vec_id, m, sv): each embedding split into its [[PqM]] subvectors
+    * — row-local (explode a 4-element sequence; no shuffle). */
+  private def pqSubvectors(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"),
+        col("embedding"))
+      .select(col("vec_id"), col("m"),
+        slice(col("embedding"), col("m") * PqDim + 1, lit(PqDim))
+          .as("sv"))
+
+  /** Nearest-centroid assignment per (vector, subspace) against the
+    * broadcast codebook (m, cl, c): the per-subspace centroids pack
+    * into one row per m (PqM rows total) and the argmin is a fold —
+    * the subvector corpus is never shuffled, same shape as
+    * [[assignCells]]. Ties break to the lower code, order-independent
+    * of the collect_list packing. */
+  private def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame = {
+    val packed = cb.groupBy(col("m"))
+      .agg(collect_list(struct(col("cl"), col("c"))).as("cents"))
+    sub.join(broadcast(packed), Seq("m"))
+      .withColumn("best", aggregate(
+        col("cents"),
+        struct(lit(Double.MaxValue).as("dist"),
+          lit(Int.MaxValue).as("cl")),
+        (acc, ct) => {
+          val d = graft.expressions.L2DistanceSq(col("sv"),
+            ct.getField("c"))
+          when(d < acc.getField("dist") ||
+              (d === acc.getField("dist") &&
+                ct.getField("cl") < acc.getField("cl")),
+            struct(d.as("dist"), ct.getField("cl").as("cl")))
+            .otherwise(acc)
+        }))
+      .select(col("vec_id"), col("m"), col("sv"),
+        col("best.cl").as("cl"))
+  }
+
+  /** Product-Quantization codebook (Jégou et al., TPAMI 2011): seed
+    * each subspace's [[PqK]] centroids from fixed vectors (0, 7, 19,
+    * 41), one Lloyd round (assign → per-dim mean), means rounded to
+    * 6 dp so the codebook stream is engine-replayable — the same
+    * pinning discipline as [[kmeansCentroids]]. All subspaces train
+    * in ONE plan keyed (m, cl). */
+  private def pqCodebook(sub: DataFrame): DataFrame = {
+    val seeds = Seq(0L, 7L, 19L, 41L)
+    val init = sub.filter(col("vec_id").isin(seeds: _*))
+      .select(col("m"),
+        seeds.zipWithIndex.tail.foldLeft(
+            when(col("vec_id") === seeds.head, 0)) {
+            case (acc, (v, i)) => acc.when(col("vec_id") === v, i)
+          }.as("cl"),
+        transform(col("sv"), x => x.cast("double")).as("c"))
+    pqAssign(sub, init)
+      .select(col("m"), col("cl"),
+        posexplode(col("sv")).as(Seq("dim", "v")))
+      .groupBy(col("m"), col("cl"), col("dim"))
+      .agg(round(avg(col("v").cast("double")), 6).as("mm"))
+      .groupBy(col("m"), col("cl"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("mm")))),
+        x => x.getField("mm")).as("c"))
+  }
+
   val queries: Map[String, Q] = Map(
     // As-of backward join: each purchase event picks up the user's
     // latest signup-or-earlier state. Oracle is DuckDB's native
@@ -274,6 +344,64 @@ object ExtOps {
         .filter(col("rank") <= 5)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("d2raw"), 5).as("d2"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Product-Quantization ANN with asymmetric-distance search (Jégou
+    // et al., TPAMI 2011) — the third scale path after LSH buckets
+    // (ann2) and IVF cells (ann3/ann5), and the one that changes the
+    // MEMORY story at 100 TB: 64 float dims (256 B) quantize to 4
+    // one-byte codes, a 64× compression, so the searchable corpus fits
+    // where the raw vectors can't. Pipeline, all engine-replayable:
+    //   train  — per-subspace codebooks (pqCodebook: fixed seeds, one
+    //            pinned Lloyd round), PqM×PqK×PqDim doubles — ALWAYS
+    //            broadcastable, at any corpus size;
+    //   encode — row-local argmin against the broadcast codebook
+    //            (pqAssign), packed to one codes array per vector: the
+    //            corpus is scanned, never shuffled;
+    //   search — per query, a PqM×PqK distance table in integer
+    //            micros (floor(d·1e6 + .5): bigint cells, so the ADC
+    //            sums are order-independent integer arithmetic), the
+    //            table broadcast as a map, and the approximate
+    //            distance a 4-term fold over each vector's codes.
+    //            One narrow scan of the codes table per query batch;
+    //            the only shuffle is the 5-rows-per-query top-k.
+    // The oracle replays train → encode → table → ADC → top-5 exactly.
+    "ann6_pq_adc" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val sub = graft.operators.ManagedCache.persist(pqSubvectors(e))
+      val cb = pqCodebook(sub)
+      val codes = pqAssign(sub, cb)
+        .groupBy(col("vec_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("m"), col("cl")))),
+          x => x.getField("cl")).as("codes"))
+      val dtab = pqSubvectors(e.filter(col("vec_id") < 5))
+        .select(col("vec_id").as("query_id"), col("m"),
+          col("sv").as("qsv"))
+        .join(broadcast(cb), Seq("m"))
+        .select(col("query_id"),
+          (col("m") * PqK + col("cl")).cast("int").as("slot"),
+          floor(graft.expressions.L2DistanceSq(col("qsv"), col("c")) *
+            1e6 + 0.5).cast("long").as("dmic"))
+        .groupBy(col("query_id"))
+        .agg(map_from_entries(collect_list(
+          struct(col("slot"), col("dmic")))).as("dt"))
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("adist_micros"), col("neighbor_id"))
+      codes.crossJoin(broadcast(dtab))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          aggregate(sequence(lit(0), lit(PqM - 1)), lit(0L),
+            (acc, m) => acc + element_at(col("dt"),
+              (m * PqK + element_at(col("codes"), m + 1)).cast("int")))
+            .as("adist_micros"))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("adist_micros"))
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -541,6 +669,52 @@ object ExtOps {
        SELECT query_id, rank, neighbor_id, round(d2raw, 5) AS d2
        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
            ORDER BY d2raw, neighbor_id) AS rank FROM cand)
+       WHERE rank <= 5 ORDER BY query_id, rank""",
+    // full PQ replay: subvector split → seeded one-round Lloyd per
+    // subspace (means rounded 6 dp, ties to lower code — the same
+    // pinning as the kmeans CTEs) → encode → per-query distance table
+    // in integer micros → ADC sum → top-5
+    "ann6_pq_adc" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+           FROM embeddings),
+         sub AS (SELECT vec_id, m,
+             list_slice(v, 1 + 16*m, 16*(m+1)) AS sv
+           FROM e CROSS JOIN range(4) r(m)),
+         seeds AS (SELECT m, CASE vec_id WHEN 0 THEN 0 WHEN 7 THEN 1
+             WHEN 19 THEN 2 ELSE 3 END AS cl, sv AS c
+           FROM sub WHERE vec_id IN (0, 7, 19, 41)),
+         a1 AS (SELECT vec_id, m, sv, cl FROM (
+             SELECT s.vec_id, s.m, s.sv, sd.cl, row_number() OVER (
+               PARTITION BY s.vec_id, s.m ORDER BY
+               list_sum(list_transform(range(1, 17),
+                 i -> (s.sv[i]-sd.c[i])*(s.sv[i]-sd.c[i]))), sd.cl)
+               AS rn
+             FROM sub s JOIN seeds sd USING (m)) WHERE rn = 1),
+         cb AS (SELECT m, cl, list(mm ORDER BY i) AS c FROM (
+             SELECT m, cl, i, round(avg(sv[i]), 6) AS mm
+             FROM a1 CROSS JOIN range(1, 17) r(i) GROUP BY m, cl, i)
+           GROUP BY m, cl),
+         codes AS (SELECT vec_id, m, cl AS code FROM (
+             SELECT s.vec_id, s.m, cb.cl, row_number() OVER (
+               PARTITION BY s.vec_id, s.m ORDER BY
+               list_sum(list_transform(range(1, 17),
+                 i -> (s.sv[i]-cb.c[i])*(s.sv[i]-cb.c[i]))), cb.cl)
+               AS rn
+             FROM sub s JOIN cb USING (m)) WHERE rn = 1),
+         dt AS (SELECT q.vec_id AS query_id, cb.m, cb.cl,
+             CAST(floor(list_sum(list_transform(range(1, 17),
+               i -> (q.sv[i]-cb.c[i])*(q.sv[i]-cb.c[i]))) * 1e6 + 0.5)
+               AS BIGINT) AS dmic
+           FROM (SELECT * FROM sub WHERE vec_id < 5) q
+           JOIN cb USING (m)),
+         ad AS (SELECT dt.query_id, c.vec_id AS neighbor_id,
+             CAST(sum(dt.dmic) AS BIGINT) AS adist_micros
+           FROM codes c JOIN dt ON c.m = dt.m AND c.code = dt.cl
+           WHERE c.vec_id <> dt.query_id GROUP BY 1, 2)
+       SELECT query_id, rank, neighbor_id, adist_micros FROM (
+         SELECT query_id, neighbor_id, adist_micros,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY adist_micros, neighbor_id) AS rank FROM ad)
        WHERE rank <= 5 ORDER BY query_id, rank""",
     "xj4_range_join" ->
       """SELECT o_orderkey, count(*) AS n_pts,

@@ -612,6 +612,33 @@ object TrainingData {
         .orderBy(col("token_id"))
     }),
 
+    // Unicode canonicalization before dedup — the native
+    // UnicodeNormalize expression (codegen, zero-allocation fast path
+    // for already-normal text) driven end to end: every doc is split
+    // into a COMPOSED variant (suffix "…caf" + é U+00E9) and a
+    // DECOMPOSED one (… + "cafe" + combining acute U+0301) — distinct
+    // byte strings that exact dedup would keep apart. NFC must unify
+    // them: n_raw stays 2, n_norm collapses to 1, and exactly the
+    // composed variant is already normal. The corpus text itself is
+    // NFC-clean (checked), so already_nfc counts BOTH variants' prefix
+    // scan through the fast path. Oracle = DuckDB's nfc_normalize.
+    // At 100 TB this is a pure map stage fused into the scan.
+    "tx12_nfc_dedup" -> ((s, dir) => {
+      import graft.expressions.UnicodeNormalize
+      val prefix = substring(col("text"), 1, 60)
+      t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), explode(array(
+          concat(prefix, lit("caf"), lit("\u00e9")),
+          concat(prefix, lit("cafe"), lit("\u0301")))).as("variant"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("variant")).as("n_raw"),
+          countDistinct(UnicodeNormalize.nfc(col("variant")))
+            .as("n_norm"),
+          sum(when(UnicodeNormalize.nfc(col("variant")) ===
+            col("variant"), 1L).otherwise(0L)).as("n_already_nfc"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- similarity search --------------------------------------------
     // Brute-force cosine top-k (the exactness baseline): 5 query
     // vectors against the full corpus, rank on ROUNDED cosine + vec_id
@@ -730,6 +757,18 @@ object TrainingData {
            md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
              AS fp
            FROM documents ORDER BY doc_id""",
+      // composed (chr(233) = U+00E9) vs decomposed (chr(769) = U+0301
+      // combining acute) variants; nfc_normalize must unify them
+      "tx12_nfc_dedup" ->
+        """WITH v AS (SELECT doc_id, unnest([
+             substr(text, 1, 60) || 'caf' || chr(233),
+             substr(text, 1, 60) || 'cafe' || chr(769)]) AS variant
+           FROM documents WHERE doc_id < 300)
+         SELECT doc_id, count(DISTINCT variant) AS n_raw,
+           count(DISTINCT nfc_normalize(variant)) AS n_norm,
+           CAST(sum(CASE WHEN nfc_normalize(variant) = variant
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_already_nfc
+         FROM v GROUP BY doc_id ORDER BY doc_id""",
       "dd1_exact_dedup" ->
         """SELECT md5(text) AS content_hash,
            min(doc_id) AS keeper_doc_id, count(*) AS n_copies

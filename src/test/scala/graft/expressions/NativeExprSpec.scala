@@ -111,4 +111,45 @@ class NativeExprSpec extends SparkSpec {
     assert(e.getMessage.contains("l2_dist_sq") ||
       e.getMessage.toLowerCase.contains("data type mismatch"))
   }
+
+  test("unicode_normalize: NFC composes, NFKC folds, nulls pass, " +
+    "already-normal text round-trips identically") {
+    val composed = "caf\u00e9"
+    val decomposed = "cafe\u0301"
+    val compat = "\ufb01le \uff21" // fi-ligature + fullwidth A
+    val rows = Seq(Some(decomposed), Some(composed), Some(compat),
+      Some("plain ascii"), None).toDF("s")
+    val got = rows.select(col("s"),
+        UnicodeNormalize.nfc(col("s")).as("nfc"),
+        UnicodeNormalize.nfkc(col("s")).as("nfkc"))
+      .collect()
+    assert(got(0).getString(1) == composed)
+    assert(got(0).getString(2) == composed)
+    assert(got(1).getString(1) == composed)
+    // NFC leaves compatibility chars alone; NFKC folds them
+    assert(got(2).getString(1) == compat)
+    assert(got(2).getString(2) == "file A")
+    assert(got(3).getString(1) == "plain ascii")
+    assert(got(4).isNullAt(1) && got(4).isNullAt(2))
+    // interpreted eval agrees with the codegen path above
+    val expr = UnicodeNormalize(
+      org.apache.spark.sql.catalyst.expressions.Literal
+        .create(decomposed), "NFC")
+    assert(expr.eval(null).toString == composed)
+  }
+
+  test("nfc_normalize/nfkc_normalize register through " +
+    "SparkSessionExtensions with arity checking") {
+    Seq(("x", "cafe\u0301")).toDF("k", "s")
+      .createOrReplaceTempView("un_sql")
+    val r = spark.sql(
+      "SELECT nfc_normalize(s) AS n, nfkc_normalize(s) AS nk " +
+        "FROM un_sql").collect()(0)
+    assert(r.getString(0) == "caf\u00e9")
+    assert(r.getString(1) == "caf\u00e9")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT nfc_normalize(s, s) FROM un_sql").collect()
+    }
+    assert(e.getMessage.contains("nfc_normalize"), e.getMessage)
+  }
 }

@@ -34,4 +34,22 @@ class ExtOpsSpec extends SparkSpec {
     assert(disagreements == 0)
     ivf.unpersist()
   }
+
+  test("ann6 PQ: full result set, dense ranks, ADC distances " +
+    "non-negative and monotone within each query") {
+    val pq = ExtOps.queries("ann6_pq_adc")(spark, sf0001).collect()
+    assert(pq.nonEmpty)
+    pq.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).toSeq ==
+        (1 to rs.length))
+      val dists = byRank.map(_.getAs[Long]("adist_micros")).toSeq
+      assert(dists.forall(_ >= 0L))
+      assert(dists == dists.sorted)
+      // self never returned as its own neighbor
+      assert(rs.forall(r =>
+        r.getAs[Long]("neighbor_id") != r.getAs[Long]("query_id")))
+    }
+    graft.operators.ManagedCache.releaseAll()
+  }
 }
