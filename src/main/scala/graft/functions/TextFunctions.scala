@@ -131,4 +131,27 @@ object TextFunctions {
             sequence(lit(1), size(toks) - (n - 1)),
             i => concat_ws(" ", slice(toks, i, lit(n))))))
     }
+
+  // ---- BPE merge-training primitives (tx13) ---------------------------
+  // A word rides a SPACED-TOKEN string — double spaces BETWEEN tokens,
+  // one pad space at each end, "</w>" end-of-word marker:
+  //   "low" -> " l  o  w  </w> "
+  // In this representation merging pair (a, b) is one literal
+  // replace(" a  b ", " ab "): each match consumes only the inner
+  // halves of its neighbours' double-space boundaries, so consecutive
+  // pairs all match, and non-overlapping left-to-right replacement is
+  // EXACTLY greedy BPE ("aaa" + (a,a) -> [aa, a]). DuckDB's replace
+  // scans the same way, which is what makes tx13's oracle replay
+  // bit-exact.
+
+  /** A word as its spaced char-token string (+ `</w>` marker). */
+  def bpeSpaced(word: Column): Column =
+    concat(lit(" "), regexp_replace(word, "(.)", "$1  "), lit("</w> "))
+
+  /** Token array of a spaced string. */
+  def bpeTokens(spaced: Column): Column = split(trim(spaced), "  ")
+
+  /** Greedy left-to-right merge of the (a, b) symbol pair. */
+  def bpeMerge(spaced: Column, a: String, b: String): Column =
+    replace(spaced, lit(s" $a  $b "), lit(s" $a$b "))
 }

@@ -639,6 +639,55 @@ object TrainingData {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE merge training (Sennrich et al., ACL 2016) over the full
+    // corpus — the tokenizer-TRAINING workload, not just counting:
+    // words become char sequences (+ </w> marker), then 3 merge
+    // rounds, each = count adjacent symbol pairs (flatMap + one
+    // groupBy) → global best pair (count desc, then lexicographic —
+    // deterministic) → greedy left-to-right merge applied corpus-wide.
+    // The corpus rides a spaced-token string (" a  b  </w> ": double
+    // spaces BETWEEN tokens, single-space pad) so the merge is ONE
+    // literal `replace(' a  b ', ' ab ')` — non-overlapping
+    // left-to-right replacement IS greedy BPE merging, and DuckDB's
+    // replace scans identically, which is what makes the oracle
+    // replay exact (e.g. "aaa" + pair (a,a) -> [aa, a] in both).
+    // Per round the driver holds ONE row (the argmax pair) — the
+    // bounded-collect discipline PrefixSum uses; everything heavy
+    // stays distributed. At 100 TB: 3 shuffles of symbol-pair counts,
+    // each count frame shrinking as merges fuse tokens.
+    "tx13_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      val words = t(s, dir, "documents")
+        .select(explode(split(trim(regexp_replace(lower(col("text")),
+          "[^a-z0-9]+", " ")), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+      var corpus = ManagedCache.persist(
+        words.select(TF.bpeSpaced(col("word")).as("s")))
+      val merges =
+        scala.collection.mutable.ArrayBuffer[(Int, String, String,
+          String, Long)]()
+      for (round <- 1 to 3) {
+        val best = corpus
+          .select(TF.bpeTokens(col("s")).as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(col("t"),
+            explode(sequence(lit(0), size(col("t")) - 2)).as("i"))
+          .select(element_at(col("t"), col("i") + 1).as("a"),
+            element_at(col("t"), col("i") + 2).as("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+          .collect()(0)
+        val (a, b, n) =
+          (best.getString(0), best.getString(1), best.getLong(2))
+        merges += ((round, a, b, a + b, n))
+        corpus = ManagedCache.persist(corpus.select(
+          TF.bpeMerge(col("s"), a, b).as("s")))
+      }
+      merges.toSeq
+        .toDF("round", "pair_a", "pair_b", "merged", "n_occurrences")
+        .orderBy(col("round"))
+    }),
+
     // ---- similarity search --------------------------------------------
     // Brute-force cosine top-k (the exactness baseline): 5 query
     // vectors against the full corpus, rank on ROUNDED cosine + vec_id
@@ -757,6 +806,44 @@ object TrainingData {
            md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
              AS fp
            FROM documents ORDER BY doc_id""",
+      // replays all 3 BPE rounds: the spaced-token representation
+      // makes DuckDB's left-to-right replace() identical to the
+      // Spark-side greedy merge
+      "tx13_bpe_merges" ->
+        """WITH words AS (
+             SELECT unnest(string_split(trim(regexp_replace(
+               lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
+             FROM documents),
+           w0 AS (SELECT ' ' ||
+               regexp_replace(word, '(.)', '\1  ', 'g') || '</w> ' AS s
+             FROM words WHERE length(word) > 0),
+           p1 AS (SELECT t[i] AS a, t[i+1] AS b, count(*) AS n FROM (
+               SELECT t, unnest(range(1, len(t))) AS i FROM
+                 (SELECT string_split(trim(s), '  ') AS t FROM w0))
+             GROUP BY 1, 2),
+           b1 AS (SELECT a, b, n FROM p1 ORDER BY n DESC, a, b LIMIT 1),
+           w1 AS (SELECT replace(s, ' ' || b1.a || '  ' || b1.b || ' ',
+               ' ' || b1.a || b1.b || ' ') AS s
+             FROM w0 CROSS JOIN b1),
+           p2 AS (SELECT t[i] AS a, t[i+1] AS b, count(*) AS n FROM (
+               SELECT t, unnest(range(1, len(t))) AS i FROM
+                 (SELECT string_split(trim(s), '  ') AS t FROM w1))
+             GROUP BY 1, 2),
+           b2 AS (SELECT a, b, n FROM p2 ORDER BY n DESC, a, b LIMIT 1),
+           w2 AS (SELECT replace(s, ' ' || b2.a || '  ' || b2.b || ' ',
+               ' ' || b2.a || b2.b || ' ') AS s
+             FROM w1 CROSS JOIN b2),
+           p3 AS (SELECT t[i] AS a, t[i+1] AS b, count(*) AS n FROM (
+               SELECT t, unnest(range(1, len(t))) AS i FROM
+                 (SELECT string_split(trim(s), '  ') AS t FROM w2))
+             GROUP BY 1, 2),
+           b3 AS (SELECT a, b, n FROM p3 ORDER BY n DESC, a, b LIMIT 1)
+         SELECT round, pair_a, pair_b, merged, n_occurrences FROM (
+           SELECT 1 AS round, a AS pair_a, b AS pair_b,
+             a || b AS merged, n AS n_occurrences FROM b1
+           UNION ALL SELECT 2, a, b, a || b, n FROM b2
+           UNION ALL SELECT 3, a, b, a || b, n FROM b3)
+         ORDER BY round""",
       // composed (chr(233) = U+00E9) vs decomposed (chr(769) = U+0301
       // combining acute) variants; nfc_normalize must unify them
       "tx12_nfc_dedup" ->

@@ -168,4 +168,33 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(2L)._1 == Seq("one t", "ne tw", "e two"))
     assert(rows(2L)._2.isEmpty)
   }
+
+  test("BPE primitives: spaced round-trip, greedy overlap merge, " +
+    "consecutive pairs all merge") {
+    import graft.functions.{TextFunctions => TF}
+    import spark.implicits._
+    val df = Seq("low", "aaa", "abab").toDF("w")
+      .select(col("w"), TF.bpeSpaced(col("w")).as("s"))
+    val toks = df.select(col("w"),
+      TF.bpeTokens(col("s")).as("t")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(toks("low") == Seq("l", "o", "w", "</w>"))
+    // greedy left-to-right: "aaa" + (a,a) -> [aa, a, </w>], NOT [a, aa]
+    val merged = df.select(col("w"),
+        TF.bpeTokens(TF.bpeMerge(col("s"), "a", "a")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(merged("aaa") == Seq("aa", "a", "</w>"))
+    // consecutive non-overlapping pairs must BOTH merge (the
+    // shared-boundary case a naive single-space encoding gets wrong)
+    val ab = df.select(col("w"),
+        TF.bpeTokens(TF.bpeMerge(col("s"), "a", "b")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(ab("abab") == Seq("ab", "ab", "</w>"))
+    // chained merge: (a,b) then (ab,ab)
+    val chained = df.filter(col("w") === "abab")
+      .select(TF.bpeTokens(TF.bpeMerge(
+        TF.bpeMerge(col("s"), "a", "b"), "ab", "ab")).as("t"))
+      .collect()(0).getSeq[String](0)
+    assert(chained == Seq("abab", "</w>"))
+  }
 }
