@@ -538,6 +538,76 @@ object TrainingData {
         .orderBy(col("doc_id"))
     }),
 
+    // INCREMENTAL near-dup admission — the production ingestion shape
+    // the one-shot dd2/dd10 batch dedups don't exercise: a NEW batch
+    // (doc_id ≡ 7 mod 10, ~10% of the corpus) arrives against an
+    // EXISTING corpus whose banded-minhash index already exists (in
+    // production: materialized once, appended per batch — here derived
+    // in-plan from the same sketch, SF-independent split). Each new
+    // doc joins the index on band buckets (corpus matches) AND its own
+    // batch's buckets restricted to EARLIER batch members (within-
+    // batch dups admit the first, drop the rest), then exact-verifies
+    // candidates with dd10's integer-arithmetic size-band + 13·ni ≥
+    // 3·(na+nb) test. admitted = no corpus match and no earlier batch
+    // match. The oracle is the EXACT restricted-pair-space answer
+    // (postings join), so an LSH recall miss fails the hash — same
+    // guarantee as dd2/dd10. Scale: candidate volume ∝ batch × density
+    // (never corpus²); the index side streams from storage, only the
+    // batch's buckets are probed.
+    "dd14_incremental_dedup" -> ((s, dir) => {
+      val docs = ManagedCache.persist(
+        t(s, dir, "documents")
+          .select(col("doc_id"), TF.wordShingles(col("text"), 2).as("sh"))
+          .filter(size(col("sh")) > 0))
+      val isNew = pmod(col("doc_id"), lit(10)) === 7
+      val oldDocs = docs.filter(!isNew)
+      val newDocs = ManagedCache.persist(docs.filter(isNew))
+      def bandsOf(d: DataFrame): DataFrame = d.select(col("doc_id"),
+        explode(SF.lshBands(SF.minhashSignature(col("sh"), 16), 8, 2))
+          .as("band"))
+      val bOld = bandsOf(oldDocs)
+      val bNew = ManagedCache.persist(bandsOf(newDocs))
+      val candCorpus = bNew.as("a").join(bOld.as("b"),
+          col("a.band") === col("b.band"))
+        .select(col("a.doc_id").as("new_id"),
+          col("b.doc_id").as("match_id")).distinct()
+      val candBatch = bNew.as("a").join(bNew.as("b"),
+          col("a.band") === col("b.band") &&
+            col("b.doc_id") < col("a.doc_id"))
+        .select(col("a.doc_id").as("new_id"),
+          col("b.doc_id").as("match_id")).distinct()
+      def verify(cand: DataFrame, side: DataFrame): DataFrame = {
+        val a = newDocs.select(col("doc_id").as("new_id"),
+          col("sh").as("sh_a"), size(col("sh")).as("n_a"))
+        val b = side.select(col("doc_id").as("match_id"),
+          col("sh").as("sh_b"), size(col("sh")).as("n_b"))
+        val ni = size(array_intersect(col("sh_a"), col("sh_b")))
+        cand.join(a, Seq("new_id")).join(b, Seq("match_id"))
+          .filter(lit(10) * least(col("n_a"), col("n_b")) >=
+              lit(3) * greatest(col("n_a"), col("n_b")) &&
+            lit(13) * ni >= lit(3) * (col("n_a") + col("n_b")))
+          .select(col("new_id"), col("match_id"))
+      }
+      val cStats = verify(candCorpus, oldDocs)
+        .groupBy(col("new_id"))
+        .agg(count(lit(1)).as("n_corpus"),
+          sum(col("match_id")).as("corpus_key_sum"))
+      val bStats = verify(candBatch, newDocs)
+        .groupBy(col("new_id"))
+        .agg(count(lit(1)).as("n_batch_prior"))
+      newDocs.select(col("doc_id").as("new_id"))
+        .join(cStats, Seq("new_id"), "left")
+        .join(bStats, Seq("new_id"), "left")
+        .select(col("new_id"),
+          coalesce(col("n_corpus"), lit(0L)).as("n_corpus"),
+          coalesce(col("corpus_key_sum"), lit(0L)).as("corpus_key_sum"),
+          coalesce(col("n_batch_prior"), lit(0L)).as("n_batch_prior"))
+        .withColumn("admitted",
+          (col("n_corpus") === 0 && col("n_batch_prior") === 0)
+            .cast("int"))
+        .orderBy(col("new_id"))
+    }),
+
     // Context-window chunking: split each doc into 64-token windows
     // every 48 tokens (16-token overlap) — the chunking step of a
     // RAG/pretraining pipeline. One narrow projection + explode, no
@@ -1098,6 +1168,48 @@ object TrainingData {
            count(*)::BIGINT AS n_chunks,
            sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END)::BIGINT AS n_removed
          FROM m GROUP BY doc_id ORDER BY doc_id""",
+      // EXACT restricted-pair-space replay of the incremental
+      // admission: new docs (doc_id % 10 = 7) vs the corpus AND vs
+      // earlier batch members; the same integer jaccard test
+      // (13*ni >= 3*(na+nb) with the size band implied by it) — a
+      // Spark-side LSH recall miss would drop a row and fail the hash
+      "dd14_incremental_dedup" ->
+        """WITH d AS (SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g')), '\s+') AS toks
+           FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, len(toks)),
+             i -> toks[i] || ' ' || toks[i+1]))) AS s
+           FROM d),
+         counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS new_id, b.doc_id AS match_id,
+             count(*) AS ni
+           FROM sh a JOIN sh b ON a.s = b.s
+             AND a.doc_id % 10 = 7
+             AND (b.doc_id % 10 <> 7 OR b.doc_id < a.doc_id)
+           GROUP BY 1, 2),
+         j AS (SELECT new_id, match_id FROM inter
+           JOIN counts ca ON ca.doc_id = new_id
+           JOIN counts cb ON cb.doc_id = match_id
+           WHERE 10 * least(ca.n, cb.n) >= 3 * greatest(ca.n, cb.n)
+             AND 13 * ni >= 3 * (ca.n + cb.n)),
+         agg AS (SELECT new_id,
+             sum(CASE WHEN match_id % 10 <> 7 THEN 1 ELSE 0 END)
+               AS n_corpus,
+             sum(CASE WHEN match_id % 10 <> 7 THEN match_id ELSE 0 END)
+               AS corpus_key_sum,
+             sum(CASE WHEN match_id % 10 = 7 THEN 1 ELSE 0 END)
+               AS n_batch_prior
+           FROM j GROUP BY 1)
+         SELECT c.doc_id AS new_id,
+           coalesce(n_corpus, 0)::BIGINT AS n_corpus,
+           coalesce(corpus_key_sum, 0)::BIGINT AS corpus_key_sum,
+           coalesce(n_batch_prior, 0)::BIGINT AS n_batch_prior,
+           CAST(coalesce(n_corpus, 0) = 0 AND
+             coalesce(n_batch_prior, 0) = 0 AS INT) AS admitted
+         FROM counts c LEFT JOIN agg ON agg.new_id = c.doc_id
+         WHERE c.doc_id % 10 = 7 ORDER BY new_id""",
       "tx6_chunk_windows" ->
         """WITH d AS (SELECT doc_id,
              string_split_regex(trim(text), '\s+') AS toks
