@@ -115,4 +115,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(ex == 3, s"expected 3 exchanges, got $ex:\n" +
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
+
+  test("ann6 PQ: top-5 rides a PARTIAL WindowGroupLimit before the " +
+    "shuffle and the codebook/distance-table joins broadcast") {
+    val p = plan("ann6_pq_adc")
+    // two-phase top-k: per-partition group limit, exchange, final —
+    // without it the rank<=5 filter shuffles corpus × queries rows
+    assert(count(p, "\\(\\d+\\) WindowGroupLimit") >= 2,
+      s"expected partial+final WindowGroupLimit:\n" +
+        p.linesIterator.filter(_.contains("Window")).mkString("\n"))
+    // the corpus side must never sort-merge against codebooks/queries
+    assert(!p.contains("SortMergeJoin"),
+      "PQ joins must broadcast, not shuffle the corpus")
+    assert(count(p, "BroadcastExchange") >= 2)
+  }
 }
