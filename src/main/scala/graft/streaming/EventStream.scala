@@ -84,6 +84,32 @@ object EventStream {
         col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"))
   }
 
+  /** LEFT OUTER stream-stream interval join — [[followupJoin]] plus
+    * the semantics a batch left join can't give an endless feed: a
+    * click with NO purchase in its window must still be emitted, but
+    * only once the engine can PROVE no match is coming — i.e. when
+    * the watermark passes the end of the click's join window. Until
+    * then the click sits in state; after, it emits with null
+    * purchase columns and its state is evicted. Same state bound as
+    * the inner form (both sides watermarked, time-range condition);
+    * the null rows simply ride the state-eviction sweep, so
+    * outer-join results lag the watermark by design — the test
+    * advances the watermark explicitly to observe it.
+    */
+  def followupJoinLeft(clicks: DataFrame,
+      purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "30 minutes")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("c_uid"), col("ts").as("c_ts"))
+    val p = purchases.withWatermark("ts", "30 minutes")
+      .select(col("user_id").as("p_uid"), col("ts").as("p_ts"))
+    c.join(p,
+      col("c_uid") === col("p_uid") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"),
+      "leftOuter")
+  }
+
   /** Custom keyed state via mapGroupsWithState: running per-user event
     * counter with processing-time timeout — the pattern for state the
     * built-in windows can't express (T4's resume-state analog).

@@ -225,6 +225,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("followupJoinLeft emits unmatched clicks with nulls ONLY " +
+    "after the watermark proves no purchase can arrive") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = followupJoinLeft(clicks.toDF(), purchases.toDF())
+      .select(col("click_id"), col("p_ts"))
+      .writeStream.format("memory").queryName("followups_left")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        Event(1, ts(0), 7, "click", 1.0), // will match
+        Event(2, ts(0), 8, "click", 1.0)) // never matches
+      purchases.addData(Event(10, ts(5), 7, "purchase", 9.0))
+      q.processAllAvailable()
+      val early = spark.table("followups_left").collect()
+        .map(r => (r.getLong(0), Option(r.getTimestamp(1))))
+      // matched row emits promptly; the unmatched click must NOT have
+      // emitted a null row yet — no proof that nothing is coming
+      assert(early.toSeq == Seq((1L, Some(ts(5)))))
+      // advance both watermarks far past click 2's join window
+      // (watermark = max event ts - 30 min > ts(0) + 10 min)
+      clicks.addData(Event(3, ts(120), 9, "click", 1.0))
+      purchases.addData(Event(11, ts(120), 9, "purchase", 9.0))
+      q.processAllAvailable()
+      val late = spark.table("followups_left").collect()
+        .map(r => (r.getLong(0), Option(r.getTimestamp(1)))).toSet
+      // click 2 has now been evicted from state as a null-padded row
+      assert(late.contains((2L, None)), late.toString)
+    } finally q.stop()
+  }
+
   test("mergeSink applies last-write-wins per micro-batch (K5 " +
     "streaming twin); replay-idempotent") {
     implicit val sqlCtx = spark.sqlContext
