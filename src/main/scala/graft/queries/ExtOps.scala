@@ -405,6 +405,60 @@ object ExtOps {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // PageRank (2 unrolled power-iteration rounds, damping 0.85) over
+    // the part↔supplier bipartite graph induced by lineitem — the
+    // iterative-graph workload shape alongside ConnectedComponents.
+    // All arithmetic is FIXED-POINT nano-units (bigint DIV/mul only):
+    // rank mass, per-edge contributions r DIV deg, and the damped
+    // update base + (17·s) DIV 20 are integer ops both engines
+    // evaluate bit-identically — no float summation order to pin at
+    // all (the same motivation as dd10's integer jaccard). Scale
+    // shape per round: one join of the edge list against the compact
+    // (node, rank) frame + one groupBy on dst — the canonical
+    // edge-partitioned PageRank; the rank frame stays N rows, the
+    // edge frame is persisted once and reread per round. Node ids:
+    // part p -> 2p, supplier s -> 2s+1 (disjoint key space, SQL-
+    // replayable).
+    "xg1_pagerank" -> ((s, dir) => {
+      val SCALE = 1000000000L
+      val l = t(s, dir, "lineitem")
+      val fwd = l.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      val rev = l.select((col("l_suppkey") * 2 + 1).as("src"),
+        (col("l_partkey") * 2).as("dst"))
+      val edges = fwd.union(rev).distinct()
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val withDeg = graft.operators.ManagedCache.persist(
+        edges.join(deg, Seq("src")))
+      val nn = deg.agg(count(lit(1)).as("n"))
+      val r0 = deg.select(col("src").as("node_id"))
+        .crossJoin(broadcast(nn))
+        .select(col("node_id"),
+          call_function("div", lit(SCALE), col("n")).as("r"))
+      def step(r: DataFrame): DataFrame =
+        withDeg.join(r.withColumnRenamed("node_id", "src"), Seq("src"))
+          .select(col("dst"),
+            call_function("div", col("r"), col("deg")).as("contrib"))
+          .groupBy(col("dst")).agg(sum(col("contrib")).as("sv"))
+          .crossJoin(broadcast(nn))
+          .select(col("dst").as("node_id"),
+            (call_function("div", lit(3L) * lit(SCALE),
+              lit(20L) * col("n")) +
+              call_function("div", lit(17L) * col("sv"), lit(20L)))
+              .as("r"))
+      val r2 = step(step(r0))
+      val top = r2.orderBy(col("r").desc, col("node_id")).limit(20)
+      top.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("r").desc, col("node_id"))))
+        .select(col("rank"),
+          when(pmod(col("node_id"), lit(2)) === 0, lit("part"))
+            .otherwise(lit("supplier")).as("node_type"),
+          call_function("div", col("node_id"), lit(2L)).as("orig_key"),
+          col("r").as("rank_nano"))
+        .orderBy(col("rank"))
+    }),
+
     // 2D skyline (Pareto front: minimize price, maximize size) — the
     // Spark-SQL skyline operator of Integration of Skyline Queries
     // into Spark SQL (EDBT'23, PAPERS.md). The naive dominance test is
@@ -716,6 +770,41 @@ object ExtOps {
            row_number() OVER (PARTITION BY query_id
              ORDER BY adist_micros, neighbor_id) AS rank FROM ad)
        WHERE rank <= 5 ORDER BY query_id, rank""",
+    // both rounds replayed in the same fixed-point bigint arithmetic;
+    // sums cast back to BIGINT (DuckDB sum yields HUGEINT, which the
+    // compare would render as float)
+    "xg1_pagerank" ->
+      """WITH e AS (
+           SELECT l_partkey*2 AS src, l_suppkey*2+1 AS dst
+           FROM lineitem
+           UNION
+           SELECT l_suppkey*2+1 AS src, l_partkey*2 AS dst
+           FROM lineitem),
+         deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         nn AS (SELECT count(*) AS n FROM deg),
+         r0 AS (SELECT src AS node_id, 1000000000 // n AS r
+           FROM deg, nn),
+         s1 AS (SELECT e.dst AS node_id,
+             CAST(sum(r0.r // deg.deg) AS BIGINT) AS sv
+           FROM e JOIN r0 ON r0.node_id = e.src
+           JOIN deg ON deg.src = e.src GROUP BY 1),
+         r1 AS (SELECT node_id,
+             (3::BIGINT * 1000000000) // (20*n) + (17*sv) // 20 AS r
+           FROM s1, nn),
+         s2 AS (SELECT e.dst AS node_id,
+             CAST(sum(r1.r // deg.deg) AS BIGINT) AS sv
+           FROM e JOIN r1 ON r1.node_id = e.src
+           JOIN deg ON deg.src = e.src GROUP BY 1),
+         r2 AS (SELECT node_id,
+             (3::BIGINT * 1000000000) // (20*n) + (17*sv) // 20 AS r
+           FROM s2, nn)
+       SELECT rank, node_type, orig_key, rank_nano FROM (
+         SELECT row_number() OVER (ORDER BY r DESC, node_id) AS rank,
+           CASE WHEN node_id % 2 = 0 THEN 'part'
+             ELSE 'supplier' END AS node_type,
+           node_id // 2 AS orig_key, r AS rank_nano
+         FROM r2)
+       WHERE rank <= 20 ORDER BY rank""",
     "xj4_range_join" ->
       """SELECT o_orderkey, count(*) AS n_pts,
          round(sum(l_quantity), 2) AS sum_qty
