@@ -49,6 +49,59 @@ object TimeSeries {
         .orderBy(col("user_id"), col("hour"))
     }),
 
+    // Hourly resample + LINEAR interpolation — ts1's other standard
+    // fill mode: each missing hour takes
+    //   v0 + (v1 - v0) · (h - h0) / (h1 - h0)
+    // between its last known (h0, v0) and next known (h1, v1). The
+    // spine is bounded by each user's min/max event hour, so interior
+    // nulls ALWAYS have both neighbours — no edge policy needed.
+    // Numerics: values ride integer cents (ts2's discipline), the
+    // interpolant is integer milli-cents with ONE floor of a double
+    // quotient whose operands are exact small integers — bit-identical
+    // IEEE in both engines, no rounding-mode or summation-order risk
+    // (integer DIV would differ on negative deltas: Spark truncates,
+    // DuckDB floors — floor() sidesteps that trap explicitly). Both
+    // lookback and lookahead windows share ONE partition sort.
+    "ts4_resample_interp" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val hourly = e
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .agg(max(struct(col("ts"), col("event_id"), col("value")))
+          .as("last"))
+        .select(col("user_id"), col("h"),
+          round(col("last.value") * 100).cast("long").as("vc"))
+      val spine = e.groupBy(col("user_id"))
+        .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"),
+            expr("INTERVAL 1 HOUR"))).as("h"))
+      val wPrev = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val hi = call_function("div", unix_micros(col("h")),
+        lit(3600000000L))
+      spine.join(hourly, Seq("user_id", "h"), "left")
+        .withColumn("hi", hi)
+        .withColumn("v0", last(col("vc"), ignoreNulls = true).over(wPrev))
+        .withColumn("p0", last(when(col("vc").isNotNull, col("hi")),
+          ignoreNulls = true).over(wPrev))
+        .withColumn("v1", first(col("vc"), ignoreNulls = true).over(wNext))
+        .withColumn("p1", first(when(col("vc").isNotNull, col("hi")),
+          ignoreNulls = true).over(wNext))
+        .select(col("user_id"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          when(col("vc").isNotNull, col("vc") * 1000)
+            .otherwise(col("v0") * 1000 +
+              floor(((col("v1") - col("v0")) * 1000 *
+                (col("hi") - col("p0"))).cast("double") /
+                (col("p1") - col("p0")).cast("double")).cast("long"))
+            .as("value_milli_cents"),
+          col("vc").isNull.cast("int").as("filled"))
+        .orderBy(col("user_id"), col("hour"))
+    }),
+
     // Range-frame rolling aggregates: count + avg of each user's
     // events in the hour BEFORE each event (inclusive), keyed on
     // epoch microseconds so both engines bound the frame identically
@@ -128,6 +181,44 @@ object TimeSeries {
            CAST(v IS NULL AS INT) AS filled
          FROM spine s LEFT JOIN hourly USING (user_id, h)
          ORDER BY user_id, hour""",
+    // same spine; the interpolant's floor(double quotient) replays
+    // bit-identically (operands are exact small integers)
+    "ts4_resample_interp" ->
+      """WITH hourly AS (
+           SELECT user_id, h, CAST(round(value*100) AS BIGINT) AS vc
+           FROM (
+             SELECT user_id, date_trunc('hour', ts) AS h, value,
+               row_number() OVER (PARTITION BY user_id,
+                 date_trunc('hour', ts)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events) WHERE rn = 1),
+         bounds AS (SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1
+           FROM events GROUP BY 1),
+         spine AS (SELECT user_id, unnest(generate_series(h0, h1,
+             INTERVAL 1 HOUR)) AS h FROM bounds),
+         j AS (SELECT s.user_id, s.h,
+             epoch_us(s.h) // 3600000000 AS hi, vc
+           FROM spine s LEFT JOIN hourly USING (user_id, h)),
+         w AS (SELECT user_id, h, hi, vc,
+             last_value(vc IGNORE NULLS) OVER wp AS v0,
+             last_value(CASE WHEN vc IS NOT NULL THEN hi END
+               IGNORE NULLS) OVER wp AS p0,
+             first_value(vc IGNORE NULLS) OVER wn AS v1,
+             first_value(CASE WHEN vc IS NOT NULL THEN hi END
+               IGNORE NULLS) OVER wn AS p1
+           FROM j
+           WINDOW wp AS (PARTITION BY user_id ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wn AS (PARTITION BY user_id ORDER BY h
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           CASE WHEN vc IS NOT NULL THEN vc * 1000
+             ELSE v0 * 1000 + CAST(floor(
+               ((v1 - v0) * 1000 * (hi - p0))::DOUBLE / (p1 - p0))
+               AS BIGINT) END AS value_milli_cents,
+           CAST(vc IS NULL AS INT) AS filled
+         FROM w ORDER BY user_id, hour""",
     "ts2_rolling_window" ->
       """SELECT event_id, user_id,
          count(*) OVER w AS n_1h,
