@@ -405,6 +405,48 @@ object ExtOps {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Semantic deduplication (SemDeDup, Abbas et al. 2023): the
+    // embedding-space sibling of the MinHash pipelines — k-means cells
+    // (ann4's trained clustering, 2 pinned Lloyd rounds) bound the
+    // pair space, then cosine near-dups are found ONLY within each
+    // cell and every vector with a smaller-id similar neighbour in
+    // its cell is dropped (one-pass keep-first policy; chains keep
+    // their global minimum transitively at the next pass, as in the
+    // paper's iterated variant). At 100 TB: the pairwise step is
+    // per-cell O(Σ cᵢ²) instead of corpus² — the cell count is the
+    // knob — and cells come from the broadcast-centroid assign, so
+    // the only shuffles are the cell self-join key and the recompute
+    // step inside training. Cross-cell near-dups are missed BY
+    // DESIGN (the paper's approximation); the oracle replays the
+    // same cell-restricted pipeline, so the hash still pins every
+    // computed value.
+    "dd15_semantic_dedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val cells = graft.operators.ManagedCache.persist(
+        assignCells(e, kmeansCentroids(e))
+          .select(col("vec_id"), col("embedding"), col("cl")))
+      val sim = cells.as("a").join(cells.as("b"),
+          col("a.cl") === col("b.cl") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+          round(graft.functions.SimilarityFunctions
+            .cosine(col("a.embedding"), col("b.embedding")), 5)
+            .as("cos"))
+        .filter(col("cos") >= 0.45)
+      val drops = sim.groupBy(col("vb").as("vec_id"))
+        .agg(min(col("va")).as("kept_as"),
+          count(lit(1)).as("n_similar_prior"))
+      cells.select(col("vec_id"), col("cl").as("cell"))
+        .join(drops, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          col("kept_as").isNotNull.cast("int").as("dropped"),
+          coalesce(col("kept_as"), col("vec_id")).as("kept_as"),
+          coalesce(col("n_similar_prior"), lit(0L))
+            .as("n_similar_prior"))
+        .orderBy(col("vec_id"))
+    }),
+
     // PageRank (2 unrolled power-iteration rounds, damping 0.85) over
     // the part↔supplier bipartite graph induced by lineitem — the
     // iterative-graph workload shape alongside ConnectedComponents.
@@ -770,6 +812,24 @@ object ExtOps {
            row_number() OVER (PARTITION BY query_id
              ORDER BY adist_micros, neighbor_id) AS rank FROM ad)
        WHERE rank <= 5 ORDER BY query_id, rank""",
+    // the same kmeans CTE prefix as ann4/ann5, then cell-restricted
+    // cosine pairs and the keep-first drop policy
+    "dd15_semantic_dedup" ->
+      s"""$kmeansCteSql,
+       cp AS (SELECT x.vec_id AS va, y.vec_id AS vb,
+           round(list_cosine_similarity(ex.v, ey.v), 5) AS cos
+         FROM a3 x JOIN a3 y ON x.cl = y.cl AND x.vec_id < y.vec_id
+         JOIN e ex ON ex.vec_id = x.vec_id
+         JOIN e ey ON ey.vec_id = y.vec_id),
+       drops AS (SELECT vb AS vec_id, min(va) AS kept_as,
+           count(*) AS n_similar_prior
+         FROM cp WHERE cos >= 0.45 GROUP BY 1)
+       SELECT a3.vec_id, a3.cl AS cell,
+         CAST(d.kept_as IS NOT NULL AS INT) AS dropped,
+         coalesce(d.kept_as, a3.vec_id) AS kept_as,
+         coalesce(d.n_similar_prior, 0)::BIGINT AS n_similar_prior
+       FROM a3 LEFT JOIN drops d ON d.vec_id = a3.vec_id
+       ORDER BY a3.vec_id""",
     // both rounds replayed in the same fixed-point bigint arithmetic;
     // sums cast back to BIGINT (DuckDB sum yields HUGEINT, which the
     // compare would render as float)
