@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** MERGE-style upsert library implementing the reference's four sink
@@ -98,5 +99,31 @@ object Upsert {
       .agg(max(struct(ordFields.map(col): _*)).as("__m"))
       .select(df.columns.toSeq.map(c =>
         if (keys.contains(c)) col(c) else col(s"__m.$c").as(c)): _*)
+  }
+
+  /** SCD type-2 history from a change log (K6): collapse consecutive
+    * identical attribute values per key (only ACTUAL changes open a
+    * version) and assign [valid_from, valid_to) validity intervals —
+    * valid_to = the next version's valid_from, null while current.
+    * The change-detect and interval windows share one partition key,
+    * so the whole build is a single shuffle on `keyCol` with two
+    * in-partition sorts (the second over the collapsed — much
+    * smaller — row set). Null-safe on the attribute (`<=>`), and the
+    * caller supplies an integer event-time column (`usCol`, e.g.
+    * unix_micros) plus a tie-break so the ordering is total and
+    * engine-portable (raw ns timestamps would order differently
+    * across engines).
+    */
+  def scd2FromLog(log: DataFrame, keyCol: String, attrCol: String,
+      usCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(usCol), col(tieCol))
+    log
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .filter(!(col("__prev") <=> col(attrCol)))
+      .withColumn("valid_to_us", lead(col(usCol), 1).over(w))
+      .select(col(keyCol), col(attrCol),
+        col(usCol).as("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.cast("int").as("is_current"))
   }
 }

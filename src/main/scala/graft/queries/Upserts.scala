@@ -109,6 +109,22 @@ object Upserts {
         .select(col("user_id"), col("event_type"), col("event_id"),
           round(col("value"), 6).as("value"))
         .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // K6 — SCD type-2 dimension history (the warehouse-side sink the
+    // reference's replace-style sinks can't express): each user's
+    // event-type stream becomes a versioned dimension — consecutive
+    // identical values collapse, every actual change opens a
+    // [valid_from, valid_to) version, the last version per key stays
+    // open. Ordering key = (unix_micros, event_id) in BOTH engines
+    // (events.ts is ns parquet; raw-ts order would diverge).
+    "k6_scd2_history" -> ((s, dir) => {
+      val log = t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("event_type"))
+      graft.operators.Upsert
+        .scd2FromLog(log, "user_id", "event_type", "us", "event_id")
+        .orderBy(col("user_id"), col("valid_from_us"))
     })
   )
 
@@ -162,6 +178,23 @@ object Upserts {
              PARTITION BY user_id, event_type
              ORDER BY ts DESC, event_id DESC) AS rn
            FROM events)
-         WHERE rn = 1 ORDER BY user_id, event_type"""
+         WHERE rn = 1 ORDER BY user_id, event_type""",
+    // change-detect (IS DISTINCT FROM lag) + interval assignment via
+    // lead over the collapsed rows — the same two-window build
+    "k6_scd2_history" ->
+      """WITH log AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+             event_type FROM events),
+         ch AS (SELECT user_id, us, event_id, event_type FROM (
+             SELECT *, lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY us, event_id) AS prev
+             FROM log)
+           WHERE prev IS DISTINCT FROM event_type),
+         v AS (SELECT user_id, event_type, us AS valid_from_us,
+             lead(us) OVER (PARTITION BY user_id
+               ORDER BY us, event_id) AS valid_to_us
+           FROM ch)
+         SELECT user_id, event_type, valid_from_us, valid_to_us,
+           CAST(valid_to_us IS NULL AS INT) AS is_current
+         FROM v ORDER BY user_id, valid_from_us"""
   )
 }

@@ -71,6 +71,26 @@ class UpsertIncrSpec extends SparkSpec {
     assert(out.toSeq == Seq(("j", "only"), ("k", "last")))
   }
 
+  test("K6 scd2FromLog: consecutive repeats collapse, changes open " +
+    "versions with adjoining intervals, last version stays current") {
+    // A,A,B,A — the repeat must NOT create a version; the A at t=40
+    // MUST (it differs from its predecessor B)
+    val log = Seq(
+      ("u1", 10L, 1L, "A"), ("u1", 20L, 2L, "A"),
+      ("u1", 30L, 3L, "B"), ("u1", 40L, 4L, "A"),
+      ("u2", 15L, 5L, "X"))
+      .toDF("key", "us", "eid", "attr")
+    val out = Upsert.scd2FromLog(log, "key", "attr", "us", "eid")
+      .orderBy("key", "valid_from_us").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getInt(4)))
+    assert(out.toSeq == Seq(
+      ("u1", "A", 10L, Some(30L), 0),
+      ("u1", "B", 30L, Some(40L), 0),
+      ("u1", "A", 40L, None, 1),
+      ("u2", "X", 15L, None, 1)))
+  }
+
   test("T1 watermarks: capture→commit keeps max per scope; re-commit " +
     "is a no-op; filter passes unseen scopes") {
     val batch1 = Seq(("f1", 100L), ("f1", 200L), ("f2", 50L))
