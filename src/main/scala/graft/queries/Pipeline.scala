@@ -120,6 +120,47 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // PII detection (px1's masking sibling): per-doc counts of
+    // email / phone / IPv4 / URL matches — pure regexp_count Column
+    // algebra, one scan, no shuffle before the output sort; at 100 TB
+    // this fuses into whatever scan already reads the text. The
+    // corpus is synthetic and PII-free (checked), so each doc plants
+    // a deterministic fixture set keyed on doc_id (mod-3/4/5/7
+    // schedule) — the oracle replays the planting AND the regexes,
+    // so a drifting pattern or count semantics breaks the hash.
+    // Patterns avoid lookaround so Java and RE2-style engines count
+    // identical non-overlapping matches.
+    "px5_pii_detect" -> ((s, dir) => {
+      val did = col("doc_id")
+      val body = concat_ws(" ",
+        substring(col("text"), 1, 80),
+        when(pmod(did, lit(3)) === 0, concat(lit("user"),
+          did.cast("string"), lit("@example.com"))),
+        when(pmod(did, lit(4)) === 0, concat(lit("+1-555-"),
+          lpad(pmod(did, lit(10000)).cast("string"), 4, "0"))),
+        when(pmod(did, lit(5)) === 0, concat(lit("10."),
+          pmod(did, lit(256)).cast("string"), lit(".0.1"))),
+        when(pmod(did, lit(7)) === 0, concat(lit("https://ex.org/d"),
+          did.cast("string"))))
+      t(s, dir, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id"), body.as("body"))
+        .select(col("doc_id"),
+          regexp_count(col("body"),
+            lit("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"))
+            .cast("long").as("n_email"),
+          regexp_count(col("body"), lit("\\+1-555-[0-9]{4}"))
+            .cast("long").as("n_phone"),
+          regexp_count(col("body"),
+            lit("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"))
+            .cast("long").as("n_ipv4"),
+          regexp_count(col("body"), lit("https://[a-z0-9./]+"))
+            .cast("long").as("n_url"))
+        .withColumn("has_pii",
+          (col("n_email") + col("n_phone") + col("n_ipv4") +
+            col("n_url") > 0).cast("int"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Benchmark decontamination: flag training docs whose 5-gram
     // overlap with the eval set (here: doc_id < 10 as the stand-in
     // benchmark) exceeds 50%. The eval gram set is tiny relative to
@@ -477,6 +518,37 @@ object Pipeline {
          FROM (SELECT len(string_split_regex(trim(text), '\s+')) AS nt
            FROM documents)
          GROUP BY 1 ORDER BY bucket""",
+    // replants the same fixtures and counts with regexp_extract_all
+    "px5_pii_detect" ->
+      """WITH b AS (SELECT doc_id, concat_ws(' ', substr(text, 1, 80),
+           CASE WHEN doc_id % 3 = 0
+             THEN 'user' || doc_id || '@example.com' END,
+           CASE WHEN doc_id % 4 = 0 THEN '+1-555-' ||
+             lpad((doc_id % 10000)::VARCHAR, 4, '0') END,
+           CASE WHEN doc_id % 5 = 0
+             THEN '10.' || (doc_id % 256) || '.0.1' END,
+           CASE WHEN doc_id % 7 = 0
+             THEN 'https://ex.org/d' || doc_id END) AS body
+         FROM documents WHERE doc_id < 500)
+       SELECT doc_id,
+         len(regexp_extract_all(body,
+           '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))::BIGINT
+           AS n_email,
+         len(regexp_extract_all(body, '\+1-555-[0-9]{4}'))::BIGINT
+           AS n_phone,
+         len(regexp_extract_all(body,
+           '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))::BIGINT
+           AS n_ipv4,
+         len(regexp_extract_all(body, 'https://[a-z0-9./]+'))::BIGINT
+           AS n_url,
+         CAST(len(regexp_extract_all(body,
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) +
+           len(regexp_extract_all(body, '\+1-555-[0-9]{4}')) +
+           len(regexp_extract_all(body,
+             '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) +
+           len(regexp_extract_all(body, 'https://[a-z0-9./]+')) > 0
+           AS INT) AS has_pii
+       FROM b ORDER BY doc_id""",
     // the oracle computes the same running sum with a plain window —
     // the distributed two-pass result must be bit-identical
     "px4_pack_sequences" ->
