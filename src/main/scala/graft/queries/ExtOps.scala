@@ -377,7 +377,7 @@ object ExtOps {
         .agg(transform(
           array_sort(collect_list(struct(col("m"), col("cl")))),
           x => x.getField("cl")).as("codes"))
-      val dtab = pqSubvectors(e.filter(col("vec_id") < 5))
+      val dtab = sub.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("m"),
           col("sv").as("qsv"))
         .join(broadcast(cb), Seq("m"))
@@ -426,14 +426,18 @@ object ExtOps {
       val cells = graft.operators.ManagedCache.persist(
         assignCells(e, kmeansCentroids(e))
           .select(col("vec_id"), col("embedding"), col("cl")))
+      // the cosine threshold rides the join condition as its LAST
+      // conjunct (never a post-join filter): Catalyst would push a
+      // filter into the join AHEAD of the cheap id inequality, paying
+      // the 64-dim cosine on self-pairs and both orientations —
+      // >2× the dominant cost (same trap as dd8's levenshtein)
       val sim = cells.as("a").join(cells.as("b"),
           col("a.cl") === col("b.cl") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-          round(graft.functions.SimilarityFunctions
-            .cosine(col("a.embedding"), col("b.embedding")), 5)
-            .as("cos"))
-        .filter(col("cos") >= 0.45)
+            col("a.vec_id") < col("b.vec_id") &&
+            round(graft.functions.SimilarityFunctions
+              .cosine(col("a.embedding"), col("b.embedding")), 5)
+              >= 0.45)
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
       val drops = sim.groupBy(col("vb").as("vec_id"))
         .agg(min(col("va")).as("kept_as"),
           count(lit(1)).as("n_similar_prior"))
@@ -469,7 +473,11 @@ object ExtOps {
       val rev = l.select((col("l_suppkey") * 2 + 1).as("src"),
         (col("l_partkey") * 2).as("dst"))
       val edges = fwd.union(rev).distinct()
-      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      // deg is read by withDeg, the r0 node spine, AND (via nn) all
+      // three rank updates — persist it or the edge-dedup shuffle
+      // reruns per consumer
+      val deg = graft.operators.ManagedCache.persist(
+        edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
       val withDeg = graft.operators.ManagedCache.persist(
         edges.join(deg, Seq("src")))
       val nn = deg.agg(count(lit(1)).as("n"))

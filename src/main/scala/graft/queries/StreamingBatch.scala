@@ -146,21 +146,21 @@ object StreamingBatch {
            -- CAST: DuckDB window sum() yields HUGEINT, which pandas
            -- renders float64 (1.0 vs Spark's bigint 1) → hash mismatch.
            SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
-             ORDER BY ts, event_id) AS BIGINT) AS session_id
+             ORDER BY epoch_us(ts), event_id) AS BIGINT) AS session_id
            FROM (
              SELECT *, CASE WHEN prev_ts IS NULL THEN 1
                WHEN date_diff('second', prev_ts, ts) > 1800 THEN 1
                ELSE 0 END AS new_session
              FROM (
                SELECT *, lag(ts) OVER (PARTITION BY user_id
-                 ORDER BY ts, event_id) AS prev_ts
+                 ORDER BY epoch_us(ts), event_id) AS prev_ts
                FROM events)))
          GROUP BY user_id, session_id ORDER BY user_id, session_id""",
     "st4_stream_dedup" ->
       """SELECT user_id, event_type, event_id AS first_event_id,
          strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
          FROM (SELECT *, row_number() OVER (PARTITION BY user_id,
-             event_type ORDER BY ts, event_id) AS rn
+             event_type ORDER BY epoch_us(ts), event_id) AS rn
            FROM events)
          WHERE rn = 1 ORDER BY user_id, event_type""",
     "st5_stream_static_join" ->

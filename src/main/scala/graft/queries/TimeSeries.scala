@@ -165,7 +165,7 @@ object TimeSeries {
              SELECT user_id, date_trunc('hour', ts) AS h, value,
                row_number() OVER (PARTITION BY user_id,
                  date_trunc('hour', ts)
-                 ORDER BY ts DESC, event_id DESC) AS rn
+                 ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
              FROM events) WHERE rn = 1),
          bounds AS (SELECT user_id, date_trunc('hour', min(ts)) AS h0,
              date_trunc('hour', max(ts)) AS h1
@@ -190,7 +190,7 @@ object TimeSeries {
              SELECT user_id, date_trunc('hour', ts) AS h, value,
                row_number() OVER (PARTITION BY user_id,
                  date_trunc('hour', ts)
-                 ORDER BY ts DESC, event_id DESC) AS rn
+                 ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
              FROM events) WHERE rn = 1),
          bounds AS (SELECT user_id, date_trunc('hour', min(ts)) AS h0,
              date_trunc('hour', max(ts)) AS h1
@@ -235,11 +235,11 @@ object TimeSeries {
                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
                   > 14400000000::BIGINT THEN 1 ELSE 0 END AS new_session
            FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
          sess AS (
            SELECT user_id, ts,
              sum(new_session) OVER (PARTITION BY user_id
-               ORDER BY ts, event_id
+               ORDER BY epoch_us(ts), event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS session_id
            FROM marked)

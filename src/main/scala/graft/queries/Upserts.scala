@@ -124,7 +124,9 @@ object Upserts {
           col("event_id"), col("event_type"))
       graft.operators.Upsert
         .scd2FromLog(log, "user_id", "event_type", "us", "event_id")
-        .orderBy(col("user_id"), col("valid_from_us"))
+        // event_type makes the sort total: two same-microsecond
+        // changes share valid_from but adjacent versions always differ
+        .orderBy(col("user_id"), col("valid_from_us"), col("event_type"))
     })
   )
 
@@ -176,7 +178,7 @@ object Upserts {
          round(value,6) AS value FROM (
            SELECT *, row_number() OVER (
              PARTITION BY user_id, event_type
-             ORDER BY ts DESC, event_id DESC) AS rn
+             ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
            FROM events)
          WHERE rn = 1 ORDER BY user_id, event_type""",
     // change-detect (IS DISTINCT FROM lag) + interval assignment via
@@ -195,6 +197,6 @@ object Upserts {
            FROM ch)
          SELECT user_id, event_type, valid_from_us, valid_to_us,
            CAST(valid_to_us IS NULL AS INT) AS is_current
-         FROM v ORDER BY user_id, valid_from_us"""
+         FROM v ORDER BY user_id, valid_from_us, event_type"""
   )
 }

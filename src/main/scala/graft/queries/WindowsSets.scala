@@ -104,7 +104,7 @@ object WindowsSets {
     "w2_ordered_array" ->
       """SELECT user_id,
          string_agg(CAST(event_id AS VARCHAR), ','
-           ORDER BY ts, event_id) AS event_seq
+           ORDER BY epoch_us(ts), event_id) AS event_seq
          FROM events GROUP BY user_id ORDER BY user_id""",
     "w3_enumerate_index" ->
       """SELECT l_orderkey, l_linenumber,

@@ -116,6 +116,18 @@ class PlanShapeSpec extends SparkSpec {
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
+  test("dd15's join condition evaluates the id inequality before the " +
+    "64-dim cosine") {
+    val p = plan("dd15_semantic_dedup")
+    val cond = p.linesIterator.find(l => l.contains("Join condition") &&
+        l.contains("cosine_sim"))
+      .getOrElse(fail("no cosine join condition in plan"))
+    val cos = cond.indexOf("cosine_sim")
+    val cheap = cond.indexOf("<")
+    assert(cos >= 0 && cheap >= 0 && cheap < cos,
+      s"cosine must come after the cheap id inequality: $cond")
+  }
+
   test("ann6 PQ: top-5 rides a PARTIAL WindowGroupLimit before the " +
     "shuffle and the codebook/distance-table joins broadcast") {
     val p = plan("ann6_pq_adc")
