@@ -147,6 +147,48 @@ object Sketches {
         .orderBy(col("c_custkey"))
     }),
 
+    // Portable HyperLogLog (Flajolet et al. 2007) whose REGISTERS the
+    // oracle replays exactly — upgrading xs1's tolerance-flag check to
+    // a bit-exact sketch compare: md5-based 60-bit hash splits into a
+    // 6-bit register index and a 54-bit tail whose rank (leading-zero
+    // count + 1) both engines derive from length(bin(tail)) — integer
+    // string ops, no log2 floats. The harmonic-mean denominator
+    // Σ2^-M[j] is kept EXACT as the scaled integer Σ2^(55-M[j])
+    // (every term a power of two ≤ 2^54, sum < 2^61 — no float
+    // summation-order risk); the raw estimate divides once and rounds.
+    // No small-range correction (it needs ln; V is emitted so a caller
+    // can apply linear counting). Scale: one groupBy to 64·G register
+    // rows, mergeable map-side like any max-aggregate — the shape that
+    // replaces a 100 TB COUNT(DISTINCT) shuffle with O(64) state.
+    "xs6_hll_portable" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_type"), col("user_id"))
+      val h = SF.md5hash60(col("user_id").cast("string"))
+      val ranked = e.select(col("event_type"),
+          pmod(h, lit(64L)).cast("int").as("j"),
+          call_function("div", h, lit(64L)).as("rest"))
+        .select(col("event_type"), col("j"),
+          when(col("rest") === 0, lit(55))
+            .otherwise(lit(55) - length(bin(col("rest")))).as("rnk"))
+      val regs = ranked.groupBy(col("event_type"), col("j"))
+        .agg(max(col("rnk")).as("mreg"))
+      val sketch = regs.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_regs_hit"),
+          sum(col("j") * col("mreg")).cast("long").as("reg_checksum"),
+          sum(expr("CAST(pow(2, 55 - mreg) AS BIGINT)")).cast("long")
+            .as("s_scaled"))
+      val exact = e.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      sketch.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_regs_hit"),
+          (lit(64L) - col("n_regs_hit")).as("v_zero"),
+          col("reg_checksum"), col("s_scaled"),
+          round(lit(0.709) * 4096 * 36028797018963968.0 /
+            col("s_scaled").cast("double"), 3).as("est_hll"),
+          col("n_exact"))
+        .orderBy(col("event_type"))
+    }),
+
     // Two-pass heavy hitters: pass 1 is a Misra-Gries sketch (typed
     // Aggregator, capacity 15, O(k) memory, mergeable map-side like
     // any partial agg) whose candidate set provably SUPERSETS every
@@ -217,6 +259,34 @@ object Sketches {
        FROM tested""",
     // cell-for-cell CMS replay: same salted md5-60 buckets, same
     // depth-2 min — the estimate itself must match, not a tolerance
+    // registers, checksum, scaled denominator and raw estimate all
+    // replayed from the same md5 hash split
+    "xs6_hll_portable" ->
+      """WITH r AS (SELECT event_type,
+           ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % 64
+             AS j,
+           CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 15))
+               ::BIGINT // 64 = 0 THEN 55
+             ELSE 55 - length(bin(('0x' || substr(md5(
+               user_id::VARCHAR), 1, 15))::BIGINT // 64)) END AS rnk
+           FROM events),
+         regs AS (SELECT event_type, j, max(rnk) AS mreg
+           FROM r GROUP BY 1, 2),
+         sk AS (SELECT event_type,
+             count(*) AS n_regs_hit,
+             CAST(sum(j * mreg) AS BIGINT) AS reg_checksum,
+             CAST(sum(CAST(pow(2, 55 - mreg) AS BIGINT)) AS BIGINT)
+               AS s_scaled
+           FROM regs GROUP BY 1),
+         ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+           FROM events GROUP BY 1)
+         SELECT sk.event_type, n_regs_hit, 64 - n_regs_hit AS v_zero,
+           reg_checksum, s_scaled,
+           round(0.709::DOUBLE * 4096 * 36028797018963968::DOUBLE /
+             s_scaled::DOUBLE, 3) AS est_hll,
+           n_exact
+         FROM sk JOIN ex ON ex.event_type = sk.event_type
+         ORDER BY sk.event_type""",
     "xs5_count_min" ->
       """WITH k AS (SELECT o_custkey AS key FROM orders),
          c1 AS (SELECT ('0x' || substr(md5('c1:' ||
