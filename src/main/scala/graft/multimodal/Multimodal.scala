@@ -1009,4 +1009,78 @@ object Multimodal {
       lit("image").as("kind"),
       encode(col("text"), "UTF-8").as("payload"),
       concat(lit("synthetic://"), col("doc_id")).as("source_uri"))
+
+  // ---- JPEG marker-segment walk (mm10) ------------------------------
+
+  val jpegMetaSchema: StructType = StructType(Seq(
+    StructField("n_segments", IntegerType, nullable = false),
+    StructField("sof_marker", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_components", IntegerType, nullable = false),
+    StructField("header_bytes", IntegerType, nullable = false)))
+
+  /** REAL JPEG metadata decode (ITU T.81 §B): walk the
+    * marker-segment stream — SOI, then FF-prefixed segments each
+    * carrying a BIG-endian 2-byte length that includes itself (the
+    * third byte-layout family in this file after RIFF's LE chunks and
+    * GIF's sub-blocks) — collecting the frame geometry from
+    * SOF0/1/2 (precision, HEIGHT, WIDTH, components — height first,
+    * per spec) and stopping where entropy-coded data begins (after
+    * SOS) or at EOI. Standalone markers (TEM, RST0-7) carry no
+    * length. Truncated/garbage input degrades to the sentinel row,
+    * never a throw. `header_bytes` = bytes consumed to the stop
+    * point — the offset-accumulation invariant the oracle replays.
+    */
+  def jpegMeta(media: DataFrame): DataFrame =
+    mapMedia(media, jpegMetaSchema.fields.toSeq) { p =>
+      def u8(i: Int) = p(i) & 0xff
+      def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+      if (p == null || p.length < 4 || u8(0) != 0xff || u8(1) != 0xd8)
+        Iterator.single(Seq[Any](0, -1, -1, -1, -1, 0))
+      else {
+        var nSeg = 0; var sof = -1; var w = -1; var h = -1; var nc = -1
+        var o = 2
+        var stop = false
+        while (!stop && o + 1 < p.length && u8(o) == 0xff) {
+          val marker = u8(o + 1)
+          if (marker == 0xd9) { stop = true; o += 2 } // EOI
+          else if (marker == 0x01 ||
+              (marker >= 0xd0 && marker <= 0xd7)) o += 2 // standalone
+          else if (o + 3 >= p.length) stop = true // truncated length
+          else {
+            val len = be16(o + 2)
+            if (len < 2 || o + 2 + len > p.length) stop = true
+            else {
+              nSeg += 1
+              if (marker >= 0xc0 && marker <= 0xc2) { // SOF0/1/2
+                sof = marker
+                h = be16(o + 5); w = be16(o + 7); nc = u8(o + 9)
+              }
+              o += 2 + len
+              if (marker == 0xda) stop = true // SOS: entropy follows
+            }
+          }
+        }
+        Iterator.single(Seq[Any](nSeg, sof, w, h, nc, o))
+      }
+    }
+
+  /** Synthesis twin of [[jpegMeta]] in pure Column algebra: a
+    * structurally-real JPEG header stream — SOI, JFIF APP0, a
+    * VARIABLE-length COM segment (exercises the offset walk), a
+    * 1-component SOF0 with the given geometry, SOS, token entropy
+    * bytes, EOI. Walked header_bytes = 47 + comTextLen. */
+  def jpegSynth(hPx: Column, wPx: Column, comTextLen: Column): Column = {
+    val be2 = (v: Column) => lpad(hex(v), 4, "0")
+    unhex(concat(
+      lit("FFD8"),
+      lit("FFE00010" + "4A46494600" + "0101" + "00" + "00010001" +
+        "0000"),
+      lit("FFFE"), be2(comTextLen + 2),
+      call_function("repeat", lit("41"), comTextLen.cast("int")),
+      lit("FFC0000B08"), be2(hPx), be2(wPx), lit("01011100"),
+      lit("FFDA000801" + "0100" + "003F00"),
+      lit("ABCD"), lit("FFD9")))
+  }
 }

@@ -265,6 +265,26 @@ object Pipeline {
         .orderBy(col("media_id"))
     }),
 
+    // REAL JPEG marker-segment walk (ITU T.81 — the big-endian
+    // marker/length family, after RIFF-LE and GIF sub-blocks):
+    // synthesize structurally-real JPEG header streams with a
+    // VARIABLE-length COM segment, walk them with the real decoder
+    // (jpegMeta), and emit segment count, SOF kind, geometry and the
+    // consumed-byte offset. The oracle replays every field
+    // arithmetically — a mis-stepped offset, a missed standalone
+    // marker or swapped height/width (SOF stores HEIGHT first)
+    // breaks the hash.
+    "mm10_jpeg_metadata" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val h = lit(100) + pmod(col("doc_id"), lit(400))
+      val w = lit(64) + pmod(col("doc_id"), lit(256))
+      val comLen = lit(10) + pmod(col("doc_id"), lit(20))
+      val media = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          Multimodal.jpegSynth(h, w, comLen).as("payload"))
+      Multimodal.jpegMeta(media).orderBy(col("doc_id"))
+    }),
+
     // REAL GIF header round-trip (the image sibling of mm2): build
     // GIF89a logical-screen descriptors in-plan, parse them back with
     // the real decoder — version, LE dimensions, packed
@@ -614,6 +634,15 @@ object Pipeline {
          FROM documents ORDER BY doc_id""",
     // replays samples[i] = ((doc_id*131 + i*7) % 65536) - 2^16·[u>=2^15]
     // over 64 + doc_id % 64 samples per doc
+    // every field replays arithmetically from the synthesis layout:
+    // 4 segments (APP0, COM, SOF0, SOS), header = 47 + COM text len
+    "mm10_jpeg_metadata" ->
+      """SELECT doc_id, 4 AS n_segments, 192 AS sof_marker,
+           64 + doc_id % 256 AS width,
+           100 + doc_id % 400 AS height,
+           1 AS n_components,
+           47 + (10 + doc_id % 20) AS header_bytes
+         FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
     "mm9_wav_pcm" ->
       """WITH s AS (
            SELECT d.doc_id AS media_id,

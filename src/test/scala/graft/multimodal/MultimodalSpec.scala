@@ -494,4 +494,28 @@ class MultimodalSpec extends SparkSpec {
       .select("frame_index").collect().map(_.getInt(0)).sorted
     assert(idx.forall(_ % 2 == 0))
   }
+
+  test("jpegMeta walks a REAL ImageIO-encoded JPEG (geometry, SOF " +
+    "kind, height-first) and degrades on garbage") {
+    val img = new java.awt.image.BufferedImage(37, 23,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    val media = Seq(
+        (1L, "image", baos.toByteArray, "mem://jpg"),
+        (2L, "image", Array[Byte](1, 2, 3, 4), "mem://junk"))
+      .toDF("media_id", "kind", "payload", "source_uri")
+    val out = Multimodal.jpegMeta(media).orderBy("media_id").collect()
+    val r = out(0)
+    assert(r.getAs[Int]("width") == 37 && r.getAs[Int]("height") == 23)
+    // JDK writer emits baseline SOF0
+    assert(r.getAs[Int]("sof_marker") == 0xc0)
+    assert(r.getAs[Int]("n_components") == 3)
+    assert(r.getAs[Int]("n_segments") >= 4) // APP0+DQT+SOF+DHT+SOS
+    assert(r.getAs[Int]("header_bytes") > 0 &&
+      r.getAs[Int]("header_bytes") <= baos.size)
+    val junk = out(1)
+    assert(junk.getAs[Int]("n_segments") == 0 &&
+      junk.getAs[Int]("sof_marker") == -1)
+  }
 }
