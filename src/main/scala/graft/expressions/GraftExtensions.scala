@@ -39,6 +39,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extension: plans graft.plans.AsOfJoinNode onto
     // the native merge-scan AsOfJoinExec
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // optimizer extension: auto-band levenshtein(a,b) <= k predicates
+    // with the free |length(a)-length(b)| <= k short-circuit
+    ext.injectOptimizerRule(_ => graft.plans.BandLevenshtein)
   }
 }
 

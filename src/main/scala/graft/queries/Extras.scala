@@ -73,6 +73,24 @@ object Extras {
            FROM embeddings q JOIN embeddings e
              ON q.vec_id = 0 AND e.vec_id <> 0
            ORDER BY d2 ASC, neighbor_id LIMIT 15""")
+    }),
+
+    // The injected optimizer Rule (plans.BandLevenshtein) driven
+    // end to end: a NAIVE fuzzy self-join — levenshtein <= 2 with no
+    // hand-written banding — gets the free |Δlength| short-circuit
+    // added by the optimizer (PlanShapeSpec asserts the injected
+    // conjunct and its cheap-first position); the oracle checks the
+    // rewrite changed nothing semantically.
+    "sql4_auto_banded_lev" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_custkey") < 400)
+        .select(col("c_custkey"), lower(col("c_name")).as("nm"))
+      c.as("a").join(c.as("b"),
+          col("a.c_custkey") < col("b.c_custkey") &&
+            levenshtein(col("a.nm"), col("b.nm")) <= 2)
+        .select(col("a.c_custkey").as("id_a"),
+          col("b.c_custkey").as("id_b"),
+          levenshtein(col("a.nm"), col("b.nm")).cast("long").as("d"))
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -107,6 +125,16 @@ object Extras {
            AS d2
          FROM embeddings q JOIN embeddings e
            ON q.vec_id = 0 AND e.vec_id <> 0
-         ORDER BY d2 ASC, neighbor_id LIMIT 15"""
+         ORDER BY d2 ASC, neighbor_id LIMIT 15""",
+    // the un-banded definition: the optimizer rewrite must be
+    // semantically invisible
+    "sql4_auto_banded_lev" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+         levenshtein(lower(a.c_name), lower(b.c_name))::BIGINT AS d
+         FROM customer a JOIN customer b
+           ON a.c_custkey < b.c_custkey
+           AND levenshtein(lower(a.c_name), lower(b.c_name)) <= 2
+         WHERE a.c_custkey < 400 AND b.c_custkey < 400
+         ORDER BY id_a, id_b"""
   )
 }

@@ -128,6 +128,21 @@ class PlanShapeSpec extends SparkSpec {
       s"cosine must come after the cheap id inequality: $cond")
   }
 
+  test("sql4: BandLevenshtein injects the |Δlength| conjunct ahead " +
+    "of the naive levenshtein predicate") {
+    val p = plan("sql4_auto_banded_lev")
+    val cond = p.linesIterator.find(l => l.contains("Join condition") &&
+        l.contains("levenshtein"))
+      .getOrElse(fail("no levenshtein join condition in plan"))
+    val bandAt = cond.indexOf("abs(")
+    val levAt = cond.indexOf("levenshtein")
+    assert(bandAt >= 0, s"band conjunct not injected: $cond")
+    assert(bandAt < levAt,
+      s"band must short-circuit before levenshtein: $cond")
+    // injected exactly once (fixpoint-idempotent via the node tag)
+    assert(count(cond, "abs\\(") == 1, cond)
+  }
+
   test("ann6 PQ: top-5 rides a PARTIAL WindowGroupLimit before the " +
     "shuffle and the codebook/distance-table joins broadcast") {
     val p = plan("ann6_pq_adc")
