@@ -66,4 +66,41 @@ object IncrementalView {
       .distinct()
     refreshKeyed(materialized, view, keyCol, changedKeys)
   }
+
+  /** ADDITIVE delta merge — the rebuild-free maintenance shape for
+    * views whose measures are all sums/counts: when a batch carries
+    * per-key measure DELTAS (Δsum, Δcount — CDC old/new pairs reduce
+    * to this), the next view state is
+    *
+    *   next = materialized ⟕ deltaAgg  →  measure + coalesce(Δ, 0)
+    *
+    * — one broadcast left join, NO semi/anti rebuild and NO read of
+    * any fact table at all (contrast [[refreshKeyed]], which re-reads
+    * a batch-sized fact slice). This is the O(|batch|) refresh the
+    * self-maintainable-view literature promises for SUM/COUNT
+    * aggregates; it cannot express MIN/MAX retractions or key
+    * deletions — route those through [[refreshKeyed]].
+    *
+    * `deltaAgg` columns: `keyCol` plus `delta_<measure>` for each
+    * measure to adjust; keys absent from the view pass through as new
+    * rows ONLY if present — this variant asserts update-only batches
+    * (every delta key exists) because an insert also changes count
+    * semantics the caller must aggregate first.
+    */
+  def refreshAdditive(materialized: DataFrame, keyCol: String,
+      deltaAgg: DataFrame): DataFrame = {
+    val measures = deltaAgg.columns.filter(_.startsWith("delta_"))
+      .map(_.stripPrefix("delta_")).toSeq
+    require(measures.nonEmpty, "deltaAgg needs delta_<measure> columns")
+    val joined = materialized.join(
+      org.apache.spark.sql.functions.broadcast(deltaAgg),
+      Seq(keyCol), "left")
+    joined.select(materialized.columns.toSeq.map { c =>
+      if (measures.contains(c))
+        (col(c) + org.apache.spark.sql.functions
+          .coalesce(col(s"delta_$c"),
+            org.apache.spark.sql.functions.lit(0L))).as(c)
+      else col(c)
+    }: _*)
+  }
 }

@@ -553,6 +553,38 @@ object ExtOps {
         .orderBy(col("o_orderkey"))
     }),
 
+    // ADDITIVE-delta view maintenance — the rebuild-free sibling of
+    // xv1 for sum/count measures: the same per-order totals view,
+    // materialized at a deterministic t0 (quantity +10 where
+    // l_orderkey%100==0), then brought current by MERGING the batch's
+    // per-key Δsum directly into the materialized rows — ONE
+    // broadcast left join, no semi/anti rebuild, and NO fact-table
+    // read at refresh time (xv1 re-reads a batch-sized fact slice;
+    // this reads only the view). O(|batch|) refresh, the
+    // self-maintainable-aggregate shape. The oracle is the view over
+    // the CURRENT tables, so a wrong delta sign/scope breaks the
+    // hash. Plan-guarded: no semi/anti, delta join broadcast.
+    "xv2_incr_view_additive" -> ((s, dir) => {
+      def view(o: DataFrame, l: DataFrame): DataFrame =
+        o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey"), col("o_custkey"))
+          .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+            count(lit(1)).as("n_items"))
+      val o1 = t(s, dir, "orders")
+      val l1 = t(s, dir, "lineitem")
+      val l0 = l1.withColumn("l_quantity",
+        when(pmod(col("l_orderkey"), lit(100)) === 0,
+          col("l_quantity") + 10).otherwise(col("l_quantity")))
+      // CDC batch reduced to per-key measure deltas: every perturbed
+      // line contributes new - old = -10
+      val delta = l1.filter(pmod(col("l_orderkey"), lit(100)) === 0)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg((count(lit(1)) * lit(-10L)).as("delta_sum_qty"))
+      graft.operators.IncrementalView
+        .refreshAdditive(view(o1, l0), "o_orderkey", delta)
+        .orderBy(col("o_orderkey"))
+    }),
+
     "xq1_skyline" -> ((s, dir) => {
       val pts = t(s, dir, "part")
         .select(col("p_partkey"), col("p_retailprice").as("price"),
@@ -674,6 +706,14 @@ object ExtOps {
     // a correctly maintained view IS the view over the current
     // tables — the oracle computes that directly, no machinery
     "xv1_incr_view_multi" ->
+      """SELECT o_orderkey, o_custkey,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           count(*) AS n_items
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY 1, 2 ORDER BY o_orderkey""",
+    // additively maintained state must equal the view over the
+    // current tables — same oracle as xv1
+    "xv2_incr_view_additive" ->
       """SELECT o_orderkey, o_custkey,
            CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
            count(*) AS n_items

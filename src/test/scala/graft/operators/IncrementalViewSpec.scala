@@ -122,4 +122,26 @@ class IncrementalViewSpec extends SparkSpec {
         Seq(("a", 1)).toDF("id", "x"))
     }
   }
+
+  test("refreshAdditive merges per-key deltas; untouched keys and " +
+    "non-measure columns pass through; empty delta is identity") {
+    import spark.implicits._
+    val mat = Seq(("a", "x", 10L, 2L), ("b", "y", 5L, 1L))
+      .toDF("id", "tag", "sum_qty", "n_items")
+    val delta = Seq(("a", -3L)).toDF("id", "delta_sum_qty")
+    val out = IncrementalView.refreshAdditive(mat, "id", delta)
+      .orderBy("id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq ==
+      Seq(("a", "x", 7L, 2L), ("b", "y", 5L, 1L)))
+    val empty = Seq.empty[(String, Long)].toDF("id", "delta_sum_qty")
+    val same = IncrementalView.refreshAdditive(mat, "id", empty)
+      .orderBy("id").collect().map(_.toSeq)
+    assert(same.toSeq == mat.orderBy("id").collect().map(_.toSeq).toSeq)
+    intercept[IllegalArgumentException] {
+      IncrementalView.refreshAdditive(mat, "id",
+        Seq(("a", 1L)).toDF("id", "not_a_delta"))
+    }
+  }
 }

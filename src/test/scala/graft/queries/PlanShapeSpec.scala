@@ -128,6 +128,15 @@ class PlanShapeSpec extends SparkSpec {
       s"cosine must come after the cheap id inequality: $cond")
   }
 
+  test("xv2 additive refresh: no semi/anti rebuild, delta merged " +
+    "via broadcast left join") {
+    val p = plan("xv2_incr_view_additive")
+    assert(!p.contains("LeftSemi") && !p.contains("LeftAnti"),
+      "additive refresh must not rebuild")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("sql4: BandLevenshtein injects the |Δlength| conjunct ahead " +
     "of the naive levenshtein predicate") {
     val p = plan("sql4_auto_banded_lev")
