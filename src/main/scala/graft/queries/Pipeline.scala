@@ -88,6 +88,36 @@ object Pipeline {
         .orderBy(col("lang"), col("rk"))
     }),
 
+    // Data mixing toward a TARGET distribution — the step after
+    // sampling in a pretraining pipeline: rebalance the corpus to
+    // equal language shares at a 60% token budget. Per-language
+    // acceptance rates are integer per-mille computed from the
+    // (tiny, broadcast) language census — rate = min(1000,
+    // (3000·N) div (25·n_l)), i.e. budget·share/n_l in exact integer
+    // arithmetic — and membership is the sx1 salted-hash filter: the
+    // corpus itself is never shuffled, only scanned. Over-represented
+    // languages are downsampled toward the target; languages below
+    // their share pass whole (rate capped at 1000). The oracle
+    // replays census, rates and membership exactly.
+    "sx3_data_mixing" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+      val total = d.agg(count(lit(1)).as("n_total"))
+      val rates = counts.crossJoin(broadcast(total))
+        .select(col("lang"), col("n_l"),
+          least(lit(1000L), call_function("div",
+            lit(3000L) * col("n_total"), lit(25L) * col("n_l")))
+            .as("rate_mille"))
+      val sampled = d.join(broadcast(rates), Seq("lang"))
+        .filter(pmod(sampleHash("mix:", col("doc_id")), lit(1000L)) <
+          col("rate_mille"))
+      sampled.groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+        .join(rates, Seq("lang"))
+        .select(col("lang"), col("n_l"), col("rate_mille"),
+          col("n_sampled"))
+        .orderBy(col("lang"))
+    }),
+
     // Corpus token-length histogram (64-token buckets) — the length
     // distribution every data card reports; map-side partial agg on a
     // tiny key space.
@@ -538,6 +568,22 @@ object Pipeline {
          FROM (SELECT len(string_split_regex(trim(text), '\s+')) AS nt
            FROM documents)
          GROUP BY 1 ORDER BY bucket""",
+    // census → integer rates → salted-hash membership, all replayed
+    "sx3_data_mixing" ->
+      """WITH c AS (SELECT lang, count(*) AS n_l FROM documents
+           GROUP BY 1),
+         t AS (SELECT count(*) AS n_total FROM documents),
+         r AS (SELECT lang, n_l,
+             least(1000, (3000 * n_total) // (25 * n_l)) AS rate_mille
+           FROM c, t),
+         s AS (SELECT d.lang, count(*) AS n_sampled
+           FROM documents d JOIN r ON r.lang = d.lang
+           WHERE ('0x' || substr(md5('mix:' ||
+               CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 <
+             rate_mille
+           GROUP BY 1)
+         SELECT r.lang, n_l, rate_mille, n_sampled
+         FROM r JOIN s ON s.lang = r.lang ORDER BY r.lang""",
     // replants the same fixtures and counts with regexp_extract_all
     "px5_pii_detect" ->
       """WITH b AS (SELECT doc_id, concat_ws(' ', substr(text, 1, 80),
