@@ -164,6 +164,28 @@ object Relational {
         .orderBy(col("p_brand"))
     }),
 
+    // J13 — FULL OUTER join (reconciliation reporting: keys present
+    // on either side survive with nulls opposite), completing the
+    // join-type surface next to inner/left/semi/anti. Two disjointly
+    // filtered order slices ensure both null sides are exercised;
+    // a shuffled hash/sort-merge join at scale — full-outer cannot
+    // broadcast either side.
+    "j13_full_outer_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("uk"), col("o_totalprice")
+          .as("u_price"))
+      val big = o.filter(col("o_totalprice") > 250000.0)
+        .select(col("o_orderkey").as("bk"), col("o_orderstatus")
+          .as("b_status"))
+      urgent.join(big, col("uk") === col("bk"), "full_outer")
+        .select(coalesce(col("uk"), col("bk")).as("o_orderkey"),
+          col("u_price"), col("b_status"),
+          (col("uk").isNotNull && col("bk").isNotNull).cast("int")
+            .as("in_both"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // A1 — MAX(CASE WHEN idx=k THEN v END) pivot, the workhorse of every
     // CSV view (create_views.sql:309-323: 16 pivot columns keyed by
     // item_index). Explicit max(when(...)) per column keeps this a
@@ -281,6 +303,17 @@ object Relational {
          round(sum(l_extendedprice),2) AS sum_price
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand ORDER BY p_brand""",
+    "j13_full_outer_join" ->
+      """SELECT coalesce(u.uk, b.bk) AS o_orderkey, u.u_price,
+         b.b_status,
+         CAST(u.uk IS NOT NULL AND b.bk IS NOT NULL AS INT) AS in_both
+         FROM (SELECT o_orderkey AS uk, o_totalprice AS u_price
+           FROM orders WHERE o_orderpriority = '1-URGENT') u
+         FULL OUTER JOIN (SELECT o_orderkey AS bk,
+             o_orderstatus AS b_status
+           FROM orders WHERE o_totalprice > 250000.0) b
+           ON u.uk = b.bk
+         ORDER BY o_orderkey""",
     "a1_pivot_max_case" ->
       """SELECT l_orderkey,
          max(CASE WHEN l_linenumber=1 THEN l_quantity END) AS qty_1,

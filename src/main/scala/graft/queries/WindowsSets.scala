@@ -59,6 +59,26 @@ object WindowsSets {
         .select(col("o_orderkey"), col("o_totalprice"))
     }),
 
+    // W5 — rank-family window functions (ntile quartiles,
+    // percent_rank, cume_dist) per return flag: the BI/feature-
+    // binning surface W1-W4 doesn't cover. The float ranks are exact
+    // rationals ((rank-1)/(n-1), peers/n) both engines compute
+    // identically from the same total order; round(,9) guards the
+    // compare. One shuffle on the partition key.
+    "w5_rank_functions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"), col("l_orderkey"),
+          col("l_linenumber"))
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 200)
+        .select(col("l_returnflag"), col("l_orderkey"),
+          col("l_linenumber"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 9).as("pct_rank"),
+          round(cume_dist().over(w), 9).as("cdist"))
+        .orderBy(col("l_returnflag"), col("l_orderkey"),
+          col("l_linenumber"))
+    }),
+
     // U1 — UNION ALL of two branch scans
     // (_default_attachment_files.py:69).
     "u1_union_all" -> ((s, dir) => {
@@ -114,6 +134,15 @@ object WindowsSets {
     "w4_topk_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+    "w5_rank_functions" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber,
+         ntile(4) OVER w AS quartile,
+         round(percent_rank() OVER w, 9) AS pct_rank,
+         round(cume_dist() OVER w, 9) AS cdist
+         FROM lineitem WHERE l_orderkey < 200
+         WINDOW w AS (PARTITION BY l_returnflag
+           ORDER BY l_quantity, l_orderkey, l_linenumber)
+         ORDER BY l_returnflag, l_orderkey, l_linenumber""",
     "u1_union_all" ->
       """SELECT o_orderkey, 'open' AS src FROM orders
          WHERE o_orderstatus = 'O'
