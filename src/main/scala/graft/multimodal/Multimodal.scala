@@ -1043,6 +1043,9 @@ object Multimodal {
         var o = 2
         var stop = false
         while (!stop && o + 1 < p.length && u8(o) == 0xff) {
+          // optional fill bytes: any number of 0xFF may pad before a
+          // marker (T.81 B.1.1.2) — skip to the last FF of the run
+          while (o + 2 < p.length && u8(o + 1) == 0xff) o += 1
           val marker = u8(o + 1)
           if (marker == 0xd9) { stop = true; o += 2 } // EOI
           else if (marker == 0x01 ||
@@ -1053,8 +1056,9 @@ object Multimodal {
             if (len < 2 || o + 2 + len > p.length) stop = true
             else {
               nSeg += 1
-              if (marker >= 0xc0 && marker <= 0xc2) { // SOF0/1/2
-                sof = marker
+              // geometry needs 6 payload bytes past the length field
+              if (marker >= 0xc0 && marker <= 0xc2 && len >= 8) {
+                sof = marker // SOF0/1/2
                 h = be16(o + 5); w = be16(o + 7); nc = u8(o + 9)
               }
               o += 2 + len

@@ -82,16 +82,23 @@ object IncrementalView {
     * deletions — route those through [[refreshKeyed]].
     *
     * `deltaAgg` columns: `keyCol` plus `delta_<measure>` for each
-    * measure to adjust; keys absent from the view pass through as new
-    * rows ONLY if present — this variant asserts update-only batches
-    * (every delta key exists) because an insert also changes count
-    * semantics the caller must aggregate first.
+    * measure to adjust, and every `delta_<measure>` must name an
+    * existing view column (checked — a typo would otherwise silently
+    * apply no delta). This variant ASSUMES update-only batches: a
+    * delta key absent from the view is silently dropped by the left
+    * join (checking would force an eager action inside a lazy
+    * transform) — inserts and deletes change row membership and must
+    * route through [[refreshKeyed]].
     */
   def refreshAdditive(materialized: DataFrame, keyCol: String,
       deltaAgg: DataFrame): DataFrame = {
     val measures = deltaAgg.columns.filter(_.startsWith("delta_"))
       .map(_.stripPrefix("delta_")).toSeq
     require(measures.nonEmpty, "deltaAgg needs delta_<measure> columns")
+    val missing = measures.filterNot(materialized.columns.contains)
+    require(missing.isEmpty,
+      s"delta columns name no view measure: " +
+        missing.map("delta_" + _).mkString(", "))
     val joined = materialized.join(
       org.apache.spark.sql.functions.broadcast(deltaAgg),
       Seq(keyCol), "left")

@@ -22,6 +22,10 @@ import org.apache.spark.sql.catalyst.trees.TreeNodeTag
   * TreeNodeTag on the Levenshtein node (tags survive makeCopy /
   * transform), so the band is added exactly once. Only deterministic
   * operands are banded (Length would double-evaluate its child).
+  * A query that already carries its own equivalent band (dd8) pays
+  * one redundant O(chars) length() scan per surviving pair — noise
+  * next to the O(chars²) distance it guards; the rule cannot detect
+  * semantically-equivalent hand-written bands.
   * Semantics are unchanged: when either side is null both the original
   * predicate and the band are null, and And(null, null) = null; for
   * non-null inputs the band is implied by the predicate it guards.
@@ -33,13 +37,17 @@ object BandLevenshtein extends Rule[LogicalPlan] {
       k: Expression): Expression =
     LessThanOrEqual(Abs(Subtract(Length(l), Length(r))), k)
 
+  // ONLY the 2-arg form: levenshtein(a, b, t) returns the -1 sentinel
+  // when the distance exceeds t, so `lev(a,b,t) <= k` can be TRUE on
+  // pairs the length band rejects — banding the threshold form would
+  // change results (and it already early-exits internally anyway)
   private def bandify(cond: Expression): Expression = cond.transformUp {
-    case cmp @ LessThanOrEqual(lev @ Levenshtein(l, r, _), k)
+    case cmp @ LessThanOrEqual(lev @ Levenshtein(l, r, None), k)
         if lev.getTagValue(banded).isEmpty && k.foldable &&
           l.deterministic && r.deterministic =>
       lev.setTagValue(banded, true)
       And(band(l, r, k), cmp)
-    case cmp @ LessThan(lev @ Levenshtein(l, r, _), k)
+    case cmp @ LessThan(lev @ Levenshtein(l, r, None), k)
         if lev.getTagValue(banded).isEmpty && k.foldable &&
           l.deterministic && r.deterministic =>
       lev.setTagValue(banded, true)

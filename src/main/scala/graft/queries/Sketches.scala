@@ -176,15 +176,20 @@ object Sketches {
         .agg(count(lit(1)).as("n_regs_hit"),
           sum(col("j") * col("mreg")).cast("long").as("reg_checksum"),
           sum(expr("CAST(pow(2, 55 - mreg) AS BIGINT)")).cast("long")
-            .as("s_scaled"))
+            .as("s_hit"))
       val exact = e.groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_exact"))
+      // EVERY register participates in the harmonic mean — each of
+      // the 64 - hits empty registers contributes 2^-0 = 1, i.e.
+      // 2^55 scaled (omitting them inflates sparse estimates ~m/hits×)
+      val sFull = col("s_hit") +
+        (lit(64L) - col("n_regs_hit")) * lit(36028797018963968L)
       sketch.join(exact, Seq("event_type"))
         .select(col("event_type"), col("n_regs_hit"),
           (lit(64L) - col("n_regs_hit")).as("v_zero"),
-          col("reg_checksum"), col("s_scaled"),
+          col("reg_checksum"), sFull.as("s_scaled"),
           round(lit(0.709) * 4096 * 36028797018963968.0 /
-            col("s_scaled").cast("double"), 3).as("est_hll"),
+            sFull.cast("double"), 3).as("est_hll"),
           col("n_exact"))
         .orderBy(col("event_type"))
     }),
@@ -275,7 +280,8 @@ object Sketches {
          sk AS (SELECT event_type,
              count(*) AS n_regs_hit,
              CAST(sum(j * mreg) AS BIGINT) AS reg_checksum,
-             CAST(sum(CAST(pow(2, 55 - mreg) AS BIGINT)) AS BIGINT)
+             CAST(sum(CAST(pow(2, 55 - mreg) AS BIGINT)) +
+               (64 - count(*)) * 36028797018963968 AS BIGINT)
                AS s_scaled
            FROM regs GROUP BY 1),
          ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact

@@ -65,12 +65,8 @@ class CodecPropertySpec extends SparkSpec {
         alpha(rnd.nextInt(alpha.size)))
       (i.toLong, toks, pair._1, pair._2)
     }
-    val df = cases.map { case (i, toks, a, b) =>
-      (i, " " + toks.mkString("  ") + " ", a, b)
-    }.toDF("id", "spaced", "a", "b")
-    // per-case merge: pairs vary per row, so drive bpeMerge with the
-    // row's own literals via a small per-case plan (40 one-row ops
-    // would be slow; group by the 9 possible pairs instead)
+    // pairs vary per case but bpeMerge takes literal pair strings —
+    // group the cases by their 9 possible pairs, one plan per pair
     val byPair = cases.groupBy(c => (c._3, c._4))
     byPair.foreach { case ((a, b), cs) =>
       val sub = cs.map { case (i, toks, _, _) =>

@@ -518,4 +518,25 @@ class MultimodalSpec extends SparkSpec {
     assert(junk.getAs[Int]("n_segments") == 0 &&
       junk.getAs[Int]("sof_marker") == -1)
   }
+
+  test("jpegMeta: truncated SOF degrades (no throw), fill FF bytes " +
+    "before markers are skipped per T.81 B.1.1.2") {
+    // SOI + SOF0 claiming len=2 (no geometry payload): must not read
+    // past the end, and the short segment still counts
+    val truncated = Array(0xff, 0xd8, 0xff, 0xc0, 0x00, 0x02)
+      .map(_.toByte)
+    // SOI + fill FF + APP0(len=4) + EOI: the padding FF must not be
+    // parsed as a length-carrying 0xFF marker
+    val padded = Array(0xff, 0xd8, 0xff, 0xff, 0xe0, 0x00, 0x04,
+      0x00, 0x00, 0xff, 0xd9).map(_.toByte)
+    val media = Seq((1L, "image", truncated, "mem://trunc"),
+        (2L, "image", padded, "mem://fill"))
+      .toDF("media_id", "kind", "payload", "source_uri")
+    val out = Multimodal.jpegMeta(media).orderBy("media_id").collect()
+    assert(out(0).getAs[Int]("n_segments") == 1)
+    assert(out(0).getAs[Int]("sof_marker") == -1) // geometry unread
+    assert(out(0).getAs[Int]("width") == -1)
+    assert(out(1).getAs[Int]("n_segments") == 1) // APP0 found
+    assert(out(1).getAs[Int]("header_bytes") == padded.length)
+  }
 }

@@ -152,6 +152,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(cond, "abs\\(") == 1, cond)
   }
 
+  test("BandLevenshtein does NOT fire on the threshold form, whose " +
+    "-1 sentinel would break the band implication") {
+    import org.apache.spark.sql.functions.{col, levenshtein, lit, lower}
+    import spark.implicits._
+    // parquet-backed so the predicate can't constant-fold away
+    val c = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select(lower(col("c_name")).as("a"),
+        col("c_mktsegment").as("b"))
+    val p3 = c.filter(levenshtein(col("a"), col("b"), 3) <= lit(5))
+    assert(!p3.queryExecution.optimizedPlan.toString.contains("abs("),
+      "threshold-form levenshtein must not be banded")
+    // the 2-arg form still gets the band
+    val p2 = c.filter(levenshtein(col("a"), col("b")) <= lit(5))
+    assert(p2.queryExecution.optimizedPlan.toString.contains("abs("))
+    // semantics of the sentinel the rule must respect: lev(a,b,3)
+    // returns -1 past the threshold, so the naive band would drop
+    // rows the predicate keeps
+    val row = Seq(("x", "xxxxxxxxxx")).toDF("a", "b")
+      .filter(levenshtein(col("a"), col("b"), 3) <= lit(5))
+    assert(row.count() == 1)
+  }
+
   test("ann6 PQ: top-5 rides a PARTIAL WindowGroupLimit before the " +
     "shuffle and the codebook/distance-table joins broadcast") {
     val p = plan("ann6_pq_adc")
