@@ -161,37 +161,45 @@ object Sketches {
     // rows, mergeable map-side like any max-aggregate — the shape that
     // replaces a 100 TB COUNT(DISTINCT) shuffle with O(64) state.
     "xs6_hll_portable" -> ((s, dir) => {
-      val e = t(s, dir, "events")
+      // two scopes so the ORACLE exercises both register regimes:
+      // 'all' saturates all 64 registers; 'sparse' (user_id < 30)
+      // leaves most registers empty — the zero-register terms of the
+      // harmonic mean are load-bearing there
+      val base = t(s, dir, "events")
         .select(col("event_type"), col("user_id"))
+      val e = base.withColumn("scope", lit("all"))
+        .unionByName(base.filter(col("user_id") < 30)
+          .withColumn("scope", lit("sparse")))
       val h = SF.md5hash60(col("user_id").cast("string"))
-      val ranked = e.select(col("event_type"),
+      val ranked = e.select(col("scope"), col("event_type"),
           pmod(h, lit(64L)).cast("int").as("j"),
           call_function("div", h, lit(64L)).as("rest"))
-        .select(col("event_type"), col("j"),
+        .select(col("scope"), col("event_type"), col("j"),
           when(col("rest") === 0, lit(55))
             .otherwise(lit(55) - length(bin(col("rest")))).as("rnk"))
-      val regs = ranked.groupBy(col("event_type"), col("j"))
+      val regs = ranked.groupBy(col("scope"), col("event_type"),
+          col("j"))
         .agg(max(col("rnk")).as("mreg"))
-      val sketch = regs.groupBy(col("event_type"))
+      val sketch = regs.groupBy(col("scope"), col("event_type"))
         .agg(count(lit(1)).as("n_regs_hit"),
           sum(col("j") * col("mreg")).cast("long").as("reg_checksum"),
           sum(expr("CAST(pow(2, 55 - mreg) AS BIGINT)")).cast("long")
             .as("s_hit"))
-      val exact = e.groupBy(col("event_type"))
+      val exact = e.groupBy(col("scope"), col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_exact"))
       // EVERY register participates in the harmonic mean — each of
       // the 64 - hits empty registers contributes 2^-0 = 1, i.e.
       // 2^55 scaled (omitting them inflates sparse estimates ~m/hits×)
       val sFull = col("s_hit") +
         (lit(64L) - col("n_regs_hit")) * lit(36028797018963968L)
-      sketch.join(exact, Seq("event_type"))
-        .select(col("event_type"), col("n_regs_hit"),
+      sketch.join(exact, Seq("scope", "event_type"))
+        .select(col("scope"), col("event_type"), col("n_regs_hit"),
           (lit(64L) - col("n_regs_hit")).as("v_zero"),
           col("reg_checksum"), sFull.as("s_scaled"),
           round(lit(0.709) * 4096 * 36028797018963968.0 /
             sFull.cast("double"), 3).as("est_hll"),
           col("n_exact"))
-        .orderBy(col("event_type"))
+        .orderBy(col("scope"), col("event_type"))
     }),
 
     // Two-pass heavy hitters: pass 1 is a Misra-Gries sketch (typed
@@ -267,32 +275,40 @@ object Sketches {
     // registers, checksum, scaled denominator and raw estimate all
     // replayed from the same md5 hash split
     "xs6_hll_portable" ->
-      """WITH r AS (SELECT event_type,
+      """WITH e AS (SELECT 'all' AS scope, event_type, user_id
+           FROM events
+           UNION ALL
+           SELECT 'sparse', event_type, user_id FROM events
+           WHERE user_id < 30),
+         r AS (SELECT scope, event_type,
            ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % 64
              AS j,
            CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 15))
                ::BIGINT // 64 = 0 THEN 55
              ELSE 55 - length(bin(('0x' || substr(md5(
                user_id::VARCHAR), 1, 15))::BIGINT // 64)) END AS rnk
-           FROM events),
-         regs AS (SELECT event_type, j, max(rnk) AS mreg
-           FROM r GROUP BY 1, 2),
-         sk AS (SELECT event_type,
+           FROM e),
+         regs AS (SELECT scope, event_type, j, max(rnk) AS mreg
+           FROM r GROUP BY 1, 2, 3),
+         sk AS (SELECT scope, event_type,
              count(*) AS n_regs_hit,
              CAST(sum(j * mreg) AS BIGINT) AS reg_checksum,
              CAST(sum(CAST(pow(2, 55 - mreg) AS BIGINT)) +
                (64 - count(*)) * 36028797018963968 AS BIGINT)
                AS s_scaled
-           FROM regs GROUP BY 1),
-         ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
-           FROM events GROUP BY 1)
-         SELECT sk.event_type, n_regs_hit, 64 - n_regs_hit AS v_zero,
+           FROM regs GROUP BY 1, 2),
+         ex AS (SELECT scope, event_type,
+             count(DISTINCT user_id) AS n_exact
+           FROM e GROUP BY 1, 2)
+         SELECT sk.scope, sk.event_type, n_regs_hit,
+           64 - n_regs_hit AS v_zero,
            reg_checksum, s_scaled,
            round(0.709::DOUBLE * 4096 * 36028797018963968::DOUBLE /
              s_scaled::DOUBLE, 3) AS est_hll,
            n_exact
          FROM sk JOIN ex ON ex.event_type = sk.event_type
-         ORDER BY sk.event_type""",
+           AND ex.scope = sk.scope
+         ORDER BY sk.scope, sk.event_type""",
     "xs5_count_min" ->
       """WITH k AS (SELECT o_custkey AS key FROM orders),
          c1 AS (SELECT ('0x' || substr(md5('c1:' ||
