@@ -585,6 +585,42 @@ object ExtOps {
         .orderBy(col("o_orderkey"))
     }),
 
+    // IQR outlier detection (Tukey fences) per event type — the
+    // data-quality screen between quality scores (tx2/tx8) and
+    // dedup: values above q3 + 1.5·IQR flagged. All arithmetic is
+    // EXACT: values ride integer cents, the interpolated quartiles
+    // land on quarter-cent fractions (h = (n-1)p with p ∈ {¼, ¾}),
+    // so ×8 makes every quantity an exact integer (eighth-cents) and
+    // the fence test is pure bigint comparison — no cross-engine
+    // float risk at all. The quartile agg shrinks to G rows,
+    // broadcast back over one corpus scan.
+    "xq4_iqr_outliers" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val q = e.groupBy(col("event_type"))
+        .agg((percentile(col("cents"), lit(0.25)) * 8).cast("long")
+            .as("q1_ec"),
+          (percentile(col("cents"), lit(0.75)) * 8).cast("long")
+            .as("q3_ec"))
+        .withColumn("fence_ec", col("q3_ec") + call_function("div",
+          (col("q3_ec") - col("q1_ec")) * 3, lit(2L)))
+      val out = e.join(broadcast(q), Seq("event_type"))
+        .filter(col("cents") * 8 > col("fence_ec"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_outliers"),
+          sum(col("event_id")).as("outlier_id_sum"),
+          max(col("cents")).as("max_cents"))
+      q.join(out, Seq("event_type"), "left")
+        .select(col("event_type"), col("q1_ec"), col("q3_ec"),
+          col("fence_ec"),
+          coalesce(col("n_outliers"), lit(0L)).as("n_outliers"),
+          coalesce(col("outlier_id_sum"), lit(0L))
+            .as("outlier_id_sum"),
+          coalesce(col("max_cents"), lit(-1L)).as("max_cents"))
+        .orderBy(col("event_type"))
+    }),
+
     "xq1_skyline" -> ((s, dir) => {
       val pts = t(s, dir, "part")
         .select(col("p_partkey"), col("p_retailprice").as("price"),
@@ -860,6 +896,28 @@ object ExtOps {
            row_number() OVER (PARTITION BY query_id
              ORDER BY adist_micros, neighbor_id) AS rank FROM ad)
        WHERE rank <= 5 ORDER BY query_id, rank""",
+    // exact integer replay: same cents → quantile_cont lands on the
+    // same quarter-cent grid → identical eighth-cent fences
+    "xq4_iqr_outliers" ->
+      """WITH e AS (SELECT event_type, event_id,
+           CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         q AS (SELECT event_type,
+             CAST(quantile_cont(cents, 0.25) * 8 AS BIGINT) AS q1_ec,
+             CAST(quantile_cont(cents, 0.75) * 8 AS BIGINT) AS q3_ec
+           FROM e GROUP BY 1),
+         q2 AS (SELECT *, q3_ec + (q3_ec - q1_ec) * 3 // 2 AS fence_ec
+           FROM q),
+         o AS (SELECT e.event_type, count(*) AS n_outliers,
+             CAST(sum(event_id) AS BIGINT) AS outlier_id_sum,
+             max(cents) AS max_cents
+           FROM e JOIN q2 ON q2.event_type = e.event_type
+           WHERE cents * 8 > fence_ec GROUP BY 1)
+       SELECT q2.event_type, q1_ec, q3_ec, fence_ec,
+         coalesce(n_outliers, 0) AS n_outliers,
+         coalesce(outlier_id_sum, 0) AS outlier_id_sum,
+         coalesce(max_cents, -1) AS max_cents
+       FROM q2 LEFT JOIN o ON o.event_type = q2.event_type
+       ORDER BY q2.event_type""",
     // the same kmeans CTE prefix as ann4/ann5, then cell-restricted
     // cosine pairs and the keep-first drop policy
     "dd15_semantic_dedup" ->
