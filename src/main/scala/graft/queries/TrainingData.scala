@@ -758,6 +758,31 @@ object TrainingData {
         .orderBy(col("round"))
     }),
 
+    // Corpus-informed n-gram novelty — the rarity signal that
+    // separates TEMPLATE text (bigrams shared corpus-wide, high mean
+    // document frequency) from novel-or-junk text (mostly unique
+    // bigrams): per doc, the mean DF of its distinct bigrams, in
+    // exact integer micros (df_sum·1e6 div n_grams — no float). The
+    // postings ⋈ DF join shuffles on the gram key — at 100 TB the DF
+    // table is corpus-sized, so this is the genuine distributed
+    // shape (a broadcast would not survive scale-up), and the
+    // postings frame is persisted so shingling runs once for both
+    // sides.
+    "tx14_ngram_novelty" -> ((s, dir) => {
+      val p = ManagedCache.persist(
+        postings(t(s, dir, "documents"), 2))
+      val df = p.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      p.join(df, Seq("sh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(col("df")).as("df_sum"))
+        .withColumn("mean_df_micros", call_function("div",
+          col("df_sum") * lit(1000000L), col("n_grams")))
+        .withColumn("is_novel",
+          (col("mean_df_micros") < 2000000L).cast("int"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- similarity search --------------------------------------------
     // Brute-force cosine top-k (the exactness baseline): 5 query
     // vectors against the full corpus, rank on ROUNDED cosine + vec_id
@@ -914,6 +939,25 @@ object TrainingData {
            UNION ALL SELECT 2, a, b, a || b, n FROM b2
            UNION ALL SELECT 3, a, b, a || b, n FROM b3)
          ORDER BY round""",
+      // same shingle table; integer mean-DF replayed exactly
+      "tx14_ngram_novelty" ->
+        """WITH d AS (SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g')), '\s+') AS toks
+           FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, len(toks)),
+             i -> toks[i] || ' ' || toks[i+1]))) AS s
+           FROM d),
+         df AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+         a AS (SELECT sh.doc_id, count(*) AS n_grams,
+             CAST(sum(df.df) AS BIGINT) AS df_sum
+           FROM sh JOIN df ON df.s = sh.s GROUP BY 1)
+         SELECT doc_id, n_grams, df_sum,
+           (df_sum * 1000000) // n_grams AS mean_df_micros,
+           CAST((df_sum * 1000000) // n_grams < 2000000 AS INT)
+             AS is_novel
+         FROM a ORDER BY doc_id""",
       // composed (chr(233) = U+00E9) vs decomposed (chr(769) = U+0301
       // combining acute) variants; nfc_normalize must unify them
       "tx12_nfc_dedup" ->
