@@ -120,6 +120,38 @@ object TextFunctions {
             i => norm.substr(i, lit(n)))))
     }
 
+  /** Adjacent (overlapping) word bigrams of a RAW token array — every
+    * occurrence, NOT distinct (unlike [[wordShingles]]): repetition
+    * counting needs multiplicity. Single-token / empty arrays yield
+    * an empty array (`sequence(1, 0)` would count DOWN, see
+    * [[shingles]]).
+    */
+  def adjacentBigrams(toks: Column): Column =
+    bindOnce(toks) { ts =>
+      when(size(ts) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(ts) - 1),
+          i => concat_ws(" ", element_at(ts, i), element_at(ts, i + 1))))
+    }
+
+  /** Count of the MOST FREQUENT element of an array = the longest
+    * equal-run of its sorted form — an `aggregate` fold with O(1)
+    * state (prev, run, best), zero shuffle, O(n log n) per row. The
+    * Gopher-style repetition signals (tx15) ride this instead of an
+    * explode → groupBy → max, which would shuffle every bigram of a
+    * 100 TB corpus twice. Empty arrays yield 0.
+    */
+  def topRepeatCount(arr: Column): Column =
+    aggregate(
+      array_sort(arr),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
   /** Word n-gram shingles (arrays of n consecutive tokens joined by a
     * space), distinct.
     */

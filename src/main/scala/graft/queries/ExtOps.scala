@@ -509,6 +509,46 @@ object ExtOps {
         .orderBy(col("rank"))
     }),
 
+    // Triangle counting over the part co-purchase graph (parts
+    // sharing an order) with DEGREE-ORDERED ORIENTATION (Schank &
+    // Wagner 2005 / Suri-Vassilvitskii MapReduce form): every edge is
+    // directed from its (degree, id)-smaller endpoint, so each
+    // triangle is enumerated exactly once from its unique two-out-edge
+    // apex, and wedge generation is bounded by Σ outdeg² = O(m^1.5) —
+    // on a skewed graph the id-ordered naive join explodes on hub
+    // nodes while this shape provably cannot (a hub is ordered LAST,
+    // so it receives in-edges instead of fanning out wedges). All
+    // joins are equi-joins on node/pair keys; nothing is collected.
+    // The oracle counts the same triangles with the simple id-ordered
+    // 3-way join — orientation must be semantically invisible.
+    "xg2_triangle_count" -> ((s, dir) => {
+      import graft.operators.ManagedCache
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e0 = ManagedCache.persist(
+        l.as("a").join(l.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+          .distinct())
+      val tri = ManagedCache.persist(
+        graft.operators.Triangles.enumerate(e0))
+      val total = tri.agg(count(lit(1)).as("total_triangles"))
+      val ne = e0.agg(count(lit(1)).as("n_edges"))
+      val perNode = tri
+        .select(explode(array(col("x"), col("y"), col("z")))
+          .as("partkey"))
+        .groupBy(col("partkey")).agg(count(lit(1)).as("n_tri"))
+      perNode.orderBy(col("n_tri").desc, col("partkey")).limit(10)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("n_tri").desc, col("partkey"))))
+        .crossJoin(broadcast(total)).crossJoin(broadcast(ne))
+        .select(col("rank"), col("partkey"), col("n_tri"),
+          col("total_triangles"), col("n_edges"))
+        .orderBy(col("rank"))
+    }),
+
     // 2D skyline (Pareto front: minimize price, maximize size) — the
     // Spark-SQL skyline operator of Integration of Skyline Queries
     // into Spark SQL (EDBT'23, PAPERS.md). The naive dominance test is
@@ -971,6 +1011,26 @@ object ExtOps {
            node_id // 2 AS orig_key, r AS rank_nano
          FROM r2)
        WHERE rank <= 20 ORDER BY rank""",
+    // id-ordered naive 3-way join — each triangle once as a < b < c;
+    // the degree-oriented Spark plan must count identically
+    "xg2_triangle_count" ->
+      """WITH e0 AS (SELECT DISTINCT a.l_partkey AS u,
+           b.l_partkey AS v
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey),
+       t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         FROM e0 e1 JOIN e0 e2 ON e2.u = e1.v
+         JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v),
+       pn AS (SELECT node AS partkey, count(*) AS n_tri FROM (
+           SELECT unnest([a, b, c]) AS node FROM t) GROUP BY 1),
+       tot AS (SELECT count(*) AS total_triangles FROM t),
+       ne AS (SELECT count(*) AS n_edges FROM e0)
+       SELECT row_number() OVER (ORDER BY n_tri DESC, partkey)
+           AS rank,
+         partkey, n_tri, total_triangles, n_edges
+       FROM pn, tot, ne
+       ORDER BY n_tri DESC, partkey LIMIT 10""",
     "xj4_range_join" ->
       """SELECT o_orderkey, count(*) AS n_pts,
          round(sum(l_quantity), 2) AS sum_qty

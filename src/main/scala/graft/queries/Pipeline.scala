@@ -191,6 +191,23 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // Corpus-wide BOILERPLATE removal (C4 / RefinedWeb): a 5-token
+    // chunk that appears in >= 3 DISTINCT documents is template text
+    // (nav bars, license headers, cookie banners) and is dropped from
+    // EVERY document — unlike dd13's first-occurrence-keeps exact
+    // dedup, boilerplate keeps no copy at all. Scale shape: the chunk
+    // DF table is corpus-sized (NOT broadcastable at 100 TB), so
+    // membership is an equi-join on the chunk key — the same key the
+    // DF aggregation just shuffled on, so the exchange is reused —
+    // then one keyed shuffle on doc_id reassembles survivors in chunk
+    // order. Chunks materialize once (tracked persist) for both the
+    // DF side and the probe side.
+    "px6_boilerplate_removal" -> ((s, dir) => {
+      graft.operators.Boilerplate
+        .remove(t(s, dir, "documents"), n = 5, minDf = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // Benchmark decontamination: flag training docs whose 5-gram
     // overlap with the eval set (here: doc_id < 10 as the stand-in
     // benchmark) exceeds 50%. The eval gram set is tiny relative to
@@ -615,6 +632,30 @@ object Pipeline {
            len(regexp_extract_all(body, 'https://[a-z0-9./]+')) > 0
            AS INT) AS has_pii
        FROM b ORDER BY doc_id""",
+    // same chunk arithmetic as dd13's oracle; membership is a HAVING
+    // over distinct doc counts, removal hits every occurrence
+    "px6_boilerplate_removal" ->
+      """WITH d AS (SELECT doc_id,
+           string_split_regex(trim(text), '\s+') AS toks
+         FROM documents WHERE len(string_split_regex(trim(text),
+           '\s+')) > 0),
+       c AS (SELECT doc_id,
+           unnest(range(0, (len(toks) - 1) // 5 + 1))::INT AS ci,
+           toks FROM d),
+       c2 AS (SELECT doc_id, ci,
+           array_to_string(toks[ci*5+1 : least(ci*5+5, len(toks))],
+             ' ') AS chunk
+         FROM c),
+       df AS (SELECT chunk FROM c2 GROUP BY chunk
+         HAVING count(DISTINCT doc_id) >= 3)
+       SELECT doc_id,
+         coalesce(string_agg(CASE WHEN df.chunk IS NULL
+           THEN c2.chunk END, ' ' ORDER BY ci), '') AS text_clean,
+         count(*)::BIGINT AS n_chunks,
+         sum(CASE WHEN df.chunk IS NULL THEN 0 ELSE 1 END)::BIGINT
+           AS n_boiler
+       FROM c2 LEFT JOIN df ON df.chunk = c2.chunk
+       GROUP BY doc_id ORDER BY doc_id""",
     // the oracle computes the same running sum with a plain window —
     // the distributed two-pass result must be bit-identical
     "px4_pack_sequences" ->

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{SimilarityFunctions => SF}
+import graft.functions.{MinKSketch, SimilarityFunctions => SF, TextFunctions => TF}
 
 /** Sketch operators — the approximate structures that make 100 TB
   * queries affordable: HyperLogLog cardinality, quantile sketches,
@@ -202,6 +202,74 @@ object Sketches {
         .orderBy(col("scope"), col("event_type"))
     }),
 
+    // K-minimum-values sketch with SET OPERATIONS (Bar-Yossef et al.
+    // 2002) — the capability xs6's HLL lacks: per-language vocabulary
+    // sketches (the k = 64 smallest DISTINCT md5-60 hashes of word
+    // 3-shingles, via the bounded-state MinKSketch Aggregator)
+    // compose into union and intersection estimates per language
+    // PAIR from the sketches alone — the dataset-overlap-audit shape
+    // (train/eval contamination at corpus scale). Every sketch
+    // witness (k-th minima, union overlap count, integer Jaccard
+    // micros) is an exact integer the oracle replays hash-for-hash;
+    // the float estimates are one explicit-double divide + round-3
+    // like xs6. Scale: the corpus collapses MAP-SIDE to 64-element
+    // arrays per group (O(k) Aggregator state), the pair stage then
+    // touches only 5 sketch rows — no second scan of the data; the
+    // exact distinct/intersection columns are the test-SF comparison
+    // companion, not part of the sketch path.
+    "xs7_kmv_set_ops" -> ((s, dir) => {
+      val k = 64
+      val two60d = lit(1152921504606846976L).cast("double")
+      val dist = graft.operators.ManagedCache.persist(
+        t(s, dir, "documents")
+          .select(col("lang"),
+            explode(TF.wordShingles(col("text"), 3)).as("sh"))
+          .select(col("lang"),
+            SF.md5hash60(concat(lit("kmv:"), col("sh"))).as("h"))
+          .distinct())
+      val sk = dist.groupBy(col("lang"))
+        .agg(MinKSketch(col("h"), k).as("sk"),
+          count(lit(1)).as("n_exact"))
+      val exactInter = dist.as("x").join(dist.as("y"),
+          col("x.h") === col("y.h") && col("x.lang") < col("y.lang"))
+        .groupBy(col("x.lang").as("la"), col("y.lang").as("lb"))
+        .agg(count(lit(1)).as("exact_inter"))
+      def kth(a: Column): Column =
+        element_at(a, least(lit(k), size(a)))
+      def est(a: Column): Column =
+        when(size(a) < k, size(a).cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) * two60d /
+            element_at(a, k).cast("double"), 3))
+      val pairs = sk.as("a").join(sk.as("b"),
+          col("a.lang") < col("b.lang"))
+        .select(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"),
+          col("a.sk").as("ska"), col("b.sk").as("skb"),
+          col("a.n_exact").as("exact_a"), col("b.n_exact").as("exact_b"))
+        .withColumn("u",
+          slice(array_sort(array_union(col("ska"), col("skb"))), 1, k))
+        .withColumn("n_inter_k", size(filter(col("u"),
+          x => array_contains(col("ska"), x) &&
+            array_contains(col("skb"), x))).cast("long"))
+        .withColumn("k_union", size(col("u")).cast("long"))
+      pairs.join(broadcast(exactInter),
+          col("lang_a") === col("la") && col("lang_b") === col("lb"),
+          "left")
+        .select(col("lang_a"), col("lang_b"),
+          col("exact_a"), col("exact_b"),
+          coalesce(col("exact_inter"), lit(0L)).as("exact_inter"),
+          kth(col("ska")).as("kth_a"), kth(col("skb")).as("kth_b"),
+          kth(col("u")).as("kth_union"), col("k_union"),
+          col("n_inter_k"),
+          call_function("div", col("n_inter_k") * 1000000L,
+            col("k_union")).as("jaccard_micros"),
+          est(col("ska")).as("est_a"), est(col("skb")).as("est_b"),
+          est(col("u")).as("est_union"))
+        .withColumn("est_inter",
+          round(col("est_union") * col("n_inter_k").cast("double") /
+            col("k_union").cast("double"), 3))
+        .orderBy(col("lang_a"), col("lang_b"))
+    }),
+
     // Two-pass heavy hitters: pass 1 is a Misra-Gries sketch (typed
     // Aggregator, capacity 15, O(k) memory, mergeable map-side like
     // any partial agg) whose candidate set provably SUPERSETS every
@@ -309,6 +377,61 @@ object Sketches {
          FROM sk JOIN ex ON ex.event_type = sk.event_type
            AND ex.scope = sk.scope
          ORDER BY sk.scope, sk.event_type""",
+    // full KMV replay: the k smallest distinct hashes per language
+    // from the raw shingle set, union/intersection from list algebra —
+    // every integer witness hash-compared, floats via the same
+    // explicit-double divide + round(,3)
+    "xs7_kmv_set_ops" ->
+      """WITH d AS (SELECT lang,
+           string_split_regex(trim(regexp_replace(lower(text),
+             '[^a-z0-9]+', ' ', 'g')), '\s+') AS toks
+         FROM documents),
+       g AS (SELECT lang, unnest(list_transform(
+           range(1, len(toks) - 1),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+         FROM d),
+       hs AS (SELECT DISTINCT lang,
+           ('0x' || substr(md5('kmv:' || s), 1, 15))::BIGINT AS h
+         FROM g),
+       sk AS (SELECT lang, list_sort(list(h))[1:64] AS sk,
+           count(*) AS n_exact
+         FROM hs GROUP BY lang),
+       ei AS (SELECT x.lang AS la, y.lang AS lb, count(*) AS ein
+         FROM hs x JOIN hs y ON x.h = y.h AND x.lang < y.lang
+         GROUP BY 1, 2),
+       p AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+           a.sk AS ska, b.sk AS skb,
+           a.n_exact AS exact_a, b.n_exact AS exact_b,
+           list_sort(list_distinct(a.sk || b.sk))[1:64] AS u
+         FROM sk a JOIN sk b ON a.lang < b.lang),
+       p2 AS (SELECT *,
+           CAST(len(list_filter(u, x -> list_contains(ska, x)
+             AND list_contains(skb, x))) AS BIGINT) AS n_inter_k,
+           CAST(len(u) AS BIGINT) AS k_union
+         FROM p),
+       p3 AS (SELECT lang_a, lang_b, exact_a, exact_b,
+           ska[least(64, len(ska))] AS kth_a,
+           skb[least(64, len(skb))] AS kth_b,
+           u[least(64, len(u))] AS kth_union,
+           k_union, n_inter_k,
+           (n_inter_k * 1000000) // k_union AS jaccard_micros,
+           CASE WHEN len(ska) < 64 THEN len(ska)::DOUBLE
+             ELSE round(63.0 * 1152921504606846976::DOUBLE / ska[64],
+               3) END AS est_a,
+           CASE WHEN len(skb) < 64 THEN len(skb)::DOUBLE
+             ELSE round(63.0 * 1152921504606846976::DOUBLE / skb[64],
+               3) END AS est_b,
+           CASE WHEN len(u) < 64 THEN len(u)::DOUBLE
+             ELSE round(63.0 * 1152921504606846976::DOUBLE / u[64],
+               3) END AS est_union
+         FROM p2)
+       SELECT lang_a, lang_b, exact_a, exact_b,
+         coalesce(ein, 0) AS exact_inter,
+         kth_a, kth_b, kth_union, k_union, n_inter_k, jaccard_micros,
+         est_a, est_b, est_union,
+         round(est_union * n_inter_k / k_union, 3) AS est_inter
+       FROM p3 LEFT JOIN ei ON ei.la = lang_a AND ei.lb = lang_b
+       ORDER BY lang_a, lang_b""",
     "xs5_count_min" ->
       """WITH k AS (SELECT o_custkey AS key FROM orders),
          c1 AS (SELECT ('0x' || substr(md5('c1:' ||

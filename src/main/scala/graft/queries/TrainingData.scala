@@ -783,6 +783,38 @@ object TrainingData {
         .orderBy(col("doc_id"))
     }),
 
+    // WITHIN-doc repetition signals (Gopher, Rae et al. 2021 §A1.1):
+    // duplicate-word fraction and most-frequent-bigram share — the
+    // self-repetition filters that catch degenerate/looping text
+    // exact dedup can't (each repetitive doc is globally unique).
+    // ZERO shuffle: every signal is per-row Column algebra — the top
+    // bigram count comes from a sort-then-max-run fold over the doc's
+    // OWN bigram array (`aggregate` over `array_sort`), never an
+    // explode→groupBy — so at 100 TB this fuses into the scan like
+    // tx2/tx3. All outputs are exact integers; the flag thresholds
+    // (top bigram ≥ 20 % of bigrams, distinct words ≤ 30 % of words)
+    // are integer cross-multiplications, no float anywhere.
+    "tx15_repetition_signals" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        .withColumn("n_words", size(col("toks")).cast("long"))
+        .filter(col("n_words") > 0)
+      // count of the most frequent bigram = max equal-run over the
+      // sorted bigram array — row-local, fuses into the scan
+      val topBigram = TF.topRepeatCount(TF.adjacentBigrams(col("toks")))
+      d.select(col("doc_id"), col("n_words"),
+          size(array_distinct(col("toks"))).cast("long")
+            .as("n_distinct_words"),
+          greatest(col("n_words") - 1, lit(0L)).as("n_bigrams"),
+          topBigram.as("top_bigram_n"))
+        .withColumn("rep_flag",
+          ((col("n_bigrams") > 0 &&
+            col("top_bigram_n") * 5 >= col("n_bigrams")) ||
+            col("n_distinct_words") * 10 <= col("n_words") * 3)
+            .cast("int"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- similarity search --------------------------------------------
     // Brute-force cosine top-k (the exactness baseline): 5 query
     // vectors against the full corpus, rank on ROUNDED cosine + vec_id
@@ -958,6 +990,33 @@ object TrainingData {
            CAST((df_sum * 1000000) // n_grams < 2000000 AS INT)
              AS is_novel
          FROM a ORDER BY doc_id""",
+      // semantics-level replay (explode → group → max), not the fold:
+      // the oracle pins WHAT the max-run fold computes, independent of
+      // the sorted-array mechanism
+      "tx15_repetition_signals" ->
+        """WITH w AS (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS ws
+           FROM documents),
+         b AS (SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(ws)) AS BIGINT)
+               AS n_distinct_words,
+             list_transform(range(1, len(ws)),
+               i -> ws[i] || ' ' || ws[i+1]) AS bg
+           FROM w WHERE len(ws) > 0),
+         g AS (SELECT doc_id, unnest(bg) AS gram FROM b),
+         c AS (SELECT doc_id, max(cnt) AS top_n FROM (
+             SELECT doc_id, gram, count(*) AS cnt FROM g
+             GROUP BY 1, 2) GROUP BY 1)
+         SELECT b.doc_id, n_words, n_distinct_words,
+           greatest(n_words - 1, 0) AS n_bigrams,
+           CAST(coalesce(top_n, 0) AS BIGINT) AS top_bigram_n,
+           CAST((greatest(n_words - 1, 0) > 0 AND
+               coalesce(top_n, 0) * 5 >= greatest(n_words - 1, 0))
+             OR n_distinct_words * 10 <= n_words * 3 AS INT)
+             AS rep_flag
+         FROM b LEFT JOIN c ON c.doc_id = b.doc_id
+         ORDER BY b.doc_id""",
       // composed (chr(233) = U+00E9) vs decomposed (chr(769) = U+0301
       // combining acute) variants; nfc_normalize must unify them
       "tx12_nfc_dedup" ->
