@@ -41,14 +41,20 @@ object Triangles {
       when(uFirst, ord(col("dv"), col("v")))
         .otherwise(ord(col("du"), col("u"))).as("dst_ord")))
     // wedges from each apex, the (y, z) pair canonicalized by the SAME
-    // total order — so a closing edge, if present, is oriented y→z
+    // total order — so a closing edge, if present, is oriented y→z.
+    // The wedge frame is the volume driver (Σ outdeg² rows), so it
+    // carries only (apex, packed-pair-key): one bigint join key keeps
+    // the shuffle as narrow as the algorithm allows.
     val wedges = o.as("e1").join(o.as("e2"),
         col("e1.src") === col("e2.src") &&
           col("e1.dst_ord") < col("e2.dst_ord"))
-      .select(col("e1.src").as("x"), col("e1.dst").as("y"),
-        col("e2.dst").as("z"))
-    wedges.join(o.select(col("src").as("y"), col("dst").as("z")),
-        Seq("y", "z"))
-      .select(col("x"), col("y"), col("z"))
+      .select(col("e1.src").as("x"),
+        (col("e1.dst") * 1000000000L + col("e2.dst")).as("pk"))
+    val closing = o.select(
+      (col("src") * 1000000000L + col("dst")).as("pk"))
+    wedges.join(closing, Seq("pk"))
+      .select(col("x"),
+        call_function("div", col("pk"), lit(1000000000L)).as("y"),
+        pmod(col("pk"), lit(1000000000L)).as("z"))
   }
 }

@@ -523,7 +523,13 @@ object ExtOps {
     // 3-way join — orientation must be semantically invisible.
     "xg2_triangle_count" -> ((s, dir) => {
       import graft.operators.ManagedCache
+      // deterministic 25% order subsample: wedge volume grows ~
+      // quadratically in per-node degree, and the UNBOUNDED graph at
+      // sf0.1 generates 41M wedges for one diagnostic top-10 — the
+      // bound keeps the query proportionate to the suite (tx5
+      // precedent) while the plan is IDENTICAL unbounded
       val l = t(s, dir, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(4)) === 0)
         .select(col("l_orderkey"), col("l_partkey"))
       val e0 = ManagedCache.persist(
         l.as("a").join(l.as("b"),
@@ -1014,9 +1020,11 @@ object ExtOps {
     // id-ordered naive 3-way join — each triangle once as a < b < c;
     // the degree-oriented Spark plan must count identically
     "xg2_triangle_count" ->
-      """WITH e0 AS (SELECT DISTINCT a.l_partkey AS u,
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+           WHERE l_orderkey % 4 = 0),
+       e0 AS (SELECT DISTINCT a.l_partkey AS u,
            b.l_partkey AS v
-         FROM lineitem a JOIN lineitem b
+         FROM li a JOIN li b
            ON a.l_orderkey = b.l_orderkey
            AND a.l_partkey < b.l_partkey),
        t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
