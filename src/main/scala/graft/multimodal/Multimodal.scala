@@ -1087,4 +1087,84 @@ object Multimodal {
       lit("FFDA000801" + "0100" + "003F00"),
       lit("ABCD"), lit("FFD9")))
   }
+
+  // ---- PNG (ISO 15948): BE length-prefixed chunk stream ---------------
+
+  val pngMetaSchema: StructType = StructType(Seq(
+    StructField("n_chunks", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("bit_depth", IntegerType, nullable = false),
+    StructField("color_type", IntegerType, nullable = false),
+    StructField("idat_bytes", LongType, nullable = false),
+    StructField("has_iend", IntegerType, nullable = false),
+    StructField("walked_bytes", LongType, nullable = false)))
+
+  /** REAL PNG chunk-table walk (ISO 15948 §5): after the fixed 8-byte
+    * signature, a flat stream of chunks — BIG-endian 4-byte data
+    * length (excluding itself, unlike JPEG's), 4-byte ASCII type,
+    * data, 4-byte CRC — ending at IEND. The fourth byte-layout family
+    * in this file (RIFF LE sized, GIF sub-blocked, JPEG BE
+    * self-inclusive, PNG BE exclusive + trailer). Geometry comes from
+    * IHDR (BE width, height, then bit depth and color type bytes).
+    * CRCs are walked but NOT validated — this is the stream-indexing
+    * path, not an integrity checker. Truncated / garbage input
+    * degrades to the sentinel or a partial table, never a throw.
+    */
+  def pngMeta(media: DataFrame): DataFrame =
+    mapMedia(media, pngMetaSchema.fields.toSeq) { p =>
+      def u8(i: Int) = p(i) & 0xff
+      def be32(i: Int): Long = (u8(i).toLong << 24) | (u8(i + 1) << 16) |
+        (u8(i + 2) << 8) | u8(i + 3)
+      val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      if (p == null || p.length < 8 ||
+          sig.indices.exists(i => u8(i) != sig(i)))
+        Iterator.single(Seq[Any](0, -1, -1, -1, -1, 0L, 0, 0L))
+      else {
+        var n = 0; var w = -1; var h = -1; var bd = -1; var ct = -1
+        var idat = 0L; var iend = 0
+        var o = 8L
+        var stop = false
+        while (!stop && o + 8 <= p.length) {
+          val len = be32(o.toInt)
+          val typ = new String(p, o.toInt + 4, 4, "US-ASCII")
+          if (o + 12 + len > p.length) stop = true // truncated chunk
+          else {
+            n += 1
+            if (typ == "IHDR" && len >= 13) {
+              w = be32(o.toInt + 8).toInt; h = be32(o.toInt + 12).toInt
+              bd = u8(o.toInt + 16); ct = u8(o.toInt + 17)
+            }
+            if (typ == "IDAT") idat += len
+            o += 12 + len
+            if (typ == "IEND") { iend = 1; stop = true }
+          }
+        }
+        Iterator.single(Seq[Any](n, w, h, bd, ct, idat, iend, o))
+      }
+    }
+
+  /** Synthesis twin of [[pngMeta]] in pure Column algebra: signature,
+    * IHDR with the given geometry (8-bit grayscale), `nIdat` IDAT
+    * chunks of `idatLen` bytes each (per-chunk fill byte varies with
+    * the chunk index so identical chunks can't mask an offset bug),
+    * IEND. CRC fields are deterministic placeholders — [[pngMeta]]
+    * indexes them without validating (documented there). Walked
+    * bytes = 8 + 25 + nIdat·(12 + idatLen) + 12.
+    */
+  def pngSynth(wPx: Column, hPx: Column, nIdat: Column,
+      idatLen: Column): Column = {
+    val be4 = (v: Column) => lpad(hex(v), 8, "0")
+    unhex(concat(
+      lit("89504E470D0A1A0A"),
+      lit("0000000D"), lit("49484452"), be4(wPx), be4(hPx),
+      lit("0800000000"), lit("DEADBEEF"),
+      concat_ws("", transform(sequence(lit(1), nIdat.cast("int")),
+        i => concat(be4(idatLen), lit("49444154"),
+          call_function("repeat",
+            lpad(hex(pmod(i * 37L + 11L, lit(256L))), 2, "0"),
+            idatLen.cast("int")),
+          lit("CAFEBABE")))),
+      lit("00000000"), lit("49454E44"), lit("AE426082")))
+  }
 }

@@ -332,6 +332,23 @@ object Pipeline {
       Multimodal.jpegMeta(media).orderBy(col("doc_id"))
     }),
 
+    // REAL PNG chunk-table walk: synthesize structurally-real PNG
+    // streams in-plan (variable IDAT count + per-doc geometry, so the
+    // offset accumulation is exercised, not a fixed layout), walk
+    // them with the real chunk parser. The oracle replays every field
+    // arithmetically from the synthesis parameters.
+    "mm11_png_chunks" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val w = lit(16) + pmod(col("doc_id"), lit(1000))
+      val h = lit(16) + pmod(col("doc_id"), lit(700))
+      val nIdat = lit(1) + pmod(col("doc_id"), lit(5))
+      val idatLen = lit(20) + pmod(col("doc_id"), lit(40))
+      val media = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          Multimodal.pngSynth(w, h, nIdat, idatLen).as("payload"))
+      Multimodal.pngMeta(media).orderBy(col("doc_id"))
+    }),
+
     // REAL GIF header round-trip (the image sibling of mm2): build
     // GIF89a logical-screen descriptors in-plan, parse them back with
     // the real decoder — version, LE dimensions, packed
@@ -729,6 +746,20 @@ object Pipeline {
            100 + doc_id % 400 AS height,
            1 AS n_components,
            47 + (10 + doc_id % 20) AS header_bytes
+         FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
+    // n_chunks = IHDR + nIdat + IEND; walked = sig 8 + IHDR 25 +
+    // nIdat·(12+idatLen) + IEND 12
+    "mm11_png_chunks" ->
+      """SELECT doc_id,
+           CAST(2 + (1 + doc_id % 5) AS INT) AS n_chunks,
+           CAST(16 + doc_id % 1000 AS INT) AS width,
+           CAST(16 + doc_id % 700 AS INT) AS height,
+           8 AS bit_depth, 0 AS color_type,
+           CAST((1 + doc_id % 5) * (20 + doc_id % 40) AS BIGINT)
+             AS idat_bytes,
+           1 AS has_iend,
+           CAST(8 + 25 + (1 + doc_id % 5) * (12 + 20 + doc_id % 40)
+             + 12 AS BIGINT) AS walked_bytes
          FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
     "mm9_wav_pcm" ->
       """WITH s AS (

@@ -519,6 +519,52 @@ class MultimodalSpec extends SparkSpec {
       junk.getAs[Int]("sof_marker") == -1)
   }
 
+  test("pngMeta walks a REAL ImageIO-encoded PNG (chunk table, IHDR " +
+    "geometry, IDAT sum) and degrades on garbage / truncation") {
+    val img = new java.awt.image.BufferedImage(41, 19,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(3, 5, 0x123456) // non-trivial IDAT content
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val real = baos.toByteArray
+    val media = Seq(
+        (1L, "image", real, "mem://png"),
+        (2L, "image", Array[Byte](1, 2, 3, 4), "mem://junk"),
+        // signature + IHDR claiming 13 data bytes but truncated mid-
+        // chunk: walker must stop with zero chunks, no throw
+        (3L, "image", real.take(20), "mem://trunc"))
+      .toDF("media_id", "kind", "payload", "source_uri")
+    val out = Multimodal.pngMeta(media).orderBy("media_id").collect()
+    val r = out(0)
+    assert(r.getAs[Int]("width") == 41 && r.getAs[Int]("height") == 19)
+    assert(r.getAs[Int]("bit_depth") == 8)
+    // JDK writer emits truecolor (2) for TYPE_INT_RGB
+    assert(r.getAs[Int]("color_type") == 2)
+    assert(r.getAs[Int]("n_chunks") >= 3) // IHDR + IDAT... + IEND
+    assert(r.getAs[Int]("has_iend") == 1)
+    assert(r.getAs[Long]("idat_bytes") > 0)
+    assert(r.getAs[Long]("walked_bytes") == real.length)
+    assert(out(1).getAs[Int]("n_chunks") == 0 &&
+      out(1).getAs[Int]("width") == -1)
+    assert(out(2).getAs[Int]("n_chunks") == 0 &&
+      out(2).getAs[Int]("has_iend") == 0)
+  }
+
+  test("pngSynth → pngMeta round-trip matches the arithmetic contract") {
+    val media = Seq((7L, "image")).toDF("media_id", "kind")
+      .select(col("media_id"), col("kind"),
+        Multimodal.pngSynth(lit(640), lit(480), lit(3), lit(25))
+          .as("payload"))
+    val r = Multimodal.pngMeta(media).head()
+    assert(r.getAs[Int]("n_chunks") == 5) // IHDR + 3 IDAT + IEND
+    assert(r.getAs[Int]("width") == 640 &&
+      r.getAs[Int]("height") == 480)
+    assert(r.getAs[Int]("bit_depth") == 8 &&
+      r.getAs[Int]("color_type") == 0)
+    assert(r.getAs[Long]("idat_bytes") == 75L)
+    assert(r.getAs[Long]("walked_bytes") == 8L + 25 + 3 * 37 + 12)
+  }
+
   test("jpegMeta: truncated SOF degrades (no throw), fill FF bytes " +
     "before markers are skipped per T.81 B.1.1.2") {
     // SOI + SOF0 claiming len=2 (no geometry payload): must not read
