@@ -187,4 +187,40 @@ class PlanShapeSpec extends SparkSpec {
       "PQ joins must broadcast, not shuffle the corpus")
     assert(count(p, "BroadcastExchange") >= 2)
   }
+
+  test("tx15 repetition signals are computed in the scan: no join, no " +
+    "aggregation, only the presentation sort exchanges") {
+    val p = plan("tx15_repetition_signals")
+    assert(!p.contains("Join"), "tx15 must not join")
+    assert(!p.contains("HashAggregate"),
+      "the bigram top-count is a per-row fold, not an explode+groupBy")
+    // only exchange allowed: rangepartitioning for the output ORDER BY
+    assert(count(p, "Exchange hashpartitioning") == 0,
+      s"unexpected hash exchange:\n${p.linesIterator.take(30).mkString("\n")}")
+  }
+
+  test("px6 boilerplate: the DF aggregation and the membership join " +
+    "share the chunk-key partitioning (no third chunk exchange)") {
+    val p = plan("px6_boilerplate_removal")
+    // chunk-keyed exchanges: one feeding the countDistinct aggregate,
+    // one (reused layout) for the probe side of the left join; doc_id
+    // reassembly and the output sort are the only others
+    assert(count(p, "Exchange hashpartitioning\\(chunk") <= 2,
+      s"chunk key shuffled more than twice:\n" +
+        p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"))
+  }
+
+  test("xg2 triangles: wedge and closing-edge joins are equi-joins; " +
+    "the only nested loop is the 10-row summary attach") {
+    val p = plan("xg2_triangle_count")
+    // sketch pair stage (5 sketch rows) + summary crossJoins are
+    // broadcast nested loops over tiny frames; the wedge volume must
+    // ride hash/sort-merge equi-joins
+    assert(count(p, "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin")
+      >= 3, "wedge/closing joins must be equi-joins")
+    assert(!p.contains("CartesianProduct"),
+      "no cartesian product anywhere in the triangle plan")
+  }
 }
