@@ -1167,4 +1167,150 @@ object Multimodal {
           lit("CAFEBABE")))),
       lit("00000000"), lit("49454E44"), lit("AE426082")))
   }
+
+  // ---- TAR (POSIX ustar): the WebDataset training-shard container ----
+
+  val tarEntrySchema: StructType = StructType(Seq(
+    StructField("entry_index", IntegerType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("typeflag", StringType, nullable = false),
+    StructField("size", LongType, nullable = false),
+    StructField("data_offset", LongType, nullable = false),
+    StructField("is_ustar", IntegerType, nullable = false),
+    StructField("chksum_ok", IntegerType, nullable = false)))
+
+  /** REAL POSIX-ustar walk (POSIX.1-1988 header layout) — the
+    * container format large-scale training pipelines actually shard
+    * into (WebDataset-style `.tar` of sample files). Fifth byte-layout
+    * family in this file: fixed 512-byte header blocks with OCTAL
+    * ASCII numeric fields, data rounded up to the next 512-byte
+    * block, archive terminated by a zero block. Per entry: NUL-
+    * terminated name (offset 0), octal size (124, leading spaces/NULs
+    * tolerated), typeflag (156, NUL ≡ '0' regular file), `ustar`
+    * magic probe (257). Unlike the CRC fields the other walkers index
+    * without checking, the tar header checksum IS validated here — it
+    * is pure byte arithmetic (sum of the 512 header bytes with the
+    * checksum field read as spaces, POSIX pax spec), no table or
+    * polynomial needed. Truncated archives keep the complete headers
+    * before the cut; garbage never throws.
+    */
+  def tarEntries(media: DataFrame): DataFrame =
+    mapMedia(media, tarEntrySchema.fields.toSeq) { p =>
+      if (p == null || p.length < 512) Iterator.empty
+      else {
+        def u8(i: Long) = p(i.toInt) & 0xff
+        val out = Seq.newBuilder[Seq[Any]]
+        var o = 0L
+        var idx = 0
+        var stop = false
+        while (!stop && o + 512 <= p.length) {
+          if (u8(o) == 0) stop = true // zero block: end of archive
+          else {
+            var e = o
+            while (e < o + 100 && u8(e) != 0) e += 1
+            val name = new String(p, o.toInt, (e - o).toInt, "US-ASCII")
+            // octal size field: skip leading spaces/NULs, then digits
+            var sz = 0L
+            var i = o + 124
+            val sEnd = o + 136
+            while (i < sEnd && (u8(i) == ' ' || u8(i) == 0)) i += 1
+            while (i < sEnd && u8(i) >= '0' && u8(i) <= '7') {
+              sz = sz * 8 + (u8(i) - '0'); i += 1
+            }
+            val tf = u8(o + 156) match {
+              case 0 => "0"
+              case c => c.toChar.toString
+            }
+            val ustar =
+              if (new String(p, o.toInt + 257, 5, "US-ASCII") == "ustar") 1
+              else 0
+            // stored checksum: octal at 148, same lenient parse
+            var stored = 0L
+            var ci = o + 148
+            val cEnd = o + 156
+            while (ci < cEnd && (u8(ci) == ' ' || u8(ci) == 0)) ci += 1
+            while (ci < cEnd && u8(ci) >= '0' && u8(ci) <= '7') {
+              stored = stored * 8 + (u8(ci) - '0'); ci += 1
+            }
+            var actual = 0L
+            var bi = o
+            while (bi < o + 512) {
+              actual += (if (bi >= o + 148 && bi < o + 156) 0x20
+                         else u8(bi))
+              bi += 1
+            }
+            out += Seq[Any](idx, name, tf, sz, o + 512, ustar,
+              if (stored == actual) 1 else 0)
+            idx += 1
+            o = o + 512 + ((sz + 511) / 512) * 512
+          }
+        }
+        out.result().iterator
+      }
+    }
+
+  /** Synthesis twin of [[tarEntries]] in pure Column algebra: a
+    * spec-valid ustar shard — per entry a 512-byte header (name
+    * NUL-padded to 100, octal mode/uid/gid/size/mtime, a REAL
+    * checksum computed in-plan as the byte sum of the header with the
+    * checksum field as spaces, typeflag, `ustar` magic) followed by
+    * the data padded to the 512 boundary (per-entry fill byte varies
+    * with the index so identical blocks can't mask an offset bug),
+    * closed by the two terminating zero blocks. Directory entries
+    * (typeflag '5') carry size 0 and no data, exercising the walker's
+    * zero-block skip. Sizes clamp to [0, 10000] to bound the in-plan
+    * hex string. Octal via `conv(·,10,8)`; the checksum's variable
+    * part is the ASCII char sum of the name + the octal size digits,
+    * folded with `aggregate` over `split`.
+    */
+  def tarShard(nEntries: Column, nameOf: Column => Column,
+      sizeOf: Column => Column, typeOf: Column => Column): Column = {
+    // constant header fields (hex + byte sum precomputed in Scala)
+    val mode = "0000644 "
+    val uid = "0000000 "
+    val gid = "0000000 "
+    val mtime = "00000000000 "
+    val magicVer = "ustar\u000000" // magic "ustar\0" + version "00"
+    def hexOf(s: String) =
+      s.getBytes("US-ASCII").map("%02X".format(_)).mkString
+    def sumOf(s: String) = s.getBytes("US-ASCII").map(_ & 0xff).sum
+    // checksum-as-spaces (8 * 0x20) + every constant field byte; the
+    // octal size NUL terminator and name padding contribute 0
+    val constSum = sumOf(mode) + sumOf(uid) + sumOf(gid) +
+      sumOf(mtime) + 8 * 0x20 + sumOf(magicVer)
+    val chrSum = (sc: Column) => aggregate(
+      filter(split(sc, ""), c => c =!= ""),
+      lit(0L), (a, c) => a + ascii(c))
+    val idxs = when(nEntries >= 1, sequence(lit(1), nEntries))
+      .otherwise(array())
+    val entryHex = (i: Column) => {
+      val tf = typeOf(i)
+      val szRaw = least(greatest(sizeOf(i), lit(0)), lit(10000))
+        .cast("long")
+      val sz = when(tf === "5", lit(0L)).otherwise(szRaw)
+      val name = substring(nameOf(i), 1, 99)
+      val oct = lpad(conv(sz, 10, 8), 11, "0")
+      val cks = constSum + chrSum(name) + chrSum(oct) + ascii(tf)
+      val cksField = concat(hex(lpad(conv(cks, 10, 8), 6, "0")),
+        lit("0020")) // 6 octal digits + NUL + space
+      val pad = pmod(lit(512L) - pmod(sz, lit(512L)), lit(512L))
+      concat(
+        rpad(hex(name), 200, "0"), // name, 100 bytes
+        lit(hexOf(mode) + hexOf(uid) + hexOf(gid)),
+        hex(oct), lit("00"), // size, 12 bytes
+        lit(hexOf(mtime)),
+        cksField,
+        hex(tf),
+        lit("00" * 100), // linkname
+        lit(hexOf(magicVer)),
+        lit("00" * (512 - 265)), // uname..prefix + block padding
+        call_function("repeat",
+          lpad(hex(pmod(i * 37L + 11L, lit(256L))), 2, "0"),
+          sz.cast("int")),
+        call_function("repeat", lit("00"), pad.cast("int")))
+    }
+    unhex(concat(
+      array_join(transform(idxs, entryHex), ""),
+      lit("00" * 1024))) // two terminating zero blocks
+  }
 }
