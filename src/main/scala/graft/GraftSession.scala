@@ -39,6 +39,11 @@ object GraftSession {
       // an explicit Views parameter instead)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // events.ts is INT64 TIMESTAMP(NANOS) parquet — read as raw
+      // long (Tables.load converts to µs). Baked in at session build:
+      // Tables.load's runtime conf.set alone races with concurrent
+      // schema inference threads that snapshot SQLConf before it runs
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // native expressions available in SQL everywhere
       .config("spark.sql.extensions",
         "graft.expressions.GraftExtensions")

@@ -24,17 +24,27 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown table $name")
     if (name == "events") {
-      // events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark's
-      // vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). Read the
-      // raw nanos as Long and convert to Spark's native µs timestamp.
-      // Integer division (`div`), NOT `/1000`: ns-since-epoch ≈ 1.7e18
-      // exceeds double's 2^53 integer range, so float division would
-      // corrupt low-order digits.
+      // events.ts has shipped as both INT64 TIMESTAMP(NANOS) (older
+      // testdata drops — Spark's vectorized reader rejects it unless
+      // nanosAsLong reads raw longs) and TIMESTAMP(MICROS)
+      // isAdjustedToUTC=false (current drops — Spark infers
+      // TIMESTAMP_NTZ). Branch on the INFERRED type, not the table
+      // name. Nanos path: integer `div`, NOT `/1000` — ns-since-epoch
+      // ≈ 1.7e18 exceeds double's 2^53 integer range. NTZ path: cast
+      // to session-TZ timestamp (session is pinned UTC, so the wall
+      // clock IS the instant, matching DuckDB's naive reading).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampType => raw
+        case _ => // TIMESTAMP_NTZ
+          raw.withColumn("ts", org.apache.spark.sql.functions
+            .col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

@@ -1204,18 +1204,31 @@ object Multimodal {
         var idx = 0
         var stop = false
         while (!stop && o + 512 <= p.length) {
-          if (u8(o) == 0) stop = true // zero block: end of archive
+          // end-of-archive is a FULL 512-byte zero block, not just a
+          // NUL-leading name: a corrupt header whose name starts with
+          // NUL must not silently drop every later entry
+          var zb = o
+          while (zb < o + 512 && u8(zb) == 0) zb += 1
+          if (zb == o + 512) stop = true // zero block: end of archive
           else {
             var e = o
             while (e < o + 100 && u8(e) != 0) e += 1
             val name = new String(p, o.toInt, (e - o).toInt, "US-ASCII")
-            // octal size field: skip leading spaces/NULs, then digits
+            // size field: GNU/pax base-256 (high bit of byte 124 set,
+            // big-endian over the remaining bytes) for entries >8GiB,
+            // else octal ASCII — skip leading spaces/NULs, then digits
             var sz = 0L
-            var i = o + 124
-            val sEnd = o + 136
-            while (i < sEnd && (u8(i) == ' ' || u8(i) == 0)) i += 1
-            while (i < sEnd && u8(i) >= '0' && u8(i) <= '7') {
-              sz = sz * 8 + (u8(i) - '0'); i += 1
+            if ((u8(o + 124) & 0x80) != 0) {
+              sz = (u8(o + 124) & 0x7f).toLong
+              var bi2 = o + 125
+              while (bi2 < o + 136) { sz = (sz << 8) | u8(bi2); bi2 += 1 }
+            } else {
+              var i = o + 124
+              val sEnd = o + 136
+              while (i < sEnd && (u8(i) == ' ' || u8(i) == 0)) i += 1
+              while (i < sEnd && u8(i) >= '0' && u8(i) <= '7') {
+                sz = sz * 8 + (u8(i) - '0'); i += 1
+              }
             }
             val tf = u8(o + 156) match {
               case 0 => "0"
@@ -1242,7 +1255,11 @@ object Multimodal {
             out += Seq[Any](idx, name, tf, sz, o + 512, ustar,
               if (stored == actual) 1 else 0)
             idx += 1
-            o = o + 512 + ((sz + 511) / 512) * 512
+            // hard/sym links ('1'/'2') carry no data blocks even when
+            // the size field is nonzero (POSIX ustar): advance by the
+            // header only, or data_offset desyncs for later entries
+            val dataSz = if (tf == "1" || tf == "2") 0L else sz
+            o = o + 512 + ((dataSz + 511) / 512) * 512
           }
         }
         out.result().iterator
@@ -1280,7 +1297,7 @@ object Multimodal {
       sumOf(mtime) + 8 * 0x20 + sumOf(magicVer)
     val chrSum = (sc: Column) => aggregate(
       filter(split(sc, ""), c => c =!= ""),
-      lit(0L), (a, c) => a + ascii(c))
+      lit(0L), (a, c) => a + org.apache.spark.sql.functions.ascii(c))
     val idxs = when(nEntries >= 1, sequence(lit(1), nEntries))
       .otherwise(array())
     val entryHex = (i: Column) => {
@@ -1288,9 +1305,15 @@ object Multimodal {
       val szRaw = least(greatest(sizeOf(i), lit(0)), lit(10000))
         .cast("long")
       val sz = when(tf === "5", lit(0L)).otherwise(szRaw)
-      val name = substring(nameOf(i), 1, 99)
+      // ASCII-only name contract: non-ASCII would make hex() emit
+      // multi-byte UTF-8 (overflowing the 100-byte field) while the
+      // ascii() char sum counts code points — checksum would desync.
+      // Strip non-ASCII in-plan so the emitted header self-checks.
+      val name = substring(
+        regexp_replace(nameOf(i), "[^\\x20-\\x7e]", ""), 1, 99)
       val oct = lpad(conv(sz, 10, 8), 11, "0")
-      val cks = constSum + chrSum(name) + chrSum(oct) + ascii(tf)
+      val cks = lit(constSum.toLong) + chrSum(name) + chrSum(oct) +
+        org.apache.spark.sql.functions.ascii(tf)
       val cksField = concat(hex(lpad(conv(cks, 10, 8), 6, "0")),
         lit("0020")) // 6 octal digits + NUL + space
       val pad = pmod(lit(512L) - pmod(sz, lit(512L)), lit(512L))

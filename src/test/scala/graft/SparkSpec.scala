@@ -19,6 +19,9 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // baked in (not only set at Tables.load time): the runtime
+      // conf.set races with parallel suites' schema-inference threads
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // same extension set as GraftSession: native expressions + the
       // AsOfJoin planner strategy
       .config("spark.sql.extensions",

@@ -585,4 +585,131 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).getAs[Int]("n_segments") == 1) // APP0 found
     assert(out(1).getAs[Int]("header_bytes") == padded.length)
   }
+
+  // ---- POSIX ustar ----
+
+  /** Hand-built 512-byte ustar header with a REAL checksum —
+    * independent of both the walker and the in-plan synthesis.
+    */
+  private def tarHeader(name: String, size: Long, typeflag: Char,
+      base256: Boolean = false): Array[Byte] = {
+    val h = new Array[Byte](512)
+    def put(off: Int, s: String): Unit = {
+      val b = s.getBytes("US-ASCII")
+      System.arraycopy(b, 0, h, off, b.length)
+    }
+    put(0, name)
+    put(100, "0000644 "); put(108, "0000000 "); put(116, "0000000 ")
+    if (base256) { // GNU/pax binary size: high bit + BE payload
+      h(124) = 0x80.toByte
+      var v = size; var i = 135
+      while (i > 124) { h(i) = (v & 0xff).toByte; v >>= 8; i -= 1 }
+    } else put(124, "%011o".format(size))
+    put(136, "00000000000 ")
+    h(156) = typeflag.toByte
+    put(257, "ustar"); put(263, "00")
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    val sum = h.map(_ & 0xff).sum
+    put(148, "%06o".format(sum)); h(154) = 0; h(155) = ' '.toByte
+    h
+  }
+
+  private def tarOf(parts: Array[Byte]*): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    parts.foreach(bos.write)
+    bos.write(new Array[Byte](1024)) // two terminating zero blocks
+    bos.toByteArray
+  }
+
+  private def pad512(data: Array[Byte]): Array[Byte] =
+    java.util.Arrays.copyOf(data,
+      ((data.length + 511) / 512) * 512)
+
+  private def walkTar(id: Long, bytes: Array[Byte]) =
+    Multimodal.tarEntries(
+      Seq((id, "archive", bytes, "mem://tar"))
+        .toDF("media_id", "kind", "payload", "source_uri"))
+      .orderBy("entry_index").collect()
+
+  test("tarEntries walks a hand-built ustar archive: names, sizes, " +
+    "offsets, validated checksums; dirs carry no data") {
+    val d1 = "hello tar".getBytes("US-ASCII")
+    val t = tarOf(
+      tarHeader("a/file1.txt", d1.length.toLong, '0'), pad512(d1),
+      tarHeader("a/dir/", 0L, '5'),
+      tarHeader("a/file2.bin", 600L, '0'), pad512(new Array[Byte](600)))
+    val out = walkTar(1L, t)
+    assert(out.length == 3, out.mkString(";"))
+    def f(i: Int, n: String) = out(i).get(out(i).fieldIndex(n))
+    assert(f(0, "name") == "a/file1.txt" && f(0, "size") == 9L)
+    assert(f(0, "data_offset") == 512L && f(0, "chksum_ok") == 1)
+    assert(f(1, "name") == "a/dir/" && f(1, "typeflag") == "5")
+    assert(f(1, "data_offset") == 512L + 512 + 512)
+    assert(f(2, "size") == 600L && f(2, "chksum_ok") == 1)
+    assert(f(2, "data_offset") == 512L * 4)
+    assert(out.forall(_.getAs[Int]("is_ustar") == 1))
+  }
+
+  test("tarEntries: link entries advance by header only, base-256 " +
+    "sizes parse, corrupt NUL-name header does not end the walk") {
+    // hard link with a (bogus but spec-legal) nonzero size field:
+    // POSIX says no data blocks follow — the next header is adjacent
+    val t1 = tarOf(
+      tarHeader("linked", 700L, '1'),
+      tarHeader("after.txt", 3L, '0'), pad512("abc".getBytes))
+    val o1 = walkTar(1L, t1)
+    assert(o1.length == 2, o1.mkString(";"))
+    assert(o1(1).getAs[String]("name") == "after.txt")
+    // link header at 0 with NO data blocks -> next header at 512,
+    // whose data starts at 1024
+    assert(o1(1).getAs[Long]("data_offset") == 512L + 512)
+    // base-256 binary size (>8 GiB files use this; here a small one
+    // so the data fits): 1000 bytes, parsed from the BE payload
+    val t2 = tarOf(
+      tarHeader("big.bin", 1000L, '0', base256 = true),
+      pad512(new Array[Byte](1000)))
+    val o2 = walkTar(2L, t2)
+    assert(o2.length == 1 && o2(0).getAs[Long]("size") == 1000L)
+    assert(o2(0).getAs[Int]("chksum_ok") == 1)
+    // corrupt header whose name starts with NUL but whose block is
+    // NOT all zero: must not terminate — the later entry survives
+    val corrupt = tarHeader("x", 0L, '0')
+    corrupt(0) = 0
+    val t3 = tarOf(corrupt, tarHeader("ok.txt", 0L, '0'))
+    val o3 = walkTar(3L, t3)
+    assert(o3.length == 2, o3.mkString(";"))
+    assert(o3(0).getAs[Int]("chksum_ok") == 0) // name byte changed
+    assert(o3(1).getAs[String]("name") == "ok.txt")
+    assert(o3(1).getAs[Int]("chksum_ok") == 1)
+    // truncation mid-data: the complete header before the cut stays
+    val full = tarOf(tarHeader("t.bin", 600L, '0'),
+      pad512(new Array[Byte](600)))
+    val o4 = walkTar(4L, java.util.Arrays.copyOfRange(full, 0, 700))
+    assert(o4.length == 1 && o4(0).getAs[String]("name") == "t.bin")
+  }
+
+  test("tarShard synthesis round-trips through tarEntries: the " +
+    "in-plan Column-algebra checksum matches the walker's byte sum") {
+    val df = Seq(7L).toDF("doc_id").select(col("doc_id"),
+      Multimodal.tarShard(lit(4),
+        i => concat(lit("s/f"), i.cast("string"), lit(".txt")),
+        i => i * lit(250) - 100, // 150, 400, 650, 900
+        i => when(i === 2, lit("5")).otherwise(lit("0")))
+        .as("payload"))
+    val out = Multimodal.tarEntries(df).orderBy("entry_index").collect()
+    assert(out.length == 4, out.mkString(";"))
+    def f(i: Int, n: String) = out(i).get(out(i).fieldIndex(n))
+    (0 until 4).foreach { i =>
+      assert(f(i, "chksum_ok") == 1, s"entry $i checksum")
+      assert(f(i, "is_ustar") == 1)
+      assert(f(i, "name") == s"s/f${i + 1}.txt")
+    }
+    assert(f(0, "size") == 150L && f(1, "size") == 0L) // dir -> 0
+    assert(f(2, "size") == 650L && f(3, "size") == 900L)
+    assert(f(0, "data_offset") == 512L)
+    // 150 -> 512 data; dir -> 0; 650 -> 1024
+    assert(f(1, "data_offset") == 512L + 512 + 512)
+    assert(f(2, "data_offset") == 512L + 512 + 512 + 512)
+    assert(f(3, "data_offset") == 512L + 512 + 512 + 512 + 1024 + 512)
+  }
 }
