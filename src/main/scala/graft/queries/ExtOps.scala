@@ -509,6 +509,100 @@ object ExtOps {
         .orderBy(col("rank"))
     }),
 
+    // Synchronous label propagation (Raghavan et al. 2007) over the
+    // part↔supplier bipartite graph — community detection, the
+    // third graph workload (xg1 ranks, xg2 counts, this clusters). 2
+    // rounds; each node adopts its neighbors' most frequent label
+    // (count desc, then MIN label — fully deterministic, unlike the
+    // paper's random tie-break). Per round: one edge⋈label join +
+    // one (node, label) count + one per-node argmax via min(struct)
+    // — no window sort; the label frame stays N rows. At 100 TB both
+    // shuffles key on node ids — the same partitioning every round,
+    // and AQE coalesces the tiny label side.
+    "xg3_label_propagation" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val fwd = l.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      val edges = graft.operators.ManagedCache.persist(
+        fwd.union(fwd.select(col("dst").as("src"),
+          col("src").as("dst"))).distinct())
+      val l0 = edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl"))
+      def step(labels: DataFrame): DataFrame =
+        edges.join(labels.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst"), col("lbl"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("dst"))
+          .agg(min(struct((-col("n")).as("neg"), col("lbl").as("l")))
+            .as("best"))
+          .select(col("dst").as("node"), col("best.l").as("lbl"))
+      val l2 = step(step(l0))
+      l2.groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(when(pmod(col("node"), lit(2)) === 0, 1L).otherwise(0L))
+            .as("n_parts"),
+          min(col("node")).as("min_node"))
+        .orderBy(col("community"))
+    }),
+
+    // OLS linear regression per group (amount-vs-time trend): all
+    // five moment sums accumulate as EXACT bigints (x = hours since
+    // the group's first event, y = integer cents — bounded so n·Σxy
+    // and Σx·Σy stay far inside int64), then ONE floor(double
+    // quotient) over those exact operands — both engines perform the
+    // identical IEEE convert-multiply-divide, so the slope is
+    // bit-stable. Two map-side-partial aggregations (min, then the
+    // sums) with a broadcast join between — never a window over the
+    // fact table.
+    "xq5_linear_regression" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+      val base = e.groupBy(col("event_type")).agg(min(col("us")).as("us0"))
+      val xy = e.join(broadcast(base), Seq("event_type"))
+        .select(col("event_type"),
+          call_function("div", col("us") - col("us0"),
+            lit(3600L * 1000000L)).as("x"),
+          col("cents").as("y"))
+      xy.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("event_type"), col("n"), col("sx"), col("sy"),
+          col("sxy"), col("sxx"),
+          floor((col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") * lit(1000000.0) /
+            (col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double"))
+            .cast("long").as("slope_micro"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Z-order (Morton) clustering census — the ORACLE-verified twin
+    // of operators.ZOrder (whose file-pruning effect ZOrderSpec
+    // proves): interleave the low 10 bits of two independent keys,
+    // bucket the curve into 64 ranges, and emit each bucket's 2-D
+    // bounding box. The tight per-bucket min/max on BOTH dimensions
+    // is precisely the property file-level min/max pruning exploits;
+    // the arithmetic replay (integer div/mod bit extraction) pins
+    // every interleaved bit. One groupBy on the derived key — at
+    // 100 TB this is the layout-write shuffle itself.
+    "xq7_zorder_key" -> ((s, dir) => {
+      val withXY = t(s, dir, "lineitem")
+        .select(pmod(col("l_partkey"), lit(1024)).as("x"),
+          pmod(col("l_suppkey"), lit(1024)).as("y"))
+      withXY
+        .withColumn("z",
+          graft.operators.ZOrder.interleave2(col("x"), col("y"), 10))
+        .groupBy(call_function("div", col("z"), lit(16384L))
+          .as("z_bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .orderBy(col("z_bucket"))
+    }),
+
     // Triangle counting over the part co-purchase graph (parts
     // sharing an order) with DEGREE-ORDERED ORIENTATION (Schank &
     // Wagner 2005 / Suri-Vassilvitskii MapReduce form): every edge is
@@ -1017,6 +1111,70 @@ object ExtOps {
            node_id // 2 AS orig_key, r AS rank_nano
          FROM r2)
        WHERE rank <= 20 ORDER BY rank""",
+    // 2 unrolled LPA rounds; per-node argmax = count desc, min label
+    "xg3_label_propagation" ->
+      """WITH e AS (
+           SELECT DISTINCT l_partkey*2 AS src, l_suppkey*2+1 AS dst
+           FROM lineitem
+           UNION
+           SELECT DISTINCT l_suppkey*2+1 AS src, l_partkey*2 AS dst
+           FROM lineitem),
+         l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+         c1 AS (SELECT e.dst AS node, l.lbl, count(*) AS n
+           FROM e JOIN l0 l ON l.node = e.src GROUP BY 1, 2),
+         l1 AS (SELECT node, lbl FROM (
+             SELECT node, lbl, row_number() OVER (PARTITION BY node
+               ORDER BY n DESC, lbl) AS rn FROM c1) WHERE rn = 1),
+         c2 AS (SELECT e.dst AS node, l.lbl, count(*) AS n
+           FROM e JOIN l1 l ON l.node = e.src GROUP BY 1, 2),
+         l2 AS (SELECT node, lbl FROM (
+             SELECT node, lbl, row_number() OVER (PARTITION BY node
+               ORDER BY n DESC, lbl) AS rn FROM c2) WHERE rn = 1)
+       SELECT lbl AS community, count(*) AS n_nodes,
+         CAST(sum(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_parts,
+         min(node) AS min_node
+       FROM l2 GROUP BY 1 ORDER BY community""",
+    // exact bigint moment sums; one IEEE double quotient at the end
+    "xq5_linear_regression" ->
+      """WITH e AS (
+           SELECT event_type, epoch_us(ts) AS us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         base AS (SELECT event_type, min(us) AS us0 FROM e GROUP BY 1),
+         xy AS (SELECT e.event_type,
+             (e.us - base.us0) // 3600000000 AS x, e.cents AS y
+           FROM e JOIN base ON base.event_type = e.event_type),
+         m AS (SELECT event_type, count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x*y) AS BIGINT) AS sxy,
+             CAST(sum(x*x) AS BIGINT) AS sxx
+           FROM xy GROUP BY 1)
+       SELECT event_type, n, sx, sy, sxy, sxx,
+         CAST(floor(CAST(n*sxy - sx*sy AS DOUBLE) * 1000000.0 /
+           CAST(n*sxx - sx*sx AS DOUBLE)) AS BIGINT) AS slope_micro
+       FROM m ORDER BY event_type""",
+    // Morton interleave replayed as integer div/mod bit extraction:
+    // x bits at even positions (weight 4^j), y bits at odd (2*4^j)
+    "xq7_zorder_key" ->
+      """WITH xy AS (SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y
+           FROM lineitem),
+         z AS (SELECT x, y,
+             (x % 2) * 1 + ((x // 2) % 2) * 4 + ((x // 4) % 2) * 16
+           + ((x // 8) % 2) * 64 + ((x // 16) % 2) * 256
+           + ((x // 32) % 2) * 1024 + ((x // 64) % 2) * 4096
+           + ((x // 128) % 2) * 16384 + ((x // 256) % 2) * 65536
+           + ((x // 512) % 2) * 262144
+           + (y % 2) * 2 + ((y // 2) % 2) * 8 + ((y // 4) % 2) * 32
+           + ((y // 8) % 2) * 128 + ((y // 16) % 2) * 512
+           + ((y // 32) % 2) * 2048 + ((y // 64) % 2) * 8192
+           + ((y // 128) % 2) * 32768 + ((y // 256) % 2) * 131072
+           + ((y // 512) % 2) * 524288 AS zv
+           FROM xy)
+       SELECT zv // 16384 AS z_bucket, count(*) AS n,
+         min(x) AS min_x, max(x) AS max_x,
+         min(y) AS min_y, max(y) AS max_y
+       FROM z GROUP BY 1 ORDER BY z_bucket""",
     // id-ordered naive 3-way join — each triangle once as a < b < c;
     // the degree-oriented Spark plan must count identically
     "xg2_triangle_count" ->

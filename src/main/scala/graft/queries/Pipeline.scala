@@ -208,6 +208,78 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // fastText-style linear quality classifier (the CCNet/LLaMA
+    // corpus-filter shape): hashed bag-of-words features — token →
+    // 60-bit portable hash → 1024 buckets — scored against a
+    // deterministic integer weight vector (weight = mixed bucket id,
+    // so the oracle derives it arithmetically; a real model would
+    // broadcast learned weights the same way). Everything is integer:
+    // score = Σ_occurrences w[bucket(tok)]; accept = score > 0. ONE
+    // shuffle (the per-doc agg); the hash + weight lookup is per-row
+    // Column algebra — at 100 TB this is a pure scan-side filter.
+    "px8_quality_classifier" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(trim(regexp_replace(
+          lower(col("text")), "[^a-z0-9]+", " ")), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val bucket = pmod(SF.md5hash60(concat(lit("ft:"), col("tok"))),
+        lit(1024L))
+      val weight = pmod(bucket * lit(2654435761L), lit(2001L)) -
+        lit(1000L)
+      toks.select(col("doc_id"), weight.as("w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("score"))
+        .withColumn("accept", (col("score") > 0).cast("int"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // URL canonicalization + dedup census — the crawl-side dedup a
+    // web corpus runs BEFORE content dedup: lowercase scheme/host,
+    // strip default ports (:80 http / :443 https), strip trailing
+    // slashes, drop utm_* tracking params, sort surviving params.
+    // URLs are synthesized in-plan (4 variants per site, 3 of which
+    // canonicalize together) since the corpus has no URL column; the
+    // canonicalizer itself is the real operator — pure per-row
+    // Column algebra fused into the scan, census keyed on the
+    // canonical string (ONE shuffle).
+    "dd16_url_canonical" -> ((s, dir) => {
+      val k = call_function("div", col("doc_id"), lit(4L))
+      val v = pmod(col("doc_id"), lit(4L))
+      val base = concat(lit("site"), k, lit(".example.com"))
+      val url =
+        when(v === 0, concat(lit("http://"), base, lit("/p/"), k))
+          .when(v === 1, concat(lit("HTTP://"), upper(base),
+            lit(":80/p/"), k))
+          .when(v === 2, concat(lit("http://"), base, lit("/p/"), k,
+            lit("/")))
+          .otherwise(concat(lit("http://"), base, lit(":80/p/"), k,
+            lit("?utm_source=feed&b=2&a=1")))
+      val u = t(s, dir, "documents")
+        .select(col("doc_id"), url.as("url"))
+      val scheme = lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1))
+      val hostport = lower(regexp_extract(col("url"),
+        "^[A-Za-z]+://([^/?]+)", 1))
+      val host =
+        when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+          .when(scheme === "https",
+            regexp_replace(hostport, ":443$", ""))
+          .otherwise(hostport)
+      val path = regexp_replace(regexp_extract(col("url"),
+        "^[A-Za-z]+://[^/?]+([^?]*)", 1), "/+$", "")
+      val q = regexp_extract(col("url"), "\\?(.*)$", 1)
+      val params = filter(split(q, "&"),
+        p => !p.startsWith("utm_") && p =!= "")
+      val sortedQ = array_join(array_sort(params), "&")
+      val canon = concat(scheme, lit("://"), host, path,
+        when(sortedQ === "", lit(""))
+          .otherwise(concat(lit("?"), sortedQ)))
+      u.select(col("doc_id"), canon.as("canonical_url"))
+        .groupBy(col("canonical_url"))
+        .agg(count(lit(1)).as("n_urls"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("canonical_url"))
+    }),
+
     // Benchmark decontamination: flag training docs whose 5-gram
     // overlap with the eval set (here: doc_id < 10 as the stand-in
     // benchmark) exceeds 50%. The eval gram set is tiny relative to
@@ -347,6 +419,29 @@ object Pipeline {
         .select(col("doc_id"),
           Multimodal.pngSynth(w, h, nIdat, idatLen).as("payload"))
       Multimodal.pngMeta(media).orderBy(col("doc_id"))
+    }),
+
+    // REAL POSIX-ustar tar walk (the WebDataset training-shard
+    // container): synthesize spec-valid ustar shards in-plan
+    // (variable entry count, directory entries, per-entry sizes, and
+    // a REAL header checksum computed in Column algebra), then walk
+    // them with the real JVM parser. chksum_ok pins the TWO
+    // independent checksum computations (in-plan synthesis byte sum
+    // vs walker byte sum) against each other; the oracle replays
+    // names, sizes and the 512-block offset arithmetic.
+    "mm12_tar_entries" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val n = (lit(1) + pmod(col("doc_id"), lit(4))).cast("int")
+      val media = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          Multimodal.tarShard(n,
+            i => concat(lit("doc"), col("doc_id"), lit("/"),
+              i.cast("string"), lit(".txt")),
+            i => pmod(col("doc_id") * 31 + i * 97, lit(1200)),
+            i => when(pmod(i, lit(3)) === 0, lit("5"))
+              .otherwise(lit("0"))).as("payload"))
+      Multimodal.tarEntries(media)
+        .orderBy(col("doc_id"), col("entry_index"))
     }),
 
     // REAL GIF header round-trip (the image sibling of mm2): build
@@ -673,6 +768,63 @@ object Pipeline {
            AS n_boiler
        FROM c2 LEFT JOIN df ON df.chunk = c2.chunk
        GROUP BY doc_id ORDER BY doc_id""",
+    // same md5-60 bucket, same mixed-integer weight, per occurrence
+    "px8_quality_classifier" ->
+      """WITH toks AS (SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(lower(text),
+             '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+         FROM documents),
+       w AS (SELECT doc_id,
+           (('0x' || substr(md5('ft:' || tok), 1, 15))::BIGINT
+             % 1024) * 2654435761 % 2001 - 1000 AS w
+         FROM toks WHERE length(tok) > 0)
+       SELECT doc_id, count(*) AS n_tokens,
+         CAST(sum(w) AS BIGINT) AS score,
+         CAST(sum(w) > 0 AS INT) AS accept
+       FROM w GROUP BY 1 ORDER BY doc_id""",
+    // replays synthesis + every canonicalization step: lowercase,
+    // default-port strip, trailing-slash strip, utm drop, param sort
+    "dd16_url_canonical" ->
+      """WITH u AS (SELECT doc_id,
+           CASE doc_id % 4
+             WHEN 0 THEN 'http://site' || (doc_id // 4) ||
+               '.example.com/p/' || (doc_id // 4)
+             WHEN 1 THEN 'HTTP://' || upper('site' || (doc_id // 4) ||
+               '.example.com') || ':80/p/' || (doc_id // 4)
+             WHEN 2 THEN 'http://site' || (doc_id // 4) ||
+               '.example.com/p/' || (doc_id // 4) || '/'
+             ELSE 'http://site' || (doc_id // 4) ||
+               '.example.com:80/p/' || (doc_id // 4) ||
+               '?utm_source=feed&b=2&a=1' END AS url
+         FROM documents),
+       c AS (SELECT doc_id,
+           lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+           lower(regexp_extract(url, '^[A-Za-z]+://([^/?]+)', 1))
+             AS hostport,
+           regexp_replace(regexp_extract(url,
+             '^[A-Za-z]+://[^/?]+([^?]*)', 1), '/+$', '') AS path,
+           coalesce(regexp_extract(url, '\?(.*)$', 1), '') AS q
+         FROM u),
+       c2 AS (SELECT doc_id, scheme,
+           CASE WHEN scheme = 'http'
+               THEN regexp_replace(hostport, ':80$', '')
+             WHEN scheme = 'https'
+               THEN regexp_replace(hostport, ':443$', '')
+             ELSE hostport END AS host,
+           path,
+           coalesce(array_to_string(list_sort(list_filter(
+             string_split(q, '&'),
+             p -> NOT starts_with(p, 'utm_') AND p <> '')), '&'), '')
+             AS sq
+         FROM c),
+       canon AS (SELECT doc_id,
+           scheme || '://' || host || path ||
+             CASE WHEN sq = '' THEN '' ELSE '?' || sq END
+             AS canonical_url
+         FROM c2)
+       SELECT canonical_url, count(*) AS n_urls,
+         min(doc_id) AS first_doc
+       FROM canon GROUP BY 1 ORDER BY canonical_url""",
     // the oracle computes the same running sum with a plain window —
     // the distributed two-pass result must be bit-identical
     "px4_pack_sequences" ->
@@ -761,6 +913,30 @@ object Pipeline {
            CAST(8 + 25 + (1 + doc_id % 5) * (12 + 20 + doc_id % 40)
              + 12 AS BIGINT) AS walked_bytes
          FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
+    // replays the ustar layout: dir entries (i%3=0) carry size 0; the
+    // data offset of entry i is 512 past the end of the previous
+    // entry's 512-rounded data; checksum and magic always validate
+    "mm12_tar_entries" ->
+      """WITH e AS (
+           SELECT doc_id,
+             unnest(generate_series(1, CAST(1 + doc_id % 4 AS INT)))
+               AS i
+           FROM documents WHERE doc_id < 200),
+         x AS (
+           SELECT doc_id, i,
+             CASE WHEN i % 3 = 0 THEN '5' ELSE '0' END AS typeflag,
+             CASE WHEN i % 3 = 0 THEN 0
+               ELSE (doc_id * 31 + i * 97) % 1200 END AS sz
+           FROM e)
+         SELECT doc_id, CAST(i - 1 AS INT) AS entry_index,
+           'doc' || doc_id || '/' || i || '.txt' AS name,
+           typeflag, CAST(sz AS BIGINT) AS size,
+           CAST(512 + coalesce(sum(512 + 512 * ((sz + 511) // 512))
+             OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS data_offset,
+           1 AS is_ustar, 1 AS chksum_ok
+         FROM x ORDER BY doc_id, entry_index""",
     "mm9_wav_pcm" ->
       """WITH s AS (
            SELECT d.doc_id AS media_id,

@@ -155,6 +155,29 @@ object TimeSeries {
           expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000")
             .as("duration_s"))
         .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // Exponentially-weighted moving value, alpha = 1/2, truncated at
+    // 8 taps: ewma_x256 = sum_{k=0..7} cents[t-k] * 2^(7-k) — the
+    // truncated-geometric EWMA in EXACT scaled integers (x256), so
+    // there is no float accumulation at all: true recursive EWMA
+    // (s = s/2 + x/2) carries infinite history as an irrational
+    // float; 8 taps of alpha=1/2 keep >99.6% of the mass and make the
+    // whole signal integer arithmetic, identical in any engine. ONE
+    // partition-sort per user feeds all 8 lag() taps (Spark plans a
+    // single Window node); at 100 TB this shuffles each user's rows
+    // once — the same shape as ts3.
+    "ts5_ewma" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val e = t(s, dir, "events")
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+      val taps = (0 to 7).map(k =>
+        coalesce(lag(col("cents"), k).over(w), lit(0L)) *
+          lit(1L << (7 - k)))
+      e.select(col("event_id"), col("user_id"), col("cents"),
+          taps.reduce(_ + _).as("ewma_x256"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -249,6 +272,22 @@ object TimeSeries {
            (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
              AS duration_s
          FROM sess GROUP BY user_id, session_id
-         ORDER BY user_id, session_id"""
+         ORDER BY user_id, session_id""",
+    // 8 integer taps, weight 2^(7-k) on lag k; missing history -> 0
+    "ts5_ewma" ->
+      """SELECT event_id, user_id,
+           CAST(round(value * 100) AS BIGINT) AS cents,
+           CAST(coalesce(lag(CAST(round(value*100) AS BIGINT), 0) OVER w, 0) * 128
+             + coalesce(lag(CAST(round(value*100) AS BIGINT), 1) OVER w, 0) * 64
+             + coalesce(lag(CAST(round(value*100) AS BIGINT), 2) OVER w, 0) * 32
+             + coalesce(lag(CAST(round(value*100) AS BIGINT), 3) OVER w, 0) * 16
+             + coalesce(lag(CAST(round(value*100) AS BIGINT), 4) OVER w, 0) * 8
+             + coalesce(lag(CAST(round(value*100) AS BIGINT), 5) OVER w, 0) * 4
+             + coalesce(lag(CAST(round(value*100) AS BIGINT), 6) OVER w, 0) * 2
+             + coalesce(lag(CAST(round(value*100) AS BIGINT), 7) OVER w, 0)
+             AS BIGINT) AS ewma_x256
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+         ORDER BY event_id"""
   )
 }

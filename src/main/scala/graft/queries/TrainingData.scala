@@ -758,6 +758,85 @@ object TrainingData {
         .orderBy(col("round"))
     }),
 
+    // BPE ENCODE — the apply half of the tokenizer (tx13 trains the
+    // merges; this tokenizes the corpus with them): re-derive the 3
+    // trained merges (same bounded 1-row-per-round collect), then
+    // apply the chain greedily to every document's words and emit
+    // per-doc token statistics. Application is pure per-row Column
+    // algebra (3 literal replaces on the spaced form) — ZERO extra
+    // shuffle beyond the training counts; the per-doc agg keys on
+    // doc_id. n_merged counts tokens that ARE one of the trained
+    // symbols — the compression the merges actually bought.
+    "tx16_bpe_encode" -> ((s, dir) => {
+      val docsW = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(trim(regexp_replace(
+          lower(col("text")), "[^a-z0-9]+", " ")), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+      var corpus = ManagedCache.persist(
+        docsW.select(TF.bpeSpaced(col("word")).as("s")))
+      val merged = scala.collection.mutable.ArrayBuffer[String]()
+      var chain: List[(String, String)] = Nil
+      for (_ <- 1 to 3) {
+        val best = corpus
+          .select(TF.bpeTokens(col("s")).as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(col("t"),
+            explode(sequence(lit(0), size(col("t")) - 2)).as("i"))
+          .select(element_at(col("t"), col("i") + 1).as("a"),
+            element_at(col("t"), col("i") + 2).as("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+          .collect()(0)
+        val (a, b) = (best.getString(0), best.getString(1))
+        chain = chain :+ ((a, b))
+        merged += (a + b)
+        corpus = ManagedCache.persist(corpus.select(
+          TF.bpeMerge(col("s"), a, b).as("s")))
+      }
+      val enc = chain.foldLeft(TF.bpeSpaced(col("word"))) {
+        case (c, (a, b)) => TF.bpeMerge(c, a, b)
+      }
+      val mergedArr = array(merged.toSeq.map(lit): _*)
+      docsW
+        .select(col("doc_id"), TF.bpeTokens(enc).as("t"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(size(col("t")).cast("long")).as("n_tokens"),
+          sum(size(filter(col("t"),
+            x => array_contains(mergedArr, x))).cast("long"))
+            .as("n_merged"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Flesch-style readability signals in EXACT integers: words,
+    // sentences (terminator runs, min 1), syllable proxy (vowel
+    // groups), and a milli-scaled score via two floor divisions —
+    // the classic readability filter, zero floats, zero shuffles
+    // beyond the final sort (all signals are per-row Column algebra
+    // fused into the scan).
+    "tx17_readability" -> ((s, dir) => {
+      val txt = lower(col("text"))
+      val nWords = size(split(trim(regexp_replace(txt,
+        "[^a-z0-9]+", " ")), " "))
+      val nSent = greatest(lit(1),
+        size(split(col("text"), "[.!?]+")) - 1)
+      val nSyll = greatest(lit(1), size(split(
+        regexp_replace(txt, "[aeiouy]+", "#"), "#")) - 1)
+      t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          nWords.cast("long").as("n_words"),
+          nSent.cast("long").as("n_sentences"),
+          nSyll.cast("long").as("n_syllables"))
+        .withColumn("score_milli",
+          lit(206835L) -
+            call_function("div", lit(1015L) * col("n_words"),
+              col("n_sentences")) -
+            call_function("div", lit(84600L) * col("n_syllables"),
+              col("n_words")))
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus-informed n-gram novelty — the rarity signal that
     // separates TEMPLATE text (bigrams shared corpus-wide, high mean
     // document frequency) from novel-or-junk text (mostly unique
@@ -971,6 +1050,86 @@ object TrainingData {
            UNION ALL SELECT 2, a, b, a || b, n FROM b2
            UNION ALL SELECT 3, a, b, a || b, n FROM b3)
          ORDER BY round""",
+      // tx13's training CTEs re-run verbatim, then the 3-merge chain
+      // applied per doc (innermost replace first = chain order)
+      "tx16_bpe_encode" ->
+        """WITH words AS (
+             SELECT unnest(string_split(trim(regexp_replace(
+               lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
+             FROM documents),
+           w0 AS (SELECT ' ' ||
+               regexp_replace(word, '(.)', '\1  ', 'g') || '</w> ' AS s
+             FROM words WHERE length(word) > 0),
+           p1 AS (SELECT t[i] AS a, t[i+1] AS b, count(*) AS n FROM (
+               SELECT t, unnest(range(1, len(t))) AS i FROM
+                 (SELECT string_split(trim(s), '  ') AS t FROM w0))
+             GROUP BY 1, 2),
+           b1 AS (SELECT a, b, n FROM p1 ORDER BY n DESC, a, b LIMIT 1),
+           w1 AS (SELECT replace(s, ' ' || b1.a || '  ' || b1.b || ' ',
+               ' ' || b1.a || b1.b || ' ') AS s
+             FROM w0 CROSS JOIN b1),
+           p2 AS (SELECT t[i] AS a, t[i+1] AS b, count(*) AS n FROM (
+               SELECT t, unnest(range(1, len(t))) AS i FROM
+                 (SELECT string_split(trim(s), '  ') AS t FROM w1))
+             GROUP BY 1, 2),
+           b2 AS (SELECT a, b, n FROM p2 ORDER BY n DESC, a, b LIMIT 1),
+           w2 AS (SELECT replace(s, ' ' || b2.a || '  ' || b2.b || ' ',
+               ' ' || b2.a || b2.b || ' ') AS s
+             FROM w1 CROSS JOIN b2),
+           p3 AS (SELECT t[i] AS a, t[i+1] AS b, count(*) AS n FROM (
+               SELECT t, unnest(range(1, len(t))) AS i FROM
+                 (SELECT string_split(trim(s), '  ') AS t FROM w2))
+             GROUP BY 1, 2),
+           b3 AS (SELECT a, b, n FROM p3 ORDER BY n DESC, a, b LIMIT 1),
+           ml AS (SELECT [b1.a || b1.b, b2.a || b2.b, b3.a || b3.b]
+               AS l FROM b1, b2, b3),
+           dw AS (SELECT doc_id, unnest(string_split(trim(
+               regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+               ' ')) AS word
+             FROM documents),
+           ds AS (SELECT doc_id, ' ' ||
+               regexp_replace(word, '(.)', '\1  ', 'g') || '</w> ' AS s
+             FROM dw WHERE length(word) > 0),
+           enc AS (SELECT doc_id, replace(replace(replace(s,
+               ' ' || b1.a || '  ' || b1.b || ' ',
+               ' ' || b1.a || b1.b || ' '),
+               ' ' || b2.a || '  ' || b2.b || ' ',
+               ' ' || b2.a || b2.b || ' '),
+               ' ' || b3.a || '  ' || b3.b || ' ',
+               ' ' || b3.a || b3.b || ' ') AS s
+             FROM ds CROSS JOIN b1 CROSS JOIN b2 CROSS JOIN b3),
+           tok AS (SELECT doc_id, string_split(trim(s), '  ') AS t
+             FROM enc)
+         SELECT doc_id, count(*) AS n_words,
+           CAST(sum(len(t)) AS BIGINT) AS n_tokens,
+           CAST(sum(len(list_filter(t,
+             x -> list_contains(ml.l, x)))) AS BIGINT) AS n_merged
+         FROM tok CROSS JOIN ml
+         GROUP BY doc_id ORDER BY doc_id""",
+      // integer Flesch proxy: terminator-run sentences, vowel-group
+      // syllables, two floor divisions on exact bigints
+      "tx17_readability" ->
+        """SELECT doc_id,
+             CAST(len(string_split(trim(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g')), ' ')) AS BIGINT) AS n_words,
+             CAST(greatest(1, len(string_split_regex(text, '[.!?]+'))
+               - 1) AS BIGINT) AS n_sentences,
+             CAST(greatest(1, len(string_split(regexp_replace(
+               lower(text), '[aeiouy]+', '#', 'g'), '#')) - 1)
+               AS BIGINT) AS n_syllables,
+             206835 - (1015 * CAST(len(string_split(trim(
+                 regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                 ' ')) AS BIGINT))
+               // CAST(greatest(1, len(string_split_regex(text,
+                 '[.!?]+')) - 1) AS BIGINT)
+               - (84600 * CAST(greatest(1, len(string_split(
+                 regexp_replace(lower(text), '[aeiouy]+', '#', 'g'),
+                 '#')) - 1) AS BIGINT))
+               // CAST(len(string_split(trim(regexp_replace(
+                 lower(text), '[^a-z0-9]+', ' ', 'g')), ' '))
+                 AS BIGINT) AS score_milli
+           FROM documents WHERE length(trim(text)) > 0
+           ORDER BY doc_id""",
       // same shingle table; integer mean-DF replayed exactly
       "tx14_ngram_novelty" ->
         """WITH d AS (SELECT doc_id,

@@ -127,10 +127,50 @@ object Upserts {
         // event_type makes the sort total: two same-microsecond
         // changes share valid_from but adjacent versions always differ
         .orderBy(col("user_id"), col("valid_from_us"), col("event_type"))
+    }),
+
+    // CDC merge-apply (the Debezium/Delta MERGE shape): a change log
+    // of I/U/D ops collapses to final state — last op per key wins,
+    // keys whose last op is a delete vanish. ONE shuffle on the key
+    // with map-side partial max(struct) — never a window sort over
+    // the log (the log is the 100 TB side; the state is the small
+    // side). Ops derive deterministically from event_type.
+    "k7_cdc_apply" -> ((s, dir) => {
+      val log = t(s, dir, "events").select(
+        col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        col("event_id"),
+        when(col("event_type") === "error", lit("D"))
+          .when(col("event_type").isin("purchase", "signup"), lit("I"))
+          .otherwise(lit("U")).as("op"),
+        round(col("value") * 100).cast("long").as("cents"))
+      log.groupBy(col("user_id")).agg(
+          max(struct(col("us"), col("event_id"), col("op"),
+            col("cents"))).as("f"),
+          count(lit(1)).as("n_ops"))
+        .filter(col("f.op") =!= "D")
+        .select(col("user_id"), col("f.us").as("last_us"),
+          col("n_ops"), col("f.cents").as("final_cents"))
+        .orderBy(col("user_id"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // last op per key by (us, event_id); delete-last keys drop out
+    "k7_cdc_apply" ->
+      """WITH log AS (
+           SELECT user_id, epoch_us(ts) AS us, event_id,
+             CASE WHEN event_type = 'error' THEN 'D'
+               WHEN event_type IN ('purchase', 'signup') THEN 'I'
+               ELSE 'U' END AS op,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+               ORDER BY us DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_ops
+           FROM log)
+         SELECT user_id, us AS last_us, n_ops, cents AS final_cents
+         FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""",
     "k1_upsert_full_row" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
            SELECT *, row_number() OVER (PARTITION BY o_orderkey
