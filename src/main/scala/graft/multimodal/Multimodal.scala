@@ -1336,4 +1336,132 @@ object Multimodal {
       array_join(transform(idxs, entryHex), ""),
       lit("00" * 1024))) // two terminating zero blocks
   }
+
+  // ---- ZIP (PKWARE APPNOTE): the other shard/archive container ----
+
+  val zipEntrySchema: StructType = StructType(Seq(
+    StructField("entry_index", IntegerType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("method", IntegerType, nullable = false),
+    StructField("comp_size", LongType, nullable = false),
+    StructField("uncomp_size", LongType, nullable = false),
+    StructField("crc32", LongType, nullable = false),
+    StructField("local_offset", LongType, nullable = false),
+    StructField("local_sig_ok", IntegerType, nullable = false)))
+
+  /** REAL ZIP central-directory walk (PKWARE APPNOTE 4.3.x): find the
+    * end-of-central-directory record by scanning BACKWARD from the
+    * tail for its signature (the comment makes the EOCD
+    * variable-length, so backward scan is the spec'd discovery
+    * method — bounded by the 65535-byte max comment), then walk the
+    * central directory's LITTLE-endian fixed headers + three
+    * variable-length tails (name/extra/comment) per entry. Sixth
+    * byte-layout family in this file (RIFF LE-chunked, GIF
+    * sub-blocked, JPEG BE self-inclusive, PNG BE exclusive, tar
+    * octal-ASCII blocks, ZIP LE + backward discovery). Per entry the
+    * local-header signature at the recorded offset is probed
+    * (`local_sig_ok`) — the cross-check a shard reader needs before
+    * seeking into the blob. CRCs are indexed, not validated (like
+    * PNG). Truncated/garbage input yields the entries whose central
+    * records are intact; never a throw.
+    */
+  def zipEntries(media: DataFrame): DataFrame =
+    mapMedia(media, zipEntrySchema.fields.toSeq) { p =>
+      if (p == null || p.length < 22) Iterator.empty
+      else {
+        def u8(i: Long) = p(i.toInt) & 0xff
+        def le16(i: Long) = u8(i) | (u8(i + 1) << 8)
+        def le32(i: Long): Long = u8(i).toLong | (u8(i + 1).toLong << 8) |
+          (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+        // EOCD backward scan: sig 0x06054b50, last 65557 bytes
+        var eocd = -1L
+        var o = p.length - 22L
+        val lo = math.max(0L, p.length - 22L - 65535L)
+        while (eocd < 0 && o >= lo) {
+          if (u8(o) == 0x50 && u8(o + 1) == 0x4b && u8(o + 2) == 0x05 &&
+            u8(o + 3) == 0x06) eocd = o
+          else o -= 1
+        }
+        if (eocd < 0) Iterator.empty
+        else {
+          val n = le16(eocd + 10)
+          var co = le32(eocd + 16)
+          val out = Seq.newBuilder[Seq[Any]]
+          var idx = 0
+          var stop = false
+          while (!stop && idx < n && co + 46 <= p.length) {
+            if (!(u8(co) == 0x50 && u8(co + 1) == 0x4b &&
+                u8(co + 2) == 0x01 && u8(co + 3) == 0x02)) stop = true
+            else {
+              val nameLen = le16(co + 28)
+              val extraLen = le16(co + 30)
+              val commentLen = le16(co + 32)
+              if (co + 46 + nameLen > p.length) stop = true
+              else {
+                val name =
+                  new String(p, co.toInt + 46, nameLen, "US-ASCII")
+                val lofs = le32(co + 42)
+                val sigOk = if (lofs + 4 <= p.length &&
+                    u8(lofs) == 0x50 && u8(lofs + 1) == 0x4b &&
+                    u8(lofs + 2) == 0x03 && u8(lofs + 3) == 0x04) 1
+                  else 0
+                out += Seq[Any](idx, name, le16(co + 10),
+                  le32(co + 20), le32(co + 24), le32(co + 16),
+                  lofs, sigOk)
+                idx += 1
+                co += 46 + nameLen + extraLen + commentLen
+              }
+            }
+          }
+          out.result().iterator
+        }
+      }
+    }
+
+  /** Synthesis twin of [[zipEntries]] in pure Column algebra: a
+    * spec-valid STORED (method 0) zip — per entry a 30-byte local
+    * header + single-digit-indexed 6-byte name + fill-byte data
+    * (fill varies with the index), then the central directory with
+    * the true little-endian local offsets computed in-plan by an
+    * `aggregate` fold over the preceding sizes, then the EOCD with
+    * the true directory size/offset. CRC fields carry a
+    * deterministic mix of the size (indexed, not validated — see
+    * [[zipEntries]]). `nEntries` must stay in [1, 9] so names are
+    * fixed-width. */
+  def zipShard(nEntries: Column, sizeOf: Column => Column): Column = {
+    val le = (v: Column, bytes: Int) => leHex(v, bytes)
+    val sz = (i: Column) => sizeOf(i).cast("long")
+    val nameHex = (i: Column) => // "f<i>.bin", 6 bytes
+      concat(lit("66"), lpad(hex(lit(48) + i), 2, "0"),
+        lit("2E62696E"))
+    val crc = (i: Column) =>
+      pmod(sz(i) * lit(2654435761L), lit(4294967296L))
+    // local entry j occupies 30 + 6 + sz(j) bytes
+    val localOfs = (i: Column) => aggregate(
+      when(i > 1, sequence(lit(1), i - 1)).otherwise(array()),
+      lit(0L), (a, j) => a + lit(36L) + sz(j))
+    val localHex = (i: Column) => concat(
+      lit("504B0304"), lit("1400"), lit("0000"), lit("0000"),
+      lit("0000"), lit("0000"), le(crc(i), 4),
+      le(sz(i), 4), le(sz(i), 4), lit("0600"), lit("0000"),
+      nameHex(i),
+      call_function("repeat",
+        lpad(hex(pmod(i * 41L + 7L, lit(256L))), 2, "0"),
+        sz(i).cast("int")))
+    val centralHex = (i: Column) => concat(
+      lit("504B0102"), lit("1400"), lit("1400"), lit("0000"),
+      lit("0000"), lit("0000"), lit("0000"), le(crc(i), 4),
+      le(sz(i), 4), le(sz(i), 4), lit("0600"), lit("0000"),
+      lit("0000"), lit("0000"), lit("0000"), lit("00000000"),
+      le(localOfs(i), 4), nameHex(i))
+    val idxs = sequence(lit(1), nEntries.cast("int"))
+    val cdOfs = localOfs(nEntries.cast("int") + 1) // end of locals
+    val cdSize = nEntries.cast("long") * 52L // 46 + 6 per entry
+    unhex(concat(
+      array_join(transform(idxs, localHex), ""),
+      array_join(transform(idxs, centralHex), ""),
+      lit("504B0506"), lit("0000"), lit("0000"),
+      le(nEntries.cast("long"), 2), le(nEntries.cast("long"), 2),
+      le(cdSize, 4), le(cdOfs, 4), lit("0000")))
+  }
 }

@@ -444,6 +444,24 @@ object Pipeline {
         .orderBy(col("doc_id"), col("entry_index"))
     }),
 
+    // REAL ZIP central-directory walk (PKWARE APPNOTE): synthesize
+    // spec-valid STORED zips in-plan (variable entry count/sizes,
+    // true LE local offsets folded in-plan, real EOCD), walk them
+    // with the real parser — EOCD backward discovery, central
+    // records, local-header signature probes. The oracle replays
+    // names, sizes, the mixed CRC field, and the offset prefix sums.
+    "mm13_zip_entries" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val n = lit(1) + pmod(col("doc_id"), lit(5))
+      val media = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          Multimodal.zipShard(n,
+            i => lit(10L) + pmod(col("doc_id") + i, lit(4)) * 5L)
+            .as("payload"))
+      Multimodal.zipEntries(media)
+        .orderBy(col("doc_id"), col("entry_index"))
+    }),
+
     // REAL GIF header round-trip (the image sibling of mm2): build
     // GIF89a logical-screen descriptors in-plan, parse them back with
     // the real decoder — version, LE dimensions, packed
@@ -936,6 +954,28 @@ object Pipeline {
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
              AS BIGINT) AS data_offset,
            1 AS is_ustar, 1 AS chksum_ok
+         FROM x ORDER BY doc_id, entry_index""",
+    // stored zip: sz_i = 10 + ((doc_id+i)%4)*5; entry i's local
+    // header sits after i-1 earlier (30+6+sz) blocks; crc is the
+    // deterministic size mix the synthesis writes
+    "mm13_zip_entries" ->
+      """WITH e AS (
+           SELECT doc_id,
+             unnest(generate_series(1, CAST(1 + doc_id % 5 AS INT)))
+               AS i
+           FROM documents WHERE doc_id < 200),
+         x AS (SELECT doc_id, i,
+             10 + ((doc_id + i) % 4) * 5 AS sz
+           FROM e)
+         SELECT doc_id, CAST(i - 1 AS INT) AS entry_index,
+           'f' || i || '.bin' AS name, 0 AS method,
+           CAST(sz AS BIGINT) AS comp_size,
+           CAST(sz AS BIGINT) AS uncomp_size,
+           (sz * 2654435761) % 4294967296 AS crc32,
+           CAST(coalesce(sum(36 + sz) OVER (PARTITION BY doc_id
+             ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND
+             1 PRECEDING), 0) AS BIGINT) AS local_offset,
+           1 AS local_sig_ok
          FROM x ORDER BY doc_id, entry_index""",
     "mm9_wav_pcm" ->
       """WITH s AS (

@@ -688,6 +688,65 @@ class MultimodalSpec extends SparkSpec {
     assert(o4.length == 1 && o4(0).getAs[String]("name") == "t.bin")
   }
 
+  test("zipEntries walks a REAL ZipOutputStream archive (incl. an " +
+    "EOCD comment forcing the backward scan); garbage yields empty") {
+    def realZip(comment: Option[String]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      comment.foreach(z.setComment)
+      for ((name, body) <- Seq(
+          ("a.txt", "hello zip"), ("dir/b.bin", "0123456789abcdef"))) {
+        val bytes = body.getBytes("US-ASCII")
+        val e = new java.util.zip.ZipEntry(name)
+        e.setMethod(java.util.zip.ZipEntry.STORED)
+        e.setSize(bytes.length)
+        val c = new java.util.zip.CRC32(); c.update(bytes)
+        e.setCrc(c.getValue)
+        z.putNextEntry(e); z.write(bytes); z.closeEntry()
+      }
+      z.close(); bos.toByteArray
+    }
+    for ((cm, id) <- Seq((None, 1L),
+        (Some("trailing comment, 40 bytes of it....."), 2L))) {
+      val out = Multimodal.zipEntries(
+        Seq((id, "archive", realZip(cm), "mem://zip"))
+          .toDF("media_id", "kind", "payload", "source_uri"))
+        .orderBy("entry_index").collect()
+      assert(out.length == 2, s"comment=$cm: ${out.mkString(";")}")
+      def f(i: Int, n: String) = out(i).get(out(i).fieldIndex(n))
+      assert(f(0, "name") == "a.txt" && f(0, "uncomp_size") == 9L)
+      assert(f(0, "method") == 0 && f(0, "local_offset") == 0L)
+      assert(f(1, "name") == "dir/b.bin" && f(1, "uncomp_size") == 16L)
+      assert(out.forall(_.getAs[Int]("local_sig_ok") == 1))
+      // CRC the walker indexes must equal the one the JDK computed
+      val c = new java.util.zip.CRC32()
+      c.update("hello zip".getBytes("US-ASCII"))
+      assert(f(0, "crc32") == c.getValue)
+    }
+    val junk = Multimodal.zipEntries(
+      Seq((3L, "archive", "PK no dice".getBytes("US-ASCII"),
+        "mem://junk"))
+        .toDF("media_id", "kind", "payload", "source_uri")).collect()
+    assert(junk.isEmpty)
+  }
+
+  test("zipShard synthesis round-trips through zipEntries: offsets, " +
+    "sizes, crc mix, local signature probes") {
+    val df = Seq(9L).toDF("doc_id").select(col("doc_id"),
+      Multimodal.zipShard(lit(3), i => lit(20L) + i * 10L)
+        .as("payload"))
+    val out = Multimodal.zipEntries(df).orderBy("entry_index").collect()
+    assert(out.length == 3, out.mkString(";"))
+    def f(i: Int, n: String) = out(i).get(out(i).fieldIndex(n))
+    // sizes 30, 40, 50; entry j at sum of (30+6+sz) of predecessors
+    assert((0 until 3).forall(i => f(i, "name") == s"f${i + 1}.bin"))
+    assert(f(0, "uncomp_size") == 30L && f(0, "local_offset") == 0L)
+    assert(f(1, "local_offset") == 36L + 30)
+    assert(f(2, "local_offset") == 36L + 30 + 36 + 40)
+    assert(out.forall(_.getAs[Int]("local_sig_ok") == 1))
+    assert(f(1, "crc32") == (40L * 2654435761L) % 4294967296L)
+  }
+
   test("tarShard synthesis round-trips through tarEntries: the " +
     "in-plan Column-algebra checksum matches the walker's byte sum") {
     val df = Seq(7L).toDF("doc_id").select(col("doc_id"),

@@ -105,6 +105,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("k7 CDC apply never plans a window over the log — one hash " +
+    "aggregate on the key") {
+    val p = plan("k7_cdc_apply")
+    assert(count(p, "\\(\\d+\\) Window") == 0,
+      "the log is the big side; a window sort over it doesn't scale")
+    assert(count(p, "Exchange hashpartitioning") <= 1,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("xq5 regression joins the per-group base by broadcast, no " +
+    "window, no sort-merge") {
+    val p = plan("xq5_linear_regression")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(count(p, "\\(\\d+\\) Window") == 0)
+  }
+
+  test("ts5 EWMA's 8 lag taps share ONE window node over one sort") {
+    val p = plan("ts5_ewma")
+    assert(count(p, "\\(\\d+\\) Window") == 1,
+      p.linesIterator.filter(_.contains("Window")).mkString("\n"))
+  }
+
   test("dd13 chunk dedup plans no join at all and exactly three " +
     "exchanges (chunk window, doc reassembly, output sort)") {
     val p = plan("dd13_chunk_dedup")
