@@ -545,6 +545,70 @@ object ExtOps {
         .orderBy(col("community"))
     }),
 
+    // Exact MODE + discrete MEDIAN per group — the order statistics
+    // BI surfaces ask for that approx sketches (xs2) deliberately
+    // avoid. Mode is two keyed aggregations with a min(struct)
+    // argmax (count desc, then MIN value — deterministic), never a
+    // global sort; the exact lower median is the one operation here
+    // that genuinely costs a per-group sort (row_number to the
+    // (n+1)/2-th value) — at 100 TB you either pay that sort or use
+    // the xs2 quantile sketch; both are provided.
+    "xq6_mode_median" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+      val mode = e.groupBy(col("event_type"), col("cents"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("event_type"))
+        .agg(min(struct((-col("n")).as("neg"), col("cents").as("v")))
+          .as("m"), sum(col("n")).as("n_rows"))
+        .select(col("event_type"), col("m.v").as("mode_cents"),
+          (-col("m.neg")).as("mode_count"), col("n_rows"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("cents"), col("event_id"))
+      val target = e.groupBy(col("event_type"))
+        .agg(call_function("div", count(lit(1)) + 1, lit(2L))
+          .as("target"))
+      val med = e.withColumn("rn", row_number().over(w))
+        .join(broadcast(target), Seq("event_type"))
+        .filter(col("rn") === col("target"))
+        .select(col("event_type"), col("cents").as("median_cents"))
+      mode.join(med, Seq("event_type")).orderBy(col("event_type"))
+    }),
+
+    // 2-round k-core peel (k=4) over the part↔supplier bipartite
+    // graph — the degeneracy-style densification filter (the fourth
+    // graph workload: rank, count, cluster, core). Each round: one
+    // union-degree aggregation + two semi-shaped joins keeping only
+    // edges whose BOTH endpoints survive; the edge frame shrinks
+    // monotonically. A fixpoint loop would iterate to emptiness-of-
+    // change exactly like ConnectedComponents; two unrolled rounds
+    // keep the oracle replayable. Census output (nodes by type +
+    // remaining edges) stays O(1).
+    "xg4_kcore" -> ((s, dir) => {
+      val K = 4
+      val l = t(s, dir, "lineitem")
+      val e0 = graft.operators.ManagedCache.persist(
+        l.select((col("l_partkey") * 2).as("u"),
+          (col("l_suppkey") * 2 + 1).as("v")).distinct())
+      def peel(e: DataFrame): DataFrame = {
+        val deg = e.select(col("u").as("n"))
+          .union(e.select(col("v").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("d"))
+        val keep = deg.filter(col("d") >= K).select(col("n"))
+        graft.operators.ManagedCache.persist(
+          e.join(keep.withColumnRenamed("n", "u"), Seq("u"))
+            .join(keep.withColumnRenamed("n", "v"), Seq("v")))
+      }
+      val e2 = peel(peel(e0))
+      val nodes = e2.select(col("u").as("n"))
+        .union(e2.select(col("v").as("n"))).distinct()
+      nodes.groupBy(pmod(col("n"), lit(2)).as("node_type_id"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(broadcast(e2.agg(count(lit(1)).as("n_edges"))))
+        .orderBy(col("node_type_id"))
+    }),
+
     // OLS linear regression per group (amount-vs-time trend): all
     // five moment sums accumulate as EXACT bigints (x = hours since
     // the group's first event, y = integer cents — bounded so n·Σxy
@@ -1135,6 +1199,51 @@ object ExtOps {
            AS n_parts,
          min(node) AS min_node
        FROM l2 GROUP BY 1 ORDER BY community""",
+    // mode: count desc then min value; median: (n+1)//2-th by
+    // (cents, event_id)
+    "xq6_mode_median" ->
+      """WITH e AS (SELECT event_type, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         cnt AS (SELECT event_type, cents, count(*) AS n
+           FROM e GROUP BY 1, 2),
+         mode AS (SELECT event_type, cents AS mode_cents,
+             n AS mode_count FROM (
+             SELECT *, row_number() OVER (PARTITION BY event_type
+               ORDER BY n DESC, cents) AS rn FROM cnt) WHERE rn = 1),
+         tot AS (SELECT event_type, count(*) AS n_rows
+           FROM e GROUP BY 1),
+         med AS (SELECT event_type, cents AS median_cents FROM (
+             SELECT event_type, cents,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY cents, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+             FROM e) WHERE rn = (n + 1) // 2)
+       SELECT m.event_type, mode_cents, mode_count, n_rows,
+         median_cents
+       FROM mode m JOIN tot USING (event_type)
+       JOIN med USING (event_type) ORDER BY event_type""",
+    // two unrolled peel rounds, k=4, census replay
+    "xg4_kcore" ->
+      """WITH e0 AS (SELECT DISTINCT l_partkey*2 AS u,
+             l_suppkey*2+1 AS v FROM lineitem),
+         d1 AS (SELECT n, count(*) AS d FROM (
+             SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0)
+           GROUP BY 1),
+         k1 AS (SELECT n FROM d1 WHERE d >= 4),
+         e1 AS (SELECT e0.u, e0.v FROM e0
+           JOIN k1 a ON a.n = e0.u JOIN k1 b ON b.n = e0.v),
+         d2 AS (SELECT n, count(*) AS d FROM (
+             SELECT u AS n FROM e1 UNION ALL SELECT v FROM e1)
+           GROUP BY 1),
+         k2 AS (SELECT n FROM d2 WHERE d >= 4),
+         e2 AS (SELECT e1.u, e1.v FROM e1
+           JOIN k2 a ON a.n = e1.u JOIN k2 b ON b.n = e1.v),
+         nodes AS (SELECT DISTINCT n FROM (
+             SELECT u AS n FROM e2 UNION ALL SELECT v FROM e2)),
+         ne AS (SELECT count(*) AS n_edges FROM e2)
+       SELECT n % 2 AS node_type_id, count(*) AS n_nodes, ne.n_edges
+       FROM nodes, ne GROUP BY 1, ne.n_edges ORDER BY node_type_id""",
     // exact bigint moment sums; one IEEE double quotient at the end
     "xq5_linear_regression" ->
       """WITH e AS (
