@@ -15,7 +15,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * thrift/connect sessions too).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  import GraftExtensions.{binaryBuilder, unaryBuilder}
+  import GraftExtensions.{binaryBuilder, ternaryBuilder, unaryBuilder}
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -36,6 +36,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[UnicodeNormalize].getName,
         "nfkc_normalize"),
       unaryBuilder("nfkc_normalize", UnicodeNormalize(_, "NFKC"))))
+    ext.injectFunction((
+      FunctionIdentifier("lev_within"),
+      new ExpressionInfo(classOf[LevenshteinWithin].getName,
+        "lev_within"),
+      ternaryBuilder("lev_within", LevenshteinWithin(_, _, _))))
     // whole-operator extension: plans graft.plans.AsOfJoinNode onto
     // the native merge-scan AsOfJoinExec
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
@@ -56,6 +61,15 @@ object GraftExtensions {
       org.apache.spark.sql.GraftColumnBridge
         .wrongNumArgs(name, 2, exprs.length)
     make(exprs(0), exprs(1))
+  }
+
+  private[expressions] def ternaryBuilder(name: String,
+      make: (Expression, Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = { exprs =>
+    if (exprs.length != 3)
+      org.apache.spark.sql.GraftColumnBridge
+        .wrongNumArgs(name, 3, exprs.length)
+    make(exprs(0), exprs(1), exprs(2))
   }
 
   private[expressions] def unaryBuilder(name: String,

@@ -91,10 +91,39 @@ object Extras {
           col("b.c_custkey").as("id_b"),
           levenshtein(col("a.nm"), col("b.nm")).cast("long").as("d"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Native banded threshold Levenshtein (expressions.
+    // LevenshteinWithin): lev_within(a,b,k) must be EXACTLY
+    // levenshtein(a,b) <= k — the oracle recomputes the predicate
+    // from the full distance, so any band/early-exit bug that admits
+    // or drops a pair breaks the row set. The SQL route exercises the
+    // SparkSessionExtensions registration; per-row work is
+    // O(k·min(n,m)) instead of the builtin's O(n·m).
+    "sql5_lev_within" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        FROM (SELECT c_custkey, lower(c_name) AS nm FROM customer
+              WHERE c_custkey < 400) a
+        JOIN (SELECT c_custkey, lower(c_name) AS nm FROM customer
+              WHERE c_custkey < 400) b
+          ON a.c_custkey < b.c_custkey AND lev_within(a.nm, b.nm, 2)
+        ORDER BY id_a, id_b""")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // the un-banded definition: full distance, then compare
+    "sql5_lev_within" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+         FROM (SELECT c_custkey, lower(c_name) AS nm FROM customer
+               WHERE c_custkey < 400) a
+         JOIN (SELECT c_custkey, lower(c_name) AS nm FROM customer
+               WHERE c_custkey < 400) b
+           ON a.c_custkey < b.c_custkey
+           AND levenshtein(a.nm, b.nm) <= 2
+         ORDER BY id_a, id_b""",
     "p2_passthrough_view" ->
       """SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
          ORDER BY o_orderkey""",

@@ -112,6 +112,65 @@ class NativeExprSpec extends SparkSpec {
       e.getMessage.toLowerCase.contains("data type mismatch"))
   }
 
+  test("lev_within agrees with levenshtein(a,b) <= k on seeded random " +
+    "string pairs at every k, including the early-exit regimes") {
+    val rnd = new scala.util.Random(42)
+    def word(n: Int) =
+      (0 until n).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    val pairs = Seq.tabulate(300) { i =>
+      val a = word(2 + rnd.nextInt(18))
+      // half the pairs are edits of a (near), half independent (far)
+      val b = if (i % 2 == 0) word(rnd.nextInt(20))
+        else a.patch(rnd.nextInt(a.length - 1),
+          word(rnd.nextInt(3)), rnd.nextInt(2))
+      (a, b)
+    }
+    val df = pairs.toDF("a", "b")
+    for (k <- Seq(0, 1, 2, 5, 9)) {
+      val B = org.apache.spark.sql.GraftColumnBridge
+      val got = df.select(
+        B.column(LevenshteinWithin(B.expression(col("a")),
+          B.expression(col("b")), B.expression(lit(k)))).as("w"),
+        (levenshtein(col("a"), col("b")) <= k).as("e")).collect()
+      got.zip(pairs).foreach { case (r, (a, b)) =>
+        assert(r.getBoolean(0) == r.getBoolean(1),
+          s"k=$k a='$a' b='$b': within=${r.getBoolean(0)} " +
+            s"exact=${r.getBoolean(1)}")
+      }
+    }
+  }
+
+  test("lev_within edge semantics: empties, k=0 equality, negative k " +
+    "false, surrogate pairs are one edit, nulls propagate") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    assert(LevenshteinWithin.compute(u(""), u(""), 0))
+    assert(LevenshteinWithin.compute(u(""), u("abc"), 3))
+    assert(!LevenshteinWithin.compute(u(""), u("abc"), 2))
+    assert(LevenshteinWithin.compute(u("same"), u("same"), 0))
+    assert(!LevenshteinWithin.compute(u("same"), u("sane"), 0))
+    assert(!LevenshteinWithin.compute(u("a"), u("b"), -1))
+    // U+1D11E (musical G clef) is a surrogate pair: ONE substitution
+    assert(LevenshteinWithin.compute(u("a𝄞b"), u("axb"), 1))
+    val r = Seq((null.asInstanceOf[String], "x"))
+      .toDF("a", "b")
+      .selectExpr("a", "b").createOrReplaceTempView("lw_null")
+    val row = spark.sql(
+      "SELECT lev_within(a, b, 1) FROM lw_null").collect()(0)
+    assert(row.isNullAt(0))
+  }
+
+  test("lev_within registers through spark.sql.extensions and " +
+    "rejects wrong arity") {
+    val n = spark.sql(
+      "SELECT lev_within('kitten', 'sitting', 3) AS ok, " +
+        "lev_within('kitten', 'sitting', 2) AS no").collect()(0)
+    assert(n.getBoolean(0) && !n.getBoolean(1)) // distance is 3
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT lev_within('a', 'b')").collect()
+    }
+    assert(e.getMessage.contains("lev_within"), e.getMessage)
+  }
+
   test("unicode_normalize: NFC composes, NFKC folds, nulls pass, " +
     "already-normal text round-trips identically") {
     val composed = "caf\u00e9"
