@@ -121,10 +121,36 @@ object StreamingBatch {
         .groupBy(col("click_id"))
         .agg(count(col("p_uid")).as("n_purchases_10m"))
         .orderBy(col("click_id"))
+    }),
+
+    // Per-window ranked top-k, batch-checkable twin of
+    // `EventStream.windowTopK` (custom flatMapGroupsWithState state —
+    // rank needs the WHOLE window, which update-mode streaming aggs
+    // can't give). Deterministic tie-break: count desc, then type.
+    "st7_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("window_start"))
+        .orderBy(col("n").desc, col("event_type"))
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .orderBy(col("window_start"), col("rank"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "st7_window_topk" ->
+      """SELECT window_start, event_type, n, rank FROM (
+           SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             event_type, count(*) AS n,
+             CAST(row_number() OVER (
+               PARTITION BY time_bucket(INTERVAL '1 hour', ts)
+               ORDER BY count(*) DESC, event_type) AS INT) AS rank
+           FROM events GROUP BY 1, 2)
+         WHERE rank <= 3 ORDER BY window_start, rank""",
     "st1_tumbling_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
          event_type, count(*) AS n, round(sum(value),2) AS sum_value

@@ -204,6 +204,51 @@ object EventStream {
       }
   }
 
+  case class WindowCounts(counts: Map[String, Long])
+  case class TopKRow(window_start: Timestamp, event_type: String,
+    n: Long, rank: Int)
+
+  /** Streaming per-window top-k with CUSTOM state — the ranked
+    * aggregation windowed streaming aggs can't express (rank needs
+    * the WHOLE window's counts; update-mode partial emissions would
+    * rank a prefix). State per tumbling window = the type→count map
+    * (O(#distinct types), watermark-bounded); emission happens ONLY
+    * when the event-time timeout fires — i.e. the watermark has
+    * passed the window end, so no in-window event can still arrive —
+    * making the ranked rows exactly-once and final (Append mode).
+    * Ties break deterministically (count desc, then type asc), same
+    * as the batch twin st7 and its DuckDB oracle.
+    */
+  def windowTopK(events: Dataset[Event], windowMs: Long = 3600 * 1000L,
+      k: Int = 3): Dataset[TopKRow] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(e => math.floorDiv(e.ts.getTime, windowMs) * windowMs)
+      .flatMapGroupsWithState[WindowCounts, TopKRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (wstart, batch, state: GroupState[WindowCounts]) =>
+          if (state.hasTimedOut) {
+            val counts = state.get.counts
+            state.remove()
+            counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(k)
+              .zipWithIndex.map { case ((t, n), i) =>
+                TopKRow(new Timestamp(wstart), t, n, i + 1)
+              }.iterator
+          } else {
+            val prev = state.getOption.map(_.counts)
+              .getOrElse(Map.empty[String, Long])
+            val upd = batch.foldLeft(prev) { (m, e) =>
+              m.updated(e.event_type, m.getOrElse(e.event_type, 0L) + 1)
+            }
+            state.update(WindowCounts(upd))
+            // fire when the watermark proves the window complete
+            state.setTimeoutTimestamp(wstart + windowMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming MERGE sink: every micro-batch is applied to the target
     * parquet table with last-write-wins semantics (K5) inside
     * foreachBatch — the streaming twin of the bronze raw-response sink.

@@ -181,6 +181,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowTopK emits a window's ranked types ONLY once the " +
+    "watermark closes it; ranks are deterministic on ties") {
+    implicit val sqlCtx = spark.sqlContext
+    def at(hour: Int, minute: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-01 $hour%02d:$minute%02d:00")
+    val mem = MemoryStream[Event]
+    val q = windowTopK(mem.toDS(), windowMs = 3600 * 1000L, k = 2)
+      .writeStream.format("memory").queryName("win_topk")
+      .outputMode("append").start()
+    try {
+      // window 10:00-11:00 — click×3, view×2, error×2 (tie with view)
+      mem.addData(
+        Event(1, at(10, 0), 1, "click", 1.0),
+        Event(2, at(10, 5), 2, "click", 1.0),
+        Event(3, at(10, 10), 3, "view", 1.0),
+        Event(4, at(10, 20), 1, "error", 1.0),
+        Event(5, at(10, 30), 2, "view", 1.0),
+        Event(6, at(10, 40), 3, "error", 1.0),
+        Event(7, at(10, 50), 1, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("win_topk").count() == 0,
+        "window still open: nothing may emit")
+      // watermark = max ts − 2h; 14:00 moves it to 12:00 > 11:00
+      mem.addData(Event(8, at(14, 0), 9, "view", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("win_topk").orderBy("rank")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getInt(3)))
+      // top-2 of {click:3, error:2, view:2}: tie broken error<view
+      assert(got.toSeq == Seq(
+        (at(10, 0), "click", 3L, 1),
+        (at(10, 0), "error", 2L, 2)))
+    } finally q.stop()
+  }
+
   test("enrich joins the stream to a static dim without state (st5 " +
     "streaming twin)") {
     implicit val sqlCtx = spark.sqlContext
