@@ -545,6 +545,37 @@ object ExtOps {
         .orderBy(col("community"))
     }),
 
+    // Ordered funnel analysis — signup → click → purchase, each step
+    // strictly AFTER the user's previous step (first-occurrence
+    // ordering): the product-analytics workload windowed aggs don't
+    // express. Three per-user min-aggregations chained by joins on
+    // user_id — every frame after the first is user-level (tiny vs
+    // the event log; at 100 TB these joins shuffle the USER frame,
+    // not the events), census output is O(steps).
+    "xq8_funnel" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val s1 = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("us")).as("s1"))
+      val s2 = e.filter(col("event_type") === "click")
+        .join(s1, Seq("user_id"))
+        .filter(col("us") > col("s1"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("s2"))
+      val s3 = e.filter(col("event_type") === "purchase")
+        .join(s2, Seq("user_id"))
+        .filter(col("us") > col("s2"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("s3"))
+      val census = (df: DataFrame, step: Int, name: String) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(step).as("step"), lit(name).as("step_name"),
+            col("n_users"))
+      census(s1, 1, "signup")
+        .unionAll(census(s2, 2, "click_after_signup"))
+        .unionAll(census(s3, 3, "purchase_after_click"))
+        .orderBy(col("step"))
+    }),
+
     // Exact MODE + discrete MEDIAN per group — the order statistics
     // BI surfaces ask for that approx sketches (xs2) deliberately
     // avoid. Mode is two keyed aggregations with a min(struct)
@@ -1199,6 +1230,24 @@ object ExtOps {
            AS n_parts,
          min(node) AS min_node
        FROM l2 GROUP BY 1 ORDER BY community""",
+    // the same chained first-occurrence mins
+    "xq8_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+           FROM events),
+         s1 AS (SELECT user_id, min(us) AS s1 FROM e
+           WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.us) AS s2 FROM e
+           JOIN s1 ON s1.user_id = e.user_id
+           WHERE e.event_type = 'click' AND e.us > s1.s1 GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.us) AS s3 FROM e
+           JOIN s2 ON s2.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.us > s2.s2 GROUP BY 1)
+       SELECT * FROM (
+         SELECT 1 AS step, 'signup' AS step_name,
+           count(*) AS n_users FROM s1
+         UNION ALL SELECT 2, 'click_after_signup', count(*) FROM s2
+         UNION ALL SELECT 3, 'purchase_after_click', count(*) FROM s3)
+       ORDER BY step""",
     // mode: count desc then min value; median: (n+1)//2-th by
     // (cents, event_id)
     "xq6_mode_median" ->

@@ -178,6 +178,34 @@ object TimeSeries {
       e.select(col("event_id"), col("user_id"), col("cents"),
           taps.reduce(_ + _).as("ewma_x256"))
         .orderBy(col("event_id"))
+    }),
+
+    // Hour-of-day seasonality profile + residual outlier census — the
+    // simplest seasonal decomposition (mean-by-phase), kept EXACT:
+    // the per-(type, hour) mean rides as milli-cents via integer
+    // div, and the "residual > 50 cents" test is the cross-
+    // multiplication |cents·n − sum| > 50·n — zero floats anywhere.
+    // One aggregation builds the 24×5 profile (broadcast back), one
+    // conditional-aggregate scan counts residual outliers. At 100 TB
+    // the profile is O(types×24) — always broadcastable.
+    "ts6_seasonality" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .withColumn("hod", hour(col("ts")).cast("long"))
+      val prof = e.groupBy(col("event_type"), col("hod"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      e.join(broadcast(prof), Seq("event_type", "hod"))
+        .groupBy(col("event_type"), col("hod"))
+        .agg(first(col("n")).as("n"),
+          first(col("sum_cents")).as("sum_cents"),
+          sum(when(abs(col("cents") * col("n") - col("sum_cents")) >
+            lit(5000L) * col("n"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .withColumn("mean_milli", call_function("div",
+          col("sum_cents") * 1000L, col("n")))
+        .select(col("event_type"), col("hod"), col("n"),
+          col("sum_cents"), col("mean_milli"), col("n_outliers"))
+        .orderBy(col("event_type"), col("hod"))
     })
   )
 
@@ -288,6 +316,24 @@ object TimeSeries {
              AS BIGINT) AS ewma_x256
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
-         ORDER BY event_id"""
+         ORDER BY event_id""",
+    // profile + cross-multiplied residual test, all integers
+    "ts6_seasonality" ->
+      """WITH e AS (SELECT event_type, hour(ts) AS hod,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         prof AS (SELECT event_type, hod, count(*) AS n,
+             CAST(sum(cents) AS BIGINT) AS sum_cents
+           FROM e GROUP BY 1, 2)
+       SELECT e.event_type, e.hod, any_value(p.n) AS n,
+         any_value(p.sum_cents) AS sum_cents,
+         (any_value(p.sum_cents) * 1000) // any_value(p.n)
+           AS mean_milli,
+         CAST(sum(CASE WHEN abs(e.cents * p.n - p.sum_cents)
+           > 5000 * p.n THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+       FROM e JOIN prof p
+         ON p.event_type = e.event_type AND p.hod = e.hod
+       GROUP BY e.event_type, e.hod
+       ORDER BY e.event_type, e.hod"""
   )
 }
