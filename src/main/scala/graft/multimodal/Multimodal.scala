@@ -1464,4 +1464,105 @@ object Multimodal {
       le(nEntries.cast("long"), 2), le(nEntries.cast("long"), 2),
       le(cdSize, 4), le(cdOfs, 4), lit("0000")))
   }
+
+  // ---- TIFF (TIFF 6.0): multi-page IFD chains, BOTH byte orders ----
+
+  val tiffPageSchema: StructType = StructType(Seq(
+    StructField("page_index", IntegerType, nullable = false),
+    StructField("byte_order", StringType, nullable = false),
+    StructField("n_entries", IntegerType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("bits_per_sample", LongType, nullable = false),
+    StructField("ifd_offset", LongType, nullable = false),
+    StructField("next_ifd", LongType, nullable = false)))
+
+  /** REAL TIFF 6.0 IFD-chain walk — the multi-page scanned-document
+    * container, and the one format here whose byte order is DECLARED
+    * IN-BAND ("II" little / "MM" big + magic 42): every numeric read
+    * dispatches on the header. Pages = the chained IFDs (2-byte entry
+    * count, 12-byte tag entries sorted by tag id, 4-byte next-IFD
+    * pointer, 0 terminates). Geometry from tags 256/257/258; SHORT(3)
+    * inline values sit in the value field's FIRST two bytes in the
+    * declared order, LONG(4) uses all four. Missing tags yield -1.
+    * Cycle/fan-out guarded (offset must advance or the walk stops;
+    * 1000-page cap); truncation keeps complete pages. Seventh
+    * byte-layout family in this file.
+    */
+  def tiffPages(media: DataFrame): DataFrame =
+    mapMedia(media, tiffPageSchema.fields.toSeq) { p =>
+      if (p == null || p.length < 8) Iterator.empty
+      else {
+        def u8(i: Long) = p(i.toInt) & 0xff
+        val le = u8(0) == 'I' && u8(1) == 'I'
+        val be = u8(0) == 'M' && u8(1) == 'M'
+        def u16(i: Long) =
+          if (le) u8(i) | (u8(i + 1) << 8) else (u8(i) << 8) | u8(i + 1)
+        def u32(i: Long): Long =
+          if (le) u8(i).toLong | (u8(i + 1).toLong << 8) |
+            (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+          else (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) |
+            (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+        if (!(le || be) || u16(2) != 42) Iterator.empty
+        else {
+          val out = Seq.newBuilder[Seq[Any]]
+          var ofs = u32(4)
+          var prev = 0L
+          var page = 0
+          while (ofs > prev && ofs + 2 <= p.length && page < 1000) {
+            val n = u16(ofs)
+            if (ofs + 2 + n * 12 + 4 > p.length) { prev = ofs; ofs = 0 }
+            else {
+              var w = -1L; var h = -1L; var bits = -1L
+              var i = 0
+              while (i < n) {
+                val e = ofs + 2 + i * 12
+                val tag = u16(e)
+                val typ = u16(e + 2)
+                // inline value: SHORT reads 2 bytes, LONG reads 4
+                val v: Long =
+                  if (typ == 3) u16(e + 8).toLong
+                  else u32(e + 8)
+                if (tag == 256) w = v
+                else if (tag == 257) h = v
+                else if (tag == 258) bits = v
+                i += 1
+              }
+              val next = u32(ofs + 2 + n * 12)
+              out += Seq[Any](page, if (le) "II" else "MM", n, w, h,
+                bits, ofs, next)
+              page += 1
+              prev = ofs
+              ofs = next
+            }
+          }
+          out.result().iterator
+        }
+      }
+    }
+
+  /** Synthesis twin of [[tiffPages]]: a little-endian multi-page TIFF
+    * — header, then `nPages` chained 4-entry IFDs (width 256, height
+    * 257, bits 258 as LONGs, strip-bytes 279), each 54 bytes, the
+    * last pointing to 0. Pure Column algebra; geometry per page from
+    * the caller's functions.
+    */
+  def tiffMulti(nPages: Column, widthOf: Column => Column,
+      heightOf: Column => Column): Column = {
+    val le = (v: Column, n: Int) => leHex(v, n)
+    val entry = (tag: Long, v: Column) => concat(
+      le(lit(tag), 2), le(lit(4L), 2), le(lit(1L), 4), le(v, 4))
+    val ifdAt = (i: Column) => lit(8L) + (i - 1) * 54L
+    val ifdHex = (i: Column) => concat(
+      le(lit(4L), 2),
+      entry(256L, widthOf(i).cast("long")),
+      entry(257L, heightOf(i).cast("long")),
+      entry(258L, lit(8L)),
+      entry(279L, widthOf(i).cast("long") * heightOf(i).cast("long")),
+      le(when(i < nPages, ifdAt(i) + 54L).otherwise(lit(0L)), 4))
+    unhex(concat(
+      lit("49492A00"), leHex(lit(8L), 4), // "II", 42, first IFD at 8
+      array_join(transform(sequence(lit(1), nPages.cast("int")),
+        ifdHex), "")))
+  }
 }

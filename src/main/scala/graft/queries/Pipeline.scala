@@ -462,6 +462,23 @@ object Pipeline {
         .orderBy(col("doc_id"), col("entry_index"))
     }),
 
+    // REAL TIFF 6.0 multi-page IFD-chain walk: synthesize chained
+    // little-endian IFDs in-plan, walk them with the real parser
+    // (in-band byte-order dispatch, tag scan, next-IFD chain). The
+    // oracle replays page count, geometry and the 54-byte offset
+    // chain arithmetically.
+    "mm14_tiff_pages" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val n = lit(1) + pmod(col("doc_id"), lit(3))
+      val media = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          Multimodal.tiffMulti(n,
+            i => lit(100) + pmod(col("doc_id"), lit(50)) + i,
+            i => lit(80) + i * 2).as("payload"))
+      Multimodal.tiffPages(media)
+        .orderBy(col("doc_id"), col("page_index"))
+    }),
+
     // REAL GIF header round-trip (the image sibling of mm2): build
     // GIF89a logical-screen descriptors in-plan, parse them back with
     // the real decoder — version, LE dimensions, packed
@@ -977,6 +994,23 @@ object Pipeline {
              1 PRECEDING), 0) AS BIGINT) AS local_offset,
            1 AS local_sig_ok
          FROM x ORDER BY doc_id, entry_index""",
+    // page i: IFD at 8 + (i-1)*54, next = that + 54 except the last
+    "mm14_tiff_pages" ->
+      """WITH e AS (
+           SELECT doc_id,
+             CAST(1 + doc_id % 3 AS INT) AS np,
+             unnest(generate_series(1, CAST(1 + doc_id % 3 AS INT)))
+               AS i
+           FROM documents WHERE doc_id < 200)
+         SELECT doc_id, CAST(i - 1 AS INT) AS page_index,
+           'II' AS byte_order, 4 AS n_entries,
+           CAST(100 + doc_id % 50 + i AS BIGINT) AS width,
+           CAST(80 + i * 2 AS BIGINT) AS height,
+           CAST(8 AS BIGINT) AS bits_per_sample,
+           CAST(8 + (i - 1) * 54 AS BIGINT) AS ifd_offset,
+           CAST(CASE WHEN i < np THEN 8 + i * 54 ELSE 0 END AS BIGINT)
+             AS next_ifd
+         FROM e ORDER BY doc_id, page_index""",
     "mm9_wav_pcm" ->
       """WITH s AS (
            SELECT d.doc_id AS media_id,

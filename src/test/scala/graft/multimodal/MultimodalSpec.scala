@@ -747,6 +747,71 @@ class MultimodalSpec extends SparkSpec {
     assert(f(1, "crc32") == (40L * 2654435761L) % 4294967296L)
   }
 
+  test("tiffPages walks a REAL ImageIO multi-page TIFF (both pages, " +
+    "real geometry); BE header + garbage handled") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = javax.imageio.ImageIO
+      .getImageWritersByFormatName("tiff").next()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    w.setOutput(ios)
+    w.prepareWriteSequence(null)
+    for ((iw, ih) <- Seq((31, 17), (23, 11))) {
+      val img = new java.awt.image.BufferedImage(iw, ih,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      w.writeToSequence(new javax.imageio.IIOImage(img, null, null),
+        null)
+    }
+    w.endWriteSequence(); ios.close()
+    val tiff = bos.toByteArray
+    val out = Multimodal.tiffPages(
+      Seq((1L, "image", tiff, "mem://tiff"))
+        .toDF("media_id", "kind", "payload", "source_uri"))
+      .orderBy("page_index").collect()
+    assert(out.length == 2, out.mkString(";"))
+    def f(i: Int, n: String) = out(i).get(out(i).fieldIndex(n))
+    assert(f(0, "width") == 31L && f(0, "height") == 17L)
+    assert(f(1, "width") == 23L && f(1, "height") == 11L)
+    assert(f(1, "next_ifd") == 0L)
+    // the JDK TIFF writer emits big-endian; both orders must decode
+    assert(out.forall(r => Set("II", "MM")
+      .contains(r.getAs[String]("byte_order"))))
+    // hand-built BIG-endian single-page header: "MM", 42, IFD at 8,
+    // one SHORT width entry (inline value in the FIRST two bytes)
+    val bb = java.nio.ByteBuffer.allocate(8 + 2 + 12 + 4)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put('M'.toByte).put('M'.toByte).putShort(42).putInt(8)
+    bb.putShort(1) // one entry
+    bb.putShort(256).putShort(3).putInt(1).putShort(640).putShort(0)
+    bb.putInt(0)
+    val beOut = Multimodal.tiffPages(
+      Seq((2L, "image", bb.array(), "mem://be"))
+        .toDF("media_id", "kind", "payload", "source_uri")).collect()
+    assert(beOut.length == 1)
+    assert(beOut(0).getAs[String]("byte_order") == "MM")
+    assert(beOut(0).getAs[Long]("width") == 640L)
+    assert(beOut(0).getAs[Long]("height") == -1L) // tag absent
+    val junk = Multimodal.tiffPages(
+      Seq((3L, "image", "IIxxnotiff".getBytes("US-ASCII"), "mem://j"))
+        .toDF("media_id", "kind", "payload", "source_uri")).collect()
+    assert(junk.isEmpty)
+  }
+
+  test("tiffMulti synthesis round-trips through tiffPages: chained " +
+    "IFD offsets, geometry, terminator") {
+    val df = Seq(5L).toDF("doc_id").select(col("doc_id"),
+      Multimodal.tiffMulti(lit(3), i => lit(200) + i,
+        i => lit(90) + i * 3).as("payload"))
+    val out = Multimodal.tiffPages(df).orderBy("page_index").collect()
+    assert(out.length == 3, out.mkString(";"))
+    def f(i: Int, n: String) = out(i).get(out(i).fieldIndex(n))
+    (0 until 3).foreach { i =>
+      assert(f(i, "width") == 201L + i && f(i, "height") == 93L + i * 3)
+      assert(f(i, "ifd_offset") == 8L + i * 54)
+      assert(f(i, "bits_per_sample") == 8L)
+    }
+    assert(f(2, "next_ifd") == 0L && f(1, "next_ifd") == 8L + 2 * 54)
+  }
+
   test("tarShard synthesis round-trips through tarEntries: the " +
     "in-plan Column-algebra checksum matches the walker's byte sum") {
     val df = Seq(7L).toDF("doc_id").select(col("doc_id"),

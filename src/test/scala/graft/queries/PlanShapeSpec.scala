@@ -105,6 +105,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("filters reach the parquet scan as PushedFilters — not " +
+    "post-scan Filter-only plans") {
+    // p3 filters orders on a constant predicate; the scan itself must
+    // carry it (row-group skipping at 100 TB) — a plan that reads
+    // everything and filters after is wrong even when row-correct
+    val p = plan("p3_eq_filter")
+    val scan = p.linesIterator.find(_.contains("PushedFilters"))
+      .getOrElse(fail(s"no PushedFilters line:\n" +
+        p.linesIterator.take(30).mkString("\n")))
+    assert(scan.contains("EqualTo") || scan.contains("In("),
+      s"constant predicate not pushed: $scan")
+  }
+
+  test("projections prune the parquet ReadSchema to the referenced " +
+    "columns only") {
+    // p1 selects 3 of orders' 9 columns; the scan must not read the
+    // rest (column pruning is the other half of scan cost at scale)
+    val p = plan("p1_projection")
+    val rs = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(rs.nonEmpty, s"no ReadSchema:\n" +
+      p.linesIterator.take(30).mkString("\n"))
+    val line = rs.head
+    assert(!line.contains("o_comment") && !line.contains("o_clerk"),
+      s"unreferenced columns still read: $line")
+  }
+
   test("k7 CDC apply never plans a window over the log — one hash " +
     "aggregate on the key") {
     val p = plan("k7_cdc_apply")
