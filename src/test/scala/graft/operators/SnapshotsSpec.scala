@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class SnapshotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("commit publishes atomically: versions are immutable, reads " +
+    "resolve the pointer, an unpublished directory is invisible") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-snap").toString + "/t"
+    assert(Snapshots.latestVersion(spark, dir) == 0L)
+    val v1 = Snapshots.commit(spark,
+      Seq((1, "a"), (2, "b")).toDF("id", "s"), dir)
+    val v2 = Snapshots.commit(spark,
+      Seq((1, "a2"), (3, "c")).toDF("id", "s"), dir)
+    assert(v1 == 1L && v2 == 2L)
+    assert(Snapshots.read(spark, dir).orderBy("id").collect()
+      .map(_.getString(1)).toSeq == Seq("a2", "c"))
+    // time travel to v1
+    assert(Snapshots.read(spark, dir, 1).orderBy("id").collect()
+      .map(_.getString(1)).toSeq == Seq("a", "b"))
+    // a torn write (data dir present, pointer untouched) stays
+    // invisible to readers
+    Seq((9, "torn")).toDF("id", "s")
+      .write.parquet(s"$dir/v=3")
+    assert(Snapshots.latestVersion(spark, dir) == 2L)
+    assert(Snapshots.read(spark, dir).orderBy("id").collect()
+      .map(_.getString(1)).toSeq == Seq("a2", "c"))
+  }
+
+  test("rollback is a pointer move; vacuum reclaims orphans and " +
+    "pre-horizon versions but never the protected window") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-snap2").toString + "/t"
+    (1 to 4).foreach(i =>
+      Snapshots.commit(spark, Seq((i, s"v$i")).toDF("id", "s"), dir))
+    assert(Snapshots.latestVersion(spark, dir) == 4L)
+    Snapshots.rollback(spark, dir, 3)
+    assert(Snapshots.latestVersion(spark, dir) == 3L)
+    assert(Snapshots.read(spark, dir).collect()
+      .head.getString(1) == "v3")
+    intercept[IllegalArgumentException] {
+      Snapshots.rollback(spark, dir, 9)
+    }
+    // vacuum keepLast=2 from latest=3: v4 is an orphan ABOVE the
+    // pointer, v1 is below the horizon; v2+v3 survive
+    val gone = Snapshots.vacuum(spark, dir, keepLast = 2)
+    assert(gone.sorted == Seq(1L, 4L), gone.toString)
+    assert(Snapshots.read(spark, dir, 2).collect()
+      .head.getString(1) == "v2")
+    assert(Snapshots.read(spark, dir, 3).collect()
+      .head.getString(1) == "v3")
+    // committing after a rollback continues from the pointer
+    val v = Snapshots.commit(spark,
+      Seq((5, "v4b")).toDF("id", "s"), dir)
+    assert(v == 4L)
+    assert(Snapshots.read(spark, dir).collect()
+      .head.getString(1) == "v4b")
+  }
+}
