@@ -110,10 +110,71 @@ object Extras {
               WHERE c_custkey < 400) b
           ON a.c_custkey < b.c_custkey AND lev_within(a.nm, b.nm, 2)
         ORDER BY id_a, id_b""")
+    }),
+
+    // Declarative data-quality suite (operators.DataQuality — the
+    // deequ/dbt-test expectation layer): key uniqueness, FK orphans,
+    // null fraction, range, set membership — each ONE scan-side
+    // aggregation emitting a (check, n_checked, n_violations) census
+    // row; the publish gate is sum(n_violations)=0. The oracle
+    // recomputes every census from first principles.
+    "dq1_quality_suite" -> ((s, dir) => {
+      import graft.operators.DataQuality._
+      val o = graft.Tables.load(s, dir, "orders")
+      val l = graft.Tables.load(s, dir, "lineitem")
+      val e = graft.Tables.load(s, dir, "events")
+      suite(Seq(
+        uniqueKey(o, Seq("o_orderkey"), "orders_pk_unique"),
+        uniqueKey(l, Seq("l_orderkey", "l_linenumber"),
+          "lineitem_pk_unique"),
+        fkOrphans(l, "l_orderkey", o, "o_orderkey",
+          "lineitem_orderkey_fk"),
+        nonNull(o, "o_custkey", "orders_custkey_nonnull"),
+        inRange(e, "value", lit(0.0), lit(1000.0),
+          "events_value_range"),
+        inSet(o, "o_orderstatus", Seq("O", "F", "P"),
+          "orders_status_domain")))
+        .orderBy(col("check"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // each census recomputed from first principles
+    "dq1_quality_suite" ->
+      """SELECT * FROM (
+           SELECT 'orders_pk_unique' AS "check",
+             count(*) AS n_checked,
+             count(*) - count(DISTINCT o_orderkey) AS n_violations
+           FROM orders
+           UNION ALL
+           SELECT 'lineitem_pk_unique', count(*),
+             count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+           FROM lineitem
+           UNION ALL
+           SELECT 'lineitem_orderkey_fk', count(*),
+             CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0
+               END) AS BIGINT)
+           FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey
+             FROM orders) o ON o.o_orderkey = l.l_orderkey
+           WHERE l.l_orderkey IS NOT NULL
+           UNION ALL
+           SELECT 'orders_custkey_nonnull', count(*),
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT)
+           FROM orders
+           UNION ALL
+           SELECT 'events_value_range', count(*),
+             CAST(sum(CASE WHEN value IS NOT NULL AND
+               (value < 0.0 OR value > 1000.0) THEN 1 ELSE 0 END)
+               AS BIGINT)
+           FROM events
+           UNION ALL
+           SELECT 'orders_status_domain', count(*),
+             CAST(sum(CASE WHEN o_orderstatus IS NOT NULL AND
+               o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0
+               END) AS BIGINT)
+           FROM orders)
+         ORDER BY "check"""",
     // the un-banded definition: full distance, then compare
     "sql5_lev_within" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
