@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Column profiling — the stats sweep a lake runs on arrival
+  * (catalog min/max, null fractions, cardinalities): ONE aggregation
+  * job computes every column's census, including the row count; the
+  * per-column rows are then unpivoted driver-side from that single
+  * result row (O(#cols), not O(rows)). Exact `countDistinct` is used
+  * deliberately — Spark plans the multi-distinct aggregate via
+  * Expand, one pass — with the HLL sketch (xs1/xs6) as the
+  * documented approximate path when #cols × cardinality makes exact
+  * counting the bottleneck. Min/max ride as strings so one schema
+  * serves every column type; the CAST-to-string happens AFTER the
+  * typed MIN/MAX, so the ordering is the source type's (profile
+  * min/max are typed extremes, rendered as text).
+  */
+object Profile {
+
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = count(lit(1)).as("__total") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val total = row.getAs[Long]("__total")
+    val out = cols.map { c =>
+      (c, total, total - row.getAs[Long](s"__nn_$c"),
+        row.getAs[Long](s"__nd_$c"),
+        row.getAs[String](s"__mn_$c"), row.getAs[String](s"__mx_$c"))
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    out.toDF("column", "n_rows", "n_null", "n_distinct",
+      "min_val", "max_val")
+  }
+}

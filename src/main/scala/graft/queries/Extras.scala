@@ -135,10 +135,53 @@ object Extras {
         inSet(o, "o_orderstatus", Seq("O", "F", "P"),
           "orders_status_domain")))
         .orderBy(col("check"))
+    }),
+
+    // Column profiling (operators.Profile): per-column row/null/
+    // distinct counts + typed min/max rendered as text, ALL columns
+    // in ONE aggregation job (multi-distinct via Expand); the oracle
+    // recomputes each column's census independently.
+    "ps1_profile" -> ((s, dir) => {
+      graft.operators.Profile
+        .profile(graft.Tables.load(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_linenumber", "l_returnflag",
+            "l_shipdate"))
+        .orderBy(col("column"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // per-column census, typed min/max rendered as text
+    "ps1_profile" ->
+      """SELECT * FROM (
+           SELECT 'l_orderkey' AS "column", count(*) AS n_rows,
+             count(*) - count(l_orderkey) AS n_null,
+             count(DISTINCT l_orderkey) AS n_distinct,
+             CAST(min(l_orderkey) AS VARCHAR) AS min_val,
+             CAST(max(l_orderkey) AS VARCHAR) AS max_val
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_linenumber', count(*),
+             count(*) - count(l_linenumber),
+             count(DISTINCT l_linenumber),
+             CAST(min(l_linenumber) AS VARCHAR),
+             CAST(max(l_linenumber) AS VARCHAR)
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_returnflag', count(*),
+             count(*) - count(l_returnflag),
+             count(DISTINCT l_returnflag),
+             CAST(min(l_returnflag) AS VARCHAR),
+             CAST(max(l_returnflag) AS VARCHAR)
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_shipdate', count(*),
+             count(*) - count(l_shipdate),
+             count(DISTINCT l_shipdate),
+             CAST(min(l_shipdate) AS VARCHAR),
+             CAST(max(l_shipdate) AS VARCHAR)
+           FROM lineitem)
+         ORDER BY "column"""",
     // each census recomputed from first principles
     "dq1_quality_suite" ->
       """SELECT * FROM (
