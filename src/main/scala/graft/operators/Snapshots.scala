@@ -83,6 +83,29 @@ object Snapshots {
     publish(spark, dir, v)
   }
 
+  /** Write-audit-publish: stage `df` as the next version directory,
+    * run the quality suite AGAINST THE STAGED FILES (what readers
+    * would see, not the in-memory plan), and publish the pointer only
+    * if every check passes. On violations the staged directory is
+    * left unpublished (an orphan vacuum() reclaims) and the table
+    * stays at its previous version — the WAP pattern lakehouse
+    * pipelines run on every batch. Returns Right(version) or
+    * Left(violation census rows).
+    */
+  def commitChecked(spark: SparkSession, df: DataFrame, dir: String,
+      checks: DataFrame => Seq[DataFrame])
+      : Either[Seq[(String, Long)], Long] = {
+    val v = latestVersion(spark, dir) + 1
+    df.write.mode("overwrite").parquet(s"$dir/v=$v")
+    val staged = spark.read.parquet(s"$dir/v=$v")
+    val bad = DataQuality.suite(checks(staged))
+      .filter(org.apache.spark.sql.functions.col("n_violations") > 0)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2))).toSeq
+    if (bad.nonEmpty) Left(bad)
+    else { publish(spark, dir, v); Right(v) }
+  }
+
   /** Delete version directories that are (a) orphans ABOVE the
     * committed pointer (failed/rolled-back writes) or (b) older than
     * the `keepLast` most recent committed versions. Never touches the

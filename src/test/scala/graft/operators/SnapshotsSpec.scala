@@ -29,6 +29,34 @@ class SnapshotsSpec extends SparkSpec {
       .map(_.getString(1)).toSeq == Seq("a2", "c"))
   }
 
+  test("commitChecked (write-audit-publish): a dirty batch stages " +
+    "but never publishes; the table stays at the prior version") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-wap").toString + "/t"
+    val checks = (staged: org.apache.spark.sql.DataFrame) => Seq(
+      DataQuality.uniqueKey(staged, Seq("id"), "pk"),
+      DataQuality.nonNull(staged, "s", "nn"))
+    val r1 = Snapshots.commitChecked(spark,
+      Seq((1, Some("a")), (2, Some("b"))).toDF("id", "s"), dir, checks)
+    assert(r1 == Right(1L))
+    // dirty: duplicate key AND a null — both checks must report
+    val r2 = Snapshots.commitChecked(spark,
+      Seq((3, Some("c")), (3, Some("d")), (4, None))
+        .toDF("id", "s"), dir, checks)
+    assert(r2.isLeft)
+    assert(r2.swap.toOption.get.toMap == Map("pk" -> 1L, "nn" -> 1L))
+    // readers still see v1; the staged v2 is an unpublished orphan
+    assert(Snapshots.latestVersion(spark, dir) == 1L)
+    assert(Snapshots.read(spark, dir).orderBy("id").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(Snapshots.vacuum(spark, dir, keepLast = 1) == Seq(2L))
+    // a clean retry publishes as v2 again
+    val r3 = Snapshots.commitChecked(spark,
+      Seq((3, Some("c")), (4, Some("d"))).toDF("id", "s"), dir, checks)
+    assert(r3 == Right(2L))
+    assert(Snapshots.read(spark, dir).count() == 2)
+  }
+
   test("rollback is a pointer move; vacuum reclaims orphans and " +
     "pre-horizon versions but never the protected window") {
     val dir = java.nio.file.Files
