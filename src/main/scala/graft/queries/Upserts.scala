@@ -152,6 +152,35 @@ object Upserts {
         .select(col("user_id"), col("f.us").as("last_us"),
           col("n_ops"), col("f.cents").as("final_cents"))
         .orderBy(col("user_id"))
+    }),
+
+    // Point-in-time join against the SCD2 dimension k6 builds — the
+    // temporal-correctness query a feature store runs ("which version
+    // was active WHEN"): one deterministic probe instant per user,
+    // matched to the version whose [valid_from, valid_to) contains
+    // it. The equi key (user_id) carries the join — the interval
+    // test is a residual conjunct, so this is a plain hash/merge
+    // join at any scale, never a range scan; each probe matches at
+    // most one version by construction.
+    "k8_scd2_pit" -> ((s, dir) => {
+      val log = t(s, dir, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        col("event_type"))
+      val dim = graft.operators.Upsert
+        .scd2FromLog(log, "user_id", "event_type", "us", "event_id")
+      val base = lit(1705320000000000L) // 2024-01-15T12:00:00Z µs
+      val probes = t(s, dir, "events").select(col("user_id")).distinct()
+        .select(col("user_id"),
+          (base + pmod(col("user_id"), lit(86400L)) * 1000000L)
+            .as("p_us"))
+      probes.join(dim, Seq("user_id"))
+        .filter(col("valid_from_us") <= col("p_us") &&
+          (col("valid_to_us").isNull ||
+            col("p_us") < col("valid_to_us")))
+        .select(col("user_id"), col("p_us"),
+          col("event_type").as("version_at_probe"),
+          col("valid_from_us"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -237,6 +266,28 @@ object Upserts {
            FROM ch)
          SELECT user_id, event_type, valid_from_us, valid_to_us,
            CAST(valid_to_us IS NULL AS INT) AS is_current
-         FROM v ORDER BY user_id, valid_from_us, event_type"""
+         FROM v ORDER BY user_id, valid_from_us, event_type""",
+    // k6's versioning CTEs + one probe instant per user
+    "k8_scd2_pit" ->
+      """WITH log AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+             event_type FROM events),
+         ch AS (SELECT user_id, us, event_id, event_type FROM (
+             SELECT *, lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY us, event_id) AS prev
+             FROM log)
+           WHERE prev IS DISTINCT FROM event_type),
+         v AS (SELECT user_id, event_type, us AS valid_from_us,
+             lead(us) OVER (PARTITION BY user_id
+               ORDER BY us, event_id) AS valid_to_us
+           FROM ch),
+         probes AS (SELECT DISTINCT user_id,
+             1705320000000000 + (user_id % 86400) * 1000000 AS p_us
+           FROM events)
+       SELECT p.user_id, p.p_us, v.event_type AS version_at_probe,
+         v.valid_from_us
+       FROM probes p JOIN v ON v.user_id = p.user_id
+         AND v.valid_from_us <= p.p_us
+         AND (v.valid_to_us IS NULL OR p.p_us < v.valid_to_us)
+       ORDER BY p.user_id"""
   )
 }
