@@ -105,6 +105,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("GLOBAL: no registered query plans a cartesian product or a " +
+    "single-partition exchange") {
+    // the whole-registry net under the per-query guards: a true
+    // CartesianProduct or an Exchange SinglePartition anywhere is a
+    // scale regression (the 1-row broadcast crossJoins plan as
+    // BroadcastNestedLoopJoin over bounded frames — allowed; a
+    // whitelist entry here must carry a documented bound)
+    val whitelist = Set.empty[String]
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .flatMap { case (name, fn) =>
+        val p = fn(spark, sf0001).queryExecution
+          .explainString(ExplainMode.fromString("formatted"))
+        graft.operators.ManagedCache.releaseAll()
+        val bad = Seq(
+          "CartesianProduct" -> p.contains("CartesianProduct"),
+          "SinglePartition" -> p.contains("Exchange SinglePartition"))
+          .collect { case (what, true) => what }
+        if (bad.nonEmpty && !whitelist(name))
+          Some(s"$name: ${bad.mkString(", ")}")
+        else None
+      }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("filters reach the parquet scan as PushedFilters — not " +
     "post-scan Filter-only plans") {
     // p3 filters orders on a constant predicate; the scan itself must
