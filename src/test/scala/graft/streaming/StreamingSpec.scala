@@ -181,6 +181,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mergeSink resumes from its checkpoint exactly-once across " +
+    "query restarts: committed batches never re-apply, new ones do") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ck").toString
+    val target = s"$base/target"
+    val mem = MemoryStream[Event]
+    def start() = EventStream.mergeSink(
+      mem.toDF().select(col("event_id").as("k"),
+        col("event_type").as("v"), col("ts")),
+      target, s"$base/ck", Seq("k"), "ts").start()
+    val q1 = start()
+    mem.addData(Event(1, ts(0), 1, "a", 1.0),
+      Event(2, ts(1), 1, "b", 1.0))
+    q1.processAllAvailable(); q1.stop()
+    // restart from the SAME checkpoint: batch 1 is committed — only
+    // the new data may be applied (a re-apply would resurrect "b"
+    // over the newer "b2" ... and double-merge keys)
+    mem.addData(Event(2, ts(5), 1, "b2", 1.0),
+      Event(3, ts(6), 1, "c", 1.0))
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(target).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "a"), (2L, "b2"), (3L, "c")),
+      got.mkString(";"))
+  }
+
   test("windowTopK emits a window's ranked types ONLY once the " +
     "watermark closes it; ranks are deterministic on ties") {
     implicit val sqlCtx = spark.sqlContext
