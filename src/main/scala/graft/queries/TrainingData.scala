@@ -808,6 +808,34 @@ object TrainingData {
         .orderBy(col("doc_id"))
     }),
 
+    // Mixed-script detection — the spoofing/spam signal (Cyrillic
+    // chars inside Latin text, CJK mixed into neither): per-doc
+    // counts of Latin/Cyrillic/Han characters via Unicode script
+    // classes (Java `\p{IsX}` in Spark, RE2 `\p{X}` in the oracle —
+    // same script property, different spelling), plus a scripts-
+    // present census and the mixed flag. Script suffixes are PLANTED
+    // deterministically (the synthetic corpus is single-script), the
+    // px5 pattern. Pure scan-side Column algebra.
+    "tx18_script_mix" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(3))
+      val t2 = concat(col("text"),
+        when(m === 0, lit(" Привет мир"))
+          .when(m === 1, lit(" 漢字文本")).otherwise(lit("")))
+      t(s, dir, "documents").select(col("doc_id"),
+          length(regexp_replace(t2, "[^\\p{IsLatin}]", ""))
+            .cast("long").as("n_latin"),
+          length(regexp_replace(t2, "[^\\p{IsCyrillic}]", ""))
+            .cast("long").as("n_cyrillic"),
+          length(regexp_replace(t2, "[^\\p{IsHan}]", ""))
+            .cast("long").as("n_han"))
+        .withColumn("n_scripts",
+          ((col("n_latin") > 0).cast("int") +
+            (col("n_cyrillic") > 0).cast("int") +
+            (col("n_han") > 0).cast("int")).cast("long"))
+        .withColumn("is_mixed", (col("n_scripts") >= 2).cast("int"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Flesch-style readability signals in EXACT integers: words,
     // sentences (terminator runs, min 1), syllable proxy (vowel
     // groups), and a milli-scaled score via two floor divisions —
@@ -1106,6 +1134,26 @@ object TrainingData {
              x -> list_contains(ml.l, x)))) AS BIGINT) AS n_merged
          FROM tok CROSS JOIN ml
          GROUP BY doc_id ORDER BY doc_id""",
+      // same plants, RE2 script classes, per-codepoint counts
+      "tx18_script_mix" ->
+        """WITH t AS (SELECT doc_id, text ||
+             CASE doc_id % 3 WHEN 0 THEN ' Привет мир'
+               WHEN 1 THEN ' 漢字文本' ELSE '' END AS t2
+           FROM documents),
+         c AS (SELECT doc_id,
+             CAST(length(regexp_replace(t2, '[^\p{Latin}]', '', 'g'))
+               AS BIGINT) AS n_latin,
+             CAST(length(regexp_replace(t2, '[^\p{Cyrillic}]', '',
+               'g')) AS BIGINT) AS n_cyrillic,
+             CAST(length(regexp_replace(t2, '[^\p{Han}]', '', 'g'))
+               AS BIGINT) AS n_han
+           FROM t)
+         SELECT doc_id, n_latin, n_cyrillic, n_han,
+           CAST(CAST(n_latin > 0 AS INT) + CAST(n_cyrillic > 0 AS INT)
+             + CAST(n_han > 0 AS INT) AS BIGINT) AS n_scripts,
+           CAST(CAST(n_latin > 0 AS INT) + CAST(n_cyrillic > 0 AS INT)
+             + CAST(n_han > 0 AS INT) >= 2 AS INT) AS is_mixed
+         FROM c ORDER BY doc_id""",
       // integer Flesch proxy: terminator-run sentences, vowel-group
       // syllables, two floor divisions on exact bigints
       "tx17_readability" ->
