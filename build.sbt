@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify mains print ONE machine-parseable JSON line; sbt's
+// default LoggedOutput prefixes forked-process stdout with "[info] ",
+// which defeats a strict line parser downstream. StdoutOutput inherits
+// the child's stdout/stderr directly, so the line arrives bare.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,8 +1,27 @@
 package graft
 import java.nio.file.{Files, Paths}
+
+/** Benchmark main. Runs every `SparkEntry.queries` entry against
+  * `SPARK_GRAFT_SF_DIR` and prints ONE bare JSON line on stdout as the
+  * very last output (after `spark.stop()`, so no shutdown logging can
+  * land after it; build.sbt's `run / outputStrategy := StdoutOutput`
+  * keeps sbt from prefixing it with "[info] ").
+  *
+  * Each query is timed as the MEDIAN of `SPARK_GRAFT_BENCH_PASSES`
+  * (default 3) back-to-back passes, with `ManagedCache.releaseAll()`
+  * between passes so later passes don't ride an earlier pass's cache.
+  * A single-pass record is hostage to one bad scheduling window on a
+  * shared host (round 8: two ~50 s spikes on queries whose controlled
+  * times are 3–7 s); the median of three is immune to one spike.
+  * A wall-clock deadline (`SPARK_GRAFT_BENCH_DEADLINE`, default 1500 s)
+  * degrades remaining queries to single-pass so a slow environment can
+  * not blow the harness budget: robustness must never cost a record.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt)
+    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE", "1500").toDouble
     val spark = graft.GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: absorb session/parquet-footer/codegen init so the first
@@ -18,14 +37,24 @@ object Bench {
     val progress: Option[java.io.PrintWriter] =
       try Some(new java.io.PrintWriter("bench_progress.log"))
       catch { case _: Exception => None }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val benchStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - benchStart) / 1e9
+    def onePass(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      progress.foreach { p =>
-        p.println(f"[bench] $name%-28s $dt%8.2fs"); p.flush()
-      }
       graft.operators.ManagedCache.releaseAll()
+      dt
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val first = onePass(fn)
+      // extra passes only while under the deadline; median of what ran
+      val extra = (2 to passes).takeWhile(_ => elapsedSec < deadlineSec).map(_ => onePass(fn))
+      val all = (first +: extra).sorted
+      val dt = all(all.size / 2)
+      progress.foreach { p =>
+        p.println(f"[bench] $name%-28s ${dt}%8.2fs  (${all.map(v => f"$v%.2f").mkString("/")})"); p.flush()
+      }
       name -> dt
     }.toMap
     progress.foreach(_.close())
@@ -38,18 +67,25 @@ object Bench {
       .mkString("{", ",", "}")
     val sorted = results.toSeq.sortBy(_._1)
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // numeric sf parsed from the dir name so a strict JSON consumer
+    // reading "sf" gets a number, not a path string
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     // The driver captures a bounded (~2 KB) console window, so the
     // console line must stay small: totals plus only the slowest
     // handful of queries. The FULL per-query vector goes to
     // bench_results.json (committed per round) — never to stdout.
     val slowest = results.toSeq.sortBy(-_._2).take(8).sortBy(_._1)
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"queries":${qjson(slowest)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"passes":$passes,"queries":${qjson(slowest)},"sf":$sfNum}"""
     val full =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${qjson(sorted)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","passes":$passes,"queries":${qjson(sorted)},"sf":$sfNum}"""
     try Files.writeString(Paths.get("bench_results.json"), full + "\n")
     catch { case _: Exception => () }
-    println(line)
+    // stop Spark BEFORE printing: executor/context shutdown logs go to
+    // stderr and must not land after the parseable line
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(line)
+    Console.out.flush()
   }
 }

@@ -1484,7 +1484,9 @@ object Multimodal {
     * count, 12-byte tag entries sorted by tag id, 4-byte next-IFD
     * pointer, 0 terminates). Geometry from tags 256/257/258; SHORT(3)
     * inline values sit in the value field's FIRST two bytes in the
-    * declared order, LONG(4) uses all four. Missing tags yield -1.
+    * declared order, LONG(4) uses all four — but ONLY when the
+    * entry's count is 1 (count>1 turns the field into an offset, so
+    * such tags report -1). Missing tags yield -1.
     * Cycle/fan-out guarded (offset must advance or the walk stops;
     * 1000-page cap); truncation keeps complete pages. Seventh
     * byte-layout family in this file.
@@ -1519,9 +1521,15 @@ object Multimodal {
                 val e = ofs + 2 + i * 12
                 val tag = u16(e)
                 val typ = u16(e + 2)
-                // inline value: SHORT reads 2 bytes, LONG reads 4
+                val cnt = u32(e + 4)
+                // the value field is INLINE only when count==1 (for
+                // SHORT/LONG); count>1 (e.g. BitsPerSample=3 on RGB)
+                // makes it an OFFSET to the value array — reporting
+                // that offset as a dimension would be garbage, so
+                // multi-count tags get tag-absent semantics (-1)
                 val v: Long =
-                  if (typ == 3) u16(e + 8).toLong
+                  if (cnt != 1L) -1L
+                  else if (typ == 3) u16(e + 8).toLong
                   else u32(e + 8)
                 if (tag == 256) w = v
                 else if (tag == 257) h = v

@@ -77,10 +77,20 @@ object Compaction {
     */
   def compact(spark: SparkSession, inDir: String, outDir: String,
       targetBytes: Long): CompactStats = {
+    val conf = spark.sparkContext.hadoopConfiguration
     val files = listDataFiles(spark, inDir)
     val bins = planBins(files, targetBytes)
     val out = new Path(outDir)
-    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = out.getFileSystem(conf)
+    // a rerun into a dirty target would silently MIX stale and new
+    // files — duplicated rows that no downstream check would catch.
+    // Compaction owns its output directory; fail loudly instead.
+    if (fs.exists(out) && fs.listStatus(out).exists(s =>
+        !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith(".")))
+      throw new java.io.IOException(
+        s"compact target $outDir already contains data; " +
+        "clean it or choose a fresh directory")
     fs.mkdirs(out)
     var rewritten = 0
     var rewrittenBytes = 0L
@@ -88,9 +98,11 @@ object Compaction {
     bins.zipWithIndex.foreach { case (bin, i) =>
       if (bin.length == 1) {
         val src = new Path(bin.head._1)
-        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
-          new Path(out, f"pass-$i%05d-${src.getName}"),
-          false, spark.sparkContext.hadoopConfiguration)
+        // source FS derived from the SOURCE path: in/out may live on
+        // different filesystems (hdfs → local, local → s3, …)
+        org.apache.hadoop.fs.FileUtil.copy(src.getFileSystem(conf), src,
+          fs, new Path(out, f"pass-$i%05d-${src.getName}"),
+          false, conf)
         passthrough += 1
       } else {
         spark.read.parquet(bin.map(_._1): _*)

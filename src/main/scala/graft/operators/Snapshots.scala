@@ -53,18 +53,65 @@ object Snapshots {
     v
   }
 
-  /** Point `_latest` at `v` via write-temp-then-rename (rename is
-    * atomic on HDFS/posix; object stores substitute a conditional
-    * put). */
+  /** Point `_latest` at `v` via write-temp-then-rename. The replace
+    * is a SINGLE atomic overwrite rename (`FileContext.rename` with
+    * `Options.Rename.OVERWRITE` — atomic on HDFS/posix; object
+    * stores substitute a conditional put): there is never a window
+    * where the pointer is absent, so a concurrent `latestVersion()`
+    * always observes either the old or the new version — never 0.
+    * (The previous delete-then-rename had exactly that window: a
+    * reader saw "no committed version" and a committer starting in
+    * it would restart version numbering.) */
   private def publish(spark: SparkSession, dir: String, v: Long): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
     val f = fs(spark, dir)
     f.mkdirs(new Path(dir))
-    val tmp = new Path(dir, s"_latest.tmp.$v")
+    val tmp = f.makeQualified(new Path(dir, s"_latest.tmp.$v"))
     val out = f.create(tmp, true)
     try out.write(v.toString.getBytes("US-ASCII")) finally out.close()
-    if (f.exists(pointer(dir))) f.delete(pointer(dir), false)
-    if (!f.rename(tmp, pointer(dir)))
-      throw new java.io.IOException(s"publish of v=$v lost a race")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, conf)
+    fc.rename(tmp, f.makeQualified(pointer(dir)),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Compare-and-swap commit for MULTI-writer tables: publishes
+    * `df` as version `expectedParent + 1` only if the table is still
+    * at `expectedParent`. Data is staged in a writer-unique temp
+    * directory (racers never clobber each other's bytes), then the
+    * version number is claimed by creating a `_claim.N` marker with
+    * create-exclusive semantics (atomic on HDFS/posix; object stores
+    * substitute an if-none-match put) — exactly one of N racing
+    * committers wins the claim; losers get a `Left(conflict…)` and
+    * their staged bytes are deleted. Claim markers persist with
+    * their versions (a version number is never silently reused under
+    * CAS — after a rollback, vacuum the reclaimed versions first),
+    * and vacuum() removes markers alongside the versions it reclaims.
+    */
+  def commitCAS(spark: SparkSession, df: DataFrame, dir: String,
+      expectedParent: Long): Either[String, Long] = {
+    val f = fs(spark, dir)
+    f.mkdirs(new Path(dir))
+    val cur = latestVersion(spark, dir)
+    if (cur != expectedParent)
+      return Left(
+        s"conflict: expected parent v=$expectedParent, table is at v=$cur")
+    val v = expectedParent + 1
+    val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
+    df.write.mode("overwrite").parquet(stage.toString)
+    val claim = new Path(dir, s"_claim.$v")
+    val won =
+      try { f.create(claim, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!won) {
+      f.delete(stage, true)
+      Left(s"conflict: v=$v already claimed by a concurrent committer")
+    } else if (!f.rename(stage, new Path(dir, s"v=$v"))) {
+      f.delete(stage, true)
+      Left(s"conflict: v=$v directory already exists")
+    } else {
+      publish(spark, dir, v)
+      Right(v)
+    }
   }
 
   /** Read a specific version (default: the committed latest). */
@@ -108,20 +155,46 @@ object Snapshots {
 
   /** Delete version directories that are (a) orphans ABOVE the
     * committed pointer (failed/rolled-back writes) or (b) older than
-    * the `keepLast` most recent committed versions. Never touches the
-    * pointer or the versions it protects. Returns deleted versions.
+    * the `keepLast` most recent committed versions, plus any CAS
+    * claim markers and abandoned `_stage-*` directories covered by
+    * the same rule. Never touches the pointer or the versions it
+    * protects. Returns deleted versions.
+    *
+    * CONCURRENCY: an in-flight `commit`/`commitChecked` stages
+    * `v=latest+1` BEFORE publishing, which is indistinguishable from
+    * a crashed orphan. With the default `orphanGraceMs = 0` vacuum
+    * must therefore not run concurrently with a committer (the
+    * single-maintenance-job scheduling every lake compactor already
+    * needs). To run vacuum alongside writers, pass a grace period —
+    * above-pointer directories (and stage directories) are then only
+    * reclaimed once their modification time is older than
+    * `orphanGraceMs`, so a live commit's staging is never swept.
     */
-  def vacuum(spark: SparkSession, dir: String,
-      keepLast: Int = 2): Seq[Long] = {
+  def vacuum(spark: SparkSession, dir: String, keepLast: Int = 2,
+      orphanGraceMs: Long = 0L): Seq[Long] = {
     require(keepLast >= 1, "keepLast must be >= 1")
     val f = fs(spark, dir)
     val latest = latestVersion(spark, dir)
-    val versions = f.listStatus(new Path(dir)).toSeq
+    val now = System.currentTimeMillis()
+    val entries = f.listStatus(new Path(dir)).toSeq
+    def aged(s: org.apache.hadoop.fs.FileStatus): Boolean =
+      orphanGraceMs <= 0 || s.getModificationTime < now - orphanGraceMs
+    val versions = entries
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-      .map(_.getPath.getName.stripPrefix("v=").toLong).sorted
-    val doomed = versions.filter(v =>
-      v > latest || v <= latest - keepLast)
-    doomed.foreach(v => f.delete(new Path(dir, s"v=$v"), true))
+      .map(s => (s.getPath.getName.stripPrefix("v=").toLong, s))
+      .sortBy(_._1)
+    val doomed = versions.collect {
+      case (v, _) if v <= latest - keepLast => v
+      case (v, s) if v > latest && aged(s) => v
+    }
+    doomed.foreach { v =>
+      f.delete(new Path(dir, s"v=$v"), true)
+      f.delete(new Path(dir, s"_claim.$v"), false)
+    }
+    // stage dirs abandoned by crashed CAS losers/winners
+    entries.filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("_stage-") && aged(s))
+      .foreach(s => f.delete(s.getPath, true))
     doomed
   }
 }

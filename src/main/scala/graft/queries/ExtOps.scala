@@ -668,8 +668,8 @@ object ExtOps {
           col("sxy"), col("sxx"),
           floor((col("n") * col("sxy") - col("sx") * col("sy"))
               .cast("double") * lit(1000000.0) /
-            (col("n") * col("sxx") - col("sx") * col("sx"))
-              .cast("double"))
+            nullif(col("n") * col("sxx") - col("sx") * col("sx"),
+              lit(0L)).cast("double"))
             .cast("long").as("slope_micro"))
         .orderBy(col("event_type"))
     }),
@@ -1310,7 +1310,8 @@ object ExtOps {
            FROM xy GROUP BY 1)
        SELECT event_type, n, sx, sy, sxy, sxx,
          CAST(floor(CAST(n*sxy - sx*sy AS DOUBLE) * 1000000.0 /
-           CAST(n*sxx - sx*sx AS DOUBLE)) AS BIGINT) AS slope_micro
+           CAST(nullif(n*sxx - sx*sx, 0) AS DOUBLE)) AS BIGINT)
+           AS slope_micro
        FROM m ORDER BY event_type""",
     // Morton interleave replayed as integer div/mod bit extraction:
     // x bits at even positions (weight 4^j), y bits at odd (2*4^j)

@@ -796,6 +796,39 @@ class MultimodalSpec extends SparkSpec {
     assert(junk.isEmpty)
   }
 
+  test("tiffPages: multi-count tags hold an OFFSET, not a value — " +
+    "RGB BitsPerSample (count=3) reports -1, never the offset") {
+    // real ImageIO RGB TIFF: BitsPerSample is written with count=3
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = javax.imageio.ImageIO
+      .getImageWritersByFormatName("tiff").next()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    w.setOutput(ios)
+    val img = new java.awt.image.BufferedImage(19, 13,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    w.write(img); ios.close(); w.dispose()
+    val out = Multimodal.tiffPages(
+      Seq((1L, "image", bos.toByteArray, "mem://rgb"))
+        .toDF("media_id", "kind", "payload", "source_uri")).collect()
+    assert(out.length == 1, out.mkString(";"))
+    assert(out(0).getAs[Long]("width") == 19L)
+    assert(out(0).getAs[Long]("height") == 13L)
+    assert(out(0).getAs[Long]("bits_per_sample") == -1L,
+      s"count=3 BitsPerSample must be absent, got ${out(0)}")
+    // hand-built LE page whose width entry declares count=2: the
+    // value field is then an offset and must not leak into width
+    val bb = java.nio.ByteBuffer.allocate(8 + 2 + 12 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    bb.putShort(1)
+    bb.putShort(256).putShort(3).putInt(2).putShort(640).putShort(641)
+    bb.putInt(0)
+    val le = Multimodal.tiffPages(
+      Seq((2L, "image", bb.array(), "mem://cnt2"))
+        .toDF("media_id", "kind", "payload", "source_uri")).collect()
+    assert(le.length == 1 && le(0).getAs[Long]("width") == -1L)
+  }
+
   test("tiffMulti synthesis round-trips through tiffPages: chained " +
     "IFD offsets, geometry, terminator") {
     val df = Seq(5L).toDF("doc_id").select(col("doc_id"),

@@ -57,6 +57,71 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, dir).count() == 2)
   }
 
+  test("commitCAS: two committers racing from the same parent — " +
+    "exactly one wins; the loser gets an explicit conflict and " +
+    "leaves no staged bytes behind") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cas").toString + "/t"
+    assert(Snapshots.commitCAS(spark,
+      Seq((0, "base")).toDF("id", "s"), dir, expectedParent = 0L)
+      == Right(1L))
+    // stale parent is rejected up front
+    assert(Snapshots.commitCAS(spark,
+      Seq((9, "stale")).toDF("id", "s"), dir, expectedParent = 0L).isLeft)
+    // race: both writers observed parent v1 before either committed
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      def racer(tag: String) = pool.submit(
+        new java.util.concurrent.Callable[Either[String, Long]] {
+          def call(): Either[String, Long] = {
+            gate.await()
+            Snapshots.commitCAS(spark,
+              Seq((1, tag)).toDF("id", "s"), dir, expectedParent = 1L)
+          }
+        })
+      val (fa, fb) = (racer("A"), racer("B"))
+      gate.countDown()
+      val rs = Seq(fa.get(), fb.get())
+      assert(rs.count(_.isRight) == 1, rs.toString)
+      assert(rs.find(_.isRight).get == Right(2L))
+      assert(rs.find(_.isLeft).get.swap.toOption.get.contains("conflict"))
+      assert(Snapshots.latestVersion(spark, dir) == 2L)
+      // the published v2 is the WINNER's frame, intact
+      assert(Set("A", "B").contains(Snapshots.read(spark, dir)
+        .collect().head.getString(1)))
+      // loser's staging was cleaned up
+      val leftovers = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("_stage-"))
+      assert(leftovers.isEmpty, leftovers.mkString(","))
+    } finally pool.shutdown()
+    // version numbers are not silently reused under CAS: after a
+    // rollback the old claim still guards v2 until vacuumed
+    Snapshots.rollback(spark, dir, 1)
+    assert(Snapshots.commitCAS(spark,
+      Seq((2, "re")).toDF("id", "s"), dir, expectedParent = 1L).isLeft)
+    Snapshots.vacuum(spark, dir, keepLast = 1)
+    assert(Snapshots.commitCAS(spark,
+      Seq((2, "re")).toDF("id", "s"), dir, expectedParent = 1L)
+      == Right(2L))
+    assert(Snapshots.read(spark, dir).collect().head.getString(1) == "re")
+  }
+
+  test("vacuum orphanGraceMs: a fresh above-pointer directory (an " +
+    "in-flight commit's staging) survives a graced vacuum") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-grace").toString + "/t"
+    Snapshots.commit(spark, Seq((1, "a")).toDF("id", "s"), dir)
+    // simulate an in-flight commit: v=2 staged, pointer still at 1
+    Seq((2, "staged")).toDF("id", "s").write.parquet(s"$dir/v=2")
+    assert(Snapshots.vacuum(spark, dir, keepLast = 1,
+      orphanGraceMs = 3600000L).isEmpty)
+    // the staged directory is untouched and can still publish
+    assert(new java.io.File(s"$dir/v=2").exists())
+    // an ungraced vacuum (maintenance window, no writers) reclaims it
+    assert(Snapshots.vacuum(spark, dir, keepLast = 1) == Seq(2L))
+  }
+
   test("rollback is a pointer move; vacuum reclaims orphans and " +
     "pre-horizon versions but never the protected window") {
     val dir = java.nio.file.Files
