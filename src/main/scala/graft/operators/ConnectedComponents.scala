@@ -38,39 +38,23 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint(true)
 
-    var labels = vertices.select(col("id")).distinct()
+    val init = vertices.select(col("id")).distinct()
       .select(col("id"), col("id").as("comp"))
-      .localCheckpoint(true)
-    var changed = 1L
-    var i = 0
-    while (changed > 0 && i < maxIter) {
+    // per-round checkpoint + observed change counter both come from
+    // the shared Fixpoint harness (this loop was its prototype)
+    Fixpoint.iterate(init,
+      changed = sum(when(col("comp") =!= col("prev"), 1L).otherwise(0L)),
+      project = Seq("id", "comp"), maxIter = maxIter) { (labels, _) =>
       // min over neighbours' labels, one shuffle on dst
       val nbrMin = sym.join(labels, sym("src") === labels("id"))
         .groupBy(sym("dst").as("nid"))
         .agg(min(col("comp")).as("nbr_comp"))
-      // the convergence counter rides the SAME job that materializes
-      // the checkpoint (observed metric) — a separate count() action
-      // would re-run a full pass per round, doubling every round's work
-      val obs = new org.apache.spark.sql.Observation(s"cc_round_$i")
-      val next = labels.join(nbrMin, labels("id") === col("nid"), "left")
+      labels.join(nbrMin, labels("id") === col("nid"), "left")
         .select(labels("id").as("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
             .as("comp"),
           col("comp").as("prev"))
-        .observe(obs,
-          sum(when(col("comp") =!= col("prev"), 1L).otherwise(0L))
-            .as("changed"))
-        .localCheckpoint(true) // bound lineage growth per round
-      changed = obs.get("changed") match {
-        case null => 0L // empty vertex set: sum over zero rows
-        case n: java.lang.Long => n.longValue()
-      }
-      labels = next.select(col("id"), col("comp"))
-      i += 1
-    }
-    require(changed == 0,
-      s"connected components did not converge in $maxIter rounds")
-    labels
+    }.frame
   }
 
   /** The dedup closure: (doc_id, cluster_id, is_keeper) where keeper =

@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Observation}
+import org.apache.spark.sql.functions._
+
+/** Run-to-convergence harness for iterative dataframe algorithms —
+  * the loop shape [[ConnectedComponents]] proved out, generalized so
+  * every iterative graph/state operator shares ONE set of scale
+  * invariants instead of re-inventing them:
+  *
+  *  - each round materializes exactly ONCE via eager
+  *    `localCheckpoint`, truncating lineage so the physical plan
+  *    stays O(1) per round instead of growing with the iteration
+  *    count (50-round PageRank would otherwise compile a 50-deep
+  *    plan and eventually blow analysis/codegen);
+  *  - the convergence signal rides THAT SAME job as an observed
+  *    metric (`Dataset.observe`) — a separate `count()` action would
+  *    re-run the whole round's work a second time;
+  *  - rounds are bounded by `maxIter` with an explicit converged
+  *    flag, so a pathological input degrades to a diagnosable
+  *    "did not converge" instead of an infinite job stream.
+  *
+  * The oracle-replayable 2-round unrolled twins of these algorithms
+  * live in queries/ExtOps (xg1/xg3/xg4); the operators below are the
+  * unbounded versions a 100 TB run would call (10–50 rounds).
+  */
+object Fixpoint {
+
+  final case class Result(frame: DataFrame, rounds: Int,
+      converged: Boolean)
+
+  /** Iterate `step` from `init` until the `changed` aggregate
+    * (evaluated over each round's OUTPUT rows) observes 0, or
+    * `maxIter` rounds elapse. `project` names the state columns
+    * carried into the next round (helper columns like `prev` are
+    * dropped after the convergence read).
+    */
+  def iterate(init: DataFrame, changed: Column, project: Seq[String],
+      maxIter: Int, requireConverged: Boolean = true)
+      (step: (DataFrame, Int) => DataFrame): Result = {
+    require(maxIter >= 1, "maxIter must be >= 1")
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    var cur = init.localCheckpoint(true)
+    var delta = Long.MaxValue
+    var rounds = 0
+    while (delta != 0L && rounds < maxIter) {
+      val obs = new Observation(s"fixpoint_${runId}_$rounds")
+      val next = step(cur, rounds)
+        .observe(obs, changed.as("changed"))
+        .localCheckpoint(true)
+      delta = obs.get("changed") match {
+        case null => 0L // empty frame: aggregate over zero rows
+        case n: java.lang.Long => n.longValue()
+      }
+      cur = if (project.isEmpty) next else next.select(project.map(col): _*)
+      rounds += 1
+    }
+    if (requireConverged) require(delta == 0L,
+      s"fixpoint did not converge in $maxIter rounds")
+    Result(cur, rounds, delta == 0L)
+  }
+
+  /** Fixpoint for MONOTONE-SHRINKING states (peeling, pruning):
+    * converged when a round's output row count equals the previous
+    * round's. For a step that only ever drops rows, equal counts ⇒
+    * identical state, so this needs no `prev` column join at all —
+    * the count observation is free on the materialization job.
+    */
+  def iterateMonotone(init: DataFrame, maxIter: Int,
+      requireConverged: Boolean = true)
+      (step: (DataFrame, Int) => DataFrame): Result = {
+    require(maxIter >= 1, "maxIter must be >= 1")
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    var cur = init.localCheckpoint(true)
+    var prevN = -1L
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIter) {
+      val obs = new Observation(s"fixmono_${runId}_$rounds")
+      val next = step(cur, rounds)
+        .observe(obs, count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val n = obs.get("n") match {
+        case null => 0L
+        case v: java.lang.Long => v.longValue()
+      }
+      converged = n == prevN
+      prevN = n
+      cur = next
+      rounds += 1
+    }
+    if (requireConverged) require(converged,
+      s"monotone fixpoint did not converge in $maxIter rounds")
+    Result(cur, rounds, converged)
+  }
+}
+
+/** Unbounded (run-to-convergence) variants of the graph operators
+  * whose 2-round oracle twins live in queries/ExtOps. All state
+  * frames stay O(|V|) or shrink monotonically; per-round shuffles
+  * key on node ids — the same partitioning every round.
+  */
+object GraphIterations {
+
+  /** Fixed-point-arithmetic PageRank (damping 17/20, nano-units —
+    * bit-stable integer math, same scheme as xg1) iterated until no
+    * node's rank moves by more than `tolNano`. `edges` is a directed
+    * (src, dst) pair list in which EVERY node must appear as a src
+    * (symmetrize first for undirected graphs — dangling nodes are the
+    * caller's modeling decision, not silently patched here).
+    * Returns (node_id, r) in nano-rank units.
+    */
+  def pageRankConverged(edges: DataFrame, tolNano: Long = 1000L,
+      maxIter: Int = 50): Fixpoint.Result = {
+    val SCALE = 1000000000L
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val deg = ManagedCache.persist(
+      e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    val withDeg = ManagedCache.persist(e.join(deg, Seq("src")))
+    val nn = deg.agg(count(lit(1)).as("n"))
+    val r0 = deg.select(col("src").as("node_id"))
+      .crossJoin(broadcast(nn))
+      .select(col("node_id"),
+        call_function("div", lit(SCALE), col("n")).as("r"))
+    Fixpoint.iterate(r0,
+      changed = sum(when(abs(col("r") - col("prev")) > tolNano, 1L)
+        .otherwise(0L)),
+      project = Seq("node_id", "r"), maxIter = maxIter) { (cur, _) =>
+      val sv = withDeg
+        .join(cur.select(col("node_id").as("src"), col("r")), Seq("src"))
+        .select(col("dst"),
+          call_function("div", col("r"), col("deg")).as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("sv"))
+      // left join against the node spine: a node with no in-edges
+      // decays to the base teleport term instead of vanishing
+      cur.join(sv.withColumnRenamed("dst", "node_id"),
+          Seq("node_id"), "left")
+        .crossJoin(broadcast(nn))
+        .select(col("node_id"),
+          (call_function("div", lit(3L) * SCALE, lit(20L) * col("n")) +
+            call_function("div",
+              lit(17L) * coalesce(col("sv"), lit(0L)), lit(20L)))
+            .as("r"),
+          col("r").as("prev"))
+    }
+  }
+
+  /** Deterministic synchronous label propagation (most-frequent
+    * neighbor label, ties to the MINIMUM label — xg3's rule) iterated
+    * until no label changes. Plain LPA can 2-cycle on bipartite
+    * structure, so non-convergence within `maxIter` is reported via
+    * the flag, not an exception. `edges` must be symmetrized.
+    * Returns (node, lbl).
+    */
+  def labelPropagationConverged(edges: DataFrame, maxIter: Int = 30)
+      : Fixpoint.Result = {
+    val e = ManagedCache.persist(
+      edges.select(col("src"), col("dst")).distinct())
+    val l0 = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    Fixpoint.iterate(l0,
+      changed = sum(when(col("lbl") =!= col("prev"), 1L).otherwise(0L)),
+      project = Seq("node", "lbl"), maxIter = maxIter,
+      requireConverged = false) { (cur, _) =>
+      val nxt = e.join(cur.select(col("node").as("src"),
+          col("lbl").as("slbl")), Seq("src"))
+        .groupBy(col("dst"), col("slbl"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("n")).as("neg"), col("slbl").as("l")))
+          .as("best"))
+        .select(col("dst").as("node"), col("best.l").as("lbl"))
+      nxt.join(cur.select(col("node"), col("lbl").as("prev")),
+        Seq("node"))
+    }
+  }
+
+  /** k-core: peel nodes of degree < k until none remain — a monotone
+    * edge-shrink, so convergence is the free row-count fixpoint (no
+    * prev-state join). Works on any undirected pair list (a node may
+    * appear on either side). Returns the surviving edge list.
+    */
+  def kcoreConverged(edges: DataFrame, k: Int, maxIter: Int = 100)
+      : Fixpoint.Result = {
+    val e0 = edges.select(col("u"), col("v")).distinct()
+    Fixpoint.iterateMonotone(e0, maxIter) { (e, _) =>
+      val keep = e.select(col("u").as("n"))
+        .union(e.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("n"))
+      e.join(keep.withColumnRenamed("n", "u"), Seq("u"))
+        .join(keep.withColumnRenamed("n", "v"), Seq("v"))
+    }
+  }
+}

@@ -622,14 +622,21 @@ object ExtOps {
       val e0 = graft.operators.ManagedCache.persist(
         l.select((col("l_partkey") * 2).as("u"),
           (col("l_suppkey") * 2 + 1).as("v")).distinct())
+      // The even/odd id encoding makes the two node sets DISJOINT, so
+      // a node's degree is just its count on ITS side of the edge:
+      // two per-side aggs (map-side combine shrinks each shuffle to
+      // ~|V| rows) replace the 2|E|-row union-degree shuffle, and the
+      // |V|-sized keep frames are AQE-broadcastable so the surviving-
+      // edge joins need no e-side exchange at all.
       def peel(e: DataFrame): DataFrame = {
-        val deg = e.select(col("u").as("n"))
-          .union(e.select(col("v").as("n")))
-          .groupBy(col("n")).agg(count(lit(1)).as("d"))
-        val keep = deg.filter(col("d") >= K).select(col("n"))
+        val keepU = e.groupBy(col("u"))
+          .agg(count(lit(1)).as("du"))
+          .filter(col("du") >= K).select(col("u"))
+        val keepV = e.groupBy(col("v"))
+          .agg(count(lit(1)).as("dv"))
+          .filter(col("dv") >= K).select(col("v"))
         graft.operators.ManagedCache.persist(
-          e.join(keep.withColumnRenamed("n", "u"), Seq("u"))
-            .join(keep.withColumnRenamed("n", "v"), Seq("v")))
+          e.join(keepU, Seq("u")).join(keepV, Seq("v")))
       }
       val e2 = peel(peel(e0))
       val nodes = e2.select(col("u").as("n"))

@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Convergence + lineage-bound behavior of the shared Fixpoint
+  * harness and the unbounded graph variants whose 2-round oracle
+  * twins live in queries/ExtOps (xg1/xg3/xg4).
+  */
+class FixpointSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sym(pairs: Seq[(Long, Long)]) =
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+
+  test("pageRankConverged: a regular cycle is stationary from the " +
+    "uniform start (exact ranks, 1 round); a star separates hub from " +
+    "leaves and converges well inside maxIter") {
+    // 4-cycle: every node deg 2 — uniform IS the fixpoint
+    val cyc = GraphIterations.pageRankConverged(
+      sym(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))), tolNano = 0L)
+    assert(cyc.converged && cyc.rounds == 1, s"${cyc.rounds}")
+    val ranks = cyc.frame.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks.values.toSet == Set(250000000L), ranks.toString)
+
+    // star: hub 0 ↔ leaves 1..4. Synchronous PR on a star OSCILLATES
+    // with decay 0.85/round, so a tol of t nano is reached after
+    // ~ln(gap/t)/0.1625 rounds — 0.1% of mass lands near round 35
+    val star = GraphIterations.pageRankConverged(
+      sym((1L to 4L).map(i => (0L, i))), tolNano = 1000000L,
+      maxIter = 60)
+    assert(star.converged && star.rounds > 2 && star.rounds < 60,
+      s"rounds=${star.rounds}")
+    val sr = star.frame.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sr(0L) > sr(1L) * 2, sr.toString)
+    assert((1L to 4L).map(sr).toSet.size == 1, "leaves must tie")
+    // total rank mass conserved up to tol + integer-division dust
+    assert(math.abs(sr.values.sum - 1000000000L) < 5000000L)
+  }
+
+  test("labelPropagationConverged: two planted cliques settle on " +
+    "their min labels and stop changing") {
+    val k4 = for {
+      base <- Seq(0L, 10L); i <- 0 to 3; j <- (i + 1) to 3
+    } yield (base + i, base + j)
+    val r = GraphIterations.labelPropagationConverged(sym(k4))
+    assert(r.converged && r.rounds >= 3, s"rounds=${r.rounds}")
+    val lbl = r.frame.collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert((0L to 3L).map(lbl).toSet == Set(0L), lbl.toString)
+    assert((10L to 13L).map(lbl).toSet == Set(10L), lbl.toString)
+  }
+
+  test("labelPropagationConverged: a 2-node bipartite oscillator is " +
+    "reported unconverged via the flag, not an exception or a lie") {
+    // nodes 0,1 with one edge: labels swap forever under synchronous
+    // update (0 adopts 1's label, 1 adopts 0's — a 2-cycle)
+    val r = GraphIterations.labelPropagationConverged(
+      sym(Seq((0L, 1L))), maxIter = 6)
+    assert(!r.converged && r.rounds == 6)
+  }
+
+  test("kcoreConverged peels a tail one node per round (the " +
+    "multi-round case a fixed unroll would get wrong) and keeps the " +
+    "clique intact") {
+    // K5 on 0..4 plus a path tail 4-5-6-7; k=2: the tail peels from
+    // the end, ONE node per round — needs 3 peel rounds + 1 confirm
+    val k5 = for (i <- 0 to 4; j <- (i + 1) to 4) yield (i.toLong, j.toLong)
+    val edges = (k5 ++ Seq((4L, 5L), (5L, 6L), (6L, 7L))).toDF("u", "v")
+    val r = GraphIterations.kcoreConverged(edges, k = 2)
+    assert(r.converged && r.rounds >= 4, s"rounds=${r.rounds}")
+    val left = r.frame.collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(left.length == 10, left.mkString(","))
+    assert(left.forall { case (u, v) => u <= 4 && v <= 4 })
+    // k above the clique degree empties the graph and still converges
+    val gone = GraphIterations.kcoreConverged(edges, k = 5)
+    assert(gone.converged && gone.frame.count() == 0)
+  }
+
+  test("iterate: maxIter exhaustion throws by default; " +
+    "requireConverged=false returns the flag") {
+    val init = Seq(0L).toDF("x")
+    // step that never stabilizes: x alternates 0/1
+    def step(df: org.apache.spark.sql.DataFrame, i: Int) =
+      df.select((lit(1L) - col("x")).as("x"), col("x").as("prev"))
+    intercept[IllegalArgumentException] {
+      Fixpoint.iterate(init,
+        changed = sum(when(col("x") =!= col("prev"), 1L).otherwise(0L)),
+        project = Seq("x"), maxIter = 3)(step)
+    }
+    val r = Fixpoint.iterate(init,
+      changed = sum(when(col("x") =!= col("prev"), 1L).otherwise(0L)),
+      project = Seq("x"), maxIter = 3, requireConverged = false)(step)
+    assert(!r.converged && r.rounds == 3)
+  }
+
+  test("the lineage bound holds: a 12-round monotone peel keeps the " +
+    "final plan O(1)-deep (no growth with iteration count)") {
+    // path 0-1-…-12, k=1 trivially keeps everything? No: k=2 —
+    // endpoints peel one per round from both ends, ~6 rounds; use a
+    // 25-node path so the loop runs 12 rounds
+    val path = (0L until 25L).map(i => (i, i + 1)).toDF("u", "v")
+    val r = GraphIterations.kcoreConverged(path, k = 2, maxIter = 40)
+    assert(r.converged && r.rounds >= 12, s"rounds=${r.rounds}")
+    assert(r.frame.count() == 0) // a pure path has no 2-core
+    // localCheckpoint per round ⇒ the final frame's logical plan is a
+    // scan of the checkpointed RDD, not a 12-join tower
+    val planDepth = r.frame.queryExecution.optimizedPlan.toString()
+      .linesIterator.size
+    assert(planDepth < 10, s"plan unexpectedly deep:\n$planDepth lines")
+  }
+}
