@@ -229,7 +229,11 @@ object Multimodal {
     * downstream stages never shuffle source blobs), keep the other
     * columns, append `extra` fields from `f(payload)` — one output
     * row per emitted value sequence (1:1 decoders emit one, demuxers
-    * emit one per frame). Runs as a partition-batched RDD map.
+    * emit one per frame). Runs as a partition-batched Dataset
+    * mapPartitions (Encoders.row), NOT a `df.rdd` round-trip: the
+    * logical plan stays intact (Deserialize → MapPartitions →
+    * Serialize), so lineage and AQE survive and there is no RDD scan
+    * barrier.
     */
   private def mapMedia(media: DataFrame, extra: Seq[StructField])(
       f: Array[Byte] => Iterator[Seq[Any]]): DataFrame = {
@@ -237,14 +241,13 @@ object Multimodal {
     val payloadIdx = schema.fieldIndex("payload")
     val keepIdx = schema.indices.filterNot(_ == payloadIdx)
     val outSchema = StructType(keepIdx.map(schema(_)) ++ extra)
-    val rdd = media.rdd.mapPartitions { it =>
+    media.mapPartitions { it =>
       it.flatMap { row =>
         val payload = if (row.isNullAt(payloadIdx)) null
           else row.getAs[Array[Byte]](payloadIdx)
         f(payload).map(vals => Row.fromSeq(keepIdx.map(row.get) ++ vals))
       }
-    }
-    media.sparkSession.createDataFrame(rdd, outSchema)
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Decode metadata for a media table: batched per partition, blob

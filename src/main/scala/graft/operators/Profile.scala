@@ -15,14 +15,26 @@ import org.apache.spark.sql.functions._
   * serves every column type; the CAST-to-string happens AFTER the
   * typed MIN/MAX, so the ordering is the source type's (profile
   * min/max are typed extremes, rendered as text).
+  *
+  * `approx = true` swaps exact `countDistinct` for
+  * `approx_count_distinct` (HyperLogLog++, default rsd 5%): the
+  * multi-distinct Expand duplicates every input row once per
+  * distinct-counted column, so a 500-column profile pays 500× the
+  * scan in shuffle volume — the sketch path keeps the job a single
+  * no-Expand partial-aggregate pass regardless of width. Use exact
+  * for narrow catalogs, approx for wide-table arrival sweeps.
   */
 object Profile {
 
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[String],
+      approx: Boolean = false, rsd: Double = 0.05): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    val distinctAgg: String => org.apache.spark.sql.Column =
+      if (approx) c => approx_count_distinct(col(c), rsd)
+      else c => countDistinct(col(c))
     val aggs = count(lit(1)).as("__total") +: cols.flatMap { c =>
       Seq(count(col(c)).as(s"__nn_$c"),
-        countDistinct(col(c)).as(s"__nd_$c"),
+        distinctAgg(c).as(s"__nd_$c"),
         min(col(c)).cast("string").as(s"__mn_$c"),
         max(col(c)).cast("string").as(s"__mx_$c"))
     }

@@ -28,31 +28,52 @@ object JobcanDemo {
   }
 
   def fixtureDf(spark: SparkSession, schema: StructType,
-      names: String*): DataFrame = {
+      names: String*): DataFrame =
+    docsDf(spark, schema, names.map(resource))
+
+  private def docsDf(spark: SparkSession, schema: StructType,
+      docs: Seq[String]): DataFrame = {
     import spark.implicits._
-    spark.read.schema(schema).json(names.map(resource).toDS)
+    spark.read.schema(schema).json(docs.toDS)
   }
 
   /** Build the full silver-table map from bundled fixtures. */
   def fixtureTables(spark: SparkSession): Map[String, DataFrame] =
-    Normalize.users(fixtureDf(spark, JobcanSchemas.userSchema,
+    tablesFrom(spark, resource)
+
+  /** Same silver-table map, but documents read from a directory (the
+    * randomized-fixture fidelity sweep: scripts/gen_fixture.py writes
+    * seeded variants under one dir, reference_oracle.py and this both
+    * consume them, compare_reference.py diffs the view layers).
+    */
+  def fixtureTablesFrom(spark: SparkSession, dir: String): Map[String, DataFrame] = {
+    val base = java.nio.file.Paths.get(dir)
+    tablesFrom(spark,
+      name => java.nio.file.Files.readString(base.resolve(name)))
+  }
+
+  private def tablesFrom(spark: SparkSession,
+      load: String => String): Map[String, DataFrame] = {
+    def df(schema: StructType, names: String*): DataFrame =
+      docsDf(spark, schema, names.map(load))
+    Normalize.users(df(JobcanSchemas.userSchema,
       "user1.json", "user2.json")) ++
-      Normalize.requests(fixtureDf(spark, JobcanSchemas.requestDetailSchema,
+      Normalize.requests(df(JobcanSchemas.requestDetailSchema,
         "request_sa10.json", "request_sa11.json", "request_sa12.json")) ++
-      Normalize.fixJournals(fixtureDf(spark,
-        JobcanSchemas.fixJournalSchema, "fix_journal1.json",
-        "fix_journal2.json", "fix_journal3.json")) ++
+      Normalize.fixJournals(df(JobcanSchemas.fixJournalSchema,
+        "fix_journal1.json", "fix_journal2.json", "fix_journal3.json")) ++
       Map(
-        "groups" -> Normalize.groups(fixtureDf(spark,
-          JobcanSchemas.groupSchema, "group1.json")),
-        "positions" -> Normalize.positions(fixtureDf(spark,
-          JobcanSchemas.positionSchema, "position1.json")),
-        "projects" -> Normalize.projects(fixtureDf(spark,
-          JobcanSchemas.projectSchema, "project1.json")),
-        "companies" -> Normalize.companies(fixtureDf(spark,
-          JobcanSchemas.companySchema, "company1.json")),
-        "forms" -> Normalize.forms(fixtureDf(spark,
-          JobcanSchemas.formSchema, "form1.json")))
+        "groups" -> Normalize.groups(df(JobcanSchemas.groupSchema,
+          "group1.json")),
+        "positions" -> Normalize.positions(df(JobcanSchemas.positionSchema,
+          "position1.json")),
+        "projects" -> Normalize.projects(df(JobcanSchemas.projectSchema,
+          "project1.json")),
+        "companies" -> Normalize.companies(df(JobcanSchemas.companySchema,
+          "company1.json")),
+        "forms" -> Normalize.forms(df(JobcanSchemas.formSchema,
+          "form1.json")))
+  }
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

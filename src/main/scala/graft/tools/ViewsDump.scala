@@ -9,19 +9,34 @@ import java.nio.file.{Files, Paths}
   * so scripts/compare_reference.py can diff this engine against the
   * REFERENCE ENGINE ITSELF running on identical input.
   *
-  *   ViewsDump <outDir>
+  *   ViewsDump <outDir> [fixtureDir]
+  *
+  * With no fixtureDir the bundled resources are used; with one, the
+  * same-named JSON documents are read from it (the randomized-fixture
+  * sweep: scripts/gen_fixture.py → this + reference_oracle.py →
+  * compare_reference.py).
   */
 object ViewsDump {
   def main(args: Array[String]): Unit = {
-    // fail fast on the 2-arg misuse (fixtureDir outDir): args(0) would
-    // silently become the OUTPUT dir and pollute the fixtures
-    require(args.length == 1, s"usage: ViewsDump <outDir>; got ${args.toSeq}")
+    require(args.length == 1 || args.length == 2,
+      s"usage: ViewsDump <outDir> [fixtureDir]; got ${args.toSeq}")
     val outDir = Paths.get(args(0))
     Files.createDirectories(outDir)
     val spark = graft.GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val tables = JobcanDemo.fixtureTables(spark)
+    val tables =
+      if (args.length == 2) JobcanDemo.fixtureTablesFrom(spark, args(1))
+      else JobcanDemo.fixtureTables(spark)
+    dumpAll(tables, outDir)
+    spark.stop()
+  }
+
+  /** The 21-view dump used by both the single-shot main and the
+    * multi-seed FidelitySweep (one SparkSession, N fixture sets). */
+  def dumpAll(tables: Map[String, DataFrame],
+      outDir: java.nio.file.Path): Unit = {
+    Files.createDirectories(outDir)
     val views = new Views(tables)
     val dump: Seq[(String, DataFrame)] = Seq(
       "view_user_details" -> views.viewUserDetails,
@@ -56,6 +71,30 @@ object ViewsDump {
       val rows = df.toJSON.collect().mkString("[", ",", "]")
       Files.writeString(outDir.resolve(fn), rows)
       println(s"$name -> $fn")
+    }
+  }
+}
+
+/** Multi-seed graft side of the randomized-fidelity sweep: expects
+  * baseDir/s<i>/fixtures (written by scripts/gen_fixture.py), writes
+  * baseDir/s<i>/graft — all seeds in ONE SparkSession so the sweep
+  * doesn't pay JVM+Spark startup per seed.
+  *
+  *   FidelitySweep <baseDir> <nSeeds>
+  */
+object FidelitySweep {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2, s"usage: FidelitySweep <baseDir> <nSeeds>")
+    val base = Paths.get(args(0))
+    val n = args(1).toInt
+    val spark = graft.GraftSession.builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    (1 to n).foreach { seed =>
+      val fixtures = base.resolve(s"s$seed/fixtures")
+      require(Files.isDirectory(fixtures), s"missing $fixtures")
+      val tables = JobcanDemo.fixtureTablesFrom(spark, fixtures.toString)
+      ViewsDump.dumpAll(tables, base.resolve(s"s$seed/graft"))
+      println(s"seed $seed done")
     }
     spark.stop()
   }

@@ -225,4 +225,34 @@ class ScaleOpsSpec extends SparkSpec {
       .collect()(0).getMap[String, Long](0)
     assert(m == Map("a" -> 5L, "b" -> 3L, "c" -> 1L))
   }
+
+  test("source guard: no operator uses the boxed df.rdd round-trip") {
+    // The round-6 perf bug class: `df.rdd` deserializes every row out
+    // of Tungsten (boxed Row) and `createDataFrame` re-serializes it.
+    // The sanctioned bridge is queryExecution.toRdd + GraftColumnBridge
+    // (InternalRow, never boxed) — currently PrefixSum and Joins. Any
+    // new literal `.rdd` call in main sources must go through that
+    // path instead; this guard fails the build if one appears.
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get("src/main/scala")
+    val boxed = raw"\.rdd\b".r
+    val offenders = Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .flatMap { p =>
+        val rel = root.relativize(p).toString
+        Files.readAllLines(p).asScala.zipWithIndex.collect {
+          case (line, i)
+            if boxed.findFirstIn(line).isDefined &&
+              !line.contains("toRdd") &&
+              !line.trim.startsWith("*") && !line.trim.startsWith("//") &&
+              // the RDD TYPE name (imports, params), not a .rdd call
+              !line.contains("org.apache.spark.rdd") =>
+            s"$rel:${i + 1}: ${line.trim}"
+        }
+      }.toList
+    assert(offenders.isEmpty,
+      "boxed .rdd round-trip found (use queryExecution.toRdd + " +
+        s"GraftColumnBridge instead):\n${offenders.mkString("\n")}")
+  }
 }
