@@ -92,7 +92,8 @@ object Registry {
     (ExtOps.queries, ExtOps.oracle),
     (Pipeline.queries, Pipeline.oracle),
     (Sketches.queries, Sketches.oracle),
-    (TimeSeries.queries, TimeSeries.oracle)
+    (TimeSeries.queries, TimeSeries.oracle),
+    (LmOps.queries, LmOps.oracle)
   )
 
   lazy val all: Map[String, Q] = {
