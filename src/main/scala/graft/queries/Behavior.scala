@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral / time-series analytics over the events stream:
+  * rolling z-score anomaly detection (extends the ts family),
+  * retention cohorts, and the event-transition census. All compared
+  * output is exact integer arithmetic — the anomaly test is the
+  * z² > 9 inequality cleared of its denominators,
+  * (n·x − S)² > 9·(n·Q − S²), so no sqrt, no division, no float
+  * drift between engines; probabilities ride as integer per-mille.
+  */
+object Behavior {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.Tables.load(s, dir, name)
+
+  val queries: Map[String, Q] = Map(
+
+    // Rolling 24 h z-score anomaly detection per event type: flag
+    // events more than 3 sigma from their trailing-window mean. The
+    // window accumulates integer cents and cents² (exact; a float
+    // running sum drifts by ulps as the frame slides), and the
+    // z² > 9 test is cleared of denominators so the comparison is
+    // integer-exact: (n·x−S)² > 9·(n·Q−S²). One partition-sort on
+    // (event_type, ts) — the single-shuffle rolling shape; at 100 TB
+    // event_type alone can skew, so the key would salt by day first.
+    "ts7_rolling_anomaly" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("us"))
+        .rangeBetween(-86400L * 1000000L, 0L)
+      t(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("x", round(col("value") * 100).cast("long"))
+        .select(col("event_id"), col("event_type"), col("x"),
+          count(lit(1)).over(w).as("n"),
+          sum(col("x")).over(w).as("s"),
+          sum(col("x") * col("x")).over(w).as("q"))
+        .filter(col("n") >= 10)
+        .withColumn("lhs",
+          (col("n") * col("x") - col("s")) *
+            (col("n") * col("x") - col("s")))
+        .withColumn("rhs",
+          lit(9L) * (col("n") * col("q") - col("s") * col("s")))
+        .filter(col("lhs") > col("rhs"))
+        .select(col("event_id"), col("event_type"), col("n").as("n_24h"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Retention cohorts: users grouped by first-seen week, counted in
+    // each subsequent week they return. Weeks are exact integer
+    // epoch-microsecond divisions (no date math ambiguity). Shapes:
+    // one user-keyed agg for cohorts, one user-keyed equi-join back
+    // to events (broadcastable when the user dimension fits; shuffle
+    // join otherwise — AQE picks), one distinct + count.
+    "xq9_retention_cohorts" -> ((s, dir) => {
+      val weekUs = 7L * 86400L * 1000000L
+      val ev = t(s, dir, "events")
+        .select(col("user_id"),
+          call_function("div", unix_micros(col("ts")), lit(weekUs))
+            .as("week"))
+      val cohorts = ev.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      ev.join(cohorts, Seq("user_id"))
+        .select(col("user_id"), col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_k"))
+        .distinct()
+        .groupBy(col("cohort_week"), col("week_k"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_k"))
+    }),
+
+    // Event-transition census (first-order Markov chain of user
+    // behavior): per-user next-event pairs via ONE lead window, then
+    // a count aggregation; transition probabilities as exact integer
+    // per-mille of the from-type total.
+    "xq10_event_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = t(s, dir, "events")
+        .select(col("user_id"), col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(w).as("to_type"))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val wf = Window.partitionBy(col("from_type"))
+      pairs
+        .withColumn("p_mille", call_function("div",
+          lit(1000L) * col("n"), sum(col("n")).over(wf)))
+        .orderBy(col("from_type"), col("to_type"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ts7_rolling_anomaly" ->
+      """WITH roll AS (
+           SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS x,
+             CAST(count(*) OVER w AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+               AS BIGINT) AS s,
+             CAST(sum(CAST(round(value * 100) AS BIGINT) *
+               CAST(round(value * 100) AS BIGINT)) OVER w
+               AS BIGINT) AS q
+           FROM events
+           WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW))
+         SELECT event_id, event_type, n AS n_24h
+         FROM roll
+         WHERE n >= 10
+           AND (n*x - s) * (n*x - s) > 9 * (n*q - s*s)
+         ORDER BY event_id""",
+
+    "xq9_retention_cohorts" ->
+      """WITH ev AS (SELECT user_id,
+             epoch_us(ts) // 604800000000 AS week FROM events),
+         cohorts AS (SELECT user_id, min(week) AS cohort_week
+           FROM ev GROUP BY 1)
+         SELECT cohort_week, week_k, count(*) AS n_users FROM (
+           SELECT DISTINCT ev.user_id, cohort_week,
+             week - cohort_week AS week_k
+           FROM ev JOIN cohorts USING (user_id))
+         GROUP BY 1, 2 ORDER BY cohort_week, week_k""",
+
+    "xq10_event_transitions" ->
+      """WITH pairs AS (
+           SELECT from_type, to_type, count(*) AS n FROM (
+             SELECT event_type AS from_type,
+               lead(event_type, 1) OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS to_type
+             FROM events)
+           WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+           CAST((1000 * n) // (sum(n) OVER (PARTITION BY from_type))
+             AS BIGINT) AS p_mille
+         FROM pairs ORDER BY from_type, to_type"""
+  )
+}

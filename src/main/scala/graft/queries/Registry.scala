@@ -93,7 +93,8 @@ object Registry {
     (Pipeline.queries, Pipeline.oracle),
     (Sketches.queries, Sketches.oracle),
     (TimeSeries.queries, TimeSeries.oracle),
-    (LmOps.queries, LmOps.oracle)
+    (LmOps.queries, LmOps.oracle),
+    (Behavior.queries, Behavior.oracle)
   )
 
   lazy val all: Map[String, Q] = {
