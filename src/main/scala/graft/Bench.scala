@@ -46,7 +46,14 @@ object Bench {
       graft.operators.ManagedCache.releaseAll()
       dt
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev iteration filter: SPARK_GRAFT_BENCH_ONLY=tx19,xs8 restricts
+    // the run to queries whose name starts with a listed prefix.
+    // Unset (the driver's invocation) benches everything.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+    val results = selected.map { case (name, fn) =>
       val first = onePass(fn)
       // extra passes only while under the deadline; median of what ran
       val extra = (2 to passes).takeWhile(_ => elapsedSec < deadlineSec).map(_ => onePass(fn))
@@ -79,8 +86,10 @@ object Bench {
       s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"passes":$passes,"queries":${qjson(slowest)},"sf":$sfNum}"""
     val full =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","passes":$passes,"queries":${qjson(sorted)},"sf":$sfNum}"""
-    try Files.writeString(Paths.get("bench_results.json"), full + "\n")
-    catch { case _: Exception => () }
+    // a filtered dev run must not clobber the committed full vector
+    if (only.isEmpty)
+      try Files.writeString(Paths.get("bench_results.json"), full + "\n")
+      catch { case _: Exception => () }
     // stop Spark BEFORE printing: executor/context shutdown logs go to
     // stderr and must not land after the parseable line
     spark.sparkContext.setLogLevel("ERROR")

@@ -147,6 +147,31 @@ object Extras {
           Seq("l_orderkey", "l_linenumber", "l_returnflag",
             "l_shipdate"))
         .orderBy(col("column"))
+    }),
+
+    // Wide-table profiling path: approx_count_distinct (HLL++) instead
+    // of the exact multi-distinct Expand — the Expand duplicates every
+    // input row once per distinct-counted column, so a 500-column
+    // profile pays 500x the scan; the sketch keeps it ONE no-Expand
+    // pass. Sketch estimates can't be hash-compared, so the query
+    // emits the exact census plus a flag that the estimate lands
+    // within 3x the configured rsd (xs1's acceptance pattern); the
+    // oracle expects the exact values and flag=1.
+    "ps2_profile_approx" -> ((s, dir) => {
+      val li = graft.Tables.load(s, dir, "lineitem")
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_shipdate")
+      val exact = graft.operators.Profile.profile(li, cols)
+      val approx = graft.operators.Profile
+        .profile(li, cols, approx = true)
+        .select(col("column"), col("n_distinct").as("nd_approx"))
+      exact.join(approx, Seq("column"))
+        .select(col("column"), col("n_rows"), col("n_null"),
+          col("n_distinct"),
+          (abs(col("nd_approx") - col("n_distinct")).cast("double") <=
+            lit(0.15) * col("n_distinct").cast("double"))
+            .cast("int").as("approx_ok"))
+        .orderBy(col("column"))
     })
   )
 
@@ -180,6 +205,29 @@ object Extras {
              count(DISTINCT l_shipdate),
              CAST(min(l_shipdate) AS VARCHAR),
              CAST(max(l_shipdate) AS VARCHAR)
+           FROM lineitem)
+         ORDER BY "column"""",
+    // exact census + the sketch-acceptance flag (xs1 pattern)
+    "ps2_profile_approx" ->
+      """SELECT * FROM (
+           SELECT 'l_orderkey' AS "column", count(*) AS n_rows,
+             count(*) - count(l_orderkey) AS n_null,
+             count(DISTINCT l_orderkey) AS n_distinct, 1 AS approx_ok
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_partkey', count(*),
+             count(*) - count(l_partkey),
+             count(DISTINCT l_partkey), 1
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_suppkey', count(*),
+             count(*) - count(l_suppkey),
+             count(DISTINCT l_suppkey), 1
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_shipdate', count(*),
+             count(*) - count(l_shipdate),
+             count(DISTINCT l_shipdate), 1
            FROM lineitem)
          ORDER BY "column"""",
     // each census recomputed from first principles

@@ -66,9 +66,11 @@ object LmOps {
         .agg(count(lit(1)).as("c12"))
       val p = (col("c12") + lit(1L)).cast("double") /
         (col("c1") + col("v")).cast("double")
+      // uni is vocab-sized: tiny here, 10^8 rows on a web corpus — no
+      // broadcast hint, AQE broadcasts exactly when it actually fits
       pairs
         .join(big, Seq("w1", "w2"))
-        .join(broadcast(uni), Seq("w1"))
+        .join(uni, Seq("w1"))
         .crossJoin(broadcast(vocab))
         .select(col("doc_id"),
           round(p * lit(1e9)).cast("long").as("p_nano"))
