@@ -249,6 +249,47 @@ object EventStream {
       }
   }
 
+  case class AnomalyState(n: Long, s: Long, q: Long)
+  case class AnomalyRow(event_id: Long, event_type: String,
+    n_history: Long)
+
+  /** Streaming z-score anomaly detection — the streaming twin of the
+    * ts7 batch query. Per event-type state is the integer moment
+    * triple (n, Σcents, Σcents²); each arriving event is tested
+    * against the HISTORY state (before itself) with the same
+    * denominator-cleared inequality as ts7 — (n·x−S)² > 9·(n·Q−S²) —
+    * so the state is three longs per key (O(#types), no buffers) and
+    * the test involves no sqrt, no division, no float drift. Events
+    * inside a micro-batch fold in deterministic (ts, event_id) order,
+    * so a replayed batch emits identical rows. Flagged events STILL
+    * update the state (an anomalous regime shift becomes the new
+    * normal, Gopher-style); production jobs wanting a forgetting
+    * horizon run the ts5 EWMA shape instead — running moments are
+    * deliberately the simplest exact-integer state.
+    */
+  def anomalies(events: Dataset[Event],
+      minHistory: Long = 10L): Dataset[AnomalyRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnomalyState, AnomalyRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (etype, batch, state: GroupState[AnomalyState]) =>
+          var st = state.getOption.getOrElse(AnomalyState(0L, 0L, 0L))
+          val out = Seq.newBuilder[AnomalyRow]
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            .foreach { e =>
+              val x = math.round(e.value * 100)
+              val lhs = st.n * x - st.s
+              if (st.n >= minHistory &&
+                  lhs * lhs > 9L * (st.n * st.q - st.s * st.s))
+                out += AnomalyRow(e.event_id, etype, st.n)
+              st = AnomalyState(st.n + 1, st.s + x, st.q + x * x)
+            }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Streaming MERGE sink: every micro-batch is applied to the target
     * parquet table with last-write-wins semantics (K5) inside
     * foreachBatch — the streaming twin of the bronze raw-response sink.

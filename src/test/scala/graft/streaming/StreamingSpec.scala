@@ -341,4 +341,32 @@ class StreamingSpec extends SparkSpec {
       assert(rows.toSeq == Seq((1L, "click", 9.0)))
     } finally q.stop()
   }
+
+  test("anomalies: a spike vs running history is flagged, steady flow " +
+    "is not, and state carries across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.anomalies(mem.toDS())
+      .writeStream.format("memory").queryName("anom")
+      .outputMode("append").start()
+    try {
+      // batch 1: 12 steady clicks (10.00 ± 0.05) — builds history; no
+      // event has 10 priors AND a 3-sigma deviation
+      mem.addData((0 until 12).map(i =>
+        Event(i.toLong, ts(i), 1, "click", 10.0 + (i % 3) * 0.05)): _*)
+      q.processAllAvailable()
+      assert(spark.table("anom").count() == 0,
+        "steady traffic must not flag")
+      // batch 2: state carried — the spike tests against 12 priors
+      mem.addData(
+        Event(100, ts(20), 1, "click", 500.0),
+        Event(101, ts(21), 1, "click", 10.05))
+      q.processAllAvailable()
+      val got = spark.table("anom").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      // only the spike flags; 101 tests against history that now
+      // CONTAINS the spike (huge variance) so it stays quiet
+      assert(got.toSeq == Seq((100L, "click", 12L)))
+    } finally q.stop()
+  }
 }
