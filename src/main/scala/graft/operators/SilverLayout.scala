@@ -29,6 +29,23 @@ object SilverLayout {
       partitionCols: Seq[String] = Seq("api_type", "ingest_date")): Unit =
     df.write.mode("append").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Write parquet with BLOOM FILTERS on the point-lookup columns —
+    * the third pruning layer after partition dirs and min/max stats:
+    * a needle-in-haystack key probe (S4 point lookups, DLQ retries,
+    * k1-style upsert probes) skips every row group whose bloom says
+    * "definitely absent", which min/max can't do for high-cardinality
+    * unsorted keys. ndv sizes the filter (parquet-mr derives bits
+    * from expected distinct values; too-low ndv inflates false
+    * positives and silently voids the pruning).
+    */
+  def writeBloomIndexed(df: DataFrame, path: String,
+      bloomCols: Seq[String], expectedNdv: Long): Unit = {
+    val opts = bloomCols.flatMap(c => Seq(
+      s"parquet.bloom.filter.enabled#$c" -> "true",
+      s"parquet.bloom.filter.expected.ndv#$c" -> expectedNdv.toString))
+    df.write.mode("overwrite").options(opts.toMap).parquet(path)
+  }
+
   /** Count shuffle exchanges in a plan — the audit primitive the
     * bucketing claim is verified with. */
   def exchangeCount(df: DataFrame): Int =

@@ -65,4 +65,39 @@ class SilverLayoutSpec extends SparkSpec {
       plan.contains("api_type"), "partition filters must reach the scan")
     assert(scan.count() == 1)
   }
+
+  test("writeBloomIndexed materializes a bloom filter in the parquet " +
+    "footer for the indexed column only") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom")
+      .toString + "/t"
+    val df = (1 to 5000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartition(1)
+    SilverLayout.writeBloomIndexed(df, dir, Seq("k"), expectedNdv = 5000L)
+
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val part = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(conf).listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(part, conf))
+    try {
+      val cols = reader.getFooter.getBlocks.asScala.head.getColumns.asScala
+      val kCol = cols.find(_.getPath.toDotString == "k").get
+      val vCol = cols.find(_.getPath.toDotString == "v").get
+      assert(kCol.getBloomFilterOffset > 0,
+        "indexed column must carry a bloom filter")
+      assert(vCol.getBloomFilterOffset <= 0,
+        "non-indexed column must not pay for one")
+      // and the filter actually answers membership
+      val bloom = reader.readBloomFilter(kCol)
+      assert(bloom != null)
+      val h = bloom.hash(42L)
+      assert(bloom.findHash(h), "present key must hit")
+    } finally reader.close()
+    // read side unaffected
+    assert(spark.read.parquet(dir).where(col("k") === 42L).count() == 1)
+  }
 }
