@@ -1576,4 +1576,115 @@ object Multimodal {
       array_join(transform(sequence(lit(1), nPages.cast("int")),
         ifdHex), "")))
   }
+
+  // ---- MP4 / ISO-BMFF (ISO 14496-12): nested box tree, BE ----
+
+  val mp4BoxSchema: StructType = StructType(Seq(
+    StructField("box_index", IntegerType, nullable = false),
+    StructField("depth", IntegerType, nullable = false),
+    StructField("box_type", StringType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("box_size", LongType, nullable = false),
+    StructField("timescale", LongType, nullable = false),
+    StructField("duration", LongType, nullable = false)))
+
+  /** REAL ISO-BMFF box-tree walk — the modern video container (MP4/
+    * MOV/HEIF all share it). Boxes are (4-byte BE size, 4-byte ASCII
+    * type); size==1 pulls a 64-bit largesize (the >4 GiB case every
+    * real video lake hits), size==0 means to-end-of-enclosure.
+    * KNOWN container types (moov/trak/mdia/minf/stbl/edts/udta) are
+    * descended depth-first, so the emitted rows are the DFS box tree
+    * with depth + offsets; mvhd surfaces movie timescale/duration
+    * (v0 and v1 layouts). Malformed data (non-printable type, size
+    * under the header, overrun) ends the CURRENT level cleanly —
+    * complete sibling prefixes survive, nothing throws. Depth (8) and
+    * fan-out (1000 boxes) guards bound hostile payloads. Eighth
+    * byte-layout family in this file.
+    */
+  def mp4Boxes(media: DataFrame): DataFrame =
+    mapMedia(media, mp4BoxSchema.fields.toSeq) { p =>
+      if (p == null || p.length < 8) Iterator.empty
+      else {
+        def u8(i: Long) = p(i.toInt) & 0xff
+        def u32(i: Long): Long = (u8(i).toLong << 24) |
+          (u8(i + 1).toLong << 16) | (u8(i + 2).toLong << 8) |
+          u8(i + 3).toLong
+        def u64(i: Long): Long = (u32(i) << 32) | u32(i + 4)
+        val containers =
+          Set("moov", "trak", "mdia", "minf", "stbl", "edts", "udta")
+        val out = Seq.newBuilder[Seq[Any]]
+        var idx = 0
+        def walk(start: Long, end: Long, depth: Int): Unit = {
+          var ofs = start
+          var ok = true
+          while (ok && ofs + 8 <= end && idx < 1000) {
+            val sz0 = u32(ofs)
+            val t = new String(p, ofs.toInt + 4, 4, "US-ASCII")
+            val hdr = if (sz0 == 1L) 16L else 8L
+            val sz =
+              if (sz0 == 1L && ofs + 16 <= end) u64(ofs + 8)
+              else if (sz0 == 0L) end - ofs
+              else sz0
+            if (sz < hdr || ofs + sz > end ||
+                !t.forall(c => c >= 0x20 && c < 0x7f)) ok = false
+            else {
+              var tsc = -1L; var dur = -1L
+              if (t == "mvhd" && sz >= hdr + 28) {
+                val ver = u8(ofs + hdr)
+                if (ver == 0) {
+                  tsc = u32(ofs + hdr + 12); dur = u32(ofs + hdr + 16)
+                } else if (ver == 1 && sz >= hdr + 32) {
+                  tsc = u32(ofs + hdr + 20); dur = u64(ofs + hdr + 24)
+                }
+              }
+              out += Seq[Any](idx, depth, t, ofs, sz, tsc, dur)
+              idx += 1
+              if (containers.contains(t) && depth < 8)
+                walk(ofs + hdr, ofs + sz, depth + 1)
+              ofs += sz
+            }
+          }
+        }
+        walk(0L, p.length.toLong, 0)
+        out.result().iterator
+      }
+    }
+
+  /** Big-endian hex of a non-negative int column, n bytes — hex() is
+    * naturally BE, so this is just zero-padding. */
+  private def beHex(v: Column, n: Int): Column =
+    lpad(hex(v), 2 * n, "0")
+
+  /** Synthesis twin of [[mp4Boxes]]: ftyp + moov(mvhd + nTraks ×
+    * trak(tkhd)) + mdat, all sizes exact ISO-BMFF v0 layouts (mvhd
+    * 108, trak 100 = 8 + tkhd 92), BE throughout. Pure Column
+    * algebra; the box tree the walker must emit is pure offset
+    * arithmetic on (nTraks, mdatLen), which is what the oracle
+    * replays.
+    */
+  def mp4Shard(nTraks: Column, timescale: Column, duration: Column,
+      mdatLen: Column): Column = {
+    val zeros = (n: Int) => lit("00" * n)
+    // unity matrix: 0x00010000, 0, 0 / 0, 0x00010000, 0 / 0, 0, 0x40000000
+    val matrix = lit("00010000" + "00000000" * 2 + "00000000" +
+      "00010000" + "00000000" * 3 + "40000000")
+    val ftyp = lit("00000010" + "66747970" + "69736f6d" + "00000000")
+    val mvhd = concat(lit("0000006c" + "6d766864"), zeros(4), zeros(4),
+      zeros(4), beHex(timescale, 4), beHex(duration, 4),
+      lit("00010000"), lit("0100"), zeros(10), matrix, zeros(24),
+      beHex(nTraks + 1, 4))
+    val trak = (i: Column) => concat(
+      lit("00000064" + "7472616b"),                   // trak, 100
+      lit("0000005c" + "746b6864" + "00000007"),      // tkhd v0 enabled
+      zeros(8), beHex(i, 4), zeros(4), beHex(duration, 4), zeros(8),
+      zeros(8),                                       // layer/alt/vol/res
+      matrix, zeros(8))                               // width/height 0
+    val moovSize = lit(8L) + 108L + nTraks.cast("long") * 100L
+    val moov = concat(beHex(moovSize, 4), lit("6d6f6f76"), mvhd,
+      array_join(transform(sequence(lit(1), nTraks.cast("int")),
+        trak), ""))
+    val mdat = concat(beHex(mdatLen.cast("long") + 8L, 4),
+      lit("6d646174"), repeat(lit("00"), mdatLen.cast("int")))
+    unhex(concat(ftyp, moov, mdat))
+  }
 }

@@ -479,6 +479,23 @@ object Pipeline {
         .orderBy(col("doc_id"), col("page_index"))
     }),
 
+    // REAL ISO-BMFF (MP4) box-tree walk: synthesize ftyp+moov(mvhd+
+    // n×trak(tkhd))+mdat in-plan (exact v0 box layouts, BE), walk it
+    // back with the real recursive-descent parser — DFS indexes,
+    // depths, offsets, sizes, mvhd timescale/duration. The oracle
+    // replays the tree as pure offset arithmetic on (nTraks, mdatLen).
+    "mm15_mp4_boxes" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val n = lit(1) + pmod(col("doc_id"), lit(3))
+      val dur = (lit(1000) + pmod(col("doc_id"), lit(500))).cast("long")
+      val mlen = (lit(16) + pmod(col("doc_id"), lit(32))).cast("long")
+      val media = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          Multimodal.mp4Shard(n, lit(600L), dur, mlen).as("payload"))
+      Multimodal.mp4Boxes(media)
+        .orderBy(col("doc_id"), col("box_index"))
+    }),
+
     // REAL GIF header round-trip (the image sibling of mm2): build
     // GIF89a logical-screen descriptors in-plan, parse them back with
     // the real decoder — version, LE dimensions, packed
@@ -1011,6 +1028,37 @@ object Pipeline {
            CAST(CASE WHEN i < np THEN 8 + i * 54 ELSE 0 END AS BIGINT)
              AS next_ifd
          FROM e ORDER BY doc_id, page_index""",
+    // the DFS box tree as offset arithmetic: ftyp(16) moov(116+100n)
+    // [mvhd(108) n×(trak(100)[tkhd(92)])] mdat(L+8)
+    "mm15_mp4_boxes" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(1 + doc_id % 3 AS BIGINT) AS n,
+             CAST(1000 + doc_id % 500 AS BIGINT) AS dur,
+             CAST(16 + doc_id % 32 AS BIGINT) AS len
+           FROM documents WHERE doc_id < 200),
+         boxes AS (
+           SELECT doc_id, 0 AS box_index, 0 AS depth,
+             'ftyp' AS box_type, 0 AS off, 16 AS box_size,
+             -1 AS timescale, -1 AS duration FROM d
+           UNION ALL SELECT doc_id, 1, 0, 'moov', 16, 116 + 100 * n,
+             -1, -1 FROM d
+           UNION ALL SELECT doc_id, 2, 1, 'mvhd', 24, 108, 600, dur
+           FROM d
+           UNION ALL SELECT doc_id, 1 + 2 * i, 1, 'trak',
+             132 + (i - 1) * 100, 100, -1, -1
+           FROM d, LATERAL (SELECT unnest(generate_series(1, n)) AS i) _
+           UNION ALL SELECT doc_id, 2 + 2 * i, 2, 'tkhd',
+             140 + (i - 1) * 100, 92, -1, -1
+           FROM d, LATERAL (SELECT unnest(generate_series(1, n)) AS i) _
+           UNION ALL SELECT doc_id, 3 + 2 * n, 0, 'mdat',
+             132 + 100 * n, len + 8, -1, -1 FROM d)
+         SELECT doc_id, CAST(box_index AS INT) AS box_index,
+           CAST(depth AS INT) AS depth, box_type,
+           CAST(off AS BIGINT) AS "offset",
+           CAST(box_size AS BIGINT) AS box_size,
+           CAST(timescale AS BIGINT) AS timescale,
+           CAST(duration AS BIGINT) AS duration
+         FROM boxes ORDER BY doc_id, box_index""",
     "mm9_wav_pcm" ->
       """WITH s AS (
            SELECT d.doc_id AS media_id,

@@ -869,4 +869,79 @@ class MultimodalSpec extends SparkSpec {
     assert(f(2, "data_offset") == 512L + 512 + 512 + 512)
     assert(f(3, "data_offset") == 512L + 512 + 512 + 512 + 1024 + 512)
   }
+
+  test("mp4Boxes walks a hand-built ISO-BMFF tree: DFS depths, " +
+    "largesize (size=1), to-EOF (size=0), mvhd fields") {
+    import java.nio.ByteBuffer
+    def box(t: String, body: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + body.length)
+      b.putInt(8 + body.length).put(t.getBytes("US-ASCII")).put(body)
+      b.array
+    }
+    val mvBody = {
+      val b = ByteBuffer.allocate(100)
+      b.putInt(0).putInt(0).putInt(0).putInt(90000).putInt(7200)
+      b.array // rest zeros
+    }
+    val moov = box("moov", box("mvhd", mvBody))
+    // largesize box: size field 1, 64-bit size after the type
+    val uuid = {
+      val b = ByteBuffer.allocate(20)
+      b.putInt(1).put("uuid".getBytes("US-ASCII")).putLong(20L)
+        .putInt(0xdeadbeef)
+      b.array
+    }
+    // to-EOF box: size field 0
+    val mdat = {
+      val b = ByteBuffer.allocate(8 + 24)
+      b.putInt(0).put("mdat".getBytes("US-ASCII"))
+      b.array
+    }
+    val ftyp = box("ftyp", "isom    "
+      .getBytes("US-ASCII"))
+    val payload = ftyp ++ moov ++ uuid ++ mdat
+    val out = Multimodal.mp4Boxes(
+      Seq((1L, "video", payload, "mem://mp4"))
+        .toDF("media_id", "kind", "payload", "source_uri"))
+      .orderBy("box_index").collect()
+    def f(i: Int, n: String) = out(i).get(out(i).fieldIndex(n))
+    assert(out.map(r => (r.getAs[String]("box_type"),
+      r.getAs[Int]("depth"))).toSeq ==
+      Seq(("ftyp", 0), ("moov", 0), ("mvhd", 1), ("uuid", 0),
+        ("mdat", 0)))
+    assert(f(0, "offset") == 0L && f(0, "box_size") == 16L)
+    assert(f(1, "box_size") == 116L)          // 8 + mvhd 108
+    assert(f(2, "offset") == 24L && f(2, "box_size") == 108L)
+    assert(f(2, "timescale") == 90000L && f(2, "duration") == 7200L)
+    assert(f(3, "box_size") == 20L)           // largesize honored
+    assert(f(4, "offset") == payload.length - 32L &&
+      f(4, "box_size") == 32L)                // size=0 → to EOF
+
+    // garbage: no throw, no rows; truncated second box keeps ftyp
+    val junk = Multimodal.mp4Boxes(
+      Seq((2L, "video", "not a container".getBytes, "m"),
+        (3L, "video", ftyp ++ Array[Byte](0, 0, 0, 99, 'm', 'o'), "m"))
+        .toDF("media_id", "kind", "payload", "source_uri")).collect()
+    assert(junk.count(_.getAs[Long]("media_id") == 2L) == 0)
+    val t3 = junk.filter(_.getAs[Long]("media_id") == 3L)
+    assert(t3.map(_.getAs[String]("box_type")).toSeq == Seq("ftyp"))
+  }
+
+  test("mp4Shard synthesis round-trips through mp4Boxes: full DFS " +
+    "tree as offset arithmetic on (nTraks, mdatLen)") {
+    val df = Seq(5L).toDF("doc_id").select(col("doc_id"),
+      Multimodal.mp4Shard(lit(2), lit(600L), lit(1234L), lit(40L))
+        .as("payload"))
+    val out = Multimodal.mp4Boxes(df).orderBy("box_index").collect()
+    def f(i: Int, n: String) = out(i).get(out(i).fieldIndex(n))
+    assert(out.map(r => (r.getAs[String]("box_type"),
+      r.getAs[Int]("depth"))).toSeq ==
+      Seq(("ftyp", 0), ("moov", 0), ("mvhd", 1), ("trak", 1),
+        ("tkhd", 2), ("trak", 1), ("tkhd", 2), ("mdat", 0)))
+    assert(f(1, "box_size") == 116L + 200L)
+    assert(f(2, "timescale") == 600L && f(2, "duration") == 1234L)
+    assert(f(3, "offset") == 132L && f(5, "offset") == 232L)
+    assert(f(4, "offset") == 140L && f(4, "box_size") == 92L)
+    assert(f(7, "offset") == 332L && f(7, "box_size") == 48L)
+  }
 }
