@@ -66,6 +66,29 @@ class SilverLayoutSpec extends SparkSpec {
     assert(scan.count() == 1)
   }
 
+  test("silver tables absorb additive schema evolution: mergeSchema " +
+    "unions file schemas and null-fills old rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evo")
+      .toString + "/t"
+    // v1 writer: two columns; v2 writer (a later API version) adds one
+    Seq((1L, "a")).toDF("k", "v").write.parquet(dir)
+    Seq((2L, "b", 9L)).toDF("k", "v", "extra")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("k", "v", "extra"))
+    val rows = merged.orderBy("k").collect()
+    assert(rows.length == 2)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("extra")),
+      "pre-evolution rows must null-fill the new column")
+    assert(rows(1).getAs[Long]("extra") == 9L)
+    // and the upsert path keeps working across the evolved schema
+    val upserted = graft.operators.Upsert.fullRow(
+      merged, Seq((1L, "a2", 7L)).toDF("k", "v", "extra"), Seq("k"))
+    val r1 = upserted.filter(col("k") === 1L).collect()(0)
+    assert(r1.getAs[String]("v") == "a2" && r1.getAs[Long]("extra") == 7L)
+  }
+
   test("writeBloomIndexed materializes a bloom filter in the parquet " +
     "footer for the indexed column only") {
     import spark.implicits._
