@@ -38,13 +38,22 @@ object Behavior {
         .select(col("event_id"), col("event_type"), col("x"),
           count(lit(1)).over(w).as("n"),
           sum(col("x")).over(w).as("s"),
-          sum(col("x") * col("x")).over(w).as("q"))
+          // Σx² itself passes int64 once a window holds ~10⁹ rows;
+          // DuckDB widens SUM(BIGINT) to HUGEINT automatically, Spark
+          // must be told — decimal(38,0) keeps the aggregate exact
+          sum((col("x") * col("x")).cast("decimal(38,0)")).over(w)
+            .as("q"))
         .filter(col("n") >= 10)
-        .withColumn("lhs",
-          (col("n") * col("x") - col("s")) *
-            (col("n") * col("x") - col("s")))
-        .withColumn("rhs",
-          lit(9L) * (col("n") * col("q") - col("s") * col("s")))
+        // the cleared inequality's products reach n²·max(x)² — far
+        // past int64 — so the COMPARISON also runs in exact 128-bit
+        // (decimal(38) here, HUGEINT in the oracle); the emitted
+        // columns carry no decimal
+        .withColumn("dev",
+          col("n").cast("decimal(38,0)") * col("x") - col("s"))
+        .withColumn("lhs", col("dev") * col("dev"))
+        .withColumn("rhs", lit(9L).cast("decimal(38,0)") *
+          (col("n").cast("decimal(38,0)") * col("q") -
+            col("s").cast("decimal(38,0)") * col("s")))
         .filter(col("lhs") > col("rhs"))
         .select(col("event_id"), col("event_type"), col("n").as("n_24h"))
         .orderBy(col("event_id"))
@@ -71,6 +80,38 @@ object Behavior {
         .groupBy(col("cohort_week"), col("week_k"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy(col("cohort_week"), col("week_k"))
+    }),
+
+    // OLAP rollup: the (status, priority) hierarchy totals BI tools
+    // ask for — detail, per-status subtotal, grand total in ONE pass
+    // (Catalyst plans grouping sets as a 3-way Expand over a single
+    // scan with map-side partial aggregation; three separate
+    // aggregations would scan three times). grouping_id
+    // disambiguates subtotal levels; money rides as exact cents.
+    "xq11_rollup" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("cents"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("gid"), col("n"), col("cents"))
+        .orderBy(col("gid"), col("status"), col("priority"))
+    }),
+
+    // Semi-structured analytics: the events.props JSON column queried
+    // without a schema migration — extract, bucket, aggregate in one
+    // scan (the "JSON columns are first-class" lake contract).
+    "xq13_props_json" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"),
+          call_function("div", col("k"), lit(10L)).as("k_decade"))
+        .agg(count(lit(1)).as("n"),
+          min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+        .orderBy(col("event_type"), col("k_decade"))
     }),
 
     // Event-transition census (first-order Markov chain of user
@@ -111,7 +152,8 @@ object Behavior {
          SELECT event_id, event_type, n AS n_24h
          FROM roll
          WHERE n >= 10
-           AND (n*x - s) * (n*x - s) > 9 * (n*q - s*s)
+           AND (CAST(n AS HUGEINT)*x - s) * (CAST(n AS HUGEINT)*x - s)
+             > 9 * (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
          ORDER BY event_id""",
 
     "xq9_retention_cohorts" ->
@@ -124,6 +166,29 @@ object Behavior {
              week - cohort_week AS week_k
            FROM ev JOIN cohorts USING (user_id))
          GROUP BY 1, 2 ORDER BY cohort_week, week_k""",
+
+    "xq11_rollup" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT)
+             AS gid,
+           count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             AS BIGINT) AS cents
+         FROM orders
+         GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+         ORDER BY gid, status, priority""",
+
+    "xq13_props_json" ->
+      """SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) // 10
+             AS k_decade,
+           count(*) AS n,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS BIGINT) AS k_min,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS BIGINT) AS k_max
+         FROM events GROUP BY 1, 2 ORDER BY event_type, k_decade""",
 
     "xq10_event_transitions" ->
       """WITH pairs AS (

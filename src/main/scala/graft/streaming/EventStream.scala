@@ -279,9 +279,14 @@ object EventStream {
           batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             .foreach { e =>
               val x = math.round(e.value * 100)
-              val lhs = st.n * x - st.s
+              // the cleared products reach n²·x² — the test runs in
+              // BigInt so it cannot wrap; the Σx² state itself is
+              // exact to ~10⁹ events/key (cents ≤ 10⁵), past which a
+              // production job ages state out (see the EWMA path)
+              val lhs = BigInt(st.n) * x - st.s
               if (st.n >= minHistory &&
-                  lhs * lhs > 9L * (st.n * st.q - st.s * st.s))
+                  lhs * lhs > 9 * (BigInt(st.n) * st.q -
+                    BigInt(st.s) * st.s))
                 out += AnomalyRow(e.event_id, etype, st.n)
               st = AnomalyState(st.n + 1, st.s + x, st.q + x * x)
             }
