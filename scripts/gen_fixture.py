@@ -192,8 +192,6 @@ def mutate_user(rng, doc):
     if rng.random() < 0.3:
         groups = groups + [None]
     d["user_groups"] = groups
-    if d.get("user_positions") and rng.random() < 0.3:
-        d["user_positions"] = d["user_positions"] * 1  # keep; lengths
     return d
 
 

@@ -34,7 +34,7 @@ object CompressionSignals {
       val deflater = new java.util.zip.Deflater(
         java.util.zip.Deflater.BEST_SPEED)
       val buf = new Array[Byte](64 * 1024)
-      it.map { row =>
+      val mapped = it.map { row =>
         val s = if (row.isNullAt(idx)) null else row.getString(idx)
         val raw = if (s == null) Array.emptyByteArray
           else s.getBytes("UTF-8")
@@ -49,6 +49,17 @@ object CompressionSignals {
         val ratio = if (raw.isEmpty) 0L
           else compressed * 1000L / raw.length
         Row.fromSeq(row.toSeq ++ Seq(raw.length.toLong, ratio))
+      }
+      // release the Deflater's NATIVE buffers at partition end rather
+      // than waiting on GC (end() is idempotent; a drained iterator's
+      // hasNext may be probed more than once)
+      new Iterator[Row] {
+        def hasNext: Boolean = {
+          val h = mapped.hasNext
+          if (!h) deflater.end()
+          h
+        }
+        def next(): Row = mapped.next()
       }
     }(Encoders.row(outSchema))
   }
