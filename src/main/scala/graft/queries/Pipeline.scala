@@ -233,6 +233,30 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // Curation-pipeline capstone: the four stages a pretraining run
+    // chains — language gate, quality gate (token-count band), exact
+    // dedup (first occurrence per normalized-text hash), and the
+    // deterministic 50% sample — COMPOSED INTO ONE PLAN. Both gates
+    // and the hash fuse into the single scan; dedup is one hash-agg
+    // shuffle + a keyed join back; the sample is a pure filter; the
+    // final census is a tiny agg. The point at 100 TB: stages chain
+    // without materializing between them, and the scan happens ONCE.
+    "px9_curation_pipeline" -> ((s, dir) => {
+      val gated = t(s, dir, "documents")
+        .filter(col("lang").isin("en", "de"))
+        .withColumn("nt", TF.tokenCount(col("text")))
+        .filter(col("nt") >= 10 && col("nt") <= 5000)
+        .withColumn("h", SF.md5hash60(lower(trim(col("text")))))
+      val keepers = gated.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      gated.join(keepers, Seq("h", "doc_id"))
+        .filter(pmod(sampleHash("cur:", col("doc_id")), lit(100L))
+          < 50)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // URL canonicalization + dedup census — the crawl-side dedup a
     // web corpus runs BEFORE content dedup: lowercase scheme/host,
     // strip default ports (:80 http / :443 https), strip trailing
@@ -730,6 +754,22 @@ object Pipeline {
        SELECT id AS doc_id, min(comp) AS cluster_id,
          CAST(id = min(comp) AS INT) AS is_keeper
        FROM reach GROUP BY id ORDER BY doc_id""",
+    "px9_curation_pipeline" ->
+      """WITH gated AS (
+           SELECT doc_id, lang, source,
+             len(string_split_regex(trim(text), '\s+')) AS nt,
+             ('0x' || substr(md5(lower(trim(text))), 1, 15))::BIGINT
+               AS h
+           FROM documents WHERE lang IN ('en', 'de')),
+         g2 AS (SELECT * FROM gated WHERE nt BETWEEN 10 AND 5000),
+         keep AS (SELECT h, min(doc_id) AS doc_id FROM g2 GROUP BY 1),
+         dd AS (SELECT g2.* FROM g2 JOIN keep USING (h, doc_id)),
+         samp AS (SELECT * FROM dd
+           WHERE ('0x' || substr(md5('cur:' ||
+             CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 50)
+         SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS n_tokens
+         FROM samp GROUP BY 1, 2 ORDER BY lang, source""",
     "sx1_stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents
          WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)),
