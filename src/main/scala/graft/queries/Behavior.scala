@@ -25,23 +25,26 @@ object Behavior {
     // window accumulates integer cents and cents² (exact; a float
     // running sum drifts by ulps as the frame slides), and the
     // z² > 9 test is cleared of denominators so the comparison is
-    // integer-exact: (n·x−S)² > 9·(n·Q−S²). One partition-sort on
-    // (event_type, ts) — the single-shuffle rolling shape; at 100 TB
-    // event_type alone can skew, so the key would salt by day first.
+    // integer-exact: (n·x−S)² > 9·(n·Q−S²). event_type alone is a
+    // low-cardinality window key — at 100 TB one task would sort a
+    // hot type's ENTIRE stream — so the frame runs day-salted:
+    // SaltedWindow partitions on (event_type, epoch_day) with a
+    // one-day carry-in echo, emitting values IDENTICAL to the
+    // unsalted window (the oracle replays the unsalted form) while
+    // the largest task sorts at most two days of one type.
     "ts7_rolling_anomaly" -> ((s, dir) => {
-      val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("us"))
-        .rangeBetween(-86400L * 1000000L, 0L)
-      t(s, dir, "events")
+      val ev = t(s, dir, "events")
         .withColumn("us", unix_micros(col("ts")))
         .withColumn("x", round(col("value") * 100).cast("long"))
-        .select(col("event_id"), col("event_type"), col("x"),
+        .select(col("event_id"), col("event_type"), col("us"), col("x"))
+      graft.operators.SaltedWindow.trailing(ev, Seq("event_type"),
+        "us", 86400L * 1000000L)(w => Seq(
           count(lit(1)).over(w).as("n"),
           sum(col("x")).over(w).as("s"),
           // Σx² stays a LONG window sum (exact to ~9·10⁸ rows per
           // 24 h per type with cents ≤ 10⁵ — far past any real
           // window; a decimal accumulator here measured 3× slower).
-          sum(col("x") * col("x")).over(w).as("q"))
+          sum(col("x") * col("x")).over(w).as("q")))
         .filter(col("n") >= 10)
         // The real int64 risk is the cleared inequality's products —
         // n²·max(x)² wraps around n ≈ 3·10⁴ — so the COMPARISON runs
@@ -106,8 +109,12 @@ object Behavior {
       t(s, dir, "events")
         .select(col("event_type"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
+        // FLOOR division to match DuckDB's `//` on a possibly-negative
+        // $.k (Spark's div truncates toward zero); (k − pmod(k,10))/10
+        // is exact integer floor division — no double round-trip
         .groupBy(col("event_type"),
-          call_function("div", col("k"), lit(10L)).as("k_decade"))
+          call_function("div", col("k") - pmod(col("k"), lit(10L)),
+            lit(10L)).as("k_decade"))
         .agg(count(lit(1)).as("n"),
           min(col("k")).as("k_min"), max(col("k")).as("k_max"))
         .orderBy(col("event_type"), col("k_decade"))

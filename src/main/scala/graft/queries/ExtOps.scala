@@ -578,32 +578,36 @@ object ExtOps {
 
     // Exact MODE + discrete MEDIAN per group — the order statistics
     // BI surfaces ask for that approx sketches (xs2) deliberately
-    // avoid. Mode is two keyed aggregations with a min(struct)
-    // argmax (count desc, then MIN value — deterministic), never a
-    // global sort; the exact lower median is the one operation here
-    // that genuinely costs a per-group sort (row_number to the
-    // (n+1)/2-th value) — at 100 TB you either pay that sort or use
-    // the xs2 quantile sketch; both are provided.
+    // avoid. BOTH ride one shared (type, cents) count distribution:
+    // mode is a min(struct) argmax over it (count desc, then MIN
+    // value — deterministic), and the exact LOWER median is the first
+    // cents value whose cumulative count reaches ceil(n/2) — a window
+    // over the POST-AGG distribution (≤ #types × #distinct-cents
+    // rows), never a row_number sort of the raw events: the
+    // value-distribution trick makes exact order statistics scale
+    // wherever the value domain is materially smaller than the rows.
     "xq6_mode_median" -> ((s, dir) => {
       val e = t(s, dir, "events")
         .withColumn("cents", round(col("value") * 100).cast("long"))
-      val mode = e.groupBy(col("event_type"), col("cents"))
-        .agg(count(lit(1)).as("n"))
+      val dist = graft.operators.ManagedCache.persist(
+        e.groupBy(col("event_type"), col("cents"))
+          .agg(count(lit(1)).as("n")))
+      val mode = dist
         .groupBy(col("event_type"))
         .agg(min(struct((-col("n")).as("neg"), col("cents").as("v")))
           .as("m"), sum(col("n")).as("n_rows"))
         .select(col("event_type"), col("m.v").as("mode_cents"),
           (-col("m.neg")).as("mode_count"), col("n_rows"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("event_type"))
-        .orderBy(col("cents"), col("event_id"))
-      val target = e.groupBy(col("event_type"))
-        .agg(call_function("div", count(lit(1)) + 1, lit(2L))
-          .as("target"))
-      val med = e.withColumn("rn", row_number().over(w))
-        .join(broadcast(target), Seq("event_type"))
-        .filter(col("rn") === col("target"))
-        .select(col("event_type"), col("cents").as("median_cents"))
+      val wcum = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("cents"))
+      val med = dist
+        .withColumn("cum", sum(col("n")).over(wcum))
+        .join(broadcast(mode.select(col("event_type"),
+          call_function("div", col("n_rows") + 1, lit(2L))
+            .as("target"))), Seq("event_type"))
+        .filter(col("cum") >= col("target"))
+        .groupBy(col("event_type"))
+        .agg(min(col("cents")).as("median_cents"))
       mode.join(med, Seq("event_type")).orderBy(col("event_type"))
     }),
 

@@ -83,17 +83,31 @@ object LmOps {
 
     // GPT-style sequence packing: documents concatenated in (source,
     // doc_id) order, chunked into 2048-token bins; a straddling doc
-    // contributes its overlap to every bin it crosses. One window
-    // cumsum per source + an explode over the (tiny) per-doc bin
-    // range — no driver loop, no self-join; at 100 TB the cumsum is
-    // the PrefixSum two-pass shape and bins stay integer arithmetic.
+    // contributes its overlap to every bin it crosses. The per-source
+    // cumsum is the PrefixSum two-pass shape (range partition →
+    // per-partition subtotals → narrow fold): a
+    // `Window.partitionBy(source)` would sort each source's ENTIRE
+    // corpus in one task — source is low-cardinality, the exact
+    // single-key skew the plan guard bans. The per-source reset is
+    // recovered by subtracting each source's prior-sources offset —
+    // itself a PrefixSum over the #sources-row total frame (no
+    // single-partition window, no driver when-chain).
     "tx20_sequence_packing" -> ((s, dir) => {
       val B = 2048L
-      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      val spans = t(s, dir, "documents")
+      val spans0 = t(s, dir, "documents")
         .select(col("source"), col("doc_id"), tokEst.as("nt"))
         .filter(col("nt") >= 1)
-        .withColumn("end", sum(col("nt")).over(w))
+      val glob = graft.operators.PrefixSum.withRunningSum(
+        spans0, Seq("source", "doc_id"), "nt", "gcum")
+      // per-source starting offsets: prior = global running total of
+      // all earlier sources' tokens (tiny frame, broadcast back)
+      val srcTot = spans0.groupBy(col("source"))
+        .agg(sum(col("nt")).as("st"))
+      val offs = graft.operators.PrefixSum.withRunningSum(
+          srcTot, Seq("source"), "st", "cum")
+        .select(col("source"), (col("cum") - col("st")).as("prior"))
+      val spans = glob.join(broadcast(offs), Seq("source"))
+        .withColumn("end", col("gcum") - col("prior"))
         .withColumn("start", col("end") - col("nt"))
       val binned = spans
         .withColumn("bin", explode(sequence(

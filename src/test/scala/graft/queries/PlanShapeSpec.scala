@@ -129,6 +129,66 @@ class PlanShapeSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("GLOBAL: no query windows RAW facts partitioned only by " +
+    "low-cardinality keys") {
+    // The scale-killer this bans: Window.partitionBy(event_type)-style
+    // frames over an unaggregated fact table — one task sorts a hot
+    // key's ENTIRE stream at 100×. A window whose partition spec
+    // includes ANY non-low-card expression (user_id, a SaltedWindow
+    // time bucket, doc_id) spreads; a window over an AGGREGATED or
+    // deliberately persisted (InMemoryRelation — already reduced and
+    // materialized) input is bounded by the aggregate's cardinality,
+    // not the fact table. Offender = every partition expression
+    // references only known low-card columns AND the subtree below
+    // still reads a raw relation with no Aggregate in between.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val lowCard = Set("event_type", "source", "from_type", "to_type",
+      "o_orderstatus", "o_orderpriority", "l_returnflag", "l_linestatus",
+      "n_name", "r_name", "c_mktsegment", "status", "priority")
+    // whitelist entries MUST carry a documented bound on the window
+    // input — "it passes the oracle" is not a bound
+    val whitelist = Map(
+      "w5_rank_functions" -> ("input pre-filtered to the constant key " +
+        "range l_orderkey < 200 — a bounded slice, not the open fact " +
+        "stream; ntile/percent_rank/cume_dist are whole-partition by " +
+        "definition (the at-scale alternative is the xs8 sketch)"))
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => whitelist.contains(name) }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sf0001).queryExecution.optimizedPlan
+        val found = plan.collect {
+          case w: LWindow
+              if w.partitionSpec.nonEmpty &&
+                w.partitionSpec.forall(_.references.nonEmpty) &&
+                w.partitionSpec.forall(
+                  _.references.forall(a => lowCard(a.name))) &&
+                !w.child.exists(_.isInstanceOf[Aggregate]) &&
+                w.child.collectLeaves()
+                  .exists(_.isInstanceOf[LogicalRelation]) =>
+            s"$name: raw-fact window on [" +
+              w.partitionSpec.map(_.sql).mkString(", ") + "]"
+        }
+        graft.operators.ManagedCache.releaseAll()
+        found
+      }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("ts7 salted rolling window partitions on (event_type, bucket) " +
+    "— never event_type alone — and plans exactly one fact shuffle") {
+    val p = plan("ts7_rolling_anomaly")
+    // the Window node's partition spec must carry the salt bucket
+    assert(p.contains("__swin_bucket"),
+      s"salt bucket missing from plan:\n${p.linesIterator.take(40).mkString("\n")}")
+    // one hashpartitioning exchange for the window (the union reads
+    // the same scan twice, narrow), plus the output range sort only
+    assert(count(p, "hashpartitioning") == 1 &&
+      count(p, "\\(\\d+\\) Exchange") == 2,
+      p.linesIterator.filter(l => l.contains("Exchange") ||
+        l.contains("partitioning")).mkString("\n"))
+  }
+
   test("filters reach the parquet scan as PushedFilters — not " +
     "post-scan Filter-only plans") {
     // p3 filters orders on a constant predicate; the scan itself must
