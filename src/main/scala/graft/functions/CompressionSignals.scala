@@ -33,6 +33,13 @@ object CompressionSignals {
     df.mapPartitions { it =>
       val deflater = new java.util.zip.Deflater(
         java.util.zip.Deflater.BEST_SPEED)
+      // end() releases NATIVE zlib buffers. The iterator-drain hook
+      // below covers the happy path, but a downstream limit/take or a
+      // mid-partition exception never drains the iterator — the task
+      // completion listener runs on BOTH paths (end() is idempotent,
+      // so double release is fine).
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
       val buf = new Array[Byte](64 * 1024)
       val mapped = it.map { row =>
         val s = if (row.isNullAt(idx)) null else row.getString(idx)

@@ -1651,9 +1651,18 @@ object Multimodal {
     }
 
   /** Big-endian hex of a non-negative int column, n bytes — hex() is
-    * naturally BE, so this is just zero-padding. */
-  private def beHex(v: Column, n: Int): Column =
-    lpad(hex(v), 2 * n, "0")
+    * naturally BE, so this is just zero-padding. A value that does
+    * not fit the field (negative, or ≥ 2^(8n) — e.g. a timescale
+    * above 2^32) fails LOUDLY via raise_error: lpad alone would
+    * silently TRUNCATE the hex rendering and emit a corrupt box. */
+  private def beHex(v: Column, n: Int): Column = {
+    val fits = v >= 0 && (if (n >= 8) lit(true)
+      else v < lit(1L << (8 * n)))
+    when(fits, lpad(hex(v), 2 * n, "0"))
+      .otherwise(raise_error(concat(
+        lit(s"beHex: value out of range for a $n-byte field: "),
+        v.cast("string"))))
+  }
 
   /** Synthesis twin of [[mp4Boxes]]: ftyp + moov(mvhd + nTraks ×
     * trak(tkhd)) + mdat, all sizes exact ISO-BMFF v0 layouts (mvhd

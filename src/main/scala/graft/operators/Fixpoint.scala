@@ -179,17 +179,38 @@ object GraphIterations {
     * edge-shrink, so convergence is the free row-count fixpoint (no
     * prev-state join). Works on any undirected pair list (a node may
     * appear on either side). Returns the surviving edge list.
+    *
+    * `disjointSides = true` declares that the u- and v-side node id
+    * spaces never overlap (a bipartite graph with side-tagged ids —
+    * the even/odd encoding xg4 uses). A node's degree is then just
+    * its count on ITS OWN side, so each round runs two per-side
+    * aggregations (map-side combine shrinks each shuffle to ~|V|
+    * rows, and the |V|-sized keep frames become AQE-broadcastable —
+    * the surviving-edge joins need no e-side exchange) instead of
+    * shuffling the 2|E|-row u∪v union. The general path stays the
+    * union shape — with overlapping sides a per-side count would
+    * undercount every node that appears on both.
     */
-  def kcoreConverged(edges: DataFrame, k: Int, maxIter: Int = 100)
-      : Fixpoint.Result = {
+  def kcoreConverged(edges: DataFrame, k: Int, maxIter: Int = 100,
+      disjointSides: Boolean = false): Fixpoint.Result = {
     val e0 = edges.select(col("u"), col("v")).distinct()
     Fixpoint.iterateMonotone(e0, maxIter) { (e, _) =>
-      val keep = e.select(col("u").as("n"))
-        .union(e.select(col("v").as("n")))
-        .groupBy(col("n")).agg(count(lit(1)).as("d"))
-        .filter(col("d") >= k).select(col("n"))
-      e.join(keep.withColumnRenamed("n", "u"), Seq("u"))
-        .join(keep.withColumnRenamed("n", "v"), Seq("v"))
+      if (disjointSides) {
+        val keepU = e.groupBy(col("u"))
+          .agg(count(lit(1)).as("du"))
+          .filter(col("du") >= k).select(col("u"))
+        val keepV = e.groupBy(col("v"))
+          .agg(count(lit(1)).as("dv"))
+          .filter(col("dv") >= k).select(col("v"))
+        e.join(keepU, Seq("u")).join(keepV, Seq("v"))
+      } else {
+        val keep = e.select(col("u").as("n"))
+          .union(e.select(col("v").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k).select(col("n"))
+        e.join(keep.withColumnRenamed("n", "u"), Seq("u"))
+          .join(keep.withColumnRenamed("n", "v"), Seq("v"))
+      }
     }
   }
 }

@@ -39,11 +39,21 @@ object ManagedCache {
     * registry is also process-global: releaseAll from one component
     * drops frames a concurrently-running query still pins. Current
     * call sites (Bench/Verify/PlanAudit) release strictly between
-    * queries, after the consuming action; keep that discipline. */
+    * queries, after the consuming action; keep that discipline.
+    *
+    * The unpersist BLOCKS until the blocks are actually dropped: the
+    * earlier async release let block removal race the NEXT query's
+    * re-persist of the same plan — CacheManager re-registered the
+    * entry while the executor-side drop was still in flight ("Asked
+    * to cache already cached data"), and back-to-back bench passes of
+    * cache-heavy queries (xg1) degraded 2.8→10.3 s pass-to-pass
+    * under the orphaned half-dropped blocks. A between-queries pause
+    * is exactly where a deterministic memory floor is worth the
+    * synchronous wait. */
   def releaseAll(): Unit = {
     var df = persisted.poll()
     while (df != null) {
-      df.unpersist(blocking = false)
+      df.unpersist(blocking = true)
       df = persisted.poll()
     }
   }

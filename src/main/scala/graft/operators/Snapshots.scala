@@ -86,9 +86,28 @@ object Snapshots {
     * their versions (a version number is never silently reused under
     * CAS — after a rollback, vacuum the reclaimed versions first),
     * and vacuum() removes markers alongside the versions it reclaims.
+    *
+    * CRASHED-WINNER RECOVERY (`claimGraceMs > 0`): a committer that
+    * died after claiming leaves `_claim.N` behind and would block
+    * every successor forever. When the blocking claim is older than
+    * the grace period and v=N never published, the next committer
+    * recovers instead of failing permanently:
+    *  - `v=N` directory EXISTS (death between rename and publish —
+    *    the data is complete, renames are all-or-nothing): ROLL
+    *    FORWARD by publishing v=N, then report a conflict so the
+    *    caller re-reads and retries on top of the recovered commit;
+    *  - no `v=N` (death between claim and rename): STEAL the claim
+    *    by atomically renaming the stale marker aside — exactly one
+    *    of N racing recoverers wins the rename — then re-claim and
+    *    proceed normally.
+    * The grace period must exceed the longest real commit's
+    * claim-to-publish latency (that window is two metadata renames —
+    * milliseconds — but clock skew across writers bounds how low it
+    * can safely go); with the default 0 no recovery is attempted.
     */
   def commitCAS(spark: SparkSession, df: DataFrame, dir: String,
-      expectedParent: Long): Either[String, Long] = {
+      expectedParent: Long, claimGraceMs: Long = 0L)
+      : Either[String, Long] = {
     val f = fs(spark, dir)
     f.mkdirs(new Path(dir))
     val cur = latestVersion(spark, dir)
@@ -99,9 +118,30 @@ object Snapshots {
     val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
     df.write.mode("overwrite").parquet(stage.toString)
     val claim = new Path(dir, s"_claim.$v")
-    val won =
+    def tryClaim(): Boolean =
       try { f.create(claim, false).close(); true }
       catch { case _: java.io.IOException => false }
+    var won = tryClaim()
+    if (!won && claimGraceMs > 0) {
+      val stale =
+        (try Option(f.getFileStatus(claim))
+         catch { case _: java.io.FileNotFoundException => None })
+          .exists(_.getModificationTime <
+            System.currentTimeMillis() - claimGraceMs)
+      if (stale) {
+        if (f.exists(new Path(dir, s"v=$v"))) {
+          // complete but unpublished: roll the dead commit forward
+          publish(spark, dir, v)
+          f.delete(stage, true)
+          return Left(s"conflict: crashed commit v=$v rolled forward; " +
+            s"table now at v=$v — retry on top")
+        }
+        // atomic claim-steal; the loser of the rename stays conflicted
+        if (f.rename(claim, new Path(dir,
+            s"_claim.$v.stale-${java.util.UUID.randomUUID()}")))
+          won = tryClaim()
+      }
+    }
     if (!won) {
       f.delete(stage, true)
       Left(s"conflict: v=$v already claimed by a concurrent committer")
@@ -191,10 +231,15 @@ object Snapshots {
       f.delete(new Path(dir, s"v=$v"), true)
       f.delete(new Path(dir, s"_claim.$v"), false)
     }
-    // stage dirs abandoned by crashed CAS losers/winners
-    entries.filter(s => s.isDirectory &&
-        s.getPath.getName.startsWith("_stage-") && aged(s))
-      .foreach(s => f.delete(s.getPath, true))
+    // stage dirs abandoned by crashed CAS losers/winners, plus claim
+    // markers moved aside by crashed-winner recovery (dead by
+    // construction once renamed — kept only through the grace window
+    // for forensics)
+    entries.filter(s => aged(s) &&
+        ((s.isDirectory && s.getPath.getName.startsWith("_stage-")) ||
+          (s.isFile && s.getPath.getName.startsWith("_claim.") &&
+            s.getPath.getName.contains(".stale-"))))
+      .foreach(s => f.delete(s.getPath, s.isDirectory))
     doomed
   }
 }

@@ -249,7 +249,12 @@ object EventStream {
       }
   }
 
-  case class AnomalyState(n: Long, s: Long, q: Long)
+  /** Σcents² rides a BigInt (Decimal(38,0) in state storage): a Long
+    * accumulator silently wraps on a single |cents| above ~3·10⁹ —
+    * unlike the batch ts7 path whose comparison was hardened to
+    * 128-bit. Σcents stays a Long with a documented bound: |cents| ≤
+    * 9·10⁸ for 10⁹ events/key keeps |S| under 9·10¹⁷ < 2⁶³. */
+  case class AnomalyState(n: Long, s: Long, q: BigInt)
   case class AnomalyRow(event_id: Long, event_type: String,
     n_history: Long)
 
@@ -258,38 +263,57 @@ object EventStream {
     * triple (n, Σcents, Σcents²); each arriving event is tested
     * against the HISTORY state (before itself) with the same
     * denominator-cleared inequality as ts7 — (n·x−S)² > 9·(n·Q−S²) —
-    * so the state is three longs per key (O(#types), no buffers) and
-    * the test involves no sqrt, no division, no float drift. Events
-    * inside a micro-batch fold in deterministic (ts, event_id) order,
-    * so a replayed batch emits identical rows. Flagged events STILL
-    * update the state (an anomalous regime shift becomes the new
-    * normal, Gopher-style); production jobs wanting a forgetting
+    * so the state is O(#types) with no per-event buffers and the test
+    * involves no sqrt, no division, no float drift. Flagged events
+    * STILL update the state (an anomalous regime shift becomes the
+    * new normal, Gopher-style); production jobs wanting a forgetting
     * horizon run the ts5 EWMA shape instead — running moments are
     * deliberately the simplest exact-integer state.
+    *
+    * MEMORY CONTRACT: a hot key's micro-batch is NOT materialized.
+    * Events fold through a bounded min-heap reorder buffer of
+    * `maxReorder` events (per key, per trigger) — the full-sort
+    * `batch.toSeq.sortBy` it replaces held the key's entire trigger
+    * in memory. Emission order equals the exact (ts, event_id) sort
+    * whenever no event arrives more than `maxReorder` positions out
+    * of order within its group iterator — file/kafka sources deliver
+    * near-time-ordered data, so the default 8192 is generous; a
+    * source with unbounded intra-batch disorder should raise it (or
+    * pre-sort upstream) and accepts O(maxReorder) state per key.
     */
-  def anomalies(events: Dataset[Event],
-      minHistory: Long = 10L): Dataset[AnomalyRow] = {
+  def anomalies(events: Dataset[Event], minHistory: Long = 10L,
+      maxReorder: Int = 8192): Dataset[AnomalyRow] = {
     import events.sparkSession.implicits._
+    require(maxReorder >= 1, "maxReorder must be >= 1")
     events.groupByKey(_.event_type)
       .flatMapGroupsWithState[AnomalyState, AnomalyRow](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (etype, batch, state: GroupState[AnomalyState]) =>
-          var st = state.getOption.getOrElse(AnomalyState(0L, 0L, 0L))
+          var st = state.getOption
+            .getOrElse(AnomalyState(0L, 0L, BigInt(0)))
           val out = Seq.newBuilder[AnomalyRow]
-          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            .foreach { e =>
-              val x = math.round(e.value * 100)
-              // the cleared products reach n²·x² — the test runs in
-              // BigInt so it cannot wrap; the Σx² state itself is
-              // exact to ~10⁹ events/key (cents ≤ 10⁵), past which a
-              // production job ages state out (see the EWMA path)
-              val lhs = BigInt(st.n) * x - st.s
-              if (st.n >= minHistory &&
-                  lhs * lhs > 9 * (BigInt(st.n) * st.q -
-                    BigInt(st.s) * st.s))
-                out += AnomalyRow(e.event_id, etype, st.n)
-              st = AnomalyState(st.n + 1, st.s + x, st.q + x * x)
-            }
+          def absorb(e: Event): Unit = {
+            val x = math.round(e.value * 100)
+            // the cleared products reach n²·x² — the test runs in
+            // BigInt so it cannot wrap
+            val lhs = BigInt(st.n) * x - st.s
+            if (st.n >= minHistory &&
+                lhs * lhs > 9 * (BigInt(st.n) * st.q -
+                  BigInt(st.s) * st.s))
+              out += AnomalyRow(e.event_id, etype, st.n)
+            st = AnomalyState(st.n + 1, st.s + x,
+              st.q + BigInt(x) * x)
+          }
+          // min-heap on (ts, event_id): pop the earliest once the
+          // buffer exceeds maxReorder, drain at end-of-batch
+          val heap = new scala.collection.mutable.PriorityQueue[Event]()(
+            Ordering.by[Event, (Long, Long)](e =>
+              (e.ts.getTime, e.event_id)).reverse)
+          batch.foreach { e =>
+            heap.enqueue(e)
+            if (heap.size > maxReorder) absorb(heap.dequeue())
+          }
+          while (heap.nonEmpty) absorb(heap.dequeue())
           state.update(st)
           out.result().iterator
       }

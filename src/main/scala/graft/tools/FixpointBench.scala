@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{GraphIterations, ManagedCache}
+
+/** Dev harness: time the run-to-convergence graph operators (the
+  * paths a production job would call — unbounded rounds, unlike the
+  * 2-round oracle twins xg1/xg3/xg4) on the same part↔supplier
+  * bipartite graph those queries build from a sf dir.
+  *
+  *   java … graft.tools.FixpointBench [sfDir] [passes]
+  *
+  * Prints one line per (op, pass): rounds to convergence, rows, secs.
+  */
+object FixpointBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val passes = if (args.length > 1) args(1).toInt else 3
+    val spark = graft.GraftSession.builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def lineitem = graft.Tables.load(spark, sfDir, "lineitem")
+    def bipartite: DataFrame = {
+      val fwd = lineitem.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    }
+
+    val ops: Seq[(String, () => (Long, Int, Boolean))] = Seq(
+      "pagerank_converged" -> (() => {
+        val r = GraphIterations.pageRankConverged(bipartite,
+          tolNano = 1000L, maxIter = 50)
+        (r.frame.count(), r.rounds, r.converged)
+      }),
+      "lpa_converged" -> (() => {
+        val r = GraphIterations.labelPropagationConverged(bipartite,
+          maxIter = 30)
+        (r.frame.count(), r.rounds, r.converged)
+      }),
+      "kcore_converged_union" -> (() => {
+        val e = lineitem.select((col("l_partkey") * 2).as("u"),
+          (col("l_suppkey") * 2 + 1).as("v"))
+        val r = GraphIterations.kcoreConverged(e, k = 4)
+        (r.frame.count(), r.rounds, r.converged)
+      }),
+      "kcore_converged_perside" -> (() => {
+        val e = lineitem.select((col("l_partkey") * 2).as("u"),
+          (col("l_suppkey") * 2 + 1).as("v"))
+        val r = GraphIterations.kcoreConverged(e, k = 4,
+          disjointSides = true)
+        (r.frame.count(), r.rounds, r.converged)
+      }))
+
+    for ((name, run) <- ops; pass <- 1 to passes) {
+      val t0 = System.nanoTime()
+      val (rows, rounds, conv) = run()
+      val dt = (System.nanoTime() - t0) / 1e9
+      ManagedCache.releaseAll()
+      println(f"[fixbench] $name%-24s pass $pass: $dt%7.2fs  " +
+        f"rounds=$rounds%-3d rows=$rows%-9d converged=$conv")
+    }
+    spark.stop()
+  }
+}

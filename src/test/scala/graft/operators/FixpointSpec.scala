@@ -96,6 +96,26 @@ class FixpointSpec extends SparkSpec {
     assert(!r.converged && r.rounds == 3)
   }
 
+  test("kcore disjointSides per-side peel equals the union-degree " +
+    "path on a bipartite side-tagged graph") {
+    // even/odd side tagging (the xg4 encoding): u ids even, v ids odd
+    // — a dense block that survives k=3 plus pendant edges that peel
+    val dense = for (p <- 0L until 6L; s <- 0L until 4L
+      if (p + s) % 2 == 0 || p < 3) yield (p * 2, s * 2 + 1)
+    val pendants = Seq((100L, 1L), (102L, 3L), (0L, 101L))
+    val edges = (dense ++ pendants).toDF("u", "v")
+    val viaUnion = GraphIterations.kcoreConverged(edges, k = 3)
+    val viaSides = GraphIterations.kcoreConverged(edges, k = 3,
+      disjointSides = true)
+    assert(viaUnion.converged && viaSides.converged)
+    val a = viaUnion.frame.orderBy($"u", $"v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = viaSides.frame.orderBy($"u", $"v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b, s"union=$a per-side=$b")
+    assert(a.nonEmpty, "fixture should retain a 3-core")
+  }
+
   test("the lineage bound holds: a 12-round monotone peel keeps the " +
     "final plan O(1)-deep (no growth with iteration count)") {
     // path 0-1-…-12, k=1 trivially keeps everything? No: k=2 —

@@ -107,6 +107,64 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, dir).collect().head.getString(1) == "re")
   }
 
+  test("commitCAS crashed-winner recovery: a dead claim with complete " +
+    "data rolls forward; a claim-only corpse is stolen; a FRESH claim " +
+    "is never touched") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cas-crash").toString + "/t"
+    assert(Snapshots.commitCAS(spark,
+      Seq((0, "base")).toDF("id", "s"), dir, 0L) == Right(1L))
+    val d = new java.io.File(dir)
+    def ageFile(name: String): Unit = {
+      val file = new java.io.File(d, name)
+      assert(file.setLastModified(System.currentTimeMillis() - 60000L))
+    }
+    // CASE 1: winner died between rename and publish — claim + v=2
+    // exist, pointer still at 1
+    Seq((2, "dead-but-complete")).toDF("id", "s")
+      .write.parquet(s"$dir/v=2")
+    assert(new java.io.File(d, "_claim.2").createNewFile())
+    ageFile("_claim.2")
+    val r1 = Snapshots.commitCAS(spark,
+      Seq((2, "mine")).toDF("id", "s"), dir, 1L, claimGraceMs = 1000L)
+    assert(r1.isLeft && r1.swap.toOption.get.contains("rolled forward"),
+      r1.toString)
+    // the dead commit's data is now the published v2
+    assert(Snapshots.latestVersion(spark, dir) == 2L)
+    assert(Snapshots.read(spark, dir).collect().head.getString(1)
+      == "dead-but-complete")
+    // and the conflicted caller retries cleanly on top
+    assert(Snapshots.commitCAS(spark,
+      Seq((3, "retry")).toDF("id", "s"), dir, 2L, claimGraceMs = 1000L)
+      == Right(3L))
+    // CASE 2: winner died between claim and rename — claim only
+    assert(new java.io.File(d, "_claim.4").createNewFile())
+    ageFile("_claim.4")
+    assert(Snapshots.commitCAS(spark,
+      Seq((4, "stolen")).toDF("id", "s"), dir, 3L, claimGraceMs = 1000L)
+      == Right(4L))
+    assert(Snapshots.read(spark, dir).collect().head.getString(1)
+      == "stolen")
+    // the stale marker was moved aside, a fresh _claim.4 now guards v4
+    assert(d.listFiles().exists(f =>
+      f.getName.startsWith("_claim.4.stale-")))
+    // CASE 3: a FRESH claim (live committer inside its grace window)
+    // still conflicts — recovery must not steal it
+    assert(new java.io.File(d, "_claim.5").createNewFile())
+    val r3 = Snapshots.commitCAS(spark,
+      Seq((5, "impatient")).toDF("id", "s"), dir, 4L,
+      claimGraceMs = 3600000L)
+    assert(r3.isLeft && !r3.swap.toOption.get.contains("rolled"),
+      r3.toString)
+    assert(Snapshots.latestVersion(spark, dir) == 4L)
+    // graced vacuum sweeps the aged stale markers, keeps live claims
+    ageFile(d.listFiles().map(_.getName)
+      .find(_.startsWith("_claim.4.stale-")).get)
+    Snapshots.vacuum(spark, dir, keepLast = 10, orphanGraceMs = 1000L)
+    assert(!d.listFiles().exists(_.getName.contains(".stale-")))
+    assert(new java.io.File(d, "_claim.5").exists())
+  }
+
   test("vacuum orphanGraceMs: a fresh above-pointer directory (an " +
     "in-flight commit's staging) survives a graced vacuum") {
     val dir = java.nio.file.Files

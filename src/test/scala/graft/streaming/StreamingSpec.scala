@@ -369,4 +369,48 @@ class StreamingSpec extends SparkSpec {
       assert(got.toSeq == Seq((100L, "click", 12L)))
     } finally q.stop()
   }
+
+  test("anomalies: a 50k-event single-key batch folds through the " +
+    "bounded reorder buffer — same rows as the exact sort, O(bound) " +
+    "not O(batch) held per key") {
+    implicit val sqlCtx = spark.sqlContext
+    // one hot key, timestamps emitted OUT of order with displacement
+    // ≤ 64 (block-reversed in chunks of 64 — worst case 63 positions):
+    // a tiny maxReorder=64 must still reproduce the exact-sort rows,
+    // proving the buffer (not residual full materialization) does the
+    // ordering. Values: steady 10.00 with deterministic spikes.
+    val n = 50000
+    val ordered = (0 until n).map { i =>
+      val v = if (i % 5000 == 2500) 500.0 else 10.0 + (i % 3) * 0.05
+      Event(i.toLong, ts(i), 1, "click", v)
+    }
+    val shuffled = ordered.grouped(64).flatMap(_.reverse).toSeq
+    // oracle: fold in exact order with the same integer moments
+    var (on, os) = (0L, 0L); var oq = BigInt(0)
+    val expected = Seq.newBuilder[Long]
+    ordered.foreach { e =>
+      val x = math.round(e.value * 100)
+      val lhs = BigInt(on) * x - os
+      if (on >= 10 && lhs * lhs > 9 * (BigInt(on) * oq - BigInt(os) * os))
+        expected += e.event_id
+      on += 1; os += x; oq += BigInt(x) * x
+    }
+    val mem = MemoryStream[Event]
+    // coalesce(1) pins the group-iterator order to insertion order so
+    // the planted ≤63-position displacement is what the buffer sees
+    // (multi-partition interleave would make the bound nondeterministic
+    // in a unit test; real sources own their ordering contract)
+    val q = EventStream.anomalies(mem.toDS().coalesce(1), maxReorder = 64)
+      .writeStream.format("memory").queryName("anom_big")
+      .outputMode("append").start()
+    try {
+      mem.addData(shuffled: _*)
+      q.processAllAvailable()
+      val got = spark.table("anom_big").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got.nonEmpty, "fixture should flag its planted spikes")
+      assert(got == expected.result().sorted,
+        s"got ${got.size} rows vs expected ${expected.result().size}")
+    } finally q.stop()
+  }
 }
