@@ -1,0 +1,240 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF}
+
+/** Round-10 corpus-curation operators: duplicated-substring span
+  * analysis (the exact-substring complement to MinHash/SimHash doc
+  * dedup), TF-IDF keyword extraction, sketch-thresholded percentile
+  * pruning, and RAG-style overlapping chunking.
+  *
+  * Float discipline (TrainingData.scala:35): no transcendentals in
+  * compared output — IDF rides an integer N div df proxy, quantile
+  * thresholds are integer bucket lower bounds, chunk geometry is pure
+  * integer arithmetic.
+  */
+object Curation {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.Tables.load(s, dir, name)
+
+  private def tokEst: Column =
+    call_function("div", col("n_chars") + lit(3L), lit(4L))
+
+  val queries: Map[String, Q] = Map(
+
+    // Duplicated-substring spans (Lee et al., "Deduplicating Training
+    // Data Makes Language Models Better"): a doc's near-dup score by
+    // CONTENT OVERLAP, not whole-doc signature — the fraction of its
+    // 8-token shingles that occur more than once in the corpus
+    // (cross-doc boilerplate AND in-doc loops both count). The
+    // suffix-array of the paper becomes Spark-shaped: explode
+    // shingles → corpus-wide count keyed on the shingle hash → join
+    // back → per-doc fraction. Both shuffles key on the shingle hash
+    // / doc_id (high-cardinality); no all-pairs anywhere, so the
+    // shape survives 100 TB where a suffix array over one machine's
+    // memory cannot.
+    "dd17_substring_spans" -> ((s, dir) => {
+      val K = 8
+      val toks = TF.tokens(lower(col("text")))
+      val shingles = TF.bindOnce(toks)(tk =>
+        when(size(tk) >= K,
+          transform(sequence(lit(1), size(tk) - (K - 1)),
+            i => md5(concat_ws(" ", slice(tk, i, lit(K))))))
+          .otherwise(array().cast("array<string>")))
+      val sh = graft.operators.ManagedCache.persist(
+        t(s, dir, "documents")
+          .select(col("doc_id"), explode(shingles).as("h")))
+      val counts = sh.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      sh.join(counts, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          call_function("div",
+            lit(1000L) * sum(when(col("cnt") > 1, 1L).otherwise(0L)),
+            count(lit(1))).as("dup_mille"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // TF-IDF keyword extraction — top-3 most characteristic tokens
+    // per document. IDF stays integer (score = tf · (N div df): the
+    // log is monotone in N/df, and ranking only needs the order, not
+    // the value — no transcendentals to drift between engines).
+    // Shapes: one explode + (doc, token) count, a vocab-sized df
+    // aggregation (AQE broadcasts when it fits; 10^8-row web vocabs
+    // shuffle — no forced hint), and the top-3 window partitions on
+    // doc_id — high-cardinality, and WindowGroupLimit prunes to ≤3
+    // rows per doc before the shuffle.
+    "tx21_tfidf_keywords" -> ((s, dir) => {
+      val tf = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TF.tokens(lower(col("text")))).as("w"))
+        .groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+      val cached = graft.operators.ManagedCache.persist(tf)
+      val df_ = cached.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val nd = cached.agg(countDistinct(col("doc_id")).as("nd"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("w"))
+      cached.join(df_, Seq("w"))
+        .crossJoin(broadcast(nd))
+        .withColumn("score",
+          col("tf") * call_function("div", col("nd"), col("df")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("w"), col("tf"),
+          col("score"))
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
+    // Percentile pruning via the ADDITIVE log-bucket sketch (xs8's
+    // geometry): drop each source's shortest quartile of documents.
+    // The per-source p25 threshold comes from the mergeable sketch —
+    // bucket counts add across shards/days, so at 100 TB yesterday's
+    // sketches merge with today's by plain +, where an exact
+    // percentile would re-sort the corpus. Threshold = the LOWER
+    // BOUND of the first bucket whose cumulative count reaches
+    // ceil(n/4) — an exact integer (sub · 2^shift; doubles represent
+    // it exactly to 2^52, far past any token count), so membership
+    // is a pure integer scan filter after one tiny broadcast.
+    "px11_percentile_prune" -> ((s, dir) => {
+      val x = tokEst
+      val e = (length(bin(x)) - 1).cast("long")
+      val shift = greatest(e - lit(3L), lit(0L))
+      val denom = pow(lit(2.0), shift.cast("double"))
+      val sub = floor(x.cast("double") / denom).cast("long")
+      val bucket = e * lit(16L) + sub
+      val lo = (sub.cast("double") * denom).cast("long")
+      val d = t(s, dir, "documents")
+      val counts = d
+        .select(col("source"), bucket.as("bucket"), lo.as("lo"))
+        .groupBy(col("source"), col("bucket"), col("lo"))
+        .agg(count(lit(1)).as("n"))
+      val wcum = Window.partitionBy(col("source")).orderBy(col("bucket"))
+      val wtot = Window.partitionBy(col("source"))
+      val thr = counts
+        .withColumn("cum", sum(col("n")).over(wcum))
+        .withColumn("total", sum(col("n")).over(wtot))
+        .groupBy(col("source"))
+        .agg(min(when(col("cum") >= call_function("div",
+            lit(25L) * col("total") + lit(99L), lit(100L)),
+          col("lo"))).as("thr_lo"),
+          max(col("total")).as("n_total"))
+      d.select(col("source"), x.as("nt"))
+        .join(broadcast(thr), Seq("source"))
+        .groupBy(col("source"))
+        .agg(max(col("thr_lo")).as("thr_lo"),
+          max(col("n_total")).as("n_total"),
+          sum(when(col("nt") >= col("thr_lo"), 1L).otherwise(0L))
+            .as("n_kept"))
+        .orderBy(col("source"))
+    }),
+
+    // RAG-style overlapping chunking: 32-token windows advancing by a
+    // 24-token stride (8-token overlap keeps context across chunk
+    // boundaries); the final chunk may be short, and every token is
+    // covered. Chunk geometry is pure integer arithmetic off the
+    // token array — a per-row explode, NO shuffle before the output
+    // sort, so at 100 TB this fuses into whatever scan reads the
+    // text. Emits each chunk's first token as the slice witness.
+    "tx22_chunk_overlap" -> ((s, dir) => {
+      val C = 32L
+      val S = 24L
+      val toks = TF.tokens(lower(col("text")))
+      val withN = t(s, dir, "documents")
+        .select(col("doc_id"), toks.as("tk"))
+        .withColumn("nt", size(col("tk")).cast("long"))
+        .filter(col("nt") >= 1)
+      val lastIdx = when(col("nt") <= C, lit(0L))
+        .otherwise(call_function("div",
+          col("nt") - C + S - 1, lit(S)))
+      withN
+        .withColumn("i", explode(sequence(lit(0L), lastIdx)))
+        .select(col("doc_id"), col("i").as("chunk_idx"),
+          (col("i") * S).as("tok_start"),
+          least(col("nt"), col("i") * S + C).as("tok_end"),
+          element_at(col("tk"), (col("i") * S + 1).cast("int"))
+            .as("first_tok"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dd17_substring_spans" ->
+      """WITH toks AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS t
+           FROM documents),
+         sh AS (SELECT doc_id,
+             md5(array_to_string(t[i:i+7], ' ')) AS h
+           FROM toks, LATERAL (SELECT unnest(
+             generate_series(1, len(t) - 7)) AS i) _),
+         c AS (SELECT h, count(*) AS cnt FROM sh GROUP BY 1)
+         SELECT doc_id, count(*) AS n_shingles,
+           CAST((1000 * sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END))
+             // count(*) AS BIGINT) AS dup_mille
+         FROM sh JOIN c USING (h)
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    "tx21_tfidf_keywords" ->
+      """WITH tf AS (SELECT doc_id, w, count(*) AS tf FROM (
+             SELECT doc_id, unnest(
+               string_split_regex(trim(lower(text)), '\s+')) AS w
+             FROM documents) GROUP BY 1, 2),
+         df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(DISTINCT doc_id) AS nd FROM tf),
+         scored AS (SELECT doc_id, w, tf,
+             CAST(tf * (nd // df) AS BIGINT) AS score
+           FROM tf JOIN df USING (w) CROSS JOIN n)
+         SELECT doc_id, CAST(rk AS BIGINT) AS rk, w, tf, score FROM (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, w) AS rk FROM scored)
+         WHERE rk <= 3 ORDER BY doc_id, rk""",
+
+    "px11_percentile_prune" ->
+      """WITH b AS (SELECT source, nt,
+             CAST(length(format('{:b}', nt)) - 1 AS BIGINT) AS e
+           FROM (SELECT source, (n_chars + 3) // 4 AS nt
+                 FROM documents)),
+         bk AS (SELECT source, nt,
+             e * 16 + CAST(FLOOR(nt / power(2, GREATEST(e - 3, 0)))
+               AS BIGINT) AS bucket,
+             CAST(CAST(FLOOR(nt / power(2, GREATEST(e - 3, 0)))
+                 AS BIGINT) * power(2, GREATEST(e - 3, 0)) AS BIGINT)
+               AS lo
+           FROM b),
+         c AS (SELECT source, bucket, lo, count(*) AS n
+           FROM bk GROUP BY 1, 2, 3),
+         cum AS (SELECT source, bucket, lo, n,
+             SUM(n) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+             SUM(n) OVER (PARTITION BY source) AS total
+           FROM c),
+         thr AS (SELECT source,
+             MIN(CASE WHEN cum >= (25 * total + 99) // 100
+               THEN lo END) AS thr_lo,
+             CAST(MAX(total) AS BIGINT) AS n_total
+           FROM cum GROUP BY source)
+         SELECT source, thr_lo, n_total,
+           CAST(sum(CASE WHEN nt >= thr_lo THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_kept
+         FROM bk JOIN thr USING (source)
+         GROUP BY source, thr_lo, n_total ORDER BY source""",
+
+    "tx22_chunk_overlap" ->
+      """WITH d AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS t
+           FROM documents),
+         n AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS nt
+           FROM d WHERE len(t) >= 1),
+         ch AS (SELECT doc_id, t, nt, i
+           FROM n, LATERAL (SELECT unnest(generate_series(0,
+             CASE WHEN nt <= 32 THEN 0
+               ELSE (nt - 32 + 24 - 1) // 24 END)) AS i) _)
+         SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           CAST(i * 24 AS BIGINT) AS tok_start,
+           CAST(LEAST(nt, i * 24 + 32) AS BIGINT) AS tok_end,
+           t[CAST(i * 24 + 1 AS BIGINT)] AS first_tok
+         FROM ch ORDER BY doc_id, chunk_idx"""
+  )
+}

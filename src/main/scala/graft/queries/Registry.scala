@@ -94,7 +94,8 @@ object Registry {
     (Sketches.queries, Sketches.oracle),
     (TimeSeries.queries, TimeSeries.oracle),
     (LmOps.queries, LmOps.oracle),
-    (Behavior.queries, Behavior.oracle)
+    (Behavior.queries, Behavior.oracle),
+    (Curation.queries, Curation.oracle)
   )
 
   lazy val all: Map[String, Q] = {

@@ -1,0 +1,111 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Planted-fixture semantics for the round-10 curation operators.
+  * (Oracle parity at all SFs is the driver's check; these pin the
+  * operator-level contracts on corpora built to exercise them.)
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def asDocs(rows: Seq[(Long, String)]) =
+    rows.map { case (id, text) =>
+      (id, text, "en", "src", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  private def writeTmp(df: org.apache.spark.sql.DataFrame): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-curation").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("dd17: a doc sharing an 8-token span with another scores the " +
+    "shared shingles; fully unique docs score 0") {
+    val span = (1 to 8).map(i => s"shared$i").mkString(" ")
+    val docs = asDocs(Seq(
+      1L -> s"$span alpha beta gamma delta epsilon zeta eta theta",
+      2L -> s"prefix one two three four five six seven $span",
+      3L -> "only unique words appear in this third document here now"))
+    val dir = writeTmp(docs)
+    val got = Curation.queries("dd17_substring_spans")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    graft.operators.ManagedCache.releaseAll()
+    // doc1: 9 shingles (16 tokens), exactly 1 duplicated (the shared
+    // span aligns at one position in each doc); doc3: all unique
+    val byId = got.map(t => t._1 -> t).toMap
+    assert(byId(3L)._3 == 0L, s"unique doc must score 0: $got")
+    assert(byId(1L)._3 > 0L && byId(2L)._3 > 0L,
+      s"span sharers must score > 0: $got")
+    // doc1 has 16 tokens -> 9 shingles; 1 dup -> 1000/9 = 111
+    assert(byId(1L) == ((1L, 9L, 111L)), s"$got")
+  }
+
+  test("tx21: a token concentrated in one doc outranks corpus-wide " +
+    "stopwords there") {
+    val docs = asDocs(Seq(
+      1L -> "the the the zebra zebra quantum",
+      2L -> "the the common words here",
+      3L -> "the other common doc text"))
+    val dir = writeTmp(docs)
+    val got = Curation.queries("tx21_tfidf_keywords")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getString(2)))
+    graft.operators.ManagedCache.releaseAll()
+    val doc1 = got.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq
+    // 'zebra': tf=2, df=1 -> score 2*3=6; 'the': tf=3, df=3 -> 3*1=3;
+    // 'quantum': tf=1, df=1 -> 3
+    assert(doc1.head == "zebra", s"doc1 top keyword: $doc1")
+    assert(doc1.length == 3)
+  }
+
+  test("px11: the sketch threshold drops roughly the shortest " +
+    "quartile, never a doc at or above the threshold bucket") {
+    // 100 docs with token counts 1..100 (n_chars = 4*nt keeps the
+    // estimator exact); p25 lands in the bucket holding nt=25
+    val docs = (1 to 100).map(i =>
+      (i.toLong, "x", "en", "s1", 4L * i - 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = writeTmp(docs)
+    val got = Curation.queries("px11_percentile_prune")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    graft.operators.ManagedCache.releaseAll()
+    assert(got.size == 1)
+    val (_, thrLo, nTotal, nKept) = got.head
+    assert(nTotal == 100L)
+    // the log-bucket threshold is the bucket FLOOR at the p25 rank —
+    // within one bucket width (<= 2^-3 relative) below exact 25
+    assert(thrLo >= 20L && thrLo <= 25L, s"thr_lo=$thrLo")
+    assert(nKept == 100L - thrLo + 1, s"thr=$thrLo kept=$nKept")
+  }
+
+  test("tx22: chunks cover every token exactly, overlap by 8, and " +
+    "the final short chunk ends at nt") {
+    val nt = 100
+    val docs = asDocs(Seq(
+      1L -> (1 to nt).map(i => s"t$i").mkString(" "),
+      2L -> "tiny doc"))
+    val dir = writeTmp(docs)
+    val got = Curation.queries("tx22_chunk_overlap")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    val d1 = got.filter(_._1 == 1L).sortBy(_._2)
+    // chunks at stride 24: starts 0,24,48,72 (72+32 >= 100) — 4 chunks
+    assert(d1.map(_._3).toSeq == Seq(0L, 24L, 48L, 72L))
+    assert(d1.map(_._4).toSeq == Seq(32L, 56L, 80L, 100L))
+    // every consecutive pair overlaps by C-S = 8 tokens
+    assert(d1.toSeq.sliding(2).forall {
+      case Seq(a, b) => a._4 - b._3 == 8L
+      case _ => true
+    })
+    // the first token witness matches the slice position
+    assert(d1.map(_._5).toSeq == Seq("t1", "t25", "t49", "t73"))
+    // a sub-chunk doc yields exactly one whole-doc chunk
+    val d2 = got.filter(_._1 == 2L)
+    assert(d2.map(t => (t._3, t._4)).toSeq == Seq((0L, 2L)))
+  }
+}
