@@ -120,6 +120,45 @@ object Behavior {
         .orderBy(col("event_type"), col("k_decade"))
     }),
 
+    // Median absolute deviation per event type — the outlier-robust
+    // spread measure (stddev is hostage to the outliers an anomaly
+    // pipeline exists to find; MAD is not). EXACT, and never sorts
+    // raw events: the xq6 value-distribution trick applied twice —
+    // (type, cents) counts → cumulative-count lower median → absolute
+    // deviations AGGREGATED ON THE SAME DISTRIBUTION (never back to
+    // the events) → second cumulative median. All frames after the
+    // first aggregation are bounded by #types × #distinct-cents.
+    "xq14_mad" -> ((s, dir) => {
+      val dist = graft.operators.ManagedCache.persist(
+        t(s, dir, "events")
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+          .groupBy(col("event_type"), col("cents"))
+          .agg(count(lit(1)).as("n")))
+      val tot = dist.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n_rows"))
+      def lowerMedian(d: DataFrame, valCol: String,
+          out: String): DataFrame = {
+        val wcum = Window.partitionBy(col("event_type"))
+          .orderBy(col(valCol))
+        d.withColumn("cum", sum(col("n")).over(wcum))
+          .join(broadcast(tot.select(col("event_type"),
+            call_function("div", col("n_rows") + 1, lit(2L))
+              .as("target"))), Seq("event_type"))
+          .filter(col("cum") >= col("target"))
+          .groupBy(col("event_type")).agg(min(col(valCol)).as(out))
+      }
+      val med = lowerMedian(dist, "cents", "median_cents")
+      val devDist = dist.join(broadcast(med), Seq("event_type"))
+        .groupBy(col("event_type"),
+          abs(col("cents") - col("median_cents")).as("dev"))
+        .agg(sum(col("n")).as("n"))
+      val mad = lowerMedian(devDist, "dev", "mad_cents")
+      med.join(mad, Seq("event_type")).join(tot, Seq("event_type"))
+        .select(col("event_type"), col("median_cents"),
+          col("mad_cents"), col("n_rows"))
+        .orderBy(col("event_type"))
+    }),
+
     // Event-transition census (first-order Markov chain of user
     // behavior): per-user next-event pairs via ONE lead window, then
     // a count aggregation; transition probabilities as exact integer
@@ -195,6 +234,35 @@ object Behavior {
            CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
              AS BIGINT) AS k_max
          FROM events GROUP BY 1, 2 ORDER BY event_type, k_decade""",
+
+    "xq14_mad" ->
+      """WITH dist AS (SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             count(*) AS n
+           FROM events GROUP BY 1, 2),
+         tot AS (SELECT event_type, SUM(n) AS n_rows
+           FROM dist GROUP BY 1),
+         cum AS (SELECT event_type, cents, n,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY cents)
+               AS cum
+           FROM dist),
+         med AS (SELECT event_type, MIN(cents) AS median_cents
+           FROM cum JOIN tot USING (event_type)
+           WHERE cum >= (n_rows + 1) // 2 GROUP BY event_type),
+         devd AS (SELECT d.event_type,
+             ABS(cents - median_cents) AS dev, SUM(n) AS n
+           FROM dist d JOIN med USING (event_type) GROUP BY 1, 2),
+         cum2 AS (SELECT event_type, dev, n,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY dev) AS cum
+           FROM devd),
+         mad AS (SELECT event_type, MIN(dev) AS mad_cents
+           FROM cum2 JOIN tot USING (event_type)
+           WHERE cum >= (n_rows + 1) // 2 GROUP BY event_type)
+         SELECT event_type, median_cents, mad_cents,
+           CAST(n_rows AS BIGINT) AS n_rows
+         FROM med JOIN mad USING (event_type)
+           JOIN tot USING (event_type)
+         ORDER BY event_type""",
 
     "xq10_event_transitions" ->
       """WITH pairs AS (

@@ -44,6 +44,24 @@ class BehaviorSpec extends SparkSpec {
     assert(out(1L) == 1L, "week 1 must count the returning user")
   }
 
+  test("xq14: MAD is the exact lower median of |x - median|, and an " +
+    "outlier that wrecks stddev barely moves it") {
+    // type 'a': values 1..9 (median 5, deviations 0,1,1,2,2,3,3,4,4
+    // -> MAD 2); type 'b': same but with a huge outlier replacing 9
+    val a = (1 to 9).map(i => (i.toLong, at(i), 1L, "a", i.toDouble))
+    val b = (1 to 8).map(i => (20L + i, at(i), 1L, "b", i.toDouble)) :+
+      (40L, at(20), 1L, "b", 100000.0)
+    val out = Behavior.queries("xq14_mad")(spark, eventsDir(a ++ b))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    graft.operators.ManagedCache.releaseAll()
+    assert(out("a") == ((500L, 200L, 9L)), out.toString)
+    // b: median 5 (lower median of 1..8 + outlier), deviations
+    // 0,1,1,2,2,3,3,4 and 99995 -> lower median dev = 2
+    assert(out("b") == ((500L, 200L, 9L)), out.toString)
+  }
+
   test("xq10: transition counts and per-mille shares are exact") {
     val rows = Seq(
       (1L, at(1), 1L, "a", 1.0), (2L, at(2), 1L, "b", 1.0),
