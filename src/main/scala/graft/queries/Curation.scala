@@ -132,6 +132,61 @@ object Curation {
         .orderBy(col("source"))
     }),
 
+    // Cross-source duplication matrix — which source pairs ship the
+    // same content (licensing leakage, double-counting in mixture
+    // weights). Keyed on the LEADING-SHINGLE fingerprint (first 8
+    // tokens): exact-whole-doc overlap misses the near-dup mass that
+    // actually leaks between crawls (same opening boilerplate,
+    // diverging tails), and the opening span is the highest-signal
+    // single shingle. Per fingerprint, the DISTINCT source set —
+    // bounded by #sources, so collect_set is O(1) per key — then one
+    // pair-explode of those tiny sets. Never a doc×doc join: the
+    // hash aggregation is the only corpus-sized shuffle.
+    "dd18_cross_source_overlap" -> ((s, dir) => {
+      val perHash = t(s, dir, "documents")
+        .select(md5(concat_ws(" ",
+          slice(TF.tokens(trim(lower(col("text")))), 1, 8))).as("h"),
+          col("source"))
+        .groupBy(col("h"))
+        .agg(array_sort(collect_set(col("source"))).as("srcs"),
+          count(lit(1)).as("n_copies"))
+        .filter(size(col("srcs")) >= 2)
+      perHash
+        .select(col("h"), col("n_copies"),
+          explode(col("srcs")).as("src_a"), col("srcs"))
+        .select(col("h"), col("n_copies"), col("src_a"),
+          explode(col("srcs")).as("src_b"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_shared_hashes"),
+          sum(col("n_copies")).as("n_copies_total"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // Per-source vocabulary census — the data-card lexical-diversity
+    // block: token volume, distinct types, hapax legomena (frequency-
+    // 1 types: the long tail that inflates embedding tables), and
+    // exact per-mille type/token + hapax/type ratios. Two keyed
+    // aggregations, map-side partial combine on both.
+    "tx23_vocab_census" -> ((s, dir) => {
+      val wc = t(s, dir, "documents")
+        .select(col("source"),
+          explode(TF.tokens(lower(col("text")))).as("w"))
+        .groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("c"))
+      wc.groupBy(col("source"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          col("n_hapax"),
+          call_function("div", lit(1000L) * col("n_types"),
+            col("n_tokens")).as("ttr_mille"),
+          call_function("div", lit(1000L) * col("n_hapax"),
+            col("n_types")).as("hapax_mille"))
+        .orderBy(col("source"))
+    }),
+
     // RAG-style overlapping chunking: 32-token windows advancing by a
     // 24-token stride (8-token overlap keeps context across chunk
     // boundaries); the final chunk may be short, and every token is
@@ -220,6 +275,37 @@ object Curation {
              AS BIGINT) AS n_kept
          FROM bk JOIN thr USING (source)
          GROUP BY source, thr_lo, n_total ORDER BY source""",
+
+    "dd18_cross_source_overlap" ->
+      """WITH ph AS (SELECT md5(array_to_string(
+             (string_split_regex(trim(lower(text)), '\s+'))[1:8],
+             ' ')) AS h,
+             list_sort(list_distinct(list(source))) AS srcs,
+             count(*) AS n_copies
+           FROM documents GROUP BY 1
+           HAVING len(list_distinct(list(source))) >= 2),
+         pairs AS (SELECT h, n_copies, a AS src_a, b AS src_b
+           FROM ph,
+             LATERAL (SELECT unnest(srcs) AS a) _a,
+             LATERAL (SELECT unnest(srcs) AS b) _b
+           WHERE a < b)
+         SELECT src_a, src_b, count(*) AS n_shared_hashes,
+           CAST(sum(n_copies) AS BIGINT) AS n_copies_total
+         FROM pairs GROUP BY 1, 2 ORDER BY src_a, src_b""",
+
+    "tx23_vocab_census" ->
+      """WITH wc AS (SELECT source, w, count(*) AS c FROM (
+             SELECT source, unnest(
+               string_split_regex(trim(lower(text)), '\s+')) AS w
+             FROM documents) GROUP BY 1, 2)
+         SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS n_types,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           CAST((1000 * count(*)) // sum(c) AS BIGINT) AS ttr_mille,
+           CAST((1000 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END))
+             // count(*) AS BIGINT) AS hapax_mille
+         FROM wc GROUP BY source ORDER BY source""",
 
     "tx22_chunk_overlap" ->
       """WITH d AS (SELECT doc_id,

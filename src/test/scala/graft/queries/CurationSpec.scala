@@ -83,6 +83,41 @@ class CurationSpec extends SparkSpec {
     assert(nKept == 100L - thrLo + 1, s"thr=$thrLo kept=$nKept")
   }
 
+  test("dd18: source pairs sharing an opening 8-token span are " +
+    "paired once per fingerprint; within-source dupes never pair") {
+    val opener = (1 to 8).map(i => s"tpl$i").mkString(" ")
+    val rows = Seq(
+      (1L, s"$opener unique tail one two three", "web"),
+      (2L, s"$opener different ending here now", "book"),
+      (3L, s"$opener third corpus copy", "wiki"),
+      (4L, "totally different opening span for this one", "web"),
+      (5L, "totally different opening span for this one", "web"))
+    val docs = rows.map { case (id, text, src) =>
+      (id, text, "en", src, text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = writeTmp(docs)
+    val got = Curation.queries("dd18_cross_source_overlap")(spark, dir)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    // the shared opener pairs all 3 sources; docs 4+5 share a
+    // fingerprint but ONE source — no pair row
+    assert(got.keySet == Set(("book", "web"), ("book", "wiki"),
+      ("web", "wiki")), got.toString)
+    assert(got.values.forall(_ == ((1L, 3L))), got.toString)
+  }
+
+  test("tx23: token/type/hapax counts and per-mille ratios are exact") {
+    val docs = asDocs(Seq(
+      1L -> "a a a b b c",        // src: 6 tokens, 3 types, 1 hapax
+      2L -> "a d"))               // +2 tokens; d is a new hapax
+    val dir = writeTmp(docs)
+    val got = Curation.queries("tx23_vocab_census")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // corpus: tokens 8, types {a,b,c,d} = 4, hapax {c,d} = 2
+    assert(got == Seq(("src", 8L, 4L, 2L, 500L, 500L)), got.toString)
+  }
+
   test("tx22: chunks cover every token exactly, overlap by 8, and " +
     "the final short chunk ends at nt") {
     val nt = 100
