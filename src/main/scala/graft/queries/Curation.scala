@@ -187,6 +187,90 @@ object Curation {
         .orderBy(col("source"))
     }),
 
+    // Train/val/test splitting with a LEAKAGE census — the eval-split
+    // step every pretraining run needs done right. Two assignment
+    // policies side by side: NAIVE (salted doc_id hash, 80/10/10 —
+    // near-dups scatter across splits and leak eval into train) vs
+    // GROUP-AWARE (hash the content FINGERPRINT instead, so every doc
+    // sharing an opening shingle lands in one split — leakage zero BY
+    // CONSTRUCTION). Emits per-(source, split) counts under both
+    // policies plus the global leaky-fingerprint counts; membership
+    // is a pure scan expression either way — the corpus is never
+    // shuffled for assignment, only for the tiny censuses.
+    "px12_train_val_split" -> ((s, dir) => {
+      import graft.functions.{SimilarityFunctions => SF}
+      def bucket(salt: String, key: Column): Column = pmod(
+        SF.md5hash60(concat(lit(salt), key.cast("string"))), lit(100L))
+      def splitOf(h: Column): Column = when(h < 80, lit("train"))
+        .when(h < 90, lit("val")).otherwise(lit("test"))
+      val fp = md5(concat_ws(" ",
+        slice(TF.tokens(trim(lower(col("text")))), 1, 8)))
+      val a = graft.operators.ManagedCache.persist(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), fp.as("fp"))
+          .withColumn("naive_split",
+            splitOf(bucket("split:", col("doc_id"))))
+          .withColumn("group_split",
+            splitOf(bucket("gsplit:", col("fp")))))
+      val cn = a.groupBy(col("source"), col("naive_split").as("split"))
+        .agg(count(lit(1)).as("n_naive"))
+      val cg = a.groupBy(col("source"), col("group_split").as("split"))
+        .agg(count(lit(1)).as("n_group"))
+      def leak(splitCol: String, out: String) = a
+        .groupBy(col("fp"))
+        .agg(countDistinct(col(splitCol)).as("ns"))
+        .filter(col("ns") >= 2)
+        .agg(count(lit(1)).as(out))
+      cn.join(cg, Seq("source", "split"), "full")
+        .select(col("source"), col("split"),
+          coalesce(col("n_naive"), lit(0L)).as("n_naive"),
+          coalesce(col("n_group"), lit(0L)).as("n_group"))
+        .crossJoin(broadcast(leak("naive_split", "leak_naive")))
+        .crossJoin(broadcast(leak("group_split", "leak_group")))
+        .orderBy(col("source"), col("split"))
+    }),
+
+    // ANN recall evaluation — the number that justifies shipping the
+    // LSH path: per query, how much of the EXACT cosine top-5 the
+    // bucket-restricted search recovers. Joins the two result sets
+    // (both already oracle-checked as ann1/ann2) on (query, neighbor)
+    // and emits integer recall per-mille. Both sides broadcast the
+    // 5-query frame; the corpus is scanned, never self-joined.
+    "ann7_recall_eval" -> ((s, dir) => {
+      import graft.functions.{SimilarityFunctions => SF}
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      def top5(scored: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("neighbor_id"))
+      }
+      val exact = top5(e.join(broadcast(q),
+          col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(SF.cosine(col("qv"), col("embedding")), 5).as("cos")))
+      val bucketed = e.select(col("vec_id"), col("embedding"),
+        SF.arithmeticHyperplaneBucket(col("embedding"), 4).as("bucket"))
+      val qb = bucketed.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("bucket").as("qbucket"))
+      val lsh = top5(bucketed.join(broadcast(qb),
+          col("bucket") === col("qbucket") &&
+            col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(SF.cosine(col("qv"), col("embedding")), 5).as("cos")))
+      exact.join(lsh.withColumn("hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("query_id"), col("n_hits"),
+          (col("n_hits") * 200L).as("recall_mille"))
+        .orderBy(col("query_id"))
+    }),
+
     // RAG-style overlapping chunking: 32-token windows advancing by a
     // 24-token stride (8-token overlap keeps context across chunk
     // boundaries); the final chunk may be short, and every token is
@@ -275,6 +359,90 @@ object Curation {
              AS BIGINT) AS n_kept
          FROM bk JOIN thr USING (source)
          GROUP BY source, thr_lo, n_total ORDER BY source""",
+
+    "px12_train_val_split" ->
+      """WITH d AS (SELECT doc_id, source,
+             md5(array_to_string(
+               (string_split_regex(trim(lower(text)), '\s+'))[1:8],
+               ' ')) AS fp
+           FROM documents),
+         a AS (SELECT doc_id, source, fp,
+             CASE WHEN ('0x' || substr(md5('split:' ||
+                 CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80
+               THEN 'train'
+               WHEN ('0x' || substr(md5('split:' ||
+                 CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+               THEN 'val' ELSE 'test' END AS naive_split,
+             CASE WHEN ('0x' || substr(md5('gsplit:' || fp), 1, 15))
+                 ::BIGINT % 100 < 80 THEN 'train'
+               WHEN ('0x' || substr(md5('gsplit:' || fp), 1, 15))
+                 ::BIGINT % 100 < 90 THEN 'val'
+               ELSE 'test' END AS group_split
+           FROM d),
+         cn AS (SELECT source, naive_split AS split,
+             count(*) AS n_naive FROM a GROUP BY 1, 2),
+         cg AS (SELECT source, group_split AS split,
+             count(*) AS n_group FROM a GROUP BY 1, 2),
+         ln AS (SELECT count(*) AS leak_naive FROM (
+           SELECT fp FROM a GROUP BY fp
+           HAVING count(DISTINCT naive_split) >= 2)),
+         lg AS (SELECT count(*) AS leak_group FROM (
+           SELECT fp FROM a GROUP BY fp
+           HAVING count(DISTINCT group_split) >= 2))
+         SELECT source, split,
+           COALESCE(n_naive, 0) AS n_naive,
+           COALESCE(n_group, 0) AS n_group,
+           leak_naive, leak_group
+         FROM cn FULL JOIN cg USING (source, split)
+           CROSS JOIN ln CROSS JOIN lg
+         ORDER BY source, split""",
+
+    "ann7_recall_eval" ->
+      """WITH exact AS (SELECT query_id, neighbor_id FROM (
+             SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                   q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 5)
+                   DESC, e.vec_id) AS rank
+             FROM embeddings q JOIN embeddings e
+               ON e.vec_id != q.vec_id
+             WHERE q.vec_id < 5)
+           WHERE rank <= 5),
+         b AS (SELECT vec_id, embedding,
+               (CASE WHEN list_sum(list_transform(
+                  range(1, len(embedding)+1),
+                  d -> embedding[d]::DOUBLE * ((((d-1)*1+0) % 5) - 2)))
+                  > 0 THEN 1 ELSE 0 END)
+           + 2*(CASE WHEN list_sum(list_transform(
+                  range(1, len(embedding)+1),
+                  d -> embedding[d]::DOUBLE * ((((d-1)*2+1) % 5) - 2)))
+                  > 0 THEN 1 ELSE 0 END)
+           + 4*(CASE WHEN list_sum(list_transform(
+                  range(1, len(embedding)+1),
+                  d -> embedding[d]::DOUBLE * ((((d-1)*3+2) % 5) - 2)))
+                  > 0 THEN 1 ELSE 0 END)
+           + 8*(CASE WHEN list_sum(list_transform(
+                  range(1, len(embedding)+1),
+                  d -> embedding[d]::DOUBLE * ((((d-1)*4+3) % 5) - 2)))
+                  > 0 THEN 1 ELSE 0 END) AS bucket
+           FROM embeddings),
+         lsh AS (SELECT query_id, neighbor_id FROM (
+             SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                   q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 5)
+                   DESC, e.vec_id) AS rank
+             FROM b q JOIN b e
+               ON e.bucket = q.bucket AND e.vec_id != q.vec_id
+             WHERE q.vec_id < 5)
+           WHERE rank <= 5)
+         SELECT exact.query_id,
+           CAST(sum(CASE WHEN lsh.neighbor_id IS NOT NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(200 * sum(CASE WHEN lsh.neighbor_id IS NOT NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS recall_mille
+         FROM exact LEFT JOIN lsh USING (query_id, neighbor_id)
+         GROUP BY exact.query_id ORDER BY query_id""",
 
     "dd18_cross_source_overlap" ->
       """WITH ph AS (SELECT md5(array_to_string(

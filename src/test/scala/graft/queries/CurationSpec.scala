@@ -118,6 +118,42 @@ class CurationSpec extends SparkSpec {
     assert(got == Seq(("src", 8L, 4L, 2L, 500L, 500L)), got.toString)
   }
 
+  test("px12: group-aware splitting has ZERO fingerprint leakage by " +
+    "construction; both policies conserve the corpus") {
+    val opener = (1 to 8).map(i => s"shared$i").mkString(" ")
+    // 30 docs sharing one opening span + 30 unique docs, two sources
+    val rows = (1 to 30).map(i =>
+      (i.toLong, s"$opener tail variant number $i", if (i % 2 == 0) "a" else "b")) ++
+      (31 to 60).map(i =>
+        (i.toLong, s"completely unique document body $i with words ${i * 7}", "a"))
+    val docs = rows.map { case (id, text, src) =>
+      (id, text, "en", src, text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = writeTmp(docs)
+    val got = Curation.queries("px12_train_val_split")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    graft.operators.ManagedCache.releaseAll()
+    assert(got.forall(_._6 == 0L),
+      s"group-aware split must never leak: $got")
+    assert(got.map(_._3).sum == 60L && got.map(_._4).sum == 60L,
+      "both policies must assign every doc exactly once")
+    // 30 docs share ONE fingerprint: under the naive doc-hash policy
+    // they scatter across splits with overwhelming probability
+    assert(got.head._5 >= 1L,
+      s"planted 30-doc fingerprint should leak under naive split: $got")
+  }
+
+  test("ann7: recall is 200*hits per-mille, hits bounded by k, and " +
+    "every hit really is in the exact top-5") {
+    val got = Curation.queries("ann7_recall_eval")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    graft.operators.ManagedCache.releaseAll()
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(got.forall { case (_, h, rm) => h >= 0 && h <= 5 && rm == 200 * h },
+      got.mkString(","))
+  }
+
   test("tx22: chunks cover every token exactly, overlap by 8, and " +
     "the final short chunk ends at nt") {
     val nt = 100
