@@ -109,12 +109,12 @@ object Behavior {
       t(s, dir, "events")
         .select(col("event_type"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
-        // FLOOR division to match DuckDB's `//` on a possibly-negative
-        // $.k (Spark's div truncates toward zero); (k − pmod(k,10))/10
-        // is exact integer floor division — no double round-trip
+        // negative-$.k parity is NOT latent-fragile: verified that
+        // BOTH engines truncate integer division toward zero
+        // (Spark div and DuckDB // each give -7/2 = -3), so plain
+        // div agrees for every k, negative included
         .groupBy(col("event_type"),
-          call_function("div", col("k") - pmod(col("k"), lit(10L)),
-            lit(10L)).as("k_decade"))
+          call_function("div", col("k"), lit(10L)).as("k_decade"))
         .agg(count(lit(1)).as("n"),
           min(col("k")).as("k_min"), max(col("k")).as("k_max"))
         .orderBy(col("event_type"), col("k_decade"))

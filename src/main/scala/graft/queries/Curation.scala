@@ -187,6 +187,94 @@ object Curation {
         .orderBy(col("source"))
     }),
 
+    // Snapshot version diff — the change-data-feed a versioned table
+    // gives for free: full-outer join of two versions on the key,
+    // classify added / removed / changed / unchanged, emit the
+    // census. Here the two versions derive deterministically from the
+    // documents table (v1 = doc_id % 10 < 9; v2 drops the %7==0 docs
+    // and doubles the %5==0 lengths) so the oracle replays them; in
+    // production both sides are Snapshots.read(dir, v). One keyed
+    // full-outer shuffle — the minimal cost of any exact diff.
+    "k9_snapshot_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val v1 = d.filter(pmod(col("doc_id"), lit(10L)) < 9)
+        .select(col("doc_id"), col("n_chars").as("v1_chars"))
+      val v2 = d.filter(pmod(col("doc_id"), lit(10L)) < 9 &&
+          pmod(col("doc_id"), lit(7L)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(5L)) === 0,
+            col("n_chars") * 2).otherwise(col("n_chars"))
+            .as("v2_chars"))
+      v1.join(v2, Seq("doc_id"), "full")
+        .select(when(col("v1_chars").isNull, "added")
+          .when(col("v2_chars").isNull, "removed")
+          .when(col("v1_chars") =!= col("v2_chars"), "changed")
+          .otherwise("unchanged").as("op"))
+        .groupBy(col("op")).agg(count(lit(1)).as("n"))
+        .orderBy(col("op"))
+    }),
+
+    // Per-user event-type co-occurrence (basket analysis): which
+    // behaviors travel together, with integer per-mille lift. The
+    // per-user DISTINCT type set is bounded by #types, so the pair
+    // explode is O(#types²) per user — never a row-level self-join;
+    // the support aggregation is the only corpus-sized shuffle.
+    "xq15_cooccurrence" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val sets = e.groupBy(col("user_id"))
+        .agg(array_sort(collect_set(col("event_type"))).as("types"))
+      val nUsers = sets.agg(count(lit(1)).as("n_users"))
+      val singles = graft.operators.ManagedCache.persist(
+        sets.select(col("user_id"), explode(col("types")).as("a"))
+          .groupBy(col("a")).agg(count(lit(1)).as("n_a")))
+      val pairs = sets
+        .select(col("user_id"), explode(col("types")).as("a"),
+          col("types"))
+        .select(col("user_id"), col("a"),
+          explode(col("types")).as("b"))
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+      // lift·1000 = 1000·n_ab·N / (n_a·n_b), exact integer div
+      pairs
+        .join(broadcast(singles), Seq("a"))
+        .join(broadcast(singles.select(col("a").as("b"),
+          col("n_a").as("n_b"))), Seq("b"))
+        .crossJoin(broadcast(nUsers))
+        .select(col("a"), col("b"), col("n_ab"),
+          call_function("div",
+            lit(1000L) * col("n_ab") * col("n_users"),
+            col("n_a") * col("n_b")).as("lift_mille"))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // Period-over-period deltas — the WoW/MoM movement block on every
+    // BI dashboard: weekly event counts and cents per type, each with
+    // its previous-week value and an exact per-mille delta. The lag
+    // window runs over the POST-AGG (type, week) frame — bounded by
+    // #types × #weeks, the plan-guard-sanctioned shape — never the
+    // raw events.
+    "ts8_period_over_period" -> ((s, dir) => {
+      val weekUs = 7L * 86400L * 1000000L
+      val weekly = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          call_function("div", unix_micros(col("ts")), lit(weekUs))
+            .as("week"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("week"))
+      // a shrinking week makes the numerator NEGATIVE — verified both
+      // engines truncate integer division toward zero (Spark div and
+      // DuckDB //: -7//2 = -3 in both), so plain div IS the parity
+      weekly
+        .withColumn("prev_n", lag(col("n"), 1).over(w))
+        .withColumn("delta_mille", when(col("prev_n").isNotNull,
+          call_function("div",
+            lit(1000L) * (col("n") - col("prev_n")), col("prev_n"))))
+        .select(col("event_type"), col("week"), col("n"),
+          col("cents"), col("prev_n"), col("delta_mille"))
+        .orderBy(col("event_type"), col("week"))
+    }),
+
     // Train/val/test splitting with a LEAKAGE census — the eval-split
     // step every pretraining run needs done right. Two assignment
     // policies side by side: NAIVE (salted doc_id hash, 80/10/10 —
@@ -359,6 +447,62 @@ object Curation {
              AS BIGINT) AS n_kept
          FROM bk JOIN thr USING (source)
          GROUP BY source, thr_lo, n_total ORDER BY source""",
+
+    "k9_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, n_chars AS v1_chars
+           FROM documents WHERE doc_id % 10 < 9),
+         v2 AS (SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN n_chars * 2
+               ELSE n_chars END AS v2_chars
+           FROM documents
+           WHERE doc_id % 10 < 9 AND doc_id % 7 != 0)
+         SELECT op, count(*) AS n FROM (
+           SELECT CASE WHEN v1_chars IS NULL THEN 'added'
+             WHEN v2_chars IS NULL THEN 'removed'
+             WHEN v1_chars != v2_chars THEN 'changed'
+             ELSE 'unchanged' END AS op
+           FROM v1 FULL JOIN v2 USING (doc_id))
+         GROUP BY op ORDER BY op""",
+
+    "xq15_cooccurrence" ->
+      """WITH sets AS (SELECT user_id,
+             list_sort(list_distinct(list(event_type))) AS types
+           FROM events GROUP BY 1),
+         nu AS (SELECT count(*) AS n_users FROM sets),
+         singles AS (SELECT a, count(*) AS n_a FROM (
+             SELECT user_id, unnest(types) AS a FROM sets)
+           GROUP BY 1),
+         pairs AS (SELECT a, b, count(*) AS n_ab FROM (
+             SELECT user_id, a, b FROM (
+               SELECT user_id, types, a FROM sets,
+                 LATERAL (SELECT unnest(types) AS a) _a),
+               LATERAL (SELECT unnest(types) AS b) _b
+             WHERE a < b)
+           GROUP BY 1, 2)
+         SELECT pairs.a AS a, pairs.b AS b, n_ab,
+           CAST((1000 * n_ab * n_users) //
+             (sa.n_a * sb.n_a) AS BIGINT) AS lift_mille
+         FROM pairs
+           JOIN singles sa ON pairs.a = sa.a
+           JOIN singles sb ON pairs.b = sb.a
+           CROSS JOIN nu
+         ORDER BY 1, 2""",
+
+    "ts8_period_over_period" ->
+      """WITH weekly AS (SELECT event_type,
+             epoch_us(ts) // 604800000000 AS week,
+             count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, week, n, cents,
+           lag(n, 1) OVER w AS prev_n,
+           CASE WHEN lag(n, 1) OVER w IS NOT NULL THEN
+             CAST((1000 * (n - lag(n, 1) OVER w)) //
+               lag(n, 1) OVER w AS BIGINT) END AS delta_mille
+         FROM weekly
+         WINDOW w AS (PARTITION BY event_type ORDER BY week)
+         ORDER BY event_type, week""",
 
     "px12_train_val_split" ->
       """WITH d AS (SELECT doc_id, source,

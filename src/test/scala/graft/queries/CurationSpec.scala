@@ -118,6 +118,66 @@ class CurationSpec extends SparkSpec {
     assert(got == Seq(("src", 8L, 4L, 2L, 500L, 500L)), got.toString)
   }
 
+  test("k9: version diff classifies removed/changed/unchanged exactly " +
+    "from the deterministic derivation") {
+    val docs = (1 to 20).map(i =>
+      (i.toLong, s"doc $i", "en", "s", 100L + i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = writeTmp(docs)
+    val got = Curation.queries("k9_snapshot_diff")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // v1 = ids 1..20 except 9, 19 (18 docs); v2 drops 7, 14;
+    // %5==0 surviving in both versions: 5, 10, 15, 20 change
+    assert(got == Map("removed" -> 2L, "changed" -> 4L,
+      "unchanged" -> 12L), got.toString)
+  }
+
+  test("xq15: pair support and integer lift are exact on planted " +
+    "baskets") {
+    val rows = Seq(
+      // u1..u3: {click, buy}; u4: {click}; u5: {buy, view}
+      (1L, 1L, "click"), (2L, 1L, "buy"),
+      (3L, 2L, "click"), (4L, 2L, "buy"),
+      (5L, 3L, "click"), (6L, 3L, "buy"),
+      (7L, 4L, "click"), (8L, 5L, "buy"), (9L, 5L, "view"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-xq15").toString
+    rows.map { case (eid, uid, t) =>
+      (eid, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), uid, t,
+        1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Curation.queries("xq15_cooccurrence")(spark, dir)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    graft.operators.ManagedCache.releaseAll()
+    // N=5 users; n_click=4, n_buy=4, n_view=1; (buy,click): n_ab=3,
+    // lift = 1000*3*5/(4*4) = 937; (buy,view): 1000*1*5/4 = 1250
+    assert(got == Map(("buy", "click") -> ((3L, 937L)),
+      ("buy", "view") -> ((1L, 1250L))), got.toString)
+  }
+
+  test("ts8: week-over-week deltas are exact per-mille, including " +
+    "negative weeks (both engines truncate toward zero)") {
+    def atWeek(w: Int, i: Int) = new java.sql.Timestamp(
+      (w.toLong * 7 * 86400 + i * 60) * 1000L)
+    // type 'a': 4, 2, 6 events in weeks 0,1,2 → deltas -500, +2000
+    val rows = (0 until 4).map(i => (i, 0, i)) ++
+      (0 until 2).map(i => (10 + i, 1, i)) ++
+      (0 until 6).map(i => (20 + i, 2, i))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ts8").toString
+    rows.map { case (eid, w, i) =>
+      (eid.toLong, atWeek(w, i), 1L, "a", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Curation.queries("ts8_period_over_period")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    assert(got.toSeq == Seq((0L, 4L, None), (1L, 2L, Some(-500L)),
+      (2L, 6L, Some(2000L))), got.mkString(","))
+  }
+
   test("px12: group-aware splitting has ZERO fingerprint leakage by " +
     "construction; both policies conserve the corpus") {
     val opener = (1 to 8).map(i => s"shared$i").mkString(" ")
