@@ -50,4 +50,31 @@ object Profile {
     out.toDF("column", "n_rows", "n_null", "n_distinct",
       "min_val", "max_val")
   }
+
+  /** Top-k most frequent values per column (the other half of a
+    * profile card: what the column actually CONTAINS, which min/max
+    * and cardinality can't show). One unpivot scan (explode of a
+    * #cols-entry map — rows × #cols, the unavoidable unpivot cost) →
+    * (column, value) counts with map-side combine → per-column top-k
+    * over the POST-AGG frame, where WindowGroupLimit prunes to ≤k
+    * rows per column before the final shuffle. Values ride as
+    * strings (one schema for every column type, same as profile);
+    * nulls are excluded — the null census is [[profile]]'s job. Ties
+    * break on the value string, so the result is deterministic.
+    */
+  def topValues(df: DataFrame, cols: Seq[String], k: Int = 3)
+      : DataFrame = {
+    require(cols.nonEmpty && k >= 1, "need columns and k >= 1")
+    val kv = cols.flatMap(c => Seq(lit(c), col(c).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("column"))
+      .orderBy(col("n").desc, col("value"))
+    df.select(explode(map(kv: _*)).as(Seq("column", "value")))
+      .filter(col("value").isNotNull)
+      .groupBy(col("column"), col("value"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("column"), col("rk"), col("value"), col("n"))
+  }
 }

@@ -172,6 +172,17 @@ object Extras {
             lit(0.15) * col("n_distinct").cast("double"))
             .cast("int").as("approx_ok"))
         .orderBy(col("column"))
+    }),
+
+    // Top-3 most frequent values per profiled column — the value
+    // histogram half of the profile card. One unpivot scan + counts
+    // with map-side combine; the per-column top-k window runs over
+    // the post-agg (column, value) frame only.
+    "ps3_topk_profile" -> ((s, dir) => {
+      graft.operators.Profile.topValues(
+        graft.Tables.load(s, dir, "orders"),
+        Seq("o_orderstatus", "o_orderpriority", "o_custkey"), 3)
+        .orderBy(col("column"), col("rk"))
     })
   )
 
@@ -230,6 +241,29 @@ object Extras {
              count(DISTINCT l_shipdate), 1
            FROM lineitem)
          ORDER BY "column"""",
+    "ps3_topk_profile" ->
+      """SELECT * FROM (
+           SELECT 'o_orderstatus' AS "column",
+             row_number() OVER (ORDER BY count(*) DESC,
+               CAST(o_orderstatus AS VARCHAR)) AS rk,
+             CAST(o_orderstatus AS VARCHAR) AS value, count(*) AS n
+           FROM orders WHERE o_orderstatus IS NOT NULL
+           GROUP BY o_orderstatus
+           UNION ALL
+           SELECT 'o_orderpriority',
+             row_number() OVER (ORDER BY count(*) DESC,
+               CAST(o_orderpriority AS VARCHAR)),
+             CAST(o_orderpriority AS VARCHAR), count(*)
+           FROM orders WHERE o_orderpriority IS NOT NULL
+           GROUP BY o_orderpriority
+           UNION ALL
+           SELECT 'o_custkey',
+             row_number() OVER (ORDER BY count(*) DESC,
+               CAST(o_custkey AS VARCHAR)),
+             CAST(o_custkey AS VARCHAR), count(*)
+           FROM orders WHERE o_custkey IS NOT NULL
+           GROUP BY o_custkey)
+         WHERE rk <= 3 ORDER BY "column", rk""",
     // each census recomputed from first principles
     "dq1_quality_suite" ->
       """SELECT * FROM (

@@ -52,6 +52,24 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("topValues: per-column top-k with deterministic tie-break, " +
+    "nulls excluded, strings for every type") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("x", Some(1L)), ("x", Some(1L)), ("x", Some(2L)),
+      ("y", Some(2L)), ("y", None), ("z", Some(2L)))
+      .toDF("s", "v")
+    val got = Profile.topValues(df, Seq("s", "v"), 2)
+      .orderBy(col("column"), col("rk"))
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        r.getString(2), r.getLong(3))).toSeq
+    // s: x×3, y×2 (z drops at k=2); v: 2×3, 1×2; the null v is
+    // excluded from the census entirely
+    assert(got == Seq(("s", 1, "x", 3L), ("s", 2, "y", 2L),
+      ("v", 1, "2", 3L), ("v", 2, "1", 2L)), got.toString)
+  }
+
   test("approx profile plans without Expand; exact plans with it") {
     val cols = Seq("id", "grp", "s")
     def planOf(approx: Boolean): String = {
