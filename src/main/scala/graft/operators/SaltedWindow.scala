@@ -66,15 +66,22 @@ object SaltedWindow {
       org.apache.spark.sql.types.LongType,
       s"$usCol must be LONG epoch microseconds")
     val bucket = call_function("div", col(usCol), lit(windowUs))
-    val base = df.withColumn(bucketCol, bucket)
-      .withColumn(echoCol, lit(false))
-    val echo = df.withColumn(bucketCol, bucket + 1)
-      .withColumn(echoCol, lit(true))
+    // ONE scan: each row explodes into (own bucket, echo in the next
+    // bucket) — a union of two branches would read the source twice,
+    // which at 100 TB doubles the dominant cost (the scan) for no
+    // semantic difference
+    val pairCol = "__swin_pair"
+    val expanded = df
+      .withColumn(pairCol, explode(array(
+        struct(bucket.as("b"), lit(false).as("e")),
+        struct((bucket + 1).as("b"), lit(true).as("e")))))
+      .withColumn(bucketCol, col(s"$pairCol.b"))
+      .withColumn(echoCol, col(s"$pairCol.e"))
     val w = Window
       .partitionBy(partCols.map(col) :+ col(bucketCol): _*)
       .orderBy(col(usCol))
       .rangeBetween(-windowUs, 0L)
-    base.unionByName(echo)
+    expanded
       .select(df.columns.map(col) ++ (col(echoCol) +: aggs(w)): _*)
       .filter(!col(echoCol))
       .drop(echoCol)

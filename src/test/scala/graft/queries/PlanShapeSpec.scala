@@ -181,12 +181,15 @@ class PlanShapeSpec extends SparkSpec {
     // the Window node's partition spec must carry the salt bucket
     assert(p.contains("__swin_bucket"),
       s"salt bucket missing from plan:\n${p.linesIterator.take(40).mkString("\n")}")
-    // one hashpartitioning exchange for the window (the union reads
-    // the same scan twice, narrow), plus the output range sort only
+    // one hashpartitioning exchange for the window plus the output
+    // range sort — and ONE parquet scan (the echo rides a 2-row
+    // explode, never a second read of the source)
     assert(count(p, "hashpartitioning") == 1 &&
       count(p, "\\(\\d+\\) Exchange") == 2,
       p.linesIterator.filter(l => l.contains("Exchange") ||
         l.contains("partitioning")).mkString("\n"))
+    assert(count(p, "\\(\\d+\\) Scan parquet") == 1,
+      p.linesIterator.filter(_.contains("Scan")).mkString("\n"))
   }
 
   test("filters reach the parquet scan as PushedFilters — not " +
