@@ -183,6 +183,17 @@ object Extras {
         graft.Tables.load(s, dir, "orders"),
         Seq("o_orderstatus", "o_orderpriority", "o_custkey"), 3)
         .orderBy(col("column"), col("rk"))
+    }),
+
+    // Key-skew pre-flight (operators.SkewProbe): per candidate
+    // partition key, exact per-key count order statistics + hot-key
+    // share, computed on the frequency-of-frequencies frame — the
+    // diagnosis a 100 TB job runs BEFORE picking its shuffle keys.
+    "xq16_key_skew" -> ((s, dir) => {
+      graft.operators.SkewProbe.keySkew(
+        graft.Tables.load(s, dir, "events"),
+        Seq("user_id", "event_type"))
+        .orderBy(col("key_col"))
     })
   )
 
@@ -264,6 +275,35 @@ object Extras {
            FROM orders WHERE o_custkey IS NOT NULL
            GROUP BY o_custkey)
          WHERE rk <= 3 ORDER BY "column", rk""",
+    "xq16_key_skew" ->
+      """WITH probe AS (
+           SELECT 'user_id' AS key_col, CAST(user_id AS VARCHAR) AS k
+           FROM events
+           UNION ALL
+           SELECT 'event_type', event_type FROM events),
+         counts AS (SELECT key_col, k, count(*) AS c
+           FROM probe GROUP BY 1, 2),
+         fof AS (SELECT key_col, c, count(*) AS nk
+           FROM counts GROUP BY 1, 2),
+         tot AS (SELECT key_col, CAST(sum(nk) AS BIGINT) AS n_keys,
+             CAST(sum(c * nk) AS BIGINT) AS n_rows,
+             max(c) AS max_count
+           FROM fof GROUP BY 1),
+         cum AS (SELECT key_col, c, nk,
+             SUM(nk) OVER (PARTITION BY key_col ORDER BY c) AS cum
+           FROM fof),
+         q AS (SELECT cum.key_col,
+             MIN(CASE WHEN cum >= (50 * n_keys + 99) // 100
+               THEN c END) AS p50_count,
+             MIN(CASE WHEN cum >= (99 * n_keys + 99) // 100
+               THEN c END) AS p99_count
+           FROM cum JOIN tot USING (key_col) GROUP BY 1)
+         SELECT key_col, n_keys, n_rows, max_count,
+           p50_count, p99_count,
+           CAST((1000 * max_count) // n_rows AS BIGINT)
+             AS hot_share_mille
+         FROM tot JOIN q USING (key_col)
+         ORDER BY key_col""",
     // each census recomputed from first principles
     "dq1_quality_suite" ->
       """SELECT * FROM (

@@ -226,6 +226,27 @@ class ScaleOpsSpec extends SparkSpec {
     assert(m == Map("a" -> 5L, "b" -> 3L, "c" -> 1L))
   }
 
+  test("SkewProbe: planted 90% hot key shows in max/hot-share while " +
+    "uniform keys stay flat; percentiles are exact") {
+    // 'hot' holds 900 rows; 100 cold keys hold 1 row each
+    val rows = Seq.fill(900)("hot") ++ (0 until 100).map(i => s"k$i")
+    val df = rows.toDF("key").repartition(5)
+    val got = SkewProbe.keySkew(df, Seq("key")).collect().head
+    graft.operators.ManagedCache.releaseAll()
+    assert(got.getLong(1) == 101L && got.getLong(2) == 1000L)
+    assert(got.getLong(3) == 900L, s"max: $got")
+    // p50 over 101 keys = 51st smallest count = 1; p99 = 100th = 1
+    // (the hot key is the 101st) — exact crossing, not an estimate
+    assert(got.getLong(4) == 1L && got.getLong(5) == 1L, got.toString)
+    assert(got.getLong(6) == 900L, s"hot share: $got") // 900‰
+    // a uniform key has max == p50 == p99
+    val uni = (0 until 500).map(i => s"u${i % 50}").toDF("key")
+    val g2 = SkewProbe.keySkew(uni, Seq("key")).collect().head
+    graft.operators.ManagedCache.releaseAll()
+    assert(g2.getLong(3) == 10L && g2.getLong(4) == 10L &&
+      g2.getLong(5) == 10L, g2.toString)
+  }
+
   test("source guard: no operator uses the boxed df.rdd round-trip") {
     // The round-6 perf bug class: `df.rdd` deserializes every row out
     // of Tungsten (boxed Row) and `createDataFrame` re-serializes it.

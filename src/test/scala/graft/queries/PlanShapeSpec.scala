@@ -112,7 +112,12 @@ class PlanShapeSpec extends SparkSpec {
     // scale regression (the 1-row broadcast crossJoins plan as
     // BroadcastNestedLoopJoin over bounded frames — allowed; a
     // whitelist entry here must carry a documented bound)
-    val whitelist = Set.empty[String]
+    val whitelist = Set(
+      // xq16's single-partition window runs over the frequency-of-
+      // frequencies frame only — rows = #DISTINCT per-key counts
+      // (hundreds at any data scale), never keys or fact rows
+      // (SkewProbe.scala quantile step)
+      "xq16_key_skew")
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val p = fn(spark, sf0001).queryExecution
