@@ -71,6 +71,43 @@ class SaltedWindowSpec extends SparkSpec {
     assert(got.toSeq == Seq(5L, 12L, 23L, 13L))
   }
 
+  test("seeded-random differential sweep: salted == unsalted across " +
+    "window widths, key counts, and clustering shapes") {
+    val rnd = new scala.util.Random(0xC0FFEE)
+    for (trial <- 1 to 6) {
+      val wUs = Seq(7L, 100L, 1000L, 86400L)(trial % 4)
+      val nKeys = 1 + rnd.nextInt(4)
+      val n = 300 + rnd.nextInt(700)
+      // mix of clustered runs (bursts near a bucket boundary) and
+      // uniform scatter; duplicates and zero timestamps included
+      val rows = (1 to n).map { i =>
+        val us =
+          if (rnd.nextBoolean()) {
+            val boundary = (1 + rnd.nextInt(10)).toLong * wUs
+            math.max(0L, boundary + rnd.nextInt(21) - 10)
+          } else rnd.nextLong(40 * wUs)
+        (i.toLong, s"k${rnd.nextInt(nKeys)}", us,
+          rnd.nextInt(1000).toLong)
+      }.toDF("id", "k", "us", "v").repartition(5)
+      val plain = Window.partitionBy($"k").orderBy($"us")
+        .rangeBetween(-wUs, 0L)
+      val expected = df2seq(rows.select($"id",
+        count(lit(1)).over(plain).as("n"),
+        sum($"v").over(plain).as("s"),
+        max($"v").over(plain).as("m")))
+      val got = df2seq(SaltedWindow.trailing(rows, Seq("k"), "us", wUs)(
+        w => Seq(count(lit(1)).over(w).as("n"),
+          sum($"v").over(w).as("s"), max($"v").over(w).as("m")))
+        .select($"id", $"n", $"s", $"m"))
+      assert(got == expected, s"trial $trial (wUs=$wUs nKeys=$nKeys)")
+    }
+  }
+
+  private def df2seq(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+
   test("a non-long order column is rejected") {
     val df = Seq((1, "a", 1.5, 2L)).toDF("id", "k", "us", "v")
     intercept[IllegalArgumentException] {
