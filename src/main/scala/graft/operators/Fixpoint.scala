@@ -145,19 +145,36 @@ object GraphIterations {
     }
   }
 
-  /** Deterministic synchronous label propagation (most-frequent
-    * neighbor label, ties to the MINIMUM label — xg3's rule) iterated
-    * until no label changes. Plain LPA can 2-cycle on bipartite
-    * structure, so non-convergence within `maxIter` is reported via
-    * the flag, not an exception. `edges` must be symmetrized.
-    * Returns (node, lbl).
+  /** Deterministic label propagation (most-frequent neighbor label,
+    * ties to the MINIMUM label — xg3's rule) iterated until no label
+    * changes. `edges` must be symmetrized. Returns (node, lbl).
+    *
+    * Pure SYNCHRONOUS updates (`retention = false`, exactly xg3's
+    * unrolled rule) provably 2-cycle on bipartite structure — both
+    * sides swap labels forever — so non-convergence within `maxIter`
+    * is reported via the flag, not an exception. `retention = true`
+    * (default) adds each node's OWN current label to its vote (a
+    * self-loop in the voting edge set — the "label retention" /
+    * lazy-dynamics variant the LPA literature prescribes against
+    * synchronous oscillation). The tie rule stays min-label, but with
+    * the self-vote counted a bipartite pair no longer swaps: both
+    * sides see the same tied multiset {own, other} and resolve to the
+    * same minimum instead of exchanging labels forever. Settled
+    * communities are untouched (the majority there already dominates
+    * any single self-vote). Same single join + two-level agg per
+    * round; the self-loops just add |V| rows to the |E|-row vote. The
+    * converged flag still reports honestly if a structure oscillates.
     */
-  def labelPropagationConverged(edges: DataFrame, maxIter: Int = 30)
-      : Fixpoint.Result = {
+  def labelPropagationConverged(edges: DataFrame, maxIter: Int = 30,
+      retention: Boolean = true): Fixpoint.Result = {
+    val base = edges.select(col("src"), col("dst")).distinct()
+    val nodes = base.select(col("src").as("node")).distinct()
     val e = ManagedCache.persist(
-      edges.select(col("src"), col("dst")).distinct())
-    val l0 = e.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
+      if (retention)
+        base.unionByName(
+          nodes.select(col("node").as("src"), col("node").as("dst")))
+      else base)
+    val l0 = nodes.select(col("node"), col("node").as("lbl"))
     Fixpoint.iterate(l0,
       changed = sum(when(col("lbl") =!= col("prev"), 1L).otherwise(0L)),
       project = Seq("node", "lbl"), maxIter = maxIter,
@@ -169,9 +186,14 @@ object GraphIterations {
         .groupBy(col("dst"))
         .agg(min(struct((-col("n")).as("neg"), col("slbl").as("l")))
           .as("best"))
-        .select(col("dst").as("node"), col("best.l").as("lbl"))
-      nxt.join(cur.select(col("node"), col("lbl").as("prev")),
-        Seq("node"))
+        .select(col("dst").as("node"), col("best.l").as("newLbl"))
+      // right join against the label spine: with self-loops every
+      // node votes, but the pure-sync path may leave isolated nodes
+      // without a vote row — they keep their label
+      nxt.join(cur, Seq("node"), "right")
+        .select(col("node"),
+          coalesce(col("newLbl"), col("lbl")).as("lbl"),
+          col("lbl").as("prev"))
     }
   }
 

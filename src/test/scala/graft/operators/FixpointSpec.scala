@@ -41,25 +41,53 @@ class FixpointSpec extends SparkSpec {
   }
 
   test("labelPropagationConverged: two planted cliques settle on " +
-    "their min labels and stop changing") {
+    "their min labels and stop changing — under both the pure-sync " +
+    "xg3 rule and the retention default") {
     val k4 = for {
       base <- Seq(0L, 10L); i <- 0 to 3; j <- (i + 1) to 3
     } yield (base + i, base + j)
-    val r = GraphIterations.labelPropagationConverged(sym(k4))
-    assert(r.converged && r.rounds >= 3, s"rounds=${r.rounds}")
-    val lbl = r.frame.collect()
-      .map(x => x.getLong(0) -> x.getLong(1)).toMap
-    assert((0L to 3L).map(lbl).toSet == Set(0L), lbl.toString)
-    assert((10L to 13L).map(lbl).toSet == Set(10L), lbl.toString)
+    for (ret <- Seq(false, true)) {
+      val r = GraphIterations.labelPropagationConverged(sym(k4),
+        retention = ret)
+      assert(r.converged && r.rounds >= 2, s"ret=$ret rounds=${r.rounds}")
+      val lbl = r.frame.collect()
+        .map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert((0L to 3L).map(lbl).toSet == Set(0L), s"ret=$ret $lbl")
+      assert((10L to 13L).map(lbl).toSet == Set(10L), s"ret=$ret $lbl")
+    }
   }
 
-  test("labelPropagationConverged: a 2-node bipartite oscillator is " +
-    "reported unconverged via the flag, not an exception or a lie") {
-    // nodes 0,1 with one edge: labels swap forever under synchronous
-    // update (0 adopts 1's label, 1 adopts 0's — a 2-cycle)
-    val r = GraphIterations.labelPropagationConverged(
+  test("labelPropagationConverged: the pure-sync variant 2-cycles " +
+    "on a bipartite oscillator (flagged, not an exception); the " +
+    "retention default CONVERGES on the same input") {
+    // nodes 0,1 with one edge: under synchronous update the labels
+    // swap forever (0 adopts 1's, 1 adopts 0's)
+    val sync = GraphIterations.labelPropagationConverged(
+      sym(Seq((0L, 1L))), maxIter = 6, retention = false)
+    assert(!sync.converged && sync.rounds == 6)
+    // retention: both see the tied multiset {0, 1} and resolve to the
+    // same min — node 1 adopts 0, node 0 keeps 0, fixed point
+    val ret = GraphIterations.labelPropagationConverged(
       sym(Seq((0L, 1L))), maxIter = 6)
-    assert(!r.converged && r.rounds == 6)
+    assert(ret.converged, s"rounds=${ret.rounds}")
+    val lbl = ret.frame.collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(lbl(0L) == lbl(1L), lbl.toString)
+  }
+
+  test("labelPropagationConverged retention converges on a larger " +
+    "bipartite graph where pure-sync oscillates, and both sides " +
+    "agree on one community label") {
+    // complete bipartite K_{3,3}: the canonical LPA oscillator
+    val k33 = for (u <- 0L to 2L; v <- 10L to 12L) yield (u, v)
+    val sync = GraphIterations.labelPropagationConverged(
+      sym(k33), maxIter = 8, retention = false)
+    assert(!sync.converged)
+    val ret = GraphIterations.labelPropagationConverged(
+      sym(k33), maxIter = 20)
+    assert(ret.converged, s"rounds=${ret.rounds}")
+    val lbls = ret.frame.collect().map(_.getLong(1)).toSet
+    assert(lbls.size == 1, s"one community expected: $lbls")
   }
 
   test("kcoreConverged peels a tail one node per round (the " +
