@@ -52,6 +52,8 @@ object Fixpoint {
         case null => 0L // empty frame: aggregate over zero rows
         case n: java.lang.Long => n.longValue()
       }
+      if (sys.env.contains("GRAFT_FIXPOINT_TRACE"))
+        System.err.println(s"[fixpoint $runId] round=$rounds changed=$delta")
       cur = if (project.isEmpty) next else next.select(project.map(col): _*)
       rounds += 1
     }
@@ -149,24 +151,44 @@ object GraphIterations {
     * ties to the MINIMUM label — xg3's rule) iterated until no label
     * changes. `edges` must be symmetrized. Returns (node, lbl).
     *
-    * Pure SYNCHRONOUS updates (`retention = false`, exactly xg3's
-    * unrolled rule) provably 2-cycle on bipartite structure — both
-    * sides swap labels forever — so non-convergence within `maxIter`
-    * is reported via the flag, not an exception. `retention = true`
-    * (default) adds each node's OWN current label to its vote (a
-    * self-loop in the voting edge set — the "label retention" /
-    * lazy-dynamics variant the LPA literature prescribes against
-    * synchronous oscillation). The tie rule stays min-label, but with
-    * the self-vote counted a bipartite pair no longer swaps: both
-    * sides see the same tied multiset {own, other} and resolve to the
-    * same minimum instead of exchanging labels forever. Settled
-    * communities are untouched (the majority there already dominates
-    * any single self-vote). Same single join + two-level agg per
-    * round; the self-loops just add |V| rows to the |E|-row vote. The
-    * converged flag still reports honestly if a structure oscillates.
+    * Pure SYNCHRONOUS updates (`waves = 1, retention = false`,
+    * exactly xg3's unrolled rule) provably 2-cycle on bipartite
+    * structure — both sides swap labels forever — so non-convergence
+    * within `maxIter` is reported via the flag, not an exception.
+    * Two independent oscillation brakes, composable:
+    *
+    *  - `retention = true`: each node's OWN current label joins its
+    *    vote (self-loops in the voting edge set — the lazy-dynamics
+    *    variant). Breaks tie-swaps on small motifs (a lone pair both
+    *    sees {own, other} and resolves to the same min), but on large
+    *    tie-dominated graphs the min labels themselves keep hopping
+    *    sides, so retention ALONE can still oscillate (measured: on
+    *    the part↔supplier graph every node flips every round).
+    *  - `waves = k > 1`: SEMI-SYNCHRONOUS update in the style the LPA
+    *    literature prescribes (update one color class of a proper
+    *    coloring at a time). Each round runs k sweeps; sweep w
+    *    recomputes votes from the CURRENT state but applies them only
+    *    to nodes with `node % k == w`, so later classes see earlier
+    *    classes' fresh labels. With the engine's side-tagged even/odd
+    *    node encoding (xg4's convention), `waves = 2` makes the
+    *    residue classes a PROPER 2-coloring of any bipartite graph —
+    *    no two adjacent nodes co-update, which removes the swap cycle
+    *    entirely. Each sweep's vote is restricted to edges INTO its
+    *    class (`dst % k == w`), so a full round shuffles the same
+    *    ~|E| vote rows as one synchronous sweep — k× the jobs, not
+    *    k× the data. Sweeps after the first read a checkpointed
+    *    frame: the class state feeds both the join spine and the next
+    *    vote, and leaving that self-reference unmaterialized makes
+    *    size-stats estimation multiply through the duplicated subtree
+    *    (observed: minutes of BigInteger math at planning time).
+    *
+    * For residue classes that are NOT a proper coloring (general
+    * graphs), waves still help (fewer simultaneous neighbors) but
+    * guarantee nothing — the converged flag stays the honest signal.
     */
   def labelPropagationConverged(edges: DataFrame, maxIter: Int = 30,
-      retention: Boolean = true): Fixpoint.Result = {
+      retention: Boolean = true, waves: Int = 1): Fixpoint.Result = {
+    require(waves >= 1, "waves must be >= 1")
     val base = edges.select(col("src"), col("dst")).distinct()
     val nodes = base.select(col("src").as("node")).distinct()
     val e = ManagedCache.persist(
@@ -175,11 +197,12 @@ object GraphIterations {
           nodes.select(col("node").as("src"), col("node").as("dst")))
       else base)
     val l0 = nodes.select(col("node"), col("node").as("lbl"))
-    Fixpoint.iterate(l0,
-      changed = sum(when(col("lbl") =!= col("prev"), 1L).otherwise(0L)),
-      project = Seq("node", "lbl"), maxIter = maxIter,
-      requireConverged = false) { (cur, _) =>
-      val nxt = e.join(cur.select(col("node").as("src"),
+    // one sweep: recompute votes for nodes in residue class w (all
+    // nodes when waves == 1) from `cur`, apply; other nodes keep
+    def sweep(cur: DataFrame, w: Int): DataFrame = {
+      val ew = if (waves == 1) e
+        else e.filter(pmod(col("dst"), lit(waves.toLong)) === w)
+      val nxt = ew.join(cur.select(col("node").as("src"),
           col("lbl").as("slbl")), Seq("src"))
         .groupBy(col("dst"), col("slbl"))
         .agg(count(lit(1)).as("n"))
@@ -187,13 +210,20 @@ object GraphIterations {
         .agg(min(struct((-col("n")).as("neg"), col("slbl").as("l")))
           .as("best"))
         .select(col("dst").as("node"), col("best.l").as("newLbl"))
-      // right join against the label spine: with self-loops every
-      // node votes, but the pure-sync path may leave isolated nodes
-      // without a vote row — they keep their label
+      // right join against the label spine: nodes outside the class
+      // (or isolated under pure-sync) keep their label
       nxt.join(cur, Seq("node"), "right")
         .select(col("node"),
-          coalesce(col("newLbl"), col("lbl")).as("lbl"),
-          col("lbl").as("prev"))
+          coalesce(col("newLbl"), col("lbl")).as("lbl"))
+    }
+    Fixpoint.iterate(l0,
+      changed = sum(when(col("lbl") =!= col("prev"), 1L).otherwise(0L)),
+      project = Seq("node", "lbl"), maxIter = maxIter,
+      requireConverged = false) { (cur, _) =>
+      var st = sweep(cur, 0)
+      for (w <- 1 until waves) st = sweep(st.localCheckpoint(true), w)
+      st.join(cur.select(col("node"), col("lbl").as("prev")),
+        Seq("node"))
     }
   }
 

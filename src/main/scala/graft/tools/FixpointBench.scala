@@ -34,8 +34,11 @@ object FixpointBench {
         (r.frame.count(), r.rounds, r.converged)
       }),
       "lpa_converged" -> (() => {
+        // the graph is side-tagged even/odd, so waves=2 updates on a
+        // proper 2-coloring — semi-sync, guaranteed oscillation-free
         val r = GraphIterations.labelPropagationConverged(bipartite,
-          maxIter = 30)
+          maxIter = sys.env.getOrElse("FIXBENCH_LPA_MAXITER", "30").toInt,
+          waves = 2)
         (r.frame.count(), r.rounds, r.converged)
       }),
       "kcore_converged_union" -> (() => {
@@ -52,7 +55,10 @@ object FixpointBench {
         (r.frame.count(), r.rounds, r.converged)
       }))
 
-    for ((name, run) <- ops; pass <- 1 to passes) {
+    val only = sys.env.get("FIXBENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    for ((name, run) <- ops if only.forall(_.exists(name.startsWith));
+        pass <- 1 to passes) {
       val t0 = System.nanoTime()
       val (rows, rounds, conv) = run()
       val dt = (System.nanoTime() - t0) / 1e9

@@ -90,6 +90,25 @@ class FixpointSpec extends SparkSpec {
     assert(lbls.size == 1, s"one community expected: $lbls")
   }
 
+  test("labelPropagationConverged waves=2 on a parity-encoded " +
+    "complete bipartite graph: single-wave pure-sync oscillates, the " +
+    "two-wave semi-sync (parity = the proper 2-coloring) converges " +
+    "to one community") {
+    // side-tagged ids, xg4's convention: side A = evens {0,2,4},
+    // side B = odds {1,3,5}; complete bipartite
+    val kp = for (u <- Seq(0L, 2L, 4L); v <- Seq(1L, 3L, 5L)) yield (u, v)
+    val sync = GraphIterations.labelPropagationConverged(
+      sym(kp), maxIter = 8, retention = false)
+    assert(!sync.converged)
+    for (ret <- Seq(false, true)) {
+      val sw = GraphIterations.labelPropagationConverged(
+        sym(kp), maxIter = 10, retention = ret, waves = 2)
+      assert(sw.converged, s"ret=$ret rounds=${sw.rounds}")
+      val lbls = sw.frame.collect().map(_.getLong(1)).toSet
+      assert(lbls.size == 1, s"ret=$ret one community expected: $lbls")
+    }
+  }
+
   test("kcoreConverged peels a tail one node per round (the " +
     "multi-round case a fixed unroll would get wrong) and keeps the " +
     "clique intact") {
