@@ -95,7 +95,8 @@ object Registry {
     (TimeSeries.queries, TimeSeries.oracle),
     (LmOps.queries, LmOps.oracle),
     (Behavior.queries, Behavior.oracle),
-    (Curation.queries, Curation.oracle)
+    (Curation.queries, Curation.oracle),
+    (Stats.queries, Stats.oracle)
   )
 
   lazy val all: Map[String, Q] = {
