@@ -110,4 +110,30 @@ object IncrementalView {
       else col(c)
     }: _*)
   }
+
+  /** Algebraic delta JOIN — maintain a materialized A ⋈ B under
+    * APPEND-ONLY batches without any view key and without re-reading
+    * the materialized join at all:
+    *
+    *   Δ(A ⋈ B) = ΔA ⋈ B  ∪  A ⋈ ΔB  ∪  ΔA ⋈ ΔB
+    *
+    * with A, B the PRE-batch states; appending the returned rows
+    * brings the view current. This is the classic incremental-join
+    * identity the keyed rebuild ([[refreshKeyed]]) cannot match when
+    * the join has no stable key or the view is too large to semi/anti
+    * re-scan. Both deltas are batch-sized, so every term broadcasts a
+    * delta side — the two old-state scans are each driven by a
+    * broadcast hash join on the batch's keys, and Catalyst prunes
+    * them to the join columns; nothing ever shuffles the big tables.
+    * Updates/deletes need retraction semantics (signed multiplicities)
+    * — out of scope here; route keyed workloads with deletions
+    * through [[refreshKeyed]].
+    */
+  def deltaJoin(aOld: DataFrame, aDelta: DataFrame, bOld: DataFrame,
+      bDelta: DataFrame, joinKeys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    broadcast(aDelta).join(bOld, joinKeys)
+      .unionByName(aOld.join(broadcast(bDelta), joinKeys))
+      .unionByName(broadcast(aDelta).join(bDelta, joinKeys))
+  }
 }

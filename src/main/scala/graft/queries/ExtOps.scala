@@ -831,6 +831,32 @@ object ExtOps {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Algebraic delta JOIN maintenance — the third IVM shape: a
+    // materialized orders⋈lineitem view brought current under
+    // append-only batches on BOTH sides via
+    // Δ = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB, never re-reading the view (xv1
+    // semi/anti re-scans it; xv2 needs additive measures; this needs
+    // neither). Every term broadcasts a delta side, so the two
+    // old-state scans are broadcast-hash-driven and column-pruned —
+    // nothing shuffles the big tables. The oracle is the INDEPENDENT
+    // formulation (new-state join) EXCEPT ALL (old-state join) — bag
+    // difference — so an algebra mistake (a missed cross term, a
+    // duplicated row) breaks the hash.
+    "xv3_incr_join_delta" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+          round(col("l_quantity"), 2).as("qty"))
+      val oOld = o.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+      val oDel = o.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+      val lOld = l.filter(col("l_linenumber") <= 3)
+      val lDel = l.filter(col("l_linenumber") > 3)
+      graft.operators.IncrementalView
+        .deltaJoin(oOld, oDel, lOld, lDel, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"), col("l_linenumber"))
+    }),
+
     // IQR outlier detection (Tukey fences) per event type — the
     // data-quality screen between quality scores (tx2/tx8) and
     // dedup: values above q3 + 1.5·IQR flagged. All arithmetic is
@@ -1001,6 +1027,21 @@ object ExtOps {
            count(*) AS n_items
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          GROUP BY 1, 2 ORDER BY o_orderkey""",
+    // the INDEPENDENT formulation of the join delta: bag difference
+    // between the new-state join and the old-state join
+    "xv3_incr_join_delta" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority FROM orders),
+         l AS (SELECT l_orderkey AS o_orderkey, l_linenumber,
+             round(l_quantity, 2) AS qty FROM lineitem)
+       SELECT o_orderkey, o_orderpriority, l_linenumber, qty FROM (
+         SELECT o.o_orderkey, o_orderpriority, l_linenumber, qty
+         FROM o JOIN l ON l.o_orderkey = o.o_orderkey
+         EXCEPT ALL
+         SELECT o2.o_orderkey, o_orderpriority, l_linenumber, qty
+         FROM (SELECT * FROM o WHERE o_orderkey % 7 <> 0) o2
+         JOIN (SELECT * FROM l WHERE l_linenumber <= 3) l2
+           ON l2.o_orderkey = o2.o_orderkey)
+       ORDER BY o_orderkey, l_linenumber""",
     // ann3 is deterministic arithmetic end to end (label cells stand
     // in for k-means assignments; centroids are per-dim means cast to
     // float32), so the oracle replays the full IVF pipeline: centroid

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TextFunctions => TF}
+import graft.functions.{SimilarityFunctions => SF, TextFunctions => TF}
 
 /** Statistical / relationship analytics: correlation matrix,
   * chi-square independence, market-concentration indices (HHI +
@@ -252,6 +252,107 @@ object Stats {
         call_function("div",
           (col("sy") * col("sxx") - col("sx") * col("sxy")) * lit(1000000L),
           den).as("intercept_micro"))
+    }),
+
+    // CUSUM changepoint detection per event type: the day where the
+    // cumulative deviation from the series mean peaks — the classic
+    // single-changepoint estimator. Denominator-cleared to exact
+    // integers: C_k = n·(Σ_{d≤k} x_d) − k·S peaks exactly where
+    // Σ(x−μ) does (μ = S/n), so no rational mean ever materializes.
+    // The fact table reduces FIRST to the (type, day) daily census;
+    // the running sum's window partitions by event_type over that
+    // census — bounded by calendar days per type, never fact-sized.
+    // Ties on |C| break to the earliest day via one max(struct).
+    "ts10_cusum_changepoint" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("event_type").as("et"),
+          call_function("div", unix_micros(col("ts")),
+            lit(86400000000L)).as("day"))
+        .groupBy(col("et"), col("day")).agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy(col("et")).orderBy(col("day"))
+      val tot = daily.groupBy(col("et"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+      val c = daily
+        .withColumn("k", row_number().over(w))
+        .withColumn("cumx", sum(col("x")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .join(broadcast(tot), Seq("et"))
+        .withColumn("cdev", col("n") * col("cumx") - col("k") * col("s"))
+      c.groupBy(col("et"))
+        .agg(max(col("n")).as("n_days"),
+          max(struct(abs(col("cdev")).as("a"), (-col("day")).as("nd")))
+            .as("pk"))
+        .select(col("et").as("event_type"), col("n_days"),
+          (-col("pk.nd")).as("cp_day"), col("pk.a").as("cusum_peak"))
+        .orderBy(col("event_type"))
+    }),
+
+    // EXACT ROC-AUC of the px8 hash-feature quality classifier
+    // against an independent length-band label, via the Mann-Whitney
+    // rank-sum identity AUC = U / (n₁·n₀) — computed WITHOUT ranking
+    // individual documents: the corpus reduces to the per-distinct-
+    // score (n_pos, n_neg) census first, the below-count prefix runs
+    // over that bounded census through PrefixSum (two-pass
+    // distributed prefix — no single-partition window), and ties get
+    // the standard half credit, doubled into integers: U·2 =
+    // Σ n₁(s)·(2·cum₀(<s) + n₀(s)). One corpus scan + one census
+    // shuffle, everything after is census-sized.
+    "px13_auc_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // px8's exact scoring: hashed-bucket token weights, summed per
+      // doc over token OCCURRENCES (docs with no tokens are out of
+      // the classifier's domain, as in px8)
+      val toks = docs.select(col("doc_id"),
+          explode(split(trim(regexp_replace(lower(col("text")),
+            "[^a-z0-9]+", " ")), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val bucket = pmod(SF.md5hash60(concat(lit("ft:"), col("tok"))),
+        lit(1024L))
+      val weight = pmod(bucket * lit(2654435761L), lit(2001L)) -
+        lit(1000L)
+      val scores = toks.select(col("doc_id"), weight.as("w"))
+        .groupBy(col("doc_id")).agg(sum(col("w")).as("sc"))
+      val lab = scores.join(docs.select(col("doc_id"),
+        col("n_chars").between(200, 8000).cast("long").as("y")),
+        Seq("doc_id"))
+      val g = lab.groupBy(col("sc"))
+        .agg(sum(col("y")).as("n1"), sum(lit(1L) - col("y")).as("n0"))
+      val c = graft.operators.PrefixSum.withRunningSum(
+        g, Seq("sc"), "n0", "cum0")
+      c.agg(sum(col("n1")).as("np"), sum(col("n0")).as("nn"),
+          sum(col("n1") * (lit(2L) * col("cum0") - col("n0"))).as("u2"))
+        .select(col("np").as("n_pos"), col("nn").as("n_neg"),
+          floor(col("u2").cast("double") * lit(1000000.0) /
+            (lit(2.0) * col("np").cast("double") *
+              col("nn").cast("double"))).cast("long").as("auc_micro"))
+    }),
+
+    // Calibration / reliability table for the same classifier: fixed
+    // 2000-wide score buckets (truncating div, both engines agree on
+    // negatives), observed positive rate per bucket in integer
+    // per-mille. The eval every score-thresholding curation pipeline
+    // needs next to its AUC; census-sized after one corpus scan.
+    "px14_calibration" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+          explode(split(trim(regexp_replace(lower(col("text")),
+            "[^a-z0-9]+", " ")), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val bucket = pmod(SF.md5hash60(concat(lit("ft:"), col("tok"))),
+        lit(1024L))
+      val weight = pmod(bucket * lit(2654435761L), lit(2001L)) -
+        lit(1000L)
+      toks.select(col("doc_id"), weight.as("w"))
+        .groupBy(col("doc_id")).agg(sum(col("w")).as("sc"))
+        .join(t(s, dir, "documents").select(col("doc_id"),
+          col("n_chars").between(200, 8000).cast("long").as("y")),
+          Seq("doc_id"))
+        .groupBy(call_function("div", col("sc"), lit(2000L)).as("score_bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"))
+        .select(col("score_bucket"), col("n_docs"), col("n_pos"),
+          call_function("div", col("n_pos") * lit(1000L), col("n_docs"))
+            .as("pos_rate_mille"))
+        .orderBy(col("score_bucket"))
     })
   )
 
@@ -406,6 +507,79 @@ object Stats {
          ((n*sxy - sx*sy) * 1000000) // (n*sxx - sx*sx) AS slope_micro,
          ((sy*sxx - sx*sxy) * 1000000) // (n*sxx - sx*sx)
            AS intercept_micro
-       FROM m"""
+       FROM m""",
+
+    // denominator-cleared CUSUM replay: n*cum - k*S, peak by
+    // (|C| max, earliest day)
+    "ts10_cusum_changepoint" ->
+      """WITH daily AS (SELECT event_type AS et,
+           epoch_us(ts) // 86400000000 AS day, count(*) AS x
+         FROM events GROUP BY 1, 2),
+       tot AS (SELECT et, count(*) AS n, CAST(sum(x) AS BIGINT) AS s
+         FROM daily GROUP BY 1),
+       c AS (SELECT daily.et, day,
+           CAST(row_number() OVER w AS BIGINT) AS k,
+           CAST(sum(x) OVER (PARTITION BY daily.et ORDER BY day
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumx,
+           tot.n, tot.s
+         FROM daily JOIN tot ON tot.et = daily.et
+         WINDOW w AS (PARTITION BY daily.et ORDER BY day)),
+       dev AS (SELECT et, day, n, abs(n*cumx - k*s) AS a FROM c),
+       pk AS (SELECT et, max(n) AS n_days,
+           max({'a': a, 'nd': -day}) AS m
+         FROM dev GROUP BY et)
+       SELECT et AS event_type, n_days, -(m.nd) AS cp_day,
+         CAST(m.a AS BIGINT) AS cusum_peak
+       FROM pk ORDER BY event_type""",
+
+    // px8's scoring replayed, then the rank-sum AUC over the
+    // distinct-score census with a window prefix (the oracle may
+    // single-partition; the engine may not)
+    "px13_auc_exact" ->
+      """WITH toks AS (SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(lower(text),
+             '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+         FROM documents),
+       sc AS (SELECT doc_id, CAST(sum(
+           (('0x' || substr(md5('ft:' || tok), 1, 15))::BIGINT
+             % 1024) * 2654435761 % 2001 - 1000) AS BIGINT) AS sc
+         FROM toks WHERE length(tok) > 0 GROUP BY 1),
+       lab AS (SELECT sc.sc,
+           CASE WHEN d.n_chars BETWEEN 200 AND 8000 THEN 1 ELSE 0 END
+             AS y
+         FROM sc JOIN documents d ON d.doc_id = sc.doc_id),
+       g AS (SELECT sc, CAST(sum(y) AS BIGINT) AS n1,
+           CAST(sum(1 - y) AS BIGINT) AS n0
+         FROM lab GROUP BY sc),
+       c AS (SELECT n1, n0,
+           CAST(sum(n0) OVER (ORDER BY sc) AS BIGINT) AS cum0
+         FROM g),
+       m AS (SELECT CAST(sum(n1) AS BIGINT) AS np,
+           CAST(sum(n0) AS BIGINT) AS nn,
+           CAST(sum(n1 * (2*cum0 - n0)) AS BIGINT) AS u2
+         FROM c)
+       SELECT np AS n_pos, nn AS n_neg,
+         CAST(floor(CAST(u2 AS DOUBLE) * 1000000.0 /
+           (2.0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)))
+           AS BIGINT) AS auc_micro
+       FROM m""",
+
+    "px14_calibration" ->
+      """WITH toks AS (SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(lower(text),
+             '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+         FROM documents),
+       sc AS (SELECT doc_id, CAST(sum(
+           (('0x' || substr(md5('ft:' || tok), 1, 15))::BIGINT
+             % 1024) * 2654435761 % 2001 - 1000) AS BIGINT) AS sc
+         FROM toks WHERE length(tok) > 0 GROUP BY 1),
+       lab AS (SELECT sc.sc,
+           CASE WHEN d.n_chars BETWEEN 200 AND 8000 THEN 1 ELSE 0 END
+             AS y
+         FROM sc JOIN documents d ON d.doc_id = sc.doc_id)
+       SELECT sc // 2000 AS score_bucket, count(*) AS n_docs,
+         CAST(sum(y) AS BIGINT) AS n_pos,
+         (CAST(sum(y) AS BIGINT) * 1000) // count(*) AS pos_rate_mille
+       FROM lab GROUP BY 1 ORDER BY score_bucket"""
   )
 }

@@ -144,4 +144,29 @@ class IncrementalViewSpec extends SparkSpec {
         Seq(("a", 1L)).toDF("id", "not_a_delta"))
     }
   }
+
+  test("deltaJoin emits exactly the appended join rows: old+delta " +
+    "joined minus old joined, including the delta-delta cross term") {
+    import spark.implicits._
+    val aOld = Seq((1, "a1"), (2, "a2")).toDF("k", "av")
+    val aDel = Seq((2, "a2b"), (3, "a3")).toDF("k", "av")
+    val bOld = Seq((1, "b1"), (3, "b3")).toDF("k", "bv")
+    val bDel = Seq((2, "b2"), (3, "b3b")).toDF("k", "bv")
+    val got = IncrementalView
+      .deltaJoin(aOld, aDel, bOld, bDel, Seq("k"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .sorted.toSeq
+    // full(new) = {1a1b1, 2a2b2, 2a2bb2, 3a3b3, 3a3b3b};
+    // old join = {1a1b1}; delta = the other four
+    assert(got == Seq((2, "a2", "b2"), (2, "a2b", "b2"),
+      (3, "a3", "b3"), (3, "a3", "b3b")), got.toString)
+    // appended rows + old join == join of the unioned states (bag)
+    val full = aOld.unionByName(aDel)
+      .join(bOld.unionByName(bDel), Seq("k"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .sorted.toSeq
+    val oldJ = aOld.join(bOld, Seq("k"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    assert((got ++ oldJ).sorted == full, "append identity broken")
+  }
 }

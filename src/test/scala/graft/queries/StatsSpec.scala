@@ -124,6 +124,58 @@ class StatsSpec extends SparkSpec {
     assert(out.filterNot(_._1 == 1L).values.forall(_ < 999998L), out.toString)
   }
 
+  test("ts10: a planted level shift puts the CUSUM peak on the last " +
+    "day of the first regime with the exact cleared-denominator " +
+    "magnitude") {
+    val dir = tmp()
+    // type a: days 0-4 one event/day, days 5-9 eleven events/day.
+    // n=10, S=60; C_k = 10*cumx - 60k peaks at |C|=250, k=5 (day 4)
+    val rows = (for {
+      d <- 0 to 9; i <- 0 until (if (d < 5) 1 else 11)
+    } yield (d * 100L + i, new java.sql.Timestamp(86400000L * d + i),
+      1L, "a", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Stats.queries("ts10_cusum_changepoint")(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (("a", 10L, 4L, 250L)), r.toString)
+  }
+
+  test("px13: identical texts tie every score, so AUC is exactly " +
+    "1/2; labels split by observed score rank give exactly 1 (or 0 " +
+    "inverted)") {
+    val dir = tmp()
+    def writeDocs(rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("doc_id", "text", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // 1) one distinct score (same text everywhere), mixed labels:
+    //    every pos-neg pair is a tie -> U = n1*n0/2 -> 500000
+    writeDocs((1L to 6L).map(i =>
+      (i, "same text for every doc", if (i <= 3) 300L else 10L)))
+    val tied = Stats.queries("px13_auc_exact")(spark, dir).collect()(0)
+    assert((tied.getLong(0), tied.getLong(1), tied.getLong(2)) ==
+      ((3L, 3L, 500000L)), tied.toString)
+    // 2) distinct texts; label the top-half BY OBSERVED SCORE -> AUC 1
+    val texts = Seq("alpha beta gamma", "delta epsilon", "zeta eta theta",
+      "iota kappa", "lambda mu nu xi", "omicron pi")
+    writeDocs(texts.zipWithIndex.map { case (t, i) => (i + 1L, t, 0L) })
+    val byScore = Pipeline.queries("px8_quality_classifier")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).sortBy(_._2)
+    assume(byScore.map(_._2).distinct.length == 6, "need distinct scores")
+    val topHalf = byScore.drop(3).map(_._1).toSet
+    writeDocs(texts.zipWithIndex.map { case (t, i) =>
+      (i + 1L, t, if (topHalf(i + 1L)) 300L else 10L) })
+    val sep = Stats.queries("px13_auc_exact")(spark, dir).collect()(0)
+    assert(sep.getLong(2) == 1000000L, sep.toString)
+    // inverted labels -> AUC exactly 0
+    writeDocs(texts.zipWithIndex.map { case (t, i) =>
+      (i + 1L, t, if (topHalf(i + 1L)) 10L else 300L) })
+    val inv = Stats.queries("px13_auc_exact")(spark, dir).collect()(0)
+    assert(inv.getLong(2) == 0L, inv.toString)
+  }
+
   test("tx24: powers-of-two Zipf staircase yields the exact integer " +
     "least-squares slope") {
     val dir = tmp()
