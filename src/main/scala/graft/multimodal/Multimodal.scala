@@ -1696,4 +1696,120 @@ object Multimodal {
       lit("6d646174"), repeat(lit("00"), mdatLen.cast("int")))
     unhex(concat(ftyp, moov, mdat))
   }
+
+  // ---- EBML (RFC 8794 — Matroska/WebM): varint element tree ----
+
+  val ebmlElemSchema: StructType = StructType(Seq(
+    StructField("elem_index", IntegerType, nullable = false),
+    StructField("depth", IntegerType, nullable = false),
+    StructField("elem_id", StringType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("header_len", LongType, nullable = false),
+    StructField("data_size", LongType, nullable = false),
+    StructField("uint_val", LongType, nullable = false)))
+
+  /** REAL EBML element-tree walk — the Matroska/WebM container
+    * grammar (RFC 8794), and the NINTH byte-layout family here: the
+    * only one framed by VARIABLE-LENGTH integers. Every element is
+    * (ID VINT, size VINT, data); a VINT's first byte carries a
+    * marker bit whose position encodes the total byte length
+    * (0b1xxxxxxx = 1 byte, 0b01xxxxxx = 2, ...). Element IDs keep
+    * the marker (Matroska quotes IDs with it: EBML = 0x1A45DFA3);
+    * data sizes strip it. Master elements (EBML, Segment, Info,
+    * Tracks, TrackEntry) are descended depth-first; known uint
+    * leaves (EBMLVersion 0x4286, TimestampScale 0x2AD7B1,
+    * TrackNumber 0xD7, FlagLacing 0x9C) surface their BE value in
+    * `uint_val` (-1 otherwise). A zero first byte (invalid VINT), an
+    * all-ones "unknown size", or any overrun ends the CURRENT level
+    * cleanly — complete sibling prefixes survive, nothing throws.
+    * Depth (8) and fan-out (1000 elements) guards bound hostile
+    * payloads.
+    */
+  def ebmlElements(media: DataFrame): DataFrame =
+    mapMedia(media, ebmlElemSchema.fields.toSeq) { p =>
+      if (p == null || p.length < 2) Iterator.empty
+      else {
+        def u8(i: Long) = p(i.toInt) & 0xff
+        // (raw-or-stripped value, total VINT length); len 0 = invalid
+        def vint(i: Long, end: Long, keepMarker: Boolean): (Long, Int) = {
+          if (i >= end) return (0L, 0)
+          val b = u8(i)
+          if (b == 0) return (0L, 0)
+          val len = Integer.numberOfLeadingZeros(b) - 24 + 1 // 1..8
+          if (i + len > end) return (0L, 0)
+          var v: Long =
+            if (keepMarker) b.toLong else b & (0xff >>> len)
+          var k = 1
+          while (k < len) { v = (v << 8) | u8(i + k); k += 1 }
+          // all-ones data size = "unknown" (streaming); treated as
+          // unparseable here — the walker needs real extents
+          if (!keepMarker && len < 8 &&
+            v == (1L << (7 * len)) - 1) return (0L, 0)
+          (v, len)
+        }
+        val masters = Set(0x1A45DFA3L, 0x18538067L, 0x1549A966L,
+          0x1654AE6BL, 0xAEL)
+        val uintLeaves = Set(0x4286L, 0x2AD7B1L, 0xD7L, 0x9CL)
+        val out = Seq.newBuilder[Seq[Any]]
+        var idx = 0
+        def walk(start: Long, end: Long, depth: Int): Unit = {
+          var ofs = start
+          var ok = true
+          while (ok && ofs < end && idx < 1000) {
+            val (id, idLen) = vint(ofs, end, keepMarker = true)
+            if (idLen == 0) ok = false
+            else {
+              val (sz, szLen) = vint(ofs + idLen, end, keepMarker = false)
+              val hdr = idLen.toLong + szLen
+              if (szLen == 0 || ofs + hdr + sz > end) ok = false
+              else {
+                val uv =
+                  if (uintLeaves.contains(id) && sz >= 1 && sz <= 8) {
+                    var v = 0L; var k = 0L
+                    while (k < sz) { v = (v << 8) | u8(ofs + hdr + k); k += 1 }
+                    v
+                  } else -1L
+                out += Seq[Any](idx, depth, f"$id%X", ofs, hdr, sz, uv)
+                idx += 1
+                if (masters.contains(id) && depth < 8)
+                  walk(ofs + hdr, ofs + hdr + sz, depth + 1)
+                ofs += hdr + sz
+              }
+            }
+          }
+        }
+        walk(0L, p.length.toLong, 0)
+        out.result().iterator
+      }
+    }
+
+  /** Synthesis twin of [[ebmlElements]]: a Matroska-shaped document
+    * with an EBML header (version + 8-byte doctype), a Segment whose
+    * size rides a 2-BYTE VINT (exercising the multi-byte decode
+    * path), Info(TimestampScale) and Tracks with `nTracks` entries
+    * (TrackNumber + FlagLacing). Pure Column algebra; the element
+    * tree the walker must emit is closed-form offset arithmetic in
+    * (nTracks, tsScale) — exactly what the oracle replays.
+    */
+  def ebmlShard(nTracks: Column, tsScale: Column): Column = {
+    // 1-byte VINT size (value < 127): 0x80 | v
+    val s1 = (v: Column) => beHex(v + lit(128L), 1)
+    // 2-byte VINT size (value < 16384): 0x4000 | v
+    val s2 = (v: Column) => beHex(v + lit(16384L), 2)
+    val header = concat(lit("1A45DFA3"), s1(lit(15L)),
+      lit("4286"), s1(lit(1L)), lit("01"),              // EBMLVersion 1
+      lit("4282"), s1(lit(8L)), lit("6D6174726F736B61")) // "matroska"
+    val info = concat(lit("1549A966"), s1(lit(8L)),
+      lit("2AD7B1"), s1(lit(4L)), beHex(tsScale, 4))
+    val track = (i: Column) => concat(lit("AE"), s1(lit(6L)),
+      lit("D7"), s1(lit(1L)), beHex(i, 1),
+      lit("9C"), s1(lit(1L)), lit("00"))
+    val tracks = concat(lit("1654AE6B"),
+      s2(nTracks.cast("long") * 8L),
+      array_join(transform(sequence(lit(1), nTracks.cast("int")),
+        track), ""))
+    val segment = concat(lit("18538067"),
+      s2(lit(19L) + nTracks.cast("long") * 8L), info, tracks)
+    unhex(concat(header, segment))
+  }
 }

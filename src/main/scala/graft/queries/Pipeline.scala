@@ -520,6 +520,24 @@ object Pipeline {
         .orderBy(col("doc_id"), col("box_index"))
     }),
 
+    // REAL EBML (Matroska/WebM) element-tree walk — ninth byte-layout
+    // family, the only varint-framed one: marker-bit VINT ids/sizes
+    // (1-, 2-, 3- and 4-byte ids, 1- and 2-byte sizes all exercised),
+    // DFS through master elements, TimestampScale/TrackNumber values
+    // surfaced. Synthesis is pure Column algebra; the oracle replays
+    // the element tree as closed-form offset arithmetic in (n, ts).
+    "mm16_ebml_elements" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val n = lit(1) + pmod(col("doc_id"), lit(3))
+      val ts = (lit(1000000) + pmod(col("doc_id"), lit(1000)))
+        .cast("long")
+      val media = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          Multimodal.ebmlShard(n, ts).as("payload"))
+      Multimodal.ebmlElements(media)
+        .orderBy(col("doc_id"), col("elem_index"))
+    }),
+
     // REAL GIF header round-trip (the image sibling of mm2): build
     // GIF89a logical-screen descriptors in-plan, parse them back with
     // the real decoder — version, LE dimensions, packed
@@ -1099,6 +1117,44 @@ object Pipeline {
            CAST(timescale AS BIGINT) AS timescale,
            CAST(duration AS BIGINT) AS duration
          FROM boxes ORDER BY doc_id, box_index""",
+    // the EBML tree as closed-form offset arithmetic: header 20
+    // bytes (3 elements), segment at 20 with a 2-byte size VINT,
+    // info/timestamp-scale, tracks with n (entry, number, lacing)
+    // triples of 8 bytes each
+    "mm16_ebml_elements" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(1 + doc_id % 3 AS BIGINT) AS n,
+             CAST(1000000 + doc_id % 1000 AS BIGINT) AS ts
+           FROM documents WHERE doc_id < 200),
+         elems AS (
+           SELECT doc_id, 0 AS idx, 0 AS depth, '1A45DFA3' AS id,
+             0 AS off, 5 AS hdr, 15 AS sz, -1 AS uv FROM d
+           UNION ALL SELECT doc_id, 1, 1, '4286', 5, 3, 1, 1 FROM d
+           UNION ALL SELECT doc_id, 2, 1, '4282', 9, 3, 8, -1 FROM d
+           UNION ALL SELECT doc_id, 3, 0, '18538067', 20, 6,
+             19 + 8*n, -1 FROM d
+           UNION ALL SELECT doc_id, 4, 1, '1549A966', 26, 5, 8, -1
+           FROM d
+           UNION ALL SELECT doc_id, 5, 2, '2AD7B1', 31, 4, 4, ts
+           FROM d
+           UNION ALL SELECT doc_id, 6, 1, '1654AE6B', 39, 6, 8*n, -1
+           FROM d
+           UNION ALL SELECT doc_id, 7 + 3*(i-1), 2, 'AE',
+             45 + 8*(i-1), 2, 6, -1
+           FROM d, LATERAL (SELECT unnest(generate_series(1, n)) AS i) _
+           UNION ALL SELECT doc_id, 8 + 3*(i-1), 3, 'D7',
+             47 + 8*(i-1), 2, 1, i
+           FROM d, LATERAL (SELECT unnest(generate_series(1, n)) AS i) _
+           UNION ALL SELECT doc_id, 9 + 3*(i-1), 3, '9C',
+             50 + 8*(i-1), 2, 1, 0
+           FROM d, LATERAL (SELECT unnest(generate_series(1, n)) AS i) _)
+         SELECT doc_id, CAST(idx AS INT) AS elem_index,
+           CAST(depth AS INT) AS depth, id AS elem_id,
+           CAST(off AS BIGINT) AS "offset",
+           CAST(hdr AS BIGINT) AS header_len,
+           CAST(sz AS BIGINT) AS data_size,
+           CAST(uv AS BIGINT) AS uint_val
+         FROM elems ORDER BY doc_id, elem_index""",
     "mm9_wav_pcm" ->
       """WITH s AS (
            SELECT d.doc_id AS media_id,

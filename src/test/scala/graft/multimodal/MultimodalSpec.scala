@@ -944,4 +944,66 @@ class MultimodalSpec extends SparkSpec {
     assert(f(4, "offset") == 140L && f(4, "box_size") == 92L)
     assert(f(7, "offset") == 332L && f(7, "box_size") == 48L)
   }
+
+  test("ebmlElements walks hand-built EBML: multi-byte VINT ids and " +
+    "sizes, DFS depths, uint surfacing; invalid VINT / overrun end " +
+    "the level cleanly") {
+    def hx(h: String): Array[Byte] = h.replaceAll("\\s", "")
+      .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // Info master (4-byte id, 1-byte size) holding TimestampScale
+    // (3-byte id, 1-byte size, 2-byte value 0x0102 = 258)
+    val good = hx("1549A966 86  2AD7B1 82 0102")
+    val out = Multimodal.ebmlElements(
+      Seq((1L, "video", good, "mem://ebml"))
+        .toDF("media_id", "kind", "payload", "source_uri"))
+      .orderBy("elem_index").collect()
+    assert(out.map(r => (r.getAs[String]("elem_id"),
+      r.getAs[Int]("depth"), r.getAs[Long]("offset"),
+      r.getAs[Long]("header_len"), r.getAs[Long]("data_size"),
+      r.getAs[Long]("uint_val"))).toSeq ==
+      Seq(("1549A966", 0, 0L, 5L, 6L, -1L),
+        ("2AD7B1", 1, 5L, 4L, 2L, 258L)))
+
+    // 2-byte size VINT on the master (0x4006 = 6), same children
+    val twoByte = hx("1549A966 4006  2AD7B1 82 0102")
+    val o2 = Multimodal.ebmlElements(
+      Seq((1L, "video", twoByte, "mem://ebml"))
+        .toDF("media_id", "kind", "payload", "source_uri"))
+      .orderBy("elem_index").collect()
+    assert(o2.map(r => (r.getAs[String]("elem_id"),
+      r.getAs[Long]("header_len"))).toSeq ==
+      Seq(("1549A966", 6L), ("2AD7B1", 4L)))
+
+    // malformed: zero first byte (invalid VINT) after one good
+    // element keeps the prefix; a size overrunning the buffer stops
+    // before emitting; garbage emits nothing but never throws
+    val zeroTail = hx("D7 81 05  00 81 01")
+    val o3 = Multimodal.ebmlElements(
+      Seq((1L, "t", zeroTail, "m"),
+        (2L, "t", hx("D7 8F 01"), "m"),        // size 15 > remaining
+        (3L, "t", hx("FF"), "m"))              // lone id, no size
+        .toDF("media_id", "kind", "payload", "source_uri")).collect()
+    val m1 = o3.filter(_.getAs[Long]("media_id") == 1L)
+    assert(m1.map(r => (r.getAs[String]("elem_id"),
+      r.getAs[Long]("uint_val"))).toSeq == Seq(("D7", 5L)))
+    assert(o3.count(_.getAs[Long]("media_id") == 2L) == 0)
+    assert(o3.count(_.getAs[Long]("media_id") == 3L) == 0)
+  }
+
+  test("ebmlShard synthesis round-trips through ebmlElements: the " +
+    "full matroska-shaped tree as offset arithmetic on (n, ts)") {
+    val df = Seq(9L).toDF("doc_id").select(col("doc_id"),
+      Multimodal.ebmlShard(lit(2), lit(1000777L)).as("payload"))
+    val out = Multimodal.ebmlElements(df).orderBy("elem_index").collect()
+    assert(out.map(r => (r.getAs[String]("elem_id"),
+      r.getAs[Int]("depth"), r.getAs[Long]("offset"))).toSeq ==
+      Seq(("1A45DFA3", 0, 0L), ("4286", 1, 5L), ("4282", 1, 9L),
+        ("18538067", 0, 20L), ("1549A966", 1, 26L), ("2AD7B1", 2, 31L),
+        ("1654AE6B", 1, 39L), ("AE", 2, 45L), ("D7", 3, 47L),
+        ("9C", 3, 50L), ("AE", 2, 53L), ("D7", 3, 55L), ("9C", 3, 58L)))
+    def f(i: Int, n: String) = out(i).get(out(i).fieldIndex(n))
+    assert(f(3, "data_size") == 35L)           // 19 + 8*2
+    assert(f(5, "uint_val") == 1000777L)
+    assert(f(8, "uint_val") == 1L && f(11, "uint_val") == 2L)
+  }
 }
