@@ -509,6 +509,61 @@ object ExtOps {
         .orderBy(col("rank"))
     }),
 
+    // Personalized PageRank (topic-sensitive PR, Haveliwala 2002):
+    // identical fixed-point integer scheme to xg1 — damping 17/20,
+    // nano-units — but ALL teleport mass lands on a seed set (parts
+    // 0-9), so ranks measure proximity TO THE SEEDS, the similarity
+    // notion recommendation / related-item queries need. Same
+    // edge-partitioned shape: persisted deduped edges, per-round
+    // keyed join + dst aggregation, broadcast 1-row seed count; the
+    // only change vs xg1 is the teleport term's indicator — seeds
+    // get 3/20·SCALE/|S|, everyone else 0.
+    "xg7_personalized_pagerank" -> ((s, dir) => {
+      val SCALE = 1000000000L
+      val l = t(s, dir, "lineitem")
+      val fwd = l.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      val edges = fwd.union(fwd.select(col("dst").as("src"),
+        col("src").as("dst"))).distinct()
+      val deg = graft.operators.ManagedCache.persist(
+        edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+      val withDeg = graft.operators.ManagedCache.persist(
+        edges.join(deg, Seq("src")))
+      def isSeed(n: org.apache.spark.sql.Column) =
+        pmod(n, lit(2)) === 0 && n < 20
+      val ns = deg.filter(isSeed(col("src")))
+        .agg(count(lit(1)).as("ns"))
+      val r0 = deg.select(col("src").as("node_id"))
+        .crossJoin(broadcast(ns))
+        .select(col("node_id"),
+          when(isSeed(col("node_id")),
+            call_function("div", lit(SCALE), col("ns")))
+            .otherwise(lit(0L)).as("r"))
+      def step(r: DataFrame): DataFrame =
+        withDeg.join(r.withColumnRenamed("node_id", "src"), Seq("src"))
+          .select(col("dst"),
+            call_function("div", col("r"), col("deg")).as("contrib"))
+          .groupBy(col("dst")).agg(sum(col("contrib")).as("sv"))
+          .crossJoin(broadcast(ns))
+          .select(col("dst").as("node_id"),
+            (when(isSeed(col("dst")),
+              call_function("div", lit(3L) * lit(SCALE),
+                lit(20L) * col("ns"))).otherwise(lit(0L)) +
+              call_function("div", lit(17L) * col("sv"), lit(20L)))
+              .as("r"))
+      val r2 = step(step(r0))
+      val top = r2.orderBy(col("r").desc, col("node_id")).limit(20)
+      top.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("r").desc, col("node_id"))))
+        .select(col("rank"),
+          when(pmod(col("node_id"), lit(2)) === 0, lit("part"))
+            .otherwise(lit("supplier")).as("node_type"),
+          call_function("div", col("node_id"), lit(2L)).as("orig_key"),
+          col("r").as("rank_nano"))
+        .orderBy(col("rank"))
+    }),
+
     // Synchronous label propagation (Raghavan et al. 2007) over the
     // part↔supplier bipartite graph — community detection, the
     // third graph workload (xg1 ranks, xg2 counts, this clusters). 2
@@ -1251,6 +1306,46 @@ object ExtOps {
          r2 AS (SELECT node_id,
              (3::BIGINT * 1000000000) // (20*n) + (17*sv) // 20 AS r
            FROM s2, nn)
+       SELECT rank, node_type, orig_key, rank_nano FROM (
+         SELECT row_number() OVER (ORDER BY r DESC, node_id) AS rank,
+           CASE WHEN node_id % 2 = 0 THEN 'part'
+             ELSE 'supplier' END AS node_type,
+           node_id // 2 AS orig_key, r AS rank_nano
+         FROM r2)
+       WHERE rank <= 20 ORDER BY rank""",
+    // xg1's arithmetic with the teleport indicator on the seed set
+    "xg7_personalized_pagerank" ->
+      """WITH e AS (
+           SELECT l_partkey*2 AS src, l_suppkey*2+1 AS dst
+           FROM lineitem
+           UNION
+           SELECT l_suppkey*2+1 AS src, l_partkey*2 AS dst
+           FROM lineitem),
+         deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         ns AS (SELECT count(*) AS ns FROM deg
+           WHERE src % 2 = 0 AND src < 20),
+         r0 AS (SELECT src AS node_id,
+             CASE WHEN src % 2 = 0 AND src < 20
+               THEN 1000000000 // ns ELSE 0 END AS r
+           FROM deg, ns),
+         s1 AS (SELECT e.dst AS node_id,
+             CAST(sum(r0.r // deg.deg) AS BIGINT) AS sv
+           FROM e JOIN r0 ON r0.node_id = e.src
+           JOIN deg ON deg.src = e.src GROUP BY 1),
+         r1 AS (SELECT node_id,
+             CASE WHEN node_id % 2 = 0 AND node_id < 20
+               THEN (3::BIGINT * 1000000000) // (20*ns) ELSE 0 END
+               + (17*sv) // 20 AS r
+           FROM s1, ns),
+         s2 AS (SELECT e.dst AS node_id,
+             CAST(sum(r1.r // deg.deg) AS BIGINT) AS sv
+           FROM e JOIN r1 ON r1.node_id = e.src
+           JOIN deg ON deg.src = e.src GROUP BY 1),
+         r2 AS (SELECT node_id,
+             CASE WHEN node_id % 2 = 0 AND node_id < 20
+               THEN (3::BIGINT * 1000000000) // (20*ns) ELSE 0 END
+               + (17*sv) // 20 AS r
+           FROM s2, ns)
        SELECT rank, node_type, orig_key, rank_nano FROM (
          SELECT row_number() OVER (ORDER BY r DESC, node_id) AS rank,
            CASE WHEN node_id % 2 = 0 THEN 'part'

@@ -252,6 +252,68 @@ object TrainingData {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // LSH tuning evaluation — the dedup sibling of ann7's recall
+    // harness: precision/recall of MinHash band-bucket CANDIDATE
+    // GENERATION against the exact set-Jaccard ≥ 0.3 truth, on the
+    // ENGINE-PORTABLE md5-60 minhash (k=12, b=6, r=2) so the DuckDB
+    // oracle replays the LSH internals themselves — dd2/dd10's
+    // oracles can only assert the post-verification answer (they
+    // lean on recall = 1); this one audits the banding. Candidates
+    // come from the band-bucket equi-join (never all-pairs); truth
+    // from the shingle-postings join; both census-sized after the
+    // bounded-subset scan. Production dedup keeps the ~5× cheaper
+    // xxhash64 path (dd2) — this harness is how its (b, r) gets
+    // chosen.
+    "dd19_lsh_eval" -> ((s, dir) => {
+      val k = 12; val r = 2
+      val docs = ManagedCache.persist(
+        t(s, dir, "documents").filter(col("doc_id") < 150)
+          .select(col("doc_id"),
+            array_distinct(TF.wordShingles(col("text"), 2)).as("sh"))
+          .filter(size(col("sh")) > 0))
+      val sig = docs.select(col("doc_id"),
+        aggregate(col("sh"), array_repeat(lit(Long.MaxValue), k),
+          (acc, sh0) => zip_with(acc, sequence(lit(0), lit(k - 1)),
+            (a, i) => least(a, SF.md5hash60(concat(lit("mh:"),
+              i.cast("string"), lit(":"), sh0))))).as("sig"))
+      val bands = sig.select(col("doc_id"),
+          explode(transform(sequence(lit(0), lit(k / r - 1)),
+            j => struct(j.as("band"),
+              concat_ws(",", transform(slice(col("sig"), j * r + 1,
+                lit(r)), x => x.cast("string"))).as("key")))).as("b"))
+        .select(col("doc_id"), col("b.band").as("band"),
+          col("b.key").as("key"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      val p = docs.select(col("doc_id"), explode(col("sh")).as("s0"))
+      val counts = p.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val truth = p.as("a").join(p.as("b"),
+          col("a.s0") === col("b.s0") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("ni"))
+        .join(counts.select(col("doc_id").as("da"), col("n").as("na")),
+          Seq("da"))
+        .join(counts.select(col("doc_id").as("db"), col("n").as("nb")),
+          Seq("db"))
+        .filter(round(col("ni").cast("double") /
+          (col("na") + col("nb") - col("ni")).cast("double"), 6) >= 0.3)
+        .select(col("da"), col("db"))
+      val hits = cand.join(truth, Seq("da", "db"), "left_semi")
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+        .select(col("n_truth"), col("n_candidates"), col("n_hits"),
+          call_function("div", col("n_hits") * lit(1000L),
+            nullif(col("n_candidates"), lit(0L))).as("precision_mille"),
+          call_function("div", col("n_hits") * lit(1000L),
+            nullif(col("n_truth"), lit(0L))).as("recall_mille"))
+    }),
+
     // SimHash near-dup: 60-bit engine-portable sketch (md5hash60 —
     // any engine with md5() recomputes it bit-for-bit, so the DuckDB
     // oracle replays the WHOLE pipeline: shingle → hash → bit-vote →
@@ -1268,6 +1330,50 @@ object TrainingData {
       // corpus, collapsed to the same one-row aggregate. Integer
       // count/key/micros sums are order-independent, so parallel
       // summation cannot flip a ULP.
+      // full LSH replay: portable md5-60 minhash signatures, banded
+      // keys, candidate bucket join, exact-Jaccard truth, both counted
+      "dd19_lsh_eval" ->
+        """WITH d AS (SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g')), '\s+') AS toks
+           FROM documents WHERE doc_id < 150),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, len(toks)),
+             i -> toks[i] || ' ' || toks[i+1]))) AS s
+           FROM d WHERE len(toks) >= 2),
+         sig AS (SELECT doc_id, i,
+             min(('0x' || substr(md5('mh:' || i || ':' || s), 1, 15))
+               ::BIGINT) AS m
+           FROM sh, LATERAL (SELECT unnest(range(0, 12)) AS i) _
+           GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // 2 AS band,
+             string_agg(m::VARCHAR, ',' ORDER BY i) AS key
+           FROM sig GROUP BY doc_id, i // 2),
+         cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           FROM bands a JOIN bands b ON a.band = b.band
+             AND a.key = b.key AND a.doc_id < b.doc_id),
+         counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         truth AS (SELECT da, db FROM (
+             SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY 1, 2) i
+           JOIN counts ca ON ca.doc_id = i.da
+           JOIN counts cb ON cb.doc_id = i.db
+           WHERE round(ni::DOUBLE / (ca.n + cb.n - ni), 6) >= 0.3),
+         hits AS (SELECT count(*) AS n_hits FROM cand
+           WHERE EXISTS (SELECT 1 FROM truth
+             WHERE truth.da = cand.da AND truth.db = cand.db)),
+         m AS (SELECT
+             (SELECT count(*) FROM truth) AS n_truth,
+             (SELECT count(*) FROM cand) AS n_candidates,
+             (SELECT n_hits FROM hits) AS n_hits)
+         SELECT CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           (n_hits * 1000) // nullif(n_candidates, 0)
+             AS precision_mille,
+           (n_hits * 1000) // nullif(n_truth, 0) AS recall_mille
+         FROM m""",
       "dd10_minhash_full" ->
         """WITH d AS (SELECT doc_id,
              string_split_regex(trim(regexp_replace(lower(text),
