@@ -111,19 +111,29 @@ object GraphIterations {
     * (symmetrize first for undirected graphs — dangling nodes are the
     * caller's modeling decision, not silently patched here).
     * Returns (node_id, r) in nano-rank units.
+    *
+    * `seedFilter` switches to PERSONALIZED PageRank (topic-sensitive,
+    * Haveliwala 2002 — xg7's unbounded twin): all teleport mass lands
+    * on the nodes the predicate selects, so converged ranks measure
+    * proximity to that seed set. None = uniform teleport (classic).
     */
   def pageRankConverged(edges: DataFrame, tolNano: Long = 1000L,
-      maxIter: Int = 50): Fixpoint.Result = {
+      maxIter: Int = 50,
+      seedFilter: Option[Column => Column] = None): Fixpoint.Result = {
     val SCALE = 1000000000L
     val e = edges.select(col("src"), col("dst")).distinct()
     val deg = ManagedCache.persist(
       e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     val withDeg = ManagedCache.persist(e.join(deg, Seq("src")))
-    val nn = deg.agg(count(lit(1)).as("n"))
+    val ind: Column => Column = seedFilter.getOrElse(_ => lit(true))
+    val nn = seedFilter.fold(deg)(f => deg.filter(f(col("src"))))
+      .agg(count(lit(1)).as("n"))
     val r0 = deg.select(col("src").as("node_id"))
       .crossJoin(broadcast(nn))
       .select(col("node_id"),
-        call_function("div", lit(SCALE), col("n")).as("r"))
+        when(ind(col("node_id")),
+          call_function("div", lit(SCALE), col("n")))
+          .otherwise(lit(0L)).as("r"))
     Fixpoint.iterate(r0,
       changed = sum(when(abs(col("r") - col("prev")) > tolNano, 1L)
         .otherwise(0L)),
@@ -139,7 +149,9 @@ object GraphIterations {
           Seq("node_id"), "left")
         .crossJoin(broadcast(nn))
         .select(col("node_id"),
-          (call_function("div", lit(3L) * SCALE, lit(20L) * col("n")) +
+          (when(ind(col("node_id")),
+            call_function("div", lit(3L) * SCALE, lit(20L) * col("n")))
+            .otherwise(lit(0L)) +
             call_function("div",
               lit(17L) * coalesce(col("sv"), lit(0L)), lit(20L)))
             .as("r"),

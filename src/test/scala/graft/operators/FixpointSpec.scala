@@ -40,6 +40,30 @@ class FixpointSpec extends SparkSpec {
     assert(math.abs(sr.values.sum - 1000000000L) < 5000000L)
   }
 
+  test("pageRankConverged with a seed filter (personalized): mass " +
+    "concentrates around the seed; a far node ranks below a near one") {
+    // path 0-1-2-3-4 symmetrized, seed {0}: rank must decay with
+    // distance from the seed
+    // a path is bipartite: synchronous PR oscillates between parity
+    // classes with 0.85/round decay, so reaching tol t needs
+    // ~ln(1e9/t)/0.1625 rounds — 100k nano lands near round 57
+    val ppr = GraphIterations.pageRankConverged(
+      sym(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))),
+      tolNano = 100000L, maxIter = 90,
+      seedFilter = Some(n => n === 0L))
+    assert(ppr.converged, s"rounds=${ppr.rounds}")
+    val r = ppr.frame.collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // note: the seed's NEIGHBOR may outrank the degree-1 seed (it
+    // absorbs the seed's entire outflow) — correct PPR behavior; the
+    // provable shape is decay with distance beyond the neighbor and
+    // seed above everything at distance ≥ 2
+    assert(r(1L) > r(2L) && r(2L) > r(3L) && r(3L) > r(4L), r.toString)
+    assert(r(0L) > r(2L) && r(0L) > 3L * r(4L), r.toString)
+    // mass conserved up to tol + integer dust
+    assert(math.abs(r.values.sum - 1000000000L) < 10000000L)
+  }
+
   test("labelPropagationConverged: two planted cliques settle on " +
     "their min labels and stop changing — under both the pure-sync " +
     "xg3 rule and the retention default") {
