@@ -319,6 +319,80 @@ object EventStream {
       }
   }
 
+  /** Reference mean rides as the exact rational (ref_s, ref_n); both
+    * one-sided accumulators are pre-scaled by ref_n so the recurrence
+    * stays integer. Long bounds (documented, same contract as
+    * AnomalyState): |cents| ≤ 9·10⁸ and warmup ≤ 10⁶ keep every term
+    * under n·|x| ≤ 9·10¹⁴ and the capped accumulators under
+    * (h + slack + |x|)·n ≪ 2⁶³. */
+  case class CusumState(refN: Long, refS: Long, sPos: Long, sNeg: Long)
+  case class DriftRow(event_id: Long, event_type: String,
+    direction: String, cusum_scaled: Long)
+
+  /** Streaming drift detection — Page's CUSUM, the streaming twin of
+    * the ts10 batch changepoint query. The batch form locates where a
+    * COMPLETED series shifted; this alarms AS a shift happens: a
+    * reference mean μ₀ is learned from the first `warmup` events per
+    * key (exact rational ref_s/ref_n — no float state), then the
+    * classic one-sided recurrences run pre-scaled by ref_n so they
+    * stay integer-exact:
+    *
+    *   S⁺ ← max(0, S⁺ + n·x − ref_s − n·slack)   alarm when > n·h
+    *   S⁻ ← max(0, S⁻ + ref_s − n·x − n·slack)   (downward twin)
+    *
+    * `slack` (cents) absorbs noise below the shift size of interest;
+    * `h` (cents) is the decision threshold — both in the units of the
+    * stream. An alarm emits a DriftRow and RESETS its accumulator
+    * (Page's restart), so a sustained shift re-alarms at a steady
+    * cadence rather than saturating. State is O(1) per key — four
+    * longs — and events fold through the same bounded min-heap
+    * reorder buffer as [[anomalies]] (hot keys never materialize a
+    * whole trigger).
+    */
+  def cusumDrift(events: Dataset[Event], warmup: Long = 20L,
+      slackCents: Long = 50L, thresholdCents: Long = 500L,
+      maxReorder: Int = 8192): Dataset[DriftRow] = {
+    import events.sparkSession.implicits._
+    require(warmup >= 1 && slackCents >= 0 && thresholdCents > 0)
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, DriftRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (etype, batch, state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(CusumState(0L, 0L, 0L, 0L))
+          val out = Seq.newBuilder[DriftRow]
+          def absorb(e: Event): Unit = {
+            val x = math.round(e.value * 100)
+            if (st.refN < warmup) {
+              st = st.copy(refN = st.refN + 1, refS = st.refS + x)
+            } else {
+              val n = st.refN
+              val up = math.max(0L,
+                st.sPos + n * x - st.refS - n * slackCents)
+              val dn = math.max(0L,
+                st.sNeg + st.refS - n * x - n * slackCents)
+              val lim = n * thresholdCents
+              st = st.copy(
+                sPos = if (up > lim) 0L else up,
+                sNeg = if (dn > lim) 0L else dn)
+              if (up > lim)
+                out += DriftRow(e.event_id, etype, "up", up)
+              if (dn > lim)
+                out += DriftRow(e.event_id, etype, "down", dn)
+            }
+          }
+          val heap = new scala.collection.mutable.PriorityQueue[Event]()(
+            Ordering.by[Event, (Long, Long)](e =>
+              (e.ts.getTime, e.event_id)).reverse)
+          batch.foreach { e =>
+            heap.enqueue(e)
+            if (heap.size > maxReorder) absorb(heap.dequeue())
+          }
+          while (heap.nonEmpty) absorb(heap.dequeue())
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Streaming MERGE sink: every micro-batch is applied to the target
     * parquet table with last-write-wins semantics (K5) inside
     * foreachBatch — the streaming twin of the bronze raw-response sink.

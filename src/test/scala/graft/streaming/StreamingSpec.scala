@@ -370,6 +370,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cusumDrift: steady flow stays quiet; a level shift alarms " +
+    "after the integer CUSUM crosses the scaled threshold, resets, " +
+    "and re-alarms at a steady cadence") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // warmup 5 @ 10.00 -> ref = (5, 5000); slack 0.50, threshold 3.00
+    // shift to 12.00: per-event increment 5*1200-5000-250 = 750,
+    // lim = 1500 -> alarms on the 3rd, 6th shifted event (2250 > 1500)
+    val q = EventStream.cusumDrift(mem.toDS(), warmup = 5L,
+        slackCents = 50L, thresholdCents = 300L)
+      .writeStream.format("memory").queryName("drift")
+      .outputMode("append").start()
+    try {
+      mem.addData((0 until 10).map(i =>
+        Event(i.toLong, ts(i), 1, "click", 10.0)): _*)
+      q.processAllAvailable()
+      assert(spark.table("drift").count() == 0, "steady must not alarm")
+      mem.addData((10 until 16).map(i =>
+        Event(i.toLong, ts(i), 1, "click", 12.0)): _*)
+      q.processAllAvailable()
+      val got = spark.table("drift").collect()
+        .map(r => (r.getLong(0), r.getString(2), r.getLong(3))).sorted
+      assert(got.toSeq == Seq((12L, "up", 2250L), (15L, "up", 2250L)),
+        got.mkString(","))
+      // downward shift through the SAME state: 8.00 gives the
+      // mirrored increment 5000-4000-250 = 750 on the S- side
+      mem.addData((16 until 19).map(i =>
+        Event(i.toLong, ts(i), 1, "click", 8.0)): _*)
+      q.processAllAvailable()
+      val dn = spark.table("drift").collect()
+        .map(r => (r.getLong(0), r.getString(2))).filter(_._2 == "down")
+      assert(dn.toSeq == Seq((18L, "down")), dn.mkString(","))
+    } finally q.stop()
+  }
+
   test("anomalies: a 50k-event single-key batch folds through the " +
     "bounded reorder buffer — same rows as the exact sort, O(bound) " +
     "not O(batch) held per key") {
