@@ -41,13 +41,27 @@ object Snapshots {
     }
   }
 
+  /** First unoccupied version slot: above the pointer AND above every
+    * existing `v=` directory — a crashed orphan, a staged WAP write,
+    * or a BRANCH head may own slots past the pointer, and `latest+1`
+    * would silently overwrite them. */
+  private def nextFreeVersion(spark: SparkSession, dir: String): Long = {
+    val f = fs(spark, dir)
+    val d = new Path(dir)
+    val dirs = if (!f.exists(d)) Seq.empty[Long]
+      else f.listStatus(d).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+        .map(_.getPath.getName.stripPrefix("v=").toLong)
+    (latestVersion(spark, dir) +: dirs).max + 1
+  }
+
   /** Write `df` as the next version and publish it atomically.
     * Returns the new version number. A crash between the data write
     * and the pointer replace leaves the table at the PREVIOUS
     * version with an orphan directory — vacuum() reclaims it.
     */
   def commit(spark: SparkSession, df: DataFrame, dir: String): Long = {
-    val v = latestVersion(spark, dir) + 1
+    val v = nextFreeVersion(spark, dir)
     df.write.mode("overwrite").parquet(s"$dir/v=$v")
     publish(spark, dir, v)
     v
@@ -182,7 +196,7 @@ object Snapshots {
   def commitChecked(spark: SparkSession, df: DataFrame, dir: String,
       checks: DataFrame => Seq[DataFrame])
       : Either[Seq[(String, Long)], Long] = {
-    val v = latestVersion(spark, dir) + 1
+    val v = nextFreeVersion(spark, dir)
     df.write.mode("overwrite").parquet(s"$dir/v=$v")
     val staged = spark.read.parquet(s"$dir/v=$v")
     val bad = DataQuality.suite(checks(staged))
@@ -223,9 +237,19 @@ object Snapshots {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
       .map(s => (s.getPath.getName.stripPrefix("v=").toLong, s))
       .sortBy(_._1)
+    // named refs PIN their versions: a tagged version never ages out
+    // of keepLast, and a branch head above the main pointer is a LIVE
+    // line of development, not a crashed orphan
+    val pinned: Set[Long] = entries.collect {
+      case s if s.isFile &&
+          (s.getPath.getName.startsWith("_tag.") ||
+            s.getPath.getName.startsWith("_branch.")) &&
+          !s.getPath.getName.contains(".tmp.") =>
+        scala.util.Try(readRefFile(f, s.getPath)._1).toOption.toSeq
+    }.flatten.toSet
     val doomed = versions.collect {
-      case (v, _) if v <= latest - keepLast => v
-      case (v, s) if v > latest && aged(s) => v
+      case (v, _) if v <= latest - keepLast && !pinned(v) => v
+      case (v, s) if v > latest && aged(s) && !pinned(v) => v
     }
     doomed.foreach { v =>
       f.delete(new Path(dir, s"v=$v"), true)
@@ -241,5 +265,150 @@ object Snapshots {
             s.getPath.getName.contains(".stale-"))))
       .foreach(s => f.delete(s.getPath, s.isDirectory))
     doomed
+  }
+
+  // ---- tags & branches: named refs over the same version log ------
+  // Iceberg/Nessie-style zero-copy refs: a ref is a tiny file naming
+  // a version — no data is ever copied. Tags are IMMUTABLE (audit
+  // marks: "the training run read exactly this"); branches are
+  // movable heads for write-audit-merge workflows: stage commits on a
+  // branch, validate, then fast-forward main only if it hasn't moved
+  // since the branch was cut. vacuum() pins every ref'd version.
+
+  private def refName(name: String): String = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_'),
+      s"ref names are [A-Za-z0-9_-]+: '$name'")
+    name
+  }
+
+  /** ref file = "<version> <base>" (base meaningful for branches). */
+  private def readRefFile(f: org.apache.hadoop.fs.FileSystem,
+      p: Path): (Long, Long) = {
+    val in = f.open(p)
+    val parts =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        "US-ASCII").trim.split(" ")
+      finally in.close()
+    (parts(0).toLong, if (parts.length > 1) parts(1).toLong else 0L)
+  }
+
+  private def writeRefAtomic(spark: SparkSession, dir: String,
+      p: Path, head: Long, base: Long): Unit = {
+    val f = fs(spark, dir)
+    val tmp = f.makeQualified(new Path(dir,
+      s"${p.getName}.tmp.${java.util.UUID.randomUUID()}"))
+    val out = f.create(tmp, true)
+    try out.write(s"$head $base".getBytes("US-ASCII"))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      tmp.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, f.makeQualified(p),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Tag a committed version (default: latest) under an immutable
+    * name — create-exclusive, so re-tagging an existing name throws
+    * instead of silently moving an audit mark. Returns the tagged
+    * version. */
+  def tag(spark: SparkSession, dir: String, name: String,
+      version: Long = -1L): Long = {
+    val f = fs(spark, dir)
+    val v = if (version > 0) version else latestVersion(spark, dir)
+    require(v > 0 && f.exists(new Path(dir, s"v=$v")),
+      s"cannot tag nonexistent v=$v")
+    val p = new Path(dir, s"_tag.${refName(name)}")
+    val out = f.create(p, false) // exclusive: tags are immutable
+    try out.write(s"$v 0".getBytes("US-ASCII")) finally out.close()
+    v
+  }
+
+  def tagVersion(spark: SparkSession, dir: String, name: String): Long =
+    readRefFile(fs(spark, dir),
+      new Path(dir, s"_tag.${refName(name)}"))._1
+
+  def readTag(spark: SparkSession, dir: String, name: String): DataFrame =
+    read(spark, dir, tagVersion(spark, dir, name))
+
+  def dropTag(spark: SparkSession, dir: String, name: String): Unit = {
+    fs(spark, dir).delete(new Path(dir, s"_tag.${refName(name)}"), false)
+    ()
+  }
+
+  /** Cut a branch at `from` (default: latest). head = base = from
+    * until the first branch commit. */
+  def createBranch(spark: SparkSession, dir: String, name: String,
+      from: Long = -1L): Long = {
+    val v = if (from > 0) from else latestVersion(spark, dir)
+    require(v > 0, s"$dir has no committed version to branch from")
+    val p = new Path(dir, s"_branch.${refName(name)}")
+    require(!fs(spark, dir).exists(p), s"branch '$name' already exists")
+    writeRefAtomic(spark, dir, p, v, v)
+    v
+  }
+
+  /** (head, base) of a branch. */
+  def branchHead(spark: SparkSession, dir: String, name: String)
+      : (Long, Long) =
+    readRefFile(fs(spark, dir),
+      new Path(dir, s"_branch.${refName(name)}"))
+
+  def readBranch(spark: SparkSession, dir: String, name: String)
+      : DataFrame =
+    read(spark, dir, branchHead(spark, dir, name)._1)
+
+  /** Commit `df` onto a branch: the data lands in the shared version
+    * log (next free `v=` slot, claimed by an EXCLUSIVE stage→rename —
+    * concurrent main or sibling-branch committers can never clobber
+    * it) and only the branch ref moves; main's pointer is untouched.
+    * Single writer PER BRANCH (like main's plain commit); cross-
+    * branch concurrency is safe via the rename claim. */
+  def commitToBranch(spark: SparkSession, df: DataFrame, dir: String,
+      name: String, maxAttempts: Int = 5): Long = {
+    val f = fs(spark, dir)
+    val (_, base) = branchHead(spark, dir, name)
+    val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
+    df.write.mode("overwrite").parquet(stage.toString)
+    var attempt = 0
+    var won = -1L
+    while (won < 0 && attempt < maxAttempts) {
+      val v = nextFreeVersion(spark, dir)
+      if (f.rename(stage, new Path(dir, s"v=$v"))) won = v
+      else attempt += 1
+    }
+    if (won < 0) {
+      f.delete(stage, true)
+      throw new IllegalStateException(
+        s"could not claim a version slot in $maxAttempts attempts")
+    }
+    writeRefAtomic(spark, dir, new Path(dir, s"_branch.${refName(name)}"),
+      won, base)
+    won
+  }
+
+  /** Fast-forward main to the branch head, ONLY if main still sits
+    * where the branch was cut (the merge precondition — anything else
+    * needs a real merge, which is the caller's data-level decision).
+    * On success the branch's base advances to its head (in sync);
+    * returns Right(head). */
+  def publishBranch(spark: SparkSession, dir: String, name: String)
+      : Either[String, Long] = {
+    val (head, base) = branchHead(spark, dir, name)
+    val cur = latestVersion(spark, dir)
+    if (cur != base)
+      Left(s"conflict: branch '$name' was cut at v=$base but main is " +
+        s"at v=$cur — rebase or merge before publishing")
+    else {
+      publish(spark, dir, head)
+      writeRefAtomic(spark, dir,
+        new Path(dir, s"_branch.${refName(name)}"), head, head)
+      Right(head)
+    }
+  }
+
+  def dropBranch(spark: SparkSession, dir: String, name: String): Unit = {
+    fs(spark, dir).delete(
+      new Path(dir, s"_branch.${refName(name)}"), false)
+    ()
   }
 }

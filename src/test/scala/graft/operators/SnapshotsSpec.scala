@@ -209,4 +209,60 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, dir).collect()
       .head.getString(1) == "v4b")
   }
+
+  test("tags are immutable named refs: read-by-tag time-travels, " +
+    "re-tagging throws, vacuum never reclaims a tagged version") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-tags").toString + "/t"
+    Snapshots.commit(spark, Seq((1, "v1")).toDF("id", "s"), dir)
+    Snapshots.commit(spark, Seq((1, "v2")).toDF("id", "s"), dir)
+    assert(Snapshots.tag(spark, dir, "train-2024q3", 1L) == 1L)
+    Snapshots.commit(spark, Seq((1, "v3")).toDF("id", "s"), dir)
+    Snapshots.commit(spark, Seq((1, "v4")).toDF("id", "s"), dir)
+    assert(Snapshots.readTag(spark, dir, "train-2024q3")
+      .collect().head.getString(1) == "v1")
+    intercept[Exception] { Snapshots.tag(spark, dir, "train-2024q3", 2L) }
+    // keepLast=1 would normally doom v1..v3; the tag pins v1
+    val gone = Snapshots.vacuum(spark, dir, keepLast = 1)
+    assert(gone.sorted == Seq(2L, 3L), gone.toString)
+    assert(Snapshots.readTag(spark, dir, "train-2024q3")
+      .collect().head.getString(1) == "v1")
+    Snapshots.dropTag(spark, dir, "train-2024q3")
+    assert(Snapshots.vacuum(spark, dir, keepLast = 1) == Seq(1L))
+  }
+
+  test("branches: zero-copy cut, commits move only the branch ref, " +
+    "fast-forward publish requires an unmoved main, vacuum keeps " +
+    "live branch heads") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-br").toString + "/t"
+    Snapshots.commit(spark, Seq((1, "main1")).toDF("id", "s"), dir)
+    assert(Snapshots.createBranch(spark, dir, "wap") == 1L)
+    val bv = Snapshots.commitToBranch(spark,
+      Seq((1, "staged")).toDF("id", "s"), dir, "wap")
+    assert(bv == 2L)
+    // main untouched; branch readable at its head
+    assert(Snapshots.read(spark, dir).collect().head.getString(1)
+      == "main1")
+    assert(Snapshots.readBranch(spark, dir, "wap")
+      .collect().head.getString(1) == "staged")
+    // a branch-head version above the pointer survives vacuum even
+    // with zero grace (it is a live ref, not a crashed orphan)
+    assert(Snapshots.vacuum(spark, dir, keepLast = 1).isEmpty)
+    // fast-forward: main still at the branch base -> publishes
+    assert(Snapshots.publishBranch(spark, dir, "wap") == Right(2L))
+    assert(Snapshots.read(spark, dir).collect().head.getString(1)
+      == "staged")
+    // a second branch cut at v2, then main moves -> publish conflicts
+    Snapshots.createBranch(spark, dir, "late")
+    Snapshots.commitToBranch(spark,
+      Seq((1, "late-work")).toDF("id", "s"), dir, "late")
+    Snapshots.commit(spark, Seq((1, "main-moved")).toDF("id", "s"), dir)
+    val r = Snapshots.publishBranch(spark, dir, "late")
+    assert(r.isLeft && r.left.exists(_.contains("conflict")), r.toString)
+    // the branch head is still intact for a rebase
+    assert(Snapshots.readBranch(spark, dir, "late")
+      .collect().head.getString(1) == "late-work")
+    Snapshots.dropBranch(spark, dir, "late")
+  }
 }
