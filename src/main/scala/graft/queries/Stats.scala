@@ -298,11 +298,14 @@ object Stats {
     // Σ n₁(s)·(2·cum₀(<s) + n₀(s)). One corpus scan + one census
     // shuffle, everything after is census-sized.
     "px13_auc_exact" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
       // px8's exact scoring: hashed-bucket token weights, summed per
       // doc over token OCCURRENCES (docs with no tokens are out of
-      // the classifier's domain, as in px8)
-      val toks = docs.select(col("doc_id"),
+      // the classifier's domain, as in px8). The label rides THROUGH
+      // the token explode (one byte per token row) so score and label
+      // come off ONE scan + ONE doc-keyed shuffle — no second
+      // documents read, no scores⋈labels join.
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+          col("n_chars").between(200, 8000).cast("long").as("y"),
           explode(split(trim(regexp_replace(lower(col("text")),
             "[^a-z0-9]+", " ")), " ")).as("tok"))
         .filter(length(col("tok")) > 0)
@@ -310,11 +313,9 @@ object Stats {
         lit(1024L))
       val weight = pmod(bucket * lit(2654435761L), lit(2001L)) -
         lit(1000L)
-      val scores = toks.select(col("doc_id"), weight.as("w"))
-        .groupBy(col("doc_id")).agg(sum(col("w")).as("sc"))
-      val lab = scores.join(docs.select(col("doc_id"),
-        col("n_chars").between(200, 8000).cast("long").as("y")),
-        Seq("doc_id"))
+      val lab = toks.select(col("doc_id"), col("y"), weight.as("w"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("w")).as("sc"), max(col("y")).as("y"))
       val g = lab.groupBy(col("sc"))
         .agg(sum(col("y")).as("n1"), sum(lit(1L) - col("y")).as("n0"))
       val c = graft.operators.PrefixSum.withRunningSum(
@@ -333,8 +334,9 @@ object Stats {
     // per-mille. The eval every score-thresholding curation pipeline
     // needs next to its AUC; census-sized after one corpus scan.
     "px14_calibration" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val toks = docs.select(col("doc_id"),
+      // same single-scan shape as px13: label through the explode
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+          col("n_chars").between(200, 8000).cast("long").as("y"),
           explode(split(trim(regexp_replace(lower(col("text")),
             "[^a-z0-9]+", " ")), " ")).as("tok"))
         .filter(length(col("tok")) > 0)
@@ -342,11 +344,9 @@ object Stats {
         lit(1024L))
       val weight = pmod(bucket * lit(2654435761L), lit(2001L)) -
         lit(1000L)
-      toks.select(col("doc_id"), weight.as("w"))
-        .groupBy(col("doc_id")).agg(sum(col("w")).as("sc"))
-        .join(t(s, dir, "documents").select(col("doc_id"),
-          col("n_chars").between(200, 8000).cast("long").as("y")),
-          Seq("doc_id"))
+      toks.select(col("doc_id"), col("y"), weight.as("w"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("w")).as("sc"), max(col("y")).as("y"))
         .groupBy(call_function("div", col("sc"), lit(2000L)).as("score_bucket"))
         .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"))
         .select(col("score_bucket"), col("n_docs"), col("n_pos"),

@@ -180,6 +180,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("xq17 correlation matrix computes all 15 moments in ONE " +
+    "parquet scan — no per-pair re-read") {
+    val p = plan("xq17_correlation_matrix")
+    assert(count(p, "\\(\\d+\\) Scan parquet") == 1,
+      p.linesIterator.filter(_.contains("Scan")).mkString("\n"))
+  }
+
+  test("xv3 delta join broadcasts every delta side — no sort-merge " +
+    "over the big tables") {
+    val p = plan("xv3_incr_join_delta")
+    assert(count(p, "\\(\\d+\\) BroadcastHashJoin") == 3 &&
+      !p.contains("SortMergeJoin"),
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
+  test("px13 exact AUC plans no single-partition exchange and no " +
+    "residual documents re-read after the census") {
+    // the one parquet scan itself runs inside PrefixSum's eagerly
+    // materialized first pass, so the FINAL plan must read only the
+    // checkpointed census (Scan ExistingRDD) — a parquet scan HERE
+    // would mean a second documents read after the census
+    val p = plan("px13_auc_exact")
+    assert(count(p, "\\(\\d+\\) Scan parquet") == 0,
+      p.linesIterator.filter(_.contains("Scan")).mkString("\n"))
+    assert(!p.contains("Exchange SinglePartition"))
+  }
+
   test("ts7 salted rolling window partitions on (event_type, bucket) " +
     "— never event_type alone — and plans exactly one fact shuffle") {
     val p = plan("ts7_rolling_anomaly")
