@@ -1697,6 +1697,34 @@ object Multimodal {
     unhex(concat(ftyp, moov, mdat))
   }
 
+  /** Magic-byte container sniffing as PURE Column algebra — the
+    * dispatch step a mixed media lake runs BEFORE any walker: route
+    * each blob to its per-format pipeline from the first few bytes,
+    * no decode, no UDF, fully codegen'd (and replayable by any engine
+    * with hex()). Detects the families this module walks: GIF, WAV
+    * (RIFF/WAVE), PNG, JPEG, ISO-BMFF (ftyp at offset 4), EBML, ZIP,
+    * POSIX tar (ustar at offset 257), TIFF (II*./MM.*), BMP.
+    */
+  def sniffFormat(payload: Column): Column = {
+    val h = upper(hex(substring(payload, 1, 12)))
+    def pre(hexs: String) = h.startsWith(hexs)
+    when(payload.isNull || length(payload) < 4, lit("unknown"))
+      .when(pre("474946383961") || pre("474946383761"), lit("gif"))
+      .when(pre("52494646") &&
+        upper(hex(substring(payload, 9, 4))) === "57415645", lit("wav"))
+      .when(pre("89504E47"), lit("png"))
+      .when(pre("FFD8FF"), lit("jpeg"))
+      .when(upper(hex(substring(payload, 5, 4))) === "66747970",
+        lit("mp4"))
+      .when(pre("1A45DFA3"), lit("ebml"))
+      .when(pre("504B0304"), lit("zip"))
+      .when(substring(payload, 258, 5).cast("string") === "ustar",
+        lit("tar"))
+      .when(pre("49492A00") || pre("4D4D002A"), lit("tiff"))
+      .when(pre("424D"), lit("bmp"))
+      .otherwise(lit("unknown"))
+  }
+
   // ---- EBML (RFC 8794 — Matroska/WebM): varint element tree ----
 
   val ebmlElemSchema: StructType = StructType(Seq(

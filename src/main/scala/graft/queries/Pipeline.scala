@@ -520,6 +520,31 @@ object Pipeline {
         .orderBy(col("doc_id"), col("box_index"))
     }),
 
+    // Magic-byte format dispatch over a MIXED media lake: five
+    // different containers synthesized per doc (GIF/WAV/MP4/EBML/
+    // garbage), routed by the pure-Column sniffer — the pre-walker
+    // step that fans a heterogeneous blob column out to per-format
+    // pipelines without decoding anything. The census is a tiny agg
+    // after a scan-side expression; the oracle replays the dispatch
+    // as closed-form doc_id arithmetic.
+    "mm17_format_sniff" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val payload = when(pmod(col("doc_id"), lit(5)) === 0,
+          Multimodal.gifHeader(lit(100L), lit(50L), lit(128L)))
+        .when(pmod(col("doc_id"), lit(5)) === 1,
+          Multimodal.wavHeader(lit(1), lit(8000), lit(16), lit(64)))
+        .when(pmod(col("doc_id"), lit(5)) === 2,
+          Multimodal.mp4Shard(lit(1), lit(600L), lit(1000L), lit(16L)))
+        .when(pmod(col("doc_id"), lit(5)) === 3,
+          Multimodal.ebmlShard(lit(1), lit(1000000L)))
+        .otherwise(substring(md5(col("doc_id").cast("string")), 1, 16)
+          .cast("binary"))
+      t(s, dir, "documents").filter(col("doc_id") < 500)
+        .select(Multimodal.sniffFormat(payload).as("format"))
+        .groupBy(col("format")).agg(count(lit(1)).as("n_blobs"))
+        .orderBy(col("format"))
+    }),
+
     // REAL EBML (Matroska/WebM) element-tree walk — ninth byte-layout
     // family, the only varint-framed one: marker-bit VINT ids/sizes
     // (1-, 2-, 3- and 4-byte ids, 1- and 2-byte sizes all exercised),
@@ -1117,6 +1142,14 @@ object Pipeline {
            CAST(timescale AS BIGINT) AS timescale,
            CAST(duration AS BIGINT) AS duration
          FROM boxes ORDER BY doc_id, box_index""",
+    // the dispatch replayed as closed-form doc_id arithmetic
+    "mm17_format_sniff" ->
+      """SELECT format, count(*) AS n_blobs FROM (
+           SELECT CASE doc_id % 5 WHEN 0 THEN 'gif' WHEN 1 THEN 'wav'
+             WHEN 2 THEN 'mp4' WHEN 3 THEN 'ebml'
+             ELSE 'unknown' END AS format
+           FROM documents WHERE doc_id < 500)
+         GROUP BY 1 ORDER BY format""",
     // the EBML tree as closed-form offset arithmetic: header 20
     // bytes (3 elements), segment at 20 with a 2-byte size VINT,
     // info/timestamp-scale, tracks with n (entry, number, lacing)

@@ -990,6 +990,42 @@ class MultimodalSpec extends SparkSpec {
     assert(o3.count(_.getAs[Long]("media_id") == 3L) == 0)
   }
 
+  test("sniffFormat routes every synthesized family from its magic " +
+    "bytes — GIF, WAV, MP4, EBML, ZIP, tar, TIFF, JPEG, PNG, BMP — " +
+    "and degrades to unknown on garbage / null / short") {
+    val img = new java.awt.image.BufferedImage(8, 6,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val cases: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "gif" -> Multimodal.gifHeader(lit(10L), lit(10L), lit(128L)),
+      "wav" -> Multimodal.wavHeader(lit(1), lit(8000), lit(16), lit(4)),
+      "mp4" -> Multimodal.mp4Shard(lit(1), lit(600L), lit(10L), lit(4L)),
+      "ebml" -> Multimodal.ebmlShard(lit(1), lit(77L)),
+      "zip" -> Multimodal.zipShard(lit(1), _ => lit(4)),
+      "tar" -> Multimodal.tarShard(lit(1),
+        i => concat(lit("f"), i.cast("string")), _ => lit(4),
+        _ => lit("0")),
+      "tiff" -> Multimodal.tiffMulti(lit(1), _ => lit(4L), _ => lit(3L)),
+      "jpeg" -> Multimodal.jpegSynth(lit(4L), lit(4L), lit(2L)),
+      "png" -> lit(baos.toByteArray),
+      "bmp" -> Multimodal.bmpGray(4, 3, (_, _) => lit(7)),
+      "unknown" -> lit("plain text, no magic".getBytes("UTF-8")))
+    val got = cases.zipWithIndex.map { case ((want, payload), i) =>
+      val out = Seq(i).toDF("i")
+        .select(Multimodal.sniffFormat(payload).as("f"))
+        .collect().head.getString(0)
+      want -> out
+    }
+    assert(got.forall { case (w, g) => w == g },
+      got.filter(t => t._1 != t._2).mkString(","))
+    val edge = Seq(0).toDF("i").select(
+      Multimodal.sniffFormat(lit(null).cast("binary")).as("a"),
+      Multimodal.sniffFormat(lit(Array[Byte](1, 2))).as("b"))
+      .collect().head
+    assert(edge.getString(0) == "unknown" && edge.getString(1) == "unknown")
+  }
+
   test("ebmlShard synthesis round-trips through ebmlElements: the " +
     "full matroska-shaped tree as offset arithmetic on (n, ts)") {
     val df = Seq(9L).toDF("doc_id").select(col("doc_id"),
