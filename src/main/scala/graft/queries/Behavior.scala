@@ -177,6 +177,35 @@ object Behavior {
         .withColumn("p_mille", call_function("div",
           lit(1000L) * col("n"), sum(col("n")).over(wf)))
         .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // Sequential-pattern census (PrefixSpan-lite): the top
+    // CONTIGUOUS event-type trigrams ranked by USER SUPPORT (how
+    // many distinct users exhibit the pattern at least once — the
+    // support notion sequence mining uses, not raw occurrence
+    // count), with occurrence totals beside. xq10's length-2
+    // transition census extended one step: BOTH leads ride the SAME
+    // user-keyed window sort (one exchange, high-cardinality key),
+    // support = count(distinct user) after a (trigram, user) dedup
+    // that map-side combines. Top-15 by (support desc, trigram) —
+    // the behavioral motifs a funnel designer mines first.
+    "xq20_trigram_sequences" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val tri = t(s, dir, "events")
+        .select(col("user_id"), col("event_type").as("t1"),
+          lead(col("event_type"), 1).over(w).as("t2"),
+          lead(col("event_type"), 2).over(w).as("t3"))
+        .filter(col("t3").isNotNull)
+      val byUser = tri.groupBy(col("t1"), col("t2"), col("t3"),
+          col("user_id"))
+        .agg(count(lit(1)).as("k"))
+      byUser.groupBy(col("t1"), col("t2"), col("t3"))
+        .agg(count(lit(1)).as("user_support"),
+          sum(col("k")).as("n_occurrences"))
+        .orderBy(col("user_support").desc, col("t1"), col("t2"),
+          col("t3"))
+        .limit(15)
     })
   )
 
@@ -275,6 +304,23 @@ object Behavior {
          SELECT from_type, to_type, n,
            CAST((1000 * n) // (sum(n) OVER (PARTITION BY from_type))
              AS BIGINT) AS p_mille
-         FROM pairs ORDER BY from_type, to_type"""
+         FROM pairs ORDER BY from_type, to_type""",
+
+    // same window sort, two leads; user support = distinct users
+    // after the per-user dedup-count
+    "xq20_trigram_sequences" ->
+      """WITH tri AS (
+           SELECT user_id, event_type AS t1,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id
+             ORDER BY epoch_us(ts), event_id)),
+         g AS (SELECT t1, t2, t3, user_id, count(*) AS k FROM tri
+           WHERE t3 IS NOT NULL GROUP BY 1, 2, 3, 4)
+       SELECT t1, t2, t3, count(*) AS user_support,
+         CAST(sum(k) AS BIGINT) AS n_occurrences
+       FROM g GROUP BY 1, 2, 3
+       ORDER BY user_support DESC, t1, t2, t3 LIMIT 15"""
   )
 }

@@ -76,4 +76,22 @@ class BehaviorSpec extends SparkSpec {
     assert(out(("a", "c")) == (1L, 333L))
     assert(out(("b", "a")) == (2L, 1000L))
   }
+
+  test("xq20: user support counts distinct users, not occurrences — " +
+    "a twice-repeating user and a once-user give support 2, occ 3") {
+    // u1: a b c a b c  -> trigrams abc, bca, cab, abc (abc twice)
+    // u2: a b c        -> abc once
+    val rows = Seq("a", "b", "c", "a", "b", "c").zipWithIndex.map {
+      case (t, i) => (i.toLong, at(i), 1L, t, 1.0)
+    } ++ Seq("a", "b", "c").zipWithIndex.map {
+      case (t, i) => (10L + i, at(i), 2L, t, 1.0)
+    }
+    val out = Behavior.queries("xq20_trigram_sequences")(
+        spark, eventsDir(rows)).collect()
+    val top = out.head
+    assert((top.getString(0), top.getString(1), top.getString(2),
+      top.getLong(3), top.getLong(4)) == (("a", "b", "c", 2L, 3L)),
+      top.toString)
+    assert(out.tail.forall(_.getLong(3) == 1L), out.mkString(","))
+  }
 }
