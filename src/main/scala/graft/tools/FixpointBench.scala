@@ -33,6 +33,14 @@ object FixpointBench {
           tolNano = 1000L, maxIter = 50)
         (r.frame.count(), r.rounds, r.converged)
       }),
+      "ppr_converged" -> (() => {
+        // personalized: teleport to the 10 lowest part ids (even,
+        // < 20 under the side-tagged encoding)
+        val r = GraphIterations.pageRankConverged(bipartite,
+          tolNano = 1000L, maxIter = 50,
+          seedFilter = Some(n => pmod(n, lit(2)) === 0 && n < 20))
+        (r.frame.count(), r.rounds, r.converged)
+      }),
       "lpa_converged" -> (() => {
         // the graph is side-tagged even/odd, so waves=2 updates on a
         // proper 2-coloring — semi-sync, guaranteed oscillation-free
