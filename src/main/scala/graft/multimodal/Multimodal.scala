@@ -1697,13 +1697,113 @@ object Multimodal {
     unhex(concat(ftyp, moov, mdat))
   }
 
+  // ---- FLAC: metadata block chain with bit-packed STREAMINFO ----
+
+  val flacBlockSchema: StructType = StructType(Seq(
+    StructField("block_index", IntegerType, nullable = false),
+    StructField("block_type", IntegerType, nullable = false),
+    StructField("is_last", IntegerType, nullable = false),
+    StructField("block_len", LongType, nullable = false),
+    StructField("sample_rate", LongType, nullable = false),
+    StructField("n_channels", LongType, nullable = false),
+    StructField("bits_per_sample", LongType, nullable = false),
+    StructField("total_samples", LongType, nullable = false)))
+
+  /** REAL FLAC metadata-block walk — the TENTH byte-layout family,
+    * and the first with sub-byte BIT-PACKED fields: after the fLaC
+    * magic, blocks chain as (1-byte header: last-flag bit 7 + 7-bit
+    * type, 3-byte BE length, payload) until the last-flag; a type-0
+    * STREAMINFO payload packs 20-bit sample rate, 3-bit channels-1,
+    * 5-bit bits-per-sample-1 and a 36-bit total-sample count across
+    * byte boundaries — all unpacked here with explicit shifts.
+    * Truncation/overrun ends the walk with the complete prefix;
+    * a 100-block guard bounds hostile payloads.
+    */
+  def flacBlocks(media: DataFrame): DataFrame =
+    mapMedia(media, flacBlockSchema.fields.toSeq) { p =>
+      if (p == null || p.length < 8 ||
+          new String(p, 0, 4, "US-ASCII") != "fLaC") Iterator.empty
+      else {
+        def u8(i: Int) = p(i) & 0xff
+        val out = Seq.newBuilder[Seq[Any]]
+        var ofs = 4
+        var idx = 0
+        var last = false
+        var ok = true
+        while (ok && !last && ofs + 4 <= p.length && idx < 100) {
+          val hdr = u8(ofs)
+          val btype = hdr & 0x7f
+          last = (hdr & 0x80) != 0
+          val len = (u8(ofs + 1) << 16) | (u8(ofs + 2) << 8) | u8(ofs + 3)
+          if (ofs + 4 + len > p.length) ok = false
+          else {
+            var (sr, ch, bps, tot) = (-1L, -1L, -1L, -1L)
+            if (btype == 0 && len >= 34) {
+              val b = ofs + 4
+              sr = (u8(b + 10).toLong << 12) | (u8(b + 11).toLong << 4) |
+                (u8(b + 12) >> 4)
+              ch = ((u8(b + 12) >> 1) & 0x7) + 1L
+              bps = (((u8(b + 12) & 0x1) << 4) | (u8(b + 13) >> 4)) + 1L
+              tot = ((u8(b + 13) & 0xf).toLong << 32) |
+                (u8(b + 14).toLong << 24) | (u8(b + 15).toLong << 16) |
+                (u8(b + 16).toLong << 8) | u8(b + 17).toLong
+            }
+            out += Seq[Any](idx, btype, if (last) 1 else 0, len.toLong,
+              sr, ch, bps, tot)
+            idx += 1
+            ofs += 4 + len
+          }
+        }
+        out.result().iterator
+      }
+    }
+
+  /** Synthesis twin of [[flacBlocks]]: fLaC magic + STREAMINFO (the
+    * bit-packing done with explicit integer shifts in Column algebra
+    * — the exact inverse of the walker's unpacking) + `nPadding`
+    * 4-byte PADDING blocks, last-flag on the final block. The block
+    * table is closed-form in (sampleRate, channels, bits,
+    * totalSamples, nPadding), which is what the oracle replays.
+    */
+  def flacShard(sampleRate: Column, channels: Column, bits: Column,
+      totalSamples: Column, nPadding: Column): Column = {
+    val chM = channels.cast("long") - 1L // 3 bits
+    val bpM = bits.cast("long") - 1L     // 5 bits
+    val sr = sampleRate.cast("long")
+    val tot = totalSamples.cast("long")
+    val packed = concat(
+      beHex(shiftright(sr, 12), 1),
+      beHex(pmod(shiftright(sr, 4), lit(256L)), 1),
+      beHex(pmod(sr, lit(16L)) * 16L + chM * 2L +
+        call_function("div", bpM, lit(16L)), 1),
+      beHex(pmod(bpM, lit(16L)) * 16L +
+        call_function("div", tot, lit(4294967296L)), 1),
+      beHex(pmod(tot, lit(4294967296L)), 4))
+    val streaminfo = concat(
+      // type 0, length 34; last-flag set iff no padding follows
+      when(nPadding.cast("int") === 0, lit("80")).otherwise(lit("00")),
+      lit("000022"),
+      lit("1000" + "1000"),       // min/max blocksize 4096
+      lit("000000" + "000000"),   // min/max framesize unknown
+      packed,
+      lit("00" * 16))             // MD5 zeros
+    val pad = (i: Column) => concat(
+      when(i === nPadding.cast("int"), lit("81")).otherwise(lit("01")),
+      lit("000004"), lit("00" * 4))
+    val blocks = when(nPadding.cast("int") === 0, streaminfo)
+      .otherwise(concat(streaminfo,
+        array_join(transform(sequence(lit(1), nPadding.cast("int")),
+          pad), "")))
+    unhex(concat(lit("664C6143"), blocks))
+  }
+
   /** Magic-byte container sniffing as PURE Column algebra — the
     * dispatch step a mixed media lake runs BEFORE any walker: route
     * each blob to its per-format pipeline from the first few bytes,
     * no decode, no UDF, fully codegen'd (and replayable by any engine
     * with hex()). Detects the families this module walks: GIF, WAV
-    * (RIFF/WAVE), PNG, JPEG, ISO-BMFF (ftyp at offset 4), EBML, ZIP,
-    * POSIX tar (ustar at offset 257), TIFF (II*./MM.*), BMP.
+    * (RIFF/WAVE), PNG, JPEG, ISO-BMFF (ftyp at offset 4), EBML, FLAC,
+    * ZIP, POSIX tar (ustar at offset 257), TIFF (II*./MM.*), BMP.
     */
   def sniffFormat(payload: Column): Column = {
     val h = upper(hex(substring(payload, 1, 12)))
@@ -1717,6 +1817,7 @@ object Multimodal {
       .when(upper(hex(substring(payload, 5, 4))) === "66747970",
         lit("mp4"))
       .when(pre("1A45DFA3"), lit("ebml"))
+      .when(pre("664C6143"), lit("flac"))
       .when(pre("504B0304"), lit("zip"))
       .when(substring(payload, 258, 5).cast("string") === "ustar",
         lit("tar"))

@@ -520,6 +520,26 @@ object Pipeline {
         .orderBy(col("doc_id"), col("box_index"))
     }),
 
+    // REAL FLAC metadata-block walk — TENTH byte-layout family, the
+    // first with sub-byte BIT-PACKED fields: 20-bit sample rate,
+    // 3-bit channels, 5-bit depth and a 36-bit sample count unpacked
+    // across byte boundaries from STREAMINFO, plus the padding-block
+    // chain and last-flag semantics. Synthesis packs the same fields
+    // with explicit integer shifts; the oracle replays the block
+    // table as closed-form doc_id arithmetic.
+    "mm18_flac_blocks" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val sr = (lit(8000L) + pmod(col("doc_id"), lit(8)) * 4000L)
+      val ch = lit(1) + pmod(col("doc_id"), lit(2))
+      val tot = lit(100000L) + col("doc_id")
+      val nPad = pmod(col("doc_id"), lit(3))
+      val media = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          Multimodal.flacShard(sr, ch, lit(16), tot, nPad).as("payload"))
+      Multimodal.flacBlocks(media)
+        .orderBy(col("doc_id"), col("block_index"))
+    }),
+
     // Magic-byte format dispatch over a MIXED media lake: five
     // different containers synthesized per doc (GIF/WAV/MP4/EBML/
     // garbage), routed by the pure-Column sniffer — the pre-walker
@@ -1142,6 +1162,34 @@ object Pipeline {
            CAST(timescale AS BIGINT) AS timescale,
            CAST(duration AS BIGINT) AS duration
          FROM boxes ORDER BY doc_id, box_index""",
+    // block table replay: STREAMINFO (34 bytes, is_last iff no
+    // padding) + nPad 4-byte PADDING blocks, fields from the params
+    "mm18_flac_blocks" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(8000 + (doc_id % 8) * 4000 AS BIGINT) AS sr,
+             CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+             CAST(100000 + doc_id AS BIGINT) AS tot,
+             CAST(doc_id % 3 AS BIGINT) AS np
+           FROM documents WHERE doc_id < 200),
+         blocks AS (
+           SELECT doc_id, 0 AS bi, 0 AS bt,
+             CASE WHEN np = 0 THEN 1 ELSE 0 END AS lastf,
+             34 AS len, sr, ch, CAST(16 AS BIGINT) AS bps, tot
+           FROM d
+           UNION ALL
+           SELECT doc_id, i, 1,
+             CASE WHEN i = np THEN 1 ELSE 0 END, 4,
+             -1, -1, -1, -1
+           FROM d, LATERAL (SELECT unnest(generate_series(1, np)) AS i) _)
+         SELECT doc_id, CAST(bi AS INT) AS block_index,
+           CAST(bt AS INT) AS block_type, CAST(lastf AS INT) AS is_last,
+           CAST(len AS BIGINT) AS block_len,
+           CAST(sr AS BIGINT) AS sample_rate,
+           CAST(ch AS BIGINT) AS n_channels,
+           CAST(bps AS BIGINT) AS bits_per_sample,
+           CAST(tot AS BIGINT) AS total_samples
+         FROM blocks ORDER BY doc_id, block_index""",
+
     // the dispatch replayed as closed-form doc_id arithmetic
     "mm17_format_sniff" ->
       """SELECT format, count(*) AS n_blobs FROM (

@@ -990,6 +990,54 @@ class MultimodalSpec extends SparkSpec {
     assert(o3.count(_.getAs[Long]("media_id") == 3L) == 0)
   }
 
+  test("flacBlocks unpacks hand-built bit-packed STREAMINFO (44.1k " +
+    "stereo 16-bit), honors the last-flag chain, and survives " +
+    "truncation / garbage") {
+    def hx(h: String): Array[Byte] = h.replaceAll("\\s", "")
+      .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // sr=44100 -> bytes 0A C4 4; ch=2 -> (2-1)<<1; bps=16 -> 15:
+    // b12 = 0x40|0x02|0x00 = 42, b13 = 0xF0, total = 0x12345
+    val si = hx("664C6143 00 000022 1000 1000 000000 000000" +
+      " 0AC442 F0 00012345" + "00" * 16)
+    val padLast = hx("81 000004 00000000")
+    val out = Multimodal.flacBlocks(
+      Seq((1L, "audio", si ++ padLast, "mem://flac"))
+        .toDF("media_id", "kind", "payload", "source_uri"))
+      .orderBy("block_index").collect()
+    assert(out.length == 2, out.mkString(","))
+    val s0 = out(0)
+    assert((s0.getAs[Int]("block_type"), s0.getAs[Int]("is_last"),
+      s0.getAs[Long]("block_len"), s0.getAs[Long]("sample_rate"),
+      s0.getAs[Long]("n_channels"), s0.getAs[Long]("bits_per_sample"),
+      s0.getAs[Long]("total_samples")) ==
+      ((0, 0, 34L, 44100L, 2L, 16L, 0x12345L)), s0.toString)
+    assert(out(1).getAs[Int]("block_type") == 1 &&
+      out(1).getAs[Int]("is_last") == 1)
+    // truncated mid-block: the complete prefix (nothing here) only;
+    // garbage magic: no rows, no throw
+    val junk = Multimodal.flacBlocks(Seq(
+        (2L, "a", si.take(20), "m"),
+        (3L, "a", "not flac at all".getBytes("UTF-8"), "m"))
+      .toDF("media_id", "kind", "payload", "source_uri")).collect()
+    assert(junk.isEmpty, junk.mkString(","))
+  }
+
+  test("flacShard synthesis round-trips through flacBlocks: packed " +
+    "fields recovered exactly, padding chain and last-flag correct") {
+    val df = Seq(7L).toDF("doc_id").select(col("doc_id"),
+      Multimodal.flacShard(lit(32000L), lit(1), lit(24),
+        lit(5000000000L), lit(2)).as("payload"))
+    val out = Multimodal.flacBlocks(df).orderBy("block_index").collect()
+    assert(out.length == 3)
+    val s0 = out(0)
+    assert((s0.getAs[Long]("sample_rate"), s0.getAs[Long]("n_channels"),
+      s0.getAs[Long]("bits_per_sample"),
+      s0.getAs[Long]("total_samples"), s0.getAs[Int]("is_last")) ==
+      ((32000L, 1L, 24L, 5000000000L, 0)), s0.toString)
+    assert(out.map(_.getAs[Int]("is_last")).toSeq == Seq(0, 0, 1))
+    assert(out.map(_.getAs[Int]("block_type")).toSeq == Seq(0, 1, 1))
+  }
+
   test("sniffFormat routes every synthesized family from its magic " +
     "bytes — GIF, WAV, MP4, EBML, ZIP, tar, TIFF, JPEG, PNG, BMP — " +
     "and degrades to unknown on garbage / null / short") {
@@ -1002,6 +1050,8 @@ class MultimodalSpec extends SparkSpec {
       "wav" -> Multimodal.wavHeader(lit(1), lit(8000), lit(16), lit(4)),
       "mp4" -> Multimodal.mp4Shard(lit(1), lit(600L), lit(10L), lit(4L)),
       "ebml" -> Multimodal.ebmlShard(lit(1), lit(77L)),
+      "flac" -> Multimodal.flacShard(lit(44100L), lit(2), lit(16),
+        lit(1000L), lit(1)),
       "zip" -> Multimodal.zipShard(lit(1), _ => lit(4)),
       "tar" -> Multimodal.tarShard(lit(1),
         i => concat(lit("f"), i.cast("string")), _ => lit(4),
