@@ -287,6 +287,48 @@ object Stats {
         .orderBy(col("event_type"))
     }),
 
+    // Holt linear-trend (double-exponential) smoothing per event
+    // type, EXACT: with α = β = ½ both recurrences become integer
+    // divisions — l ← (x + l + b) div 2, b ← ((l′−l) + b) div 2 — so
+    // the fold is bit-replayable (DuckDB runs it as a recursive CTE).
+    // The fact table shrinks FIRST to the (type, day) census; the
+    // sequential recurrence then folds over each type's ordered
+    // day array (bounded by calendar days — the same census-bound
+    // contract as ts10), never over raw events. Emits the final
+    // level/trend state and the h=7 linear forecast.
+    "ts11_holt_trend" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("event_type").as("et"),
+          call_function("div", unix_micros(col("ts")),
+            lit(86400000000L)).as("day"))
+        .groupBy(col("et"), col("day")).agg(count(lit(1)).as("x"))
+      val series = daily.groupBy(col("et"))
+        .agg(count(lit(1)).as("n_days"),
+          array_sort(collect_list(struct(col("day"), col("x"))))
+            .as("xs"))
+      // state (l, b, started): l₀ = x₀, b₀ = 0
+      val folded = series.select(col("et"), col("n_days"),
+        aggregate(col("xs"),
+          struct(lit(0L).as("l"), lit(0L).as("b"),
+            lit(false).as("started")),
+          (st, e) => {
+            val x = e.getField("x")
+            val l2 = when(st.getField("started"),
+              call_function("div",
+                x + st.getField("l") + st.getField("b"), lit(2L)))
+              .otherwise(x)
+            val b2 = when(st.getField("started"),
+              call_function("div",
+                (l2 - st.getField("l")) + st.getField("b"), lit(2L)))
+              .otherwise(lit(0L))
+            struct(l2.as("l"), b2.as("b"), lit(true).as("started"))
+          }).as("st"))
+      folded.select(col("et").as("event_type"), col("n_days"),
+          col("st.l").as("level"), col("st.b").as("trend"),
+          (col("st.l") + lit(7L) * col("st.b")).as("forecast_7d"))
+        .orderBy(col("event_type"))
+    }),
+
     // EXACT ROC-AUC of the px8 hash-feature quality classifier
     // against an independent length-band label, via the Mann-Whitney
     // rank-sum identity AUC = U / (n₁·n₀) — computed WITHOUT ranking
@@ -508,6 +550,30 @@ object Stats {
          ((sy*sxx - sx*sxy) * 1000000) // (n*sxx - sx*sx)
            AS intercept_micro
        FROM m""",
+
+    // the α=β=½ integer recurrence replayed as a recursive CTE over
+    // the row-numbered daily census (both engines truncate toward 0)
+    "ts11_holt_trend" ->
+      """WITH RECURSIVE daily AS (SELECT event_type AS et,
+           epoch_us(ts) // 86400000000 AS day, count(*) AS x
+         FROM events GROUP BY 1, 2),
+       seq AS (SELECT et, CAST(x AS BIGINT) AS x,
+           CAST(row_number() OVER (PARTITION BY et ORDER BY day)
+             AS BIGINT) AS k
+         FROM daily),
+       n AS (SELECT et, count(*) AS n_days FROM seq GROUP BY 1),
+       rec AS (
+         SELECT et, k, x AS l, CAST(0 AS BIGINT) AS b
+         FROM seq WHERE k = 1
+         UNION ALL
+         SELECT s.et, s.k,
+           (s.x + r.l + r.b) // 2,
+           (((s.x + r.l + r.b) // 2 - r.l) + r.b) // 2
+         FROM rec r JOIN seq s ON s.et = r.et AND s.k = r.k + 1)
+       SELECT r.et AS event_type, n.n_days, r.l AS level,
+         r.b AS trend, r.l + 7 * r.b AS forecast_7d
+       FROM rec r JOIN n ON n.et = r.et AND r.k = n.n_days
+       ORDER BY event_type""",
 
     // denominator-cleared CUSUM replay: n*cum - k*S, peak by
     // (|C| max, earliest day)

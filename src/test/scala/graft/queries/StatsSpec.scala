@@ -143,6 +143,24 @@ class StatsSpec extends SparkSpec {
       (("a", 10L, 4L, 250L)), r.toString)
   }
 
+  test("ts11: the alpha=beta=1/2 integer Holt fold tracks a planted " +
+    "ramp with the exact hand-computed state") {
+    val dir = tmp()
+    // daily counts 10,20,...,60 over days 0-5:
+    // l: 10,15,23,34,46,58 ; b: 0,2,5,8,10,11
+    val rows = (for {
+      d <- 0 to 5; i <- 0 until (10 * (d + 1))
+    } yield (d * 1000L + i, new java.sql.Timestamp(86400000L * d + i),
+      1L, "a", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Stats.queries("ts11_holt_trend")(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == (("a", 6L, 58L, 11L, 135L)), r.toString)
+  }
+
   test("px13: identical texts tie every score, so AUC is exactly " +
     "1/2; labels split by observed score rank give exactly 1 (or 0 " +
     "inverted)") {
