@@ -126,8 +126,15 @@ object GraphIterations {
       e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     val withDeg = ManagedCache.persist(e.join(deg, Seq("src")))
     val ind: Column => Column = seedFilter.getOrElse(_ => lit(true))
+    // a seedFilter matching no out-degree node would make every rank
+    // div(SCALE, 0) = NULL and the run would "converge" to an all-null
+    // frame — fail loudly instead, at broadcast-build time (the n=0
+    // row trips raise_error when the 1-row frame materializes)
     val nn = seedFilter.fold(deg)(f => deg.filter(f(col("src"))))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n0"))
+      .select(when(col("n0") > 0, col("n0")).otherwise(raise_error(
+        concat(lit("pageRankConverged: seed set is empty — seedFilter " +
+          "matches no node with out-degree > 0")))).as("n"))
     val r0 = deg.select(col("src").as("node_id"))
       .crossJoin(broadcast(nn))
       .select(col("node_id"),

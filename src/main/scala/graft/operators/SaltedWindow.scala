@@ -34,9 +34,15 @@ import org.apache.spark.sql.functions._
   * horizontal scale here, and partial map-side combine does not apply
   * to range frames anyway.
   *
-  * Correctness requires only that the order column is non-negative
-  * (integer `div` = floor there) and that the frame is trailing with
-  * length ≤ the bucket width — both asserted.
+  * Correctness requires only that the frame is trailing with length
+  * ≤ the bucket width — asserted, along with the order column's LONG
+  * type (the only checks `trailing` performs). The order column may
+  * be ANY long, negative included: truncating `div` still yields a
+  * monotone step function whose plateaus are intervals of width ≥ W
+  * with boundaries only at multiples of W (the plateau around zero is
+  * the two adjacent intervals merged), so a trailing frame of length
+  * W crosses at most one boundary and is always covered by the row's
+  * bucket plus the previous bucket's echo.
   */
 object SaltedWindow {
 
@@ -48,7 +54,7 @@ object SaltedWindow {
     * @param df       input frame (raw facts; any columns)
     * @param partCols logical partition keys (may be low-cardinality —
     *                 that is the point)
-    * @param usCol    LONG epoch-microsecond order column, must be >= 0
+    * @param usCol    LONG epoch-microsecond order column (any sign)
     * @param windowUs trailing frame length in microseconds; also the
     *                 salt bucket width
     * @param aggs     builds the aggregate columns from the provided

@@ -41,19 +41,38 @@ object Snapshots {
     }
   }
 
-  /** First unoccupied version slot: above the pointer AND above every
-    * existing `v=` directory — a crashed orphan, a staged WAP write,
-    * or a BRANCH head may own slots past the pointer, and `latest+1`
-    * would silently overwrite them. */
+  /** First unoccupied version slot: above the pointer, above every
+    * existing `v=` directory, AND above every live `_claim.N` marker —
+    * a crashed orphan, a staged WAP write, a BRANCH head, or a CAS
+    * committer that has claimed-but-not-yet-renamed may own slots past
+    * the pointer, and `latest+1` would silently overwrite them (on the
+    * local FS a rename onto an occupied slot MERGES instead of
+    * failing, so the collision would be silent). Stale markers moved
+    * aside by crashed-winner recovery (`.stale-` suffix) do not
+    * occupy a slot. */
   private def nextFreeVersion(spark: SparkSession, dir: String): Long = {
     val f = fs(spark, dir)
     val d = new Path(dir)
-    val dirs = if (!f.exists(d)) Seq.empty[Long]
-      else f.listStatus(d).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-        .map(_.getPath.getName.stripPrefix("v=").toLong)
-    (latestVersion(spark, dir) +: dirs).max + 1
+    val occupied = if (!f.exists(d)) Seq.empty[Long]
+      else f.listStatus(d).toSeq.flatMap { s =>
+        val n = s.getPath.getName
+        if (s.isDirectory && n.startsWith("v="))
+          Some(n.stripPrefix("v=").toLong)
+        else if (s.isFile && n.matches("_claim\\.\\d+"))
+          Some(n.stripPrefix("_claim.").toLong)
+        else None
+      }
+    (latestVersion(spark, dir) +: occupied).max + 1
   }
+
+  /** Atomically claim version slot `v` via an exclusive-create
+    * `_claim.$v` marker (atomic on HDFS/posix; object stores
+    * substitute an if-none-match put). Exactly one of N racing
+    * claimants succeeds. */
+  private def tryClaimSlot(f: org.apache.hadoop.fs.FileSystem,
+      dir: String, v: Long): Boolean =
+    try { f.create(new Path(dir, s"_claim.$v"), false).close(); true }
+    catch { case _: java.io.IOException => false }
 
   /** Write `df` as the next version and publish it atomically.
     * Returns the new version number. A crash between the data write
@@ -132,10 +151,7 @@ object Snapshots {
     val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
     df.write.mode("overwrite").parquet(stage.toString)
     val claim = new Path(dir, s"_claim.$v")
-    def tryClaim(): Boolean =
-      try { f.create(claim, false).close(); true }
-      catch { case _: java.io.IOException => false }
-    var won = tryClaim()
+    var won = tryClaimSlot(f, dir, v)
     if (!won && claimGraceMs > 0) {
       val stale =
         (try Option(f.getFileStatus(claim))
@@ -144,8 +160,15 @@ object Snapshots {
             System.currentTimeMillis() - claimGraceMs)
       if (stale) {
         if (f.exists(new Path(dir, s"v=$v"))) {
-          // complete but unpublished: roll the dead commit forward
+          // complete but unpublished: roll the dead commit forward.
+          // Retire the dead winner's claim marker (rename aside to the
+          // vacuumable .stale- form) — once v=N is the published head
+          // it is slot-protection enough, and a lingering live marker
+          // would only be pointlessly grace-stolen by a later
+          // same-slot probe.
           publish(spark, dir, v)
+          f.rename(claim, new Path(dir,
+            s"_claim.$v.stale-${java.util.UUID.randomUUID()}"))
           f.delete(stage, true)
           return Left(s"conflict: crashed commit v=$v rolled forward; " +
             s"table now at v=$v — retry on top")
@@ -153,7 +176,7 @@ object Snapshots {
         // atomic claim-steal; the loser of the rename stays conflicted
         if (f.rename(claim, new Path(dir,
             s"_claim.$v.stale-${java.util.UUID.randomUUID()}")))
-          won = tryClaim()
+          won = tryClaimSlot(f, dir, v)
       }
     }
     if (!won) {
@@ -358,11 +381,18 @@ object Snapshots {
     read(spark, dir, branchHead(spark, dir, name)._1)
 
   /** Commit `df` onto a branch: the data lands in the shared version
-    * log (next free `v=` slot, claimed by an EXCLUSIVE stage→rename —
-    * concurrent main or sibling-branch committers can never clobber
-    * it) and only the branch ref moves; main's pointer is untouched.
-    * Single writer PER BRANCH (like main's plain commit); cross-
-    * branch concurrency is safe via the rename claim. */
+    * log (next free `v=` slot, claimed by an EXCLUSIVE-CREATE
+    * `_claim.N` marker — the same primitive commitCAS uses — so
+    * concurrent main or sibling-branch committers can never take the
+    * same slot) and only the branch ref moves; main's pointer is
+    * untouched. A bare stage→rename is NOT a safe claim: on the local
+    * FS (and object-store FSs) Hadoop's rename onto an existing
+    * directory falls back to a copy INSIDE it and returns true, so a
+    * racer would "win" an occupied slot and point its ref at another
+    * committer's data. After the rename we additionally verify the
+    * stage did not end up nested under an occupied `v=N` and treat
+    * that as a lost race. Single writer PER BRANCH (like main's plain
+    * commit); cross-branch concurrency is safe via the claim marker. */
   def commitToBranch(spark: SparkSession, df: DataFrame, dir: String,
       name: String, maxAttempts: Int = 5): Long = {
     val f = fs(spark, dir)
@@ -373,8 +403,20 @@ object Snapshots {
     var won = -1L
     while (won < 0 && attempt < maxAttempts) {
       val v = nextFreeVersion(spark, dir)
-      if (f.rename(stage, new Path(dir, s"v=$v"))) won = v
-      else attempt += 1
+      if (tryClaimSlot(f, dir, v)) {
+        val dst = new Path(dir, s"v=$v")
+        val nested = new Path(dst, stage.getName)
+        if (f.rename(stage, dst) && !f.exists(nested)) won = v
+        else {
+          // lost a race the claim didn't cover (pre-claim-marker
+          // writer, or rename's copy-into-existing fallback): pull the
+          // stage back out if it was nested, retire the claim, retry
+          if (f.exists(nested)) f.rename(nested, stage)
+          f.rename(new Path(dir, s"_claim.$v"), new Path(dir,
+            s"_claim.$v.stale-${java.util.UUID.randomUUID()}"))
+          attempt += 1
+        }
+      } else attempt += 1
     }
     if (won < 0) {
       f.delete(stage, true)

@@ -64,6 +64,19 @@ class FixpointSpec extends SparkSpec {
     assert(math.abs(r.values.sum - 1000000000L) < 10000000L)
   }
 
+  test("pageRankConverged rejects an empty seed set loudly instead " +
+    "of 'converging' to an all-null rank frame") {
+    val ex = intercept[Exception] {
+      GraphIterations.pageRankConverged(
+        sym(Seq((0L, 1L), (1L, 2L))),
+        maxIter = 3, seedFilter = Some(n => n === 999L)).frame.collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("seed set is empty")), ex.toString)
+  }
+
   test("labelPropagationConverged: two planted cliques settle on " +
     "their min labels and stop changing — under both the pure-sync " +
     "xg3 rule and the retention default") {

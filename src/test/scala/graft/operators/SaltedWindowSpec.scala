@@ -108,6 +108,30 @@ class SaltedWindowSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3))).toSeq
 
+  test("negative order values are covered too: truncating-div buckets " +
+    "still put every trailing frame within (own bucket + carry-in)") {
+    // rows straddling zero and negative bucket boundaries, duplicates
+    // included — frames reach across the trunc-div plateau at zero
+    // and across negative multiples of W
+    val df = Seq(
+      (1L, "a", -2500L, 1L), (2L, "a", -2001L, 2L), (3L, "a", -2000L, 3L),
+      (4L, "a", -1500L, 4L), (5L, "a", -999L, 5L), (6L, "a", -500L, 6L),
+      (7L, "a", -1L, 7L), (8L, "a", 0L, 8L), (9L, "a", 499L, 9L),
+      (10L, "a", 999L, 10L), (11L, "a", 1000L, 11L), (12L, "a", -500L, 13L))
+      .toDF("id", "k", "us", "v")
+    val plain = Window.partitionBy($"k").orderBy($"us")
+      .rangeBetween(-W, 0L)
+    val expected = df.select($"id",
+        count(lit(1)).over(plain).as("n"), sum($"v").over(plain).as("s"))
+      .orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = SaltedWindow.trailing(df, Seq("k"), "us", W)(w => Seq(
+        count(lit(1)).over(w).as("n"), sum($"v").over(w).as("s")))
+      .select($"id", $"n", $"s").orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
   test("a non-long order column is rejected") {
     val df = Seq((1, "a", 1.5, 2L)).toDF("id", "k", "us", "v")
     intercept[IllegalArgumentException] {

@@ -133,6 +133,12 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.latestVersion(spark, dir) == 2L)
     assert(Snapshots.read(spark, dir).collect().head.getString(1)
       == "dead-but-complete")
+    // roll-forward retires the dead winner's claim marker (renamed to
+    // the vacuumable .stale- form) — it must not linger live to be
+    // pointlessly grace-stolen by a later same-slot probe
+    assert(!new java.io.File(d, "_claim.2").exists())
+    assert(d.listFiles().exists(
+      _.getName.startsWith("_claim.2.stale-")))
     // and the conflicted caller retries cleanly on top
     assert(Snapshots.commitCAS(spark,
       Seq((3, "retry")).toDF("id", "s"), dir, 2L, claimGraceMs = 1000L)
@@ -264,5 +270,69 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.readBranch(spark, dir, "late")
       .collect().head.getString(1) == "late-work")
     Snapshots.dropBranch(spark, dir, "late")
+  }
+
+  test("version allocator honors live _claim markers: a CAS writer " +
+    "that claimed-but-not-yet-renamed never loses its slot to a " +
+    "plain or branch commit") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-claim-alloc").toString + "/t"
+    Snapshots.commit(spark, Seq((1, "main1")).toDF("id", "s"), dir)
+    Snapshots.createBranch(spark, dir, "b")
+    // simulate an in-flight commitCAS: _claim.2 exists, v=2 does not
+    assert(new java.io.File(new java.io.File(dir), "_claim.2")
+      .createNewFile())
+    // both allocator-driven paths must skip the claimed slot
+    assert(Snapshots.commitToBranch(spark,
+      Seq((2, "branch")).toDF("id", "s"), dir, "b") == 3L)
+    assert(Snapshots.commit(spark,
+      Seq((3, "main2")).toDF("id", "s"), dir) == 4L)
+    // the claimed slot is still free for its owner's rename
+    assert(!new java.io.File(s"$dir/v=2").exists())
+    // a retired (.stale-) marker does NOT occupy a slot
+    val d2 = java.nio.file.Files
+      .createTempDirectory("graft-claim-stale").toString + "/t"
+    Snapshots.commit(spark, Seq((1, "x")).toDF("id", "s"), d2)
+    assert(new java.io.File(new java.io.File(d2),
+      "_claim.2.stale-dead").createNewFile())
+    assert(Snapshots.commit(spark,
+      Seq((2, "y")).toDF("id", "s"), d2) == 2L)
+  }
+
+  test("concurrent commits to two branches claim distinct slots and " +
+    "each branch reads exactly its own data") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-br-race").toString + "/t"
+    Snapshots.commit(spark, Seq((1, "main1")).toDF("id", "s"), dir)
+    Snapshots.createBranch(spark, dir, "ba")
+    Snapshots.createBranch(spark, dir, "bb")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      def racer(branch: String) = pool.submit(
+        new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            gate.await()
+            Snapshots.commitToBranch(spark,
+              Seq((1, branch)).toDF("id", "s"), dir, branch)
+          }
+        })
+      val (fa, fb) = (racer("ba"), racer("bb"))
+      gate.countDown()
+      val (va, vb) = (fa.get(), fb.get())
+      assert(va != vb, s"both branches claimed v=$va")
+      assert(Set(va, vb) == Set(2L, 3L), s"$va/$vb")
+      assert(Snapshots.readBranch(spark, dir, "ba")
+        .collect().map(_.getString(1)).toSeq == Seq("ba"))
+      assert(Snapshots.readBranch(spark, dir, "bb")
+        .collect().map(_.getString(1)).toSeq == Seq("bb"))
+      // no version directory contains a nested stage (the local-FS
+      // rename-merge failure mode the claim marker exists to prevent)
+      Seq(va, vb).foreach { v =>
+        val nested = new java.io.File(s"$dir/v=$v").listFiles()
+          .filter(_.getName.startsWith("_stage-"))
+        assert(nested.isEmpty, nested.mkString(","))
+      }
+    } finally pool.shutdown()
   }
 }
