@@ -65,22 +65,52 @@ object Snapshots {
     (latestVersion(spark, dir) +: occupied).max + 1
   }
 
-  /** Atomically claim version slot `v` via an exclusive-create
-    * `_claim.$v` marker (atomic on HDFS/posix; object stores
-    * substitute an if-none-match put). Exactly one of N racing
-    * claimants succeeds. */
+  /** Claim version slot `v` via an exclusive-create `_claim.$v`
+    * marker (atomic on HDFS/posix; object stores substitute an
+    * if-none-match put) — of N racing claimants, one succeeds.
+    * LOCAL-FS CAVEAT: Hadoop's LocalFileSystem (ChecksumFileSystem)
+    * implements create(overwrite=false) as check-then-create, so two
+    * LOCAL racers can both "win" the claim; every claim-based
+    * committer therefore backstops the claim with a post-rename
+    * nested-merge check (commitToBranch, commitCAS), so claim
+    * non-atomicity degrades to a retry/conflict — never to a corrupt
+    * merged version directory. */
   private def tryClaimSlot(f: org.apache.hadoop.fs.FileSystem,
       dir: String, v: Long): Boolean =
     try { f.create(new Path(dir, s"_claim.$v"), false).close(); true }
     catch { case _: java.io.IOException => false }
 
+  /** Allocate AND claim the next free slot in one step, retrying the
+    * probe when a concurrent claimant takes the candidate first —
+    * every committing path (plain, WAP, branch, CAS) holds a claim
+    * marker before writing bytes into its slot, so the allocator's
+    * "live claims are occupied" rule actually excludes ALL writers
+    * from each other, not just the claim-based ones. */
+  private def claimNextFree(spark: SparkSession, dir: String,
+      maxAttempts: Int = 64): Long = {
+    val f = fs(spark, dir)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val v = nextFreeVersion(spark, dir)
+      if (tryClaimSlot(f, dir, v)) return v
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"could not claim a version slot in $maxAttempts attempts: $dir")
+  }
+
   /** Write `df` as the next version and publish it atomically.
-    * Returns the new version number. A crash between the data write
-    * and the pointer replace leaves the table at the PREVIOUS
+    * Returns the new version number. The slot is claimed via the same
+    * `_claim.N` marker the CAS/branch committers use BEFORE any bytes
+    * are written, so a concurrent branch or CAS committer can never
+    * allocate the same slot in the window between our directory
+    * listing and our parquet write (the marker persists alongside its
+    * version; vacuum removes both together). A crash between the data
+    * write and the pointer replace leaves the table at the PREVIOUS
     * version with an orphan directory — vacuum() reclaims it.
     */
   def commit(spark: SparkSession, df: DataFrame, dir: String): Long = {
-    val v = nextFreeVersion(spark, dir)
+    val v = claimNextFree(spark, dir)
     df.write.mode("overwrite").parquet(s"$dir/v=$v")
     publish(spark, dir, v)
     v
@@ -182,12 +212,28 @@ object Snapshots {
     if (!won) {
       f.delete(stage, true)
       Left(s"conflict: v=$v already claimed by a concurrent committer")
-    } else if (!f.rename(stage, new Path(dir, s"v=$v"))) {
-      f.delete(stage, true)
-      Left(s"conflict: v=$v directory already exists")
     } else {
-      publish(spark, dir, v)
-      Right(v)
+      val dst = new Path(dir, s"v=$v")
+      val nested = new Path(dst, stage.getName)
+      if (f.rename(stage, dst) && !f.exists(nested)) {
+        publish(spark, dir, v)
+        Right(v)
+      } else {
+        // the claim did not actually cover the slot: either v=N
+        // pre-dates the claim protocol (e.g. a rolled-back plain
+        // commit never vacuumed, its marker long gone) or a local-FS
+        // claim race let two writers through. Hadoop's rename onto an
+        // existing directory MERGES the stage INSIDE it and returns
+        // true — publishing now would make a corrupt mixed directory
+        // the table head. Pull the stage back out, retire the claim,
+        // and surface a conflict instead (same backstop as
+        // commitToBranch).
+        if (f.exists(nested)) f.rename(nested, stage)
+        f.rename(claim, new Path(dir,
+          s"_claim.$v.stale-${java.util.UUID.randomUUID()}"))
+        f.delete(stage, true)
+        Left(s"conflict: v=$v directory already exists")
+      }
     }
   }
 
@@ -219,7 +265,7 @@ object Snapshots {
   def commitChecked(spark: SparkSession, df: DataFrame, dir: String,
       checks: DataFrame => Seq[DataFrame])
       : Either[Seq[(String, Long)], Long] = {
-    val v = nextFreeVersion(spark, dir)
+    val v = claimNextFree(spark, dir)
     df.write.mode("overwrite").parquet(s"$dir/v=$v")
     val staged = spark.read.parquet(s"$dir/v=$v")
     val bad = DataQuality.suite(checks(staged))
@@ -287,6 +333,18 @@ object Snapshots {
           (s.isFile && s.getPath.getName.startsWith("_claim.") &&
             s.getPath.getName.contains(".stale-"))))
       .foreach(s => f.delete(s.getPath, s.isDirectory))
+    // LIVE claim markers with no corresponding v=N directory: a
+    // committer that died between claim and data write (and, with
+    // claimGraceMs=0, no CAS steal will ever run). nextFreeVersion
+    // honors live markers, so an unreclaimed corpse burns its slot
+    // forever. Same grace rule as stage directories — an in-flight
+    // committer's fresh claim is never swept by a graced vacuum.
+    val survivingVersions = versions.map(_._1).toSet -- doomed
+    entries.filter { s =>
+      s.isFile && s.getPath.getName.matches("_claim\\.\\d+") &&
+        aged(s) &&
+        !survivingVersions(s.getPath.getName.stripPrefix("_claim.").toLong)
+    }.foreach(s => f.delete(s.getPath, false))
     doomed
   }
 

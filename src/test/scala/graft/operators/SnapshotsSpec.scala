@@ -299,6 +299,88 @@ class SnapshotsSpec extends SparkSpec {
       Seq((2, "y")).toDF("id", "s"), d2) == 2L)
   }
 
+  test("commitCAS nested-merge backstop: an occupied slot with NO " +
+    "claim marker (pre-claim-era rollback leftover) conflicts instead " +
+    "of corrupting — the old data stays intact, the stage is removed") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cas-nested").toString + "/t"
+    assert(Snapshots.commitCAS(spark,
+      Seq((0, "base")).toDF("id", "s"), dir, 0L) == Right(1L))
+    // plant an occupied v=2 with no claim marker: the state a plain
+    // commit + rollback left behind before commit() claimed slots
+    Seq((2, "old-v2")).toDF("id", "s").write.parquet(s"$dir/v=2")
+    val r = Snapshots.commitCAS(spark,
+      Seq((2, "clobber")).toDF("id", "s"), dir, 1L)
+    assert(r.isLeft && r.swap.toOption.get.contains("already exists"),
+      r.toString)
+    // v=2 was NOT merged-into: exactly the old rows, no nested stage
+    val inside = new java.io.File(s"$dir/v=2").listFiles()
+      .filter(_.getName.startsWith("_stage-"))
+    assert(inside.isEmpty, inside.mkString(","))
+    assert(spark.read.parquet(s"$dir/v=2").collect()
+      .map(_.getString(1)).toSeq == Seq("old-v2"))
+    // the loser's staging is gone and its claim was retired
+    val d = new java.io.File(dir)
+    assert(!d.listFiles().exists(_.getName.startsWith("_stage-")))
+    assert(!new java.io.File(d, "_claim.2").exists())
+    assert(d.listFiles().exists(_.getName.startsWith("_claim.2.stale-")))
+    // table head is untouched
+    assert(Snapshots.latestVersion(spark, dir) == 1L)
+  }
+
+  test("plain commit claims its slot: a racing main committer and " +
+    "branch committer always take distinct versions") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-main-br-race").toString + "/t"
+    Snapshots.commit(spark, Seq((1, "main1")).toDF("id", "s"), dir)
+    // the marker persists alongside its version
+    assert(new java.io.File(new java.io.File(dir), "_claim.1").exists())
+    Snapshots.createBranch(spark, dir, "b")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val fm = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = { gate.await()
+          Snapshots.commit(spark,
+            Seq((1, "main2")).toDF("id", "s"), dir) }
+      })
+      val fb = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = { gate.await()
+          Snapshots.commitToBranch(spark,
+            Seq((1, "branch")).toDF("id", "s"), dir, "b") }
+      })
+      gate.countDown()
+      val (vm, vb) = (fm.get(), fb.get())
+      assert(vm != vb, s"main and branch both took v=$vm")
+      assert(Set(vm, vb) == Set(2L, 3L), s"$vm/$vb")
+      // neither clobbered the other: each slot holds exactly its own
+      assert(Snapshots.read(spark, dir).collect()
+        .map(_.getString(1)).toSeq == Seq("main2"))
+      assert(Snapshots.readBranch(spark, dir, "b").collect()
+        .map(_.getString(1)).toSeq == Seq("branch"))
+    } finally pool.shutdown()
+  }
+
+  test("vacuum reclaims an aged live claim with no version directory " +
+    "(claim-and-die corpse) so the slot is not burned forever, but " +
+    "never sweeps a fresh in-flight claim") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-claim-corpse").toString + "/t"
+    Snapshots.commit(spark, Seq((1, "v1")).toDF("id", "s"), dir)
+    val d = new java.io.File(dir)
+    // corpse: claimed, died before writing any bytes, aged past grace
+    assert(new java.io.File(d, "_claim.7").createNewFile())
+    assert(new java.io.File(d, "_claim.7")
+      .setLastModified(System.currentTimeMillis() - 60000L))
+    // fresh in-flight claim on another slot
+    assert(new java.io.File(d, "_claim.9").createNewFile())
+    Snapshots.vacuum(spark, dir, keepLast = 5, orphanGraceMs = 1000L)
+    assert(!new java.io.File(d, "_claim.7").exists(), "corpse not swept")
+    assert(new java.io.File(d, "_claim.9").exists(), "fresh claim swept")
+    // _claim.1 guards a surviving version — never an orphan
+    assert(new java.io.File(d, "_claim.1").exists())
+  }
+
   test("concurrent commits to two branches claim distinct slots and " +
     "each branch reads exactly its own data") {
     val dir = java.nio.file.Files
