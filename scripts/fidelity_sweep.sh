@@ -33,13 +33,21 @@ java $ADD_OPENS -Dspark.ui.enabled=false \
   graft.tools.FidelitySweep "$BASE" "$N" 2>/dev/null | tail -1
 
 PASS=0
+DOCPASS=0
 for i in $(seq 1 "$N"); do
   if python3 scripts/compare_reference.py "$BASE/s$i/ref" \
       "$BASE/s$i/graft" >"$BASE/s$i/diff.txt" 2>&1; then
     PASS=$((PASS+1))
   else
-    echo "seed $i FAILED:"; tail -5 "$BASE/s$i/diff.txt"
+    echo "seed $i FAILED (views):"; tail -5 "$BASE/s$i/diff.txt"
+  fi
+  if python3 scripts/compare_docs.py "$BASE/s$i/ref" \
+      "$BASE/s$i/graft" >"$BASE/s$i/docdiff.txt" 2>&1; then
+    DOCPASS=$((DOCPASS+1))
+  else
+    echo "seed $i FAILED (docs):"; tail -8 "$BASE/s$i/docdiff.txt"
   fi
 done
-echo "fidelity sweep: $PASS/$N seeds with 21/21 row-identical views"
-[ "$PASS" = "$N" ]
+echo "fidelity sweep: $PASS/$N seeds with 21/21 row-identical views," \
+  "$DOCPASS/$N seeds with retrieve()-identical documents"
+[ "$PASS" = "$N" ] && [ "$DOCPASS" = "$N" ]

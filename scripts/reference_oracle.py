@@ -99,6 +99,26 @@ def main():
                                  default=str))
         print(f"{view}: {len(rows)} rows -> {fn.name}")
 
+    # ---- document read-API: the reference's own retrieve() JSON ----
+    # requests: one nested document per request id
+    cursor = conn.cursor()
+    req_ids = [r[0] for r in
+               conn.execute("SELECT id FROM requests ORDER BY id")]
+    req_docs = {rid: r_io.retrieve(cursor, rid) for rid in req_ids}
+    (out_dir / "docs_requests.json").write_text(
+        json.dumps(req_docs, ensure_ascii=False, indent=1, default=str))
+    print(f"docs_requests: {len(req_docs)} documents")
+    # users: list of user documents (users.py retrieve)
+    user_docs = u_io.retrieve(conn)
+    (out_dir / "docs_users.json").write_text(
+        json.dumps(user_docs, ensure_ascii=False, indent=1, default=str))
+    print(f"docs_users: {len(user_docs)} documents")
+    # fix_journals: list of journal documents (fix_journal.py retrieve)
+    fj_docs = fj_io.retrieve(conn)
+    (out_dir / "docs_fix_journals.json").write_text(
+        json.dumps(fj_docs, ensure_ascii=False, indent=1, default=str))
+    print(f"docs_fix_journals: {len(fj_docs)} documents")
+
 
 if __name__ == "__main__":
     main()

@@ -38,6 +38,14 @@ object Reassembly {
   private def emptyArr(elemType: String): Column =
     array().cast(s"array<$elemType>")
 
+  /** Typed empty-array literal matching `df`'s `field` column — the
+    * API emits [] (never null) for an empty child collection, so
+    * every left-joined array child coalesces to this. Deriving the
+    * type from the child frame's own schema avoids hand-maintaining
+    * a second copy of the DDL. */
+  private def emptyLike(df: DataFrame, field: String): Column =
+    array().cast(df.schema(field).dataType)
+
   /** Composed DDL strings for empty-array casts (composed, not
     * hand-written — nested `>` counting is how bugs happen). */
   private val fileDdl =
@@ -189,7 +197,9 @@ object Reassembly {
           col("related_request_id"), col("use_suspense_payment"),
           col("content_description"), col("advanced_payment"),
           col("suspense_payment_amount"),
-          col("specifics")).as("expense"))
+          coalesce(col("specifics"),
+            emptyLike(expenseSpecifics, "specifics")).as("specifics"))
+          .as("expense"))
 
     // ---- payment -----------------------------------------------------
     val paymentRows = t("payment_specific_rows")
@@ -213,7 +223,9 @@ object Reassembly {
       .select(col("request_id"),
         struct(col("amount"), col("related_request_title"),
           col("related_request_id"), col("content_description"),
-          col("specifics")).as("payment"))
+          coalesce(col("specifics"),
+            emptyLike(paymentSpecifics, "specifics")).as("specifics"))
+          .as("payment"))
 
     // ---- ec ----------------------------------------------------------
     val ecRows = t("ec_specific_rows")
@@ -229,7 +241,9 @@ object Reassembly {
         struct(col("order_id"),
           fmtTs(col("retention_deadline")).as("retention_deadline"),
           col("tax_amount"), col("shipping_amount"), col("total_price"),
-          col("total_amount"), col("rows")).as("specifics"))
+          col("total_amount"),
+          coalesce(col("rows"), emptyLike(ecRows, "rows")).as("rows"))
+          .as("specifics"))
     val ship = t("shipping_address")
       .select(col("request_id"),
         struct(col("shipping_address_name"), col("zip_code"),
@@ -281,7 +295,8 @@ object Reassembly {
       .groupBy(col("request_id"))
       .agg(sortedList(col("step_index"),
         struct(col("name"), col("condition"), col("status"),
-          col("approvers"),
+          coalesce(col("approvers"),
+            emptyLike(approverList, "approvers")).as("approvers"),
           coalesce(col("comments"), expr("array()").cast(
             "array<struct<user_name:string,date:string,text:string," +
               "deleted:boolean>>")).as("comments"),
@@ -308,7 +323,8 @@ object Reassembly {
           coalesce(col("approval_route_modify_logs"),
             emptyArr("struct<date:string,user_name:string>"))
             .as("approval_route_modify_logs"),
-          col("steps"),
+          coalesce(col("steps"), emptyLike(stepList, "steps"))
+            .as("steps"),
           struct(
             coalesce(col("aac_comments"), expr("array()").cast(
               "array<struct<user_name:string,date:string,text:string," +

@@ -338,8 +338,14 @@ object Normalize {
     // files: shared registry deduped by id (A8, _data_class.py:80-127);
     // associations carry parent context + repetition counter
     val fileSources: Seq[(String, DataFrame)] = Seq(
+      // parent_key must be STRING in every branch: under ANSI union
+      // type coercion a bigint branch would promote the WHOLE column
+      // to bigint, and the expense branch's "col/row" keys would then
+      // blow up at first execution that actually carries expense-row
+      // files (caught by the randomized docs fidelity sweep, seed 8)
       "customized_item" -> ci.select(col("request_id"),
-        explode(col("c.files")).as("f"), col("item_index").as("parent_key")),
+        explode(col("c.files")).as("f"),
+        col("item_index").cast("string").as("parent_key")),
       "expense_specific_row" -> esr.select(col("request_id"),
         explode(col("r.files")).as("f"),
         concat_ws("/", col("col_number"), col("r.row_number"))

@@ -75,10 +75,49 @@ object ViewsDump {
   }
 }
 
+/** Document read-API dump — graft's side of the retrieve() fidelity
+  * diff. Writes the same three files scripts/reference_oracle.py
+  * dumps from the reference engine itself:
+  *
+  *  - docs_requests.json: one nested request document per id
+  *    (`docs.Reassembly.toJsonDocs`, the Spark rewrite of
+  *    `_requests.py:125-199` retrieve()), keyed by request id;
+  *  - docs_users.json: `docs.MasterDocs.usersDoc`
+  *    (`users.py:185-266` retrieve());
+  *  - docs_fix_journals.json: `docs.MasterDocs.fixJournalsDoc`
+  *    (`fix_journal.py:137-214` retrieve()).
+  *
+  * scripts/compare_docs.py diffs them key-order-insensitively with
+  * the documented reference divergences excluded.
+  */
+object DocsDump {
+  def dumpDocs(tables: Map[String, DataFrame],
+      outDir: java.nio.file.Path): Unit = {
+    Files.createDirectories(outDir)
+    // each doc is already a JSON text column; assemble the files as
+    // raw text so nothing is re-parsed on the Scala side
+    val req = graft.docs.Reassembly.toJsonDocs(tables)
+      .orderBy("id").collect()
+    Files.writeString(outDir.resolve("docs_requests.json"),
+      req.map(r => "\"" + r.getString(0).replace("\\", "\\\\")
+          .replace("\"", "\\\"") + "\": " + r.getString(1))
+        .mkString("{", ",\n", "}"))
+    Files.writeString(outDir.resolve("docs_users.json"),
+      graft.docs.MasterDocs.usersDoc(tables)
+        .orderBy("id").toJSON.collect().mkString("[", ",\n", "]"))
+    Files.writeString(outDir.resolve("docs_fix_journals.json"),
+      graft.docs.MasterDocs.fixJournalsDoc(tables)
+        .orderBy("journal_id").toJSON.collect()
+        .mkString("[", ",\n", "]"))
+    println(s"docs_requests: ${req.length} documents")
+  }
+}
+
 /** Multi-seed graft side of the randomized-fidelity sweep: expects
   * baseDir/s<i>/fixtures (written by scripts/gen_fixture.py), writes
   * baseDir/s<i>/graft — all seeds in ONE SparkSession so the sweep
-  * doesn't pay JVM+Spark startup per seed.
+  * doesn't pay JVM+Spark startup per seed. Dumps both the 21 views
+  * AND the document read-API (DocsDump) per seed.
   *
   *   FidelitySweep <baseDir> <nSeeds>
   */
@@ -94,6 +133,7 @@ object FidelitySweep {
       require(Files.isDirectory(fixtures), s"missing $fixtures")
       val tables = JobcanDemo.fixtureTablesFrom(spark, fixtures.toString)
       ViewsDump.dumpAll(tables, base.resolve(s"s$seed/graft"))
+      DocsDump.dumpDocs(tables, base.resolve(s"s$seed/graft"))
       println(s"seed $seed done")
     }
     spark.stop()
