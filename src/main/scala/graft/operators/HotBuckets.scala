@@ -43,6 +43,58 @@ object HotBuckets {
     (safe, overCap)
   }
 
+  /** filterOverCap with the cap computed IN-PLAN as a discrete
+    * quantile of the bucket-size distribution: keep buckets whose
+    * size is at most `cap_n` = the smallest size s whose cumulative
+    * bucket count reaches ceil(qNum/qDen · n_buckets); exclude
+    * strictly-larger buckets. A fixed absolute cap cannot follow a
+    * degree distribution that shifts with data scale (a cap that
+    * bites at SF 0.1 excludes nothing — or everything — at SF 100);
+    * the quantile form is scale-free and still fully deterministic:
+    * the threshold is a pure VALUE cut (no tie-order dependence) and
+    * the quantile rank is computed in exact integer arithmetic
+    * (ceil(qNum·n/qDen) = (qNum·n + qDen − 1) div qDen), so an
+    * external oracle replays it bit-for-bit.
+    *
+    * Shuffle shape: one aggregation over `banded` keyed by the
+    * bucket (the same partitioning the caller's bucket join needs);
+    * everything after is bucket-CENSUS-sized — the size histogram
+    * (≤ distinct sizes rows) and its cdf via a broadcast ≤-join of
+    * the histogram with itself — and the hot-bucket set joins back
+    * as a broadcast anti join, so the quantile costs no extra
+    * big-table shuffle.
+    *
+    * Returns (safe rows of `banded`, excluded `(bandCol, bucket_n)`
+    * accounting frame, 1-row `(cap_n, n_buckets)` threshold frame).
+    */
+  def filterOverQuantile(banded: DataFrame, bandCol: String,
+      qNum: Int, qDen: Int): (DataFrame, DataFrame, DataFrame) = {
+    require(qNum > 0 && qDen > qNum,
+      s"quantile must be a proper fraction, got $qNum/$qDen")
+    val sizes = banded.groupBy(col(bandCol))
+      .agg(count(lit(1)).as("bucket_n"))
+    val hist = sizes.groupBy(col("bucket_n"))
+      .agg(count(lit(1)).as("n_at"))
+    val tot = sizes.agg(count(lit(1)).as("n_buckets"))
+    val cdf = hist.as("h")
+      .join(broadcast(hist.select(col("bucket_n").as("bn2"),
+        col("n_at").as("na2"))), col("bn2") <= col("h.bucket_n"))
+      .groupBy(col("h.bucket_n").as("bucket_n"))
+      .agg(sum(col("na2")).as("cum"))
+    val thr = cdf.crossJoin(broadcast(tot))
+      .filter(col("cum") >= call_function("div",
+        lit(qNum.toLong) * col("n_buckets") + lit((qDen - 1).toLong),
+        lit(qDen.toLong)))
+      .agg(min(col("bucket_n")).as("cap_n"))
+      .crossJoin(broadcast(tot))
+    val hot = sizes.crossJoin(broadcast(thr.select(col("cap_n"))))
+      .filter(col("bucket_n") > col("cap_n"))
+      .select(col(bandCol), col("bucket_n"))
+    val safe = banded.join(broadcast(hot.select(col(bandCol))),
+      Seq(bandCol), "left_anti")
+    (safe, hot, thr)
+  }
+
   /** Candidate pairs `(id_a, id_b)` (id_a < id_b, distinct) from a
     * bucket-membership table, joining only within buckets of at most
     * `cap` members. Returns (candidates, overCap) where overCap is

@@ -162,8 +162,8 @@ object Stats {
     // from the supplier-keyed self-join of the induced subgraph — the
     // standard postings blocking, never an all-pairs product. Scoped
     // to parts < 500 (the induced-subgraph contract, like dd6's
-    // doc_id < 200): at full scale the same plan runs per category
-    // partition with a hub-degree cap — RA's 1/deg weight is exactly
+    // doc_id < 200); xg8 below is the UNBOUNDED twin — full graph,
+    // hub-degree cap on the wedge join — RA's 1/deg weight is exactly
     // why dropping super-hubs is sound (each contributes ≤ 1/cap).
     "xg5_link_prediction" -> ((s, dir) => {
       val e = t(s, dir, "lineitem").filter(col("l_partkey") < 500)
@@ -179,6 +179,49 @@ object Stats {
           sum(col("a.w")).as("ra_nano"))
         .orderBy(col("ra_nano").desc, col("part_a"), col("part_b"))
         .limit(25)
+    }),
+
+    // xg5's unbounded twin: link prediction over the FULL bipartite
+    // graph, no induced-subgraph bound. The wedge center flips to the
+    // PART side (supplier pairs by shared parts) because that is the
+    // side whose degrees stay bounded as the corpus grows — Σ deg²
+    // drives the wedge-join row count, and part degrees here are two
+    // orders of magnitude below supplier degrees. The super-hub tail
+    // is then capped by HotBuckets.filterOverQuantile: parts above
+    // the p90 degree threshold (exact-integer discrete quantile, a
+    // scale-free cut where any absolute cap would drift with SF) are
+    // EXCLUDED from the wedge join and surfaced as accounting columns
+    // (n_hub_parts / hub_edges_excluded / deg_cap) on every output
+    // row — dropping a hub part loses ≤ 1/deg_cap of any pair's RA
+    // score by construction. RA weights use the TRUE pre-cap degree.
+    "xg8_link_prediction_full" -> ((s, dir) => {
+      // the deduped edge list feeds four consumers (size census, true
+      // degrees, both wedge sides) — left UNCACHED deliberately: the
+      // subtrees are identical, so ReuseExchange collapses their
+      // shuffles, which measures FASTER than a ManagedCache persist
+      // that blocks the reuse (4.5 s vs 7.7 s at sf0.1)
+      val e = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .distinct()
+      val (safe, hot, thr) =
+        graft.operators.HotBuckets.filterOverQuantile(e, "pk", 9, 10)
+      val deg = e.groupBy(col("pk")).agg(count(lit(1)).as("deg"))
+      val ew = safe.join(broadcast(deg), Seq("pk"))
+        .withColumn("w",
+          call_function("div", lit(1000000000L), col("deg")))
+      val pairs = ew.as("a").join(ew.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+        .groupBy(col("a.sk").as("sup_a"), col("b.sk").as("sup_b"))
+        .agg(count(lit(1)).as("common_parts"),
+          sum(col("a.w")).as("ra_nano"))
+        .orderBy(col("ra_nano").desc, col("sup_a"), col("sup_b"))
+        .limit(25)
+      val acct = hot
+        .agg(count(lit(1)).as("n_hub_parts"),
+          coalesce(sum(col("bucket_n")), lit(0L))
+            .as("hub_edges_excluded"))
+        .crossJoin(broadcast(thr.select(col("cap_n").as("deg_cap"))))
+      pairs.crossJoin(broadcast(acct))
     }),
 
     // Lagged cross-correlation between event-type daily series: for
@@ -506,6 +549,38 @@ object Stats {
        GROUP BY 1, 2
        ORDER BY ra_nano DESC, part_a, part_b
        LIMIT 25""",
+
+    "xg8_link_prediction_full" ->
+      """WITH e AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+           FROM lineitem),
+       deg AS (SELECT pk, count(*) AS deg FROM e GROUP BY 1),
+       hist AS (SELECT deg AS bucket_n, count(*) AS n_at
+         FROM deg GROUP BY 1),
+       tot AS (SELECT count(*) AS n_buckets FROM deg),
+       cdf AS (SELECT h.bucket_n,
+           (SELECT sum(n_at) FROM hist h2
+             WHERE h2.bucket_n <= h.bucket_n) AS cum
+         FROM hist h),
+       thr AS (SELECT min(bucket_n) AS cap_n FROM cdf, tot
+         WHERE cum >= (9 * n_buckets + 9) // 10),
+       hot AS (SELECT pk, deg FROM deg, thr WHERE deg > cap_n),
+       acct AS (SELECT count(*) AS n_hub_parts,
+           coalesce(sum(deg), 0) AS hub_edges_excluded FROM hot),
+       safe AS (SELECT e.* FROM e
+         WHERE pk NOT IN (SELECT pk FROM hot)),
+       ew AS (SELECT s.pk, s.sk, 1000000000 // deg.deg AS w
+         FROM safe s JOIN deg ON deg.pk = s.pk),
+       pairs AS (SELECT a.sk AS sup_a, b.sk AS sup_b,
+           count(*) AS common_parts, CAST(sum(a.w) AS BIGINT) AS ra_nano
+         FROM ew a JOIN ew b ON a.pk = b.pk AND a.sk < b.sk
+         GROUP BY 1, 2
+         ORDER BY ra_nano DESC, sup_a, sup_b
+         LIMIT 25)
+       SELECT sup_a, sup_b, common_parts, ra_nano,
+         CAST(n_hub_parts AS BIGINT) AS n_hub_parts,
+         CAST(hub_edges_excluded AS BIGINT) AS hub_edges_excluded,
+         (SELECT CAST(cap_n AS BIGINT) FROM thr) AS deg_cap
+       FROM pairs, acct""",
 
     "ts9_lag_correlation" ->
       """WITH daily AS (SELECT event_type AS et,

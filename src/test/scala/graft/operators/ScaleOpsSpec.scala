@@ -84,6 +84,39 @@ class ScaleOpsSpec extends SparkSpec {
     assert(h2.count() == 0L && c2.count() == 100L * 99 / 2)
   }
 
+  test("HotBuckets.filterOverQuantile: a planted super-hub lands above " +
+    "the p90 degree cut, is excluded and accounted; the threshold is " +
+    "the exact discrete quantile; ties cut by VALUE, not rank") {
+    // 20 buckets: 18 of size 2, one of size 3, one planted 500-member
+    // hub. n=20 -> ceil(0.9*20)=18 -> cap_n = smallest size whose
+    // cumulative bucket count reaches 18 = 2 (18 buckets of size 2).
+    val banded = ((1 to 18).flatMap(b =>
+      Seq((b * 10L, s"b$b"), (b * 10L + 1, s"b$b"))) ++
+      (1 to 3).map(i => (900L + i, "mid")) ++
+      (1 to 500).map(i => (5000L + i, "HUB")))
+      .toDF("id", "bucket")
+    val (safe, hot, thr) =
+      HotBuckets.filterOverQuantile(banded, "bucket", 9, 10)
+    val th = thr.collect()
+    assert(th.length == 1 && th(0).getLong(0) == 2L &&
+      th(0).getLong(1) == 20L, th.mkString(","))
+    // both over-cut buckets excluded (value cut: mid(3) AND HUB(500))
+    val h = hot.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(h == Map("mid" -> 3L, "HUB" -> 500L), h.toString)
+    assert(safe.count() == 36L)
+    // the exclusion is a BROADCAST anti join — no extra big shuffle
+    safe.queryExecution.toRdd.count()
+    val plan = safe.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"), plan.take(2000))
+    // uniform degrees: the quantile excludes NOTHING (cap = max size)
+    val uni = (1 to 40).map(i => (i.toLong, s"u${i % 8}"))
+      .toDF("id", "bucket")
+    val (s2, h2, t2) = HotBuckets.filterOverQuantile(uni, "bucket", 9, 10)
+    assert(h2.count() == 0L && s2.count() == 40L &&
+      t2.collect()(0).getLong(0) == 5L)
+  }
+
   test("PrefixSum at 2000 shuffle partitions: pass 2 is a narrow scan " +
     "(no second exchange, no window, no when-chain)") {
     // the scale regime the operator exists for: thousands of shuffle
