@@ -110,4 +110,35 @@ object HotBuckets {
       .distinct()
     (cand, overCap)
   }
+
+  /** Representative-star routing for over-cap buckets — the
+    * "different strategy" hot buckets degrade to instead of being
+    * dropped. Within each excluded bucket, members are sub-grouped by
+    * a fine discriminator (`discCol`, e.g. the FULL sketch signature
+    * where the bucket key was one band of it) and each sub-group
+    * emits STAR edges (min-id representative ↔ every other member):
+    * linear in the bucket's membership where the quadratic self-join
+    * the cap prevented was b·(b−1)/2, yet connectivity-equivalent for
+    * dedup-closure consumers — any clique the all-pairs join would
+    * have produced inside a sub-group is spanned by its star. Pairs
+    * come back as `(id_a, id_b)` with id_a < id_b (the representative
+    * is the group min), distinct across buckets/bands.
+    *
+    * Shuffle shape: hot-bucket rows are selected by a broadcast semi
+    * join (the over-cap set is |rows|/cap-bounded), and the rep
+    * aggregation + self-equi-join key on (bucket, discriminator) —
+    * co-partitioned, never all-pairs.
+    */
+  def routeOverCapStar(banded: DataFrame, idCol: String,
+      bandCol: String, discCol: String,
+      overCap: DataFrame): DataFrame = {
+    val hotRows = banded.join(broadcast(overCap.select(col(bandCol))),
+      Seq(bandCol), "left_semi")
+    val reps = hotRows.groupBy(col(bandCol), col(discCol))
+      .agg(min(col(idCol)).as("__rep"))
+    hotRows.join(reps, Seq(bandCol, discCol))
+      .filter(col(idCol) =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col(idCol).as("id_b"))
+      .distinct()
+  }
 }

@@ -417,6 +417,77 @@ object TrainingData {
       agg.crossJoin(hotAgg) // two 1-row frames
     }),
 
+    // dd10's over-cap path under LIVE fire: the same LSH dedup shape
+    // with a cap LOW enough (4) that real buckets exceed it at every
+    // test SF (5 at sf0.001, 953 at sf0.1) — the oracle replays the
+    // portable banding itself (dd19's md5 minhash), the capped join,
+    // AND the nonzero hot-bucket accounting bit-for-bit, so the
+    // exclusion branch is pinned by data, not by a zero. Over-cap
+    // buckets are not dropped: they route through
+    // HotBuckets.routeOverCapStar — members sub-grouped by FULL
+    // signature, min-id representative star edges, linear where the
+    // capped-out self-join was quadratic — and routed pairs the
+    // capped join missed are verified and accounted separately
+    // (n_pairs_routed / routed_key_sum).
+    "dd20_minhash_capped" -> ((s, dir) => {
+      val k = 8; val r = 2
+      val docs = ManagedCache.persist(
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            array_distinct(TF.wordShingles(col("text"), 2)).as("sh"))
+          .filter(size(col("sh")) > 0))
+      val sig = docs.select(col("doc_id"),
+        aggregate(col("sh"), array_repeat(lit(Long.MaxValue), k),
+          (acc, sh0) => zip_with(acc, sequence(lit(0), lit(k - 1)),
+            (a, i) => least(a, SF.md5hash60(concat(lit("mh:"),
+              i.cast("string"), lit(":"), sh0))))).as("sig"))
+      val banded = ManagedCache.persist(sig.select(col("doc_id"),
+        concat_ws(",", transform(col("sig"), x => x.cast("string")))
+          .as("sig_key"),
+        explode(transform(sequence(lit(0), lit(k / r - 1)),
+          j => concat_ws(":", j.cast("string"),
+            concat_ws(",", transform(slice(col("sig"), j * r + 1,
+              lit(r)), x => x.cast("string")))))).as("bucket")))
+      val (cand0, overCap) = graft.operators.HotBuckets
+        .cappedCandidates(banded, "doc_id", "bucket", cap = 4)
+      val routed0 = graft.operators.HotBuckets
+        .routeOverCapStar(banded, "doc_id", "bucket", "sig_key", overCap)
+      val cand = cand0
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      val routedCand = routed0
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+        .join(cand, Seq("doc_a", "doc_b"), "left_anti")
+      // exact-jaccard verification (dd10's integer-exact rewrite; the
+      // size-band preconjunct is implied by the exact test, and these
+      // candidate sets are already bucket-bounded)
+      def verified(c: DataFrame): DataFrame = {
+        val a = docs.select(col("doc_id").as("doc_a"),
+          col("sh").as("sh_a"), size(col("sh")).as("n_a"))
+        val b = docs.select(col("doc_id").as("doc_b"),
+          col("sh").as("sh_b"), size(col("sh")).as("n_b"))
+        val ni = size(array_intersect(col("sh_a"), col("sh_b")))
+        c.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+          .filter(lit(13) * ni >= lit(3) * (col("n_a") + col("n_b")))
+          .select(col("doc_a"), col("doc_b"),
+            (ni.cast("double") / (col("n_a") + col("n_b") - ni))
+              .as("j"))
+      }
+      val agg = verified(cand).agg(
+        count(lit(1)).as("n_pairs"),
+        coalesce(sum(col("doc_a") * lit(1000003L) + col("doc_b")),
+          lit(0L)).as("key_sum"),
+        coalesce(sum(round(col("j") * lit(1e6)).cast("long")), lit(0L))
+          .as("jaccard_micros_sum"))
+      val rAgg = verified(routedCand).agg(
+        count(lit(1)).as("n_pairs_routed"),
+        coalesce(sum(col("doc_a") * lit(1000003L) + col("doc_b")),
+          lit(0L)).as("routed_key_sum"))
+      val hotAgg2 = overCap.agg(
+        count(lit(1)).as("n_hot_buckets"),
+        coalesce(sum(col("bucket_n")), lit(0L)).as("hot_docs"))
+      agg.crossJoin(hotAgg2).crossJoin(rAgg) // three 1-row frames
+    }),
+
     // Unbounded scale twin of dd6: the dedup CLOSURE over the full
     // corpus — LSH-candidate edges (dd10's verified pairs) closed into
     // connected components, reduced to component-census aggregates the
@@ -1402,6 +1473,80 @@ object TrainingData {
            CAST(0 AS BIGINT) AS n_hot_buckets,
            CAST(0 AS BIGINT) AS hot_docs
          FROM pairs""",
+      // dd20's oracle replays the PORTABLE banding itself (dd19's md5
+      // minhash), the cap, the star routing, and the verification —
+      // the hot-bucket accounting is pinned at its true NONZERO value.
+      "dd20_minhash_capped" ->
+        """WITH d AS (SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g')), '\s+') AS toks
+           FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, len(toks)),
+             i -> toks[i] || ' ' || toks[i+1]))) AS s
+           FROM d WHERE len(toks) >= 2),
+         counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         sig AS (SELECT doc_id, i,
+             min(('0x' || substr(md5('mh:' || i || ':' || s), 1, 15))
+               ::BIGINT) AS m
+           FROM sh, LATERAL (SELECT unnest(range(0, 8)) AS i) _
+           GROUP BY doc_id, i),
+         sigkey AS (SELECT doc_id,
+             string_agg(m::VARCHAR, ',' ORDER BY i) AS sk
+           FROM sig GROUP BY doc_id),
+         bands AS (SELECT doc_id, (i // 2)::VARCHAR || ':' ||
+             string_agg(m::VARCHAR, ',' ORDER BY i) AS bucket
+           FROM sig GROUP BY doc_id, i // 2),
+         bsz AS (SELECT bucket, count(*) AS bucket_n
+           FROM bands GROUP BY 1),
+         hot AS (SELECT bucket, bucket_n FROM bsz WHERE bucket_n > 4),
+         safe AS (SELECT b.* FROM bands b
+           WHERE bucket NOT IN (SELECT bucket FROM hot)),
+         cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           FROM safe a JOIN safe b
+             ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         hotrows AS (SELECT b.doc_id, b.bucket, s.sk
+           FROM bands b JOIN sigkey s USING (doc_id)
+           WHERE b.bucket IN (SELECT bucket FROM hot)),
+         reps AS (SELECT bucket, sk, min(doc_id) AS rep
+           FROM hotrows GROUP BY 1, 2),
+         routed AS (SELECT DISTINCT r.rep AS da, h.doc_id AS db
+           FROM hotrows h
+           JOIN reps r ON r.bucket = h.bucket AND r.sk = h.sk
+           WHERE h.doc_id <> r.rep),
+         routed2 AS (SELECT da, db FROM routed
+           WHERE NOT EXISTS (SELECT 1 FROM cand
+             WHERE cand.da = routed.da AND cand.db = routed.db)),
+         vb AS (SELECT c.da, c.db, ca.n AS na, cb.n AS nb,
+             (SELECT count(*) FROM sh a JOIN sh b2
+               ON b2.s = a.s AND a.doc_id = c.da AND b2.doc_id = c.db)
+               AS ni
+           FROM cand c
+           JOIN counts ca ON ca.doc_id = c.da
+           JOIN counts cb ON cb.doc_id = c.db),
+         bp AS (SELECT da, db, ni::DOUBLE / (na + nb - ni) AS j
+           FROM vb WHERE 13 * ni >= 3 * (na + nb)),
+         vr AS (SELECT c.da, c.db, ca.n AS na, cb.n AS nb,
+             (SELECT count(*) FROM sh a JOIN sh b2
+               ON b2.s = a.s AND a.doc_id = c.da AND b2.doc_id = c.db)
+               AS ni
+           FROM routed2 c
+           JOIN counts ca ON ca.doc_id = c.da
+           JOIN counts cb ON cb.doc_id = c.db),
+         rp AS (SELECT da, db FROM vr
+           WHERE 13 * ni >= 3 * (na + nb))
+         SELECT
+           (SELECT count(*) FROM bp) AS n_pairs,
+           (SELECT CAST(coalesce(sum(da * 1000003::BIGINT + db), 0)
+             AS BIGINT) FROM bp) AS key_sum,
+           (SELECT CAST(coalesce(sum(CAST(round(j * 1e6) AS BIGINT)),
+             0) AS BIGINT) FROM bp) AS jaccard_micros_sum,
+           (SELECT count(*) FROM hot) AS n_hot_buckets,
+           (SELECT CAST(coalesce(sum(bucket_n), 0) AS BIGINT)
+             FROM hot) AS hot_docs,
+           (SELECT count(*) FROM rp) AS n_pairs_routed,
+           (SELECT CAST(coalesce(sum(da * 1000003::BIGINT + db), 0)
+             AS BIGINT) FROM rp) AS routed_key_sum""",
       // dd11's oracle: recursive-CTE closure over the exact full-corpus
       // edge set, collapsed to the same component census. Equals the
       // Spark side iff LSH recall is 1 (a missed edge splits a

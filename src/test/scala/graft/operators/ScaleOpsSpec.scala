@@ -84,6 +84,33 @@ class ScaleOpsSpec extends SparkSpec {
     assert(h2.count() == 0L && c2.count() == 100L * 99 / 2)
   }
 
+  test("HotBuckets.routeOverCapStar: hot-bucket members route to " +
+    "min-id star edges per discriminator group — linear, never " +
+    "quadratic; sub-cap buckets contribute nothing") {
+    // hot bucket "HOT" (6 members): sigs X (1,3,5) and Y (2,4), plus a
+    // singleton sig Z (6). Star edges: X -> (1,3),(1,5); Y -> (2,4);
+    // Z none. Sub-cap bucket "ok" must not route.
+    val banded = Seq(
+      (1L, "X", "HOT"), (3L, "X", "HOT"), (5L, "X", "HOT"),
+      (2L, "Y", "HOT"), (4L, "Y", "HOT"), (6L, "Z", "HOT"),
+      (7L, "X", "ok"), (8L, "X", "ok"))
+      .toDF("doc_id", "sig_key", "bucket")
+    val (cand, overCap) = HotBuckets.cappedCandidates(
+      banded, "doc_id", "bucket", cap = 5)
+    val routed = HotBuckets.routeOverCapStar(
+      banded, "doc_id", "bucket", "sig_key", overCap)
+    val got = routed.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(got == Set((1L, 3L), (1L, 5L), (2L, 4L)), got.toString)
+    // C(6,2)=15 pairs avoided; 3 star edges emitted — and the capped
+    // join still produced the sub-cap bucket's pair
+    assert(cand.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq == Seq((7L, 8L)))
+    // star edges span each sub-group: closure over routed edges
+    // reaches every member of a signature-identical group
+    assert(got.flatMap(p => Seq(p._1, p._2)) == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("HotBuckets.filterOverQuantile: a planted super-hub lands above " +
     "the p90 degree cut, is excluded and accounted; the threshold is " +
     "the exact discrete quantile; ties cut by VALUE, not rank") {
