@@ -997,6 +997,52 @@ object ExtOps {
         .orderBy(col("rank"))
     }),
 
+    // xq2's unbounded twin: behavioral-sequence similarity over ALL
+    // users with no user² term — dd8's blocking discipline applied to
+    // event sequences. Candidates share a 2-event prefix block AND sit
+    // within a ±10 length band (edit distance ≥ length gap, so the
+    // band is lossless for the τ=25 threshold); the banded
+    // levenshtein(·,·,25) runs ONLY on block survivors and costs
+    // O(len·τ) per pair instead of O(len²). The output is a one-row
+    // checksum aggregate the oracle replays exactly — candidate
+    // census, τ-pair count, key checksum, and a capped-distance sum
+    // (min(d, 26)) so the aggregate stays data-rich even when few
+    // pairs beat τ. At 100 TB the block key shuffles like any join
+    // key; prefix blocking catches same-head trajectories, and the
+    // within-band distance is the expensive verify, exactly dd8's
+    // candidate/verify split.
+    "xq21_sequence_similarity_full" -> ((s, dir) => {
+      val seqs = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(concat_ws("", transform(
+          array_sort(collect_list(struct(unix_micros(col("ts")).as("us"),
+            col("event_id"), substring(col("event_type"), 1, 1)
+              .as("c")))),
+          x => x.getField("c"))).as("seq"))
+        .withColumn("blk", substring(col("seq"), 1, 2))
+        .withColumn("len", length(col("seq")))
+      // distance as the LAST select over join survivors (dd8's trap:
+      // a join-condition distance would run before nothing here — the
+      // cheap conjuncts already prune; keeping it in the projection
+      // computes it once per surviving candidate)
+      val cand = seqs.as("a").join(seqs.as("b"),
+          col("a.blk") === col("b.blk") &&
+            col("a.user_id") < col("b.user_id") &&
+            abs(col("a.len") - col("b.len")) <= 10)
+        .select(col("a.user_id").as("user_a"),
+          col("b.user_id").as("user_b"),
+          levenshtein(col("a.seq"), col("b.seq"), 25).as("d"))
+      cand.agg(
+        count(lit(1)).as("n_candidates"),
+        coalesce(sum(when(col("d") >= 0, lit(1L)).otherwise(lit(0L))),
+          lit(0L)).as("n_within"),
+        coalesce(sum(when(col("d") >= 0,
+          col("user_a") * lit(1000003L) + col("user_b"))), lit(0L))
+          .as("key_sum"),
+        coalesce(sum(when(col("d") >= 0, col("d").cast("long"))
+          .otherwise(lit(26L))), lit(0L)).as("dist_capped_sum"))
+    }),
+
     // ROLLUP with grouping_id — subtotal/grand-total reporting (absent
     // from the reference, standard for the BI surface it feeds).
     "xa2_rollup" -> ((s, dir) => {
@@ -1524,6 +1570,26 @@ object ExtOps {
              a.user_id, b.user_id) AS rank
          FROM s a JOIN s b ON a.user_id < b.user_id)
        WHERE rank <= 10 ORDER BY rank""",
+    "xq21_sequence_similarity_full" ->
+      """WITH s AS (SELECT user_id,
+           string_agg(substr(event_type, 1, 1), ''
+             ORDER BY epoch_us(ts), event_id) AS seq
+         FROM events GROUP BY user_id),
+       c AS (SELECT a.user_id AS ua, b.user_id AS ub,
+           levenshtein(a.seq, b.seq) AS d
+         FROM s a JOIN s b
+           ON substr(a.seq, 1, 2) = substr(b.seq, 1, 2)
+           AND a.user_id < b.user_id
+           AND abs(len(a.seq) - len(b.seq)) <= 10)
+       SELECT count(*) AS n_candidates,
+         CAST(coalesce(sum(CASE WHEN d <= 25 THEN 1 END), 0) AS BIGINT)
+           AS n_within,
+         CAST(coalesce(sum(CASE WHEN d <= 25
+           THEN ua * 1000003::BIGINT + ub END), 0) AS BIGINT)
+           AS key_sum,
+         CAST(coalesce(sum(least(d, 26)), 0) AS BIGINT)
+           AS dist_capped_sum
+       FROM c""",
     // the oracle is the DEFINITION of dominance, not the rewrite
     "xq1_skyline" ->
       """SELECT p_partkey, p_retailprice AS price,
