@@ -565,6 +565,74 @@ object Pipeline {
         .orderBy(col("format"))
     }),
 
+    // Mixed-media lake capstone: sniffFormat COMPOSED with the
+    // per-format walkers in one plan. A heterogeneous blob column
+    // (five container families synthesized per doc, full corpus) is
+    // routed by the magic-byte sniffer, each family fans out to its
+    // REAL walker/meta extractor — gifMeta + wavMeta scalar reads,
+    // mp4Boxes + ebmlElements tree walks, byte-length for the
+    // unroutable rest — and the per-family metadata tables collapse
+    // to a (format, n_blobs, n_units, val_sum) census the oracle
+    // replays as closed-form doc_id arithmetic. This is the lake
+    // ingest shape at 100 TB: one scan, scan-side dispatch, walkers
+    // only touch their own family's bytes, and the union of censuses
+    // is five 1-row aggregates.
+    "mm19_media_lake" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val d5 = pmod(col("doc_id"), lit(5))
+      val payload = when(d5 === 0, Multimodal.gifHeader(
+          (lit(100) + pmod(col("doc_id"), lit(900))).cast("long"),
+          (lit(50) + pmod(col("doc_id"), lit(500))).cast("long"),
+          (lit(128) + pmod(col("doc_id"), lit(8))).cast("long")))
+        .when(d5 === 1, Multimodal.wavHeader(
+          lit(1) + pmod(col("doc_id"), lit(2)),
+          lit(8000) + pmod(col("doc_id"), lit(8)) * 4000, lit(16),
+          lit(64) + pmod(col("doc_id"), lit(100)) * 2))
+        .when(d5 === 2, Multimodal.mp4Shard(
+          (lit(1) + pmod(col("doc_id"), lit(3))).cast("int"),
+          lit(600L), (lit(1000) + pmod(col("doc_id"), lit(500)))
+            .cast("long"), lit(16L)))
+        .when(d5 === 3, Multimodal.ebmlShard(
+          (lit(1) + pmod(col("doc_id"), lit(3))).cast("int"),
+          (lit(1000000) + pmod(col("doc_id"), lit(1000))).cast("long")))
+        .otherwise(substring(md5(col("doc_id").cast("string")), 1, 16)
+          .cast("binary"))
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), payload.as("payload"))
+        .withColumn("format", Multimodal.sniffFormat(col("payload")))
+      def one(name: String, nBlobs: org.apache.spark.sql.Column,
+          nUnits: org.apache.spark.sql.Column,
+          valSum: org.apache.spark.sql.Column,
+          src: DataFrame): DataFrame =
+        src.agg(nBlobs.as("n_blobs"),
+            coalesce(nUnits, lit(0L)).as("n_units"),
+            coalesce(valSum, lit(0L)).as("val_sum"))
+          .select(lit(name).as("format"), col("n_blobs"),
+            col("n_units"), col("val_sum"))
+      val gif = media.filter(col("format") === "gif")
+        .select(Multimodal.gifMeta(col("payload")).as("m"))
+      val wav = media.filter(col("format") === "wav")
+        .select(Multimodal.wavMeta(col("payload")).as("m"))
+      val mp4 = Multimodal.mp4Boxes(media.filter(col("format") === "mp4")
+        .select(col("doc_id"), col("payload")))
+      val ebml = Multimodal.ebmlElements(
+        media.filter(col("format") === "ebml")
+          .select(col("doc_id"), col("payload")))
+      val unk = media.filter(col("format") === "unknown")
+      one("gif", count(lit(1)), count(lit(1)).cast("long"),
+          sum(col("m.width") * col("m.height")), gif)
+        .unionAll(one("wav", count(lit(1)), count(lit(1)).cast("long"),
+          sum(col("m.data_bytes")), wav))
+        .unionAll(one("mp4", countDistinct(col("doc_id")),
+          count(lit(1)).cast("long"), sum(col("box_size")), mp4))
+        .unionAll(one("ebml", countDistinct(col("doc_id")),
+          count(lit(1)).cast("long"), sum(col("data_size")), ebml))
+        .unionAll(one("unknown", count(lit(1)),
+          count(lit(1)).cast("long"),
+          sum(octet_length(col("payload")).cast("long")), unk))
+        .orderBy(col("format"))
+    }),
+
     // REAL EBML (Matroska/WebM) element-tree walk — ninth byte-layout
     // family, the only varint-framed one: marker-bit VINT ids/sizes
     // (1-, 2-, 3- and 4-byte ids, 1- and 2-byte sizes all exercised),
@@ -1198,6 +1266,35 @@ object Pipeline {
              ELSE 'unknown' END AS format
            FROM documents WHERE doc_id < 500)
          GROUP BY 1 ORDER BY format""",
+    // per-family closed forms: gif w*h from the synthesized header
+    // params; wav the data chunk size; mp4 the box table of
+    // mp4Shard(nt traks) — 4+2*nt boxes summing 264+292*nt bytes
+    // (mm15's table with len=16); ebml the element tree of
+    // ebmlShard(ne tracks) — 7+3*ne elements, data sizes 55+24*ne
+    // (mm16's table); unknown the 16-byte md5-prefix payload
+    "mm19_media_lake" ->
+      """WITH fam AS (SELECT doc_id, doc_id % 5 AS f,
+           100 + doc_id % 900 AS w, 50 + doc_id % 500 AS h,
+           64 + (doc_id % 100) * 2 AS data_bytes,
+           1 + doc_id % 3 AS nt, 1 + doc_id % 3 AS ne
+         FROM documents)
+       SELECT * FROM (
+         SELECT 'gif' AS format, count(*) AS n_blobs,
+           count(*) AS n_units, CAST(sum(w * h) AS BIGINT) AS val_sum
+         FROM fam WHERE f = 0
+         UNION ALL
+         SELECT 'wav', count(*), count(*),
+           CAST(sum(data_bytes) AS BIGINT) FROM fam WHERE f = 1
+         UNION ALL
+         SELECT 'mp4', count(*), CAST(sum(4 + 2 * nt) AS BIGINT),
+           CAST(sum(264 + 292 * nt) AS BIGINT) FROM fam WHERE f = 2
+         UNION ALL
+         SELECT 'ebml', count(*), CAST(sum(7 + 3 * ne) AS BIGINT),
+           CAST(sum(55 + 24 * ne) AS BIGINT) FROM fam WHERE f = 3
+         UNION ALL
+         SELECT 'unknown', count(*), count(*),
+           CAST(count(*) * 16 AS BIGINT) FROM fam WHERE f = 4)
+       ORDER BY format""",
     // the EBML tree as closed-form offset arithmetic: header 20
     // bytes (3 elements), segment at 20 with a 2-byte size VINT,
     // info/timestamp-scale, tracks with n (entry, number, lacing)
