@@ -166,6 +166,72 @@ object GraphIterations {
     }
   }
 
+  /** Forward-push personalized PageRank (Andersen–Chung–Lang 2006,
+    * "Local graph partitioning using PageRank vectors" — the batch
+    * variant: every over-threshold node pushes each round). Same
+    * teleport split as [[pageRankConverged]] (damping 17/20 ⇒
+    * teleport 3/20) and the same nano-unit integer arithmetic, so the
+    * two converge to the same fixpoint as `epsNano → 0`; the payoff
+    * is WHERE the work happens. Power iteration joins the FULL edge
+    * list against the full rank vector every round (~|E| shuffle rows
+    * × rounds). Push keeps per-node (settled `p`, residual `r`) and
+    * each round joins edges against only the FRONTIER — nodes with
+    * `r > epsNano·deg` — so once the residual disperses below
+    * threshold the edge join shrinks toward zero rows. For a
+    * seed-local query on a 100 TB graph the frontier never grows past
+    * the seed neighborhood, which is the whole point: cost scales
+    * with the answer's support, not the graph.
+    *
+    * Each push settles `3/20·r(u)` into `p(u)` and spreads
+    * `17/20·r(u)/deg(u)` along each out-edge (integer `div`,
+    * truncation dust simply stays un-pushed — determinism over exact
+    * mass conservation, same trade as xg1). Converged when no node is
+    * over threshold; `p` then approximates the PPR vector within
+    * `epsNano·deg(v)` per node (ACL Thm 1). `edges` contract matches
+    * [[pageRankConverged]]: directed pairs, every node present as a
+    * src. Returns (node_id, deg, p, r) — rank by `p`.
+    */
+  def pprPushConverged(edges: DataFrame, epsNano: Long = 10L,
+      maxIter: Int = 200,
+      seedFilter: Column => Column): Fixpoint.Result = {
+    val SCALE = 1000000000L
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val deg = ManagedCache.persist(
+      e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    val withDeg = ManagedCache.persist(e.join(deg, Seq("src")))
+    val nn = deg.filter(seedFilter(col("src")))
+      .agg(count(lit(1)).as("n0"))
+      .select(when(col("n0") > 0, col("n0")).otherwise(raise_error(
+        concat(lit("pprPushConverged: seed set is empty — seedFilter " +
+          "matches no node with out-degree > 0")))).as("n"))
+    val overCap = col("r") > col("deg") * epsNano
+    val st0 = deg.select(col("src").as("node_id"), col("deg"))
+      .crossJoin(broadcast(nn))
+      .select(col("node_id"), col("deg"), lit(0L).as("p"),
+        when(seedFilter(col("node_id")),
+          call_function("div", lit(SCALE), col("n")))
+          .otherwise(lit(0L)).as("r"))
+    Fixpoint.iterate(st0,
+      changed = sum(when(overCap, 1L).otherwise(0L)),
+      project = Seq("node_id", "deg", "p", "r"),
+      maxIter = maxIter) { (cur, _) =>
+      val frontier = cur.filter(overCap)
+        .select(col("node_id").as("src"), col("r").as("fr"))
+      val inc = withDeg.join(frontier, Seq("src"))
+        .select(col("dst"), call_function("div",
+          lit(17L) * col("fr"), lit(20L) * col("deg")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inc"))
+      cur.join(inc.withColumnRenamed("dst", "node_id"),
+          Seq("node_id"), "left")
+        .select(col("node_id"), col("deg"),
+          (col("p") + when(overCap,
+            call_function("div", lit(3L) * col("r"), lit(20L)))
+            .otherwise(lit(0L))).as("p"),
+          (when(overCap, lit(0L)).otherwise(col("r")) +
+            coalesce(col("inc"), lit(0L))).as("r"))
+    }
+  }
+
   /** Deterministic label propagation (most-frequent neighbor label,
     * ties to the MINIMUM label — xg3's rule) iterated until no label
     * changes. `edges` must be symmetrized. Returns (node, lbl).

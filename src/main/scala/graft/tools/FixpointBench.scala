@@ -41,6 +41,34 @@ object FixpointBench {
           seedFilter = Some(n => pmod(n, lit(2)) === 0 && n < 20))
         (r.frame.count(), r.rounds, r.converged)
       }),
+      "ppr_push" -> (() => {
+        // same seed set as ppr_converged, via forward push: the edge
+        // join touches only the over-threshold frontier each round
+        val r = GraphIterations.pprPushConverged(bipartite,
+          epsNano = sys.env.getOrElse("FIXBENCH_PPR_EPS", "10").toLong,
+          seedFilter = n => pmod(n, lit(2)) === 0 && n < 20)
+        (r.frame.count(), r.rounds, r.converged)
+      }),
+      "ppr_quality" -> (() => {
+        // quality check, not a timing row: top-50 overlap between the
+        // power-iteration PPR ranks and the push approximation
+        val seeds: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+          n => pmod(n, lit(2)) === 0 && n < 20
+        val pow = GraphIterations.pageRankConverged(bipartite,
+          tolNano = 1000L, maxIter = 50, seedFilter = Some(seeds))
+        val push = GraphIterations.pprPushConverged(bipartite,
+          epsNano = sys.env.getOrElse("FIXBENCH_PPR_EPS", "10").toLong,
+          seedFilter = seeds)
+        def top50(df: DataFrame, c: String) = df
+          .orderBy(col(c).desc, col("node_id")).limit(50)
+          .select(col("node_id")).collect().map(_.getLong(0))
+        val a = top50(pow.frame, "r")
+        val b = top50(push.frame, "p")
+        val overlap = a.toSet.intersect(b.toSet).size
+        println(s"[fixbench] ppr_quality: top50 overlap=$overlap/50 " +
+          s"top10_exact=${a.take(10).sameElements(b.take(10))}")
+        (overlap.toLong, push.rounds, push.converged)
+      }),
       "lpa_converged" -> (() => {
         // the graph is side-tagged even/odd, so waves=2 updates on a
         // proper 2-coloring — semi-sync, guaranteed oscillation-free

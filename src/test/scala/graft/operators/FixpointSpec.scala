@@ -64,6 +64,53 @@ class FixpointSpec extends SparkSpec {
     assert(math.abs(r.values.sum - 1000000000L) < 10000000L)
   }
 
+  test("pprPushConverged agrees with power-iteration PPR on ranking " +
+    "(same fixpoint, ACL error bound) and the residual frontier " +
+    "actually empties") {
+    // two 4-cliques bridged by one edge, seed in clique A: push and
+    // power iteration must agree that clique-A nodes outrank clique-B
+    val cliqueA = for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j)
+    val cliqueB = for (i <- 4L to 7L; j <- 4L to 7L if i < j) yield (i, j)
+    val g = sym(cliqueA ++ cliqueB ++ Seq((3L, 4L)))
+    val seeds: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      n => n === 0L
+    val pow = GraphIterations.pageRankConverged(g, tolNano = 1000L,
+      maxIter = 90, seedFilter = Some(seeds))
+    val push = GraphIterations.pprPushConverged(g, epsNano = 100L,
+      seedFilter = seeds)
+    assert(pow.converged && push.converged,
+      s"pow=${pow.rounds} push=${push.rounds}")
+    val pr = pow.frame.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val pu = push.frame.collect()
+      .map(x => x.getLong(0) -> (x.getLong(2), x.getLong(3))).toMap
+    // converged ⇒ every residual at or below eps·deg
+    assert(pu.values.forall { case (_, r) => r <= 100L * 6L }, pu.toString)
+    // identical rank ORDER on the full node set (ties none by design)
+    val powOrder = pr.toSeq.sortBy { case (n, r) => (-r, n) }.map(_._1)
+    val pushOrder = pu.toSeq
+      .sortBy { case (n, (p, _)) => (-p, n) }.map(_._1)
+    assert(powOrder == pushOrder, s"pow=$powOrder push=$pushOrder")
+    // seed-side concentration: min clique-A settled mass beats max B
+    assert((0L to 3L).map(n => pu(n)._1).min >
+      (4L to 7L).map(n => pu(n)._1).max, pu.toString)
+    // settled + residual mass never exceeds the injected SCALE, and
+    // most mass is settled by convergence (truncation only loses)
+    val total = pu.values.map { case (p, r) => p + r }.sum
+    assert(total <= 1000000000L && total > 900000000L, total.toString)
+  }
+
+  test("pprPushConverged rejects an empty seed set loudly") {
+    val ex = intercept[Exception] {
+      GraphIterations.pprPushConverged(
+        sym(Seq((0L, 1L), (1L, 2L))),
+        seedFilter = n => n === 999L).frame.collect()
+    }
+    def msgs2(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ msgs2(e.getCause))
+    assert(msgs2(ex).exists(_.contains("seed set is empty")), ex.toString)
+  }
+
   test("pageRankConverged rejects an empty seed set loudly instead " +
     "of 'converging' to an all-null rank frame") {
     val ex = intercept[Exception] {
