@@ -1,0 +1,115 @@
+#!/usr/bin/env python3
+"""One-off scale-up generator for the scaling-slope bench (dev
+tooling, driver-side python only — NOT part of the Spark library).
+
+Produces `documents.parquet` and `events.parquet` at a requested
+scale factor under /root/repo/localdata/sf<SF>/, statistically shaped
+like the driver's sf0.1 testdata (word-salad docs drawn from the same
+vocabulary with ~the same length distribution and a small exact/near
+duplicate rate; events with the 1.5% users/events ratio, the same
+five event types, and the same fixed Jan-2024 window). Seeded and
+deterministic. The remaining sf0.1 tables are symlinked in so
+`graft.Tables.load` works unchanged; only documents/events are
+actually larger.
+
+Usage: gen_scale.py <sf>            # e.g. 0.5 or 1.0
+Scale anchors: sf0.1 = 5,000 docs / 100,000 events.
+"""
+import random
+import sys
+from pathlib import Path
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+OUT_ROOT = Path("/root/repo/localdata")
+
+LANGS = [("en", 0.70), ("zh", 0.10), ("fr", 0.10), ("de", 0.10)]
+EVENT_TYPES = ["click", "view", "purchase", "login", "error"]
+
+
+def gen_documents(con, rng, n_docs, out):
+    vocab = [r[0] for r in con.sql(f"""
+        select distinct unnest(string_split(text, ' ')) w
+        from '{SRC}/documents.parquet' order by 1""").fetchall()
+        if r[0]]
+    n_src = 20
+    rows = []
+    for i in range(n_docs):
+        nw = max(3, int(rng.gauss(55, 18)))
+        text = " ".join(rng.choice(vocab) for _ in range(nw))
+        rows.append((i, text))
+    # duplicate structure: ~0.2% exact dups + ~0.2% near dups (two
+    # words swapped), mirroring the handful of twins in the driver data
+    for _ in range(max(1, n_docs // 500)):
+        a, b = rng.randrange(n_docs), rng.randrange(n_docs)
+        rows[b] = (rows[b][0], rows[a][1])
+        c, d = rng.randrange(n_docs), rng.randrange(n_docs)
+        w = rows[c][1].split(" ")
+        if len(w) > 4:
+            w[rng.randrange(len(w))] = rng.choice(vocab)
+            rows[d] = (rows[d][0], " ".join(w))
+    recs = []
+    for i, text in rows:
+        r = rng.random()
+        acc, lang = 0.0, LANGS[-1][0]
+        for lg, p in LANGS:
+            acc += p
+            if r < acc:
+                lang = lg
+                break
+        recs.append((i, text, lang, f"src{rng.randrange(n_src)}",
+                     len(text)))
+    con.sql("create or replace table _docs (doc_id bigint, text varchar, "
+            "lang varchar, source varchar, n_chars bigint)")
+    con.executemany("insert into _docs values (?,?,?,?,?)", recs)
+    con.sql(f"copy (select * from _docs order by doc_id) to '{out}' "
+            "(format parquet)")
+
+
+def gen_events(con, rng, n_events, out):
+    n_users = max(1, int(n_events * 0.015))
+    base = 1704067200_000000  # 2024-01-01T00:00:00Z in micros
+    span = 30 * 86400 * 1_000_000
+    con.sql("create or replace table _ev (event_id bigint, ts timestamp, "
+            "user_id bigint, event_type varchar, value double, "
+            "props varchar)")
+    batch = []
+    for i in range(n_events):
+        us = base + rng.randrange(span)
+        et = EVENT_TYPES[min(int(rng.random() * rng.random() * 5), 4)]
+        v = round(abs(rng.gauss(50, 30)), 6)
+        batch.append((i, us, rng.randrange(n_users), et, v,
+                      '{"k":%d}' % rng.randrange(100)))
+        if len(batch) >= 50000:
+            con.executemany("insert into _ev values "
+                            "(?, make_timestamp(?), ?, ?, ?, ?)", batch)
+            batch = []
+    if batch:
+        con.executemany("insert into _ev values "
+                        "(?, make_timestamp(?), ?, ?, ?, ?)", batch)
+    con.sql(f"copy (select * from _ev order by event_id) to '{out}' "
+            "(format parquet)")
+
+
+def main():
+    sf = float(sys.argv[1])
+    rng = random.Random(42)
+    out = OUT_ROOT / f"sf{sf:g}"
+    out.mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+    n_docs = int(5000 * sf / 0.1)
+    n_events = int(100000 * sf / 0.1)
+    gen_documents(con, rng, n_docs, out / "documents.parquet")
+    gen_events(con, rng, n_events, out / "events.parquet")
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "embeddings"]:
+        link = out / f"{t}.parquet"
+        if not link.exists():
+            link.symlink_to(f"{SRC}/{t}.parquet")
+    print(f"[gen_scale] sf{sf:g}: {n_docs} docs, {n_events} events "
+          f"-> {out}")
+
+
+if __name__ == "__main__":
+    main()

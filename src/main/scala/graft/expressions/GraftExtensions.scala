@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "nfkc_normalize"),
       unaryBuilder("nfkc_normalize", UnicodeNormalize(_, "NFKC"))))
     ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      binaryBuilder("jaro_winkler", JaroWinkler(_, _))))
+    ext.injectFunction((
       FunctionIdentifier("lev_within"),
       new ExpressionInfo(classOf[LevenshteinWithin].getName,
         "lev_within"),

@@ -124,6 +124,13 @@ object SimilarityFunctions {
   def cosine(a: Column, b: Column): Column =
     graft.expressions.CosineSimilarity(a, b)
 
+  /** Jaro–Winkler similarity (native codegen'd expression), parameter
+    * choices bit-replayable in DuckDB's `jaro_winkler_similarity` —
+    * see [[graft.expressions.JaroWinkler]].
+    */
+  def jaroWinkler(a: Column, b: Column): Column =
+    graft.expressions.JaroWinkler(a, b)
+
   /** Higher-order-function cosine (built-ins only): the reference
     * formulation the native expression is checked against; kept for
     * engines/sessions where custom expressions can't be deployed.

@@ -1,0 +1,254 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{SimilarityFunctions => SF}
+
+/** Retrieval + record-matching extensions over the training-data
+  * corpus: BM25 ranked retrieval, blocked Jaro–Winkler entity
+  * resolution, deterministic weighted sampling (A-Res), and bigram
+  * language-model scoring. Reference anchor: the engine's free-text
+  * master fields (`jobcan_di/database/requests/users.py:185-266`)
+  * are exactly the columns a real deployment fuzzy-matches and
+  * retrieves over; these are the corpus-scale versions of those ops.
+  *
+  * Design rules shared by all four: tokenization identical to px13
+  * (lower, `[^a-z0-9]+` → space, split), every membership decision
+  * integer-exact, doubles only in final scores and always emitted
+  * through `round(x, k)` with the formula mirrored operation-for-
+  * operation in the DuckDB oracle.
+  */
+object Matching {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.Tables.load(s, dir, name)
+
+  /** px13's tokenizer: explode(doc) -> one lowercase [a-z0-9]+ token
+    * per row. */
+  private def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(split(trim(regexp_replace(lower(col("text")),
+          "[^a-z0-9]+", " ")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+
+  /** BM25 query terms — fixed, like px8's classifier vocabulary. */
+  private val Terms = Seq("spark", "join", "stream")
+  private val K1 = 1.2
+  private val B = 0.75
+
+  val queries: Map[String, Q] = Map(
+    // ir1 — BM25 ranked retrieval (Robertson/Sparck Jones idf in the
+    // Lucene +1 form) for a fixed 3-term query. ONE documents scan:
+    // the token explode feeds a single doc_id-keyed aggregate that
+    // yields BOTH per-term tf (conditional sums) and dl; corpus stats
+    // (N, avgdl, per-term df) collapse to ONE broadcast row. No
+    // doc×term shuffle, no second scan — at 100 TB the only wide
+    // exchange is the doc_id aggregate, and partial aggregation
+    // runs map-side.
+    "ir1_bm25" -> ((s, dir) => {
+      val perDoc = tokens(t(s, dir, "documents"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("dl"),
+          Terms.zipWithIndex.map { case (tm, i) =>
+            sum(when(col("tok") === tm, 1L).otherwise(0L)).as(s"tf_$i")
+          }: _*)
+      val statCols = Seq(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("tot_dl")) ++
+        Terms.indices.map(i =>
+          sum((col(s"tf_$i") > 0).cast("long")).as(s"df_$i"))
+      val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+      val score = Terms.indices.map { i =>
+        val idf = log(
+          (col("n_docs") - col(s"df_$i") + 0.5) /
+            (col(s"df_$i") + 0.5) + 1.0)
+        val tf = col(s"tf_$i").cast("double")
+        // literals 2.2 / 0.25 are spelled, not computed (K1+1.0 is a
+        // round-to-even tie in IEEE — the oracle must see the same bits)
+        idf * (tf * lit(2.2)) /
+          (tf + lit(K1) * (lit(0.25) + lit(B) * col("dl") /
+            (col("tot_dl").cast("double") / col("n_docs"))))
+      }.reduce(_ + _)
+      perDoc.filter(Terms.indices.map(i => col(s"tf_$i") > 0)
+          .reduce(_ || _))
+        .crossJoin(broadcast(stats))
+        .select(Seq(col("doc_id"), col("dl")) ++
+          Terms.indices.map(i =>
+            col(s"tf_$i").as(s"tf_${Terms(i)}")) :+
+            round(score, 4).as("bm25"): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // er1 — blocked entity resolution over part names: candidate
+    // pairs share their FIRST TOKEN (the standard blocking key), the
+    // native jaro_winkler expression scores each pair inside
+    // whole-stage codegen, matches are jw ≥ 0.9. Output is the
+    // banded-pair census (count + key checksum per 2-decimal band),
+    // so the full pairwise compute is verified while the emitted
+    // frame stays band-sized. Scale: an equi-join on the block key —
+    // never all-pairs; skewed blocks at 100 TB get the dd20
+    // HotBuckets cap/route treatment (same operator, same contract).
+    "er1_entity_pairs" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"),
+          split(col("p_name"), " ").getItem(0).as("blk"))
+      val a = p.select(col("blk"), col("p_partkey").as("a_key"),
+        col("p_name").as("a_name"))
+      val b = p.select(col("blk"), col("p_partkey").as("b_key"),
+        col("p_name").as("b_name"))
+      a.join(b, Seq("blk"))
+        .filter(col("a_key") < col("b_key"))
+        .withColumn("jw", SF.jaroWinkler(col("a_name"), col("b_name")))
+        .filter(col("jw") >= 0.9)
+        .groupBy(round(col("jw"), 2).as("sim_band"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("a_key") * 31 + col("b_key")).as("key_checksum"))
+        .orderBy(col("sim_band"))
+    }),
+
+    // px15 — deterministic weighted sampling without replacement
+    // (Efraimidis–Spirakis A-Res): priority ln(u)/w with u from the
+    // portable md5-derived uniform and w = n_chars; global top-100 by
+    // priority IS the weighted sample. Spark executes the limit as
+    // TakeOrdered (per-partition top-k, then a k-row driver merge) —
+    // no full sort, no collect of the corpus; the same two-line
+    // ORDER BY/LIMIT replays in DuckDB.
+    "px15_weighted_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("n_chars") > 0)
+        .withColumn("u",
+          (SF.md5hash60(concat(lit("ws:"),
+            col("doc_id").cast("string"))) + 1).cast("double") /
+            lit(1152921504606846976.0)) // 2^60
+        .withColumn("priority", log(col("u")) / col("n_chars"))
+      docs.orderBy(col("priority").desc).limit(100)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // tx25 — bigram language-model scoring: train add-one-smoothed
+    // bigram counts on the whole corpus, then score every document by
+    // its mean ln P(w_i | w_{i-1}). Bigrams come from per-doc token
+    // ARRAYS (no position shuffle); the count model is vocab²-bounded
+    // and broadcast here — at web-corpus vocab sizes the same join
+    // runs as a shuffle join and AQE picks the side (the query is
+    // identical either way). All counts integer; ln only at scoring,
+    // emitted through round(·, 4).
+    "tx25_bigram_lm" -> ((s, dir) => {
+      val arr = t(s, dir, "documents").select(col("doc_id"),
+          filter(split(trim(regexp_replace(lower(col("text")),
+            "[^a-z0-9]+", " ")), " "), x => length(x) > 0).as("toks"))
+        .filter(size(col("toks")) >= 2)
+      val bigrams = arr.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+      val bgCounts = bigrams.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c2"))
+      val uniCounts = bigrams.groupBy(col("w1"))
+        .agg(count(lit(1)).as("c1"))
+      val vocab = bigrams.select(col("w1")).union(
+          bigrams.select(col("w2")))
+        .agg(countDistinct(col("w1")).as("v"))
+      bigrams
+        .join(broadcast(bgCounts), Seq("w1", "w2"))
+        .join(broadcast(uniCounts), Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("lp", log((col("c2") + 1).cast("double") /
+          (col("c1") + col("v")).cast("double")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(col("lp")), 4).as("avg_lp"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ir1_bm25" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(trim(regexp_replace(
+             lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+           FROM documents
+         ), tk AS (SELECT * FROM toks WHERE length(tok) > 0),
+         per_doc AS (
+           SELECT doc_id, count(*) AS dl,
+             sum(CASE WHEN tok = 'spark' THEN 1 ELSE 0 END) AS tf_0,
+             sum(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) AS tf_1,
+             sum(CASE WHEN tok = 'stream' THEN 1 ELSE 0 END) AS tf_2
+           FROM tk GROUP BY doc_id
+         ), stats AS (
+           SELECT count(*) AS n_docs, sum(dl) AS tot_dl,
+             sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+             sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+             sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+           FROM per_doc)
+         SELECT doc_id, dl,
+           CAST(tf_0 AS BIGINT) AS tf_spark,
+           CAST(tf_1 AS BIGINT) AS tf_join,
+           CAST(tf_2 AS BIGINT) AS tf_stream,
+           round(
+             ln((n_docs - df_0 + 0.5)/(df_0 + 0.5) + 1.0)
+               * (tf_0 * 2.2)
+               / (tf_0 + 1.2*(1.0 - 0.75 + 0.75*dl
+                   / (CAST(tot_dl AS DOUBLE)/n_docs)))
+           + ln((n_docs - df_1 + 0.5)/(df_1 + 0.5) + 1.0)
+               * (tf_1 * 2.2)
+               / (tf_1 + 1.2*(1.0 - 0.75 + 0.75*dl
+                   / (CAST(tot_dl AS DOUBLE)/n_docs)))
+           + ln((n_docs - df_2 + 0.5)/(df_2 + 0.5) + 1.0)
+               * (tf_2 * 2.2)
+               / (tf_2 + 1.2*(1.0 - 0.75 + 0.75*dl
+                   / (CAST(tot_dl AS DOUBLE)/n_docs))), 4) AS bm25
+         FROM per_doc, stats
+         WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0
+         ORDER BY doc_id""",
+    "er1_entity_pairs" ->
+      """WITH p AS (
+           SELECT p_partkey, p_name,
+             string_split(p_name, ' ')[1] AS blk
+           FROM part)
+         SELECT sim_band, count(*) AS n_pairs,
+           CAST(sum(a_key*31 + b_key) AS BIGINT) AS key_checksum
+         FROM (
+           SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+             round(jaro_winkler_similarity(a.p_name, b.p_name), 2)
+               AS sim_band
+           FROM p a JOIN p b ON a.blk = b.blk
+             AND a.p_partkey < b.p_partkey
+           WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9)
+         GROUP BY sim_band ORDER BY sim_band""",
+    "px15_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars FROM (
+           SELECT doc_id, lang, n_chars
+           FROM documents WHERE n_chars > 0
+           ORDER BY ln((('0x' || substr(md5('ws:' || doc_id), 1, 15))
+               ::BIGINT + 1) / 1152921504606846976.0)
+             / n_chars DESC
+           LIMIT 100)
+         ORDER BY doc_id""",
+    "tx25_bigram_lm" ->
+      """WITH arr AS (
+           SELECT doc_id, list_filter(string_split(trim(
+             regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+             ' '), x -> length(x) > 0) AS toks
+           FROM documents),
+         big AS (
+           SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+           FROM arr, unnest(range(1, len(toks))) AS r(i)
+           WHERE len(toks) >= 2),
+         c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+         c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+         v AS (SELECT count(DISTINCT w) AS v FROM (
+           SELECT w1 AS w FROM big UNION ALL SELECT w2 FROM big))
+         SELECT big.doc_id, count(*) AS n_bigrams,
+           round(avg(ln((c2.c2 + 1) / CAST(c1.c1 + v.v AS DOUBLE))), 4)
+             AS avg_lp
+         FROM big
+         JOIN c2 ON big.w1 = c2.w1 AND big.w2 = c2.w2
+         JOIN c1 ON big.w1 = c1.w1
+         CROSS JOIN v
+         GROUP BY big.doc_id ORDER BY big.doc_id"""
+  )
+}

@@ -96,7 +96,8 @@ object Registry {
     (LmOps.queries, LmOps.oracle),
     (Behavior.queries, Behavior.oracle),
     (Curation.queries, Curation.oracle),
-    (Stats.queries, Stats.oracle)
+    (Stats.queries, Stats.oracle),
+    (Matching.queries, Matching.oracle)
   )
 
   lazy val all: Map[String, Q] = {
