@@ -127,6 +127,39 @@ object Matching {
         .orderBy(col("doc_id"))
     }),
 
+    // px16 — temperature-based source resampling (the data-mixing
+    // step before LM training: multinomial source weights q_s ∝
+    // n_s^α, α=0.7, corpus size preserved). Per-doc copy count is
+    // floor(rate) plus a deterministic hash-uniform bernoulli for the
+    // fraction — integer replication, no RNG, replayable. Plan: one
+    // tiny per-source census broadcast back onto the scan; the only
+    // wide exchange is the final per-source aggregate. At 100 TB the
+    // explode-by-copy materialization would follow the same
+    // rate frame; here we emit the per-source accounting.
+    "px16_temperature_resample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        col("source"),
+        SF.md5hash60(concat(lit("tr:"), col("doc_id").cast("string")))
+          .cast("double") / lit(1152921504606846976.0) as "u")
+      val census = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_s"))
+        .withColumn("w_s", pow(col("n_s"), 0.7))
+      val tot = census.agg(sum(col("n_s")).as("m"),
+        sum(col("w_s")).as("sw"))
+      val rate = census.crossJoin(broadcast(tot))
+        .withColumn("c",
+          col("w_s") / col("sw") * col("m") / col("n_s"))
+        .select(col("source"), col("c"))
+      docs.join(broadcast(rate), Seq("source"))
+        .withColumn("copies", floor(col("c")).cast("long") +
+          when(col("u") < col("c") - floor(col("c")), 1L).otherwise(0L))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(min(col("c")), 6).as("copy_rate"),
+          sum(col("copies")).as("n_resampled"))
+        .orderBy(col("source"))
+    }),
+
     // tx25 — bigram language-model scoring: train add-one-smoothed
     // bigram counts on the whole corpus, then score every document by
     // its mean ln P(w_i | w_{i-1}). Bigrams come from per-doc token
@@ -228,6 +261,28 @@ object Matching {
              / n_chars DESC
            LIMIT 100)
          ORDER BY doc_id""",
+    "px16_temperature_resample" ->
+      """WITH census AS (
+           SELECT source, count(*) AS n_s, pow(count(*), 0.7) AS w_s
+           FROM documents GROUP BY source),
+         tot AS (
+           SELECT CAST(sum(n_s) AS BIGINT) AS m, sum(w_s) AS sw
+           FROM census),
+         rate AS (
+           SELECT source, w_s / sw * m / n_s AS c
+           FROM census, tot),
+         d AS (
+           SELECT doc_id, source,
+             ('0x' || substr(md5('tr:' || doc_id), 1, 15))::BIGINT
+               / 1152921504606846976.0 AS u
+           FROM documents)
+         SELECT d.source, count(*) AS n_docs,
+           round(min(c), 6) AS copy_rate,
+           CAST(sum(CAST(floor(c) AS BIGINT)
+             + CASE WHEN u < c - floor(c) THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_resampled
+         FROM d JOIN rate USING (source)
+         GROUP BY d.source ORDER BY d.source""",
     "tx25_bigram_lm" ->
       """WITH arr AS (
            SELECT doc_id, list_filter(string_split(trim(

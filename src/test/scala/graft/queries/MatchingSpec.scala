@@ -60,6 +60,25 @@ class MatchingSpec extends SparkSpec {
     assert(q.collect().map(_.getLong(0)).toSet == sel, "not deterministic")
   }
 
+  test("px16: rare sources upsample, common ones downsample, size holds") {
+    val dir = java.nio.file.Files.createTempDirectory("tmix").toString
+    ((0 until 900).map(i => (i.toLong, "big")) ++
+      (1000 until 1100).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+      .withColumn("text", lit("x")).withColumn("lang", lit("en"))
+      .withColumn("n_chars", lit(1L))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Matching.queries("px16_temperature_resample")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    // α=0.7: q_big≈0.823 ⇒ rate≈0.91 (downsample); q_small≈0.177 ⇒
+    // rate≈1.77 (upsample); resampled total stays ≈ corpus size
+    assert(out("big")._2 < 1.0 && out("small")._2 > 1.0, out.toString)
+    val total = out.values.map(_._3).sum
+    assert(math.abs(total - 1000L) < 50, s"resampled total $total")
+    assert(math.abs(out("small")._3 - 177L) < 25, out("small").toString)
+  }
+
   test("tx25: hand-computed add-one bigram score") {
     val dir = docsDir(Seq((7L, "a b a b")))
     val r = Matching.queries("tx25_bigram_lm")(spark, dir).collect()(0)
