@@ -176,6 +176,88 @@ object PrefixSum {
       valueCol)
   }
 
+  /** Multi-column [[withRunningSum]]: N running sums over ONE
+    * range-partition + sort (the expensive part is shared; each extra
+    * column is one more long accumulator in the narrow fold). Null
+    * values leave that column's running total unchanged; its cum is
+    * null until the first non-null in the global prefix. `pairs` maps
+    * valueCol -> cumCol.
+    */
+  def withRunningSums(df: DataFrame, orderCols: Seq[String],
+      pairs: Seq[(String, String)],
+      storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK)
+      : DataFrame = {
+    require(pairs.nonEmpty, "need at least one value column")
+    val schema0 = df.schema
+    pairs.foreach { case (v, _) =>
+      require(integral.contains(schema0(v).dataType),
+        s"$v must be an integral type, got " +
+          schema0(v).dataType.simpleString)
+    }
+    val parted = df
+      .repartitionByRange(orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+    ManagedCache.persist(parted, storageLevel)
+    val totals: Array[(Int, Array[Option[Long]])] = parted
+      .groupBy(spark_partition_id().as("__pid"))
+      .agg(sum(col(pairs.head._1).cast("long")).as("t0"),
+        pairs.tail.zipWithIndex.map { case ((v, _), i) =>
+          sum(col(v).cast("long")).as(s"t${i + 1}") }: _*)
+      .collect()
+      .map(r => r.getInt(0) -> pairs.indices.map(i =>
+        if (r.isNullAt(i + 1)) None else Some(r.getLong(i + 1))).toArray)
+      .sortBy(_._1)
+    val seeds: Map[Int, Array[Option[Long]]] = {
+      val acc = Array.fill[Option[Long]](pairs.size)(None)
+      totals.map { case (pid, t) =>
+        val entry = pid -> acc.clone()
+        pairs.indices.foreach { i =>
+          acc(i) = t(i).map(_ + acc(i).getOrElse(0L)).orElse(acc(i))
+        }
+        entry
+      }.toMap
+    }
+    // narrow fold, N accumulators (the InternalRow mechanics of
+    // narrowScan generalized to one appended LONG per value column)
+    val schema = parted.schema
+    val vIdx = pairs.map(p => schema.fieldIndex(p._1)).toArray
+    val vTyp = vIdx.map(i => schema.fields(i).dataType)
+    val outSchema = StructType(schema.fields ++
+      pairs.map(p => StructField(p._2, LongType, nullable = true)))
+    val outTypes = outSchema.fields.map(_.dataType)
+    val n = pairs.size
+    val rdd = parted.queryExecution.toRdd.mapPartitionsWithIndex {
+      (pid, it) =>
+        val proj = UnsafeProjection.create(outTypes)
+        val joined = new JoinedRow
+        val extra = new SpecificInternalRow(Seq.fill(n)(LongType))
+        val read: Array[InternalRow => Long] = vTyp.zipWithIndex.map {
+          case (ByteType, k)    => (r: InternalRow) => r.getByte(vIdx(k)).toLong
+          case (ShortType, k)   => (r: InternalRow) => r.getShort(vIdx(k)).toLong
+          case (IntegerType, k) => (r: InternalRow) => r.getInt(vIdx(k)).toLong
+          case (_, k)           => (r: InternalRow) => r.getLong(vIdx(k))
+        }
+        val state = seeds.getOrElse(pid,
+          Array.fill[Option[Long]](n)(None)).clone()
+        it.map { row =>
+          var k = 0
+          while (k < n) {
+            if (!row.isNullAt(vIdx(k))) {
+              state(k) = Some(state(k).getOrElse(0L) + read(k)(row))
+            }
+            state(k) match {
+              case Some(x) => extra.setLong(k, x)
+              case None    => extra.setNullAt(k)
+            }
+            k += 1
+          }
+          proj(joined(row, extra)): InternalRow
+        }
+    }
+    org.apache.spark.sql.GraftColumnBridge
+      .internalCreateDataFrame(parted.sparkSession, rdd, outSchema)
+  }
+
   /** Adds `outCol` = max of `valueCol` over all rows STRICTLY BEFORE
     * the current one in the global order (null when no earlier row
     * has a non-null value) — the exclusive frame dominance-style

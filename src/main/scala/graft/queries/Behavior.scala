@@ -27,24 +27,25 @@ object Behavior {
     // z² > 9 test is cleared of denominators so the comparison is
     // integer-exact: (n·x−S)² > 9·(n·Q−S²). event_type alone is a
     // low-cardinality window key — at 100 TB one task would sort a
-    // hot type's ENTIRE stream — so the frame runs day-salted:
-    // SaltedWindow partitions on (event_type, epoch_day) with a
-    // one-day carry-in echo, emitting values IDENTICAL to the
-    // unsalted window (the oracle replays the unsalted form) while
-    // the largest task sorts at most two days of one type.
+    // hot type's ENTIRE stream — AND Spark re-aggregates a sliding
+    // range frame per row (O(n·w̄): measured ~quadratic in per-day
+    // density on the sf0.5/sf1 scale-up sets), so the moments come
+    // from TrailingAgg's boundary-marker prefix sums instead: one
+    // global range sort, linear work, values IDENTICAL to the
+    // unsalted window (the oracle replays the unsalted form).
+    // SaltedWindow remains the right shape below w̄ ≈ a few hundred
+    // rows/window; this query's density grows with SF, so it takes
+    // the O(n log n) path.
     "ts7_rolling_anomaly" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .withColumn("us", unix_micros(col("ts")))
+        // Σx² stays a LONG sum (exact to ~9·10⁸ rows per 24 h per
+        // type with cents ≤ 10⁵ — far past any real window; a
+        // decimal accumulator here measured 3× slower).
         .withColumn("x", round(col("value") * 100).cast("long"))
         .select(col("event_id"), col("event_type"), col("us"), col("x"))
-      graft.operators.SaltedWindow.trailing(ev, Seq("event_type"),
-        "us", 86400L * 1000000L)(w => Seq(
-          count(lit(1)).over(w).as("n"),
-          sum(col("x")).over(w).as("s"),
-          // Σx² stays a LONG window sum (exact to ~9·10⁸ rows per
-          // 24 h per type with cents ≤ 10⁵ — far past any real
-          // window; a decimal accumulator here measured 3× slower).
-          sum(col("x") * col("x")).over(w).as("q")))
+      graft.operators.TrailingAgg.countSumSq(ev, Seq("event_type"),
+          "us", "event_id", "x", 86400L * 1000000L, carry = Seq("x"))
         .filter(col("n") >= 10)
         // The real int64 risk is the cleared inequality's products —
         // n²·max(x)² wraps around n ≈ 3·10⁴ — so the COMPARISON runs

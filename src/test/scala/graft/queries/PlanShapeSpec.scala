@@ -207,21 +207,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"))
   }
 
-  test("ts7 salted rolling window partitions on (event_type, bucket) " +
-    "— never event_type alone — and plans exactly one fact shuffle") {
+  test("ts7 trailing moments are WINDOW-FREE (prefix sums) and read " +
+    "the fact table once") {
+    // TrailingAgg path: a sliding range frame would re-aggregate the
+    // whole buffer per row (O(n·w̄) — ~quadratic in event density,
+    // measured on the sf0.5/sf1 scale-up sets), so the plan must
+    // contain NO Window node at all; the three row-roles ride ONE
+    // explode, never a self-union that re-reads the source
     val p = plan("ts7_rolling_anomaly")
-    // the Window node's partition spec must carry the salt bucket
-    assert(p.contains("__swin_bucket"),
-      s"salt bucket missing from plan:\n${p.linesIterator.take(40).mkString("\n")}")
-    // one hashpartitioning exchange for the window plus the output
-    // range sort — and ONE parquet scan (the echo rides a 2-row
-    // explode, never a second read of the source)
-    assert(count(p, "hashpartitioning") == 1 &&
-      count(p, "\\(\\d+\\) Exchange") == 2,
-      p.linesIterator.filter(l => l.contains("Exchange") ||
-        l.contains("partitioning")).mkString("\n"))
-    assert(count(p, "\\(\\d+\\) Scan parquet") == 1,
-      p.linesIterator.filter(_.contains("Scan")).mkString("\n"))
+    assert(count(p, "\\(\\d+\\) Window") == 0,
+      s"ts7 must be window-free:\n${p.linesIterator.take(40).mkString("\n")}")
+    assert(!p.contains("Exchange SinglePartition"))
+    // exchanges AFTER the PrefixSum fold (its leaf is the narrow-scan
+    // RDD): the per-id aggregate and the output order — nothing else
+    assert(count(p, "\\(\\d+\\) Exchange") <= 2,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    // the one-parquet-scan property lives UPSTREAM of the fold
+    // (narrowScan severs lineage): assert it on the operator's OWN
+    // pre-shuffle stage — the 3-role explode over the events read
+    import org.apache.spark.sql.functions.{col, round, unix_micros}
+    val ev = graft.Tables.load(spark, sf0001, "events")
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("x", round(col("value") * 100).cast("long"))
+      .select(col("event_id"), col("event_type"), col("us"), col("x"))
+    val staged = graft.operators.TrailingAgg.staged(ev,
+      Seq("event_type"), "us", "event_id", "x", 86400000000L, Seq("x"))
+    val sp = staged.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(count(sp, "\\(\\d+\\) Scan parquet") == 1 &&
+      count(sp, "\\(\\d+\\) Generate") == 1,
+      sp.linesIterator.take(20).mkString("\n"))
   }
 
   test("filters reach the parquet scan as PushedFilters — not " +
