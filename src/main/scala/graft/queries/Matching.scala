@@ -38,6 +38,60 @@ object Matching {
   private val K1 = 1.2
   private val B = 0.75
 
+  /** The BM25-scored frame ir1 emits and ir2 fuses: one documents
+    * scan, one doc_id-keyed aggregate (per-term tf + dl), corpus
+    * stats collapsed to ONE broadcast row. Columns: doc_id, dl,
+    * tf_0..tf_2, bm25 (round 4); only docs matching ≥1 term.
+    */
+  private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = tokens(t(s, dir, "documents"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"),
+        Terms.zipWithIndex.map { case (tm, i) =>
+          sum(when(col("tok") === tm, 1L).otherwise(0L)).as(s"tf_$i")
+        }: _*)
+    val statCols = Seq(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("tot_dl")) ++
+      Terms.indices.map(i =>
+        sum((col(s"tf_$i") > 0).cast("long")).as(s"df_$i"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    val score = Terms.indices.map { i =>
+      val idf = log(
+        (col("n_docs") - col(s"df_$i") + 0.5) /
+          (col(s"df_$i") + 0.5) + 1.0)
+      val tf = col(s"tf_$i").cast("double")
+      // literals 2.2 / 0.25 are spelled, not computed (K1+1.0 is a
+      // round-to-even tie in IEEE — the oracle must see the same bits)
+      idf * (tf * lit(2.2)) /
+        (tf + lit(K1) * (lit(0.25) + lit(B) * col("dl") /
+          (col("tot_dl").cast("double") / col("n_docs"))))
+    }.reduce(_ + _)
+    perDoc.filter(Terms.indices.map(i => col(s"tf_$i") > 0)
+        .reduce(_ || _))
+      .crossJoin(broadcast(stats))
+      .select(Seq(col("doc_id"), col("dl")) ++
+        Terms.indices.map(i =>
+          col(s"tf_$i").as(s"tf_${Terms(i)}")) :+
+          round(score, 4).as("bm25"): _*)
+  }
+
+  /** Global top-`k` of `df` by (`scoreCol` desc, doc_id) WITH dense
+    * 1-based ranks, and no single-partition window: the top-k runs as
+    * TakeOrderedAndProject (per-partition top-k + k-row driver
+    * merge — w4's shape), then ranks fall out of posexplode over the
+    * array_sort'ed k-row struct list. Rank ties are impossible by
+    * construction (doc_id is the last sort key).
+    */
+  private[queries] def rankedTopK(df: DataFrame, scoreCol: String,
+      k: Int): DataFrame =
+    df.orderBy(col(scoreCol).desc, col("doc_id")).limit(k)
+      .agg(array_sort(collect_list(struct(
+        (-col(scoreCol)).as("neg"), col("doc_id").as("d")))).as("a"))
+      .select(posexplode(col("a")).as(Seq("pos", "r")))
+      .select(col("r.d").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        (-col("r.neg")).as(scoreCol))
+
   val queries: Map[String, Q] = Map(
     // ir1 — BM25 ranked retrieval (Robertson/Sparck Jones idf in the
     // Lucene +1 form) for a fixed 3-term query. ONE documents scan:
@@ -47,37 +101,40 @@ object Matching {
     // doc×term shuffle, no second scan — at 100 TB the only wide
     // exchange is the doc_id aggregate, and partial aggregation
     // runs map-side.
-    "ir1_bm25" -> ((s, dir) => {
-      val perDoc = tokens(t(s, dir, "documents"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("dl"),
-          Terms.zipWithIndex.map { case (tm, i) =>
-            sum(when(col("tok") === tm, 1L).otherwise(0L)).as(s"tf_$i")
-          }: _*)
-      val statCols = Seq(count(lit(1)).as("n_docs"),
-        sum(col("dl")).as("tot_dl")) ++
-        Terms.indices.map(i =>
-          sum((col(s"tf_$i") > 0).cast("long")).as(s"df_$i"))
-      val stats = perDoc.agg(statCols.head, statCols.tail: _*)
-      val score = Terms.indices.map { i =>
-        val idf = log(
-          (col("n_docs") - col(s"df_$i") + 0.5) /
-            (col(s"df_$i") + 0.5) + 1.0)
-        val tf = col(s"tf_$i").cast("double")
-        // literals 2.2 / 0.25 are spelled, not computed (K1+1.0 is a
-        // round-to-even tie in IEEE — the oracle must see the same bits)
-        idf * (tf * lit(2.2)) /
-          (tf + lit(K1) * (lit(0.25) + lit(B) * col("dl") /
-            (col("tot_dl").cast("double") / col("n_docs"))))
-      }.reduce(_ + _)
-      perDoc.filter(Terms.indices.map(i => col(s"tf_$i") > 0)
-          .reduce(_ || _))
-        .crossJoin(broadcast(stats))
-        .select(Seq(col("doc_id"), col("dl")) ++
-          Terms.indices.map(i =>
-            col(s"tf_$i").as(s"tf_${Terms(i)}")) :+
-            round(score, 4).as("bm25"): _*)
-        .orderBy(col("doc_id"))
+    "ir1_bm25" -> ((s, dir) => bm25Scored(s, dir).orderBy(col("doc_id"))),
+
+    // ir2 — hybrid retrieval with reciprocal rank fusion: the BM25
+    // arm (ir1's scorer, same fixed query) and a semantic arm (cosine
+    // against vec_id 0's embedding — the id spaces align by
+    // construction: embeddings[i] embeds documents[i]) each yield a
+    // top-50 ranked list; RRF fuses them as Σ 1/(60+rank) over the
+    // arms that retrieved the doc (Cormack/Clarke/Buettcher's k=60).
+    // Ranks are over ROUNDED scores with doc_id tiebreak so both
+    // engines rank identically. Scale: each arm ends in a
+    // TakeOrderedAndProject (per-partition top-k, k-row merge), so
+    // the fusion join touches ≤2k rows regardless of corpus size —
+    // the arms' own scans stay the only full-data passes.
+    "ir2_hybrid_rrf" -> ((s, dir) => {
+      val lex = rankedTopK(bm25Scored(s, dir)
+          .select(col("doc_id"), col("bm25")), "bm25", 50)
+        .withColumnRenamed("rank", "lex_rank")
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      val sem = rankedTopK(
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id").as("doc_id"),
+            round(SF.cosine(col("qv"), col("embedding")), 5).as("cos")),
+        "cos", 50)
+        .withColumnRenamed("rank", "sem_rank")
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("sem_rank")), lit(0.0)), 6))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+        .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+          col("rrf"))
     }),
 
     // er1 — blocked entity resolution over part names: candidate
@@ -237,6 +294,62 @@ object Matching {
          FROM per_doc, stats
          WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0
          ORDER BY doc_id""",
+    "ir2_hybrid_rrf" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(trim(regexp_replace(
+             lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+           FROM documents
+         ), tk AS (SELECT * FROM toks WHERE length(tok) > 0),
+         per_doc AS (
+           SELECT doc_id, count(*) AS dl,
+             sum(CASE WHEN tok = 'spark' THEN 1 ELSE 0 END) AS tf_0,
+             sum(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) AS tf_1,
+             sum(CASE WHEN tok = 'stream' THEN 1 ELSE 0 END) AS tf_2
+           FROM tk GROUP BY doc_id
+         ), stats AS (
+           SELECT count(*) AS n_docs, sum(dl) AS tot_dl,
+             sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+             sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+             sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+           FROM per_doc),
+         bm AS (
+           SELECT doc_id,
+             round(
+               ln((n_docs - df_0 + 0.5)/(df_0 + 0.5) + 1.0)
+                 * (tf_0 * 2.2)
+                 / (tf_0 + 1.2*(1.0 - 0.75 + 0.75*dl
+                     / (CAST(tot_dl AS DOUBLE)/n_docs)))
+             + ln((n_docs - df_1 + 0.5)/(df_1 + 0.5) + 1.0)
+                 * (tf_1 * 2.2)
+                 / (tf_1 + 1.2*(1.0 - 0.75 + 0.75*dl
+                     / (CAST(tot_dl AS DOUBLE)/n_docs)))
+             + ln((n_docs - df_2 + 0.5)/(df_2 + 0.5) + 1.0)
+                 * (tf_2 * 2.2)
+                 / (tf_2 + 1.2*(1.0 - 0.75 + 0.75*dl
+                     / (CAST(tot_dl AS DOUBLE)/n_docs))), 4) AS bm25
+           FROM per_doc, stats
+           WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0),
+         lex AS (
+           SELECT doc_id, bm25,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+           FROM bm QUALIFY lex_rank <= 50),
+         sem0 AS (
+           SELECT e.vec_id AS doc_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[],
+               e.embedding::DOUBLE[]), 5) AS cos
+           FROM embeddings e,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+           WHERE e.vec_id != 0),
+         sem AS (
+           SELECT doc_id, cos,
+             row_number() OVER (ORDER BY cos DESC, doc_id) AS sem_rank
+           FROM sem0 QUALIFY sem_rank <= 50)
+         SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+           lex.lex_rank, sem.sem_rank,
+           round(coalesce(1.0/(60 + lex.lex_rank), 0)
+             + coalesce(1.0/(60 + sem.sem_rank), 0), 6) AS rrf
+         FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id
+         ORDER BY rrf DESC, doc_id LIMIT 20""",
     "er1_entity_pairs" ->
       """WITH p AS (
            SELECT p_partkey, p_name,

@@ -79,6 +79,36 @@ class MatchingSpec extends SparkSpec {
     assert(math.abs(out("small")._3 - 177L) < 25, out("small").toString)
   }
 
+  test("rankedTopK: score-desc order, doc_id tiebreak, k cutoff") {
+    val df = Seq((10L, 1.0), (11L, 3.0), (12L, 3.0), (13L, 2.0),
+      (14L, 0.5)).toDF("doc_id", "sc")
+    val out = Matching.rankedTopK(df, "sc", 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // ties at 3.0 break on doc_id; 14 misses the k=3 cut
+    assert(out.toSeq == Seq((11L, 1L, 3.0), (12L, 2L, 3.0),
+      (13L, 3L, 2.0)), out.toSeq)
+  }
+
+  test("ir2: both-arm docs outrank single-arm docs; rrf hand-checked") {
+    val dir = docsDir(Seq(
+      (1L, "spark spark spark"), (2L, "spark"), (3L, "nothing here")))
+    Seq((0L, Seq(1f, 0f, 0f), 0), (1L, Seq(0f, 0f, 1f), 0),
+      (2L, Seq(1f, 0f, 0f), 0), (3L, Seq(0.5f, 0.5f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // lex: 1→rank1, 2→rank2; sem (vs vec0): 2→rank1 (cos 1),
+    // 3→rank2 (0.70711), 1→rank3 (0). Fused: doc2 = 1/62+1/61,
+    // doc1 = 1/61+1/63, doc3 = 1/62 — doc2 > doc1 > doc3.
+    val out = Matching.queries("ir2_hybrid_rrf")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == Seq(2L, 1L, 3L), out.toSeq)
+    assert(out(0)._2 ==
+      BigDecimal(1.0 / 62 + 1.0 / 61)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      out.toSeq)
+  }
+
   test("tx25: hand-computed add-one bigram score") {
     val dir = docsDir(Seq((7L, "a b a b")))
     val r = Matching.queries("tx25_bigram_lm")(spark, dir).collect()(0)
