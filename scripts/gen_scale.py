@@ -25,7 +25,10 @@ SRC = "/root/testdata/sf0.1"
 OUT_ROOT = Path("/root/repo/localdata")
 
 LANGS = [("en", 0.70), ("zh", 0.10), ("fr", 0.10), ("de", 0.10)]
-EVENT_TYPES = ["click", "view", "purchase", "login", "error"]
+# uniform across the driver's five types (probed at sf0.1); value is
+# exponential with mean 50 rounded to cents (driver: mean≈std≈49.9,
+# min 0), props the driver's '{"k": N}' shape
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
 
 def gen_documents(con, rng, n_docs, out):
@@ -77,10 +80,10 @@ def gen_events(con, rng, n_events, out):
     batch = []
     for i in range(n_events):
         us = base + rng.randrange(span)
-        et = EVENT_TYPES[min(int(rng.random() * rng.random() * 5), 4)]
-        v = round(abs(rng.gauss(50, 30)), 6)
+        et = EVENT_TYPES[rng.randrange(5)]
+        v = round(rng.expovariate(1.0 / 50.0), 2)
         batch.append((i, us, rng.randrange(n_users), et, v,
-                      '{"k":%d}' % rng.randrange(100)))
+                      '{"k": %d}' % rng.randrange(100)))
         if len(batch) >= 50000:
             con.executemany("insert into _ev values "
                             "(?, make_timestamp(?), ?, ?, ?, ?)", batch)
