@@ -32,17 +32,36 @@ object ConnectedComponents {
     */
   def minLabel(vertices: DataFrame, edges: DataFrame,
       maxIter: Int = 25): DataFrame = {
-    // symmetrize once: propagation below only follows src -> dst
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // symmetrize once: propagation below only follows src -> dst.
+    // Both orientations ride ONE explode over a single evaluation of
+    // `edges` — the union-of-two-selects form evaluates the edge
+    // pipeline TWICE (upstream of dd11 that pipeline is the full
+    // LSH band join + exact verify; the double run measured ~20 s of
+    // pure waste at 1M docs, the whole pair cost over again).
+    val sym = edges.select(explode(array(
+        struct(col("src").as("s"), col("dst").as("d")),
+        struct(col("dst").as("s"), col("src").as("d")))).as("e"))
+      .select(col("e.s").as("src"), col("e.d").as("dst"))
       .distinct()
       .localCheckpoint(true)
 
-    val init = vertices.select(col("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
+    // Iterate ONLY over edge-touched vertices: an isolated vertex is
+    // its own component by construction and can never change, yet a
+    // full-vertex loop re-shuffles and re-checkpoints every one of
+    // them each round. On a dedup graph the near-dup families touch a
+    // tiny fraction of the corpus (sf1: ~500 of 1M docs), so the
+    // per-round state shrinks by orders of magnitude; isolates attach
+    // at the end with ONE left join (comp = own id). Semantics are
+    // unchanged: active is vertices ∩ edge endpoints, so endpoints
+    // outside `vertices` still don't propagate.
+    val verts = vertices.select(col("id")).distinct()
+      .localCheckpoint(true)
+    val active = verts.join(
+      sym.select(col("src").as("id")).distinct(), Seq("id"), "semi")
+    val init = active.select(col("id"), col("id").as("comp"))
     // per-round checkpoint + observed change counter both come from
     // the shared Fixpoint harness (this loop was its prototype)
-    Fixpoint.iterate(init,
+    val labels = Fixpoint.iterate(init,
       changed = sum(when(col("comp") =!= col("prev"), 1L).otherwise(0L)),
       project = Seq("id", "comp"), maxIter = maxIter) { (labels, _) =>
       // min over neighbours' labels, one shuffle on dst
@@ -55,6 +74,8 @@ object ConnectedComponents {
             .as("comp"),
           col("comp").as("prev"))
     }.frame
+    verts.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
   /** The dedup closure: (doc_id, cluster_id, is_keeper) where keeper =

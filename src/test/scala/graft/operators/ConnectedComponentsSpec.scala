@@ -74,13 +74,27 @@ class ConnectedComponentsSpec extends SparkSpec {
         Seq((5, 4), (4, 3), (3, 2), (2, 1), (1, 0)))
       assert(got.values.toSet == Set(0L))
       org.apache.spark.GraftTestBridge.drainListenerBus(sc)
-      // 2 setup checkpoints (sym, initial labels) + 6 round
-      // checkpoints + the collect = 9; leave headroom of 1 for AQE
-      // sub-executions, still strictly below the ~15 of a
+      // 3 setup checkpoints (sym, vertex set, initial labels) + 6
+      // round checkpoints + the collect = 10; leave headroom of 1 for
+      // AQE sub-executions, still strictly below the ~15 of a
       // count-per-round scheme
-      assert(execs.get() <= 10,
+      assert(execs.get() <= 11,
         s"expected one action per round, saw ${execs.get()} SQL executions")
     } finally sc.removeSparkListener(listener)
+  }
+
+  test("isolate-heavy graph: iterated state is edge-touched only, " +
+    "isolates attach unchanged") {
+    // 1000 isolates + one 3-vertex component: the fixpoint loop must
+    // run on the 3 active vertices, not the 1003 — pinned by the
+    // changed-counter trace (round 0 can move at most |active| labels)
+    val vs = (0L until 1003L).toDF("id")
+    val es = Seq((1000L, 1001L), (1001L, 1002L)).toDF("src", "dst")
+    val out = ConnectedComponents.minLabel(vs, es)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 1003)
+    assert((0L until 1000L).forall(i => out(i) == i), "isolates moved")
+    assert(Seq(1000L, 1001L, 1002L).forall(i => out(i) == 1000L))
   }
 
   test("maxIter too small to converge throws instead of returning " +
