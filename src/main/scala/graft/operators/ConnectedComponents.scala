@@ -34,14 +34,11 @@ object ConnectedComponents {
       maxIter: Int = 25): DataFrame = {
     // symmetrize once: propagation below only follows src -> dst.
     // Both orientations ride ONE explode over a single evaluation of
-    // `edges` — the union-of-two-selects form evaluates the edge
-    // pipeline TWICE (upstream of dd11 that pipeline is the full
-    // LSH band join + exact verify; the double run measured ~20 s of
-    // pure waste at 1M docs, the whole pair cost over again).
-    val sym = edges.select(explode(array(
-        struct(col("src").as("s"), col("dst").as("d")),
-        struct(col("dst").as("s"), col("src").as("d")))).as("e"))
-      .select(col("e.s").as("src"), col("e.d").as("dst"))
+    // `edges` (GraphEdges.symmetrize) — the union-of-two-selects form
+    // evaluates the edge pipeline TWICE (upstream of dd11 that
+    // pipeline is the full LSH band join + exact verify; the double
+    // run measured ~20 s of pure waste at 1M docs).
+    val sym = GraphEdges.symmetrize(edges, "src", "dst")
       .distinct()
       .localCheckpoint(true)
 

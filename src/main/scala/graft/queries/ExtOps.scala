@@ -470,9 +470,9 @@ object ExtOps {
       val l = t(s, dir, "lineitem")
       val fwd = l.select((col("l_partkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
-      val rev = l.select((col("l_suppkey") * 2 + 1).as("src"),
-        (col("l_partkey") * 2).as("dst"))
-      val edges = fwd.union(rev).distinct()
+      // one lineitem scan for both orientations (see GraphEdges)
+      val edges = graft.operators.GraphEdges
+        .symmetrize(fwd, "src", "dst").distinct()
       // deg is read by withDeg, the r0 node spine, AND (via nn) all
       // three rank updates — persist it or the edge-dedup shuffle
       // reruns per consumer
@@ -523,8 +523,9 @@ object ExtOps {
       val l = t(s, dir, "lineitem")
       val fwd = l.select((col("l_partkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
-      val edges = fwd.union(fwd.select(col("dst").as("src"),
-        col("src").as("dst"))).distinct()
+      // one lineitem scan for both orientations (see GraphEdges)
+      val edges = graft.operators.GraphEdges
+        .symmetrize(fwd, "src", "dst").distinct()
       val deg = graft.operators.ManagedCache.persist(
         edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
       val withDeg = graft.operators.ManagedCache.persist(
@@ -578,9 +579,10 @@ object ExtOps {
       val l = t(s, dir, "lineitem")
       val fwd = l.select((col("l_partkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
+      // one lineitem scan for both orientations (see GraphEdges)
       val edges = graft.operators.ManagedCache.persist(
-        fwd.union(fwd.select(col("dst").as("src"),
-          col("src").as("dst"))).distinct())
+        graft.operators.GraphEdges.symmetrize(fwd, "src", "dst")
+          .distinct())
       val l0 = edges.select(col("src").as("node")).distinct()
         .select(col("node"), col("node").as("lbl"))
       def step(labels: DataFrame): DataFrame =

@@ -239,9 +239,11 @@ object Matching {
         .agg(count(lit(1)).as("c2"))
       val uniCounts = bigrams.groupBy(col("w1"))
         .agg(count(lit(1)).as("c1"))
-      val vocab = bigrams.select(col("w1")).union(
-          bigrams.select(col("w2")))
-        .agg(countDistinct(col("w1")).as("v"))
+      // one evaluation of the bigram explode for both endpoints (the
+      // union-of-selects form would run the documents explode twice)
+      val vocab = bigrams
+        .select(explode(array(col("w1"), col("w2"))).as("w"))
+        .agg(countDistinct(col("w")).as("v"))
       bigrams
         .join(broadcast(bgCounts), Seq("w1", "w2"))
         .join(broadcast(uniCounts), Seq("w1"))

@@ -24,7 +24,7 @@ object FixpointBench {
     def bipartite: DataFrame = {
       val fwd = lineitem.select((col("l_partkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
-      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.GraphEdges.symmetrize(fwd, "src", "dst")
     }
 
     val ops: Seq[(String, () => (Long, Int, Boolean))] = Seq(
