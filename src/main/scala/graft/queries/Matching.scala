@@ -144,16 +144,27 @@ object Matching {
     // banded-pair census (count + key checksum per 2-decimal band),
     // so the full pairwise compute is verified while the emitted
     // frame stays band-sized. Scale: an equi-join on the block key —
-    // never all-pairs; skewed blocks at 100 TB get the dd20
-    // HotBuckets cap/route treatment (same operator, same contract).
+    // never all-pairs — AND the block join is cap-guarded with the
+    // dd10/dd20 HotBuckets contract: blocks beyond the 10k compute
+    // budget are EXCLUDED AND SURFACED in the accounting columns
+    // (pinned to zero by the oracle at every test SF — if a 100×
+    // corpus ever produces a block the b² jw pass can't afford, the
+    // compare fails loudly instead of one task silently absorbing
+    // b²/2 comparisons). filterOverCap (not cappedCandidates) so the
+    // single-block pairs need no distinct and jw stays in-join.
     "er1_entity_pairs" -> ((s, dir) => {
       val p = t(s, dir, "part")
         .select(col("p_partkey"), col("p_name"),
           split(col("p_name"), " ").getItem(0).as("blk"))
-      val a = p.select(col("blk"), col("p_partkey").as("a_key"),
+      val (safe, overCap) = graft.operators.HotBuckets
+        .filterOverCap(p, "blk", cap = 10000)
+      val a = safe.select(col("blk"), col("p_partkey").as("a_key"),
         col("p_name").as("a_name"))
-      val b = p.select(col("blk"), col("p_partkey").as("b_key"),
+      val b = safe.select(col("blk"), col("p_partkey").as("b_key"),
         col("p_name").as("b_name"))
+      val hot = overCap.agg(
+        count(lit(1)).as("n_hot_blocks"),
+        coalesce(sum(col("bucket_n")), lit(0L)).as("hot_parts"))
       a.join(b, Seq("blk"))
         .filter(col("a_key") < col("b_key"))
         .withColumn("jw", SF.jaroWinkler(col("a_name"), col("b_name")))
@@ -161,6 +172,7 @@ object Matching {
         .groupBy(round(col("jw"), 2).as("sim_band"))
         .agg(count(lit(1)).as("n_pairs"),
           sum(col("a_key") * 31 + col("b_key")).as("key_checksum"))
+        .crossJoin(broadcast(hot)) // 1-row accounting frame
         .orderBy(col("sim_band"))
     }),
 
@@ -356,17 +368,29 @@ object Matching {
       """WITH p AS (
            SELECT p_partkey, p_name,
              string_split(p_name, ' ')[1] AS blk
-           FROM part)
+           FROM part),
+         hot AS (
+           SELECT blk, count(*) AS bucket_n FROM p
+           GROUP BY blk HAVING count(*) > 10000),
+         acct AS (
+           SELECT count(*) AS n_hot_blocks,
+             CAST(coalesce(sum(bucket_n), 0) AS BIGINT) AS hot_parts
+           FROM hot),
+         safe AS (
+           SELECT p.* FROM p ANTI JOIN hot USING (blk))
          SELECT sim_band, count(*) AS n_pairs,
-           CAST(sum(a_key*31 + b_key) AS BIGINT) AS key_checksum
+           CAST(sum(a_key*31 + b_key) AS BIGINT) AS key_checksum,
+           acct.n_hot_blocks, acct.hot_parts
          FROM (
            SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
              round(jaro_winkler_similarity(a.p_name, b.p_name), 2)
                AS sim_band
-           FROM p a JOIN p b ON a.blk = b.blk
+           FROM safe a JOIN safe b ON a.blk = b.blk
              AND a.p_partkey < b.p_partkey
            WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9)
-         GROUP BY sim_band ORDER BY sim_band""",
+         CROSS JOIN acct
+         GROUP BY sim_band, acct.n_hot_blocks, acct.hot_parts
+         ORDER BY sim_band""",
     "px15_weighted_sample" ->
       """SELECT doc_id, lang, n_chars FROM (
            SELECT doc_id, lang, n_chars
