@@ -95,6 +95,53 @@ def gen_events(con, rng, n_events, out):
             "(format parquet)")
 
 
+def gen_lineitem(con, n_li, out):
+    """Scaled bipartite graph source for the xg-family slope runs:
+    node domains (parts, suppliers, orders) scale WITH the edge count
+    so average degree stays at the driver's ~30 lineitems/part —
+    TPC-H's own scaling rule. Values are hash-uniform (the driver's
+    key/flag/date columns probe uniform), generated fully in SQL so
+    6M rows cost seconds. (l_orderkey, l_linenumber) stays unique."""
+    n_parts = max(1, n_li // 30)
+    n_supp = max(1, n_li // 600)
+    con.sql(f"""copy (
+        select i // 4 as l_orderkey,
+          cast(hash(i * 7 + 1) % {n_parts} as bigint) as l_partkey,
+          cast(hash(i * 13 + 2) % {n_supp} as bigint) as l_suppkey,
+          cast(i % 4 + 1 as integer) as l_linenumber,
+          cast(1 + hash(i * 17 + 3) % 50 as double) as l_quantity,
+          round(900 + (hash(i * 19 + 4) % 10410000) / 100.0, 2)
+            as l_extendedprice,
+          round((hash(i * 23 + 5) % 11) / 100.0, 2) as l_discount,
+          round((hash(i * 29 + 6) % 9) / 100.0, 2) as l_tax,
+          ['A','N','R'][cast(hash(i * 31 + 7) % 3 as int) + 1]
+            as l_returnflag,
+          ['F','O'][cast(hash(i * 37 + 8) % 2 as int) + 1]
+            as l_linestatus,
+          timestamp '1995-01-02'
+            + interval (hash(i * 41 + 9) % 2498) days as l_shipdate
+        from range({n_li}) t(i) order by l_orderkey, l_linenumber
+        ) to '{out}' (format parquet)""")
+
+
+def gen_embeddings(rng, con, n_vecs, out):
+    """Scaled ANN corpus: 64-dim gaussian(0, 0.13) float vectors with
+    labels 0..9 — the driver's probed embedding distribution."""
+    con.sql("create or replace table _emb (vec_id bigint, "
+            "embedding float[], label integer)")
+    batch = []
+    for i in range(n_vecs):
+        vec = [round(rng.gauss(0.0, 0.13), 6) for _ in range(64)]
+        batch.append((i, vec, rng.randrange(10)))
+        if len(batch) >= 5000:
+            con.executemany("insert into _emb values (?,?,?)", batch)
+            batch = []
+    if batch:
+        con.executemany("insert into _emb values (?,?,?)", batch)
+    con.sql(f"copy (select * from _emb order by vec_id) to '{out}' "
+            "(format parquet)")
+
+
 def main():
     sf = float(sys.argv[1])
     rng = random.Random(42)
@@ -105,13 +152,24 @@ def main():
     n_events = int(100000 * sf / 0.1)
     gen_documents(con, rng, n_docs, out / "documents.parquet")
     gen_events(con, rng, n_events, out / "events.parquet")
+    # scaled graph + ANN sources (separate seeds so adding them never
+    # perturbs the documents/events byte-stream above)
+    for t in ["lineitem", "embeddings"]:
+        p = out / f"{t}.parquet"
+        # NEVER write through a stale symlink into /root/testdata
+        if p.is_symlink():
+            p.unlink()
+    gen_lineitem(con, int(600000 * sf / 0.1), out / "lineitem.parquet")
+    gen_embeddings(random.Random(43), con, int(2000 * sf / 0.1),
+                   out / "embeddings.parquet")
     for t in ["region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "embeddings"]:
+              "orders"]:
         link = out / f"{t}.parquet"
         if not link.exists():
             link.symlink_to(f"{SRC}/{t}.parquet")
-    print(f"[gen_scale] sf{sf:g}: {n_docs} docs, {n_events} events "
-          f"-> {out}")
+    print(f"[gen_scale] sf{sf:g}: {n_docs} docs, {n_events} events, "
+          f"{int(600000 * sf / 0.1)} lineitems, "
+          f"{int(2000 * sf / 0.1)} vectors -> {out}")
 
 
 if __name__ == "__main__":
