@@ -39,6 +39,43 @@ class ScaleOpsSpec extends SparkSpec {
     assert(cums.toSeq == (1 to 50).map(_ * 2L))
   }
 
+  test("withRunningSums: N columns over one sort equal N windowed " +
+    "cumsums; nulls stay null until the first non-null") {
+    // col a: dense values; col b: null until row 200, then sparse —
+    // the cum must be NULL before the first non-null (not 0), and a
+    // null value must not advance the total. Differential vs the
+    // single-partition window at several partitionings exercises the
+    // per-partition seed handoff for BOTH accumulators.
+    val df = (1 to 400).map { i =>
+      (i.toLong, (i * 37 % 101).toLong,
+        if (i < 200 || i % 3 == 0) None else Some((i * 7 % 13).toLong))
+    }.toDF("k", "a", "b")
+    val w = Window.orderBy($"k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df
+      .withColumn("ca", sum($"a").over(w))
+      .withColumn("cb", sum($"b").over(w))
+      .orderBy($"k").collect()
+      .map(r => (r.getLong(0), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    for (parts <- Seq(1, 5, 16)) {
+      val got = PrefixSum
+        .withRunningSums(df.repartition(parts), Seq("k"),
+          Seq("a" -> "ca", "b" -> "cb"))
+        .orderBy($"k").collect()
+        .map(r => (r.getLong(0), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      assert(got.toSeq == expected.toSeq, s"parts=$parts")
+    }
+  }
+
+  test("withRunningSums rejects non-integral value columns") {
+    val df = Seq((1L, 1.5)).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      PrefixSum.withRunningSums(df, Seq("k"), Seq("v" -> "cv"))
+    }
+  }
+
   test("withRunningMaxBefore equals a single-partition exclusive cummax") {
     val df = (1 to 300).map(i => (i.toLong, ((i * 73) % 97).toLong))
       .toDF("k", "v")
