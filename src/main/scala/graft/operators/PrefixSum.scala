@@ -154,27 +154,13 @@ object PrefixSum {
   def withRunningSum(df: DataFrame, orderCols: Seq[String],
       valueCol: String, cumCol: String,
       storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK)
-      : DataFrame = {
-    val (parted, totals) = twoPassSetup(df, orderCols, valueCol,
-      v => sum(v), storageLevel)
-    // running state per partition: None until the first non-null value
-    // anywhere in the global prefix, then Some(total so far)
-    val seeds: Map[Int, Option[Long]] = {
-      var acc: Option[Long] = None
-      totals.map { case (pid, t) =>
-        val entry = pid -> acc
-        acc = t.map(_ + acc.getOrElse(0L)).orElse(acc)
-        entry
-      }.toMap
-    }
-    narrowScan(parted, cumCol,
-      pid => seeds.getOrElse(pid, None),
-      (state, v) => {
-        val next = v.map(_ + state.getOrElse(0L)).orElse(state)
-        (next, next)
-      },
-      valueCol)
-  }
+      : DataFrame =
+    // one-line delegation: the N-column fold with N=1 is exactly this
+    // operator (same type check, same null-until-first-non-null seed
+    // handoff, same narrow InternalRow fold) — two copies of the seed
+    // logic would have to be kept in sync by hand
+    withRunningSums(df, orderCols, Seq(valueCol -> cumCol),
+      storageLevel)
 
   /** Multi-column [[withRunningSum]]: N running sums over ONE
     * range-partition + sort (the expensive part is shared; each extra
@@ -188,6 +174,7 @@ object PrefixSum {
       storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK)
       : DataFrame = {
     require(pairs.nonEmpty, "need at least one value column")
+    require(orderCols.nonEmpty, "need at least one order column")
     val schema0 = df.schema
     pairs.foreach { case (v, _) =>
       require(integral.contains(schema0(v).dataType),

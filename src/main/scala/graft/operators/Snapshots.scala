@@ -99,21 +99,69 @@ object Snapshots {
       s"could not claim a version slot in $maxAttempts attempts: $dir")
   }
 
+  /** Retire a claim marker to the vacuumable `.stale-` form (a
+    * retired marker no longer occupies its slot for the allocator). */
+  private def retireClaim(f: org.apache.hadoop.fs.FileSystem,
+      dir: String, v: Long): Unit =
+    f.rename(new Path(dir, s"_claim.$v"), new Path(dir,
+      s"_claim.$v.stale-${java.util.UUID.randomUUID()}"))
+
+  /** Move freshly staged bytes into CLAIMED slot `v=$v` atomically —
+    * the one step every committing path shares, and the reason the
+    * crashed-winner invariant holds: `v=$v` only ever comes into
+    * existence via this all-or-nothing rename of COMPLETE,
+    * meant-to-publish data, never via in-place writes. Returns true
+    * when the slot now holds exactly the staged directory. If the
+    * rename MERGED into a pre-existing `v=$v` (pre-claim-era leftover
+    * never vacuumed, or a local-FS claim race — Hadoop's rename onto
+    * an existing directory nests the source inside it and returns
+    * true): pulls the stage back out, retires the claim, deletes the
+    * stage, and returns false so the caller surfaces a conflict
+    * instead of publishing a corrupt mixed directory.
+    */
+  private def occupySlot(f: org.apache.hadoop.fs.FileSystem,
+      dir: String, stage: Path, v: Long): Boolean = {
+    val dst = new Path(dir, s"v=$v")
+    val nested = new Path(dst, stage.getName)
+    if (f.rename(stage, dst) && !f.exists(nested)) true
+    else {
+      if (f.exists(nested)) f.rename(nested, stage)
+      retireClaim(f, dir, v)
+      f.delete(stage, true)
+      false
+    }
+  }
+
   /** Write `df` as the next version and publish it atomically.
     * Returns the new version number. The slot is claimed via the same
     * `_claim.N` marker the CAS/branch committers use BEFORE any bytes
     * are written, so a concurrent branch or CAS committer can never
     * allocate the same slot in the window between our directory
     * listing and our parquet write (the marker persists alongside its
-    * version; vacuum removes both together). A crash between the data
-    * write and the pointer replace leaves the table at the PREVIOUS
-    * version with an orphan directory — vacuum() reclaims it.
+    * version; vacuum removes both together). Data is staged in a
+    * writer-unique temp directory and renamed into the slot — `v=N`
+    * therefore NEVER exists in a partial state, which is what lets
+    * CAS crashed-winner recovery treat "v=N exists under a stale
+    * claim" as "complete, roll it forward". A crash mid-write leaves
+    * only the claim marker plus a `_stage-*` orphan (vacuum reclaims
+    * both); a crash between the slot rename and the pointer replace
+    * leaves a complete v=N that recovery may legitimately publish.
     */
   def commit(spark: SparkSession, df: DataFrame, dir: String): Long = {
-    val v = claimNextFree(spark, dir)
-    df.write.mode("overwrite").parquet(s"$dir/v=$v")
-    publish(spark, dir, v)
-    v
+    val f = fs(spark, dir)
+    var attempt = 0
+    while (attempt < 3) {
+      val v = claimNextFree(spark, dir)
+      val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
+      df.write.mode("overwrite").parquet(stage.toString)
+      if (occupySlot(f, dir, stage, v)) {
+        publish(spark, dir, v)
+        return v
+      }
+      attempt += 1 // slot squatted by pre-claim-era bytes: fresh slot
+    }
+    throw new IllegalStateException(
+      s"could not occupy a version slot in 3 attempts: $dir")
   }
 
   /** Point `_latest` at `v` via write-temp-then-rename. The replace
@@ -197,8 +245,7 @@ object Snapshots {
           // would only be pointlessly grace-stolen by a later
           // same-slot probe.
           publish(spark, dir, v)
-          f.rename(claim, new Path(dir,
-            s"_claim.$v.stale-${java.util.UUID.randomUUID()}"))
+          retireClaim(f, dir, v)
           f.delete(stage, true)
           return Left(s"conflict: crashed commit v=$v rolled forward; " +
             s"table now at v=$v — retry on top")
@@ -212,28 +259,15 @@ object Snapshots {
     if (!won) {
       f.delete(stage, true)
       Left(s"conflict: v=$v already claimed by a concurrent committer")
+    } else if (occupySlot(f, dir, stage, v)) {
+      publish(spark, dir, v)
+      Right(v)
     } else {
-      val dst = new Path(dir, s"v=$v")
-      val nested = new Path(dst, stage.getName)
-      if (f.rename(stage, dst) && !f.exists(nested)) {
-        publish(spark, dir, v)
-        Right(v)
-      } else {
-        // the claim did not actually cover the slot: either v=N
-        // pre-dates the claim protocol (e.g. a rolled-back plain
-        // commit never vacuumed, its marker long gone) or a local-FS
-        // claim race let two writers through. Hadoop's rename onto an
-        // existing directory MERGES the stage INSIDE it and returns
-        // true — publishing now would make a corrupt mixed directory
-        // the table head. Pull the stage back out, retire the claim,
-        // and surface a conflict instead (same backstop as
-        // commitToBranch).
-        if (f.exists(nested)) f.rename(nested, stage)
-        f.rename(claim, new Path(dir,
-          s"_claim.$v.stale-${java.util.UUID.randomUUID()}"))
-        f.delete(stage, true)
-        Left(s"conflict: v=$v directory already exists")
-      }
+      // occupySlot found the claim did not actually cover the slot
+      // (pre-claim-era v=N, or a local-FS claim race) and has already
+      // pulled the stage back out, retired the claim and cleaned up —
+      // surface the conflict (same backstop as commitToBranch).
+      Left(s"conflict: v=$v directory already exists")
     }
   }
 
@@ -253,27 +287,41 @@ object Snapshots {
     publish(spark, dir, v)
   }
 
-  /** Write-audit-publish: stage `df` as the next version directory,
-    * run the quality suite AGAINST THE STAGED FILES (what readers
-    * would see, not the in-memory plan), and publish the pointer only
-    * if every check passes. On violations the staged directory is
-    * left unpublished (an orphan vacuum() reclaims) and the table
-    * stays at its previous version — the WAP pattern lakehouse
-    * pipelines run on every batch. Returns Right(version) or
+  /** Write-audit-publish: stage `df` in a writer-unique temp
+    * directory, run the quality suite AGAINST THE STAGED FILES (what
+    * readers would see, not the in-memory plan), and only then rename
+    * the stage into its claimed version slot and publish. On
+    * violations the claim is retired, the staged bytes are deleted,
+    * and the table stays at its previous version — the WAP pattern
+    * lakehouse pipelines run on every batch. A REJECTED batch must
+    * never materialize as a `v=N` directory: CAS crashed-winner
+    * recovery publishes any unpublished v=N it finds under a stale
+    * claim (it cannot tell a crashed winner from an audit reject), so
+    * quality-rejected data reaching a version slot would be
+    * resurrectable as the table head. Returns Right(version) or
     * Left(violation census rows).
     */
   def commitChecked(spark: SparkSession, df: DataFrame, dir: String,
       checks: DataFrame => Seq[DataFrame])
       : Either[Seq[(String, Long)], Long] = {
+    val f = fs(spark, dir)
     val v = claimNextFree(spark, dir)
-    df.write.mode("overwrite").parquet(s"$dir/v=$v")
-    val staged = spark.read.parquet(s"$dir/v=$v")
+    val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
+    df.write.mode("overwrite").parquet(stage.toString)
+    val staged = spark.read.parquet(stage.toString)
     val bad = DataQuality.suite(checks(staged))
       .filter(org.apache.spark.sql.functions.col("n_violations") > 0)
       .collect()
       .map(r => (r.getString(0), r.getLong(2))).toSeq
-    if (bad.nonEmpty) Left(bad)
-    else { publish(spark, dir, v); Right(v) }
+    if (bad.nonEmpty) {
+      retireClaim(f, dir, v)
+      f.delete(stage, true)
+      Left(bad)
+    } else if (occupySlot(f, dir, stage, v)) {
+      publish(spark, dir, v)
+      Right(v)
+    } else throw new IllegalStateException(
+      s"v=$v slot collision during WAP publish: $dir")
   }
 
   /** Delete version directories that are (a) orphans ABOVE the

@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions._
   * ~quadratically with per-day density). This operator replaces the
   * window entirely:
   *
-  *   - every input row contributes `(1, x, x²)` at time `t`;
+  *   - every input row contributes `(1, 1 if x non-null, x, x²)` at
+  *     time `t` (the non-null census reproduces the window sum's
+  *     NULL-on-all-null-frame semantics);
   *   - per row, two zero-contribution PHANTOMS are planted: `hi` at
   *     `(t, tie=+1)` and `lo` at `(t−W, tie=−1)`;
   *   - ONE global multi-column running sum over the order
@@ -75,19 +77,25 @@ object TrailingAgg {
     val kc = keys.map(col)
     val nullL = lit(null).cast("long")
     val x = col(xCol).cast("long")
+    // xn counts NON-NULL x in the frame: the window form's sum(x) is
+    // NULL (not 0) when every x in the frame is null, so the
+    // difference pass needs the non-null census to reproduce that
+    val xn = when(col(xCol).isNull, nullL).otherwise(lit(1L))
     val role = explode(array(
       struct(col(usCol).as("t"), lit(0).as("tie"),
-        lit(1L).as("x1"), x.as("xs"), (x * x).as("xq")),
+        lit(1L).as("x1"), xn.as("xn"), x.as("xs"), (x * x).as("xq")),
       struct(col(usCol).as("t"), lit(1).as("tie"),
-        nullL.as("x1"), nullL.as("xs"), nullL.as("xq")),
+        nullL.as("x1"), nullL.as("xn"), nullL.as("xs"),
+        nullL.as("xq")),
       struct((col(usCol) - windowUs).as("t"), lit(-1).as("tie"),
-        nullL.as("x1"), nullL.as("xs"), nullL.as("xq"))))
+        nullL.as("x1"), nullL.as("xn"), nullL.as("xs"),
+        nullL.as("xq"))))
     df.select(kc ++ Seq(col(idCol).as("__id"),
         role.as("__r")) ++ carry.map(col): _*)
       .select(kc ++ Seq(col("__id"),
         col("__r.t").as("__t"), col("__r.tie").as("__tie"),
-        col("__r.x1").as("__x1"), col("__r.xs").as("__xs"),
-        col("__r.xq").as("__xq")) ++
+        col("__r.x1").as("__x1"), col("__r.xn").as("__xn"),
+        col("__r.xs").as("__xs"), col("__r.xq").as("__xq")) ++
         carry.map(c =>
           when(col("__r.tie") === 1, col(c)).as(c)): _*)
   }
@@ -102,16 +110,23 @@ object TrailingAgg {
     val cums = PrefixSum.withRunningSums(
       staged(df, keys, usCol, idCol, xCol, windowUs, carry),
       keys ++ Seq("__t", "__tie", "__id"),
-      Seq("__x1" -> "__c1", "__xs" -> "__cs", "__xq" -> "__cq"))
+      Seq("__x1" -> "__c1", "__xn" -> "__cn",
+        "__xs" -> "__cs", "__xq" -> "__cq"))
     def side(tie: Int, c: String) =
       coalesce(max(when(col("__tie") === tie, col(c))), lit(0L))
+    // sum semantics over the frame: NULL when no non-null x is in it
+    // (exactly the window form), the long difference otherwise
+    val nn = side(1, "__cn") - side(-1, "__cn")
+    def sumOrNull(c: String): Column =
+      when(nn === 0L, lit(null).cast("long"))
+        .otherwise(side(1, c) - side(-1, c))
     val aggCols: Seq[Column] =
       keys.map(k => first(col(k)).as(k)) ++
         carry.map(c => first(col(c), ignoreNulls = true).as(c)) ++
         Seq(
           (side(1, "__c1") - side(-1, "__c1")).as("n"),
-          (side(1, "__cs") - side(-1, "__cs")).as("s"),
-          (side(1, "__cq") - side(-1, "__cq")).as("q"))
+          sumOrNull("__cs").as("s"),
+          sumOrNull("__cq").as("q"))
     cums.filter(col("__tie") =!= 0)
       .groupBy(col("__id").as(idCol))
       .agg(aggCols.head, aggCols.tail: _*)

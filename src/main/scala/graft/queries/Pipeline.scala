@@ -597,9 +597,17 @@ object Pipeline {
           (lit(1000000) + pmod(col("doc_id"), lit(1000))).cast("long")))
         .otherwise(substring(md5(col("doc_id").cast("string")), 1, 16)
           .cast("binary"))
-      val media = t(s, dir, "documents")
-        .select(col("doc_id"), payload.as("payload"))
-        .withColumn("format", Multimodal.sniffFormat(col("payload")))
+      // persisted: five family branches read this frame — without the
+      // tracked persist each branch re-runs the documents scan AND the
+      // payload synthesis when-chain over the full corpus (5× the
+      // dominant cost at lake scale); with it the scan+synthesis runs
+      // once and the branches read the materialized (doc_id, payload,
+      // format) table, which is the staged-ingest shape the comment
+      // above describes
+      val media = graft.operators.ManagedCache.persist(
+        t(s, dir, "documents")
+          .select(col("doc_id"), payload.as("payload"))
+          .withColumn("format", Multimodal.sniffFormat(col("payload"))))
       def one(name: String, nBlobs: org.apache.spark.sql.Column,
           nUnits: org.apache.spark.sql.Column,
           valSum: org.apache.spark.sql.Column,

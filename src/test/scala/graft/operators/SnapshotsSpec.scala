@@ -45,16 +45,49 @@ class SnapshotsSpec extends SparkSpec {
         .toDF("id", "s"), dir, checks)
     assert(r2.isLeft)
     assert(r2.swap.toOption.get.toMap == Map("pk" -> 1L, "nn" -> 1L))
-    // readers still see v1; the staged v2 is an unpublished orphan
+    // readers still see v1 — and the REJECTED batch must leave no
+    // v=2 directory and no live claim: CAS crashed-winner recovery
+    // publishes any unpublished v=N it finds under a stale claim, so
+    // rejected bytes in a version slot would be resurrectable as the
+    // table head (they live only in a deleted _stage-*)
     assert(Snapshots.latestVersion(spark, dir) == 1L)
     assert(Snapshots.read(spark, dir).orderBy("id").collect()
       .map(_.getInt(0)).toSeq == Seq(1, 2))
-    assert(Snapshots.vacuum(spark, dir, keepLast = 1) == Seq(2L))
-    // a clean retry publishes as v2 again
+    val f = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(dir, "v=2")),
+      "rejected WAP batch materialized a version directory")
+    assert(!f.exists(new org.apache.hadoop.fs.Path(dir, "_claim.2")),
+      "rejected WAP batch left a live claim")
+    // nothing for vacuum to reclaim; the slot is immediately reusable
+    assert(Snapshots.vacuum(spark, dir, keepLast = 1) == Seq())
+    // a clean retry publishes as v2
     val r3 = Snapshots.commitChecked(spark,
       Seq((3, Some("c")), (4, Some("d"))).toDF("id", "s"), dir, checks)
     assert(r3 == Right(2L))
     assert(Snapshots.read(spark, dir).count() == 2)
+  }
+
+  test("a rejected WAP batch can never be resurrected by CAS " +
+    "crashed-winner roll-forward") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-wap-cas").toString + "/t"
+    val checks = (staged: org.apache.spark.sql.DataFrame) => Seq(
+      DataQuality.nonNull(staged, "s", "nn"))
+    assert(Snapshots.commitChecked(spark,
+      Seq((1, Some("a"))).toDF("id", "s"), dir, checks) == Right(1L))
+    // audit reject: dirty v2 candidate
+    assert(Snapshots.commitChecked(spark,
+      Seq((2, None: Option[String])).toDF("id", "s"), dir,
+      checks).isLeft)
+    // a CAS committer arriving after any grace period must commit its
+    // OWN data as v2 — never publish the rejected batch
+    val r = Snapshots.commitCAS(spark,
+      Seq((3, "clean")).toDF("id", "s"), dir, expectedParent = 1L,
+      claimGraceMs = 1L)
+    assert(r == Right(2L), r.toString)
+    assert(Snapshots.read(spark, dir).collect().map(_.getInt(0)).toSeq
+      == Seq(3), "rejected WAP data reached the table head")
   }
 
   test("commitCAS: two committers racing from the same parent — " +

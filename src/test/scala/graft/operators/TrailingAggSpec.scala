@@ -70,6 +70,28 @@ class TrailingAggSpec extends SparkSpec {
     diff(frame(rows))
   }
 
+  test("null values: all-null frames yield NULL sums (not 0), " +
+    "mixed frames skip nulls — exactly the window form") {
+    val df = Seq[(Long, String, Long, Option[Long])](
+      // key 'a': x null everywhere → s/q NULL on every row, n counts
+      (1L, "a", 10L, None), (2L, "a", 40L, None),
+      // key 'b': null-prefix, then values, then a null inside the
+      // frame (must not advance s/q but must count in n)
+      (3L, "b", 0L, None), (4L, "b", 50L, Some(5L)),
+      (5L, "b", 90L, None), (6L, "b", 120L, Some(7L)),
+      // key 'c': value falls OUT of the frame, frame becomes all-null
+      (7L, "c", 0L, Some(9L)), (8L, "c", 200L, None))
+      .toDF("id", "k", "us", "x")
+    val a = viaWindow(df).orderBy("id").collect().toSeq
+    val b = viaTrailing(df).orderBy("id").collect().toSeq
+    assert(a == b, s"window:\n${a.mkString("\n")}\n" +
+      s"trailing:\n${b.mkString("\n")}")
+    // pin the semantics directly, not just differentially
+    val r8 = b.last
+    assert(r8.getLong(3) == 1L && r8.isNullAt(4) && r8.isNullAt(5),
+      s"all-null frame must have n=1, s=NULL, q=NULL: $r8")
+  }
+
   test("agrees with SaltedWindow.trailing on the same frame") {
     val rnd = new scala.util.Random(7)
     val df = frame((1L to 300L).map(i =>
