@@ -66,29 +66,40 @@ object PrefixSum {
   def unpersistAll(): Unit = ManagedCache.releaseAll()
 
   /** steps 1+2: the persisted range-partitioned sorted frame, and the
-    * per-partition subtotals of `aggOf(valueCol)` indexed by physical
-    * partition id (None = partition has no non-null value). Partitions
-    * the aggregation saw no rows for (empty after the range split) are
-    * absent from the map and contribute nothing.
+    * per-partition subtotals of `aggOf(valueCol)` for EACH value
+    * column, indexed by physical partition id (None = partition has
+    * no non-null value for that column). Partitions the aggregation
+    * saw no rows for (empty after the range split) are absent from
+    * the map and contribute nothing. One implementation serves both
+    * the N-column running sums and the single-column running max —
+    * the pass-1/pass-2 contract (persist pins the sampled range
+    * partitioning for both the totals action and the fold) lives
+    * HERE only.
     */
   private def twoPassSetup(df: DataFrame, orderCols: Seq[String],
-      valueCol: String, aggOf: Column => Column,
+      valueCols: Seq[String], aggOf: Column => Column,
       storageLevel: StorageLevel):
-      (DataFrame, Array[(Int, Option[Long])]) = {
+      (DataFrame, Array[(Int, Array[Option[Long]])]) = {
+    require(valueCols.nonEmpty, "need at least one value column")
     require(orderCols.nonEmpty, "need at least one order column")
-    val vType = df.schema(valueCol).dataType
-    require(integral.contains(vType),
-      s"$valueCol must be an integral type, got ${vType.simpleString}")
+    valueCols.foreach { v =>
+      val t = df.schema(v).dataType
+      require(integral.contains(t),
+        s"$v must be an integral type, got ${t.simpleString}")
+    }
     val parted = df
       .repartitionByRange(orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
     ManagedCache.persist(parted, storageLevel)
+    val aggs = aggOf(col(valueCols.head).cast("long")).as("t0") +:
+      valueCols.tail.zipWithIndex.map { case (v, i) =>
+        aggOf(col(v).cast("long")).as(s"t${i + 1}") }
     val totals = parted
       .groupBy(spark_partition_id().as("__pid"))
-      .agg(aggOf(col(valueCol).cast("long")).as("t"))
+      .agg(aggs.head, aggs.tail: _*)
       .collect()
-      .map(r => r.getInt(0) ->
-        (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .map(r => r.getInt(0) -> valueCols.indices.map(i =>
+        if (r.isNullAt(i + 1)) None else Some(r.getLong(i + 1))).toArray)
       .sortBy(_._1)
     (parted, totals)
   }
@@ -173,27 +184,8 @@ object PrefixSum {
       pairs: Seq[(String, String)],
       storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK)
       : DataFrame = {
-    require(pairs.nonEmpty, "need at least one value column")
-    require(orderCols.nonEmpty, "need at least one order column")
-    val schema0 = df.schema
-    pairs.foreach { case (v, _) =>
-      require(integral.contains(schema0(v).dataType),
-        s"$v must be an integral type, got " +
-          schema0(v).dataType.simpleString)
-    }
-    val parted = df
-      .repartitionByRange(orderCols.map(col): _*)
-      .sortWithinPartitions(orderCols.map(col): _*)
-    ManagedCache.persist(parted, storageLevel)
-    val totals: Array[(Int, Array[Option[Long]])] = parted
-      .groupBy(spark_partition_id().as("__pid"))
-      .agg(sum(col(pairs.head._1).cast("long")).as("t0"),
-        pairs.tail.zipWithIndex.map { case ((v, _), i) =>
-          sum(col(v).cast("long")).as(s"t${i + 1}") }: _*)
-      .collect()
-      .map(r => r.getInt(0) -> pairs.indices.map(i =>
-        if (r.isNullAt(i + 1)) None else Some(r.getLong(i + 1))).toArray)
-      .sortBy(_._1)
+    val (parted, totals) = twoPassSetup(df, orderCols,
+      pairs.map(_._1), v => sum(v), storageLevel)
     val seeds: Map[Int, Array[Option[Long]]] = {
       val acc = Array.fill[Option[Long]](pairs.size)(None)
       totals.map { case (pid, t) =>
@@ -255,13 +247,13 @@ object PrefixSum {
       valueCol: String, outCol: String,
       storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK)
       : DataFrame = {
-    val (parted, totals) = twoPassSetup(df, orderCols, valueCol, max,
-      storageLevel)
+    val (parted, totals) = twoPassSetup(df, orderCols, Seq(valueCol),
+      v => max(v), storageLevel)
     val seeds: Map[Int, Option[Long]] = {
       var acc: Option[Long] = None
       totals.map { case (pid, t) =>
         val entry = pid -> acc
-        acc = (acc.toSeq ++ t.toSeq).reduceOption(_ max _)
+        acc = (acc.toSeq ++ t(0).toSeq).reduceOption(_ max _)
         entry
       }.toMap
     }

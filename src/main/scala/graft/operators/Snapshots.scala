@@ -115,9 +115,11 @@ object Snapshots {
     * rename MERGED into a pre-existing `v=$v` (pre-claim-era leftover
     * never vacuumed, or a local-FS claim race — Hadoop's rename onto
     * an existing directory nests the source inside it and returns
-    * true): pulls the stage back out, retires the claim, deletes the
-    * stage, and returns false so the caller surfaces a conflict
-    * instead of publishing a corrupt mixed directory.
+    * true): pulls the stage back out INTACT (its contents are
+    * slot-independent, so the caller may retry the same bytes against
+    * a fresh slot instead of re-running the Spark write), retires the
+    * claim, and returns false — never publish a corrupt merged
+    * directory. Callers own the stage's final disposal.
     */
   private def occupySlot(f: org.apache.hadoop.fs.FileSystem,
       dir: String, stage: Path, v: Long): Boolean = {
@@ -127,9 +129,28 @@ object Snapshots {
     else {
       if (f.exists(nested)) f.rename(nested, stage)
       retireClaim(f, dir, v)
-      f.delete(stage, true)
       false
     }
+  }
+
+  /** Claim a fresh slot and occupy it with the staged bytes, retrying
+    * on squatted slots (pre-claim-era leftovers, local-FS claim
+    * races) with the SAME stage — the expensive Spark write happens
+    * once, only the metadata claim/rename loop repeats. Returns the
+    * occupied version; on exhaustion deletes the stage and throws.
+    */
+  private def occupyNextFree(spark: SparkSession,
+      f: org.apache.hadoop.fs.FileSystem, dir: String, stage: Path,
+      maxAttempts: Int = 3): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val v = claimNextFree(spark, dir)
+      if (occupySlot(f, dir, stage, v)) return v
+      attempt += 1
+    }
+    f.delete(stage, true)
+    throw new IllegalStateException(
+      s"could not occupy a version slot in $maxAttempts attempts: $dir")
   }
 
   /** Write `df` as the next version and publish it atomically.
@@ -149,19 +170,11 @@ object Snapshots {
     */
   def commit(spark: SparkSession, df: DataFrame, dir: String): Long = {
     val f = fs(spark, dir)
-    var attempt = 0
-    while (attempt < 3) {
-      val v = claimNextFree(spark, dir)
-      val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
-      df.write.mode("overwrite").parquet(stage.toString)
-      if (occupySlot(f, dir, stage, v)) {
-        publish(spark, dir, v)
-        return v
-      }
-      attempt += 1 // slot squatted by pre-claim-era bytes: fresh slot
-    }
-    throw new IllegalStateException(
-      s"could not occupy a version slot in 3 attempts: $dir")
+    val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
+    df.write.mode("overwrite").parquet(stage.toString)
+    val v = occupyNextFree(spark, f, dir, stage)
+    publish(spark, dir, v)
+    v
   }
 
   /** Point `_latest` at `v` via write-temp-then-rename. The replace
@@ -264,9 +277,11 @@ object Snapshots {
       Right(v)
     } else {
       // occupySlot found the claim did not actually cover the slot
-      // (pre-claim-era v=N, or a local-FS claim race) and has already
-      // pulled the stage back out, retired the claim and cleaned up —
-      // surface the conflict (same backstop as commitToBranch).
+      // (pre-claim-era v=N, or a local-FS claim race): it pulled the
+      // stage back out and retired the claim. CAS can't retry another
+      // slot (the version is fixed at expectedParent+1), so drop the
+      // stage and surface the conflict.
+      f.delete(stage, true)
       Left(s"conflict: v=$v directory already exists")
     }
   }
@@ -305,7 +320,6 @@ object Snapshots {
       checks: DataFrame => Seq[DataFrame])
       : Either[Seq[(String, Long)], Long] = {
     val f = fs(spark, dir)
-    val v = claimNextFree(spark, dir)
     val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
     df.write.mode("overwrite").parquet(stage.toString)
     val staged = spark.read.parquet(stage.toString)
@@ -314,14 +328,17 @@ object Snapshots {
       .collect()
       .map(r => (r.getString(0), r.getLong(2))).toSeq
     if (bad.nonEmpty) {
-      retireClaim(f, dir, v)
+      // no claim exists yet (claims are taken only at occupy time),
+      // so a rejected batch leaves NOTHING behind
       f.delete(stage, true)
       Left(bad)
-    } else if (occupySlot(f, dir, stage, v)) {
+    } else {
+      // audit passed: the stage is publish-worthy — same retry loop
+      // as plain commit(), the audit never re-runs
+      val v = occupyNextFree(spark, f, dir, stage)
       publish(spark, dir, v)
       Right(v)
-    } else throw new IllegalStateException(
-      s"v=$v slot collision during WAP publish: $dir")
+    }
   }
 
   /** Delete version directories that are (a) orphans ABOVE the
@@ -505,30 +522,9 @@ object Snapshots {
     val (_, base) = branchHead(spark, dir, name)
     val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
     df.write.mode("overwrite").parquet(stage.toString)
-    var attempt = 0
-    var won = -1L
-    while (won < 0 && attempt < maxAttempts) {
-      val v = nextFreeVersion(spark, dir)
-      if (tryClaimSlot(f, dir, v)) {
-        val dst = new Path(dir, s"v=$v")
-        val nested = new Path(dst, stage.getName)
-        if (f.rename(stage, dst) && !f.exists(nested)) won = v
-        else {
-          // lost a race the claim didn't cover (pre-claim-marker
-          // writer, or rename's copy-into-existing fallback): pull the
-          // stage back out if it was nested, retire the claim, retry
-          if (f.exists(nested)) f.rename(nested, stage)
-          f.rename(new Path(dir, s"_claim.$v"), new Path(dir,
-            s"_claim.$v.stale-${java.util.UUID.randomUUID()}"))
-          attempt += 1
-        }
-      } else attempt += 1
-    }
-    if (won < 0) {
-      f.delete(stage, true)
-      throw new IllegalStateException(
-        s"could not claim a version slot in $maxAttempts attempts")
-    }
+    // same claim/occupy/retry protocol as plain commit — shared
+    // occupySlot backstop, stage written once and reused per attempt
+    val won = occupyNextFree(spark, f, dir, stage, maxAttempts)
     writeRefAtomic(spark, dir, new Path(dir, s"_branch.${refName(name)}"),
       won, base)
     won

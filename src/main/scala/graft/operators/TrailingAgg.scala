@@ -46,21 +46,6 @@ import org.apache.spark.sql.functions._
   */
 object TrailingAgg {
 
-  /** Trailing `(count, Σx, Σx²)` over `(keys…, [t−W, t])` — the
-    * rolling-moments shape (anomaly z-scores, rolling variance).
-    *
-    * @param df     input frame
-    * @param keys   logical partition keys (low-cardinality is fine)
-    * @param usCol  LONG epoch-microsecond order column
-    * @param idCol  globally unique row id (join-back key)
-    * @param xCol   integral value column
-    * @param windowUs trailing frame length in microseconds, inclusive
-    *                 both ends — identical semantics to
-    *                 `rangeBetween(-windowUs, 0)`
-    * @param carry  columns to carry through to the output (beyond
-    *               keys and id)
-    * @return one row per input row: idCol, keys…, carry…, n, s, q
-    */
   /** The pre-shuffle stage: ONE scan, each row exploded into its
     * three roles — the contribution at `t`, the hi phantom at
     * `(t, +1)`, the lo phantom at `(t−W, −1)`. A union of three
@@ -68,8 +53,9 @@ object TrailingAgg {
     * triples the dominant cost (the scan). Phantoms contribute
     * nothing (null never moves a running sum) and only READ; carry
     * columns ride the hi phantom alone so the shuffle doesn't triple
-    * their bytes. `private[operators]`-visible so the plan guard can
-    * assert the one-scan/one-Generate shape directly.
+    * their bytes. `private[graft]`-visible so the plan guard (which
+    * lives in `graft.queries`) can assert the one-scan/one-Generate
+    * shape directly.
     */
   private[graft] def staged(df: DataFrame, keys: Seq[String],
       usCol: String, idCol: String, xCol: String, windowUs: Long,
@@ -100,6 +86,21 @@ object TrailingAgg {
           when(col("__r.tie") === 1, col(c)).as(c)): _*)
   }
 
+  /** Trailing `(count, Σx, Σx²)` over `(keys…, [t−W, t])` — the
+    * rolling-moments shape (anomaly z-scores, rolling variance).
+    *
+    * @param df     input frame
+    * @param keys   logical partition keys (low-cardinality is fine)
+    * @param usCol  LONG epoch-microsecond order column
+    * @param idCol  globally unique row id (join-back key)
+    * @param xCol   integral value column
+    * @param windowUs trailing frame length in microseconds, inclusive
+    *                 both ends — identical semantics to
+    *                 `rangeBetween(-windowUs, 0)`
+    * @param carry  columns to carry through to the output (beyond
+    *               keys and id)
+    * @return one row per input row: idCol, keys…, carry…, n, s, q
+    */
   def countSumSq(df: DataFrame, keys: Seq[String], usCol: String,
       idCol: String, xCol: String, windowUs: Long,
       carry: Seq[String] = Nil): DataFrame = {
@@ -107,6 +108,16 @@ object TrailingAgg {
     require(df.schema(usCol).dataType ==
       org.apache.spark.sql.types.LongType,
       s"$usCol must be LONG epoch microseconds")
+    // reject, don't truncate: staged() casts x to long BEFORE the
+    // fold, so without this guard a double x would silently floor
+    // (PrefixSum's own integral check never sees the raw column)
+    val xType = df.schema(xCol).dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(xType),
+      s"$xCol must be an integral type, got ${xType.simpleString}")
     val cums = PrefixSum.withRunningSums(
       staged(df, keys, usCol, idCol, xCol, windowUs, carry),
       keys ++ Seq("__t", "__tie", "__id"),
