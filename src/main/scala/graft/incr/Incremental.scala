@@ -134,12 +134,32 @@ object Incremental {
 
   /** T6 — the retry ladder around a whole batch run (app.py:19-36).
     * Driver-side by design: it wraps the batch, it is not data flow.
+    *
+    * Retryable = an IOException anywhere in the cause chain. A bare
+    * `case e: IOException` never fires in practice: Spark wraps every
+    * task/stage failure in SparkException with the IO error as the
+    * CAUSE, so the ladder would only ever retry driver-local throws
+    * (i.e. the unit tests) and abort on the real transient store
+    * failures it exists for. Non-IO failures (analysis errors, OOM,
+    * logic bugs) still propagate on attempt 1 — retrying those burns
+    * the ladder for nothing.
     */
   def withRetryLadder[A](delays: Seq[Long] = Seq(60000L, 300000L, 900000L),
       sleep: Long => Unit = Thread.sleep)(run: () => A): A = {
+    def ioRooted(e: Throwable): Boolean = {
+      var t = e
+      var depth = 0
+      while (t != null && depth < 16) {
+        if (t.isInstanceOf[java.io.IOException]) return true
+        t = t.getCause
+        depth += 1
+      }
+      false
+    }
     def attempt(remaining: Seq[Long]): A =
       try run() catch {
-        case e: java.io.IOException if remaining.nonEmpty =>
+        case scala.util.control.NonFatal(e)
+            if remaining.nonEmpty && ioRooted(e) =>
           sleep(remaining.head); attempt(remaining.tail)
       }
     attempt(delays)

@@ -180,6 +180,12 @@ class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
       // exists, and keyed on completed_after, not applied_after
       // (api_client.py:585-589): requests applied before the watermark
       // but canceled since the last run match only this predicate.
+      // FAITHFUL LIMITATION: the reference passes the APPLIED-date
+      // watermark as completed_after verbatim (`completed_after=
+      // {applied_after}`, api_client.py:588), so a cancellation whose
+      // COMPLETION predates the watermark is missed there too — parity
+      // preserved deliberately; widening the sweep would diverge from
+      // the engine this rebuild is verified against.
       Seq(fid.toString -> Ingest.incrementalQuery(Some(fid), after)) ++
         after.map(a => fid.toString -> Ingest.resweepQuery(Some(fid), a))
     }

@@ -90,30 +90,38 @@ object Progress {
 
   /** Durable last-status sink — the `app_status.progress.set` +
     * `save_status` analog: one small JSON file an external observer
-    * polls. Atomic rename (plain-replace fallback for filesystems
-    * without atomic move) so a crash mid-write never leaves a torn
-    * file, and a crashed run's LAST phase survives for the resume
-    * diagnosis. */
-  class StatusFile(path: String) extends Notifier {
+    * polls. Goes through the Hadoop FileSystem API, NOT java.nio: the
+    * Integrator hands this `$statePath/app_status.json`, and at scale
+    * statePath is an object-store prefix (s3a://…) that java.nio
+    * would silently mangle into a bogus local relative path — the
+    * silver tables would land in the store while the status contract
+    * broke with no signal (Composite swallows sink errors by design).
+    * Write-temp-then-single-overwrite-rename (atomic on HDFS/posix;
+    * object stores substitute a conditional put) so a crash mid-write
+    * never leaves a torn file, and a crashed run's LAST phase
+    * survives for the resume diagnosis. */
+  class StatusFile(path: String,
+      conf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()) extends Notifier {
     override def update(u: Update): Unit = {
-      val p = java.nio.file.Paths.get(path)
-      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
-      val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+      val p = new org.apache.hadoop.fs.Path(path)
+      val f = p.getFileSystem(conf)
+      Option(p.getParent).foreach(f.mkdirs(_))
+      val tmp = new org.apache.hadoop.fs.Path(
+        Option(p.getParent).getOrElse(new org.apache.hadoop.fs.Path(".")),
+        p.getName + ".tmp")
       val json =
         s"""{"phase":${jsonStr(u.phase.name)},"order":${u.phase.order},""" +
           s""""detail":${jsonStr(u.detail)},""" +
           s""""current":${u.current},""" +
           s""""total":${u.total.map(_.toString).getOrElse("null")},""" +
           s""""percent":${u.percent}}"""
-      java.nio.file.Files.writeString(tmp, json + "\n")
-      try java.nio.file.Files.move(tmp, p,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      catch {
-        case _: java.nio.file.AtomicMoveNotSupportedException =>
-          java.nio.file.Files.move(tmp, p,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
+      val out = f.create(tmp, true)
+      try out.write((json + "\n").getBytes("UTF-8")) finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        f.makeQualified(tmp).toUri, conf)
+      fc.rename(f.makeQualified(tmp), f.makeQualified(p),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
   }
 }

@@ -15,8 +15,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ParquetMerge {
 
+  /** The table at `path`, or None iff the table genuinely does not
+    * exist yet (first run — caller bootstraps from the batch alone).
+    * ONLY path-absence maps to None: a transient read failure
+    * (store throttling, permissions blip, corrupt footer) must
+    * PROPAGATE, because every caller answers None by overwriting the
+    * accumulated table with just the incoming batch — a swallowed
+    * transient would silently wipe the table.
+    */
   def read(spark: SparkSession, path: String): Option[DataFrame] =
-    scala.util.Try(spark.read.parquet(path)).toOption
+    try Some(spark.read.parquet(path))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" => None
+    }
 
   def write(spark: SparkSession, path: String, df: DataFrame): Unit = {
     // localCheckpoint(eager = true), NOT cache(): cache is a soft

@@ -132,10 +132,15 @@ object EventStream {
             state.remove()
             SessionUpdate(userId, s.nEvents, closed = true)
           } else {
-            val events = batch.toSeq
+            // O(1) fold — never batch.toSeq: a hot key's whole
+            // micro-batch buffered on one executor is the exact OOM
+            // the file's memory contract (see anomalies) forbids
             val prev = state.getOption.getOrElse(UserSessionState(0L, 0L))
-            val next = UserSessionState(prev.nEvents + events.size,
-              math.max(prev.lastTs, events.map(_.ts.getTime).max))
+            val (n, maxTs) = batch.foldLeft((0L, Long.MinValue)) {
+              case ((c, m), e) => (c + 1, math.max(m, e.ts.getTime))
+            }
+            val next = UserSessionState(prev.nEvents + n,
+              math.max(prev.lastTs, maxTs))
             state.update(next)
             expireAfter.foreach(state.setTimeoutDuration)
             SessionUpdate(userId, next.nEvents, closed = false)
@@ -304,19 +309,30 @@ object EventStream {
             st = AnomalyState(st.n + 1, st.s + x,
               st.q + BigInt(x) * x)
           }
-          // min-heap on (ts, event_id): pop the earliest once the
-          // buffer exceeds maxReorder, drain at end-of-batch
-          val heap = new scala.collection.mutable.PriorityQueue[Event]()(
-            Ordering.by[Event, (Long, Long)](e =>
-              (e.ts.getTime, e.event_id)).reverse)
-          batch.foreach { e =>
-            heap.enqueue(e)
-            if (heap.size > maxReorder) absorb(heap.dequeue())
-          }
-          while (heap.nonEmpty) absorb(heap.dequeue())
+          reorderedFold(batch, maxReorder)(absorb)
           state.update(st)
           out.result().iterator
       }
+  }
+
+  /** Fold a key's micro-batch through the bounded (ts, event_id)
+    * min-heap reorder buffer shared by [[anomalies]] and
+    * [[cusumDrift]]: pop the earliest event once the buffer exceeds
+    * `maxReorder`, drain at end-of-batch. O(maxReorder) state — never
+    * the full trigger — and emission order equals the exact sort
+    * whenever no event arrives more than maxReorder positions out of
+    * order within its group iterator.
+    */
+  private def reorderedFold(batch: Iterator[Event], maxReorder: Int)(
+      absorb: Event => Unit): Unit = {
+    val heap = new scala.collection.mutable.PriorityQueue[Event]()(
+      Ordering.by[Event, (Long, Long)](e =>
+        (e.ts.getTime, e.event_id)).reverse)
+    batch.foreach { e =>
+      heap.enqueue(e)
+      if (heap.size > maxReorder) absorb(heap.dequeue())
+    }
+    while (heap.nonEmpty) absorb(heap.dequeue())
   }
 
   /** Reference mean rides as the exact rational (ref_s, ref_n); both
@@ -380,14 +396,7 @@ object EventStream {
                 out += DriftRow(e.event_id, etype, "down", dn)
             }
           }
-          val heap = new scala.collection.mutable.PriorityQueue[Event]()(
-            Ordering.by[Event, (Long, Long)](e =>
-              (e.ts.getTime, e.event_id)).reverse)
-          batch.foreach { e =>
-            heap.enqueue(e)
-            if (heap.size > maxReorder) absorb(heap.dequeue())
-          }
-          while (heap.nonEmpty) absorb(heap.dequeue())
+          reorderedFold(batch, maxReorder)(absorb)
           state.update(st)
           out.result().iterator
       }
@@ -406,17 +415,19 @@ object EventStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        val target = scala.util.Try(spark.read.parquet(targetDir)).toOption
+        // ParquetMerge owns the two overwrite-in-place guards (a
+        // LINEAGE-TRUNCATING checkpoint before clobbering the input —
+        // cache() is a soft barrier whose evicted blocks recompute
+        // through the deleted files — and refreshByPath so the next
+        // micro-batch's read can't resolve stale listings), plus the
+        // bootstrap-only-on-PATH_NOT_FOUND read
+        val target = graft.operators.ParquetMerge.read(spark, targetDir)
         val merged = target match {
           case Some(existing) => graft.operators.Upsert.lastWriteWins(
             existing.unionByName(batch.toDF()), keys, orderCol)
           case None => batch.toDF()
         }
-        // overwrite-after-merge; at scale this is a MERGE INTO on a
-        // transactional table instead of a full rewrite
-        merged.cache().count()
-        merged.write.mode("overwrite").parquet(targetDir)
-        merged.unpersist()
+        graft.operators.ParquetMerge.write(spark, targetDir, merged)
         ()
       }
 }
