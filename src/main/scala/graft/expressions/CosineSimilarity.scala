@@ -20,9 +20,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Semantics match SimilarityFunctions.cosineHof exactly: elements
   * cast to double before multiply, sums accumulated in index order —
   * so oracle comparisons (DuckDB `list_cosine_similarity` over
-  * DOUBLE[]) agree to the last rounded digit. Mismatched lengths use
-  * the common prefix; empty/zero vectors yield NaN (same as the HOF
-  * form: 0/0).
+  * DOUBLE[]) agree to the last rounded digit. Mismatched lengths and
+  * null elements yield NULL (the HOF's zip_with pads ragged arrays
+  * with null and any null element nulls the aggregate — a silent
+  * common-prefix number here would be confidently wrong, the same
+  * contract L2DistanceSq pins); empty/zero vectors yield NaN (same
+  * as the HOF form: 0/0).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -38,14 +41,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
           s"(${l.simpleString}, ${r.simpleString})")
     }
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
@@ -64,14 +70,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-        |int $n = Math.min($a.numElements(), $b.numElements());
-        |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
-        |for (int $i = 0; $i < $n; $i++) {
-        |  double $xi = (double) $a.getFloat($i);
-        |  double $yi = (double) $b.getFloat($i);
-        |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+        |int $n = $a.numElements();
+        |if ($b.numElements() != $n) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+        |      ${ev.isNull} = true; break;
+        |    }
+        |    double $xi = (double) $a.getFloat($i);
+        |    double $yi = (double) $b.getFloat($i);
+        |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+        |  }
+        |  if (!${ev.isNull}) {
+        |    ${ev.value} = $dot / (Math.sqrt($nx) * Math.sqrt($ny));
+        |  }
         |}
-        |${ev.value} = $dot / (Math.sqrt($nx) * Math.sqrt($ny));
       """.stripMargin
     })
 

@@ -34,7 +34,11 @@ case class JaroWinkler(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      // `_: StringType`: Spark 4 string types carry a collation id and
+      // the stable-identifier pattern rejects collated columns the
+      // code-point algorithm handles identically
+      case (_: StringType, _: StringType) =>
+        TypeCheckResult.TypeCheckSuccess
       case (a, b) => TypeCheckResult.TypeCheckFailure(
         s"jaro_winkler expects (string, string), got " +
           s"(${a.simpleString}, ${b.simpleString})")

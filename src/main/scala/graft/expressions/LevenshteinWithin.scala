@@ -29,9 +29,12 @@ import org.apache.spark.unsafe.types.UTF8String
 case class LevenshteinWithin(first: Expression, second: Expression,
     third: Expression) extends TernaryExpression {
 
+  // `_: StringType`, not the StringType object: Spark 4 string types
+  // carry a collation id and the stable-identifier pattern rejects
+  // collated columns the code-point DP handles identically
   override def checkInputDataTypes(): TypeCheckResult =
     (first.dataType, second.dataType, third.dataType) match {
-      case (StringType, StringType, IntegerType) =>
+      case (_: StringType, _: StringType, IntegerType) =>
         TypeCheckResult.TypeCheckSuccess
       case (a, b, c) => TypeCheckResult.TypeCheckFailure(
         s"lev_within expects (string, string, int), got " +
@@ -60,13 +63,19 @@ case class LevenshteinWithin(first: Expression, second: Expression,
 object LevenshteinWithin {
 
   /** Banded DP. Static so generated code can call it directly. */
-  def compute(a: UTF8String, b: UTF8String, k: Int): Boolean = {
-    if (k < 0) return false
+  def compute(a: UTF8String, b: UTF8String, kRaw: Int): Boolean = {
+    if (kRaw < 0) return false
     // code points, not chars: a surrogate pair is ONE edit unit
     val s = a.toString.codePoints().toArray
     val t = b.toString.codePoints().toArray
     val (x, y) = if (s.length <= t.length) (s, t) else (t, s)
     val n = x.length; val m = y.length
+    // clamp BEFORE the band arithmetic: distance never exceeds the
+    // longer length, and an un-clamped huge k makes i + k wrap
+    // negative (the band loop silently skips, then arraycopy gets a
+    // negative length) — lev_within(s, t, Int.MaxValue) must just be
+    // `true`, like the plain levenshtein comparison it replaces
+    val k = math.min(kRaw, m)
     if (m - n > k) return false
     if (n == 0) return m <= k
     // prev(j) = edit distance for (i-1, j); band j ∈ [i-k, i+k]

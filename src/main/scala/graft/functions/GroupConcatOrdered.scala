@@ -28,7 +28,15 @@ object GroupConcatOrdered {
       b1 ++= b2; b1
     }
     def finish(b: ArrayBuffer[In]): String =
-      b.sortBy(x => (x.sortKey, x.value)).map(_.value).mkString(sep)
+      // SQL aggregate semantics: null VALUES are skipped (string_agg
+      // does the same), null SORT KEYS order first — Option ordering,
+      // never a raw String compare that NPEs the whole task on one
+      // null row
+      b.filter(_.value != null)
+        .sortBy(x => (Option(x.sortKey), x.value))(
+          Ordering.Tuple2(Ordering.Option(Ordering.String),
+            Ordering.String))
+        .map(_.value).mkString(sep)
     def bufferEncoder: Encoder[ArrayBuffer[In]] =
       Encoders.kryo[ArrayBuffer[In]]
     def outputEncoder: Encoder[String] = Encoders.STRING
@@ -36,10 +44,31 @@ object GroupConcatOrdered {
 
   /** Column-API entry: group_concat_ordered(sortKey, value, sep).
     * (`udaf` with a product encoder takes one column PER case-class
-    * field, not a single struct.) */
+    * field, not a single struct.)
+    *
+    * ORDER CONTRACT: the sort key is compared as a STRING — a numeric
+    * or temporal key sorts lexicographically here ("10" < "2"), NOT
+    * numerically. Pass a pre-stringified fixed-width key, or use
+    * [[byLongKey]], which encodes any LONG key (negatives included)
+    * into an order-preserving fixed-width string.
+    */
   def apply(sortKey: Column, value: Column, sep: String): Column = {
     val agg = org.apache.spark.sql.functions.udaf(new Agg(sep),
       Encoders.product[In])
     agg(sortKey.cast("string"), value.cast("string"))
+  }
+
+  /** [[apply]] for integral sort keys: shifts the key by 2⁶³ into
+    * [0, 2⁶⁴) (exact decimal arithmetic) and zero-pads to 20 digits,
+    * so the lexicographic string order IS the numeric long order —
+    * negatives and all.
+    */
+  def byLongKey(sortKey: Column, value: Column, sep: String): Column = {
+    import org.apache.spark.sql.functions.{lit, lpad}
+    import org.apache.spark.sql.types.DecimalType
+    val shifted = sortKey.cast(DecimalType(20, 0)) +
+      lit(new java.math.BigDecimal("9223372036854775808"))
+    apply(lpad(shifted.cast(DecimalType(20, 0)).cast("string"), 20, "0"),
+      value, sep)
   }
 }

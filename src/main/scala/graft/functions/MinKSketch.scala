@@ -27,6 +27,10 @@ import scala.collection.mutable.ArrayBuffer
 object MinKSketch {
 
   class Agg(k: Int) extends Aggregator[Long, ArrayBuffer[Long], Array[Long]] {
+    // fail at construction, not with a NoSuchElementException on
+    // b.last deep inside an executor task (MisraGries/MinHashSig
+    // validate the same way)
+    require(k > 0, s"k must be positive, got $k")
     def zero: ArrayBuffer[Long] = ArrayBuffer.empty
 
     private def insert(b: ArrayBuffer[Long], v: Long): ArrayBuffer[Long] = {

@@ -144,7 +144,12 @@ object SimilarityFunctions {
     * id is the sign of the projection. No RNG — reproducible across
     * runs, which real pipelines need for incremental indexing.
     */
-  def hyperplaneBucket(embedding: Column, planes: Int): Column =
+  def hyperplaneBucket(embedding: Column, planes: Int): Column = {
+    // shiftleft wraps its shift amount mod 64, so plane 64 would OR
+    // its sign bit into plane 0's bit and buckets would silently
+    // alias (arithmeticHyperplaneBucket/simhashBlocks guard the same)
+    require(planes >= 1 && planes <= 64,
+      s"planes must be in [1, 64], got $planes")
     aggregate(
       sequence(lit(0), lit(planes - 1)),
       lit(0L),
@@ -157,6 +162,7 @@ object SimilarityFunctions {
         acc.bitwiseOR(call_function("shiftleft",
           when(proj > 0, lit(1L)).otherwise(lit(0L)), i))
       })
+  }
 
   /** Arithmetic-hyperplane LSH bucket: like [[hyperplaneBucket]] but
     * the component d of plane p is `((d*(p+1)+p) mod 5) - 2` ∈

@@ -24,10 +24,17 @@ object TextFunctions {
   def bindOnce(c: Column)(f: Column => Column): Column =
     element_at(transform(array(c), x => f(x)), 1)
 
-  /** Whitespace tokens of a text column. */
+  /** Whitespace tokens of a text column. NOTE the documented SQL-twin
+    * semantics: splitting empty/whitespace-only text yields ONE empty
+    * token (`[""]`, count 1) — identical to the DuckDB
+    * `string_split_regex(trim(text), '\s+')` every oracle replays.
+    * Callers that must treat empty docs as zero-token (membership
+    * filters, shingle floors) filter `length(tok) > 0` explicitly,
+    * on BOTH sides.
+    */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Whitespace token count. */
+  /** Whitespace token count (empty text counts 1 — see [[tokens]]). */
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish token estimate: ~4 chars/token heuristic used by LLM
@@ -59,7 +66,10 @@ object TextFunctions {
     "zh" -> Seq("的", "是", "了", "在", "我"))
 
   def langId(text: Column): Column = {
-    val toks = tokens(text)
+    // lowercase BEFORE matching: the marker lists are lowercase, so
+    // an all-caps document would otherwise score 0 for every language
+    // and deterministically (wrongly) classify as the rank-0 code
+    val toks = tokens(lower(text))
     // build struct(score, negLangRank) per language and take array_max:
     // argmax with total deterministic ordering.
     val scored = langMarkers.zipWithIndex.map { case ((code, markers), i) =>
@@ -79,7 +89,9 @@ object TextFunctions {
     val len = greatest(length(text), lit(1)).cast("double")
     val nonAlphaRatio = matchCount(text, "[^a-zA-Z ]").cast("double") / len
     val punctRatio = matchCount(text, "[.!?,;:]").cast("double") / len
-    val stopRatio = markerRatio(tokens(text), langMarkers.head._2)
+    // lowercased for the same reason as langId: caps must still earn
+    // their stopword bonus
+    val stopRatio = markerRatio(tokens(lower(text)), langMarkers.head._2)
     val lenScore = least(len / 500.0, lit(1.0))
     round(
       lit(0.4) * (lit(1.0) - nonAlphaRatio) +

@@ -1463,9 +1463,9 @@ object Pipeline {
              'g')))::DOUBLE AS nonalpha,
            (length(text) - length(regexp_replace(text, '[.!?,;:]', '',
              'g')))::DOUBLE AS punct,
-           len(list_filter(string_split_regex(trim(text), '\\s+'),
+           len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
              x -> x IN ('the','a','of','and','is')))::DOUBLE /
-             greatest(len(string_split_regex(trim(text), '\\s+')), 1)
+             greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1)
              AS stop
            FROM documents)),
        a AS (SELECT count(*) AS raw,

@@ -1116,7 +1116,8 @@ object TrainingData {
   )
 
   val oracle: Map[String, String] = {
-    val toks = """string_split_regex(trim(text), '\s+')"""
+    // lowercased to mirror TextFunctions.langId (caps still match)
+    val toks = """string_split_regex(trim(lower(text)), '\s+')"""
     val scoreOf = (markers: String) =>
       s"round(len(list_filter($toks, x -> x IN ($markers)))::DOUBLE / greatest(len($toks), 1), 9)"
     val sEn = scoreOf("'the','a','of','and','is'")
@@ -1158,9 +1159,10 @@ object TrainingData {
              greatest(length(text), 1)::DOUBLE AS len,
              (length(text) - length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')))::DOUBLE AS nonalpha,
              (length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')))::DOUBLE AS punct,
-             len(list_filter(string_split_regex(trim(text), '\s+'),
+             len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
                x -> x IN ('the','a','of','and','is')))::DOUBLE /
-               greatest(len(string_split_regex(trim(text), '\s+')), 1) AS stop
+               greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1)
+               AS stop
              FROM documents)
            ORDER BY doc_id""",
       "tx3_token_count" ->

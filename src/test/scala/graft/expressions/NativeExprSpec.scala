@@ -52,6 +52,27 @@ class NativeExprSpec extends SparkSpec {
     assert(got(0).isNullAt(0) && got(1).isNullAt(0) && !got(2).isNullAt(0))
   }
 
+  test("cosine_sim nulls on ragged or null-holding vectors, like " +
+    "l2_dist_sq — never a confidently-wrong common-prefix number") {
+    val df = Seq(
+      (Seq[Option[Float]](Some(1f)), Seq[Option[Float]](Some(1f), Some(2f))),
+      (Seq[Option[Float]](Some(1f), None), Seq[Option[Float]](Some(1f), Some(2f))),
+      (Seq[Option[Float]](Some(3f), Some(4f)), Seq[Option[Float]](Some(3f), Some(4f))))
+      .toDF("a", "b")
+    val got = df.select(CosineSimilarity($"a", $"b")).collect()
+    assert(got(0).isNullAt(0), "ragged must be NULL")
+    assert(got(1).isNullAt(0), "null element must be NULL")
+    assert(math.abs(got(2).getDouble(0) - 1.0) < 1e-12)
+  }
+
+  test("lev_within survives a huge k (band arithmetic must clamp, " +
+    "not wrap): equals the plain comparison") {
+    val r = spark.sql(
+      "SELECT lev_within('a', 'b', 2147483647), " +
+        "lev_within('kitten', 'sitting', 2147483646)").collect()(0)
+    assert(r.getBoolean(0) && r.getBoolean(1))
+  }
+
   test("minhash_sig tolerates null shingles, matching the HOF") {
     import graft.functions.{SimilarityFunctions => SF}
     val df = Seq(Seq[Option[String]](Some("a b"), None, Some("b c")))
