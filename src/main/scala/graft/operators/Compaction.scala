@@ -105,7 +105,13 @@ object Compaction {
           false, conf)
         passthrough += 1
       } else {
-        spark.read.parquet(bin.map(_._1): _*)
+        // mergeSchema: a bin can pack files from different append
+        // batches of an EVOLVING bronze schema; without it the
+        // inferred schema comes from one arbitrary footer and columns
+        // present only in the other files are silently dropped —
+        // breaking the "row content is preserved exactly" contract
+        spark.read.option("mergeSchema", "true")
+          .parquet(bin.map(_._1): _*)
           .coalesce(1)
           .write.mode("append").parquet(outDir)
         rewritten += bin.length

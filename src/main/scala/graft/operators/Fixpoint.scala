@@ -117,24 +117,37 @@ object GraphIterations {
     * on the nodes the predicate selects, so converged ranks measure
     * proximity to that seed set. None = uniform teleport (classic).
     */
-  def pageRankConverged(edges: DataFrame, tolNano: Long = 1000L,
-      maxIter: Int = 50,
-      seedFilter: Option[Column => Column] = None): Fixpoint.Result = {
-    val SCALE = 1000000000L
+  /** Shared rank-iteration prep (power + push variants): distinct
+    * directed edges, PERSISTED out-degrees and degree-joined edge
+    * list, and the seed-count 1-row frame. A seed predicate matching
+    * no out-degree node would make every rank div(SCALE, 0) = NULL
+    * and the run would "converge" to an all-null frame — the n=0 row
+    * trips raise_error at broadcast-build time instead. One
+    * implementation so the cache discipline and the loud-empty
+    * contract cannot drift between the two algorithms.
+    */
+  private def prepRankGraph(edges: DataFrame,
+      seedFilter: Option[Column => Column], who: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val e = edges.select(col("src"), col("dst")).distinct()
     val deg = ManagedCache.persist(
       e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     val withDeg = ManagedCache.persist(e.join(deg, Seq("src")))
-    val ind: Column => Column = seedFilter.getOrElse(_ => lit(true))
-    // a seedFilter matching no out-degree node would make every rank
-    // div(SCALE, 0) = NULL and the run would "converge" to an all-null
-    // frame — fail loudly instead, at broadcast-build time (the n=0
-    // row trips raise_error when the 1-row frame materializes)
     val nn = seedFilter.fold(deg)(f => deg.filter(f(col("src"))))
       .agg(count(lit(1)).as("n0"))
       .select(when(col("n0") > 0, col("n0")).otherwise(raise_error(
-        concat(lit("pageRankConverged: seed set is empty — seedFilter " +
+        concat(lit(s"$who: seed set is empty — seedFilter " +
           "matches no node with out-degree > 0")))).as("n"))
+    (deg, withDeg, nn)
+  }
+
+  def pageRankConverged(edges: DataFrame, tolNano: Long = 1000L,
+      maxIter: Int = 50,
+      seedFilter: Option[Column => Column] = None): Fixpoint.Result = {
+    val SCALE = 1000000000L
+    val (deg, withDeg, nn) =
+      prepRankGraph(edges, seedFilter, "pageRankConverged")
+    val ind: Column => Column = seedFilter.getOrElse(_ => lit(true))
     val r0 = deg.select(col("src").as("node_id"))
       .crossJoin(broadcast(nn))
       .select(col("node_id"),
@@ -195,15 +208,8 @@ object GraphIterations {
       maxIter: Int = 200,
       seedFilter: Column => Column): Fixpoint.Result = {
     val SCALE = 1000000000L
-    val e = edges.select(col("src"), col("dst")).distinct()
-    val deg = ManagedCache.persist(
-      e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
-    val withDeg = ManagedCache.persist(e.join(deg, Seq("src")))
-    val nn = deg.filter(seedFilter(col("src")))
-      .agg(count(lit(1)).as("n0"))
-      .select(when(col("n0") > 0, col("n0")).otherwise(raise_error(
-        concat(lit("pprPushConverged: seed set is empty — seedFilter " +
-          "matches no node with out-degree > 0")))).as("n"))
+    val (deg, withDeg, nn) =
+      prepRankGraph(edges, Some(seedFilter), "pprPushConverged")
     val overCap = col("r") > col("deg") * epsNano
     val st0 = deg.select(col("src").as("node_id"), col("deg"))
       .crossJoin(broadcast(nn))

@@ -90,7 +90,13 @@ object HotBuckets {
     val hot = sizes.crossJoin(broadcast(thr.select(col("cap_n"))))
       .filter(col("bucket_n") > col("cap_n"))
       .select(col(bandCol), col("bucket_n"))
-    val safe = banded.join(broadcast(hot.select(col(bandCol))),
+    // NO broadcast hint on the hot set, unlike filterOverCap: the cap
+    // variant's exclusion is |rows|/cap-bounded by construction, but
+    // a quantile exclusion is ~(1-q)·n_buckets — q=1/2 on a billion
+    // buckets would force-collect half of them to the driver. Let the
+    // planner (AQE) pick: tight quantiles still broadcast dynamically,
+    // loose ones degrade to a shuffled anti join instead of an OOM.
+    val safe = banded.join(hot.select(col(bandCol)),
       Seq(bandCol), "left_anti")
     (safe, hot, thr)
   }

@@ -35,6 +35,13 @@ object Joins {
     // the union schema unambiguous when leftTs == rightTs == "ts"
     val leftPayload = left.columns
       .filterNot(c => keys.contains(c) || c == leftTs).toSeq
+    // same contract asofNative requires: a shared payload name would
+    // produce a duplicate-column select and fail far away inside
+    // unionByName with no hint that the right side must be pre-renamed
+    val collide = rightPayload.toSet.intersect(left.columns.toSet)
+    require(collide.isEmpty,
+      s"right payload names must not collide with left columns: " +
+        s"${collide.mkString(", ")} (pre-rename the right side)")
 
     val taggedRight = right.select(
       (keys.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__side")) ++
@@ -52,9 +59,25 @@ object Joins {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightPayload.foldLeft(taggedRight.unionByName(taggedLeft)) {
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    // carry the latest right row as ONE struct, never column-by-
+    // column last(ignoreNulls): per-column carry would overwrite a
+    // legitimately NULL field of the latest right row with an older
+    // row's value — stitching together a row that exists on neither
+    // side. The struct is non-null exactly for right rows (left rows
+    // contribute null), so ignoreNulls skips probe rows while a right
+    // row's null FIELDS ride along intact.
+    val unioned = taggedRight.unionByName(taggedLeft)
+    val carried =
+      if (rightPayload.isEmpty) unioned
+      else {
+        val packed = unioned.withColumn("__rp",
+          last(when(col("__side") === 0,
+            struct(rightPayload.map(col): _*)),
+            ignoreNulls = true).over(w))
+        rightPayload.foldLeft(packed) { (df, c) =>
+          df.withColumn(c, col("__rp").getField(c))
+        }.drop("__rp")
+      }
     carried.filter(col("__side") === 1)
       .drop("__side")
       .withColumnRenamed("__ts", leftTs)
@@ -114,6 +137,15 @@ object Joins {
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0)
+    // the small side is EXPLODED saltFactor×, so any join type that
+    // preserves it (right/full outer) would emit a null-padded row per
+    // unmatched salted COPY — up to saltFactor spurious rows per small
+    // key. Only big-side-preserving shapes are sound.
+    val okTypes = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti")
+    require(okTypes.contains(joinType.toLowerCase.replaceAll("\\s", "")),
+      s"saltedJoin preserves only the big side; joinType '$joinType' " +
+        "would emit spurious rows for exploded small-side copies")
     val saltedBig = big.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor))
         .cast("int"))

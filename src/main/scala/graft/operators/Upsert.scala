@@ -25,14 +25,22 @@ object Upsert {
     */
   def fullRow(base: DataFrame, updates: DataFrame,
       keys: Seq[String]): DataFrame = {
-    // max_by(payload, __src), not a row_number window: same winner
+    // max_by(payload, ord), not a row_number window: same winner
     // (updates beat base per key), but partial aggregation halves the
-    // shuffled rows — at most one survivor per key per map task
+    // shuffled rows — at most one survivor per key per map task. The
+    // ordering key carries the payload as a TIEBREAK: an intra-batch
+    // duplicate key (two update rows for one PK — normal in CDC
+    // batches) ties on __src alone, and a bare max_by would pick an
+    // arbitrary survivor per execution, breaking the idempotency the
+    // incremental engine relies on; with the payload in the ordering
+    // the winner is the lexicographically-largest row — deterministic
+    // for the same data.
     val tagged = base.withColumn("__src", lit(0))
       .unionByName(updates.withColumn("__src", lit(1)))
     val dataCols = base.columns.filterNot(keys.contains).toSeq
+    val payload = struct(dataCols.map(col): _*)
     tagged.groupBy(keys.map(col): _*)
-      .agg(max_by(struct(dataCols.map(col): _*), col("__src")).as("__m"))
+      .agg(max_by(payload, struct(col("__src"), payload)).as("__m"))
       .select(base.columns.toSeq.map(c =>
         if (keys.contains(c)) col(c) else col(s"__m.$c").as(c)): _*)
   }
@@ -120,7 +128,13 @@ object Upsert {
       .orderBy(col(usCol), col(tieCol))
     log
       .withColumn("__prev", lag(col(attrCol), 1).over(w))
-      .filter(!(col("__prev") <=> col(attrCol)))
+      .withColumn("__rn", row_number().over(w))
+      // the rn==1 escape matters when a key's FIRST attribute value is
+      // NULL: lag's default is also null, null <=> null is true, and
+      // the null-safe no-change filter alone would drop the key's
+      // opening version from the history
+      .filter(col("__rn") === 1 || !(col("__prev") <=> col(attrCol)))
+      .drop("__rn")
       .withColumn("valid_to_us", lead(col(usCol), 1).over(w))
       .select(col(keyCol), col(attrCol),
         col(usCol).as("valid_from_us"), col("valid_to_us"),

@@ -49,6 +49,15 @@ object ZOrder {
       path: String, numFiles: Int, bits: Int = 12): Unit = {
     val b = df.agg(min(col(xCol)).cast("double"), max(col(xCol)).cast("double"),
       min(col(yCol)).cast("double"), max(col(yCol)).cast("double")).head()
+    // empty input (or an all-null cluster column) has no bounds: min/
+    // max are null and getDouble would NPE — write the empty/unsorted
+    // frame or fail with a named cause instead
+    if (b.isNullAt(0) || b.isNullAt(2)) {
+      require(df.isEmpty,
+        s"writeZOrdered: $xCol/$yCol entirely NULL — cannot cluster")
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val zkey = interleave2(
       quantize(col(xCol), b.getDouble(0), b.getDouble(1), bits),
       quantize(col(yCol), b.getDouble(2), b.getDouble(3), bits), bits)

@@ -257,9 +257,11 @@ object Upserts {
              event_type FROM events),
          ch AS (SELECT user_id, us, event_id, event_type FROM (
              SELECT *, lag(event_type) OVER (PARTITION BY user_id
-               ORDER BY us, event_id) AS prev
+               ORDER BY us, event_id) AS prev,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY us, event_id) AS rn
              FROM log)
-           WHERE prev IS DISTINCT FROM event_type),
+           WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
          v AS (SELECT user_id, event_type, us AS valid_from_us,
              lead(us) OVER (PARTITION BY user_id
                ORDER BY us, event_id) AS valid_to_us
@@ -273,9 +275,11 @@ object Upserts {
              event_type FROM events),
          ch AS (SELECT user_id, us, event_id, event_type FROM (
              SELECT *, lag(event_type) OVER (PARTITION BY user_id
-               ORDER BY us, event_id) AS prev
+               ORDER BY us, event_id) AS prev,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY us, event_id) AS rn
              FROM log)
-           WHERE prev IS DISTINCT FROM event_type),
+           WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
          v AS (SELECT user_id, event_type, us AS valid_from_us,
              lead(us) OVER (PARTITION BY user_id
                ORDER BY us, event_id) AS valid_to_us

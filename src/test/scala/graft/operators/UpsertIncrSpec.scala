@@ -33,6 +33,64 @@ class UpsertIncrSpec extends SparkSpec {
       twice.orderBy("id").collect().toSeq)
   }
 
+  test("K1 fullRow: intra-batch duplicate key resolves " +
+    "deterministically (payload tiebreak, not arbitrary max_by)") {
+    val dup = Seq(("b", "zzz", 1L), ("b", "aaa", 2L))
+      .toDF("id", "val", "amount")
+    val got = (1 to 5).map { _ =>
+      Upsert.fullRow(base, dup.repartition(4), Seq("id"))
+        .filter($"id" === "b").collect()(0)
+    }
+    assert(got.distinct.size == 1, got.mkString(", "))
+    // lexicographically-largest payload wins the tie
+    assert(got.head.getString(1) == "zzz", got.head.toString)
+  }
+
+  test("K6 scd2FromLog: a key whose FIRST attribute is NULL keeps its " +
+    "opening version (lag's null default must not swallow it)") {
+    val log = Seq((1L, Option.empty[String], 10L, 1L),
+      (1L, Some("A"), 20L, 2L)).toDF("k", "attr", "us", "tie")
+    val out = Upsert.scd2FromLog(log, "k", "attr", "us", "tie")
+      .orderBy("valid_from_us").collect()
+      .map(r => (Option(r.getString(1)), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(out.toSeq == Seq((None, 10L, Some(20L)),
+      (Some("A"), 20L, None)), out.toSeq)
+  }
+
+  test("saltedJoin rejects small-side-preserving join types") {
+    val big = Seq((1L, "x")).toDF("k", "b")
+    val small = Seq((1L, "y")).toDF("k", "s")
+    intercept[IllegalArgumentException] {
+      Joins.saltedJoin(big, small, Seq("k"), 4, "right_outer")
+    }
+    intercept[IllegalArgumentException] {
+      Joins.saltedJoin(big, small, Seq("k"), 4, "full_outer")
+    }
+    assert(Joins.saltedJoin(big, small, Seq("k"), 4).count() == 1)
+  }
+
+  test("asofBackward attaches the latest right row ATOMICALLY: a " +
+    "null field of the newest row is not backfilled from older rows") {
+    val right = Seq((1L, 10L, Some(1L), Some(2L)),
+      (1L, 20L, Some(3L), Option.empty[Long]))
+      .toDF("k", "rts", "a", "b")
+    val left = Seq((1L, 30L)).toDF("k", "lts")
+    val r = Joins.asofBackward(left, right, Seq("k"), "lts", "rts")
+      .collect()(0)
+    val (a, b) = (r.getAs[Any]("a"), r.getAs[Any]("b"))
+    assert(a == 3L && b == null,
+      s"must be the t=20 row verbatim (a=3, b=null), got a=$a b=$b")
+  }
+
+  test("asofBackward rejects right payload names colliding with left") {
+    val right = Seq((1L, 10L, "p")).toDF("k", "rts", "v")
+    val left = Seq((1L, 30L, "q")).toDF("k", "lts", "v")
+    intercept[IllegalArgumentException] {
+      Joins.asofBackward(left, right, Seq("k"), "lts", "rts")
+    }
+  }
+
   test("K2 partial: only listed columns change; unmatched keys insert " +
     "with null fill") {
     val updates = Seq(("b", "patched"), ("d", "fresh")).toDF("id", "val")
