@@ -346,8 +346,12 @@ object Multimodal {
       leUInt(payload, 21, 2).as("audio_format"),
       channels.as("channels"), rate.as("sample_rate"),
       bits.as("bits_per_sample"), dataBytes.as("data_bytes"),
-      floor((dataBytes * 1000).cast("double") / byteRate).cast("long")
-        .as("duration_ms"))
+      // byteRate = 0 passes the magic checks on scraped garbage: the
+      // bare division would emit Long.MaxValue (ANSI off) or throw
+      // (ANSI on) — degrade to null like every other malformed path
+      when(byteRate > 0,
+        floor((dataBytes * 1000).cast("double") / byteRate)
+          .cast("long")).as("duration_ms"))
     // `when` without `otherwise` yields NULL of the branch type — no
     // need to spell the struct type (Column.expr is private[sql])
     when(isWav, meta)
@@ -382,7 +386,14 @@ object Multimodal {
     * upstream (the feature aggregates below are associative).
     */
   def wavPcm16(payload: Column): Column = {
-    val n = (leUInt(payload, 41, 4) / 2).cast("long")
+    // clamp the sample count to the bytes ACTUALLY present: a forged
+    // dataBytes header (0xFFFFFFFE on a 100-byte blob) would otherwise
+    // drive sequence() into the array-size limit or an ~8 GB per-row
+    // allocation — same forged-geometry guard gifFramePixels documents
+    val declared = (leUInt(payload, 41, 4) / 2).cast("long")
+    val present = greatest(call_function("div",
+      octet_length(payload).cast("long") - 44L, lit(2L)), lit(0L))
+    val n = least(declared, present)
     val sample = (i: Column) => {
       val lo = conv(hex(payload.substr(lit(45) + i * 2, lit(1))), 16, 10)
         .cast("long")
@@ -737,9 +748,13 @@ object Multimodal {
     val h16 = pmod(height, lit(65536))
     val np = least(w16 * h16, lit(126))
     val frameHex = (i: Column) => {
-      val pxHex = array_join(
+      // sequence(0, -1) is DESCENDING [0, -1] — a zero-pixel frame
+      // (width or height ≡ 0 mod 2^16) must emit NO literals, not two
+      // phantoms that desynchronize the sub-block walk
+      val pxHex = when(np >= 1, array_join(
         transform(sequence(lit(0), np - 1),
-          p => lpad(hex(pmod(pixelOf(i, p), lit(128))), 2, "0")), "")
+          p => lpad(hex(pmod(pixelOf(i, p), lit(128))), 2, "0")), ""))
+        .otherwise(lit(""))
       concat(
         lit("2c" + "0000" + "0000"), // descriptor, x=0, y=0 (LE)
         lpad(hex(pmod(w16, lit(256))), 2, "0"),
@@ -805,7 +820,13 @@ object Multimodal {
       // malformed LE32 sizes can exceed Int range: walk with Longs and
       // clamp the window to the real payload
       val end = math.min(payload.length.toLong, 8L + le32(4))
-      def walkChunks(start: Long, lend: Long, inMovi: Boolean): Unit = {
+      def walkChunks(start: Long, lend: Long, inMovi: Boolean,
+          depth: Int): Unit = {
+        // depth cap, same contract as mp4Boxes/ebmlElements: a hostile
+        // payload of nested LIST headers must degrade to a partial
+        // walk, never a StackOverflowError (an Error — the
+        // IndexOutOfBounds catch below cannot intercept it)
+        if (depth >= 8) return
         var pos = start
         var ok = true
         while (ok && pos + 8 <= lend) {
@@ -819,7 +840,7 @@ object Multimodal {
             // keep-the-frames-before-the-cut contract as the GIF walk
             val ltype = fourcc(dataStart.toInt)
             walkChunks(dataStart + 4, math.min(dataStart + sz, lend),
-              inMovi || ltype == "movi")
+              inMovi || ltype == "movi", depth + 1)
             if (!complete) ok = false
           } else if (!complete) {
             ok = false // truncated non-LIST chunk: the frame AT the cut
@@ -836,7 +857,7 @@ object Multimodal {
           if (ok) pos = dataStart + sz + (sz & 1L) // chunks pad to even
         }
       }
-      walkChunks(12, end, inMovi = false)
+      walkChunks(12, end, inMovi = false, depth = 0)
     } catch {
       // a cut mid-header reads past the payload: keep what was walked
       case _: IndexOutOfBoundsException => ()
@@ -1162,7 +1183,10 @@ object Multimodal {
       lit("89504E470D0A1A0A"),
       lit("0000000D"), lit("49484452"), be4(wPx), be4(hPx),
       lit("0800000000"), lit("DEADBEEF"),
-      concat_ws("", transform(sequence(lit(1), nIdat.cast("int")),
+      concat_ws("", transform(
+        // nIdat = 0 must emit ZERO chunks (sequence(1,0) = [1,0])
+        when(nIdat >= 1, sequence(lit(1), nIdat.cast("int")))
+          .otherwise(array()),
         i => concat(be4(idatLen), lit("49444154"),
           call_function("repeat",
             lpad(hex(pmod(i * 37L + 11L, lit(256L))), 2, "0"),
@@ -1457,7 +1481,8 @@ object Multimodal {
       le(sz(i), 4), le(sz(i), 4), lit("0600"), lit("0000"),
       lit("0000"), lit("0000"), lit("0000"), lit("00000000"),
       le(localOfs(i), 4), nameHex(i))
-    val idxs = sequence(lit(1), nEntries.cast("int"))
+    val idxs = when(nEntries >= 1,
+      sequence(lit(1), nEntries.cast("int"))).otherwise(array())
     val cdOfs = localOfs(nEntries.cast("int") + 1) // end of locals
     val cdSize = nEntries.cast("long") * 52L // 46 + 6 per entry
     unhex(concat(
@@ -1573,8 +1598,9 @@ object Multimodal {
       le(when(i < nPages, ifdAt(i) + 54L).otherwise(lit(0L)), 4))
     unhex(concat(
       lit("49492A00"), leHex(lit(8L), 4), // "II", 42, first IFD at 8
-      array_join(transform(sequence(lit(1), nPages.cast("int")),
-        ifdHex), "")))
+      array_join(transform(
+        when(nPages >= 1, sequence(lit(1), nPages.cast("int")))
+          .otherwise(array()), ifdHex), "")))
   }
 
   // ---- MP4 / ISO-BMFF (ISO 14496-12): nested box tree, BE ----
@@ -1690,8 +1716,9 @@ object Multimodal {
       matrix, zeros(8))                               // width/height 0
     val moovSize = lit(8L) + 108L + nTraks.cast("long") * 100L
     val moov = concat(beHex(moovSize, 4), lit("6d6f6f76"), mvhd,
-      array_join(transform(sequence(lit(1), nTraks.cast("int")),
-        trak), ""))
+      array_join(transform(
+        when(nTraks >= 1, sequence(lit(1), nTraks.cast("int")))
+          .otherwise(array()), trak), ""))
     val mdat = concat(beHex(mdatLen.cast("long") + 8L, 4),
       lit("6d646174"), repeat(lit("00"), mdatLen.cast("int")))
     unhex(concat(ftyp, moov, mdat))
@@ -1790,7 +1817,7 @@ object Multimodal {
     val pad = (i: Column) => concat(
       when(i === nPadding.cast("int"), lit("81")).otherwise(lit("01")),
       lit("000004"), lit("00" * 4))
-    val blocks = when(nPadding.cast("int") === 0, streaminfo)
+    val blocks = when(nPadding.cast("int") <= 0, streaminfo)
       .otherwise(concat(streaminfo,
         array_join(transform(sequence(lit(1), nPadding.cast("int")),
           pad), "")))
@@ -1812,6 +1839,11 @@ object Multimodal {
       .when(pre("474946383961") || pre("474946383761"), lit("gif"))
       .when(pre("52494646") &&
         upper(hex(substring(payload, 9, 4))) === "57415645", lit("wav"))
+      // RIFF form type 'AVI ' — without this branch every AVI blob
+      // sniffs "unknown" and the lake dispatch never reaches the
+      // aviFrameTable/aviFramePixels walkers this module ships
+      .when(pre("52494646") &&
+        upper(hex(substring(payload, 9, 4))) === "41564920", lit("avi"))
       .when(pre("89504E47"), lit("png"))
       .when(pre("FFD8FF"), lit("jpeg"))
       .when(upper(hex(substring(payload, 5, 4))) === "66747970",
@@ -1935,8 +1967,9 @@ object Multimodal {
       lit("9C"), s1(lit(1L)), lit("00"))
     val tracks = concat(lit("1654AE6B"),
       s2(nTracks.cast("long") * 8L),
-      array_join(transform(sequence(lit(1), nTracks.cast("int")),
-        track), ""))
+      array_join(transform(
+        when(nTracks >= 1, sequence(lit(1), nTracks.cast("int")))
+          .otherwise(array()), track), ""))
     val segment = concat(lit("18538067"),
       s2(lit(19L) + nTracks.cast("long") * 8L), info, tracks)
     unhex(concat(header, segment))

@@ -82,6 +82,15 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
 
+  // ...and so does its partitioning (same claim SortMergeJoin makes):
+  // without this the node reports UnknownPartitioning and a
+  // downstream groupBy/join on the SAME key re-shuffles data that
+  // EnsureRequirements already clustered — forfeiting the exchange
+  // reuse this operator exists for
+  override def outputPartitioning
+      : org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val payload = rightPayload
     val lOut = left.output

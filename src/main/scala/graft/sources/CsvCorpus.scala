@@ -58,11 +58,7 @@ object CsvCorpus {
         .option("sep", delimiter)
         .option("multiLine", "false")
         .csv(path))
-    val clean = parsed.filter(col(corruptCol).isNull)
-      .drop(corruptCol)
-    val quarantine = parsed.filter(col(corruptCol).isNotNull)
-      .select(col(corruptCol).as("raw"))
-    (clean, quarantine)
+    CorpusLanding.split(parsed, corruptCol)
   }
 
   /** Bronze landing in one pass: parse CSV shards, land clean rows
@@ -74,14 +70,6 @@ object CsvCorpus {
       header: Boolean = true, delimiter: String = ","): (Long, Long) = {
     val (clean, quarantine) =
       read(spark, csvPath, schema, header, delimiter)
-    clean.write.mode("overwrite").parquet(s"$outDir/clean")
-    quarantine.write.mode("overwrite").json(s"$outDir/quarantine")
-    val counts = (
-      spark.read.parquet(s"$outDir/clean").count(),
-      scala.util.Try(spark.read.schema(StructType(Seq(
-          StructField("raw", StringType))))
-        .json(s"$outDir/quarantine").count()).getOrElse(0L))
-    graft.operators.ManagedCache.releaseAll()
-    counts
+    CorpusLanding.land(spark, clean, quarantine, outDir)
   }
 }

@@ -58,11 +58,7 @@ object JsonlCorpus {
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", corruptCol)
         .json(path))
-    val clean = parsed.filter(col(corruptCol).isNull)
-      .drop(corruptCol)
-    val quarantine = parsed.filter(col(corruptCol).isNotNull)
-      .select(col(corruptCol).as("raw"))
-    (clean, quarantine)
+    CorpusLanding.split(parsed, corruptCol)
   }
 
   /** Bronze landing in one pass: parse JSONL shards, write the clean
@@ -75,15 +71,7 @@ object JsonlCorpus {
   def bronze(spark: SparkSession, jsonlPath: String, outDir: String,
       schema: StructType = documentsSchema): (Long, Long) = {
     val (clean, quarantine) = read(spark, jsonlPath, schema)
-    clean.write.mode("overwrite").parquet(s"$outDir/clean")
-    quarantine.write.mode("overwrite").json(s"$outDir/quarantine")
-    val counts = (
-      spark.read.parquet(s"$outDir/clean").count(),
-      scala.util.Try(spark.read.schema(StructType(Seq(
-          StructField("raw", StringType))))
-        .json(s"$outDir/quarantine").count()).getOrElse(0L))
-    graft.operators.ManagedCache.releaseAll()
-    counts
+    CorpusLanding.land(spark, clean, quarantine, outDir)
   }
 
   /** Export a frame as JSONL shards (the hand-off format back to

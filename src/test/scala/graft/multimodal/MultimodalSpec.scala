@@ -1050,6 +1050,8 @@ class MultimodalSpec extends SparkSpec {
       "wav" -> Multimodal.wavHeader(lit(1), lit(8000), lit(16), lit(4)),
       "mp4" -> Multimodal.mp4Shard(lit(1), lit(600L), lit(10L), lit(4L)),
       "ebml" -> Multimodal.ebmlShard(lit(1), lit(77L)),
+      "avi" -> Multimodal.aviContainer(lit(4L), lit(3L), lit(2L),
+        lit(40000L), _ => lit(8)),
       "flac" -> Multimodal.flacShard(lit(44100L), lit(2), lit(16),
         lit(1000L), lit(1)),
       "zip" -> Multimodal.zipShard(lit(1), _ => lit(4)),
