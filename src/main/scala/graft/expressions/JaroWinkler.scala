@@ -24,7 +24,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Reference behavior: the reference engine normalizes and joins
   * free-text name fields when reassembling masters
-  * (`jobcan_di/database/requests/users.py:185-266`); fuzzy matching
+  * (`jobcan_di/database/users.py:185-266`); fuzzy matching
   * of those name fields is the ER extension here. The hot loop is a
   * static call from generated Java, so blocked ER predicates stay
   * inside whole-stage codegen.

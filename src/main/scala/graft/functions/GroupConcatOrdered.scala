@@ -29,12 +29,15 @@ object GroupConcatOrdered {
     }
     def finish(b: ArrayBuffer[In]): String =
       // SQL aggregate semantics: null VALUES are skipped (string_agg
-      // does the same), null SORT KEYS order first — Option ordering,
-      // never a raw String compare that NPEs the whole task on one
-      // null row
+      // does the same), null SORT KEYS order LAST — matching DuckDB's
+      // `string_agg(... ORDER BY k)` NULLS LAST default so the oracle
+      // replays groups with null keys identically. Tuple with a
+      // null-flag first, never a raw String compare that NPEs the
+      // whole task on one null row.
       b.filter(_.value != null)
-        .sortBy(x => (Option(x.sortKey), x.value))(
-          Ordering.Tuple2(Ordering.Option(Ordering.String),
+        .sortBy(x => (x.sortKey == null,
+          if (x.sortKey == null) "" else x.sortKey, x.value))(
+          Ordering.Tuple3(Ordering.Boolean, Ordering.String,
             Ordering.String))
         .map(_.value).mkString(sep)
     def bufferEncoder: Encoder[ArrayBuffer[In]] =

@@ -35,7 +35,14 @@ object HotBuckets {
   def filterOverCap(banded: DataFrame, bandCol: String,
       cap: Int): (DataFrame, DataFrame) = {
     require(cap > 1, s"cap must exceed 1, got $cap")
-    val sizes = banded.groupBy(col(bandCol))
+    // NULL band keys never form a bucket: a null key can't equi-join
+    // with anything (the candidate self-join drops it anyway), and a
+    // left_anti exclusion never matches NULL — so counting nulls here
+    // would report rows as "excluded" that the anti join in fact
+    // keeps. Null-keyed rows are therefore ALWAYS kept and never
+    // appear in the accounting frame.
+    val sizes = banded.filter(col(bandCol).isNotNull)
+      .groupBy(col(bandCol))
       .agg(count(lit(1)).as("bucket_n"))
     val overCap = sizes.filter(col("bucket_n") > cap)
     val safe = banded.join(broadcast(overCap.select(col(bandCol))),
@@ -71,7 +78,12 @@ object HotBuckets {
       qNum: Int, qDen: Int): (DataFrame, DataFrame, DataFrame) = {
     require(qNum > 0 && qDen > qNum,
       s"quantile must be a proper fraction, got $qNum/$qDen")
-    val sizes = banded.groupBy(col(bandCol))
+    // Same NULL contract as filterOverCap: null band keys are kept,
+    // never counted — a null "bucket" would skew the quantile AND be
+    // unexcludable by the anti join below (NULL never equi-matches),
+    // making safe/hot accounting disagree.
+    val sizes = banded.filter(col(bandCol).isNotNull)
+      .groupBy(col(bandCol))
       .agg(count(lit(1)).as("bucket_n"))
     val hist = sizes.groupBy(col("bucket_n"))
       .agg(count(lit(1)).as("n_at"))

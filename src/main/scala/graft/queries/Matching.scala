@@ -9,7 +9,7 @@ import graft.functions.{SimilarityFunctions => SF}
   * corpus: BM25 ranked retrieval, blocked Jaro–Winkler entity
   * resolution, deterministic weighted sampling (A-Res), and bigram
   * language-model scoring. Reference anchor: the engine's free-text
-  * master fields (`jobcan_di/database/requests/users.py:185-266`)
+  * master fields (`jobcan_di/database/users.py:185-266`)
   * are exactly the columns a real deployment fuzzy-matches and
   * retrieves over; these are the corpus-scale versions of those ops.
   *
@@ -176,13 +176,61 @@ object Matching {
         .orderBy(col("sim_band"))
     }),
 
+    // er2 — MULTI-LEVEL blocked entity resolution: er1's scheme dies
+    // at ~30× scale because its single-token block key draws from a
+    // fixed ~92-word palette, so block sizes grow LINEARLY with the
+    // corpus and the 10k cap starts excluding every block around
+    // SF 30–100 (at which point er1 honestly answers with accounting
+    // only). er2 blocks on the composite (first token, second token)
+    // key — dd8's composite-key precedent — multiplying the block
+    // domain to ~92² so per-block membership grows ~92× slower, and
+    // adds a ±10 name-length band as a cheap in-join conjunct that
+    // prunes before the jw compute (dd8's ordering). The 10k
+    // HotBuckets cap stays as BACKSTOP, not primary bound: accounting
+    // is oracle-pinned to zero at every test SF and stays zero to
+    // ~SF 400 by construction. Tighter blocking trades recall for
+    // scale (a pair with jw ≥ 0.9 but a different second token is
+    // not a candidate here) — the standard multi-pass ER answer is
+    // to union er1-style passes on other keys; the census output
+    // makes the per-scheme yield directly comparable to er1's.
+    "er2_entity_pairs_ml" -> ((s, dir) => {
+      val toks = split(col("p_name"), " ")
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"),
+          concat_ws(" ", toks.getItem(0),
+            coalesce(toks.getItem(1), lit(""))).as("blk"))
+      val (safe, overCap) = graft.operators.HotBuckets
+        .filterOverCap(p, "blk", cap = 10000)
+      val a = safe.select(col("blk"), col("p_partkey").as("a_key"),
+        col("p_name").as("a_name"))
+      val b = safe.select(col("blk"), col("p_partkey").as("b_key"),
+        col("p_name").as("b_name"))
+      val hot = overCap.agg(
+        count(lit(1)).as("n_hot_blocks"),
+        coalesce(sum(col("bucket_n")), lit(0L)).as("hot_parts"))
+      a.join(b, Seq("blk"))
+        .filter(col("a_key") < col("b_key") &&
+          abs(length(col("a_name")) - length(col("b_name"))) <= 10)
+        .withColumn("jw", SF.jaroWinkler(col("a_name"), col("b_name")))
+        .filter(col("jw") >= 0.9)
+        .groupBy(round(col("jw"), 2).as("sim_band"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("a_key") * 31 + col("b_key")).as("key_checksum"))
+        .crossJoin(broadcast(hot)) // 1-row accounting frame
+        .orderBy(col("sim_band"))
+    }),
+
     // px15 — deterministic weighted sampling without replacement
     // (Efraimidis–Spirakis A-Res): priority ln(u)/w with u from the
     // portable md5-derived uniform and w = n_chars; global top-100 by
     // priority IS the weighted sample. Spark executes the limit as
     // TakeOrdered (per-partition top-k, then a k-row driver merge) —
     // no full sort, no collect of the corpus; the same two-line
-    // ORDER BY/LIMIT replays in DuckDB.
+    // ORDER BY/LIMIT replays in DuckDB. The priority is QUANTIZED
+    // (round 9) with a doc_id tiebreak before the top-100 cut: JVM
+    // Math.log and DuckDB's libm aren't bit-contracted, so an
+    // unrounded transcendental at the rank-100 boundary could flip a
+    // row between engines (module rule: doubles only through round).
     "px15_weighted_sample" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .filter(col("n_chars") > 0)
@@ -190,8 +238,8 @@ object Matching {
           (SF.md5hash60(concat(lit("ws:"),
             col("doc_id").cast("string"))) + 1).cast("double") /
             lit(1152921504606846976.0)) // 2^60
-        .withColumn("priority", log(col("u")) / col("n_chars"))
-      docs.orderBy(col("priority").desc).limit(100)
+        .withColumn("priority", round(log(col("u")) / col("n_chars"), 9))
+      docs.orderBy(col("priority").desc, col("doc_id")).limit(100)
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
@@ -215,9 +263,14 @@ object Matching {
         .withColumn("w_s", pow(col("n_s"), 0.7))
       val tot = census.agg(sum(col("n_s")).as("m"),
         sum(col("w_s")).as("sw"))
+      // c is QUANTIZED (round 9) before the floor/bernoulli decision:
+      // pow(n,0.7) and the double divides go through libm on the
+      // oracle side, and an unrounded last-ulp divergence at the
+      // `u < frac(c)` threshold would flip a copy count — same
+      // round-before-decide rule as px15's priority.
       val rate = census.crossJoin(broadcast(tot))
         .withColumn("c",
-          col("w_s") / col("sw") * col("m") / col("n_s"))
+          round(col("w_s") / col("sw") * col("m") / col("n_s"), 9))
         .select(col("source"), col("c"))
       docs.join(broadcast(rate), Seq("source"))
         .withColumn("copies", floor(col("c")).cast("long") +
@@ -391,13 +444,43 @@ object Matching {
          CROSS JOIN acct
          GROUP BY sim_band, acct.n_hot_blocks, acct.hot_parts
          ORDER BY sim_band""",
+    "er2_entity_pairs_ml" ->
+      """WITH p AS (
+           SELECT p_partkey, p_name,
+             string_split(p_name, ' ')[1] || ' ' ||
+               coalesce(string_split(p_name, ' ')[2], '') AS blk
+           FROM part),
+         hot AS (
+           SELECT blk, count(*) AS bucket_n FROM p
+           GROUP BY blk HAVING count(*) > 10000),
+         acct AS (
+           SELECT count(*) AS n_hot_blocks,
+             CAST(coalesce(sum(bucket_n), 0) AS BIGINT) AS hot_parts
+           FROM hot),
+         safe AS (
+           SELECT p.* FROM p ANTI JOIN hot USING (blk))
+         SELECT sim_band, count(*) AS n_pairs,
+           CAST(sum(a_key*31 + b_key) AS BIGINT) AS key_checksum,
+           acct.n_hot_blocks, acct.hot_parts
+         FROM (
+           SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+             round(jaro_winkler_similarity(a.p_name, b.p_name), 2)
+               AS sim_band
+           FROM safe a JOIN safe b ON a.blk = b.blk
+             AND a.p_partkey < b.p_partkey
+             AND abs(length(a.p_name) - length(b.p_name)) <= 10
+           WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9)
+         CROSS JOIN acct
+         GROUP BY sim_band, acct.n_hot_blocks, acct.hot_parts
+         ORDER BY sim_band""",
     "px15_weighted_sample" ->
       """SELECT doc_id, lang, n_chars FROM (
            SELECT doc_id, lang, n_chars
            FROM documents WHERE n_chars > 0
-           ORDER BY ln((('0x' || substr(md5('ws:' || doc_id), 1, 15))
+           ORDER BY round(
+             ln((('0x' || substr(md5('ws:' || doc_id), 1, 15))
                ::BIGINT + 1) / 1152921504606846976.0)
-             / n_chars DESC
+             / n_chars, 9) DESC, doc_id
            LIMIT 100)
          ORDER BY doc_id""",
     "px16_temperature_resample" ->
@@ -408,7 +491,7 @@ object Matching {
            SELECT CAST(sum(n_s) AS BIGINT) AS m, sum(w_s) AS sw
            FROM census),
          rate AS (
-           SELECT source, w_s / sw * m / n_s AS c
+           SELECT source, round(w_s / sw * m / n_s, 9) AS c
            FROM census, tot),
          d AS (
            SELECT doc_id, source,

@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 /** The reference's 19 SQL views (`config/create_views.sql`) as
   * DataFrame functions over the silver tables produced by
   * `graft.normalize.Normalize`. Views are virtual plan fragments,
-  * exactly like the reference (never materialized; `cacheRequestDetails`
-  * is the opt-in exception since all 8 CSV views stack on it —
+  * exactly like the reference (never materialized; callers that run
+  * several of the 8 CSV views stacked on viewRequestDetails should
+  * cache it once via `graft.operators.ManagedCache` —
   * `create_views.sql:326,452,515,574,624,670`).
   *
   * Divergences (documented, SURVEY §7.4):
@@ -127,9 +128,11 @@ class Views(t: Map[String, DataFrame], localTz: String = "UTC") {
         ec("billing_destination").as("ec_billing_destination"))
   }
 
-  /** All 8 CSV views stack on viewRequestDetails — cache it once when
-    * running several of them (§4 materialization note). */
-  def cacheRequestDetails(): DataFrame = { val v = viewRequestDetails; v.cache(); v }
+  // NOTE: when running several of the 8 CSV views that stack on
+  // viewRequestDetails, cache it once through graft.operators
+  // .ManagedCache (tracked persist/release) — never a bare .cache(),
+  // which leaks session-lifetime CacheManager entries (§4
+  // materialization note).
 
   // -- approval process (create_views.sql:182-199) --------------------
   def viewApprovalProcess: DataFrame = {

@@ -7,7 +7,9 @@ import org.apache.spark.sql.functions._
   * string keys sort lexicographically (documented), byLongKey makes
   * lexicographic == numeric for any long (negatives included), null
   * values are skipped like string_agg, and a null sort key orders
-  * first instead of NPE-ing the task.
+  * LAST — DuckDB's string_agg(... ORDER BY) NULLS LAST default, so an
+  * oracle replays groups with null keys identically — instead of
+  * NPE-ing the task.
   */
 class GroupConcatOrderedSpec extends SparkSpec {
   import spark.implicits._
@@ -28,13 +30,13 @@ class GroupConcatOrderedSpec extends SparkSpec {
   }
 
   test("null values are skipped (string_agg semantics); a null sort " +
-    "key orders first and never NPEs the task") {
+    "key orders last (DuckDB NULLS LAST) and never NPEs the task") {
     val df = Seq((1L, Some("b"), Some("second")),
       (1L, Some("a"), None),
       (1L, None, Some("keyless"))).toDF("g", "k", "v")
     val out = df.groupBy($"g")
       .agg(GroupConcatOrdered($"k", $"v", ",").as("s"))
       .collect()(0).getString(1)
-    assert(out == "keyless,second", out)
+    assert(out == "second,keyless", out)
   }
 }
