@@ -16,12 +16,40 @@ import java.nio.file.{Files, Paths}
   * A wall-clock deadline (`SPARK_GRAFT_BENCH_DEADLINE`, default 1500 s)
   * degrades remaining queries to single-pass so a slow environment can
   * not blow the harness budget: robustness must never cost a record.
+  *
+  * HYGIENE (round 13): a 200+ query suite in one JVM accumulates
+  * cross-query state that an isolated run never sees — the round-12
+  * record had xg2 at 9/17/22 s per pass where an isolated RunOne
+  * lands 2.3–2.8 s warm, with the run tail full of BlockManager /
+  * CacheManager churn. Two mechanisms: (a) CacheManager entries that
+  * escape ManagedCache live for the session; (b) ContextCleaner only
+  * reclaims shuffle files / broadcast blocks when the JVM actually
+  * GCs the owning ShuffleDependency/Broadcast — a 15-minute run on a
+  * large heap may never major-GC on its own, so EVERY query's shuffle
+  * files and broadcast blocks stay resident (disk + storage memory +
+  * MapOutputTracker entries on the driver). Every
+  * `SPARK_GRAFT_BENCH_HYGIENE` queries (default 16, 0 disables), the
+  * bench runs a checkpoint BETWEEN queries (never inside a timed
+  * pass): `spark.catalog.clearCache()` + `System.gc()` to drive the
+  * cleaner, and logs cached-RDD count, storage memory in use, and
+  * this run's shuffle-dir footprint to bench_progress.log so any
+  * future degradation is diagnosable from the log alone.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt)
     val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE", "1500").toDouble
+    val hygieneEvery = sys.env.getOrElse("SPARK_GRAFT_BENCH_HYGIENE", "16").toInt
+    // snapshot the block-manager dirs that predate THIS JVM's session
+    // so the footprint walk below attributes only our own files
+    // (other/crashed runs leave blockmgr-* dirs in the same tmpdir)
+    val tmpDir = new java.io.File(System.getProperty("java.io.tmpdir", "/tmp"))
+    def blockMgrDirs(): Set[java.io.File] =
+      Option(tmpDir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("blockmgr-"))
+        .toSet
+    val preexistingDirs = blockMgrDirs()
     val spark = graft.GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: absorb session/parquet-footer/codegen init so the first
@@ -39,6 +67,48 @@ object Bench {
       catch { case _: Exception => None }
     val benchStart = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - benchStart) / 1e9
+    // (file count, bytes) under this run's own blockmgr dirs —
+    // shuffle files + disk-spilled/evicted blocks. Walked only at
+    // hygiene checkpoints (a deep walk per query would cost more than
+    // many of the queries).
+    def shuffleFootprint(): (Long, Long) = {
+      var n = 0L; var bytes = 0L
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(walk)
+        else { n += 1; bytes += f.length() }
+      (blockMgrDirs() -- preexistingDirs).foreach(walk)
+      (n, bytes)
+    }
+    var sinceHygiene = 0
+    def hygieneCheckpoint(): Unit = {
+      sinceHygiene += 1
+      if (hygieneEvery > 0 && sinceHygiene >= hygieneEvery) {
+        sinceHygiene = 0
+        // BETWEEN queries only — never inside a timed pass. clearCache
+        // drops any CacheManager entry that escaped ManagedCache;
+        // System.gc() is the only public lever that drives
+        // ContextCleaner (shuffle files, broadcast blocks, and their
+        // MapOutputTracker entries are reclaimed on weak-ref GC, and a
+        // large-heap JVM may not major-GC in a whole run otherwise).
+        spark.catalog.clearCache()
+        System.gc()
+        // ContextCleaner processes the GC'd references asynchronously;
+        // give it a beat so the footprint below reflects POST-cleanup
+        // state (outside any timed pass, ~3 s across a full run)
+        Thread.sleep(250)
+        progress.foreach { p =>
+          val leaked = spark.sparkContext.getRDDStorageInfo.length
+          val memUsed = spark.sparkContext.getExecutorMemoryStatus.values
+            .map { case (max, rem) => max - rem }.sum
+          val (nFiles, bts) = shuffleFootprint()
+          p.println(f"[hygiene] t=${elapsedSec}%7.1fs cachedRdds=$leaked%d " +
+            f"storageUsed=${memUsed / 1048576}%dMB shuffleFiles=$nFiles%d " +
+            f"shuffleBytes=${bts / 1048576}%dMB")
+          p.flush()
+        }
+      }
+    }
     def onePass(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -80,6 +150,7 @@ object Bench {
       progress.foreach { p =>
         p.println(f"[bench] $name%-28s ${dt}%8.2fs  (${all.map(v => f"$v%.2f").mkString("/")})"); p.flush()
       }
+      hygieneCheckpoint()
       name -> dt
     }.toMap
     progress.foreach(_.close())

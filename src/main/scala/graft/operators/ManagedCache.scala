@@ -20,11 +20,20 @@ object ManagedCache {
   private val persisted =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  /** Persist `df` at `level` and track it for [[releaseAll]]. */
+  /** Persist `df` at `level` and track it for [[releaseAll]]. If the
+    * plan is ALREADY cached (Dataset.storageLevel consults the
+    * session CacheManager by plan, not by Dataset identity), this is
+    * a no-op: re-persisting a cached plan only logs CacheManager's
+    * "Asked to cache already cached data" and re-registers churn —
+    * the original tracker's releaseAll covers both frames since the
+    * cache entry is keyed by the plan they share.
+    */
   def persist(df: DataFrame,
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
-    df.persist(level)
-    persisted.add(df)
+    if (df.storageLevel == StorageLevel.NONE) {
+      df.persist(level)
+      persisted.add(df)
+    }
     df
   }
 
