@@ -177,6 +177,47 @@ object Snapshots {
     v
   }
 
+  /** [[commit]] + a per-file min/max stats manifest ([[FileStats]]):
+    * the staged files are scanned once (stats columns only) and
+    * `_stats.json` lands INSIDE the stage before the atomic slot
+    * rename, so a published version and its manifest are inseparable
+    * — a reader can never resolve a version whose stats are missing
+    * or half-written. `partitionByCols` (optional) forwards to the
+    * parquet writer so layouts that want a deterministic
+    * file-per-cluster shape (ZOrder bucket dirs) get it here.
+    * Readers prune via [[readPruned]] — at 100 TB, manifest-based
+    * file skipping is the single biggest scan lever this store has:
+    * the driver reads one sidecar instead of opening 100k parquet
+    * footers, and a clustered layout turns a selective range
+    * predicate into reading a handful of files.
+    */
+  def commitWithStats(spark: SparkSession, df: DataFrame, dir: String,
+      statsCols: Seq[String],
+      partitionByCols: Seq[String] = Nil): Long = {
+    val f = fs(spark, dir)
+    val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
+    val w = df.write.mode("overwrite")
+    (if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*)
+     else w).parquet(stage.toString)
+    FileStats.writeManifest(spark, stage.toString, statsCols)
+    val v = occupyNextFree(spark, f, dir, stage)
+    publish(spark, dir, v)
+    v
+  }
+
+  /** Manifest-pruned range read of a committed version (default
+    * latest): only files whose stats admit `column ∈ [lo, hi]` are
+    * read; the census of what was skipped comes back alongside.
+    * The caller still applies the row-level predicate — pruning is a
+    * superset guarantee. */
+  def readPruned(spark: SparkSession, dir: String, column: String,
+      lo: BigDecimal, hi: BigDecimal, version: Long = -1L)
+      : (DataFrame, FileStats.PruneStats) = {
+    val v = if (version > 0) version else latestVersion(spark, dir)
+    require(v > 0, s"$dir has no committed version")
+    FileStats.readRangePruned(spark, s"$dir/v=$v", column, lo, hi)
+  }
+
   /** Point `_latest` at `v` via write-temp-then-rename. The replace
     * is a SINGLE atomic overwrite rename (`FileContext.rename` with
     * `Options.Rename.OVERWRITE` — atomic on HDFS/posix; object

@@ -766,6 +766,62 @@ object ExtOps {
         .orderBy(col("z_bucket"))
     }),
 
+    // File-skipping census — xq7's layout promise made REAL against
+    // the Snapshots store: Z-cluster lineitem's (x, y) keys into 64
+    // Morton-bucket files (partitionBy(z_bucket) after a bucket
+    // repartition ⇒ exactly one data file per non-empty bucket —
+    // the bijection that makes the physical file census
+    // SQL-replayable), commit WITH a per-file min/max manifest
+    // (Snapshots.commitWithStats → _stats.json sealed into the
+    // version by the atomic slot rename), then answer a selective
+    // range predicate through Snapshots.readPruned — only files
+    // whose manifest [min,max] intersects [100,299] are opened. The
+    // emitted one-row census is entirely REAL accounting: files
+    // read/skipped and their row counts come from the manifest
+    // pruning decision, rows_matched/x_checksum come from scanning
+    // ONLY the pruned files — if pruning ever skipped a file it
+    // shouldn't, rows_matched comes up short and the hash compare
+    // fails loudly. The DuckDB twin replays the whole decision from
+    // the bucket arithmetic (per-bucket min/max → intersect →
+    // census). At 100 TB this is the read-path lever: one sidecar
+    // manifest read instead of 100k parquet footer opens, and the
+    // Z-layout turns the x-range into touching ~3/8 of the files.
+    "xq22_file_pruning" -> ((s, dir) => {
+      import graft.operators.{Snapshots, ZOrder}
+      val base = t(s, dir, "lineitem")
+        .select(pmod(col("l_partkey"), lit(1024)).as("x"),
+          pmod(col("l_suppkey"), lit(1024)).as("y"))
+        .withColumn("z",
+          ZOrder.interleave2(col("x"), col("y"), 10))
+        .withColumn("z_bucket",
+          call_function("div", col("z"), lit(16384L)))
+        .drop("z")
+        .repartition(col("z_bucket"))
+      val store = new java.io.File(
+        System.getProperty("java.io.tmpdir", "/tmp"),
+        s"graft-xq22-${java.util.UUID.randomUUID()}").getAbsolutePath
+      val hfs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      try {
+        val v = Snapshots.commitWithStats(s, base, store,
+          statsCols = Seq("x"), partitionByCols = Seq("z_bucket"))
+        val (pruned, ps) = Snapshots.readPruned(s, store, "x",
+          BigDecimal(100), BigDecimal(299), v)
+        val m = pruned.filter(col("x").between(100, 299))
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(col("x")), lit(0L)).as("sx")).head()
+        import s.implicits._
+        Seq((ps.filesRead + ps.filesSkipped, ps.filesRead,
+          ps.filesSkipped, ps.rowsInRead, ps.rowsInSkipped,
+          m.getLong(0), m.getLong(1)))
+          .toDF("files_total", "files_read", "files_skipped",
+            "rows_in_read", "rows_in_skipped", "rows_matched",
+            "x_checksum")
+      } finally {
+        hfs.delete(new org.apache.hadoop.fs.Path(store), true); ()
+      }
+    }),
+
     // Triangle counting over the part co-purchase graph (parts
     // sharing an order) with DEGREE-ORDERED ORIENTATION (Schank &
     // Wagner 2005 / Suri-Vassilvitskii MapReduce form): every edge is
@@ -1529,6 +1585,43 @@ object ExtOps {
          min(x) AS min_x, max(x) AS max_x,
          min(y) AS min_y, max(y) AS max_y
        FROM z GROUP BY 1 ORDER BY z_bucket""",
+    // replays the manifest pruning decision from the bucket
+    // arithmetic: per-bucket (= per-file, bijection by construction)
+    // min/max of x → keep iff [min,max] intersects [100,299] → census
+    "xq22_file_pruning" ->
+      """WITH xy AS (SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y
+           FROM lineitem),
+         z AS (SELECT x,
+             (x % 2) * 1 + ((x // 2) % 2) * 4 + ((x // 4) % 2) * 16
+           + ((x // 8) % 2) * 64 + ((x // 16) % 2) * 256
+           + ((x // 32) % 2) * 1024 + ((x // 64) % 2) * 4096
+           + ((x // 128) % 2) * 16384 + ((x // 256) % 2) * 65536
+           + ((x // 512) % 2) * 262144
+           + (y % 2) * 2 + ((y // 2) % 2) * 8 + ((y // 4) % 2) * 32
+           + ((y // 8) % 2) * 128 + ((y // 16) % 2) * 512
+           + ((y // 32) % 2) * 2048 + ((y // 64) % 2) * 8192
+           + ((y // 128) % 2) * 32768 + ((y // 256) % 2) * 131072
+           + ((y // 512) % 2) * 524288 AS zv
+           FROM xy),
+         f AS (SELECT zv // 16384 AS z_bucket, count(*) AS rows_in,
+             min(x) AS mn, max(x) AS mx
+           FROM z GROUP BY 1),
+         cls AS (SELECT rows_in,
+             (NOT (mx < 100 OR mn > 299)) AS kept FROM f)
+         SELECT count(*) AS files_total,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+             AS files_read,
+           CAST(sum(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS BIGINT)
+             AS files_skipped,
+           CAST(sum(CASE WHEN kept THEN rows_in ELSE 0 END) AS BIGINT)
+             AS rows_in_read,
+           CAST(sum(CASE WHEN NOT kept THEN rows_in ELSE 0 END)
+             AS BIGINT) AS rows_in_skipped,
+           (SELECT count(*) FROM z WHERE x BETWEEN 100 AND 299)
+             AS rows_matched,
+           (SELECT CAST(coalesce(sum(x), 0) AS BIGINT) FROM z
+             WHERE x BETWEEN 100 AND 299) AS x_checksum
+         FROM cls""",
     // id-ordered naive 3-way join — each triangle once as a < b < c;
     // the degree-oriented Spark plan must count identically
     "xg2_triangle_count" ->

@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The file-skipping manifest's contracts: a committed version and
+  * its `_stats.json` are inseparable, a range read through the
+  * manifest opens STRICTLY fewer files than the full scan while
+  * losing no matching row, pruning is conservative for null/absent
+  * stats, min/max round-trip exactly for longs past 2^53 (the
+  * double-corruption zone), and a fully-pruned read keeps schema.
+  */
+class FileStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  test("commitWithStats seals a per-file manifest into the version; " +
+    "readPruned opens strictly fewer files and loses no matching row") {
+    val dir = freshDir("graft-fstats")
+    // 4 disjoint key ranges, one file each via the partition column
+    val df = (0L until 400L).map(i => (i, i / 100, s"r$i"))
+      .toDF("k", "bucket", "payload")
+      .repartition(col("bucket"))
+    val v = Snapshots.commitWithStats(spark, df, dir,
+      statsCols = Seq("k"), partitionByCols = Seq("bucket"))
+    assert(v == 1L)
+    val full = Snapshots.read(spark, dir)
+    assert(full.inputFiles.length == 4)
+    // range [150, 249] spans exactly buckets 1 and 2
+    val (pruned, ps) = Snapshots.readPruned(spark, dir, "k",
+      BigDecimal(150), BigDecimal(249))
+    // THE plan-shape guarantee: the pruned scan reads strictly fewer
+    // files, and only files the full scan also reads
+    assert(pruned.inputFiles.length == 2,
+      pruned.inputFiles.mkString(","))
+    assert(pruned.inputFiles.length < full.inputFiles.length)
+    assert(pruned.inputFiles.toSet.subsetOf(full.inputFiles.toSet))
+    assert(ps == FileStats.PruneStats(2, 2, 200, 200))
+    // superset guarantee: every matching row survives pruning
+    val got = pruned.filter(col("k").between(150, 249))
+      .orderBy(col("k")).select(col("k")).as[Long].collect()
+    assert(got.toSeq == (150L to 249L))
+    // partition-directory column survives the explicit-file read
+    assert(pruned.columns.contains("bucket"))
+  }
+
+  test("pruning is conservative: a file whose stats column is " +
+    "all-null is always kept, and never counted as skipped") {
+    val dir = freshDir("graft-fstats-null")
+    val df = Seq((Some(1L), 0), (Some(2L), 0),
+        (None: Option[Long], 1), (None, 1))
+      .toDF("k", "bucket").repartition(col("bucket"))
+    Snapshots.commitWithStats(spark, df, dir,
+      statsCols = Seq("k"), partitionByCols = Seq("bucket"))
+    // range far away from [1,2]: the stats-bearing file is skipped,
+    // the all-null file MUST be kept (its rows might match under a
+    // different predicate form; min/max proves nothing about it)
+    val (pruned, ps) = Snapshots.readPruned(spark, dir, "k",
+      BigDecimal(100), BigDecimal(200))
+    assert(ps.filesRead == 1 && ps.filesSkipped == 1)
+    assert(pruned.count() == 2)
+    assert(pruned.select(col("k")).collect().forall(_.isNullAt(0)))
+  }
+
+  test("manifest min/max are exact decimal strings: longs beyond " +
+    "2^53 survive the round-trip (a double would corrupt them)") {
+    val dir = freshDir("graft-fstats-big")
+    val big = (1L << 53) + 1L // not representable as a double
+    val df = Seq((big, 0), (big + 2, 0)).toDF("k", "bucket")
+      .repartition(col("bucket"))
+    Snapshots.commitWithStats(spark, df, dir,
+      statsCols = Seq("k"), partitionByCols = Seq("bucket"))
+    val m = FileStats.readManifest(spark,
+      s"$dir/v=1")
+    assert(m.size == 1)
+    assert(m.head.cols("k").contains((big.toString, (big + 2).toString)))
+    // a range that excludes [big, big+2] only under EXACT compare:
+    // [big+3, big+4] — as doubles, big+2 == big+3 rounds together
+    val (_, ps) = Snapshots.readPruned(spark, dir, "k",
+      BigDecimal(big + 3), BigDecimal(big + 4))
+    assert(ps.filesSkipped == 1 && ps.filesRead == 0)
+  }
+
+  test("a fully-pruned read returns an empty frame with the full " +
+    "schema, and the census accounts for every file") {
+    val dir = freshDir("graft-fstats-empty")
+    val df = Seq((1L, "a", 0), (2L, "b", 1)).toDF("k", "s", "bucket")
+      .repartition(col("bucket"))
+    Snapshots.commitWithStats(spark, df, dir,
+      statsCols = Seq("k"), partitionByCols = Seq("bucket"))
+    val (pruned, ps) = Snapshots.readPruned(spark, dir, "k",
+      BigDecimal(100), BigDecimal(200))
+    assert(ps.filesRead == 0 && ps.filesSkipped == 2)
+    assert(ps.rowsInSkipped == 2)
+    assert(pruned.count() == 0)
+    assert(pruned.columns.toSet == Set("k", "s", "bucket"))
+  }
+}
