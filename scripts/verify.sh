@@ -20,3 +20,6 @@ SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} java $ADD_OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Xmx8g \
   -cp "$CP" graft.Verify "$SF" "$OUT" 2>&1 | grep -v '^\s*$' | tail -5
 python3 scripts/selfcheck.py "$SF" "$OUT"
+# px10's deflate census has no SQL oracle — its two-sided check is the
+# CPython-zlib twin (same madler zlib as the JDK's Deflater)
+python3 scripts/compare_deflate.py "$SF" "$OUT"

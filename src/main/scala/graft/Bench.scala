@@ -116,30 +116,15 @@ object Bench {
       graft.operators.ManagedCache.releaseAll()
       dt
     }
-    // BENCH-ONLY entry: the deflate quality-signal scan has no DuckDB
-    // oracle (deflate is not SQL-replayable — its correctness check is
-    // CompressionSignalsSpec), but the one mapPartitions scan in the
-    // pipeline family needs a recorded cost shape, so it is timed here
-    // without joining the Verify contract.
-    val benchOnly: Seq[(String,
-        (org.apache.spark.sql.SparkSession, String) =>
-          org.apache.spark.sql.DataFrame)] = Seq(
-      "px10_deflate_scan" -> ((s, dir) => {
-        import org.apache.spark.sql.functions._
-        val docs = graft.Tables.load(s, dir, "documents")
-          .select(col("doc_id"), col("source"), col("text"))
-        graft.functions.CompressionSignals.deflateRatio(docs, "text")
-          .groupBy(col("source"), call_function("div",
-            col("deflate_ratio_mille"), lit(100L)).as("band"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("raw_bytes")).as("raw_bytes"))
-      }))
+    // (round 13: px10_deflate_scan graduated from bench-only into
+    // SparkEntry.queries — two-sided via scripts/compare_deflate.py —
+    // so the plain queries map now covers every benched entry.)
     // dev iteration filter: SPARK_GRAFT_BENCH_ONLY=tx19,xs8 restricts
     // the run to queries whose name starts with a listed prefix.
     // Unset (the driver's invocation) benches everything.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    val selected = (SparkEntry.queries.toSeq ++ benchOnly).sortBy(_._1)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     val results = selected.map { case (name, fn) =>
       val first = onePass(fn)

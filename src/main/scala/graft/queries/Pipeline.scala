@@ -851,6 +851,30 @@ object Pipeline {
             col("dedup").as("n_docs")))).as("r"))
         .select(col("r.stage_id"), col("r.stage"), col("r.n_docs"))
         .orderBy(col("stage_id"))
+    }),
+
+    // px10 — deflate-ratio quality-signal census (the Dolma /
+    // RefinedWeb-class "does it compress like natural language?"
+    // filter, CompressionSignals.deflateRatio): per (source,
+    // ratio-band-of-100‰) document counts + raw byte volume. The one
+    // mapPartitions scan in the suite — deflate is a zlib-library
+    // call, not SQL — so there is NO DuckDB oracle entry (the driver
+    // records a rows-only check); instead the dump is TWO-SIDED via
+    // `scripts/compare_deflate.py`, a CPython-zlib twin that
+    // recomputes every band from the same parquet (JDK's Deflater and
+    // CPython's zlib are the same madler zlib at level 1 — verified
+    // size-identical empirically; a zlib-ng JDK would diverge LOUDLY,
+    // not subtly). Correctness of the scan internals stays pinned by
+    // CompressionSignalsSpec.
+    "px10_deflate_scan" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      graft.functions.CompressionSignals.deflateRatio(docs, "text")
+        .groupBy(col("source"), call_function("div",
+          col("deflate_ratio_mille"), lit(100L)).as("band"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("raw_bytes")).as("raw_bytes"))
+        .orderBy(col("source"), col("band"))
     })
   )
 
