@@ -124,6 +124,34 @@ def gen_lineitem(con, n_li, out):
         ) to '{out}' (format parquet)""")
 
 
+def gen_part(con, n_parts, out):
+    """Scaled part master for the er-family slope runs: p_name =
+    adjective + ' ' + noun hash-uniform over the driver's probed
+    8x8 vocabulary (sf0.1: 8 first tokens x 8 second tokens, ~2500
+    parts per first token). Scaling parts while the name palette
+    stays FIXED is exactly the er1-killer the slope table exists to
+    witness: first-token blocks grow linearly until the 10k cap
+    excludes all of them, while er2's (tok1, tok2) blocks grow 8x
+    slower. Fully in SQL (seconds at 6M rows)."""
+    adjs = "['blue','cold','hot','large','new','old','red','small']"
+    nouns = ("['anvil','bolt','gear','gizmo','plate','ring','rod',"
+             "'widget']")
+    types = ("['ECONOMY','LARGE','MEDIUM','PROMO','SMALL',"
+             "'STANDARD']")
+    con.sql(f"""copy (
+        select i as p_partkey,
+          {adjs}[cast(hash(i * 43 + 11) % 8 as int) + 1] || ' ' ||
+            {nouns}[cast(hash(i * 47 + 12) % 8 as int) + 1] as p_name,
+          'Brand#' || cast(1 + hash(i * 53 + 13) % 25 as varchar)
+            as p_brand,
+          {types}[cast(hash(i * 59 + 14) % 6 as int) + 1] as p_type,
+          cast(1 + hash(i * 61 + 15) % 50 as integer) as p_size,
+          round(900 + (hash(i * 67 + 16) % 1000) / 10.0, 2)
+            as p_retailprice
+        from range({n_parts}) t(i) order by p_partkey
+        ) to '{out}' (format parquet)""")
+
+
 def gen_embeddings(rng, con, n_vecs, out):
     """Scaled ANN corpus: 64-dim gaussian(0, 0.13) float vectors with
     labels 0..9 — the driver's probed embedding distribution."""
@@ -152,9 +180,9 @@ def main():
     n_events = int(100000 * sf / 0.1)
     gen_documents(con, rng, n_docs, out / "documents.parquet")
     gen_events(con, rng, n_events, out / "events.parquet")
-    # scaled graph + ANN sources (separate seeds so adding them never
-    # perturbs the documents/events byte-stream above)
-    for t in ["lineitem", "embeddings"]:
+    # scaled graph + ANN + ER sources (separate seeds so adding them
+    # never perturbs the documents/events byte-stream above)
+    for t in ["lineitem", "embeddings", "part"]:
         p = out / f"{t}.parquet"
         # NEVER write through a stale symlink into /root/testdata
         if p.is_symlink():
@@ -162,7 +190,8 @@ def main():
     gen_lineitem(con, int(600000 * sf / 0.1), out / "lineitem.parquet")
     gen_embeddings(random.Random(43), con, int(2000 * sf / 0.1),
                    out / "embeddings.parquet")
-    for t in ["region", "nation", "customer", "supplier", "part",
+    gen_part(con, int(20000 * sf / 0.1), out / "part.parquet")
+    for t in ["region", "nation", "customer", "supplier",
               "orders"]:
         link = out / f"{t}.parquet"
         if not link.exists():

@@ -111,21 +111,34 @@ object FileStats {
     }
   }
 
-  /** Split the manifest into (kept, skipped) for a range predicate
-    * `column BETWEEN lo AND hi`: a file is skipped only when its
-    * stats PROVE no row can match (max < lo or min > hi, compared as
-    * exact BigDecimal). Files with no stats for the column — absent
-    * or all-null — are conservatively kept.
+  /** Split the manifest into (kept, skipped) for a CONJUNCTION of
+    * range predicates `column BETWEEN lo AND hi`: a file is skipped
+    * when ANY predicate's stats PROVE no row can match (max < lo or
+    * min > hi, compared as exact BigDecimal). Predicates on columns
+    * a file has no stats for — absent or all-null — keep the file
+    * conservatively. Multi-column conjunctions are where a Z-ordered
+    * layout beats a single-column sort: each Morton tile is tight on
+    * BOTH dimensions, so both ranges prune multiplicatively.
     */
-  def pruneRange(manifest: Seq[FileStat], column: String,
-      lo: BigDecimal, hi: BigDecimal): (Seq[FileStat], Seq[FileStat]) =
+  def pruneRanges(manifest: Seq[FileStat],
+      preds: Seq[(String, BigDecimal, BigDecimal)])
+      : (Seq[FileStat], Seq[FileStat]) = {
+    require(preds.nonEmpty, "at least one range predicate")
     manifest.partition { fstat =>
-      fstat.cols.get(column).flatten match {
-        case Some((mn, mx)) =>
-          !(BigDecimal(mx) < lo || BigDecimal(mn) > hi)
-        case None => true
+      preds.forall { case (column, lo, hi) =>
+        fstat.cols.get(column).flatten match {
+          case Some((mn, mx)) =>
+            !(BigDecimal(mx) < lo || BigDecimal(mn) > hi)
+          case None => true
+        }
       }
     }
+  }
+
+  /** Single-predicate [[pruneRanges]]. */
+  def pruneRange(manifest: Seq[FileStat], column: String,
+      lo: BigDecimal, hi: BigDecimal): (Seq[FileStat], Seq[FileStat]) =
+    pruneRanges(manifest, Seq((column, lo, hi)))
 
   /** Manifest-pruned read of `dataDir`: resolve the manifest, keep
     * only files whose [min,max] on `column` intersects [lo,hi], and
@@ -137,9 +150,17 @@ object FileStats {
     */
   def readRangePruned(spark: SparkSession, dataDir: String,
       column: String, lo: BigDecimal, hi: BigDecimal)
+      : (DataFrame, PruneStats) =
+    readRangesPruned(spark, dataDir, Seq((column, lo, hi)))
+
+  /** [[readRangePruned]] for a conjunction of range predicates —
+    * a file survives only if every predicate's range intersects its
+    * stats. */
+  def readRangesPruned(spark: SparkSession, dataDir: String,
+      preds: Seq[(String, BigDecimal, BigDecimal)])
       : (DataFrame, PruneStats) = {
     val manifest = readManifest(spark, dataDir)
-    val (kept, skipped) = pruneRange(manifest, column, lo, hi)
+    val (kept, skipped) = pruneRanges(manifest, preds)
     val stats = PruneStats(kept.size.toLong, skipped.size.toLong,
       kept.map(_.rows).sum, skipped.map(_.rows).sum)
     val df =

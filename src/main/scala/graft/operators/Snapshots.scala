@@ -205,6 +205,50 @@ object Snapshots {
     v
   }
 
+  /** Small-file compaction AS a snapshot commit: bin-pack the latest
+    * version's files ([[Compaction]] — rewrite volume proportional
+    * to the small-file bytes, big files byte-copied through), stage
+    * the result, RECOMPUTE the stats manifest over the new file
+    * layout (per-file min/max are layout-dependent — carrying the
+    * old manifest forward would pin stats to files that no longer
+    * exist), and publish as the next version. Readers keep the old
+    * version until the pointer moves; vacuum reclaims it later —
+    * maintenance never breaks an in-flight read. `statsCols` default
+    * to the columns of the source version's manifest, so a
+    * stats-tracked table stays stats-tracked through compaction
+    * without the maintenance job knowing the schema.
+    */
+  def compactVersion(spark: SparkSession, dir: String,
+      targetBytes: Long, statsCols: Seq[String] = Nil)
+      : (Long, Compaction.CompactStats) = {
+    val f = fs(spark, dir)
+    val v = latestVersion(spark, dir)
+    require(v > 0, s"$dir has no committed version to compact")
+    val vDir = s"$dir/v=$v"
+    // partitioned layouts (partitionByCols commits) keep data under
+    // key=value subdirectories; Compaction's non-recursive listing
+    // would see ZERO files and this would publish an EMPTY version —
+    // refuse loudly (partition-aware compaction bins per directory,
+    // a different operation)
+    require(!f.listStatus(new Path(vDir)).exists(_.isDirectory),
+      s"compactVersion: $vDir has partition subdirectories — " +
+        "flat version layouts only")
+    val cols =
+      if (statsCols.nonEmpty) statsCols
+      else if (f.exists(new Path(vDir, FileStats.ManifestName)))
+        FileStats.readManifest(spark, vDir)
+          .flatMap(_.cols.keys).distinct.sorted
+      else Seq.empty
+    val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
+    val stats = Compaction.compact(spark, vDir, stage.toString,
+      targetBytes)
+    if (cols.nonEmpty)
+      FileStats.writeManifest(spark, stage.toString, cols)
+    val nv = occupyNextFree(spark, f, dir, stage)
+    publish(spark, dir, nv)
+    (nv, stats)
+  }
+
   /** Manifest-pruned range read of a committed version (default
     * latest): only files whose stats admit `column ∈ [lo, hi]` are
     * read; the census of what was skipped comes back alongside.
@@ -212,10 +256,20 @@ object Snapshots {
     * superset guarantee. */
   def readPruned(spark: SparkSession, dir: String, column: String,
       lo: BigDecimal, hi: BigDecimal, version: Long = -1L)
-      : (DataFrame, FileStats.PruneStats) = {
+      : (DataFrame, FileStats.PruneStats) =
+    readPrunedMulti(spark, dir, Seq((column, lo, hi)), version)
+
+  /** [[readPruned]] for a CONJUNCTION of range predicates — the
+    * multi-dimensional case Z-ordered layouts exist for: each Morton
+    * tile is tight on every clustered dimension, so conjunctive
+    * ranges prune multiplicatively instead of only on the leading
+    * sort column. */
+  def readPrunedMulti(spark: SparkSession, dir: String,
+      preds: Seq[(String, BigDecimal, BigDecimal)],
+      version: Long = -1L): (DataFrame, FileStats.PruneStats) = {
     val v = if (version > 0) version else latestVersion(spark, dir)
     require(v > 0, s"$dir has no committed version")
-    FileStats.readRangePruned(spark, s"$dir/v=$v", column, lo, hi)
+    FileStats.readRangesPruned(spark, s"$dir/v=$v", preds)
   }
 
   /** Point `_latest` at `v` via write-temp-then-rename. The replace

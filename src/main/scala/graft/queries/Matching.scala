@@ -165,14 +165,23 @@ object Matching {
       val hot = overCap.agg(
         count(lit(1)).as("n_hot_blocks"),
         coalesce(sum(col("bucket_n")), lit(0L)).as("hot_parts"))
-      a.join(b, Seq("blk"))
+      val bands = a.join(b, Seq("blk"))
         .filter(col("a_key") < col("b_key"))
         .withColumn("jw", SF.jaroWinkler(col("a_name"), col("b_name")))
         .filter(col("jw") >= 0.9)
         .groupBy(round(col("jw"), 2).as("sim_band"))
         .agg(count(lit(1)).as("n_pairs"),
           sum(col("a_key") * 31 + col("b_key")).as("key_checksum"))
-        .crossJoin(broadcast(hot)) // 1-row accounting frame
+      // LEFT join FROM the 1-row accounting frame, not a crossJoin
+      // from the bands: when the cap excludes EVERY block (er1's
+      // documented ~30× failure mode — the slope table witnesses it)
+      // the band census is EMPTY and a crossJoin would emit zero
+      // rows, silently swallowing the accounting the degradation
+      // exists to surface. Both frames are bounded (1 row × ≤11
+      // bands) — the BNLJ is census-sized.
+      hot.join(bands, lit(true), "left")
+        .select(col("sim_band"), col("n_pairs"), col("key_checksum"),
+          col("n_hot_blocks"), col("hot_parts"))
         .orderBy(col("sim_band"))
     }),
 
@@ -208,7 +217,7 @@ object Matching {
       val hot = overCap.agg(
         count(lit(1)).as("n_hot_blocks"),
         coalesce(sum(col("bucket_n")), lit(0L)).as("hot_parts"))
-      a.join(b, Seq("blk"))
+      val bands = a.join(b, Seq("blk"))
         .filter(col("a_key") < col("b_key") &&
           abs(length(col("a_name")) - length(col("b_name"))) <= 10)
         .withColumn("jw", SF.jaroWinkler(col("a_name"), col("b_name")))
@@ -216,7 +225,10 @@ object Matching {
         .groupBy(round(col("jw"), 2).as("sim_band"))
         .agg(count(lit(1)).as("n_pairs"),
           sum(col("a_key") * 31 + col("b_key")).as("key_checksum"))
-        .crossJoin(broadcast(hot)) // 1-row accounting frame
+      // accounting survives a fully-capped run — er1's note
+      hot.join(bands, lit(true), "left")
+        .select(col("sim_band"), col("n_pairs"), col("key_checksum"),
+          col("n_hot_blocks"), col("hot_parts"))
         .orderBy(col("sim_band"))
     }),
 
@@ -430,20 +442,22 @@ object Matching {
              CAST(coalesce(sum(bucket_n), 0) AS BIGINT) AS hot_parts
            FROM hot),
          safe AS (
-           SELECT p.* FROM p ANTI JOIN hot USING (blk))
-         SELECT sim_band, count(*) AS n_pairs,
-           CAST(sum(a_key*31 + b_key) AS BIGINT) AS key_checksum,
+           SELECT p.* FROM p ANTI JOIN hot USING (blk)),
+         bands AS (
+           SELECT sim_band, count(*) AS n_pairs,
+             CAST(sum(a_key*31 + b_key) AS BIGINT) AS key_checksum
+           FROM (
+             SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+               round(jaro_winkler_similarity(a.p_name, b.p_name), 2)
+                 AS sim_band
+             FROM safe a JOIN safe b ON a.blk = b.blk
+               AND a.p_partkey < b.p_partkey
+             WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9)
+           GROUP BY sim_band)
+         SELECT bands.sim_band, bands.n_pairs, bands.key_checksum,
            acct.n_hot_blocks, acct.hot_parts
-         FROM (
-           SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
-             round(jaro_winkler_similarity(a.p_name, b.p_name), 2)
-               AS sim_band
-           FROM safe a JOIN safe b ON a.blk = b.blk
-             AND a.p_partkey < b.p_partkey
-           WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9)
-         CROSS JOIN acct
-         GROUP BY sim_band, acct.n_hot_blocks, acct.hot_parts
-         ORDER BY sim_band""",
+         FROM acct LEFT JOIN bands ON true
+         ORDER BY bands.sim_band""",
     "er2_entity_pairs_ml" ->
       """WITH p AS (
            SELECT p_partkey, p_name,
@@ -458,21 +472,23 @@ object Matching {
              CAST(coalesce(sum(bucket_n), 0) AS BIGINT) AS hot_parts
            FROM hot),
          safe AS (
-           SELECT p.* FROM p ANTI JOIN hot USING (blk))
-         SELECT sim_band, count(*) AS n_pairs,
-           CAST(sum(a_key*31 + b_key) AS BIGINT) AS key_checksum,
+           SELECT p.* FROM p ANTI JOIN hot USING (blk)),
+         bands AS (
+           SELECT sim_band, count(*) AS n_pairs,
+             CAST(sum(a_key*31 + b_key) AS BIGINT) AS key_checksum
+           FROM (
+             SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+               round(jaro_winkler_similarity(a.p_name, b.p_name), 2)
+                 AS sim_band
+             FROM safe a JOIN safe b ON a.blk = b.blk
+               AND a.p_partkey < b.p_partkey
+               AND abs(length(a.p_name) - length(b.p_name)) <= 10
+             WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9)
+           GROUP BY sim_band)
+         SELECT bands.sim_band, bands.n_pairs, bands.key_checksum,
            acct.n_hot_blocks, acct.hot_parts
-         FROM (
-           SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
-             round(jaro_winkler_similarity(a.p_name, b.p_name), 2)
-               AS sim_band
-           FROM safe a JOIN safe b ON a.blk = b.blk
-             AND a.p_partkey < b.p_partkey
-             AND abs(length(a.p_name) - length(b.p_name)) <= 10
-           WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9)
-         CROSS JOIN acct
-         GROUP BY sim_band, acct.n_hot_blocks, acct.hot_parts
-         ORDER BY sim_band""",
+         FROM acct LEFT JOIN bands ON true
+         ORDER BY bands.sim_band""",
     "px15_weighted_sample" ->
       """SELECT doc_id, lang, n_chars FROM (
            SELECT doc_id, lang, n_chars

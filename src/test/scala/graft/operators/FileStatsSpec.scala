@@ -46,6 +46,31 @@ class FileStatsSpec extends SparkSpec {
     assert(pruned.columns.contains("bucket"))
   }
 
+  test("multi-column conjunctive pruning: both ranges must intersect " +
+    "a file's stats — predicates prune multiplicatively") {
+    val dir = freshDir("graft-fstats-2d")
+    // 4 files = the 2x2 grid of (k-range, j-range) quadrants:
+    // bucket b holds k in [100·(b/2), +99], j in [100·(b%2), +99]
+    val df = (0L until 400L).map { i =>
+      val b = i % 4
+      ((b / 2) * 100 + i % 100, (b % 2) * 100 + i % 100, b)
+    }.toDF("k", "j", "bucket").repartition(col("bucket"))
+    Snapshots.commitWithStats(spark, df, dir,
+      statsCols = Seq("k", "j"), partitionByCols = Seq("bucket"))
+    // k-range keeps 2 of 4 quadrants; adding the j-range keeps 1
+    val (_, psK) = Snapshots.readPruned(spark, dir, "k",
+      BigDecimal(0), BigDecimal(99))
+    assert(psK.filesRead == 2 && psK.filesSkipped == 2)
+    val (pruned, ps2) = Snapshots.readPrunedMulti(spark, dir,
+      Seq(("k", BigDecimal(0), BigDecimal(99)),
+        ("j", BigDecimal(0), BigDecimal(99))))
+    assert(ps2.filesRead == 1 && ps2.filesSkipped == 3,
+      ps2.toString)
+    val got = pruned.filter(col("k").between(0, 99) &&
+      col("j").between(0, 99)).count()
+    assert(got == 100)
+  }
+
   test("pruning is conservative: a file whose stats column is " +
     "all-null is always kept, and never counted as skipped") {
     val dir = freshDir("graft-fstats-null")
@@ -81,6 +106,46 @@ class FileStatsSpec extends SparkSpec {
     val (_, ps) = Snapshots.readPruned(spark, dir, "k",
       BigDecimal(big + 3), BigDecimal(big + 4))
     assert(ps.filesSkipped == 1 && ps.filesRead == 0)
+  }
+
+  test("compactVersion: small files bin-pack into a NEW version whose " +
+    "manifest is recomputed over the new layout; pruning still exact") {
+    val dir = freshDir("graft-fstats-compact")
+    // 4 small files with known k-ranges: an EXPLICIT 4-partition range
+    // (narrow plan, no exchange — AQE partition coalescing can't
+    // merge it down to one file the way a repartition would be)
+    val df = spark.range(0, 400, 1, 4).select(col("id").as("k"))
+    // flat layout (no partition dirs), many small files
+    val v1 = Snapshots.commitWithStats(spark, df, dir, Seq("k"))
+    val v1Files = Snapshots.read(spark, dir).inputFiles.length
+    assert(v1Files > 1, "fixture needs multiple files")
+    val (v2, cs) = Snapshots.compactVersion(spark, dir,
+      targetBytes = 1L << 30) // everything fits one bin
+    assert(v2 == v1 + 1 && Snapshots.latestVersion(spark, dir) == v2)
+    assert(cs.nInputFiles == v1Files)
+    val v2Files = Snapshots.read(spark, dir).inputFiles.length
+    assert(v2Files < v1Files, s"$v2Files !< $v1Files")
+    // manifest recomputed: entries = new files, content preserved
+    val m = FileStats.readManifest(spark, s"$dir/v=$v2")
+    assert(m.size == v2Files)
+    assert(Snapshots.read(spark, dir).count() == 400)
+    // stats columns inherited from the source manifest (none passed)
+    val (pruned, ps) = Snapshots.readPruned(spark, dir, "k",
+      BigDecimal(0), BigDecimal(399))
+    assert(ps.filesRead == v2Files.toLong && ps.rowsInRead == 400)
+    assert(pruned.filter(col("k").between(0, 399)).count() == 400)
+    // the OLD version is untouched until vacuum — maintenance never
+    // breaks an in-flight reader
+    assert(Snapshots.read(spark, dir, v1).count() == 400)
+    // partitioned layouts are refused loudly, never emptied silently
+    val pdir = freshDir("graft-fstats-compact-part")
+    Snapshots.commitWithStats(spark,
+      Seq((1L, 0), (2L, 1)).toDF("k", "bucket")
+        .repartition(col("bucket")),
+      pdir, Seq("k"), partitionByCols = Seq("bucket"))
+    intercept[IllegalArgumentException] {
+      Snapshots.compactVersion(spark, pdir, 1L << 30)
+    }
   }
 
   test("a fully-pruned read returns an empty frame with the full " +
