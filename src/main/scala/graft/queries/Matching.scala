@@ -232,6 +232,53 @@ object Matching {
         .orderBy(col("sim_band"))
     }),
 
+    // er3 — FREQUENCY-COLLAPSED entity resolution: the actual
+    // 100 TB answer to er1/er2's quadratic-in-block-size death. On a
+    // fixed name vocabulary every blocking scheme eventually goes
+    // quadratic (er2 at 10× parts runs ~90 s on the 64-name slope
+    // fixture because every same-name pair is a candidate); the
+    // textbook fix is to collapse EXACT duplicates first — one
+    // groupBy(p_name) census — and run the pairwise jw only over
+    // DISTINCT names, weighting each surviving name-pair by
+    // n_A·n_B and each duplicate group by n·(n−1)/2. The expensive
+    // self-join is VOCABULARY-bounded (64 names here, maybe 10⁶ on a
+    // real catalog) regardless of corpus size: the corpus contributes
+    // ONE linear scan + one hash agg, so the plan is flat at any
+    // scale — the slope table witnesses er1 capped-out, er2
+    // quadratic, er3 flat on the same data. Same 0.9 jw threshold;
+    // the census is pair-count exact (identical names share both
+    // tokens ⟹ within-group pairs are er2's jw=1.0 band).
+    "er3_entity_pairs_collapsed" -> ((s, dir) => {
+      val names = t(s, dir, "part")
+        .groupBy(col("p_name"))
+        .agg(count(lit(1)).as("n"), min(col("p_partkey")).as("min_key"))
+      val within = names.filter(col("n") > 1)
+        .select(lit(1.0).as("sim_band"),
+          call_function("div", col("n") * (col("n") - 1), lit(2L))
+            .as("pairs"),
+          col("min_key"))
+      val a = names.select(
+        split(col("p_name"), " ").getItem(0).as("blk"),
+        col("p_name").as("na"), col("n").as("n_a"),
+        col("min_key").as("k_a"))
+      val b = names.select(
+        split(col("p_name"), " ").getItem(0).as("blk"),
+        col("p_name").as("nb"), col("n").as("n_b"),
+        col("min_key").as("k_b"))
+      val cross = a.join(b, Seq("blk"))
+        .filter(col("na") < col("nb"))
+        .withColumn("jw", SF.jaroWinkler(col("na"), col("nb")))
+        .filter(col("jw") >= 0.9)
+        .select(round(col("jw"), 2).as("sim_band"),
+          (col("n_a") * col("n_b")).as("pairs"),
+          least(col("k_a"), col("k_b")).as("min_key"))
+      within.unionByName(cross)
+        .groupBy(col("sim_band"))
+        .agg(sum(col("pairs")).as("n_pairs"),
+          sum(col("min_key")).as("group_checksum"))
+        .orderBy(col("sim_band"))
+    }),
+
     // px15 — deterministic weighted sampling without replacement
     // (Efraimidis–Spirakis A-Res): priority ln(u)/w with u from the
     // portable md5-derived uniform and w = n_chars; global top-100 by
@@ -489,6 +536,29 @@ object Matching {
            acct.n_hot_blocks, acct.hot_parts
          FROM acct LEFT JOIN bands ON true
          ORDER BY bands.sim_band""",
+    "er3_entity_pairs_collapsed" ->
+      """WITH names AS (
+           SELECT p_name, count(*) AS n, min(p_partkey) AS min_key
+           FROM part GROUP BY 1),
+         w AS (
+           SELECT CAST(1.0 AS DOUBLE) AS sim_band,
+             CAST(n*(n-1)//2 AS BIGINT) AS pairs, min_key
+           FROM names WHERE n > 1),
+         a AS (
+           SELECT string_split(p_name,' ')[1] AS blk, p_name, n,
+             min_key
+           FROM names),
+         x AS (
+           SELECT round(jaro_winkler_similarity(a.p_name, b.p_name), 2)
+               AS sim_band,
+             CAST(a.n * b.n AS BIGINT) AS pairs,
+             least(a.min_key, b.min_key) AS min_key
+           FROM a JOIN a b ON a.blk = b.blk AND a.p_name < b.p_name
+           WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9),
+         u AS (SELECT * FROM w UNION ALL SELECT * FROM x)
+         SELECT sim_band, CAST(sum(pairs) AS BIGINT) AS n_pairs,
+           CAST(sum(min_key) AS BIGINT) AS group_checksum
+         FROM u GROUP BY 1 ORDER BY 1""",
     "px15_weighted_sample" ->
       """SELECT doc_id, lang, n_chars FROM (
            SELECT doc_id, lang, n_chars
