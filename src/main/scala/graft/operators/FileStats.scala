@@ -124,11 +124,19 @@ object FileStats {
       preds: Seq[(String, BigDecimal, BigDecimal)])
       : (Seq[FileStat], Seq[FileStat]) = {
     require(preds.nonEmpty, "at least one range predicate")
+    // stats for a non-numeric column (writeManifest casts min/max of
+    // ANY type to string) don't parse as BigDecimal — keep the file,
+    // never throw: pruning must degrade to reading, not to failing
+    def num(s: String): Option[BigDecimal] =
+      try Some(BigDecimal(s)) catch { case _: NumberFormatException => None }
     manifest.partition { fstat =>
       preds.forall { case (column, lo, hi) =>
         fstat.cols.get(column).flatten match {
           case Some((mn, mx)) =>
-            !(BigDecimal(mx) < lo || BigDecimal(mn) > hi)
+            (num(mn), num(mx)) match {
+              case (Some(nmn), Some(nmx)) => !(nmx < lo || nmn > hi)
+              case _ => true
+            }
           case None => true
         }
       }

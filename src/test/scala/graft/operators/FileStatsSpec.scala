@@ -148,6 +148,19 @@ class FileStatsSpec extends SparkSpec {
     }
   }
 
+  test("non-numeric stats never prune and never throw: a range " +
+    "predicate against a string column keeps every file") {
+    val dir = freshDir("graft-fstats-str")
+    val df = Seq((1L, "alpha", 0), (2L, "beta", 1))
+      .toDF("k", "s", "bucket").repartition(col("bucket"))
+    Snapshots.commitWithStats(spark, df, dir,
+      statsCols = Seq("k", "s"), partitionByCols = Seq("bucket"))
+    val (pruned, ps) = Snapshots.readPruned(spark, dir, "s",
+      BigDecimal(0), BigDecimal(1))
+    assert(ps.filesRead == 2 && ps.filesSkipped == 0)
+    assert(pruned.count() == 2)
+  }
+
   test("a fully-pruned read returns an empty frame with the full " +
     "schema, and the census accounts for every file") {
     val dir = freshDir("graft-fstats-empty")
