@@ -72,6 +72,12 @@ object FileStats {
     val lines = perFile.toSeq.map { r =>
       val full = new java.net.URI(r.getString(0)).getPath
       val rel = full.stripPrefix(rootUri).stripPrefix("/")
+      // the hand-rolled JSON below doesn't escape — Spark part-file
+      // names are safe, but a STRING partition value becomes a
+      // `key=value` directory in the path: refuse metacharacters
+      // loudly rather than write a manifest readManifest can't parse
+      require(!rel.exists(c => c == '"' || c == '\\' || c == '\n'),
+        s"manifest path contains JSON metacharacters: $rel")
       val colsJson = statsCols.map { c =>
         val mn = r.getAs[String](s"__min_$c")
         val mx = r.getAs[String](s"__max_$c")

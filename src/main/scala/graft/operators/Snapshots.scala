@@ -228,11 +228,11 @@ object Snapshots {
     // partitioned layouts (partitionByCols commits) keep data under
     // key=value subdirectories; Compaction's non-recursive listing
     // would see ZERO files and this would publish an EMPTY version —
-    // refuse loudly (partition-aware compaction bins per directory,
-    // a different operation)
+    // refuse loudly (use [[compactPartitionedVersion]], which bins
+    // per partition directory)
     require(!f.listStatus(new Path(vDir)).exists(_.isDirectory),
       s"compactVersion: $vDir has partition subdirectories — " +
-        "flat version layouts only")
+        "use compactPartitionedVersion")
     val cols =
       if (statsCols.nonEmpty) statsCols
       else if (f.exists(new Path(vDir, FileStats.ManifestName)))
@@ -247,6 +247,60 @@ object Snapshots {
     val nv = occupyNextFree(spark, f, dir, stage)
     publish(spark, dir, nv)
     (nv, stats)
+  }
+
+  /** [[compactVersion]] for PARTITIONED version layouts
+    * (`commitWithStats(partitionByCols = …)`): every partition
+    * directory is bin-packed INDEPENDENTLY (files are never merged
+    * across partition values — that would corrupt the
+    * directory-encoded column), the compacted tree is staged with
+    * the same `key=value` structure, the stats manifest is
+    * recomputed over the new files, and the result publishes as the
+    * next version. Nested multi-level partitioning is handled by
+    * recursing into every non-metadata subdirectory; at 100 TB each
+    * partition's rewrite is an independent job whose volume is that
+    * partition's small-file bytes — the operation parallelizes per
+    * partition and never touches already-compact big files.
+    */
+  def compactPartitionedVersion(spark: SparkSession, dir: String,
+      targetBytes: Long, statsCols: Seq[String] = Nil)
+      : (Long, Compaction.CompactStats) = {
+    val f = fs(spark, dir)
+    val v = latestVersion(spark, dir)
+    require(v > 0, s"$dir has no committed version to compact")
+    val vDir = s"$dir/v=$v"
+    val cols =
+      if (statsCols.nonEmpty) statsCols
+      else if (f.exists(new Path(vDir, FileStats.ManifestName)))
+        FileStats.readManifest(spark, vDir)
+          .flatMap(_.cols.keys).distinct.sorted
+      else Seq.empty
+    val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
+    val vPath = f.makeQualified(new Path(vDir))
+    def dirs(p: Path): Seq[Path] =
+      p +: f.listStatus(p).toSeq
+        .filter(s => s.isDirectory &&
+          !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .flatMap(s => dirs(s.getPath))
+    var agg = Compaction.CompactStats(0, 0, 0, 0L, 0)
+    dirs(vPath).foreach { d =>
+      val rel = vPath.toUri.relativize(d.toUri).getPath
+      val out = if (rel.isEmpty) stage else new Path(stage, rel)
+      val cs = Compaction.compact(spark, d.toString, out.toString,
+        targetBytes)
+      agg = Compaction.CompactStats(
+        agg.nInputFiles + cs.nInputFiles,
+        agg.nBins + cs.nBins,
+        agg.nRewrittenFiles + cs.nRewrittenFiles,
+        agg.rewrittenBytes + cs.rewrittenBytes,
+        agg.passthroughFiles + cs.passthroughFiles)
+    }
+    if (cols.nonEmpty)
+      FileStats.writeManifest(spark, stage.toString, cols)
+    val nv = occupyNextFree(spark, f, dir, stage)
+    publish(spark, dir, nv)
+    (nv, agg)
   }
 
   /** Manifest-pruned range read of a committed version (default

@@ -482,7 +482,11 @@ object Matching {
              string_split(p_name, ' ')[1] AS blk
            FROM part),
          hot AS (
+           -- NULL block keys are never counted (HotBuckets contract:
+           -- an anti join can't exclude them, so they are always kept
+           -- and never in the accounting)
            SELECT blk, count(*) AS bucket_n FROM p
+           WHERE blk IS NOT NULL
            GROUP BY blk HAVING count(*) > 10000),
          acct AS (
            SELECT count(*) AS n_hot_blocks,
@@ -512,7 +516,11 @@ object Matching {
                coalesce(string_split(p_name, ' ')[2], '') AS blk
            FROM part),
          hot AS (
+           -- NULL block keys are never counted (HotBuckets contract:
+           -- an anti join can't exclude them, so they are always kept
+           -- and never in the accounting)
            SELECT blk, count(*) AS bucket_n FROM p
+           WHERE blk IS NOT NULL
            GROUP BY blk HAVING count(*) > 10000),
          acct AS (
            SELECT count(*) AS n_hot_blocks,

@@ -148,6 +148,38 @@ class FileStatsSpec extends SparkSpec {
     }
   }
 
+  test("compactPartitionedVersion: each partition directory bins " +
+    "independently, manifest recomputed, pruning intact") {
+    val dir = freshDir("graft-fstats-pcompact")
+    // 4 explicit partitions × partitionBy(bucket): bucket=0 holds
+    // k 0..199 in TWO files, bucket=1 holds k 200..399 in two more
+    val df = spark.range(0, 400, 1, 4)
+      .select(col("id").as("k"),
+        (col("id") / 200).cast("long").as("bucket"))
+    val v1 = Snapshots.commitWithStats(spark, df, dir, Seq("k"),
+      partitionByCols = Seq("bucket"))
+    val before = Snapshots.read(spark, dir).inputFiles.length
+    assert(before == 4, s"fixture expected 4 files, got $before")
+    val (v2, cs) = Snapshots.compactPartitionedVersion(spark, dir,
+      targetBytes = 1L << 30)
+    assert(v2 == v1 + 1 && cs.nInputFiles == 4)
+    val after = Snapshots.read(spark, dir)
+    assert(after.inputFiles.length == 2, after.inputFiles.mkString(","))
+    // files never merge ACROSS partition values: the partition column
+    // still reconstructs, and each bucket keeps exactly its rows
+    // (partition-directory inference types bucket as INT, not LONG)
+    assert(after.groupBy(col("bucket")).count().orderBy(col("bucket"))
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1))).toSeq ==
+      Seq((0L, 200L), (1L, 200L)))
+    // manifest recomputed over the compacted layout; k-range pruning
+    // now skips the bucket the predicate can't touch
+    val (pruned, ps) = Snapshots.readPruned(spark, dir, "k",
+      BigDecimal(0), BigDecimal(150))
+    assert(ps.filesRead == 1 && ps.filesSkipped == 1, ps.toString)
+    assert(pruned.filter(col("k") <= 150).count() == 151)
+  }
+
   test("non-numeric stats never prune and never throw: a range " +
     "predicate against a string column keeps every file") {
     val dir = freshDir("graft-fstats-str")
