@@ -81,6 +81,13 @@ object Bench {
       (n, bytes)
     }
     var sinceHygiene = 0
+    var lastGcMs = 0L
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.asScala
+        .map(b => math.max(0L, b.getCollectionTime)).sum
+    }
     def hygieneCheckpoint(): Unit = {
       sinceHygiene += 1
       if (hygieneEvery > 0 && sinceHygiene >= hygieneEvery) {
@@ -102,9 +109,19 @@ object Bench {
           val memUsed = spark.sparkContext.getExecutorMemoryStatus.values
             .map { case (max, rem) => max - rem }.sum
           val (nFiles, bts) = shuffleFootprint()
+          // forensics that separate "the box was loaded" from "the
+          // suite leaked state": 1-min system load (other processes
+          // show up here — a >2× mover with loadavg >> our own worker
+          // count is contention, not a plan or lifecycle problem) and
+          // GC time accumulated since the previous checkpoint (heap
+          // pressure shows up here)
+          val load = java.lang.management.ManagementFactory
+            .getOperatingSystemMXBean.getSystemLoadAverage
+          val gc = gcMs(); val dGc = gc - lastGcMs; lastGcMs = gc
           p.println(f"[hygiene] t=${elapsedSec}%7.1fs cachedRdds=$leaked%d " +
             f"storageUsed=${memUsed / 1048576}%dMB shuffleFiles=$nFiles%d " +
-            f"shuffleBytes=${bts / 1048576}%dMB")
+            f"shuffleBytes=${bts / 1048576}%dMB load1m=$load%.1f " +
+            f"gcDelta=${dGc}%dms")
           p.flush()
         }
       }
