@@ -177,6 +177,42 @@ object Snapshots {
     v
   }
 
+  /** Epoch-fenced commit — the exactly-once primitive a STREAMING
+    * sink needs when batches are NOT idempotent merges (append logs,
+    * aggregation deltas): each committed version carries its epoch id
+    * as an `_epoch.N` marker INSIDE the version directory (sealed by
+    * the same atomic slot rename as the data, so marker and bytes are
+    * inseparable), and a re-delivered epoch — Structured Streaming
+    * re-executes the last uncommitted micro-batch after a crash — is
+    * detected by reading the CURRENT HEAD's marker and skipped with
+    * `Left`. Single writer per table (plain-commit discipline);
+    * sequential epochs mean the only possible duplicate is the last
+    * committed version, so the fence is one O(1) head probe, not a
+    * version-log scan. Crash matrix: die before the slot rename →
+    * nothing published, replay commits normally; die between rename
+    * and pointer publish → the next attempt's head probe misses
+    * (head is still the older version) and commit retries into a
+    * FRESH slot — the orphan is vacuumable and never published; die
+    * after publish → replay sees the marker and skips.
+    */
+  def commitWithEpoch(spark: SparkSession, df: DataFrame, dir: String,
+      epochId: Long): Either[String, Long] = {
+    require(epochId >= 0, s"epoch ids are non-negative, got $epochId")
+    val f = fs(spark, dir)
+    val head = latestVersion(spark, dir)
+    if (head > 0 &&
+        f.exists(new Path(dir, s"v=$head/_epoch.$epochId")))
+      Left(s"epoch $epochId already published as v=$head")
+    else {
+      val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
+      df.write.mode("overwrite").parquet(stage.toString)
+      f.create(new Path(stage, s"_epoch.$epochId"), true).close()
+      val v = occupyNextFree(spark, f, dir, stage)
+      publish(spark, dir, v)
+      Right(v)
+    }
+  }
+
   /** [[commit]] + a per-file min/max stats manifest ([[FileStats]]):
     * the staged files are scanned once (stats columns only) and
     * `_stats.json` lands INSIDE the stage before the atomic slot

@@ -408,6 +408,29 @@ object EventStream {
     * Checkpointing makes this exactly-once at the table level: replays
     * re-apply idempotent merges (T4).
     */
+  /** Exactly-once streaming sink into a [[graft.operators.Snapshots]]
+    * versioned table: every micro-batch publishes ONE new version,
+    * fenced by the epoch id (`Snapshots.commitWithEpoch`). Unlike
+    * [[mergeSink]] — whose exactly-once rests on the MERGE being
+    * idempotent — this holds for non-idempotent batches too (append
+    * logs, deltas): a crash-re-delivered epoch is detected from the
+    * head version's sealed `_epoch.N` marker and skipped, so the
+    * table gains exactly one version per epoch no matter how many
+    * times the engine replays it. Downstream readers get snapshot
+    * isolation + time travel over the stream's history for free.
+    */
+  def versionedSink(stream: DataFrame, tableDir: String,
+      checkpointDir: String) =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+          graft.operators.Snapshots.commitWithEpoch(
+            batch.sparkSession, batch.toDF(), tableDir, epochId)
+          ()
+      }
+
   def mergeSink(stream: DataFrame, targetDir: String,
       checkpointDir: String, keys: Seq[String], orderCol: String) =
     stream.writeStream

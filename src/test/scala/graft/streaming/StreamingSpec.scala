@@ -267,6 +267,49 @@ class StreamingSpec extends SparkSpec {
       got.mkString(";"))
   }
 
+  test("versionedSink crash-replay: a re-delivered epoch publishes NO " +
+    "duplicate version — exactly-once without idempotent merges") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Snapshots
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-vsink").toString
+    val table = s"$base/table"
+    val mem = MemoryStream[Event]
+    def start(ck: String) = EventStream.versionedSink(
+      mem.toDF().select(col("event_id").as("k"),
+        col("event_type").as("v")), table, ck).start()
+    val q1 = start(s"$base/ck")
+    mem.addData(Event(1, ts(0), 1, "a", 1.0))
+    q1.processAllAvailable(); q1.stop()
+    assert(Snapshots.latestVersion(spark, table) == 1L)
+    // crash copy missing commits/0 (+ its .crc): epoch 0 re-delivers
+    val src = java.nio.file.Paths.get(s"$base/ck")
+    val dst = java.nio.file.Paths.get(s"$base/ck-crashed")
+    java.nio.file.Files.walk(src).forEach { p =>
+      val rel = src.relativize(p).toString
+      if (rel != "commits/0" && rel != "commits/.0.crc")
+        java.nio.file.Files.copy(p, dst.resolve(src.relativize(p)),
+          java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+    }
+    val q2 = start(s"$base/ck-crashed")
+    q2.processAllAvailable()
+    // an APPEND batch re-applied would double the row; the epoch
+    // fence must instead leave the version log untouched
+    assert(Snapshots.latestVersion(spark, table) == 1L,
+      "re-delivered epoch must not publish a new version")
+    assert(Snapshots.read(spark, table).count() == 1L)
+    // the stream continues: a new epoch publishes v2
+    mem.addData(Event(2, ts(5), 1, "b", 1.0))
+    q2.processAllAvailable(); q2.stop()
+    assert(Snapshots.latestVersion(spark, table) == 2L)
+    assert(Snapshots.read(spark, table).orderBy("k").collect()
+      .map(_.getString(1)).toSeq == Seq("b"))
+    // direct fence check: same epoch re-commits as Left, no version
+    val again = Snapshots.commitWithEpoch(spark,
+      Seq((9L, "dup")).toDF("k", "v"), table, 1L)
+    assert(again.isLeft && Snapshots.latestVersion(spark, table) == 2L)
+  }
+
   test("windowTopK emits a window's ranked types ONLY once the " +
     "watermark closes it; ranks are deterministic on ties") {
     implicit val sqlCtx = spark.sqlContext
