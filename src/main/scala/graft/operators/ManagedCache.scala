@@ -20,20 +20,34 @@ object ManagedCache {
   private val persisted =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Persist `df` at `level` and track it for [[releaseAll]]. If the
     * plan is ALREADY cached (Dataset.storageLevel consults the
-    * session CacheManager by plan, not by Dataset identity), this is
-    * a no-op: re-persisting a cached plan only logs CacheManager's
-    * "Asked to cache already cached data" and re-registers churn —
-    * the original tracker's releaseAll covers both frames since the
-    * cache entry is keyed by the plan they share.
+    * session CacheManager by plan, not by Dataset identity), the
+    * persist call itself is skipped: re-persisting a cached plan only
+    * logs CacheManager's "Asked to cache already cached data" and
+    * re-registers churn. The frame is still TRACKED, so a plan that
+    * arrived pre-cached through an untracked bare `.cache()` is
+    * released by [[releaseAll]] like everything else (unpersist is
+    * keyed by the shared plan; a double unpersist of the same entry
+    * is a no-op). A storage-level mismatch — the existing cache holds
+    * a different level than the caller asked for — is surfaced with a
+    * WARN rather than silently honored, because the cheaper level
+    * (e.g. MEMORY_ONLY when MEMORY_AND_DISK was requested) can evict
+    * under pressure where the requested one would have spilled.
     */
   def persist(df: DataFrame,
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
-    if (df.storageLevel == StorageLevel.NONE) {
+    val existing = df.storageLevel
+    if (existing == StorageLevel.NONE) {
       df.persist(level)
-      persisted.add(df)
+    } else if (existing != level) {
+      log.warn(s"plan already cached at $existing; requested $level " +
+        "is NOT applied (Spark caches are keyed by plan) — the " +
+        "existing level stays in effect until releaseAll")
     }
+    persisted.add(df)
     df
   }
 
