@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
 
 /** Per-file min/max statistics manifests — the file-skipping layer a
   * parquet lake needs to make clustered layout (ZOrder/SilverLayout)
@@ -16,12 +17,20 @@ import org.apache.spark.sql.functions._
   *
   * Format: `_stats.json` inside the version directory (the `_` prefix
   * makes it invisible to parquet directory reads), one JSON line per
-  * data file: relative path, row count, and per-column [min,max] as
-  * DECIMAL STRINGS — exact for every integral/decimal value (a
-  * double round-trip would corrupt longs above 2^53) and ordered
-  * lexicographically-correct after BigDecimal parse. All-null or
-  * missing stats for a column mean the file is always KEPT
-  * (pruning must be conservative, never lossy).
+  * data file: relative path, row count, and per-column [min,max].
+  * Numeric/temporal stats are DECIMAL/ISO STRINGS — exact for every
+  * integral/decimal value (a double round-trip would corrupt longs
+  * above 2^53). STRING-typed stats are stored verbatim, JSON-escaped
+  * (quotes, backslashes, control characters — a raw interpolation
+  * corrupted the manifest on exactly the values string pruning
+  * exists for), and TRUNCATED to `maxStatLen` code points: the min
+  * truncates to a prefix (a prefix is ≤ the true min in binary
+  * order, so it stays a sound lower bound) and the max truncates to
+  * a prefix with its last code point incremented (strictly > the
+  * true max — a sound upper bound; Iceberg's truncate(L) transform
+  * is the public precedent). All-null, missing, or untruncatable
+  * stats for a column mean the file is always KEPT (pruning must be
+  * conservative, never lossy).
   *
   * The manifest is computed by one extra scan of the freshly staged
   * files (grouped by `input_file_name`) — distributed, one pass,
@@ -36,8 +45,8 @@ object FileStats {
   val ManifestName = "_stats.json"
 
   /** One data file's stats: path relative to the version root, rows,
-    * and per-column (min, max) as exact decimal strings (None when
-    * the file's column is all-null). */
+    * and per-column (min, max) as strings (None when the file's
+    * column is all-null or its stats were untruncatable). */
   case class FileStat(relPath: String, rows: Long,
       cols: Map[String, Option[(String, String)]])
 
@@ -46,24 +55,141 @@ object FileStats {
   case class PruneStats(filesRead: Long, filesSkipped: Long,
       rowsInRead: Long, rowsInSkipped: Long)
 
+  /** A range predicate against a stats column; `None` bounds are
+    * open. [[NumRange]] compares stats as exact BigDecimal;
+    * [[StrRange]] compares in UTF-8 BINARY order — the same ordering
+    * Spark's default UTF8_BINARY collation gives `min`/`max` on a
+    * string column, so text-typed incremental predicates (the
+    * reference's `applied_date`, a TEXT column consumed as an
+    * `applied_after` pushdown — jobcan_di/database/requests/
+    * _table_init.py:57, jobcan_di/gateway/api_client.py:569) prune
+    * files instead of always reading everything. */
+  sealed trait StatsPred { def column: String }
+  final case class NumRange(column: String, lo: Option[BigDecimal],
+      hi: Option[BigDecimal]) extends StatsPred
+  final case class StrRange(column: String, lo: Option[String],
+      hi: Option[String]) extends StatsPred
+
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ---- JSON string escaping (hand-rolled like the rest of the
+  // manifest codec — no JSON library in the dependency set) ---------
+
+  private[operators] def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private[operators] def jsonUnescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => sb.append('"'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'u' if i + 6 <= s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16)
+              .toChar)
+            i += 6
+          case other => sb.append(other); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  // ---- string-stat ordering and truncation -------------------------
+
+  /** UTF-8 binary comparison — matches UTF8String.binaryCompare, the
+    * ordering Spark's default-collation min/max used to produce the
+    * stats being compared (String.compareTo differs for
+    * supplementary characters: UTF-16 surrogates sort below some BMP
+    * code points). */
+  private[operators] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Lower-bound truncation: the first `maxLen` code points. A
+    * proper prefix sorts strictly below the full string in binary
+    * order, so the result is always a sound lower bound. */
+  private[operators] def truncateLower(s: String, maxLen: Int): String =
+    if (s.codePointCount(0, s.length) <= maxLen) s
+    else s.substring(0, s.offsetByCodePoints(0, maxLen))
+
+  /** Upper-bound truncation: the first `maxLen` code points with the
+    * last incrementable code point bumped (and the tail after it
+    * dropped) — strictly greater than every string sharing the
+    * prefix, in both code-point and UTF-8 binary order (UTF-8
+    * preserves code-point ordering). Increments landing in the
+    * surrogate range jump to U+E000 (still an upper bound — no valid
+    * string contains unpaired surrogates). None when every prefix
+    * code point is already U+10FFFF — the caller drops the stat and
+    * the file is kept conservatively. */
+  private[operators] def truncateUpper(s: String,
+      maxLen: Int): Option[String] = {
+    if (s.codePointCount(0, s.length) <= maxLen) Some(s)
+    else {
+      val cps = s.substring(0, s.offsetByCodePoints(0, maxLen))
+        .codePoints.toArray
+      var i = cps.length - 1
+      while (i >= 0 && cps(i) >= 0x10FFFF) i -= 1
+      if (i < 0) None
+      else {
+        var next = cps(i) + 1
+        if (next >= 0xD800 && next <= 0xDFFF) next = 0xE000
+        val out = cps.take(i + 1)
+        out(i) = next
+        Some(new String(out, 0, out.length))
+      }
+    }
+  }
 
   /** Compute per-file stats for `statsCols` over the parquet files
     * under `dataDir` and write `_stats.json` there. One distributed
     * scan reading ONLY the stats columns (column-pruned at the
-    * parquet footer), one file-keyed aggregate.
+    * parquet footer), one file-keyed aggregate. String-typed columns
+    * get truncated bounds (`maxStatLen` code points — long document
+    * bodies must not bloat a 100k-line manifest); every other type is
+    * stored exactly as its cast-to-string rendering.
     */
   def writeManifest(spark: SparkSession, dataDir: String,
-      statsCols: Seq[String]): Unit = {
+      statsCols: Seq[String], maxStatLen: Int = 64): Unit = {
     require(statsCols.nonEmpty, "statsCols must be non-empty")
+    require(maxStatLen > 0, "maxStatLen must be positive")
     val rootUri = fs(spark, dataDir)
       .makeQualified(new Path(dataDir)).toUri.getPath
+    val src = spark.read.parquet(dataDir)
+    val stringCols = statsCols
+      .filter(c => src.schema(c).dataType == StringType).toSet
     val aggs = count(lit(1L)).as("__rows") +:
       statsCols.flatMap(c => Seq(
         min(col(c)).cast("string").as(s"__min_$c"),
         max(col(c)).cast("string").as(s"__max_$c")))
-    val perFile = spark.read.parquet(dataDir)
+    val perFile = src
       .select((input_file_name().as("__file") +:
         statsCols.map(col)): _*)
       .groupBy(col("__file"))
@@ -72,20 +198,24 @@ object FileStats {
     val lines = perFile.toSeq.map { r =>
       val full = new java.net.URI(r.getString(0)).getPath
       val rel = full.stripPrefix(rootUri).stripPrefix("/")
-      // the hand-rolled JSON below doesn't escape — Spark part-file
-      // names are safe, but a STRING partition value becomes a
-      // `key=value` directory in the path: refuse metacharacters
-      // loudly rather than write a manifest readManifest can't parse
-      require(!rel.exists(c => c == '"' || c == '\\' || c == '\n'),
-        s"manifest path contains JSON metacharacters: $rel")
       val colsJson = statsCols.map { c =>
-        val mn = r.getAs[String](s"__min_$c")
-        val mx = r.getAs[String](s"__max_$c")
-        val v = if (mn == null || mx == null) "null"
-          else s"""["$mn","$mx"]"""
-        s""""$c":$v"""
+        val mn0 = r.getAs[String](s"__min_$c")
+        val mx0 = r.getAs[String](s"__max_$c")
+        val bounds =
+          if (mn0 == null || mx0 == null) None
+          else if (stringCols(c))
+            truncateUpper(mx0, maxStatLen)
+              .map(mx => (truncateLower(mn0, maxStatLen), mx))
+          else Some((mn0, mx0))
+        val v = bounds match {
+          case Some((mn, mx)) =>
+            s"""["${jsonEscape(mn)}","${jsonEscape(mx)}"]"""
+          case None => "null"
+        }
+        s""""${jsonEscape(c)}":$v"""
       }.mkString(",")
-      s"""{"file":"$rel","rows":${r.getAs[Long]("__rows")},"cols":{$colsJson}}"""
+      s"""{"file":"${jsonEscape(rel)}",""" +
+        s""""rows":${r.getAs[Long]("__rows")},"cols":{$colsJson}}"""
     }.sorted
     val f = fs(spark, dataDir)
     val out = f.create(new Path(dataDir, ManifestName), true)
@@ -93,61 +223,81 @@ object FileStats {
     finally out.close()
   }
 
-  /** Parse `_stats.json` under `dataDir`. Hand-rolled parse of the
-    * exact format [[writeManifest]] emits (keys and decimal strings
-    * contain no JSON metacharacters — column names are Spark
-    * identifiers, values are decimal renderings). */
+  // JSON string content with escapes intact: [^"\\] or a \-pair
+  private val Str = """((?:[^"\\]|\\.)*)"""
+
+  /** Parse `_stats.json` under `dataDir` — the exact format
+    * [[writeManifest]] emits, escape-aware in both the path and the
+    * stat values (string stats carry user data). */
   def readManifest(spark: SparkSession, dataDir: String): Seq[FileStat] = {
     val f = fs(spark, dataDir)
     val in = f.open(new Path(dataDir, ManifestName))
     val text =
       try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
       finally in.close()
-    val FileR = """"file":"([^"]+)"""".r.unanchored
+    val FileR = ("\"file\":\"" + Str + "\"").r.unanchored
     val RowsR = """"rows":(\d+)""".r.unanchored
-    val ColR = """"([^"]+)":(?:null|\["([^"]*)","([^"]*)"\])""".r
+    val ColR = ("\"" + Str + "\":(?:null|\\[\"" + Str + "\",\"" +
+      Str + "\"\\])").r
     text.split("\n").toSeq.filter(_.nonEmpty).map { line =>
-      val rel = line match { case FileR(p) => p }
+      val rel = line match { case FileR(p) => jsonUnescape(p) }
       val rows = line match { case RowsR(n) => n.toLong }
       val colsBlob = line.substring(line.indexOf("\"cols\":{") + 8)
       val cols = ColR.findAllMatchIn(colsBlob).map { m =>
-        m.group(1) -> Option(m.group(2)).map(mn => (mn, m.group(3)))
+        jsonUnescape(m.group(1)) -> Option(m.group(2))
+          .map(mn => (jsonUnescape(mn), jsonUnescape(m.group(3))))
       }.toMap
       FileStat(rel, rows, cols)
     }
   }
 
   /** Split the manifest into (kept, skipped) for a CONJUNCTION of
-    * range predicates `column BETWEEN lo AND hi`: a file is skipped
-    * when ANY predicate's stats PROVE no row can match (max < lo or
-    * min > hi, compared as exact BigDecimal). Predicates on columns
-    * a file has no stats for — absent or all-null — keep the file
-    * conservatively. Multi-column conjunctions are where a Z-ordered
-    * layout beats a single-column sort: each Morton tile is tight on
-    * BOTH dimensions, so both ranges prune multiplicatively.
+    * typed range predicates: a file is skipped when ANY predicate's
+    * stats PROVE no row can match (max < lo or min > hi — BigDecimal
+    * for [[NumRange]], UTF-8 binary order for [[StrRange]]).
+    * Predicates on columns a file has no stats for — absent,
+    * all-null, or numeric parse failure on a [[NumRange]] — keep the
+    * file conservatively. Truncated string bounds stay sound: the
+    * stored min is ≤ the true min and the stored max is ≥ the true
+    * max, so both skip tests remain proofs. Multi-column
+    * conjunctions are where a Z-ordered layout beats a single-column
+    * sort: each Morton tile is tight on BOTH dimensions, so both
+    * ranges prune multiplicatively.
     */
-  def pruneRanges(manifest: Seq[FileStat],
-      preds: Seq[(String, BigDecimal, BigDecimal)])
+  def prune(manifest: Seq[FileStat], preds: Seq[StatsPred])
       : (Seq[FileStat], Seq[FileStat]) = {
     require(preds.nonEmpty, "at least one range predicate")
-    // stats for a non-numeric column (writeManifest casts min/max of
-    // ANY type to string) don't parse as BigDecimal — keep the file,
-    // never throw: pruning must degrade to reading, not to failing
+    // stats that don't parse as BigDecimal under a numeric predicate
+    // (a string column queried numerically) keep the file, never
+    // throw: pruning must degrade to reading, not to failing
     def num(s: String): Option[BigDecimal] =
       try Some(BigDecimal(s)) catch { case _: NumberFormatException => None }
     manifest.partition { fstat =>
-      preds.forall { case (column, lo, hi) =>
-        fstat.cols.get(column).flatten match {
-          case Some((mn, mx)) =>
-            (num(mn), num(mx)) match {
-              case (Some(nmn), Some(nmx)) => !(nmx < lo || nmn > hi)
-              case _ => true
-            }
+      preds.forall { p =>
+        fstat.cols.get(p.column).flatten match {
           case None => true
+          case Some((mn, mx)) => p match {
+            case NumRange(_, lo, hi) =>
+              (num(mn), num(mx)) match {
+                case (Some(nmn), Some(nmx)) =>
+                  !(hi.exists(h => nmn > h) || lo.exists(l => nmx < l))
+                case _ => true
+              }
+            case StrRange(_, lo, hi) =>
+              !(hi.exists(h => utf8Compare(mn, h) > 0) ||
+                lo.exists(l => utf8Compare(mx, l) < 0))
+          }
         }
       }
     }
   }
+
+  /** Numeric-tuple convenience over [[prune]] (closed ranges). */
+  def pruneRanges(manifest: Seq[FileStat],
+      preds: Seq[(String, BigDecimal, BigDecimal)])
+      : (Seq[FileStat], Seq[FileStat]) =
+    prune(manifest,
+      preds.map { case (c, lo, hi) => NumRange(c, Some(lo), Some(hi)) })
 
   /** Single-predicate [[pruneRanges]]. */
   def pruneRange(manifest: Seq[FileStat], column: String,
@@ -172,9 +322,16 @@ object FileStats {
     * stats. */
   def readRangesPruned(spark: SparkSession, dataDir: String,
       preds: Seq[(String, BigDecimal, BigDecimal)])
-      : (DataFrame, PruneStats) = {
+      : (DataFrame, PruneStats) =
+    readPredsPruned(spark, dataDir,
+      preds.map { case (c, lo, hi) => NumRange(c, Some(lo), Some(hi)) })
+
+  /** [[readRangesPruned]] generalized to typed predicates — the entry
+    * point for string/date range pruning ([[StrRange]]). */
+  def readPredsPruned(spark: SparkSession, dataDir: String,
+      preds: Seq[StatsPred]): (DataFrame, PruneStats) = {
     val manifest = readManifest(spark, dataDir)
-    val (kept, skipped) = pruneRanges(manifest, preds)
+    val (kept, skipped) = prune(manifest, preds)
     val stats = PruneStats(kept.size.toLong, skipped.size.toLong,
       kept.map(_.rows).sum, skipped.map(_.rows).sum)
     val df =

@@ -27,27 +27,36 @@ object ManagedCache {
     * session CacheManager by plan, not by Dataset identity), the
     * persist call itself is skipped: re-persisting a cached plan only
     * logs CacheManager's "Asked to cache already cached data" and
-    * re-registers churn. The frame is still TRACKED, so a plan that
-    * arrived pre-cached through an untracked bare `.cache()` is
-    * released by [[releaseAll]] like everything else (unpersist is
-    * keyed by the shared plan; a double unpersist of the same entry
-    * is a no-op). A storage-level mismatch — the existing cache holds
-    * a different level than the caller asked for — is surfaced with a
-    * WARN rather than silently honored, because the cheaper level
-    * (e.g. MEMORY_ONLY when MEMORY_AND_DISK was requested) can evict
-    * under pressure where the requested one would have spilled.
+    * re-registers churn — and the frame is NOT re-tracked either
+    * (tracking is only for caches this registry itself created):
+    *  - a plan cached through an untracked bare `.cache()` belongs to
+    *    whoever cached it — adopting it would let a process-global
+    *    releaseAll drop a frame another component deliberately pinned
+    *    for session lifetime (pass `adopt = true` to opt in when the
+    *    caller KNOWS it owns the foreign cache);
+    *  - a plan this registry already persisted is already queued —
+    *    re-adding it each call would grow the queue without bound in
+    *    a persist-per-iteration loop.
+    * A storage-level mismatch — the existing cache holds a different
+    * level than the caller asked for — is surfaced with a WARN rather
+    * than silently honored, because the cheaper level (e.g.
+    * MEMORY_ONLY when MEMORY_AND_DISK was requested) can evict under
+    * pressure where the requested one would have spilled.
     */
   def persist(df: DataFrame,
-      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      adopt: Boolean = false): DataFrame = {
     val existing = df.storageLevel
     if (existing == StorageLevel.NONE) {
       df.persist(level)
-    } else if (existing != level) {
-      log.warn(s"plan already cached at $existing; requested $level " +
-        "is NOT applied (Spark caches are keyed by plan) — the " +
-        "existing level stays in effect until releaseAll")
+      persisted.add(df)
+    } else {
+      if (existing != level)
+        log.warn(s"plan already cached at $existing; requested $level " +
+          "is NOT applied (Spark caches are keyed by plan) — the " +
+          "existing level stays in effect until releaseAll")
+      if (adopt && !persisted.contains(df)) persisted.add(df)
     }
-    persisted.add(df)
     df
   }
 

@@ -177,6 +177,29 @@ object Snapshots {
     v
   }
 
+  /** Version numbers of every existing `v=` directory. */
+  private def existingVersions(f: org.apache.hadoop.fs.FileSystem,
+      dir: String): Seq[Long] = {
+    val d = new Path(dir)
+    if (!f.exists(d)) Seq.empty
+    else f.listStatus(d).toSeq.collect {
+      case s if s.isDirectory && s.getPath.getName.startsWith("v=") =>
+        s.getPath.getName.stripPrefix("v=").toLong
+    }
+  }
+
+  /** Epoch ids of the `_epoch.N` markers inside `v=$v` (empty when
+    * the version directory is missing or unmarked). */
+  private def epochMarkers(f: org.apache.hadoop.fs.FileSystem,
+      dir: String, v: Long): Set[Long] = {
+    val d = new Path(dir, s"v=$v")
+    if (!f.exists(d)) Set.empty
+    else f.listStatus(d).toSeq.collect {
+      case s if s.isFile && s.getPath.getName.startsWith("_epoch.") =>
+        s.getPath.getName.stripPrefix("_epoch.").toLong
+    }.toSet
+  }
+
   /** Epoch-fenced commit — the exactly-once primitive a STREAMING
     * sink needs when batches are NOT idempotent merges (append logs,
     * aggregation deltas): each committed version carries its epoch id
@@ -184,34 +207,90 @@ object Snapshots {
     * the same atomic slot rename as the data, so marker and bytes are
     * inseparable), and a re-delivered epoch — Structured Streaming
     * re-executes the last uncommitted micro-batch after a crash — is
-    * detected by reading the CURRENT HEAD's marker and skipped with
-    * `Left`. Single writer per table (plain-commit discipline);
-    * sequential epochs mean the only possible duplicate is the last
-    * committed version, so the fence is one O(1) head probe, not a
-    * version-log scan. Crash matrix: die before the slot rename →
-    * nothing published, replay commits normally; die between rename
-    * and pointer publish → the next attempt's head probe misses
-    * (head is still the older version) and commit retries into a
-    * FRESH slot — the orphan is vacuumable and never published; die
-    * after publish → replay sees the marker and skips.
+    * detected and skipped with `Left`. Single writer per table
+    * (plain-commit discipline); sequential epochs mean the only
+    * possible duplicate is the LAST epoch-marked version.
+    *
+    * THE FENCE reads the newest PUBLISHED version that carries any
+    * epoch marker — not just the head. The head probe alone was
+    * broken by the store's own maintenance ops: `compactVersion`
+    * publishes a new head, and although it now carries the source's
+    * markers forward, a plain `commit`/`commitChecked` interleaved on
+    * the same table does not — the fence must scan back to the
+    * newest marked version rather than trust `v=head` specifically.
+    * For a pure `versionedSink` table the newest marked version IS
+    * the head (compaction preserves markers), so the scan is one
+    * directory listing in the steady state.
+    *
+    * Crash matrix: die before the slot rename → nothing published,
+    * replay commits normally; die between rename and pointer publish
+    * → the orphan `v=N` is COMPLETE (slot renames are all-or-nothing)
+    * and carries this epoch's marker, so the replay ROLLS IT FORWARD
+    * (publishes the existing bytes instead of re-writing — the
+    * previous behavior committed the replay into a fresh slot and
+    * left the orphan as sub-head "history" that time travel served as
+    * a duplicated epoch); die after publish → replay sees the marker
+    * and skips.
     */
   def commitWithEpoch(spark: SparkSession, df: DataFrame, dir: String,
       epochId: Long): Either[String, Long] = {
     require(epochId >= 0, s"epoch ids are non-negative, got $epochId")
     val f = fs(spark, dir)
     val head = latestVersion(spark, dir)
-    if (head > 0 &&
-        f.exists(new Path(dir, s"v=$head/_epoch.$epochId")))
-      Left(s"epoch $epochId already published as v=$head")
-    else {
-      val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
-      df.write.mode("overwrite").parquet(stage.toString)
-      f.create(new Path(stage, s"_epoch.$epochId"), true).close()
-      val v = occupyNextFree(spark, f, dir, stage)
-      publish(spark, dir, v)
-      Right(v)
+    val versions = existingVersions(f, dir)
+    val fence = versions.filter(_ <= head).sorted.reverseIterator
+      .map(v => (v, epochMarkers(f, dir, v)))
+      .collectFirst { case (v, ms) if ms.nonEmpty => (v, ms) }
+    fence match {
+      case Some((v, ms)) if ms.contains(epochId) =>
+        Left(s"epoch $epochId already published as v=$v")
+      case _ =>
+        // crashed-attempt recovery: an unpublished v>head carrying
+        // THIS epoch's marker is our own prior attempt that died
+        // between slot rename and pointer publish. Its data is
+        // complete — roll it forward instead of duplicating it into a
+        // fresh slot (which would leave the orphan inside keepLast as
+        // time-travel history serving the same epoch twice).
+        val orphans = versions
+          .filter(v => v > head && epochMarkers(f, dir, v).contains(epochId))
+          .sorted
+        orphans.headOption match {
+          case Some(v) =>
+            // a double-crash can leave several same-epoch orphans;
+            // publish the oldest complete one, reclaim the rest
+            orphans.tail.foreach { o =>
+              f.delete(new Path(dir, s"v=$o"), true)
+              retireClaim(f, dir, o)
+            }
+            publish(spark, dir, v)
+            retireClaim(f, dir, v)
+            Right(v)
+          case None =>
+            val stage =
+              new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
+            df.write.mode("overwrite").parquet(stage.toString)
+            f.create(new Path(stage, s"_epoch.$epochId"), true).close()
+            val v = occupyNextFree(spark, f, dir, stage)
+            publish(spark, dir, v)
+            Right(v)
+        }
     }
   }
+
+  /** Recreate the source version's `_epoch.*` markers inside a
+    * compaction stage: markers are empty fence files, and
+    * [[Compaction.listDataFiles]] rightly skips `_`-prefixed entries
+    * when binning — without this copy, compacting a
+    * `versionedSink`-fed table silently DROPPED the exactly-once
+    * fence and a crash-replay of the last epoch published a
+    * duplicate version. */
+  private def copyEpochMarkers(f: org.apache.hadoop.fs.FileSystem,
+      srcVersionDir: Path, stage: Path): Unit =
+    f.listStatus(srcVersionDir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("_epoch."))
+      .foreach { s =>
+        f.create(new Path(stage, s.getPath.getName), true).close()
+      }
 
   /** [[commit]] + a per-file min/max stats manifest ([[FileStats]]):
     * the staged files are scanned once (stats columns only) and
@@ -280,6 +359,7 @@ object Snapshots {
       targetBytes)
     if (cols.nonEmpty)
       FileStats.writeManifest(spark, stage.toString, cols)
+    copyEpochMarkers(f, new Path(vDir), stage)
     val nv = occupyNextFree(spark, f, dir, stage)
     publish(spark, dir, nv)
     (nv, stats)
@@ -334,6 +414,7 @@ object Snapshots {
     }
     if (cols.nonEmpty)
       FileStats.writeManifest(spark, stage.toString, cols)
+    copyEpochMarkers(f, vPath, stage)
     val nv = occupyNextFree(spark, f, dir, stage)
     publish(spark, dir, nv)
     (nv, agg)
@@ -360,6 +441,17 @@ object Snapshots {
     val v = if (version > 0) version else latestVersion(spark, dir)
     require(v > 0, s"$dir has no committed version")
     FileStats.readRangesPruned(spark, s"$dir/v=$v", preds)
+  }
+
+  /** [[readPrunedMulti]] over TYPED predicates — the entry point for
+    * string/date pruning ([[FileStats.StrRange]]: UTF-8 binary order,
+    * truncated bounds stay sound) alongside numeric ranges. */
+  def readPrunedPreds(spark: SparkSession, dir: String,
+      preds: Seq[FileStats.StatsPred],
+      version: Long = -1L): (DataFrame, FileStats.PruneStats) = {
+    val v = if (version > 0) version else latestVersion(spark, dir)
+    require(v > 0, s"$dir has no committed version")
+    FileStats.readPredsPruned(spark, s"$dir/v=$v", preds)
   }
 
   /** Point `_latest` at `v` via write-temp-then-rename. The replace

@@ -134,22 +134,6 @@ class Views(t: Map[String, DataFrame], localTz: String = "UTC") {
   // which leaks session-lifetime CacheManager entries (§4
   // materialization note).
 
-  /** Cached viewRequestDetails for multi-view fan-out.
-    *
-    * @deprecated since round 14 — the bare `.cache()` this wrapped
-    * leaked a session-lifetime CacheManager entry per call; the
-    * tracked replacement is
-    * `graft.operators.ManagedCache.persist(views.viewRequestDetails)`
-    * followed by `ManagedCache.releaseAll()` once the consuming
-    * actions drain. This shim now delegates to exactly that persist
-    * (the frame is tracked and released by the next releaseAll), so
-    * existing callers keep working while they migrate.
-    */
-  @deprecated("use graft.operators.ManagedCache.persist(" +
-    "viewRequestDetails) + releaseAll()", "round 14")
-  def cacheRequestDetails(): DataFrame =
-    graft.operators.ManagedCache.persist(viewRequestDetails)
-
   // -- approval process (create_views.sql:182-199) --------------------
   def viewApprovalProcess: DataFrame = {
     // all three tables shred from the same bronze lineage — explicit

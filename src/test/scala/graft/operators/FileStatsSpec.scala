@@ -207,4 +207,114 @@ class FileStatsSpec extends SparkSpec {
     assert(pruned.count() == 0)
     assert(pruned.columns.toSet == Set("k", "s", "bucket"))
   }
+
+  test("string stat values with JSON metacharacters round-trip: a " +
+    "published manifest is never poisoned by quotes, backslashes, or " +
+    "newlines in the data") {
+    val dir = freshDir("graft-fstats-esc")
+    // adversarial min/max per file: the old raw interpolation wrote a
+    // manifest readManifest could not parse, breaking readPruned AND
+    // compactVersion on a validly published table
+    val df = Seq(
+      ("\"quoted\" start", 0), ("zz\\backslash", 0),
+      ("line\nbreak", 1), ("tab\there ctl", 1))
+      .toDF("s", "bucket").repartition(col("bucket"))
+    Snapshots.commitWithStats(spark, df, dir,
+      statsCols = Seq("s"), partitionByCols = Seq("bucket"))
+    val manifest = FileStats.readManifest(spark, s"$dir/v=1")
+    assert(manifest.size == 2)
+    val allStats = manifest.flatMap(_.cols("s")).sortBy(_._1)
+    assert(allStats.contains(("\"quoted\" start", "zz\\backslash")),
+      allStats.toString)
+    assert(allStats.exists(_._1 == "line\nbreak"), allStats.toString)
+    // the manifest stays consumable end-to-end: string-pruned read
+    // and compaction both parse it
+    val (pruned, ps) = Snapshots.readPrunedPreds(spark, dir,
+      Seq(FileStats.StrRange("s", Some("a"), Some("z"))))
+    assert(ps.filesRead + ps.filesSkipped == 2)
+    assert(pruned.count() >= 1)
+    Snapshots.compactPartitionedVersion(spark, dir,
+      targetBytes = 1L << 30)
+    assert(Snapshots.latestVersion(spark, dir) == 2L)
+  }
+
+  test("string-range pruning (the reference's text-typed applied_date " +
+    "shape): a date-string predicate opens strictly fewer files and " +
+    "loses no matching row") {
+    val dir = freshDir("graft-fstats-str")
+    // 4 files of disjoint month ranges, TEXT dates — the reference's
+    // most-queried incremental predicate could never prune before
+    val df = (0 until 120).map { i =>
+      val month = i / 30 + 1
+      (f"2024-$month%02d-${i % 30 + 1}%02d", i.toLong, i / 30)
+    }.toDF("applied_date", "k", "bucket").repartition(col("bucket"))
+    Snapshots.commitWithStats(spark, df, dir,
+      statsCols = Seq("applied_date"), partitionByCols = Seq("bucket"))
+    val (pruned, ps) = Snapshots.readPrunedPreds(spark, dir,
+      Seq(FileStats.StrRange("applied_date",
+        Some("2024-02-15"), Some("2024-03-15"))))
+    assert(ps.filesRead == 2 && ps.filesSkipped == 2, ps.toString)
+    val got = pruned
+      .filter(col("applied_date").between("2024-02-15", "2024-03-15"))
+      .count()
+    val want = Snapshots.read(spark, dir)
+      .filter(col("applied_date").between("2024-02-15", "2024-03-15"))
+      .count()
+    assert(got == want && want > 0)
+    // open-ended bound — the applied_after pushdown shape
+    val (_, psOpen) = Snapshots.readPrunedPreds(spark, dir,
+      Seq(FileStats.StrRange("applied_date", Some("2024-04-01"), None)))
+    assert(psOpen.filesRead == 1 && psOpen.filesSkipped == 3)
+  }
+
+  test("truncated string bounds stay sound at the boundary: a max " +
+    "sharing the cut prefix is kept, a value past the incremented " +
+    "prefix is provably skippable, untruncatable stats keep the file") {
+    // unit layer: the truncation algebra itself
+    assert(FileStats.truncateLower("abcdef", 4) == "abcd")
+    assert(FileStats.truncateUpper("abcdef", 4).contains("abce"))
+    assert(FileStats.truncateUpper("abc", 4).contains("abc"))
+    // increment carries over a code point at the ceiling
+    val maxCp = new String(Character.toChars(0x10FFFF))
+    assert(FileStats.truncateUpper("ab" + maxCp * 3, 4)
+      .contains("ac"))
+    assert(FileStats.truncateUpper(maxCp * 5, 4).isEmpty)
+    // an increment landing in the surrogate gap jumps past it
+    assert(FileStats.truncateUpper("a퟿zzz", 2)
+      .contains("a"))
+    // integration: boundary-adversarial pruning. One file whose true
+    // max ("aaaa_zzz") is truncated to min="aaaa", max="aaab"
+    val dir = freshDir("graft-fstats-trunc")
+    val df = Seq(("aaaa_mmm", 0), ("aaaa_zzz", 0), ("bbbb_xxx", 1),
+      ("bbbb_yyy", 1)).toDF("s", "bucket").repartition(col("bucket"))
+    val stage = s"$dir/data"
+    df.write.partitionBy("bucket").parquet(stage)
+    FileStats.writeManifest(spark, stage, Seq("s"), maxStatLen = 4)
+    val manifest = FileStats.readManifest(spark, stage)
+    assert(manifest.flatMap(_.cols("s")).toSet ==
+      Set(("aaaa", "aaab"), ("bbbb", "bbbc")))
+    // predicate inside the truncated envelope but past the TRUE max:
+    // must be KEPT (truncation widens, never narrows)
+    val (k1, _) = FileStats.prune(manifest,
+      Seq(FileStats.StrRange("s", Some("aaaa_zzzz"), Some("aaaa_zzzz"))))
+    assert(k1.size == 1, "widened bound must keep the file")
+    // predicate past the incremented prefix: provably disjoint
+    val (k2, s2) = FileStats.prune(manifest,
+      Seq(FileStats.StrRange("s", Some("aaac"), Some("aab"))))
+    assert(k2.isEmpty && s2.size == 2)
+    // matching reads lose nothing through the truncated manifest
+    val (kept, _) = FileStats.prune(manifest,
+      Seq(FileStats.StrRange("s", Some("aaaa_zzz"), Some("bbbb_xxx"))))
+    assert(kept.size == 2)
+  }
+
+  test("JSON escape codec round-trips every metacharacter class") {
+    val cases = Seq("plain", "\"q\"", "back\\slash", "n\nl", "r\rt\tx",
+      "ctl", "mix\"\\\nend", "")
+    cases.foreach { s =>
+      assert(FileStats.jsonUnescape(FileStats.jsonEscape(s)) == s,
+        s"round-trip failed for ${s.getBytes("UTF-8").mkString(",")}")
+    }
+    assert(!FileStats.jsonEscape("a\nb\"c").exists(c => c == '\n'))
+  }
 }

@@ -450,4 +450,79 @@ class SnapshotsSpec extends SparkSpec {
       }
     } finally pool.shutdown()
   }
+
+  test("compaction preserves the exactly-once epoch fence: a " +
+    "crash-replay of the last epoch AFTER compactVersion publishes " +
+    "no duplicate version") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-epoch-compact").toString + "/t"
+    // three epoch-fenced batches, each deliberately multi-file so
+    // compaction has something to bin-pack
+    (0 to 2).foreach { e =>
+      val r = Snapshots.commitWithEpoch(spark,
+        Seq((e, s"e$e-a"), (e, s"e$e-b")).toDF("id", "s")
+          .repartition(2), dir, e.toLong)
+      assert(r == Right(e + 1L), r.toString)
+    }
+    val (nv, _) = Snapshots.compactVersion(spark, dir,
+      targetBytes = 1L << 30)
+    assert(nv == 4L)
+    // the compacted head must carry the source's _epoch.2 marker —
+    // Compaction.listDataFiles rightly skips _-prefixed files, so
+    // without the explicit copy the fence silently vanished here
+    assert(new java.io.File(s"$dir/v=4/_epoch.2").exists(),
+      "compaction must carry the epoch marker forward")
+    // crash-replay of epoch 2 (Structured Streaming re-executes the
+    // last uncommitted micro-batch): the fence must hold
+    val replay = Snapshots.commitWithEpoch(spark,
+      Seq((2, "dup")).toDF("id", "s"), dir, 2L)
+    assert(replay.isLeft, s"duplicate epoch published: $replay")
+    assert(Snapshots.latestVersion(spark, dir) == 4L)
+    assert(Snapshots.read(spark, dir).count() == 2L)
+    // the stream continues: a genuinely new epoch commits on top
+    assert(Snapshots.commitWithEpoch(spark,
+      Seq((3, "e3")).toDF("id", "s"), dir, 3L) == Right(5L))
+    // the fence scans BACK to the newest marked version: a plain
+    // (unmarked) maintenance commit on top must not reopen epoch 3
+    Snapshots.commit(spark, Snapshots.read(spark, dir), dir)
+    val replay3 = Snapshots.commitWithEpoch(spark,
+      Seq((3, "dup3")).toDF("id", "s"), dir, 3L)
+    assert(replay3.isLeft, s"fence lost behind a plain commit: $replay3")
+  }
+
+  test("commitWithEpoch crashed-attempt recovery: a complete but " +
+    "unpublished version carrying the replayed epoch rolls FORWARD — " +
+    "no sub-head orphan serving the same epoch twice as history") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-epoch-orphan").toString + "/t"
+    assert(Snapshots.commitWithEpoch(spark,
+      Seq((0, "e0")).toDF("id", "s"), dir, 0L) == Right(1L))
+    // simulate epoch 1 dying between slot rename and pointer publish:
+    // v=2 exists complete (data + marker + claim), pointer still at 1
+    Seq((1, "e1-original")).toDF("id", "s").write.parquet(s"$dir/v=2")
+    val d = new java.io.File(dir)
+    assert(new java.io.File(s"$dir/v=2/_epoch.1").createNewFile())
+    assert(new java.io.File(d, "_claim.2").createNewFile())
+    // the replay must publish the EXISTING complete attempt, not
+    // duplicate the epoch into a fresh slot above it
+    val r = Snapshots.commitWithEpoch(spark,
+      Seq((1, "e1-replay")).toDF("id", "s"), dir, 1L)
+    assert(r == Right(2L), r.toString)
+    assert(Snapshots.latestVersion(spark, dir) == 2L)
+    assert(Snapshots.read(spark, dir).collect().head.getString(1)
+      == "e1-original")
+    // exactly ONE version carries _epoch.1 — time travel can never
+    // serve the epoch twice
+    val marked = d.listFiles().filter(_.getName.startsWith("v=")).toSeq
+      .filter(v => new java.io.File(v, "_epoch.1").exists())
+    assert(marked.map(_.getName) == Seq("v=2"), marked.mkString(","))
+    // the crashed attempt's claim marker was retired, not left live
+    assert(!new java.io.File(d, "_claim.2").exists())
+    // a second replay of the now-published epoch is fenced normally
+    assert(Snapshots.commitWithEpoch(spark,
+      Seq((1, "dup")).toDF("id", "s"), dir, 1L).isLeft)
+    // and the stream continues
+    assert(Snapshots.commitWithEpoch(spark,
+      Seq((2, "e2")).toDF("id", "s"), dir, 2L) == Right(3L))
+  }
 }
