@@ -51,6 +51,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer extension: auto-band levenshtein(a,b) <= k predicates
     // with the free |length(a)-length(b)| <= k short-circuit
     ext.injectOptimizerRule(_ => graft.plans.BandLevenshtein)
+    // read-path extension: parquet relations over a directory carrying
+    // a _stats.json manifest get manifest-consulting file listing —
+    // plain spark.read.parquet(versionDir).filter(...) skips files
+    ext.injectOptimizerRule(_ => graft.plans.StatsPruneRule)
   }
 }
 

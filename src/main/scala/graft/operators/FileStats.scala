@@ -120,7 +120,7 @@ object FileStats {
     * stats being compared (String.compareTo differs for
     * supplementary characters: UTF-16 surrogates sort below some BMP
     * code points). */
-  private[operators] def utf8Compare(a: String, b: String): Int = {
+  private[graft] def utf8Compare(a: String, b: String): Int = {
     val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var i = 0
@@ -221,6 +221,12 @@ object FileStats {
     val out = f.create(new Path(dataDir, ManifestName), true)
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
+    // a prior manifest-less read of this directory may have
+    // negative-cached it in the planner rule — drop that entry
+    graft.plans.StatsPruneRule.invalidate(
+      new Path(dataDir).toString)
+    graft.plans.StatsPruneRule.invalidate(
+      f.makeQualified(new Path(dataDir)).toString)
   }
 
   // JSON string content with escapes intact: [^"\\] or a \-pair

@@ -571,6 +571,28 @@ object Snapshots {
     spark.read.parquet(s"$dir/v=$v")
   }
 
+  /** [[read]] with PLANNER-INTEGRATED file skipping: when the version
+    * carries a `_stats.json` manifest, the returned frame's file index
+    * consults it at listing time, so ordinary `.filter(...)` calls —
+    * no explicit ranges, no readPruned — skip files whose min/max
+    * provably exclude the predicate ([[graft.plans.StatsFileIndex]]).
+    * Sessions built with GraftExtensions get the same behavior on a
+    * bare `spark.read.parquet(versionDir)` via the injected
+    * StatsPruneRule; this entry point works without the extension.
+    * Falls back to a plain read when the version has no manifest. */
+  def table(spark: SparkSession, dir: String,
+      version: Long = -1L): DataFrame = {
+    val v = if (version > 0) version else latestVersion(spark, dir)
+    require(v > 0, s"$dir has no committed version")
+    val vDir = s"$dir/v=$v"
+    val f = fs(spark, dir)
+    val plain = spark.read.parquet(vDir)
+    if (!f.exists(new Path(vDir, FileStats.ManifestName))) plain
+    else graft.plans.StatsFileIndex.attach(spark, plain,
+      f.makeQualified(new Path(vDir)),
+      FileStats.readManifest(spark, vDir))
+  }
+
   /** Roll the table back to an earlier committed version — a pointer
     * move; later versions stay on disk (forensics) until vacuumed. */
   def rollback(spark: SparkSession, dir: String, v: Long): Unit = {

@@ -1,0 +1,310 @@
+package graft.plans
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{FileIndex,
+  HadoopFsRelation, LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.types._
+
+import graft.operators.FileStats
+import graft.operators.FileStats.{NumRange, StatsPred, StrRange}
+
+/** Planner-integrated file skipping: a [[FileIndex]] that consults a
+  * version directory's `_stats.json` manifest AT LISTING TIME, so a
+  * PLAIN `spark.read.parquet(versionDir).filter(...)` — or
+  * [[graft.operators.Snapshots.table]] — skips files whose min/max
+  * provably exclude the predicate, with zero query rewriting and the
+  * standard parquet scan (PushedFilters, whole-stage codegen, AQE)
+  * untouched downstream. This closes the gap where manifest pruning
+  * was a side API (`readPruned` with explicit literal ranges) instead
+  * of the read path: the planner hands `listFiles` the query's own
+  * data filters, [[StatsFilters]] turns the range-shaped conjuncts
+  * into [[FileStats.StatsPred]]s, and the non-matching files never
+  * enter the scan. At 100 TB this is the difference between "the
+  * user remembered to call the pruning API" and "every filtered read
+  * of the table prunes" — the same contract Delta/Iceberg give
+  * through their own file indexes.
+  *
+  * The index DELEGATES to the relation's original [[FileIndex]]
+  * (partition discovery, partition pruning, directory layout all
+  * inherited) and intersects the listing with the manifest's keep
+  * set. Files the manifest does not cover are kept conservatively —
+  * pruning is always a superset guarantee.
+  */
+final class StatsFileIndex(
+    val underlying: FileIndex,
+    versionRoot: Path,
+    manifest: Seq[FileStats.FileStat]) extends FileIndex {
+
+  private val rootPathStr = versionRoot.toUri.getPath
+
+  /** Census of the last listing decision — observable accounting for
+    * tests and operators; a skipped file is never silence. */
+  @volatile var lastPrune: Option[FileStats.PruneStats] = None
+
+  override def rootPaths: Seq[Path] = underlying.rootPaths
+  override def partitionSchema: StructType = underlying.partitionSchema
+  override def inputFiles: Array[String] = underlying.inputFiles
+  override def sizeInBytes: Long = underlying.sizeInBytes
+  override def refresh(): Unit = underlying.refresh()
+
+  private def relOf(p: Path): String =
+    p.toUri.getPath.stripPrefix(rootPathStr).stripPrefix("/")
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val listed = underlying.listFiles(partitionFilters, dataFilters)
+    val preds = StatsFilters.extract(dataFilters)
+    if (preds.isEmpty) {
+      lastPrune = Some(FileStats.PruneStats(
+        manifest.size.toLong, 0L, manifest.map(_.rows).sum, 0L))
+      listed
+    } else {
+      val (kept, skipped) = FileStats.prune(manifest, preds)
+      lastPrune = Some(FileStats.PruneStats(
+        kept.size.toLong, skipped.size.toLong,
+        kept.map(_.rows).sum, skipped.map(_.rows).sum))
+      val keptSet = kept.map(_.relPath).toSet
+      val covered = manifest.map(_.relPath).toSet
+      listed.map { pd =>
+        PartitionDirectory(pd.values, pd.files.filter { f =>
+          val rel = relOf(f.getPath)
+          keptSet(rel) || !covered(rel)
+        })
+      }.filter(_.files.nonEmpty)
+    }
+  }
+}
+
+object StatsFileIndex {
+
+  /** Swap a resolved parquet relation's [[FileIndex]] for the
+    * manifest-consulting one. No-op when the plan has no
+    * [[HadoopFsRelation]] or the index is already stats-backed. */
+  def attach(spark: SparkSession, df: DataFrame, versionRoot: Path,
+      manifest: Seq[FileStats.FileStat]): DataFrame = {
+    val swapped = df.queryExecution.analyzed.transform {
+      case lr: LogicalRelation
+          if lr.relation.isInstanceOf[HadoopFsRelation] &&
+            !lr.relation.asInstanceOf[HadoopFsRelation].location
+              .isInstanceOf[StatsFileIndex] =>
+        val h = lr.relation.asInstanceOf[HadoopFsRelation]
+        val idx = new StatsFileIndex(h.location, versionRoot, manifest)
+        lr.copy(relation = h.copy(location = idx)(h.sparkSession))
+    }
+    GraftColumnBridge.ofRows(spark, swapped)
+  }
+
+  /** The stats index embedded in `df`'s plan, if any — the handle to
+    * [[StatsFileIndex.lastPrune]] after an action has run. Inspects
+    * the OPTIMIZED plan: the attach() path swaps at analysis but the
+    * injected StatsPruneRule swaps during optimization. */
+  def indexOf(df: DataFrame): Option[StatsFileIndex] =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case lr: LogicalRelation
+          if lr.relation.isInstanceOf[HadoopFsRelation] &&
+            lr.relation.asInstanceOf[HadoopFsRelation].location
+              .isInstanceOf[StatsFileIndex] =>
+        lr.relation.asInstanceOf[HadoopFsRelation].location
+          .asInstanceOf[StatsFileIndex]
+    }
+}
+
+/** Catalyst → [[FileStats.StatsPred]] extraction: the range-shaped
+  * conjuncts of a scan's data filters, conservatively. Anything not
+  * provably a single-column range against literals (ORs, casts,
+  * functions, unsupported types) contributes NO predicate — the file
+  * is read and the row-level filter still applies, so extraction can
+  * only ever widen the read set, never lose a row.
+  */
+object StatsFilters {
+
+  def extract(filters: Seq[Expression]): Seq[StatsPred] =
+    filters.flatMap(splitConj).flatMap(toPred)
+
+  private def splitConj(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConj(l) ++ splitConj(r)
+    case other => Seq(other)
+  }
+
+  private def toPred(e: Expression): Option[StatsPred] = e match {
+    case GreaterThan(a: AttributeReference, l: Literal) =>
+      bound(a, Some(l), None)
+    case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+      bound(a, Some(l), None)
+    case LessThan(a: AttributeReference, l: Literal) =>
+      bound(a, None, Some(l))
+    case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+      bound(a, None, Some(l))
+    // literal-first mirror: `5 < x` bounds x from below, etc.
+    case GreaterThan(l: Literal, a: AttributeReference) =>
+      bound(a, None, Some(l))
+    case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+      bound(a, None, Some(l))
+    case LessThan(l: Literal, a: AttributeReference) =>
+      bound(a, Some(l), None)
+    case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+      bound(a, Some(l), None)
+    case EqualTo(a: AttributeReference, l: Literal) =>
+      bound(a, Some(l), Some(l))
+    case EqualTo(l: Literal, a: AttributeReference) =>
+      bound(a, Some(l), Some(l))
+    case EqualNullSafe(a: AttributeReference, l: Literal)
+        if l.value != null =>
+      bound(a, Some(l), Some(l))
+    case EqualNullSafe(l: Literal, a: AttributeReference)
+        if l.value != null =>
+      bound(a, Some(l), Some(l))
+    case In(a: AttributeReference, vs)
+        if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+      inBound(a, vs.map(_.asInstanceOf[Literal].value))
+    case InSet(a: AttributeReference, vs) if vs.nonEmpty =>
+      inBound(a, vs.toSeq)
+    case _ => None
+  }
+
+  /** An IN list bounds the column by [min(values), max(values)].
+    * NULLs in the list can never equal a row value — they drop out of
+    * the bounds; an all-NULL list matches nothing but pruning still
+    * conservatively keeps (Catalyst folds that case anyway). */
+  private def inBound(a: AttributeReference,
+      vs0: Seq[Any]): Option[StatsPred] = {
+    val vs = vs0.filter(_ != null)
+    if (vs.isEmpty) None
+    else a.dataType match {
+      case _: NumericType =>
+        val bs = vs.map(toBig)
+        if (bs.exists(_.isEmpty)) None
+        else {
+          val b = bs.flatten
+          Some(NumRange(a.name, Some(b.min), Some(b.max)))
+        }
+      case StringType =>
+        val ss = vs.map(_.toString)
+        Some(StrRange(a.name,
+          Some(ss.min(strOrd)), Some(ss.max(strOrd))))
+      case DateType =>
+        val ds = vs.map(dateStr)
+        if (ds.exists(_.isEmpty)) None
+        else {
+          val d = ds.flatten
+          Some(StrRange(a.name, Some(d.min), Some(d.max)))
+        }
+      case _ => None
+    }
+  }
+
+  private val strOrd: Ordering[String] =
+    (a, b) => FileStats.utf8Compare(a, b)
+
+  private def bound(a: AttributeReference, lo: Option[Literal],
+      hi: Option[Literal]): Option[StatsPred] = {
+    if (lo.exists(_.value == null) || hi.exists(_.value == null)) None
+    else a.dataType match {
+      case _: NumericType =>
+        // an unconvertible requested bound (NaN/∞) drops to open —
+        // wider range, still sound
+        Some(NumRange(a.name,
+          lo.flatMap(l => toBig(l.value)),
+          hi.flatMap(l => toBig(l.value))))
+      case StringType =>
+        Some(StrRange(a.name,
+          lo.map(_.value.toString), hi.map(_.value.toString)))
+      case DateType =>
+        // date stats were cast to ISO strings by the manifest writer;
+        // render the literal (days since epoch) the same way. Years
+        // outside 1..9999 format differently between LocalDate and
+        // Spark's cast — refuse to prune there rather than compare
+        // apples to oranges
+        val l = lo.map(x => dateStr(x.value))
+        val h = hi.map(x => dateStr(x.value))
+        if (l.exists(_.isEmpty) || h.exists(_.isEmpty)) None
+        else Some(StrRange(a.name, l.flatten, h.flatten))
+      case _ => None
+    }
+  }
+
+  private def toBig(v: Any): Option[BigDecimal] = v match {
+    case b: Byte => Some(BigDecimal(b.toInt))
+    case s: Short => Some(BigDecimal(s.toInt))
+    case i: Int => Some(BigDecimal(i))
+    case l: Long => Some(BigDecimal(l))
+    case f: Float =>
+      if (f.isNaN || f.isInfinite) None else Some(BigDecimal(f.toDouble))
+    case d: Double =>
+      if (d.isNaN || d.isInfinite) None else Some(BigDecimal(d))
+    case d: Decimal => Some(d.toBigDecimal)
+    case _ => None
+  }
+
+  private def dateStr(v: Any): Option[String] = v match {
+    case days: Int if days >= -719162 && days <= 2932896 =>
+      Some(java.time.LocalDate.ofEpochDay(days.toLong).toString)
+    case _ => None
+  }
+}
+
+/** The extension surface ([[graft.expressions.GraftExtensions]]
+  * injects this): every resolved parquet relation whose SINGLE root
+  * directory carries a `_stats.json` manifest gets its file index
+  * swapped for the manifest-consulting [[StatsFileIndex]] — plain
+  * `spark.read.parquet(versionDir)` prunes with no API call at all.
+  * Published version directories are immutable, so the manifest is
+  * cached by (path, modification time); directories WITHOUT a
+  * manifest are negative-cached by path and invalidated by
+  * [[FileStats.writeManifest]] via [[StatsPruneRule.invalidate]].
+  */
+object StatsPruneRule extends Rule[LogicalPlan] {
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    String, Option[(Long, Seq[FileStats.FileStat])]]()
+
+  private[graft] def invalidate(rootPath: String): Unit = {
+    cache.remove(rootPath); ()
+  }
+
+  private def manifestFor(spark: SparkSession,
+      root: Path): Option[Seq[FileStats.FileStat]] = {
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mf = new Path(root, FileStats.ManifestName)
+    val key = root.toString
+    val cached = Option(cache.get(key))
+    val mtime =
+      try Some(f.getFileStatus(mf).getModificationTime)
+      catch { case _: java.io.IOException => None }
+    (cached, mtime) match {
+      case (Some(None), None) => None // negative-cached, still absent
+      case (Some(Some((t, m))), Some(t2)) if t == t2 => Some(m)
+      case (_, None) => cache.put(key, None); None
+      case (_, Some(t2)) =>
+        val m =
+          try FileStats.readManifest(spark, root.toString)
+          catch { case _: Exception => Seq.empty }
+        if (m.isEmpty) { cache.put(key, None); None }
+        else { cache.put(key, Some((t2, m))); Some(m) }
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case lr: LogicalRelation
+        if lr.relation.isInstanceOf[HadoopFsRelation] &&
+          !lr.relation.asInstanceOf[HadoopFsRelation].location
+            .isInstanceOf[StatsFileIndex] &&
+          lr.relation.asInstanceOf[HadoopFsRelation].location
+            .rootPaths.size == 1 =>
+      val h = lr.relation.asInstanceOf[HadoopFsRelation]
+      val root = h.location.rootPaths.head
+      manifestFor(h.sparkSession, root) match {
+        case Some(m) =>
+          val qualified = root.getFileSystem(
+            h.sparkSession.sparkContext.hadoopConfiguration)
+            .makeQualified(root)
+          val idx = new StatsFileIndex(h.location, qualified, m)
+          lr.copy(relation = h.copy(location = idx)(h.sparkSession))
+        case None => lr
+      }
+  }
+}

@@ -872,6 +872,56 @@ object ExtOps {
       }
     }),
 
+    // Planner-integrated pruning — the SAME census as xq22 but
+    // decided by the READ PATH itself: Snapshots.table returns a
+    // frame whose graft.plans.StatsFileIndex consults _stats.json at
+    // listing time, so an ordinary `.filter(x BETWEEN 100 AND 299)`
+    // skips the files — no readPruned call, no explicit literal
+    // ranges, PushedFilters and codegen untouched downstream (the
+    // GraftExtensions StatsPruneRule gives bare spark.read.parquet
+    // the same behavior). The census is the index's own listing
+    // decision; rows_matched/x_checksum come from the pruned scan —
+    // a wrongly skipped file diverges the checksum loudly. The
+    // DuckDB twin is xq22's, verbatim: the decision semantics are
+    // identical, only the mechanism moved into the planner.
+    "xq24_planner_pruning" -> ((s, dir) => {
+      import graft.operators.{Snapshots, ZOrder}
+      val base = t(s, dir, "lineitem")
+        .select(pmod(col("l_partkey"), lit(1024)).as("x"),
+          pmod(col("l_suppkey"), lit(1024)).as("y"))
+        .withColumn("z",
+          ZOrder.interleave2(col("x"), col("y"), 10))
+        .withColumn("z_bucket",
+          call_function("div", col("z"), lit(16384L)))
+        .drop("z")
+        .repartition(col("z_bucket"))
+      val store = new java.io.File(
+        System.getProperty("java.io.tmpdir", "/tmp"),
+        s"graft-xq24-${java.util.UUID.randomUUID()}").getAbsolutePath
+      val hfs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      try {
+        val v = Snapshots.commitWithStats(s, base, store,
+          statsCols = Seq("x"), partitionByCols = Seq("z_bucket"))
+        val tbl = Snapshots.table(s, store, v)
+        val m = tbl.filter(col("x").between(100, 299))
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(col("x")), lit(0L)).as("sx")).head()
+        val ps = graft.plans.StatsFileIndex.indexOf(tbl)
+          .flatMap(_.lastPrune)
+          .getOrElse(sys.error("planner index recorded no census"))
+        import s.implicits._
+        Seq((ps.filesRead + ps.filesSkipped, ps.filesRead,
+          ps.filesSkipped, ps.rowsInRead, ps.rowsInSkipped,
+          m.getLong(0), m.getLong(1)))
+          .toDF("files_total", "files_read", "files_skipped",
+            "rows_in_read", "rows_in_skipped", "rows_matched",
+            "x_checksum")
+      } finally {
+        hfs.delete(new org.apache.hadoop.fs.Path(store), true); ()
+      }
+    }),
+
     // Triangle counting over the part co-purchase graph (parts
     // sharing an order) with DEGREE-ORDERED ORIENTATION (Schank &
     // Wagner 2005 / Suri-Vassilvitskii MapReduce form): every edge is
@@ -1713,6 +1763,43 @@ object ExtOps {
            (SELECT CAST(coalesce(sum(y), 0) AS BIGINT) FROM z
              WHERE x BETWEEN 100 AND 299 AND y BETWEEN 0 AND 199)
              AS y_checksum
+         FROM cls""",
+    // xq22's twin verbatim: the planner-integrated index makes the
+    // SAME keep/skip decision from the same per-bucket min/max — only
+    // the mechanism moved from the readPruned side API into listFiles
+    "xq24_planner_pruning" ->
+      """WITH xy AS (SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y
+           FROM lineitem),
+         z AS (SELECT x,
+             (x % 2) * 1 + ((x // 2) % 2) * 4 + ((x // 4) % 2) * 16
+           + ((x // 8) % 2) * 64 + ((x // 16) % 2) * 256
+           + ((x // 32) % 2) * 1024 + ((x // 64) % 2) * 4096
+           + ((x // 128) % 2) * 16384 + ((x // 256) % 2) * 65536
+           + ((x // 512) % 2) * 262144
+           + (y % 2) * 2 + ((y // 2) % 2) * 8 + ((y // 4) % 2) * 32
+           + ((y // 8) % 2) * 128 + ((y // 16) % 2) * 512
+           + ((y // 32) % 2) * 2048 + ((y // 64) % 2) * 8192
+           + ((y // 128) % 2) * 32768 + ((y // 256) % 2) * 131072
+           + ((y // 512) % 2) * 524288 AS zv
+           FROM xy),
+         f AS (SELECT zv // 16384 AS z_bucket, count(*) AS rows_in,
+             min(x) AS mn, max(x) AS mx
+           FROM z GROUP BY 1),
+         cls AS (SELECT rows_in,
+             (NOT (mx < 100 OR mn > 299)) AS kept FROM f)
+         SELECT count(*) AS files_total,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+             AS files_read,
+           CAST(sum(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS BIGINT)
+             AS files_skipped,
+           CAST(sum(CASE WHEN kept THEN rows_in ELSE 0 END) AS BIGINT)
+             AS rows_in_read,
+           CAST(sum(CASE WHEN NOT kept THEN rows_in ELSE 0 END)
+             AS BIGINT) AS rows_in_skipped,
+           (SELECT count(*) FROM z WHERE x BETWEEN 100 AND 299)
+             AS rows_matched,
+           (SELECT CAST(coalesce(sum(x), 0) AS BIGINT) FROM z
+             WHERE x BETWEEN 100 AND 299) AS x_checksum
          FROM cls""",
     // id-ordered naive 3-way join — each triangle once as a < b < c;
     // the degree-oriented Spark plan must count identically
