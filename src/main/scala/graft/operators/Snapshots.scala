@@ -454,6 +454,55 @@ object Snapshots {
     FileStats.readPredsPruned(spark, s"$dir/v=$v", preds)
   }
 
+  // ---- schema evolution ---------------------------------------------
+  // Versions are whole-table snapshots, so each version carries its
+  // own (internally consistent) schema — but add/drop a column
+  // between commits and readers mixing versions (time travel joins,
+  // timeline unions) saw raw mixed schemas with no contract. The
+  // contract here is the standard lakehouse one: THE table schema is
+  // the LATEST committed version's schema, and any version can be
+  // served CONFORMED to it — added columns materialize as typed NULLs
+  // (or caller-supplied defaults), dropped columns are projected
+  // away, matching columns cast when the type widened. A rename has
+  // no tracked identity (it is a drop + add, same as Delta without
+  // column mapping); at 100 TB add-column is a weekly event and costs
+  // O(1) here — no version rewrite, conformance is a projection.
+
+  /** Project/cast `df` onto `target`: columns matched BY NAME
+    * (case-sensitive); missing columns become `defaults(name)` or a
+    * typed NULL; extra columns drop; present columns cast to the
+    * target type (Spark's cast — widening is safe, a narrowing or
+    * incompatible cast fails at analysis like any other). */
+  def conform(df: DataFrame, target: org.apache.spark.sql.types.StructType,
+      defaults: Map[String, org.apache.spark.sql.Column] = Map.empty)
+      : DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val present = df.columns.toSet
+    val cols = target.fields.toSeq.map { fld =>
+      if (present(fld.name)) col(fld.name).cast(fld.dataType).as(fld.name)
+      else defaults.get(fld.name)
+        .map(_.cast(fld.dataType).as(fld.name))
+        .getOrElse(lit(null).cast(fld.dataType).as(fld.name))
+    }
+    df.select(cols: _*)
+  }
+
+  /** The table's CURRENT schema — the latest committed version's. */
+  def tableSchema(spark: SparkSession,
+      dir: String): org.apache.spark.sql.types.StructType =
+    read(spark, dir).schema
+
+  /** Time travel under schema evolution: read `version` conformed to
+    * the latest committed schema, so every version of the table—
+    * whatever columns it was written with — presents the same shape.
+    * `defaults` fills columns added since `version` was written
+    * (add-column-with-default); absent ones are typed NULLs. */
+  def readConformed(spark: SparkSession, dir: String,
+      version: Long = -1L,
+      defaults: Map[String, org.apache.spark.sql.Column] = Map.empty)
+      : DataFrame =
+    conform(read(spark, dir, version), tableSchema(spark, dir), defaults)
+
   /** Point `_latest` at `v` via write-temp-then-rename. The replace
     * is a SINGLE atomic overwrite rename (`FileContext.rename` with
     * `Options.Rename.OVERWRITE` — atomic on HDFS/posix; object

@@ -922,6 +922,53 @@ object ExtOps {
       }
     }),
 
+    // Snapshot schema evolution end-to-end: three commits with
+    // add/widen/drop between them (v1 k+price, v2 +status, v3 drops
+    // price and adds clerk), then every version TIME-TRAVELED
+    // CONFORMED to the latest schema (Snapshots.readConformed —
+    // added columns as typed NULLs, dropped columns projected away,
+    // widened columns cast). The per-version non-null census + key
+    // checksum pins the contract: v1 must show zero status/clerk, v2
+    // status only, v3 both — the DuckDB twin replays conformance with
+    // explicit NULL projections over the same orders table. At
+    // 100 TB add-column costs O(1) here: no version rewrite,
+    // conformance is a projection.
+    "xq25_schema_evolution" -> ((s, dir) => {
+      import graft.operators.Snapshots
+      val o = t(s, dir, "orders")
+      val store = new java.io.File(
+        System.getProperty("java.io.tmpdir", "/tmp"),
+        s"graft-xq25-${java.util.UUID.randomUUID()}").getAbsolutePath
+      val hfs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      try {
+        Snapshots.commit(s, o.select(
+          col("o_orderkey").cast("long").as("k"),
+          col("o_totalprice").as("price")), store)
+        Snapshots.commit(s, o.select(
+          col("o_orderkey").cast("long").as("k"),
+          col("o_totalprice").as("price"),
+          col("o_orderstatus").as("status")), store)
+        Snapshots.commit(s, o.select(
+          col("o_orderkey").cast("long").as("k"),
+          col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("clerk")), store)
+        val out = (1L to 3L).map { v =>
+          val r = Snapshots.readConformed(s, store, v)
+            .agg(count(lit(1)).as("n"),
+              count(col("status")).as("n_status"),
+              count(col("clerk")).as("n_clerk"),
+              coalesce(sum(col("k")), lit(0L)).as("k_sum")).head()
+          (v, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        }
+        import s.implicits._
+        out.toDF("version", "n", "n_status", "n_clerk", "k_sum")
+          .orderBy("version")
+      } finally {
+        hfs.delete(new org.apache.hadoop.fs.Path(store), true); ()
+      }
+    }),
+
     // Triangle counting over the part co-purchase graph (parts
     // sharing an order) with DEGREE-ORDERED ORIENTATION (Schank &
     // Wagner 2005 / Suri-Vassilvitskii MapReduce form): every edge is
@@ -1801,6 +1848,23 @@ object ExtOps {
            (SELECT CAST(coalesce(sum(x), 0) AS BIGINT) FROM z
              WHERE x BETWEEN 100 AND 299) AS x_checksum
          FROM cls""",
+    // conformance replayed with explicit NULL projections: v1 never
+    // had status/clerk, v2 never had clerk — the conformed reads must
+    // census exactly these shapes
+    "xq25_schema_evolution" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+             o_orderstatus AS status, o_orderpriority AS clerk FROM orders)
+         SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS version, count(*) AS n,
+             CAST(0 AS BIGINT) AS n_status, CAST(0 AS BIGINT) AS n_clerk,
+             CAST(sum(k) AS BIGINT) AS k_sum FROM o
+           UNION ALL
+           SELECT CAST(2 AS BIGINT), count(*), count(status),
+             CAST(0 AS BIGINT), CAST(sum(k) AS BIGINT) FROM o
+           UNION ALL
+           SELECT CAST(3 AS BIGINT), count(*), count(status),
+             count(clerk), CAST(sum(k) AS BIGINT) FROM o
+         ) ORDER BY version""",
     // id-ordered naive 3-way join — each triangle once as a < b < c;
     // the degree-oriented Spark plan must count identically
     "xg2_triangle_count" ->

@@ -525,4 +525,50 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.commitWithEpoch(spark,
       Seq((2, "e2")).toDF("id", "s"), dir, 2L) == Right(3L))
   }
+
+  test("schema evolution: add/drop/widen across versions — time " +
+    "travel conforms to the latest schema, defaults fill added " +
+    "columns, per-version manifests keep pruning") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-snap-evo").toString + "/t"
+    // v1: (id int, a string)
+    Snapshots.commitWithStats(spark,
+      Seq((1, "x"), (2, "y")).toDF("id", "a"), dir, Seq("id"))
+    // v2: id WIDENED to long, b added
+    Snapshots.commitWithStats(spark,
+      Seq((1L, "x", 10L), (2L, "y", 20L), (3L, "z", 30L))
+        .toDF("id", "a", "b"), dir, Seq("id"))
+    // v3: a dropped, c added
+    Snapshots.commit(spark,
+      Seq((1L, 10L, true), (4L, 40L, false)).toDF("id", "b", "c"), dir)
+    // THE table schema is the latest version's
+    val ts = Snapshots.tableSchema(spark, dir)
+    assert(ts.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Seq(("id", LongType), ("b", LongType), ("c", BooleanType)))
+    // v1 conformed: id cast int→long, b/c typed NULLs, a gone
+    val v1c = Snapshots.readConformed(spark, dir, 1)
+    assert(v1c.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Seq(("id", LongType), ("b", LongType), ("c", BooleanType)))
+    val v1rows = v1c.orderBy("id").collect()
+    assert(v1rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(v1rows.forall(r => r.isNullAt(1) && r.isNullAt(2)))
+    // add-column-with-default
+    val v1d = Snapshots.readConformed(spark, dir, 1,
+      defaults = Map("b" -> lit(-1L)))
+    assert(v1d.select("b").collect().map(_.getLong(0)).toSeq ==
+      Seq(-1L, -1L))
+    // a timeline union across all three shapes just works
+    val timeline = (1L to 3L)
+      .map(v => Snapshots.readConformed(spark, dir, v))
+      .reduce(_ unionByName _)
+    assert(timeline.count() == 7)
+    assert(timeline.filter(col("c").isNotNull).count() == 2)
+    // an OLD version still prunes through ITS OWN manifest
+    val (pruned, ps) = Snapshots.readPruned(spark, dir, "id",
+      BigDecimal(3), BigDecimal(3), version = 2)
+    assert(ps.filesRead + ps.filesSkipped >= 1)
+    assert(pruned.filter(col("id") === 3).count() == 1)
+  }
 }
