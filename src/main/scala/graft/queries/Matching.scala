@@ -303,6 +303,50 @@ object Matching {
         .orderBy(col("doc_id"))
     }),
 
+    // er4 — the CANONICALIZATION capstone on top of the er ladder:
+    // er3's vocabulary-bounded match pairs (distinct names, first-
+    // token block, jw ≥ 0.9) become EDGES of a name graph, connected
+    // components (ConnectedComponents.minLabel — the dd6/dd11
+    // fixpoint, min-reachable-id labels) merge transitive matches
+    // into one entity, and SURVIVORSHIP picks each entity's canonical
+    // record deterministically: the member with the cluster-minimum
+    // partkey contributes the canonical name (no RNG, replayable).
+    // The name's min-partkey doubles as its vertex id — unique
+    // because a partkey belongs to exactly one name. Emitted: one row
+    // per multi-name entity (cluster key, member-name count, total
+    // part rows absorbed, canonical name). The DuckDB twin replays
+    // the closure with a RECURSIVE CTE (min reachable id over the
+    // symmetrized edge set). At 100 TB the expensive parts stay
+    // vocabulary-bounded (er3's collapse) and the fixpoint state is
+    // edge-touched names only — the corpus contributes one scan +
+    // one hash agg, exactly er3's flat-slope contract.
+    "er4_entity_canonical" -> ((s, dir) => {
+      import graft.operators.ConnectedComponents
+      val names = t(s, dir, "part")
+        .groupBy(col("p_name"))
+        .agg(count(lit(1)).as("n"), min(col("p_partkey")).as("k"))
+      val a = names.select(
+        split(col("p_name"), " ").getItem(0).as("blk"),
+        col("p_name").as("na"), col("k").as("ka"))
+      val b = names.select(
+        split(col("p_name"), " ").getItem(0).as("blk"),
+        col("p_name").as("nb"), col("k").as("kb"))
+      val edges = a.join(b, Seq("blk"))
+        .filter(col("na") < col("nb") &&
+          SF.jaroWinkler(col("na"), col("nb")) >= 0.9)
+        .select(col("ka").as("src"), col("kb").as("dst"))
+      val comps = ConnectedComponents.minLabel(
+        names.select(col("k").as("id")), edges)
+      names.join(comps, names("k") === comps("id"))
+        .groupBy(col("comp").as("cluster_key"))
+        .agg(count(lit(1)).as("n_names"),
+          sum(col("n")).as("n_parts"),
+          max(when(col("k") === col("comp"), col("p_name")))
+            .as("canonical_name"))
+        .filter(col("n_names") >= 2)
+        .orderBy(col("cluster_key"))
+    }),
+
     // px16 — temperature-based source resampling (the data-mixing
     // step before LM training: multinomial source weights q_s ∝
     // n_s^α, α=0.7, corpus size preserved). Per-doc copy count is
@@ -567,6 +611,34 @@ object Matching {
          SELECT sim_band, CAST(sum(pairs) AS BIGINT) AS n_pairs,
            CAST(sum(min_key) AS BIGINT) AS group_checksum
          FROM u GROUP BY 1 ORDER BY 1""",
+    // the closure replayed as a recursive CTE: min reachable id over
+    // the symmetrized jw-edge set IS the component label; the
+    // canonical name is the cluster-minimum member's
+    "er4_entity_canonical" ->
+      """WITH RECURSIVE names AS (
+           SELECT p_name, count(*) AS n, min(p_partkey) AS k
+           FROM part GROUP BY 1),
+         e0 AS (
+           SELECT a.k AS ka, b.k AS kb
+           FROM names a JOIN names b
+             ON string_split(a.p_name,' ')[1] =
+                string_split(b.p_name,' ')[1]
+            AND a.p_name < b.p_name
+           WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9),
+         edges AS (SELECT ka AS src, kb AS dst FROM e0
+                   UNION SELECT kb, ka FROM e0),
+         reach(id, r) AS (
+           SELECT k, k FROM names
+           UNION
+           SELECT reach.id, e.dst FROM reach
+             JOIN edges e ON reach.r = e.src),
+         cc AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+         SELECT comp AS cluster_key, count(*) AS n_names,
+           CAST(sum(n.n) AS BIGINT) AS n_parts,
+           max(CASE WHEN n.k = comp THEN n.p_name END)
+             AS canonical_name
+         FROM names n JOIN cc ON n.k = cc.id
+         GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""",
     "px15_weighted_sample" ->
       """SELECT doc_id, lang, n_chars FROM (
            SELECT doc_id, lang, n_chars
