@@ -424,11 +424,39 @@ class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
     v
   }
 
+  /** Token-validity preflight (api_client.py:240-249): ONE probe
+    * fetch against the reference's `/test/` endpoint BEFORE phase 1.
+    * A credential-rejected probe (HTTP 401/403) aborts the run with
+    * [[Integrator.TokenInvalidException]] before any data fetch —
+    * without it a bad credential fills the DLQ with auth errors
+    * across every endpoint and burns the whole throttle budget
+    * discovering what one probe proves. Any OTHER probe outcome
+    * (404 from an API without the endpoint, transient 5xx, transport
+    * noise) is inconclusive and the run proceeds: the preflight
+    * exists to fail fast on bad credentials, not to gate on probe
+    * availability — a real outage still fails phase 1 into the T6
+    * retry ladder. TokenInvalidException is deliberately NOT
+    * IO-rooted, so the ladder aborts instead of retrying a
+    * credential that cannot heal. */
+  def preflight(): Unit = {
+    report(Progress.Initializing, "token preflight probe", 0, Some(1))
+    val probe = fetcher.fetchPage("test", Map.empty, None)
+    if (probe.statusCode == 401 || probe.statusCode == 403) {
+      report(Progress.Initializing,
+        s"token rejected (HTTP ${probe.statusCode}) — aborting",
+        level = Progress.Error)
+      throw new Integrator.TokenInvalidException(
+        s"token rejected by /test/ probe: HTTP ${probe.statusCode}" +
+          probe.error.fold("")(e => s" ($e)"))
+    }
+  }
+
   /** The full 4-phase run (app.py main() / integrator.py _run()),
     * wrapped in the T6 retry ladder.
     */
   def run(): Views = Incremental.withRetryLadder() { () =>
     report(Progress.Initializing, s"state at $statePath", 0, Some(1))
+    preflight()
     updateBasicData()
     val (outline, captured) = fetchOutlines()
     try updateFormDetails(outline, captured)
@@ -445,6 +473,13 @@ class Integrator(spark: SparkSession, fetcher: Fetcher, statePath: String,
 }
 
 object Integrator {
+  /** Raised by [[Integrator.preflight]] when the credential probe is
+    * rejected — the api_client.py TokenInvalid analog. Deliberately
+    * not an IOException: the T6 retry ladder must not retry an
+    * invalid credential. */
+  final class TokenInvalidException(msg: String)
+    extends RuntimeException(msg)
+
   /** Attempts before a DLQ entry is quarantined (T5). */
   val MaxAttempts = 3
 

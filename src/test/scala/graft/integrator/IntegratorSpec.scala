@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   */
 class IntegratorSpec extends SparkSpec {
 
-  import IntegratorSpec.SyntheticApi
+  import IntegratorSpec.{CountingFetcher, SyntheticApi}
 
   test("progress side-channel: ordered phase updates reach the " +
     "notifier and the durable status file ends at done") {
@@ -26,7 +26,13 @@ class IntegratorSpec extends SparkSpec {
     val integ = new Integrator(spark, new SyntheticApi, dir,
       notifier = recorder)
     integ.run()
+    // two Initializing updates: state-path banner + the token
+    // preflight probe — consecutive duplicates collapse to the ladder
     val phases = seen.map(_.phase).toSeq
+      .foldLeft(Seq.empty[Progress.Phase]) {
+        case (acc, p) if acc.lastOption.contains(p) => acc
+        case (acc, p) => acc :+ p
+      }
     assert(phases == Seq(Progress.Initializing, Progress.BasicData,
       Progress.FormOutline, Progress.FormDetail, Progress.RegisterViews,
       Progress.Done), s"phase ladder out of order: $phases")
@@ -317,9 +323,59 @@ class IntegratorSpec extends SparkSpec {
     assert(sa10.getAs[String]("status") == "canceled_after_completion",
       "late cancellation must be re-fetched and merged")
   }
+
+  test("token preflight (api_client.py:240-249): an invalid " +
+    "credential aborts BEFORE any data fetch — one probe call, zero " +
+    "endpoint scans, zero detail fetches, no retry-ladder churn") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-preflight").toString
+    val api = new SyntheticApi
+    api.tokenInvalid = true
+    val counting = new CountingFetcher(api)
+    val integ = new Integrator(spark, counting, dir)
+    val t0 = System.nanoTime()
+    intercept[Integrator.TokenInvalidException] { integ.run() }
+    // TokenInvalid is not IO-rooted: the T6 ladder must abort on
+    // attempt 1, not sleep 60 s retrying a credential that can't heal
+    assert((System.nanoTime() - t0) < 30L * 1000 * 1000 * 1000)
+    assert(counting.pages.get() == 1,
+      s"only the probe may fetch, saw ${counting.pages.get()} pages")
+    assert(counting.details.get() == 0, "no detail fetch before auth")
+    // nothing was staged: no silver tables, no DLQ
+    assert(integ.readTable("requests").isEmpty)
+    // a valid credential probes and proceeds — the full run works
+    api.tokenInvalid = false
+    integ.run()
+    assert(counting.details.get() > 0)
+    assert(integ.readTable("requests").get.count() == 2)
+  }
 }
 
 object IntegratorSpec {
+  /** Counts every fetch crossing the Fetcher boundary before
+    * delegating. Counters are STATIC: executor-side fetches run on a
+    * deserialized copy of this wrapper, so instance fields would
+    * count only driver-side calls (local mode shares the JVM, so the
+    * companion statics observe everything — the detailCalls trick). */
+  class CountingFetcher(inner: Ingest.Fetcher) extends Ingest.Fetcher {
+    def pages = CountingFetcher.pages
+    def details = CountingFetcher.details
+    def fetchPage(apiType: String, query: Map[String, String],
+        pageToken: Option[String]): Ingest.Page = {
+      CountingFetcher.pages.incrementAndGet()
+      inner.fetchPage(apiType, query, pageToken)
+    }
+    def fetchDetail(apiType: String, id: String): Either[String, String] = {
+      CountingFetcher.details.incrementAndGet()
+      inner.fetchDetail(apiType, id)
+    }
+  }
+
+  object CountingFetcher {
+    val pages = new java.util.concurrent.atomic.AtomicInteger
+    val details = new java.util.concurrent.atomic.AtomicInteger
+  }
+
   /** Synthetic Jobcan API: masters + 2 requests; mutable so run 2 can
     * see new data.
     */
@@ -342,12 +398,18 @@ object IntegratorSpec {
     @volatile var canceled: Seq[(String, String)] = Nil
     /** outline page tokens whose fetch fails (watermark hold-back test) */
     @volatile var failOutlinePages: Set[String] = Set.empty
+    /** preflight behavior: the /test/ probe rejects the credential */
+    @volatile var tokenInvalid: Boolean = false
 
     def fetchPage(apiType: String, query: Map[String, String],
         pageToken: Option[String]): Ingest.Page =
       if (failEndpoints(apiType))
         Ingest.Page(Nil, None, 500, Some(s"flaky master $apiType"))
       else apiType match {
+      case "test" =>
+        if (tokenInvalid)
+          Ingest.Page(Nil, None, 401, Some("invalid token"))
+        else Ingest.Page(Nil, None, 200)
       case "users" => Ingest.Page(Seq(Fixtures.user1, Fixtures.user2), None)
       case "groups" => Ingest.Page(Seq(Fixtures.group1), None)
       case "positions" => Ingest.Page(Seq(Fixtures.position1), None)
