@@ -57,13 +57,20 @@ final class StatsFileIndex(
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val listed = underlying.listFiles(partitionFilters, dataFilters)
+    // census over the files the delegate actually LISTED (partition
+    // pruning may already have removed whole directories) — the
+    // skipped count is what THIS layer skipped, never an overstated
+    // whole-manifest figure
+    val listedRels = listed
+      .flatMap(_.files.map(f => relOf(f.getPath))).toSet
+    val visible = manifest.filter(m => listedRels(m.relPath))
     val preds = StatsFilters.extract(dataFilters)
     if (preds.isEmpty) {
       lastPrune = Some(FileStats.PruneStats(
-        manifest.size.toLong, 0L, manifest.map(_.rows).sum, 0L))
+        visible.size.toLong, 0L, visible.map(_.rows).sum, 0L))
       listed
     } else {
-      val (kept, skipped) = FileStats.prune(manifest, preds)
+      val (kept, skipped) = FileStats.prune(visible, preds)
       lastPrune = Some(FileStats.PruneStats(
         kept.size.toLong, skipped.size.toLong,
         kept.map(_.rows).sum, skipped.map(_.rows).sum))

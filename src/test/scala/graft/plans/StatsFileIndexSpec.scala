@@ -103,9 +103,23 @@ class StatsFileIndexSpec extends SparkSpec {
     // bucket is a PARTITION column — its filter prunes via the
     // underlying partition pruning, not the manifest; combined with
     // a k-range both layers apply
-    val (nP, fP) = run(Snapshots.table(spark, dir)
-      .filter(col("bucket") === 1 && col("k") <= 170))
+    val qP = Snapshots.table(spark, dir)
+      .filter(col("bucket") === 1 && col("k") <= 170)
+    val (nP, fP) = run(qP)
     assert(nP == 71 && fP == 1, s"part+range: rows=$nP files=$fP")
+    // the census is scoped to what partition pruning left visible —
+    // 1 read / 0 skipped, never a whole-manifest overstatement
+    assert(StatsFileIndex.indexOf(qP).get.lastPrune.contains(
+      FileStats.PruneStats(1, 0, 100, 0)),
+      StatsFileIndex.indexOf(qP).get.lastPrune)
+    // conjunctive 2-D prune: k ∈ buckets {1,2} AND d ∈ months {1,2}
+    // (buckets {0,1}) intersect to bucket 1 only — multiplicative
+    val (nC, fC) = run(Snapshots.table(spark, dir)
+      .filter(col("k").between(150, 249) && col("d") < "2024-03"))
+    assert(fC == 1, s"conjunction must prune multiplicatively: $fC")
+    assert(nC == spark.read.parquet(s"$dir/v=1")
+      .filter(col("k").between(150, 249) && col("d") < "2024-03")
+      .count())
     // an expression predicate the extractor must NOT touch
     val (nX, fX) = run(Snapshots.table(spark, dir)
       .filter(col("k") % 100 === 50))
