@@ -136,7 +136,7 @@ object FileStats {
   /** Lower-bound truncation: the first `maxLen` code points. A
     * proper prefix sorts strictly below the full string in binary
     * order, so the result is always a sound lower bound. */
-  private[operators] def truncateLower(s: String, maxLen: Int): String =
+  private[graft] def truncateLower(s: String, maxLen: Int): String =
     if (s.codePointCount(0, s.length) <= maxLen) s
     else s.substring(0, s.offsetByCodePoints(0, maxLen))
 
@@ -149,7 +149,7 @@ object FileStats {
     * string contains unpaired surrogates). None when every prefix
     * code point is already U+10FFFF — the caller drops the stat and
     * the file is kept conservatively. */
-  private[operators] def truncateUpper(s: String,
+  private[graft] def truncateUpper(s: String,
       maxLen: Int): Option[String] = {
     if (s.codePointCount(0, s.length) <= maxLen) Some(s)
     else {

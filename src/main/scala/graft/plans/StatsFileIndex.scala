@@ -170,6 +170,16 @@ object StatsFilters {
       inBound(a, vs.map(_.asInstanceOf[Literal].value))
     case InSet(a: AttributeReference, vs) if vs.nonEmpty =>
       inBound(a, vs.toSeq)
+    // LIKE 'p%' (the optimizer rewrites it to StartsWith): matches
+    // live in [p, incremented-prefix) — the same bound shape as a
+    // truncated max. Empty prefix matches everything: no predicate.
+    case StartsWith(a: AttributeReference, l: Literal)
+        if a.dataType == StringType && l.value != null &&
+          l.value.toString.nonEmpty =>
+      val p = l.value.toString
+      Some(StrRange(a.name, Some(p),
+        FileStats.truncateUpper(p + " ",
+          p.codePointCount(0, p.length))))
     case _ => None
   }
 

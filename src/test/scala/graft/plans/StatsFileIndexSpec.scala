@@ -94,6 +94,10 @@ class StatsFileIndexSpec extends SparkSpec {
     val (nI, fI) = run(Snapshots.table(spark, dir)
       .filter(col("k").isin(10L, 20L, 110L)))
     assert(nI == 3 && fI == 2, s"in: rows=$nI files=$fI")
+    // LIKE 'p%' / startsWith: one month prefix → one bucket
+    val (nL, fL) = run(Snapshots.table(spark, dir)
+      .filter(col("d").startsWith("2024-03")))
+    assert(nL == 100 && fL == 1, s"startsWith: rows=$nL files=$fL")
   }
 
   test("conservative fallbacks: non-stats columns, non-range " +
