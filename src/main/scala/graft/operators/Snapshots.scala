@@ -308,16 +308,42 @@ object Snapshots {
     */
   def commitWithStats(spark: SparkSession, df: DataFrame, dir: String,
       statsCols: Seq[String],
-      partitionByCols: Seq[String] = Nil): Long = {
+      partitionByCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Long = {
     val f = fs(spark, dir)
     val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
     val w = df.write.mode("overwrite")
     (if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*)
      else w).parquet(stage.toString)
     FileStats.writeManifest(spark, stage.toString, statsCols)
+    // point-lookup sidecars ([[BloomStats]]) seal into the version by
+    // the same rename — min/max serves clustered ranges, blooms serve
+    // equality probes on any other column
+    bloomCols.foreach(c =>
+      BloomStats.writeManifest(spark, stage.toString, c))
     val v = occupyNextFree(spark, f, dir, stage)
     publish(spark, dir, v)
     v
+  }
+
+  /** Columns that have `_bloom_<col>.json` sidecars in a version. */
+  private def bloomColsOf(f: org.apache.hadoop.fs.FileSystem,
+      vDir: String): Seq[String] =
+    f.listStatus(new Path(vDir)).toSeq.map(_.getPath.getName).collect {
+      case n if n.startsWith("_bloom_") && n.endsWith(".json") =>
+        n.stripPrefix("_bloom_").stripSuffix(".json")
+    }.sorted
+
+  /** Bloom-pruned POINT lookup of a committed version (default
+    * latest): only files whose `_bloom_<column>.json` filter admits
+    * `column = value` are read ([[BloomStats]]); the caller still
+    * applies the row-level predicate. */
+  def readPointLookup(spark: SparkSession, dir: String, column: String,
+      value: String, version: Long = -1L)
+      : (DataFrame, FileStats.PruneStats) = {
+    val v = if (version > 0) version else latestVersion(spark, dir)
+    require(v > 0, s"$dir has no committed version")
+    BloomStats.readEqualsPruned(spark, s"$dir/v=$v", column, value)
   }
 
   /** Small-file compaction AS a snapshot commit: bin-pack the latest
@@ -359,6 +385,11 @@ object Snapshots {
       targetBytes)
     if (cols.nonEmpty)
       FileStats.writeManifest(spark, stage.toString, cols)
+    // bloom sidecars are per-FILE, so the new layout needs them
+    // recomputed just like the stats manifest — dropping them would
+    // silently turn point lookups back into full scans
+    bloomColsOf(f, vDir).foreach(c =>
+      BloomStats.writeManifest(spark, stage.toString, c))
     copyEpochMarkers(f, new Path(vDir), stage)
     val nv = occupyNextFree(spark, f, dir, stage)
     publish(spark, dir, nv)
@@ -414,6 +445,8 @@ object Snapshots {
     }
     if (cols.nonEmpty)
       FileStats.writeManifest(spark, stage.toString, cols)
+    bloomColsOf(f, vDir).foreach(c =>
+      BloomStats.writeManifest(spark, stage.toString, c))
     copyEpochMarkers(f, vPath, stage)
     val nv = occupyNextFree(spark, f, dir, stage)
     publish(spark, dir, nv)

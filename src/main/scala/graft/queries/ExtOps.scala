@@ -969,6 +969,55 @@ object ExtOps {
       }
     }),
 
+    // Bloom point-lookup sidecars end-to-end — the EQUALITY
+    // complement to xq22's min/max ranges: a point probe on a column
+    // the layout doesn't cluster intersects every [min,max] and reads
+    // the whole table, but per-file Bloom bits (operators/BloomStats,
+    // sealed into the version like the stats manifest) answer "can
+    // this file contain v?" from one sidecar read. The bits come from
+    // the oracle-portable md5-60 hash, so the DuckDB twin replays the
+    // ENTIRE keep/skip decision — false positives included — with the
+    // same `('0x'||substr(md5(…),1,15))::BIGINT % m` arithmetic: a
+    // bucket (= file, xq22's bijection) is kept iff for EVERY seed
+    // some value in it shares the probe's bit. rows_matched +
+    // y_checksum from the pruned scan pin the superset guarantee.
+    "xq26_bloom_lookup" -> ((s, dir) => {
+      import graft.operators.{Snapshots, ZOrder}
+      val base = t(s, dir, "lineitem")
+        .select(pmod(col("l_partkey"), lit(1024)).as("x"),
+          pmod(col("l_suppkey"), lit(1024)).as("y"))
+        .withColumn("z",
+          ZOrder.interleave2(col("x"), col("y"), 10))
+        .withColumn("z_bucket",
+          call_function("div", col("z"), lit(16384L)))
+        .drop("z")
+        .repartition(col("z_bucket"))
+      val store = new java.io.File(
+        System.getProperty("java.io.tmpdir", "/tmp"),
+        s"graft-xq26-${java.util.UUID.randomUUID()}").getAbsolutePath
+      val hfs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      try {
+        val v = Snapshots.commitWithStats(s, base, store,
+          statsCols = Seq("x"), partitionByCols = Seq("z_bucket"),
+          bloomCols = Seq("x"))
+        val (pruned, ps) = Snapshots.readPointLookup(s, store,
+          "x", "137", v)
+        val m = pruned.filter(col("x") === 137)
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(col("y")), lit(0L)).as("sy")).head()
+        import s.implicits._
+        Seq((ps.filesRead + ps.filesSkipped, ps.filesRead,
+          ps.filesSkipped, ps.rowsInRead, ps.rowsInSkipped,
+          m.getLong(0), m.getLong(1)))
+          .toDF("files_total", "files_read", "files_skipped",
+            "rows_in_read", "rows_in_skipped", "rows_matched",
+            "y_checksum")
+      } finally {
+        hfs.delete(new org.apache.hadoop.fs.Path(store), true); ()
+      }
+    }),
+
     // Triangle counting over the part co-purchase graph (parts
     // sharing an order) with DEGREE-ORDERED ORIENTATION (Schank &
     // Wagner 2005 / Suri-Vassilvitskii MapReduce form): every edge is
@@ -1865,6 +1914,55 @@ object ExtOps {
            SELECT CAST(3 AS BIGINT), count(*), count(status),
              count(clerk), CAST(sum(k) AS BIGINT) FROM o
          ) ORDER BY version""",
+    // the bloom decision replayed bit-for-bit: kept iff every seed's
+    // probe bit is shared by some value in the bucket (m=1024, k=4,
+    // the md5-60 arithmetic the sketch family already uses)
+    "xq26_bloom_lookup" ->
+      """WITH xy AS (SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y
+           FROM lineitem),
+         z AS (SELECT x, y,
+             (x % 2) * 1 + ((x // 2) % 2) * 4 + ((x // 4) % 2) * 16
+           + ((x // 8) % 2) * 64 + ((x // 16) % 2) * 256
+           + ((x // 32) % 2) * 1024 + ((x // 64) % 2) * 4096
+           + ((x // 128) % 2) * 16384 + ((x // 256) % 2) * 65536
+           + ((x // 512) % 2) * 262144
+           + (y % 2) * 2 + ((y // 2) % 2) * 8 + ((y // 4) % 2) * 32
+           + ((y // 8) % 2) * 128 + ((y // 16) % 2) * 512
+           + ((y // 32) % 2) * 2048 + ((y // 64) % 2) * 8192
+           + ((y // 128) % 2) * 32768 + ((y // 256) % 2) * 131072
+           + ((y // 512) % 2) * 524288 AS zv
+           FROM xy),
+         zb AS (SELECT x, y, zv // 16384 AS z_bucket FROM z),
+         seeds(i) AS (VALUES (1), (2), (3), (4)),
+         probe AS (
+           SELECT i,
+             (('0x' || substr(md5('bf' || CAST(i AS VARCHAR) || ':137'),
+               1, 15))::BIGINT) % 1024 AS pb
+           FROM seeds),
+         hits AS (
+           SELECT zb.z_bucket, p.i
+           FROM zb JOIN probe p
+             ON (('0x' || substr(md5('bf' || CAST(p.i AS VARCHAR) || ':'
+               || CAST(zb.x AS VARCHAR)), 1, 15))::BIGINT) % 1024 = p.pb
+           GROUP BY 1, 2),
+         kept AS (
+           SELECT z_bucket FROM hits GROUP BY 1 HAVING count(*) = 4),
+         f AS (SELECT z_bucket, count(*) AS rows_in FROM zb GROUP BY 1),
+         cls AS (SELECT rows_in,
+             z_bucket IN (SELECT z_bucket FROM kept) AS k FROM f)
+         SELECT count(*) AS files_total,
+           CAST(sum(CASE WHEN k THEN 1 ELSE 0 END) AS BIGINT)
+             AS files_read,
+           CAST(sum(CASE WHEN NOT k THEN 1 ELSE 0 END) AS BIGINT)
+             AS files_skipped,
+           CAST(sum(CASE WHEN k THEN rows_in ELSE 0 END) AS BIGINT)
+             AS rows_in_read,
+           CAST(sum(CASE WHEN NOT k THEN rows_in ELSE 0 END)
+             AS BIGINT) AS rows_in_skipped,
+           (SELECT count(*) FROM zb WHERE x = 137) AS rows_matched,
+           (SELECT CAST(coalesce(sum(y), 0) AS BIGINT) FROM zb
+             WHERE x = 137) AS y_checksum
+         FROM cls""",
     // id-ordered naive 3-way join — each triangle once as a < b < c;
     // the degree-oriented Spark plan must count identically
     "xg2_triangle_count" ->
