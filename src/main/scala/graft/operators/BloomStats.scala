@@ -123,15 +123,17 @@ object BloomStats {
     }
   }
 
-  /** Keep/skip split for an equality probe: a file is skipped when
-    * ANY seed's probe bit is absent from its filter — a proof no row
-    * equals `value` (bits are only ever set by present values).
-    * False positives read a file needlessly; never lossy. */
+  /** Can `fb`'s file possibly contain `value`? True unless some
+    * seed's probe bit is absent — absence is a proof (bits are only
+    * ever set by present values); presence may be a false positive. */
+  def admits(fb: FileBloom, value: String): Boolean =
+    (1 to fb.k).forall(i => fb.bits(bitOf(i, value, fb.m)))
+
+  /** Keep/skip split for an equality probe — skipped files are
+    * proven to contain no row equal to `value`; never lossy. */
   def pruneEquals(manifest: Seq[FileBloom], value: String)
       : (Seq[FileBloom], Seq[FileBloom]) =
-    manifest.partition { fb =>
-      (1 to fb.k).forall(i => fb.bits(bitOf(i, value, fb.m)))
-    }
+    manifest.partition(admits(_, value))
 
   /** Bloom-pruned point-lookup read of `dataDir` (the [[FileStats
     * .readPredsPruned]] shape): only files whose filter admits

@@ -672,7 +672,9 @@ object Snapshots {
     if (!f.exists(new Path(vDir, FileStats.ManifestName))) plain
     else graft.plans.StatsFileIndex.attach(spark, plain,
       f.makeQualified(new Path(vDir)),
-      FileStats.readManifest(spark, vDir))
+      FileStats.readManifest(spark, vDir),
+      bloomColsOf(f, vDir).map(c =>
+        c -> BloomStats.readManifest(spark, vDir, c)).toMap)
   }
 
   /** Roll the table back to an earlier committed version — a pointer

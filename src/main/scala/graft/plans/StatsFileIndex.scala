@@ -37,7 +37,9 @@ import graft.operators.FileStats.{NumRange, StatsPred, StrRange}
 final class StatsFileIndex(
     val underlying: FileIndex,
     versionRoot: Path,
-    manifest: Seq[FileStats.FileStat]) extends FileIndex {
+    manifest: Seq[FileStats.FileStat],
+    blooms: Map[String, Seq[graft.operators.BloomStats.FileBloom]] =
+      Map.empty) extends FileIndex {
 
   private val rootPathStr = versionRoot.toUri.getPath
 
@@ -65,21 +67,38 @@ final class StatsFileIndex(
       .flatMap(_.files.map(f => relOf(f.getPath))).toSet
     val visible = manifest.filter(m => listedRels(m.relPath))
     val preds = StatsFilters.extract(dataFilters)
-    if (preds.isEmpty) {
+    // equality probes against bloom sidecars: a file is bloom-skipped
+    // when NO candidate value is admitted by its filter — a proof
+    // independent of (and conjunctive with) the min/max ranges
+    val bloomSkipped: Set[String] =
+      StatsFilters.extractEquals(dataFilters).flatMap {
+        case (c, vals) => blooms.get(c).toSeq.flatMap { fbs =>
+          fbs.filter(fb => listedRels(fb.relPath) &&
+            !vals.exists(v =>
+              graft.operators.BloomStats.admits(fb, v)))
+            .map(_.relPath)
+        }
+      }.toSet
+    if (preds.isEmpty && bloomSkipped.isEmpty) {
       lastPrune = Some(FileStats.PruneStats(
         visible.size.toLong, 0L, visible.map(_.rows).sum, 0L))
       listed
     } else {
-      val (kept, skipped) = FileStats.prune(visible, preds)
+      val rangeSkipped: Set[String] =
+        if (preds.isEmpty) Set.empty
+        else FileStats.prune(visible, preds)._2.map(_.relPath).toSet
+      val skippedRel = rangeSkipped ++ bloomSkipped
+      val (kept, skipped) = visible.partition(m => !skippedRel(m.relPath))
       lastPrune = Some(FileStats.PruneStats(
         kept.size.toLong, skipped.size.toLong,
         kept.map(_.rows).sum, skipped.map(_.rows).sum))
-      val keptSet = kept.map(_.relPath).toSet
       val covered = manifest.map(_.relPath).toSet
       listed.map { pd =>
         PartitionDirectory(pd.values, pd.files.filter { f =>
           val rel = relOf(f.getPath)
-          keptSet(rel) || !covered(rel)
+          // bloom skips are proofs even for files the stats manifest
+          // doesn't cover; otherwise uncovered files stay conservative
+          !bloomSkipped(rel) && (!skippedRel(rel) || !covered(rel))
         })
       }.filter(_.files.nonEmpty)
     }
@@ -92,14 +111,17 @@ object StatsFileIndex {
     * manifest-consulting one. No-op when the plan has no
     * [[HadoopFsRelation]] or the index is already stats-backed. */
   def attach(spark: SparkSession, df: DataFrame, versionRoot: Path,
-      manifest: Seq[FileStats.FileStat]): DataFrame = {
+      manifest: Seq[FileStats.FileStat],
+      blooms: Map[String, Seq[graft.operators.BloomStats.FileBloom]] =
+        Map.empty): DataFrame = {
     val swapped = df.queryExecution.analyzed.transform {
       case lr: LogicalRelation
           if lr.relation.isInstanceOf[HadoopFsRelation] &&
             !lr.relation.asInstanceOf[HadoopFsRelation].location
               .isInstanceOf[StatsFileIndex] =>
         val h = lr.relation.asInstanceOf[HadoopFsRelation]
-        val idx = new StatsFileIndex(h.location, versionRoot, manifest)
+        val idx = new StatsFileIndex(h.location, versionRoot, manifest,
+          blooms)
         lr.copy(relation = h.copy(location = idx)(h.sparkSession))
     }
     GraftColumnBridge.ofRows(spark, swapped)
@@ -131,6 +153,53 @@ object StatsFilters {
 
   def extract(filters: Seq[Expression]): Seq[StatsPred] =
     filters.flatMap(splitConj).flatMap(toPred)
+
+  /** Equality probes for bloom sidecars: (column, candidate values in
+    * canonical string form). Only types whose Spark cast-to-string
+    * rendering is unambiguous participate (string, integrals, dates);
+    * doubles/decimals are skipped — a rendering mismatch would prune
+    * wrongly, not just weakly. An IN list keeps the file when ANY
+    * value is admitted. */
+  def extractEquals(filters: Seq[Expression])
+      : Seq[(String, Seq[String])] =
+    filters.flatMap(splitConj).flatMap {
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        canon(a, l.value).map(v => (a.name, Seq(v)))
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        canon(a, l.value).map(v => (a.name, Seq(v)))
+      case EqualNullSafe(a: AttributeReference, l: Literal)
+          if l.value != null =>
+        canon(a, l.value).map(v => (a.name, Seq(v)))
+      case EqualNullSafe(l: Literal, a: AttributeReference)
+          if l.value != null =>
+        canon(a, l.value).map(v => (a.name, Seq(v)))
+      case In(a: AttributeReference, vs)
+          if vs.nonEmpty && vs.size <= 64 &&
+            vs.forall(_.isInstanceOf[Literal]) =>
+        // NULLs can't equal anything and drop out; one unrenderable
+        // NON-null value poisons the whole proof (all-or-nothing)
+        val nn = vs.map(_.asInstanceOf[Literal].value).filter(_ != null)
+        val cs = nn.map(v => canon(a, v))
+        if (nn.isEmpty || cs.exists(_.isEmpty)) None
+        else Some((a.name, cs.flatten))
+      case InSet(a: AttributeReference, vs)
+          if vs.nonEmpty && vs.size <= 64 =>
+        val nn = vs.toSeq.filter(_ != null)
+        val cs = nn.map(v => canon(a, v))
+        if (nn.isEmpty || cs.exists(_.isEmpty)) None
+        else Some((a.name, cs.flatten))
+      case _ => None
+    }.filter(_._2.nonEmpty)
+
+  private def canon(a: AttributeReference, v: Any): Option[String] =
+    if (v == null) None
+    else a.dataType match {
+      case StringType => Some(v.toString)
+      case LongType | IntegerType | ShortType | ByteType =>
+        Some(v.toString)
+      case DateType => dateStr(v)
+      case _ => None
+    }
 
   private def splitConj(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConj(l) ++ splitConj(r)
@@ -276,15 +345,35 @@ object StatsFilters {
   */
 object StatsPruneRule extends Rule[LogicalPlan] {
 
+  import graft.operators.BloomStats
+
+  private type Cached =
+    (Long, Seq[FileStats.FileStat],
+      Map[String, Seq[BloomStats.FileBloom]])
+
   private val cache = new java.util.concurrent.ConcurrentHashMap[
-    String, Option[(Long, Seq[FileStats.FileStat])]]()
+    String, Option[Cached]]()
 
   private[graft] def invalidate(rootPath: String): Unit = {
     cache.remove(rootPath); ()
   }
 
-  private def manifestFor(spark: SparkSession,
-      root: Path): Option[Seq[FileStats.FileStat]] = {
+  /** Bloom sidecars alongside the stats manifest (column name is
+    * encoded in the `_bloom_<col>.json` file name). */
+  private def bloomsFor(spark: SparkSession,
+      f: org.apache.hadoop.fs.FileSystem, root: Path)
+      : Map[String, Seq[BloomStats.FileBloom]] =
+    f.listStatus(root).toSeq.map(_.getPath.getName).collect {
+      case n if n.startsWith("_bloom_") && n.endsWith(".json") =>
+        n.stripPrefix("_bloom_").stripSuffix(".json")
+    }.flatMap { c =>
+      try Some(c -> BloomStats.readManifest(spark, root.toString, c))
+      catch { case _: Exception => None }
+    }.toMap
+
+  private def manifestFor(spark: SparkSession, root: Path)
+      : Option[(Seq[FileStats.FileStat],
+        Map[String, Seq[BloomStats.FileBloom]])] = {
     val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mf = new Path(root, FileStats.ManifestName)
     val key = root.toString
@@ -294,14 +383,18 @@ object StatsPruneRule extends Rule[LogicalPlan] {
       catch { case _: java.io.IOException => None }
     (cached, mtime) match {
       case (Some(None), None) => None // negative-cached, still absent
-      case (Some(Some((t, m))), Some(t2)) if t == t2 => Some(m)
+      case (Some(Some((t, m, b))), Some(t2)) if t == t2 => Some((m, b))
       case (_, None) => cache.put(key, None); None
       case (_, Some(t2)) =>
         val m =
           try FileStats.readManifest(spark, root.toString)
           catch { case _: Exception => Seq.empty }
         if (m.isEmpty) { cache.put(key, None); None }
-        else { cache.put(key, Some((t2, m))); Some(m) }
+        else {
+          val b = bloomsFor(spark, f, root)
+          cache.put(key, Some((t2, m, b)))
+          Some((m, b))
+        }
     }
   }
 
@@ -315,11 +408,11 @@ object StatsPruneRule extends Rule[LogicalPlan] {
       val h = lr.relation.asInstanceOf[HadoopFsRelation]
       val root = h.location.rootPaths.head
       manifestFor(h.sparkSession, root) match {
-        case Some(m) =>
+        case Some((m, b)) =>
           val qualified = root.getFileSystem(
             h.sparkSession.sparkContext.hadoopConfiguration)
             .makeQualified(root)
-          val idx = new StatsFileIndex(h.location, qualified, m)
+          val idx = new StatsFileIndex(h.location, qualified, m, b)
           lr.copy(relation = h.copy(location = idx)(h.sparkSession))
         case None => lr
       }

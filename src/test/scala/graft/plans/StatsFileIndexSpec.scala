@@ -100,6 +100,37 @@ class StatsFileIndexSpec extends SparkSpec {
     assert(nL == 100 && fL == 1, s"startsWith: rows=$nL files=$fL")
   }
 
+  test("bloom equality pruning rides the same planner path: a point " +
+    "probe on an UNCLUSTERED column prunes via its sidecar through " +
+    "plain table() filters — min/max alone could not") {
+    val dir = freshDir("graft-sfi-bloom")
+    // uid is random w.r.t. the bucket layout: every file's [min,max]
+    // on uid covers the probe, so only the bloom can skip
+    val df = (0L until 400L).map { i =>
+      (i, s"u-${(i * 7919) % 400}", i / 100)
+    }.toDF("k", "uid", "bucket").repartition(col("bucket"))
+    // uid deliberately NOT in statsCols: min/max must have no lever
+    // here, so census parity with the bloom-only side API holds
+    Snapshots.commitWithStats(spark, df, dir,
+      statsCols = Seq("k"), partitionByCols = Seq("bucket"),
+      bloomCols = Seq("uid"))
+    val probe = s"u-${(250L * 7919) % 400}"
+    val q = Snapshots.table(spark, dir).filter(col("uid") === probe)
+    val (n, files) = run(q)
+    val want = spark.read.parquet(s"$dir/v=1")
+      .filter(col("uid") === probe).count()
+    assert(n == want && n >= 1, s"bloom path lost rows: $n vs $want")
+    assert(files < 4, s"bloom must skip some file, scanned $files")
+    // census agrees with the side-API bloom decision
+    val (_, side) = Snapshots.readPointLookup(spark, dir, "uid", probe)
+    val planner = StatsFileIndex.indexOf(q).get.lastPrune.get
+    assert(planner == side, s"planner=$planner side=$side")
+    // IN probes: keep any file admitting ANY candidate
+    val (nI, fI) = run(Snapshots.table(spark, dir)
+      .filter(col("uid").isin(probe, s"u-${(10L * 7919) % 400}")))
+    assert(nI == 2 && fI <= 4, s"in-bloom: rows=$nI files=$fI")
+  }
+
   test("conservative fallbacks: non-stats columns, non-range " +
     "predicates, and manifest-less directories read everything " +
     "and lose nothing") {
