@@ -233,7 +233,8 @@ object Snapshots {
     * and skips.
     */
   def commitWithEpoch(spark: SparkSession, df: DataFrame, dir: String,
-      epochId: Long): Either[String, Long] = {
+      epochId: Long, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Either[String, Long] = {
     require(epochId >= 0, s"epoch ids are non-negative, got $epochId")
     val f = fs(spark, dir)
     val head = latestVersion(spark, dir)
@@ -269,6 +270,12 @@ object Snapshots {
             val stage =
               new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
             df.write.mode("overwrite").parquet(stage.toString)
+            // a streaming table should stay pruning-capable like any
+            // other: sidecars seal with the epoch marker in ONE rename
+            if (statsCols.nonEmpty)
+              FileStats.writeManifest(spark, stage.toString, statsCols)
+            bloomCols.foreach(c =>
+              BloomStats.writeManifest(spark, stage.toString, c))
             f.create(new Path(stage, s"_epoch.$epochId"), true).close()
             val v = occupyNextFree(spark, f, dir, stage)
             publish(spark, dir, v)
@@ -534,7 +541,11 @@ object Snapshots {
       version: Long = -1L,
       defaults: Map[String, org.apache.spark.sql.Column] = Map.empty)
       : DataFrame =
-    conform(read(spark, dir, version), tableSchema(spark, dir), defaults)
+    // table() not read(): conformed time travel keeps manifest
+    // pruning (SimplifyCasts erases the no-op casts, so unchanged
+    // columns still reach the stats index as bare attributes)
+    conform(table(spark, dir, version), tableSchema(spark, dir),
+      defaults)
 
   /** Point `_latest` at `v` via write-temp-then-rename. The replace
     * is a SINGLE atomic overwrite rename (`FileContext.rename` with
@@ -700,7 +711,9 @@ object Snapshots {
     * Left(violation census rows).
     */
   def commitChecked(spark: SparkSession, df: DataFrame, dir: String,
-      checks: DataFrame => Seq[DataFrame])
+      checks: DataFrame => Seq[DataFrame],
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil)
       : Either[Seq[(String, Long)], Long] = {
     val f = fs(spark, dir)
     val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
@@ -717,7 +730,13 @@ object Snapshots {
       Left(bad)
     } else {
       // audit passed: the stage is publish-worthy — same retry loop
-      // as plain commit(), the audit never re-runs
+      // as plain commit(), the audit never re-runs. Sidecars are
+      // computed only for ACCEPTED batches (a rejected batch never
+      // pays the stats scan) and seal with the data
+      if (statsCols.nonEmpty)
+        FileStats.writeManifest(spark, stage.toString, statsCols)
+      bloomCols.foreach(c =>
+        BloomStats.writeManifest(spark, stage.toString, c))
       val v = occupyNextFree(spark, f, dir, stage)
       publish(spark, dir, v)
       Right(v)

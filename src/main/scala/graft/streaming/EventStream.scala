@@ -420,14 +420,19 @@ object EventStream {
     * isolation + time travel over the stream's history for free.
     */
   def versionedSink(stream: DataFrame, tableDir: String,
-      checkpointDir: String) =
+      checkpointDir: String, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil) =
     stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch {
         (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+          // optional stats/bloom sidecars keep the STREAMING table
+          // pruning-capable like any batch-committed one — sealed
+          // with the epoch marker by the same atomic slot rename
           graft.operators.Snapshots.commitWithEpoch(
-            batch.sparkSession, batch.toDF(), tableDir, epochId)
+            batch.sparkSession, batch.toDF(), tableDir, epochId,
+            statsCols, bloomCols)
           ()
       }
 

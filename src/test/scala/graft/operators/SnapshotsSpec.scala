@@ -571,4 +571,41 @@ class SnapshotsSpec extends SparkSpec {
     assert(ps.filesRead + ps.filesSkipped >= 1)
     assert(pruned.filter(col("id") === 3).count() == 1)
   }
+
+  test("epoch-fenced and quality-gated commits seal stats/bloom " +
+    "sidecars — streaming and WAP tables stay pruning-capable") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-epoch-stats").toString + "/t"
+    // range-layout the batch so the sealed manifest has something to
+    // prune (a plain epoch commit has no partitionBy surface)
+    val df = (0L until 200L).map(i => (i, s"u-$i", i / 100))
+      .toDF("k", "uid", "bucket")
+      .repartitionByRange(4, col("k"))
+    assert(Snapshots.commitWithEpoch(spark, df, dir, 0L,
+      statsCols = Seq("k"), bloomCols = Seq("uid")) == Right(1L))
+    assert(new java.io.File(s"$dir/v=1/_stats.json").exists())
+    assert(new java.io.File(s"$dir/v=1/_bloom_uid.json").exists())
+    assert(new java.io.File(s"$dir/v=1/_epoch.0").exists())
+    val (_, ps) = Snapshots.readPruned(spark, dir, "k",
+      BigDecimal(0), BigDecimal(10))
+    assert(ps.filesSkipped >= 1, ps.toString)
+    val (pl, _) = Snapshots.readPointLookup(spark, dir, "uid", "u-150")
+    assert(pl.filter(col("uid") === "u-150").count() == 1)
+    // WAP: an accepted batch seals sidecars; a rejected one leaves
+    // nothing (and pays no stats scan)
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-wap-stats").toString + "/t"
+    val ok = Snapshots.commitChecked(spark, df, dir2,
+      staged => Seq(DataQuality.uniqueKey(staged, Seq("k"), "pk")),
+      statsCols = Seq("k"))
+    assert(ok == Right(1L))
+    assert(new java.io.File(s"$dir2/v=1/_stats.json").exists())
+    val bad = Snapshots.commitChecked(spark,
+      df.unionAll(df), dir2,
+      staged => Seq(DataQuality.uniqueKey(staged, Seq("k"), "pk")),
+      statsCols = Seq("k"))
+    assert(bad.isLeft)
+    assert(Snapshots.latestVersion(spark, dir2) == 1L)
+  }
 }
