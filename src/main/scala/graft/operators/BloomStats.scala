@@ -72,7 +72,7 @@ object BloomStats {
   def writeManifest(spark: SparkSession, dataDir: String,
       column: String, m: Int = 1024, k: Int = 4): Unit = {
     require(m > 1 && k >= 1 && k <= 16, s"bad bloom geometry m=$m k=$k")
-    val name = manifestName(column)
+    manifestName(column) // validate the column name up front
     val rootUri = fs(spark, dataDir)
       .makeQualified(new Path(dataDir)).toUri.getPath
     val v = col(column).cast("string")
@@ -90,16 +90,27 @@ object BloomStats {
         sort_array(collect_set(
           when(col("__bit") >= 0, col("__bit")))).as("__bits"))
       .collect()
-    val lines = perFile.toSeq.map { r =>
+    val entries = perFile.toSeq.map { r =>
       val full = new java.net.URI(r.getString(0)).getPath
       val rel = full.stripPrefix(rootUri).stripPrefix("/")
-      val bits = r.getSeq[Int](2).mkString(",")
-      s"""{"file":"${FileStats.jsonEscape(rel)}",""" +
-        s""""rows":${r.getAs[Long]("__rows")},"m":$m,"k":$k,""" +
-        s""""bits":[$bits]}"""
+      FileBloom(rel, r.getAs[Long]("__rows"), m, k,
+        r.getSeq[Int](2).toSet)
+    }
+    writeEntries(spark, dataDir, column, entries)
+  }
+
+  /** Write a bloom sidecar from pre-computed entries — the splice
+    * path for copy-on-write rewrites (untouched files keep their old
+    * filters; only new files were scanned). */
+  def writeEntries(spark: SparkSession, dataDir: String,
+      column: String, entries: Seq[FileBloom]): Unit = {
+    val lines = entries.map { e =>
+      s"""{"file":"${FileStats.jsonEscape(e.relPath)}",""" +
+        s""""rows":${e.rows},"m":${e.m},"k":${e.k},""" +
+        s""""bits":[${e.bits.toSeq.sorted.mkString(",")}]}"""
     }.sorted
     val f = fs(spark, dataDir)
-    val out = f.create(new Path(dataDir, name), true)
+    val out = f.create(new Path(dataDir, manifestName(column)), true)
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
   }

@@ -195,10 +195,10 @@ object FileStats {
       .groupBy(col("__file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
-    val lines = perFile.toSeq.map { r =>
+    val entries = perFile.toSeq.map { r =>
       val full = new java.net.URI(r.getString(0)).getPath
       val rel = full.stripPrefix(rootUri).stripPrefix("/")
-      val colsJson = statsCols.map { c =>
+      val cols = statsCols.map { c =>
         val mn0 = r.getAs[String](s"__min_$c")
         val mx0 = r.getAs[String](s"__max_$c")
         val bounds =
@@ -207,16 +207,32 @@ object FileStats {
             truncateUpper(mx0, maxStatLen)
               .map(mx => (truncateLower(mn0, maxStatLen), mx))
           else Some((mn0, mx0))
-        val v = bounds match {
-          case Some((mn, mx)) =>
-            s"""["${jsonEscape(mn)}","${jsonEscape(mx)}"]"""
-          case None => "null"
-        }
-        s""""${jsonEscape(c)}":$v"""
-      }.mkString(",")
-      s"""{"file":"${jsonEscape(rel)}",""" +
-        s""""rows":${r.getAs[Long]("__rows")},"cols":{$colsJson}}"""
-    }.sorted
+        c -> bounds
+      }.toMap
+      FileStat(rel, r.getAs[Long]("__rows"), cols)
+    }
+    writeEntries(spark, dataDir, entries)
+  }
+
+  private def render(e: FileStat): String = {
+    val colsJson = e.cols.toSeq.sortBy(_._1).map { case (c, bounds) =>
+      val v = bounds match {
+        case Some((mn, mx)) =>
+          s"""["${jsonEscape(mn)}","${jsonEscape(mx)}"]"""
+        case None => "null"
+      }
+      s""""${jsonEscape(c)}":$v"""
+    }.mkString(",")
+    s"""{"file":"${jsonEscape(e.relPath)}",""" +
+      s""""rows":${e.rows},"cols":{$colsJson}}"""
+  }
+
+  /** Write a manifest from pre-computed entries — the splice path for
+    * copy-on-write rewrites, where untouched files keep their old
+    * (already correct) stats and only new files were scanned. */
+  def writeEntries(spark: SparkSession, dataDir: String,
+      entries: Seq[FileStat]): Unit = {
+    val lines = entries.map(render).sorted
     val f = fs(spark, dataDir)
     val out = f.create(new Path(dataDir, ManifestName), true)
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))

@@ -460,6 +460,149 @@ object Snapshots {
     (nv, agg)
   }
 
+  // ---- copy-on-write row-level DML ------------------------------------
+
+  /** Accounting for a copy-on-write rewrite: how many files were
+    * actually rewritten vs byte-copied untouched, and the row delta. */
+  final case class RewriteStats(filesRewritten: Long, filesCopied: Long,
+      rowsChanged: Long, rowsKeptInRewritten: Long)
+
+  /** Row-level DELETE as a new snapshot version, copy-on-write at
+    * FILE granularity: the stats/bloom sidecars decide which files
+    * can possibly contain matching rows — only THOSE are decoded,
+    * filtered, and rewritten; every other file is byte-copied through
+    * (name preserved) and keeps its existing manifest entries (the
+    * splice — untouched files are never re-scanned). At 100 TB with a
+    * clustered layout, deleting one key range rewrites that range's
+    * files, not the table; the op this store's manifests exist to
+    * make cheap. Rows where the predicate is NULL are KEPT (SQL
+    * DELETE semantics). Epoch markers carry forward (the deleted-from
+    * state still includes those epochs — the fence stays O(1)).
+    * Flat (non-partitioned) layouts only, like [[compactVersion]].
+    * Returns the new version and the accounting; a provably-no-op
+    * delete (every file skipped) publishes nothing and returns the
+    * current version with zero stats. */
+  def deleteWhere(spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column): (Long, RewriteStats) =
+    rewriteWhere(spark, dir, pred, None)
+
+  /** Row-level UPDATE, same copy-on-write shape: files the sidecars
+    * prove can't contain a matching row are byte-copied; the rest are
+    * rewritten with `sets` applied to matching rows only
+    * (`when(pred, expr).otherwise(col)` per column). */
+  def updateWhere(spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column,
+      sets: Map[String, org.apache.spark.sql.Column])
+      : (Long, RewriteStats) = {
+    require(sets.nonEmpty, "updateWhere needs at least one SET column")
+    rewriteWhere(spark, dir, pred, Some(sets))
+  }
+
+  private def rewriteWhere(spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column,
+      sets: Option[Map[String, org.apache.spark.sql.Column]])
+      : (Long, RewriteStats) = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    val f = fs(spark, dir)
+    val v = latestVersion(spark, dir)
+    require(v > 0, s"$dir has no committed version")
+    val vDir = s"$dir/v=$v"
+    require(!f.listStatus(new Path(vDir)).exists(_.isDirectory),
+      s"rewriteWhere: $vDir has partition subdirectories — " +
+        "copy-on-write DML supports flat layouts")
+    val dataFiles = Compaction.listDataFiles(spark, vDir)
+      .map(p => new Path(p._1).getName)
+    // resolve the predicate against the version's schema and extract
+    // the range/equality conjuncts the sidecars can decide on — from
+    // the OPTIMIZED plan: the analyzer leaves type-coercion casts on
+    // literals (`k >= cast(0 as bigint)`) that only constant folding
+    // collapses back to the literals the extractors match
+    val plainDf = spark.read.parquet(vDir)
+    val cond = plainDf.filter(pred).queryExecution.optimizedPlan
+      .collectFirst {
+        case flt: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          flt.condition
+      }.toSeq
+    val hasStats = f.exists(new Path(vDir, FileStats.ManifestName))
+    val stats =
+      if (hasStats) FileStats.readManifest(spark, vDir) else Seq.empty
+    val rangeSkipped: Set[String] = {
+      val preds = graft.plans.StatsFilters.extract(cond)
+      if (preds.isEmpty || stats.isEmpty) Set.empty
+      else FileStats.prune(stats, preds)._2.map(_.relPath).toSet
+    }
+    val bloomCols = bloomColsOf(f, vDir)
+    val blooms = bloomCols
+      .map(c => c -> BloomStats.readManifest(spark, vDir, c)).toMap
+    val bloomSkipped: Set[String] =
+      graft.plans.StatsFilters.extractEquals(cond).flatMap {
+        case (c, vals) => blooms.get(c).toSeq.flatMap(_.filter(fb =>
+          !vals.exists(BloomStats.admits(fb, _))).map(_.relPath))
+      }.toSet
+    val untouched = dataFiles.filter(r =>
+      rangeSkipped(r) || bloomSkipped(r))
+    val affected = dataFiles.filterNot(untouched.toSet)
+    if (affected.isEmpty)
+      return (v, RewriteStats(0, 0, 0, 0))
+    val hit = coalesce(pred, lit(false))
+    val affectedDf = spark.read
+      .parquet(affected.map(r => s"$vDir/$r"): _*)
+    val rowsChanged = affectedDf.filter(hit).count()
+    val rewritten = sets match {
+      case None => affectedDf.filter(!hit)
+      case Some(ss) =>
+        affectedDf.select(affectedDf.columns.toSeq.map { c =>
+          ss.get(c).map(e => when(hit, e).otherwise(col(c)).as(c))
+            .getOrElse(col(c))
+        }: _*)
+    }
+    val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
+    rewritten.write.mode("overwrite").parquet(stage.toString)
+    val rowsKept = sets match {
+      case None => spark.read.parquet(stage.toString).count()
+      case Some(_) => affectedDf.count()
+    }
+    // splice sidecars: scan ONLY the new files, keep the untouched
+    // files' existing entries verbatim (a fully-emptied rewrite may
+    // leave zero new data files — then the splice is old entries only)
+    val stagedEmpty =
+      Compaction.listDataFiles(spark, stage.toString).isEmpty
+    if (hasStats) {
+      val oldKept = stats.filter(e => untouched.contains(e.relPath))
+      if (stagedEmpty) FileStats.writeEntries(spark, stage.toString,
+        oldKept)
+      else {
+        val statsCols = stats.flatMap(_.cols.keys).distinct.sorted
+        FileStats.writeManifest(spark, stage.toString, statsCols)
+        val fresh = FileStats.readManifest(spark, stage.toString)
+        FileStats.writeEntries(spark, stage.toString, fresh ++ oldKept)
+      }
+    }
+    bloomCols.foreach { c =>
+      val oldKept = blooms(c).filter(e => untouched.contains(e.relPath))
+      if (stagedEmpty) BloomStats.writeEntries(spark, stage.toString,
+        c, oldKept)
+      else {
+        BloomStats.writeManifest(spark, stage.toString, c)
+        val fresh = BloomStats.readManifest(spark, stage.toString, c)
+        BloomStats.writeEntries(spark, stage.toString, c,
+          fresh ++ oldKept)
+      }
+    }
+    // byte-copy untouched files through, names preserved (the splice
+    // above depends on it)
+    val conf = spark.sparkContext.hadoopConfiguration
+    untouched.foreach { r =>
+      org.apache.hadoop.fs.FileUtil.copy(f, new Path(s"$vDir/$r"),
+        f, new Path(stage, r), false, conf)
+    }
+    copyEpochMarkers(f, new Path(vDir), stage)
+    val nv = occupyNextFree(spark, f, dir, stage)
+    publish(spark, dir, nv)
+    (nv, RewriteStats(affected.size.toLong, untouched.size.toLong,
+      rowsChanged, rowsKept))
+  }
+
   /** Manifest-pruned range read of a committed version (default
     * latest): only files whose stats admit `column ∈ [lo, hi]` are
     * read; the census of what was skipped comes back alongside.

@@ -1018,6 +1018,49 @@ object ExtOps {
       }
     }),
 
+    // Copy-on-write row-level DML end-to-end: DELETE then UPDATE as
+    // new snapshot versions (Snapshots.deleteWhere/updateWhere) —
+    // the stats manifest decides which files can contain matching
+    // rows, ONLY those are decoded and rewritten, the rest byte-copy
+    // through with their manifest entries spliced (never re-scanned).
+    // At 100 TB with a clustered layout this is "delete one key
+    // range, rewrite one key range". The census (before/deleted/
+    // updated/after counts + key checksum + flagged count) replays in
+    // DuckDB as plain WHERE/CASE algebra — the file-level accounting
+    // is pinned by SnapshotsSpec, the ROW semantics by this oracle.
+    "xq27_cow_dml" -> ((s, dir) => {
+      import graft.operators.Snapshots
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_orderstatus").as("status"))
+        .repartitionByRange(8, col("o_orderkey"))
+      val store = new java.io.File(
+        System.getProperty("java.io.tmpdir", "/tmp"),
+        s"graft-xq27-${java.util.UUID.randomUUID()}").getAbsolutePath
+      val hfs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      try {
+        Snapshots.commitWithStats(s, o, store, statsCols = Seq("k"))
+        val before = Snapshots.read(s, store).count()
+        val (_, del) = Snapshots.deleteWhere(s, store,
+          col("k") <= 1000)
+        val (_, upd) = Snapshots.updateWhere(s, store,
+          col("k") <= 2000, Map("status" -> lit("X")))
+        val after = Snapshots.read(s, store)
+        val m = after.agg(count(lit(1)).as("n"),
+          coalesce(sum(col("k")), lit(0L)).as("sk"),
+          sum(when(col("status") === "X", 1L).otherwise(0L))
+            .as("nx")).head()
+        import s.implicits._
+        Seq((before, del.rowsChanged, upd.rowsChanged,
+          m.getLong(0), m.getLong(1), m.getLong(2)))
+          .toDF("rows_before", "rows_deleted", "rows_updated",
+            "rows_after", "k_sum_after", "n_flagged")
+      } finally {
+        hfs.delete(new org.apache.hadoop.fs.Path(store), true); ()
+      }
+    }),
+
     // Triangle counting over the part co-purchase graph (parts
     // sharing an order) with DEGREE-ORDERED ORIENTATION (Schank &
     // Wagner 2005 / Suri-Vassilvitskii MapReduce form): every edge is
@@ -1963,6 +2006,23 @@ object ExtOps {
            (SELECT CAST(coalesce(sum(y), 0) AS BIGINT) FROM zb
              WHERE x = 137) AS y_checksum
          FROM cls""",
+    // the row semantics of delete-then-update as plain algebra;
+    // NULL predicates keep rows (SQL DELETE), but k is non-null here
+    "xq27_cow_dml" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+             o_orderstatus AS status FROM orders),
+         d AS (SELECT * FROM o WHERE NOT (k <= 1000)),
+         u AS (SELECT k,
+             CASE WHEN k <= 2000 THEN 'X' ELSE status END AS status
+           FROM d)
+         SELECT
+           (SELECT count(*) FROM o) AS rows_before,
+           (SELECT count(*) FROM o WHERE k <= 1000) AS rows_deleted,
+           (SELECT count(*) FROM d WHERE k <= 2000) AS rows_updated,
+           (SELECT count(*) FROM u) AS rows_after,
+           (SELECT CAST(coalesce(sum(k), 0) AS BIGINT) FROM u)
+             AS k_sum_after,
+           (SELECT count(*) FROM u WHERE status = 'X') AS n_flagged""",
     // id-ordered naive 3-way join — each triangle once as a < b < c;
     // the degree-oriented Spark plan must count identically
     "xg2_triangle_count" ->

@@ -608,4 +608,58 @@ class SnapshotsSpec extends SparkSpec {
     assert(bad.isLeft)
     assert(Snapshots.latestVersion(spark, dir2) == 1L)
   }
+
+  test("copy-on-write deleteWhere/updateWhere: only sidecar-affected " +
+    "files are rewritten, the rest byte-copy through with their " +
+    "manifest entries spliced, and a provable no-op publishes nothing") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cow").toString + "/t"
+    val df = (0L until 400L).map(i => (i, s"u-$i"))
+      .toDF("k", "uid").repartitionByRange(4, col("k"))
+    Snapshots.commitWithStats(spark, df, dir,
+      statsCols = Seq("k"), bloomCols = Seq("uid"))
+    val oldManifest = FileStats.readManifest(spark, s"$dir/v=1")
+    assert(oldManifest.size == 4)
+    // range-decided delete: only files intersecting [0,50] rewrite
+    val (v2, d1) = Snapshots.deleteWhere(spark, dir,
+      col("k").between(0, 50))
+    assert(v2 == 2L)
+    assert(d1.rowsChanged == 51, d1.toString)
+    assert(d1.filesCopied >= 2 &&
+      d1.filesRewritten + d1.filesCopied == 4, d1.toString)
+    assert(Snapshots.read(spark, dir).count() == 349)
+    // the splice: untouched files keep their EXACT old entries and
+    // their bytes (names preserved); the new version still prunes
+    val newManifest = FileStats.readManifest(spark, s"$dir/v=2")
+    val oldByRel = oldManifest.map(e => e.relPath -> e).toMap
+    val copied = newManifest.filter(e => oldByRel.contains(e.relPath))
+    assert(copied.size.toLong == d1.filesCopied)
+    copied.foreach(e => assert(e == oldByRel(e.relPath)))
+    val (pruned, ps2) = Snapshots.readPruned(spark, dir, "k",
+      BigDecimal(300), BigDecimal(399))
+    assert(ps2.filesSkipped >= 1)
+    assert(pruned.filter(col("k") >= 300).count() == 100)
+    // bloom-decided delete: an equality predicate on the unclustered
+    // column rewrites only bloom-admitting files
+    val (v3, d2) = Snapshots.deleteWhere(spark, dir,
+      col("uid") === "u-250")
+    assert(v3 == 3L && d2.rowsChanged == 1, d2.toString)
+    assert(d2.filesCopied >= 1, s"bloom must spare some file: $d2")
+    assert(Snapshots.read(spark, dir).count() == 348)
+    // update: one matching row changes in place, counts preserved
+    val (v4, u1) = Snapshots.updateWhere(spark, dir,
+      col("k") === 300, Map("uid" -> lit("CHANGED")))
+    assert(v4 == 4L && u1.rowsChanged == 1, u1.toString)
+    assert(u1.filesCopied >= 2, u1.toString)
+    val after = Snapshots.read(spark, dir)
+    assert(after.count() == 348)
+    assert(after.filter(col("uid") === "CHANGED").collect()
+      .map(_.getLong(0)).toSeq == Seq(300L))
+    // provable no-op: every file range-skipped → nothing publishes
+    val (v5, d3) = Snapshots.deleteWhere(spark, dir,
+      col("k").between(10000, 10001))
+    assert(v5 == 4L && d3 == Snapshots.RewriteStats(0, 0, 0, 0))
+    assert(Snapshots.latestVersion(spark, dir) == 4L)
+  }
 }
