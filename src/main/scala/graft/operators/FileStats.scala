@@ -321,6 +321,21 @@ object FileStats {
     prune(manifest,
       preds.map { case (c, lo, hi) => NumRange(c, Some(lo), Some(hi)) })
 
+  /** Can a file whose stats bracket is [mn, mx] contain point value
+    * `v` (all three in the manifest's cast-to-string rendering)?
+    * Numeric when all three parse (so "1" meets "1.0"), UTF-8 binary
+    * otherwise — the same domain rules [[prune]] applies. */
+  private[graft] def pointInRange(mn: String, mx: String,
+      v: String): Boolean = {
+    def num(s: String): Option[BigDecimal] =
+      try Some(BigDecimal(s)) catch { case _: NumberFormatException => None }
+    (num(mn), num(mx), num(v)) match {
+      case (Some(a), Some(b), Some(x)) => x >= a && x <= b
+      case _ =>
+        utf8Compare(v, mn) >= 0 && utf8Compare(v, mx) <= 0
+    }
+  }
+
   /** Single-predicate [[pruneRanges]]. */
   def pruneRange(manifest: Seq[FileStat], column: String,
       lo: BigDecimal, hi: BigDecimal): (Seq[FileStat], Seq[FileStat]) =

@@ -603,6 +603,103 @@ object Snapshots {
       rowsChanged, rowsKept))
   }
 
+  /** MERGE INTO as a copy-on-write snapshot commit — the K1 full-row
+    * upsert at FILE granularity: source rows REPLACE same-key table
+    * rows and unmatched source rows INSERT, but only files that can
+    * possibly contain a source key are decoded and rewritten. Routing
+    * uses the leading key column's sidecars: the source's distinct
+    * keys are collected driver-side (bounded by `maxRoutedKeys` —
+    * CDC batches are small relative to the table; above the bound
+    * every file is rewritten, which is plain K1) and a file is
+    * affected only if its [min,max] admits some key AND, when a
+    * bloom sidecar exists, its filter admits that key too — so a
+    * scattered-key CDC batch against a clustered table still rewrites
+    * only the hit files. The source is conformed to the table schema
+    * first (schema evolution applies); the caller owns source-side
+    * key dedup (K5 last-write-wins upstream). Flat layouts, like the
+    * other copy-on-write ops; epoch markers carry forward. */
+  def mergeInto(spark: SparkSession, dir: String, source: DataFrame,
+      keys: Seq[String], maxRoutedKeys: Int = 100000)
+      : (Long, RewriteStats) = {
+    import org.apache.spark.sql.functions.col
+    require(keys.nonEmpty, "mergeInto needs at least one key column")
+    val f = fs(spark, dir)
+    val v = latestVersion(spark, dir)
+    require(v > 0, s"$dir has no committed version")
+    val vDir = s"$dir/v=$v"
+    require(!f.listStatus(new Path(vDir)).exists(_.isDirectory),
+      s"mergeInto: $vDir has partition subdirectories — " +
+        "copy-on-write DML supports flat layouts")
+    val conformed = conform(source, tableSchema(spark, dir))
+    val dataFiles = Compaction.listDataFiles(spark, vDir)
+      .map(p => new Path(p._1).getName)
+    val routeCol = keys.head
+    val hasStats = f.exists(new Path(vDir, FileStats.ManifestName))
+    val stats =
+      if (hasStats) FileStats.readManifest(spark, vDir) else Seq.empty
+    val statsByRel = stats.map(e => e.relPath -> e).toMap
+    val bloom = bloomColsOf(f, vDir).find(_ == routeCol)
+      .map(c => BloomStats.readManifest(spark, vDir, c)
+        .map(b => b.relPath -> b).toMap)
+    val routedKeys: Option[Seq[String]] =
+      if (stats.isEmpty) None
+      else {
+        val ks = conformed.select(col(routeCol).cast("string"))
+          .na.drop().distinct().limit(maxRoutedKeys + 1)
+          .collect().map(_.getString(0)).toSeq
+        if (ks.size > maxRoutedKeys) None else Some(ks)
+      }
+    val (affected, untouched) = routedKeys match {
+      case None => (dataFiles, Seq.empty[String])
+      case Some(ks) =>
+        dataFiles.partition { rel =>
+          statsByRel.get(rel).flatMap(_.cols.get(routeCol).flatten)
+            match {
+            case None => true // no stats for the route column: keep
+            case Some((mn, mx)) =>
+              ks.exists(k => FileStats.pointInRange(mn, mx, k) &&
+                bloom.forall(bm => bm.get(rel)
+                  .forall(BloomStats.admits(_, k))))
+          }
+        }
+    }
+    val rowsChanged = conformed.count()
+    val (newData, rowsKept) =
+      if (affected.isEmpty) (conformed, 0L)
+      else {
+        val base = spark.read
+          .parquet(affected.map(r => s"$vDir/$r"): _*)
+        val anti = base.join(conformed, keys, "left_anti")
+        (anti.unionByName(conformed), anti.count())
+      }
+    val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
+    newData.write.mode("overwrite").parquet(stage.toString)
+    if (hasStats) {
+      val oldKept = stats.filter(e => untouched.contains(e.relPath))
+      val statsCols = stats.flatMap(_.cols.keys).distinct.sorted
+      FileStats.writeManifest(spark, stage.toString, statsCols)
+      val fresh = FileStats.readManifest(spark, stage.toString)
+      FileStats.writeEntries(spark, stage.toString, fresh ++ oldKept)
+    }
+    bloomColsOf(f, vDir).foreach { c =>
+      val old = BloomStats.readManifest(spark, vDir, c)
+        .filter(e => untouched.contains(e.relPath))
+      BloomStats.writeManifest(spark, stage.toString, c)
+      val fresh = BloomStats.readManifest(spark, stage.toString, c)
+      BloomStats.writeEntries(spark, stage.toString, c, fresh ++ old)
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    untouched.foreach { r =>
+      org.apache.hadoop.fs.FileUtil.copy(f, new Path(s"$vDir/$r"),
+        f, new Path(stage, r), false, conf)
+    }
+    copyEpochMarkers(f, new Path(vDir), stage)
+    val nv = occupyNextFree(spark, f, dir, stage)
+    publish(spark, dir, nv)
+    (nv, RewriteStats(affected.size.toLong, untouched.size.toLong,
+      rowsChanged, rowsKept))
+  }
+
   /** Manifest-pruned range read of a committed version (default
     * latest): only files whose stats admit `column ∈ [lo, hi]` are
     * read; the census of what was skipped comes back alongside.

@@ -1061,6 +1061,53 @@ object ExtOps {
       }
     }),
 
+    // Copy-on-write MERGE INTO — K1's full-row upsert at FILE
+    // granularity (Snapshots.mergeInto): the source's distinct keys
+    // route through the key column's min/max (and bloom, when
+    // present) so only hit files are decoded and rewritten; matched
+    // table rows are replaced, unmatched source keys insert, every
+    // other file byte-copies through with spliced manifests. The row
+    // semantics replay in DuckDB as NOT-IN + UNION ALL; the file
+    // accounting is pinned by SnapshotsSpec. This is the reference's
+    // core upsert family made sublinear in table size: a CDC batch
+    // against a 100 TB clustered table rewrites the files its keys
+    // hit, not the table.
+    "xq28_cow_merge" -> ((s, dir) => {
+      import graft.operators.Snapshots
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_orderstatus").as("status"))
+        .repartitionByRange(8, col("o_orderkey"))
+      val store = new java.io.File(
+        System.getProperty("java.io.tmpdir", "/tmp"),
+        s"graft-xq28-${java.util.UUID.randomUUID()}").getAbsolutePath
+      val hfs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      try {
+        Snapshots.commitWithStats(s, o, store, statsCols = Seq("k"))
+        val before = Snapshots.read(s, store).count()
+        val src = o.filter(col("k") <= 1500)
+          .select(col("k"), lit("M").as("status"))
+          .unionByName(o.filter(col("k") <= 500)
+            .select((col("k") + 10000000L).as("k"),
+              lit("N").as("status")))
+        val (_, m) = Snapshots.mergeInto(s, store, src, Seq("k"))
+        val after = Snapshots.read(s, store)
+        val agg = after.agg(count(lit(1)).as("n"),
+          coalesce(sum(col("k")), lit(0L)).as("sk"),
+          sum(when(col("status") === "M", 1L).otherwise(0L)).as("nm"),
+          sum(when(col("status") === "N", 1L).otherwise(0L)).as("nn"))
+          .head()
+        import s.implicits._
+        Seq((before, m.rowsChanged, agg.getLong(0), agg.getLong(1),
+          agg.getLong(2), agg.getLong(3)))
+          .toDF("rows_before", "rows_merged", "rows_after",
+            "k_sum_after", "n_updated", "n_inserted")
+      } finally {
+        hfs.delete(new org.apache.hadoop.fs.Path(store), true); ()
+      }
+    }),
+
     // Triangle counting over the part co-purchase graph (parts
     // sharing an order) with DEGREE-ORDERED ORIENTATION (Schank &
     // Wagner 2005 / Suri-Vassilvitskii MapReduce form): every edge is
@@ -2023,6 +2070,28 @@ object ExtOps {
            (SELECT CAST(coalesce(sum(k), 0) AS BIGINT) FROM u)
              AS k_sum_after,
            (SELECT count(*) FROM u WHERE status = 'X') AS n_flagged""",
+    // merge row semantics as NOT-IN + UNION ALL (k is non-null and
+    // unique in orders, so NOT IN is safe and the replace is 1:1)
+    "xq28_cow_merge" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+             o_orderstatus AS status FROM orders),
+         src AS (
+           SELECT k, 'M' AS status FROM o WHERE k <= 1500
+           UNION ALL
+           SELECT k + 10000000, 'N' FROM o WHERE k <= 500),
+         merged AS (
+           SELECT * FROM o WHERE k NOT IN (SELECT k FROM src)
+           UNION ALL SELECT * FROM src)
+         SELECT
+           (SELECT count(*) FROM o) AS rows_before,
+           (SELECT count(*) FROM src) AS rows_merged,
+           (SELECT count(*) FROM merged) AS rows_after,
+           (SELECT CAST(coalesce(sum(k), 0) AS BIGINT) FROM merged)
+             AS k_sum_after,
+           (SELECT count(*) FROM merged WHERE status = 'M')
+             AS n_updated,
+           (SELECT count(*) FROM merged WHERE status = 'N')
+             AS n_inserted""",
     // id-ordered naive 3-way join — each triangle once as a < b < c;
     // the degree-oriented Spark plan must count identically
     "xg2_triangle_count" ->

@@ -662,4 +662,45 @@ class SnapshotsSpec extends SparkSpec {
     assert(v5 == 4L && d3 == Snapshots.RewriteStats(0, 0, 0, 0))
     assert(Snapshots.latestVersion(spark, dir) == 4L)
   }
+
+  test("copy-on-write mergeInto: source keys route through the " +
+    "sidecars — only hit files rewrite, unmatched keys insert, " +
+    "oversized batches fall back to a full rewrite") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cow-merge").toString + "/t"
+    val base = (0L until 400L).map(i => (i, s"u-$i"))
+      .toDF("k", "uid").repartitionByRange(4, col("k"))
+    Snapshots.commitWithStats(spark, base, dir,
+      statsCols = Seq("k"), bloomCols = Seq("k"))
+    // two updates inside the first quartile + one brand-new key
+    val src = Seq((10L, "upd-10"), (20L, "upd-20"), (1000L, "new-1000"))
+      .toDF("k", "uid")
+    val (v2, m1) = Snapshots.mergeInto(spark, dir, src, Seq("k"))
+    assert(v2 == 2L)
+    assert(m1.rowsChanged == 3, m1.toString)
+    assert(m1.filesCopied == 3 && m1.filesRewritten == 1, m1.toString)
+    val after = Snapshots.read(spark, dir)
+    assert(after.count() == 401)
+    assert(after.filter(col("k") === 10).collect().head.getString(1)
+      == "upd-10")
+    assert(after.filter(col("k") === 1000).count() == 1)
+    assert(after.filter(col("uid") === "u-10").count() == 0,
+      "matched row must be replaced, not duplicated")
+    // spliced manifests keep the new version pruning AND point-probing
+    val (pr, psr) = Snapshots.readPruned(spark, dir, "k",
+      BigDecimal(300), BigDecimal(399))
+    assert(psr.filesSkipped >= 1)
+    assert(pr.filter(col("k").between(300, 399)).count() == 100)
+    val (pl, plStats) = Snapshots.readPointLookup(spark, dir,
+      "k", "350")
+    assert(pl.filter(col("k") === 350).count() == 1)
+    assert(plStats.filesRead + plStats.filesSkipped >= 4)
+    // routing bound: a batch over maxRoutedKeys rewrites everything
+    val (v3, m2) = Snapshots.mergeInto(spark, dir,
+      Seq((30L, "x"), (330L, "y")).toDF("k", "uid"), Seq("k"),
+      maxRoutedKeys = 1)
+    assert(v3 == 3L && m2.filesCopied == 0, m2.toString)
+    assert(Snapshots.read(spark, dir).count() == 401)
+  }
 }
