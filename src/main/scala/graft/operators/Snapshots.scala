@@ -896,6 +896,53 @@ object Snapshots {
     }
   }
 
+  /** One version-log row for [[history]]. */
+  final case class VersionInfo(version: Long, published: Boolean,
+      nDataFiles: Long, bytes: Long, rows: Option[Long],
+      epochs: Seq[Long], hasStats: Boolean, bloomCols: Seq[String],
+      tags: Seq[String], branches: Seq[String])
+
+  /** DESCRIBE HISTORY: the version log as driver-side metadata — one
+    * row per existing `v=` directory (published head marked; orphans
+    * above the pointer visible for forensics), row counts from the
+    * stats manifest when one exists (never a data scan), epoch
+    * markers, sidecar presence, and the tags/branches pinning each
+    * version. Pure metadata reads: O(versions) directory listings. */
+  def history(spark: SparkSession, dir: String): Seq[VersionInfo] = {
+    val f = fs(spark, dir)
+    val head = latestVersion(spark, dir)
+    val entries = f.listStatus(new Path(dir)).toSeq
+    val refs: Seq[(String, Long, Boolean)] = entries.collect {
+      case s if s.isFile && !s.getPath.getName.contains(".tmp.") &&
+          (s.getPath.getName.startsWith("_tag.") ||
+            s.getPath.getName.startsWith("_branch.")) =>
+        val n = s.getPath.getName
+        val isTag = n.startsWith("_tag.")
+        val name = n.stripPrefix("_tag.").stripPrefix("_branch.")
+        scala.util.Try(readRefFile(f, s.getPath)._1).toOption
+          .map(v => (name, v, isTag))
+    }.flatten
+    existingVersions(f, dir).sorted.map { v =>
+      val vPath = new Path(dir, s"v=$v")
+      val files = f.listStatus(vPath).toSeq
+      val data = files.filter(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      val rows =
+        if (f.exists(new Path(vPath, FileStats.ManifestName)))
+          Some(FileStats.readManifest(spark, s"$dir/v=$v")
+            .map(_.rows).sum)
+        else None
+      VersionInfo(v, published = v <= head,
+        data.size.toLong, data.map(_.getLen).sum, rows,
+        epochMarkers(f, dir, v).toSeq.sorted,
+        f.exists(new Path(vPath, FileStats.ManifestName)),
+        bloomColsOf(f, s"$dir/v=$v"),
+        refs.collect { case (n, rv, true) if rv == v => n }.sorted,
+        refs.collect { case (n, rv, false) if rv == v => n }.sorted)
+    }
+  }
+
   /** Read a specific version (default: the committed latest). */
   def read(spark: SparkSession, dir: String,
       version: Long = -1L): DataFrame = {

@@ -702,5 +702,15 @@ class SnapshotsSpec extends SparkSpec {
       maxRoutedKeys = 1)
     assert(v3 == 3L && m2.filesCopied == 0, m2.toString)
     assert(Snapshots.read(spark, dir).count() == 401)
+    // DESCRIBE HISTORY: metadata-only version log — rows from the
+    // manifest (never a scan), sidecar presence, publish status
+    Snapshots.tag(spark, dir, "audit", 2L)
+    val h = Snapshots.history(spark, dir)
+    assert(h.map(_.version) == Seq(1L, 2L, 3L))
+    assert(h.forall(_.published))
+    assert(h.map(_.rows) == Seq(Some(400L), Some(401L), Some(401L)))
+    assert(h.forall(v => v.hasStats && v.bloomCols == Seq("k")))
+    assert(h.find(_.version == 2L).get.tags == Seq("audit"))
+    assert(h.forall(_.nDataFiles >= 1))
   }
 }
