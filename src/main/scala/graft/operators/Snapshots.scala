@@ -943,6 +943,39 @@ object Snapshots {
     }
   }
 
+  /** Append-log replay for epoch-fenced streaming tables: under
+    * [[commitWithEpoch]]/`versionedSink` each version holds exactly
+    * ONE micro-batch's rows, so the ranged union of versions
+    * `(sinceVersion, endVersion]` IS the change feed — the Kafka-like
+    * replay a downstream consumer needs to catch up or backfill. Each
+    * batch is CONFORMED to the latest schema (the evolution contract:
+    * a stream that added a column mid-history replays uniformly) and
+    * tagged with its `_version`. Vacuumed gaps in the range throw —
+    * a silent hole in a replay is data loss, not a degraded read;
+    * retention for consumers is vacuum's `keepLast`. */
+  def readAppendsSince(spark: SparkSession, dir: String,
+      sinceVersion: Long, endVersion: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val head =
+      if (endVersion > 0) endVersion else latestVersion(spark, dir)
+    require(sinceVersion >= 0 && head > sinceVersion,
+      s"empty replay range ($sinceVersion, $head]")
+    val f = fs(spark, dir)
+    val want = (sinceVersion + 1) to head
+    val have = existingVersions(f, dir).toSet
+    val missing = want.filterNot(have)
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"replay range ($sinceVersion, $head] has vacuumed gaps: " +
+          s"${missing.mkString(",")} — a silent hole would be data " +
+          "loss; raise vacuum keepLast for log consumers")
+    val target = tableSchema(spark, dir)
+    want.map { v =>
+      conform(read(spark, dir, v), target)
+        .withColumn("_version", lit(v))
+    }.reduce(_ unionByName _)
+  }
+
   /** Read a specific version (default: the committed latest). */
   def read(spark: SparkSession, dir: String,
       version: Long = -1L): DataFrame = {

@@ -713,4 +713,38 @@ class SnapshotsSpec extends SparkSpec {
     assert(h.find(_.version == 2L).get.tags == Seq("audit"))
     assert(h.forall(_.nDataFiles >= 1))
   }
+
+  test("readAppendsSince replays an epoch-fenced append log: ranged " +
+    "batches conformed to the latest schema, vacuumed gaps throw") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-replay").toString + "/t"
+    assert(Snapshots.commitWithEpoch(spark,
+      Seq((1L, "a")).toDF("k", "s"), dir, 0L) == Right(1L))
+    assert(Snapshots.commitWithEpoch(spark,
+      Seq((2L, "b")).toDF("k", "s"), dir, 1L) == Right(2L))
+    // epoch 2's batch arrived with an ADDED column — the replay must
+    // present every batch in the latest shape
+    assert(Snapshots.commitWithEpoch(spark,
+      Seq((3L, "c", 9L)).toDF("k", "s", "extra"), dir, 2L)
+      == Right(3L))
+    val feed = Snapshots.readAppendsSince(spark, dir, 1L)
+    assert(feed.columns.toSeq == Seq("k", "s", "extra", "_version"))
+    val rows = feed.orderBy("_version").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq((2L, "b", -1L, 2L), (3L, "c", 9L, 3L)))
+    // full replay from zero
+    assert(Snapshots.readAppendsSince(spark, dir, 0L).count() == 3)
+    // a vacuumed gap inside the range is loud, never a silent hole
+    val f = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(dir, "v=2"), true)
+    intercept[IllegalStateException] {
+      Snapshots.readAppendsSince(spark, dir, 0L)
+    }
+    // but a range past the gap still replays
+    assert(Snapshots.readAppendsSince(spark, dir, 2L)
+      .select(col("k")).collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
 }
