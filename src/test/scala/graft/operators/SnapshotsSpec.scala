@@ -747,4 +747,32 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.readAppendsSince(spark, dir, 2L)
       .select(col("k")).collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
+
+  test("copy-on-write fallbacks: a manifest-less table full-rewrites " +
+    "(never wrong, just unpruned) and NULL-predicate rows survive a " +
+    "delete (SQL DELETE semantics)") {
+    import org.apache.spark.sql.functions.col
+    // no sidecars at all: plain commit → DML must still be correct
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cow-fallback").toString + "/t"
+    Snapshots.commit(spark,
+      Seq((1L, Some("a")), (2L, None: Option[String]),
+        (3L, Some("c"))).toDF("k", "s"), dir)
+    // pred `s = 'a'` is NULL for k=2 — that row must be KEPT
+    val (v2, d) = Snapshots.deleteWhere(spark, dir, col("s") === "a")
+    assert(v2 == 2L && d.rowsChanged == 1, d.toString)
+    assert(d.filesCopied == 0, "no manifest: everything rewrites")
+    val left = Snapshots.read(spark, dir).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq
+    assert(left == Seq(2L, 3L), s"null-pred row lost: $left")
+    // merge on the same manifest-less table: full rewrite, correct rows
+    val (v3, m) = Snapshots.mergeInto(spark, dir,
+      Seq((3L, Some("C")), (9L, Some("i"))).toDF("k", "s"), Seq("k"))
+    assert(v3 == 3L && m.filesCopied == 0 && m.rowsChanged == 2,
+      m.toString)
+    val after = Snapshots.read(spark, dir).orderBy("k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null
+        else r.getString(1))).toSeq
+    assert(after == Seq((2L, null), (3L, "C"), (9L, "i")), after)
+  }
 }
