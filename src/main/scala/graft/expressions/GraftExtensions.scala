@@ -55,6 +55,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // a _stats.json manifest get manifest-consulting file listing —
     // plain spark.read.parquet(versionDir).filter(...) skips files
     ext.injectOptimizerRule(_ => graft.plans.StatsPruneRule)
+    // metadata-only aggregates: whole-table count(*)/min/max over a
+    // manifest-carrying directory answer from _stats.json as a
+    // LocalRelation — no file scan at all
+    ext.injectOptimizerRule(_ => graft.plans.StatsAggRule)
   }
 }
 

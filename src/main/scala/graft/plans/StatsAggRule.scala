@@ -1,0 +1,167 @@
+package graft.plans
+
+import scala.util.Try
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{
+  AggregateExpression, Count, Max, Min}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
+  LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+  LogicalRelation}
+import org.apache.spark.sql.types._
+
+import graft.operators.FileStats
+
+/** Metadata-only aggregate answering — the 5th extension surface
+  * (after the function set, the AsOfJoin strategy, BandLevenshtein,
+  * and StatsPruneRule): a whole-table `count(*)` / `min(col)` /
+  * `max(col)` over a parquet directory that carries a `_stats.json`
+  * manifest is answered FROM THE MANIFEST, as a [[LocalRelation]] —
+  * the physical plan contains no file scan at all. This is the
+  * analog of Delta/Iceberg answering `SELECT count(*)` from add-file
+  * stats: at 100 TB the difference between one driver-side sidecar
+  * read and a full-table scan whose only output is one number.
+  *
+  * The rewrite fires ONLY when it is a proof, never a guess:
+  *  - the aggregate has no grouping and every output is count(*) /
+  *    count(lit) / min / max over a bare column (no DISTINCT, no
+  *    FILTER clause, no expressions);
+  *  - the child is the relation itself (optionally through a
+  *    column-pruning Project of plain attributes) — any Filter in
+  *    between breaks the pattern, so a filtered count never uses
+  *    whole-file row counts;
+  *  - the manifest's file set is EXACTLY the listing's file set
+  *    (a file added outside the commit protocol disables the
+  *    rewrite rather than undercounting);
+  *  - min/max columns are integral, decimal, or date typed with
+  *    stats tracked in every manifest entry. STRING stats are
+  *    refused: the manifest truncates long string bounds
+  *    (Iceberg truncate(L)), so a stored max is an upper BOUND, not
+  *    necessarily an attained value — sound for pruning, unsound as
+  *    an answer. Float/double are refused for the same
+  *    attained-value caution (their stats round-trip through a
+  *    string rendering this rule does not re-verify).
+  *
+  * min/max ignore nulls, and so do the manifest stats (a file whose
+  * column is all-null stores no bounds and simply contributes
+  * nothing); a table all-null in the column answers NULL, matching
+  * the aggregate. Count answers the manifest's row sum — exact, the
+  * same scan that wrote the files counted them.
+  */
+object StatsAggRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case agg: Aggregate if agg.groupingExpressions.isEmpty =>
+      rewrite(agg).getOrElse(agg)
+  }
+
+  /** The relation under the aggregate, looking through column-pruning
+    * Projects of bare attributes (anything else — Filter, computed
+    * projections, joins — disqualifies the rewrite). */
+  private def relationOf(p: LogicalPlan): Option[LogicalRelation] =
+    p match {
+      case lr: LogicalRelation
+          if lr.relation.isInstanceOf[HadoopFsRelation] => Some(lr)
+      case Project(projList, child)
+          if projList.forall(_.isInstanceOf[AttributeReference]) =>
+        relationOf(child)
+      case _ => None
+    }
+
+  private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
+    for {
+      lr <- relationOf(agg.child)
+      h = lr.relation.asInstanceOf[HadoopFsRelation]
+      if h.location.rootPaths.size == 1
+      root = h.location.rootPaths.head
+      qualified = Try(root.getFileSystem(
+        h.sparkSession.sparkContext.hadoopConfiguration)
+        .makeQualified(root)).getOrElse(root)
+      manifest <- StatsPruneRule.manifestFor(h.sparkSession, qualified)
+        .map(_._1)
+      if manifest.nonEmpty && covers(h, qualified, manifest)
+      values <- answers(agg.aggregateExpressions, manifest)
+    } yield LocalRelation(agg.output, Seq(InternalRow.fromSeq(values)))
+  }
+
+  /** The manifest file set must equal the listing's file set — a
+    * data file the manifest doesn't know (or a manifest entry whose
+    * file is gone) makes row counts and bounds unprovable. */
+  private def covers(h: HadoopFsRelation, root: Path,
+      manifest: Seq[FileStats.FileStat]): Boolean = {
+    val rootStr = root.toUri.getPath
+    val listed = h.location.inputFiles.map(f =>
+      new Path(f).toUri.getPath.stripPrefix(rootStr)
+        .stripPrefix("/")).toSet
+    listed.nonEmpty && listed == manifest.map(_.relPath).toSet
+  }
+
+  /** One Catalyst-internal value per aggregate output, or None when
+    * any output is not manifest-answerable (all-or-nothing: a partial
+    * rewrite would have to keep the scan anyway). */
+  private def answers(exprs: Seq[NamedExpression],
+      manifest: Seq[FileStats.FileStat]): Option[Seq[Any]] = {
+    val vs = exprs.map {
+      case Alias(ae: AggregateExpression, _)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Count(Seq(Literal(v, _))) if v != null =>
+            Some(manifest.map(_.rows).sum: Any)
+          case Min(a: AttributeReference) => bound(a, manifest, isMin = true)
+          case Max(a: AttributeReference) => bound(a, manifest, isMin = false)
+          case _ => None
+        }
+      case _ => None
+    }
+    if (vs.exists(_.isEmpty)) None else Some(vs.map(_.get))
+  }
+
+  private val IsoDate = """-?\d{4}-\d{2}-\d{2}""".r
+
+  /** min/max of `a` from the manifest, as a Catalyst-internal value.
+    * None (refuse the rewrite) when the column is untracked in any
+    * entry or the type/rendering is not provably exact; Some(null)
+    * when every file is all-null in the column — the aggregate's own
+    * answer. */
+  private def bound(a: AttributeReference,
+      manifest: Seq[FileStats.FileStat], isMin: Boolean): Option[Any] = {
+    if (manifest.exists(m => !m.cols.contains(a.name))) return None
+    val stats = manifest.flatMap(_.cols(a.name))
+      .map(b => if (isMin) b._1 else b._2)
+    if (stats.isEmpty) return Some(null)
+    a.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Try {
+          val vs = stats.map(BigDecimal(_))
+          val v = if (isMin) vs.min else vs.max
+          a.dataType match {
+            case ByteType => v.toByteExact: Any
+            case ShortType => v.toShortExact: Any
+            case IntegerType => v.toIntExact: Any
+            case _ => v.toLongExact: Any
+          }
+        }.toOption
+      case d: DecimalType =>
+        Try {
+          val vs = stats.map(BigDecimal(_))
+          val v = if (isMin) vs.min else vs.max
+          Decimal(v, d.precision, d.scale): Any
+        }.toOption
+      case DateType =>
+        // date stats are the cast-to-string ISO rendering; for the
+        // uniform yyyy-MM-dd shape, lexicographic order IS date order
+        if (stats.forall(s => IsoDate.matches(s)) &&
+            stats.forall(_.length == stats.head.length))
+          Try {
+            val s = if (isMin) stats.min else stats.max
+            java.time.LocalDate.parse(s).toEpochDay.toInt: Any
+          }.toOption
+        else None
+      case _ => None // strings (truncated bounds), float/double
+    }
+  }
+}

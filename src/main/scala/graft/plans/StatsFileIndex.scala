@@ -371,7 +371,7 @@ object StatsPruneRule extends Rule[LogicalPlan] {
       catch { case _: Exception => None }
     }.toMap
 
-  private def manifestFor(spark: SparkSession, root: Path)
+  private[plans] def manifestFor(spark: SparkSession, root: Path)
       : Option[(Seq[FileStats.FileStat],
         Map[String, Seq[BloomStats.FileBloom]])] = {
     val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)

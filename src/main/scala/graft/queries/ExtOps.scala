@@ -1108,6 +1108,53 @@ object ExtOps {
       }
     }),
 
+    // Metadata-only aggregates — StatsAggRule, the 5th extension
+    // surface: a whole-table count(*)/min/max over a version whose
+    // _stats.json covers every file answers FROM THE MANIFEST as a
+    // LocalRelation with NO file scan in the plan (the Delta/Iceberg
+    // "SELECT count(*) from add-file stats" analog — at 100 TB one
+    // driver-side sidecar read replaces a full-table scan whose only
+    // output is one row). The metadata_only flag pins the MECHANISM:
+    // it is 1 only when the optimized plan contains no relation at
+    // all, so a rule that stopped firing (or a manifest that stopped
+    // covering) diverges the oracle hash loudly; the values pin the
+    // ANSWER against DuckDB's brute-force count/min/max.
+    "xq29_stats_agg" -> ((s, dir) => {
+      import graft.operators.Snapshots
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("c"),
+        col("o_orderdate").cast("date").as("d"))
+        .repartitionByRange(8, col("k"))
+      val store = new java.io.File(
+        System.getProperty("java.io.tmpdir", "/tmp"),
+        s"graft-xq29-${java.util.UUID.randomUUID()}").getAbsolutePath
+      val hfs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      try {
+        Snapshots.commitWithStats(s, o, store,
+          statsCols = Seq("k", "c", "d"))
+        val q = Snapshots.table(s, store).agg(
+          count(lit(1)).as("n"),
+          min(col("k")).as("k_min"), max(col("k")).as("k_max"),
+          min(col("c")).as("c_min"), max(col("c")).as("c_max"),
+          min(col("d")).as("d_min"), max(col("d")).as("d_max"))
+        val meta = q.queryExecution.optimizedPlan.collectFirst {
+          case lr: org.apache.spark.sql.execution.datasources
+            .LogicalRelation => lr
+        }.isEmpty
+        val m = q.head()
+        import s.implicits._
+        Seq((m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3),
+          m.getLong(4), m.getDate(5).toString, m.getDate(6).toString,
+          if (meta) 1L else 0L))
+          .toDF("n", "k_min", "k_max", "c_min", "c_max",
+            "d_min", "d_max", "metadata_only")
+      } finally {
+        hfs.delete(new org.apache.hadoop.fs.Path(store), true); ()
+      }
+    }),
+
     // Triangle counting over the part co-purchase graph (parts
     // sharing an order) with DEGREE-ORDERED ORIENTATION (Schank &
     // Wagner 2005 / Suri-Vassilvitskii MapReduce form): every edge is
@@ -2092,6 +2139,18 @@ object ExtOps {
              AS n_updated,
            (SELECT count(*) FROM merged WHERE status = 'N')
              AS n_inserted""",
+    // count/min/max recomputed by brute force; metadata_only is the
+    // pinned claim that the Spark side answered WITHOUT a scan
+    "xq29_stats_agg" ->
+      """SELECT count(*) AS n,
+           CAST(min(o_orderkey) AS BIGINT) AS k_min,
+           CAST(max(o_orderkey) AS BIGINT) AS k_max,
+           CAST(min(o_custkey) AS BIGINT) AS c_min,
+           CAST(max(o_custkey) AS BIGINT) AS c_max,
+           CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR) AS d_min,
+           CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR) AS d_max,
+           CAST(1 AS BIGINT) AS metadata_only
+         FROM orders""",
     // id-ordered naive 3-way join — each triangle once as a < b < c;
     // the degree-oriented Spark plan must count identically
     "xg2_triangle_count" ->

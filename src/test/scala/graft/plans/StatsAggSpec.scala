@@ -1,0 +1,135 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.operators.Snapshots
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions._
+
+/** Metadata-only aggregates (StatsAggRule): a whole-table
+  * count(*)/min/max over a manifest-carrying directory must answer
+  * from `_stats.json` as a LocalRelation — no file scan in the plan —
+  * with exact values; anything the manifest cannot PROVE (filters,
+  * string bounds, untracked columns, files outside the manifest)
+  * must fall back to the scan, never to a wrong answer.
+  */
+class StatsAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  /** 4-file store: k in [0,400), one month of date-text per file, a
+    * decimal price, a half-null long (all-null in bucket 0), and an
+    * ALL-null long. */
+  private def buildStore(): String = {
+    val dir = freshDir("graft-agg")
+    val df = (0L until 400L).map { i =>
+      val month = i / 100 + 1
+      (i, f"2024-$month%02d-${i % 28 + 1}%02d", i / 100,
+        if (i < 100) None else Some(i * 3), BigDecimal(i) / 4)
+    }.toDF("k", "d", "bucket", "v", "price")
+      .withColumn("dt", to_date(col("d")))
+      .withColumn("w", lit(null).cast("long"))
+      .withColumn("price", col("price").cast("decimal(10,2)"))
+      .repartition(col("bucket"))
+    Snapshots.commitWithStats(spark, df, dir,
+      statsCols = Seq("k", "d", "v", "price", "dt", "w"),
+      partitionByCols = Seq("bucket"))
+    dir
+  }
+
+  private def metadataOnly(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case lr: LogicalRelation => lr
+    }.isEmpty
+
+  test("count/min/max answer from the manifest as a LocalRelation: " +
+    "no relation in the plan, exact values, dates and decimals typed") {
+    val dir = buildStore()
+    val q = Snapshots.table(spark, dir).agg(
+      count(lit(1)).as("n"),
+      min("k").as("k_mn"), max("k").as("k_mx"),
+      min("dt").as("dt_mn"), max("dt").as("dt_mx"),
+      min("price").as("p_mn"), max("price").as("p_mx"))
+    assert(metadataOnly(q), q.queryExecution.optimizedPlan.toString)
+    val r = q.head()
+    assert(r.getLong(0) == 400L)
+    assert(r.getLong(1) == 0L && r.getLong(2) == 399L)
+    assert(r.getDate(3).toString == "2024-01-01" &&
+      r.getDate(4).toString == "2024-04-28")
+    assert(r.getDecimal(5) == new java.math.BigDecimal("0.00") &&
+      r.getDecimal(6) == new java.math.BigDecimal("99.75"))
+  }
+
+  test("null semantics: all-null files contribute nothing; an " +
+    "all-null column answers NULL — both still metadata-only") {
+    val dir = buildStore()
+    val q = Snapshots.table(spark, dir).agg(
+      min("v").as("v_mn"), max("v").as("v_mx"),
+      min("w").as("w_mn"))
+    assert(metadataOnly(q), q.queryExecution.optimizedPlan.toString)
+    val r = q.head()
+    // v is null in bucket 0 (k<100): true min is 100*3
+    assert(r.getLong(0) == 300L && r.getLong(1) == 399L * 3)
+    assert(r.isNullAt(2), "all-null column must answer NULL")
+  }
+
+  test("plain spark.read.parquet of the version dir rewrites too " +
+    "(the injected rule, no Snapshots.table call)") {
+    val dir = buildStore()
+    val q = spark.read.parquet(s"$dir/v=1")
+      .agg(count(lit(1)).as("n"), max("k").as("k_mx"))
+    assert(metadataOnly(q), q.queryExecution.optimizedPlan.toString)
+    val r = q.head()
+    assert(r.getLong(0) == 400L && r.getLong(1) == 399L)
+  }
+
+  test("refusals fall back to the scan, never to a wrong answer: " +
+    "filter, string bounds, count(col), untracked column, avg") {
+    val dir = buildStore()
+    val tbl = () => Snapshots.table(spark, dir)
+    // a filter between scan and aggregate: whole-file rows are not an
+    // answer — must scan, and the scanned answer is exact
+    val f = tbl().filter(col("k") >= 100).agg(count(lit(1)).as("n"))
+    assert(!metadataOnly(f))
+    assert(f.head().getLong(0) == 300L)
+    // string min/max: the manifest may truncate string bounds — refuse
+    val s = tbl().agg(min("d").as("mn"))
+    assert(!metadataOnly(s))
+    assert(s.head().getString(0) == "2024-01-01")
+    // count(col) needs null counts the manifest doesn't track
+    val c = tbl().agg(count(col("v")).as("n"))
+    assert(!metadataOnly(c))
+    assert(c.head().getLong(0) == 300L)
+    // partition column (read back as Int): no stats tracked for it
+    val p = tbl().agg(max("bucket").as("mx"))
+    assert(!metadataOnly(p))
+    assert(p.head().getAs[Number](0).longValue == 3L)
+    // one unanswerable aggregate poisons the whole rewrite
+    val a = tbl().agg(count(lit(1)).as("n"), avg("k").as("a"))
+    assert(!metadataOnly(a))
+    assert(a.head().getLong(0) == 400L)
+  }
+
+  test("a file outside the manifest disables the rewrite (coverage " +
+    "guard) — the scan sees it, a manifest answer would not") {
+    val dir = buildStore()
+    val vDir = s"$dir/v=1"
+    // plant 50 extra rows as a stray file the commit protocol never saw
+    (400L until 450L).map(i => (i, "2024-05-01", 0L,
+        Some(i * 3), BigDecimal(0)))
+      .toDF("k", "d", "bucket", "v", "price")
+      .withColumn("dt", to_date(col("d")))
+      .withColumn("w", lit(null).cast("long"))
+      .withColumn("price", col("price").cast("decimal(10,2)"))
+      .coalesce(1)
+      .write.parquet(s"$vDir/bucket=9")
+    val q = spark.read.parquet(vDir).agg(count(lit(1)).as("n"),
+      max("k").as("mx"))
+    assert(!metadataOnly(q),
+      "rewrite fired over files the manifest does not cover")
+    val r = q.head()
+    assert(r.getLong(0) == 450L && r.getLong(1) == 449L)
+  }
+}
