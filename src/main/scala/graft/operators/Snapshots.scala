@@ -460,6 +460,114 @@ object Snapshots {
     (nv, agg)
   }
 
+  /** Accounting for [[optimizeClustered]]: file counts either side of
+    * the rewrite plus the row count that must be invariant. */
+  final case class ClusterStats(filesBefore: Long, filesAfter: Long,
+      rows: Long)
+
+  private def countDataFiles(f: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Long = {
+    val children = f.listStatus(dir).toSeq
+    children.count(s => s.isFile &&
+      !s.getPath.getName.startsWith("_") &&
+      !s.getPath.getName.startsWith(".")).toLong +
+      children.filter(s => s.isDirectory &&
+        !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+        .map(s => countDataFiles(f, s.getPath)).sum
+  }
+
+  /** OPTIMIZE ZORDER BY — recluster the latest version on the Morton
+    * curve of (xCol, yCol) and publish the rewritten layout as the
+    * NEXT version: same rows, different file boundaries, so that
+    * range predicates on EITHER clustered column prune files through
+    * the recomputed stats manifest (readers keep the old version
+    * until the pointer moves — maintenance never breaks an in-flight
+    * read, exactly like compaction). This is the write-side half of
+    * the file-skipping story: the manifests/StatsFileIndex only pay
+    * when per-file min/max are TIGHT, and a table that accreted by
+    * appends has scattered files where every range touches everything.
+    * At 100 TB this is Delta/Iceberg's OPTIMIZE ZORDER: one shuffle
+    * of the table (repartition on the cluster id + an in-task sort by
+    * the full Z-value for parquet row-group locality), run rarely,
+    * amortized over every selective read after it.
+    *
+    * Layout: one file per Z-bucket (`bucketCol=value` Hive-style
+    * directories — the cluster id MATERIALIZES as a table column,
+    * the deterministic file↔bucket bijection the oracle-replayable
+    * censuses are built on). `quantizeCols = true` linearly quantizes
+    * each dimension to `bits` levels between its observed min/max
+    * (one 4-scalar agg, never a sample — deterministic); with
+    * `false` the inputs must already be non-negative integers below
+    * 2^bits (exact integer arithmetic end to end, replayable in a
+    * SQL twin). Stats manifest recomputed over the new layout
+    * (always including xCol/yCol — tight bounds are the point),
+    * bloom sidecars recomputed per file, `_epoch.*` markers carried
+    * forward (the exactly-once fence survives maintenance).
+    */
+  def optimizeClustered(spark: SparkSession, dir: String,
+      xCol: String, yCol: String, bits: Int = 10,
+      bucketWidth: Long = 16384L, bucketCol: String = "z_bucket",
+      statsCols: Seq[String] = Nil, quantizeCols: Boolean = true)
+      : (Long, ClusterStats) = {
+    import org.apache.spark.sql.functions.{call_function, col, lit,
+      max => fmax, min => fmin}
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val f = fs(spark, dir)
+    val v = latestVersion(spark, dir)
+    require(v > 0, s"$dir has no committed version to optimize")
+    val vDir = s"$dir/v=$v"
+    val vPath = f.makeQualified(new Path(vDir))
+    val df = read(spark, dir, v)
+    require(!df.columns.contains(bucketCol),
+      s"optimizeClustered: table already has a '$bucketCol' column — " +
+        "pass a different bucketCol")
+    val zkey =
+      if (!quantizeCols) ZOrder.interleave2(col(xCol), col(yCol), bits)
+      else {
+        val b = df.agg(fmin(col(xCol)).cast("double"),
+          fmax(col(xCol)).cast("double"),
+          fmin(col(yCol)).cast("double"),
+          fmax(col(yCol)).cast("double")).head()
+        require(!b.isNullAt(0) && !b.isNullAt(2),
+          s"optimizeClustered: $xCol/$yCol entirely NULL — cannot cluster")
+        ZOrder.interleave2(
+          ZOrder.quantize(col(xCol), b.getDouble(0), b.getDouble(1), bits),
+          ZOrder.quantize(col(yCol), b.getDouble(2), b.getDouble(3), bits),
+          bits)
+      }
+    val clustered = df
+      .withColumn("__z", zkey)
+      .withColumn(bucketCol, call_function("div", col("__z"),
+        lit(bucketWidth)))
+      .repartition(col(bucketCol))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    val cols = {
+      val carried =
+        if (statsCols.nonEmpty) statsCols
+        else if (f.exists(new Path(vDir, FileStats.ManifestName)))
+          FileStats.readManifest(spark, vDir)
+            .flatMap(_.cols.keys).distinct
+        else Seq.empty
+      (carried ++ Seq(xCol, yCol)).distinct.sorted
+    }
+    val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
+    clustered.write.mode("overwrite").partitionBy(bucketCol)
+      .parquet(stage.toString)
+    FileStats.writeManifest(spark, stage.toString, cols)
+    bloomColsOf(f, vDir).foreach(c =>
+      BloomStats.writeManifest(spark, stage.toString, c))
+    copyEpochMarkers(f, vPath, stage)
+    val filesBefore = countDataFiles(f, vPath)
+    val filesAfter = countDataFiles(f, stage)
+    val rows = FileStats.readManifest(spark, stage.toString)
+      .map(_.rows).sum
+    val nv = occupyNextFree(spark, f, dir, stage)
+    publish(spark, dir, nv)
+    (nv, ClusterStats(filesBefore, filesAfter, rows))
+  }
+
   // ---- copy-on-write row-level DML ------------------------------------
 
   /** Accounting for a copy-on-write rewrite: how many files were

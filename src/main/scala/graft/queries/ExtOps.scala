@@ -1155,6 +1155,62 @@ object ExtOps {
       }
     }),
 
+    // OPTIMIZE ZORDER end-to-end — the write-side half of the
+    // file-skipping story (Snapshots.optimizeClustered): v1 commits
+    // the same xy frame SCATTERED (hash-partitioned on a key
+    // uncorrelated with x, so every file spans the whole x domain and
+    // a range read prunes NOTHING), then one maintenance rewrite
+    // publishes v2 reclustered on the Morton curve — and the same
+    // planner-pruned read now skips most files. Both censuses are
+    // decided by StatsFileIndex at listing time; both replay in
+    // DuckDB as closed-form group-by arithmetic (before: per-h min/max
+    // of x — the scattered layout keeps everything; after: xq22's
+    // z-bucket tiles). rows_matched before/after + checksum pin that
+    // maintenance moved FILE BOUNDARIES, never rows. At 100 TB this
+    // is the amortization argument for OPTIMIZE: one table shuffle,
+    // run rarely, against every selective scan after it.
+    "xq30_optimize_cluster" -> ((s, dir) => {
+      import graft.operators.Snapshots
+      val base = t(s, dir, "lineitem")
+        .select(pmod(col("l_partkey"), lit(1024)).as("x"),
+          pmod(col("l_suppkey"), lit(1024)).as("y"),
+          pmod(col("l_orderkey"), lit(8)).as("h"))
+        .repartition(col("h"))
+      val store = new java.io.File(
+        System.getProperty("java.io.tmpdir", "/tmp"),
+        s"graft-xq30-${java.util.UUID.randomUUID()}").getAbsolutePath
+      val hfs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      try {
+        val v1 = Snapshots.commitWithStats(s, base, store,
+          statsCols = Seq("x"), partitionByCols = Seq("h"))
+        def census(version: Long) = {
+          val tbl = Snapshots.table(s, store, version)
+          val m = tbl.filter(col("x").between(100, 299))
+            .agg(count(lit(1)).as("n"),
+              coalesce(sum(col("x")), lit(0L)).as("sx")).head()
+          val ps = graft.plans.StatsFileIndex.indexOf(tbl)
+            .flatMap(_.lastPrune)
+            .getOrElse(sys.error("planner index recorded no census"))
+          (ps, m.getLong(0), m.getLong(1))
+        }
+        val (psB, matchedB, _) = census(v1)
+        val (v2, cs) = Snapshots.optimizeClustered(s, store, "x", "y",
+          bits = 10, bucketWidth = 16384L, quantizeCols = false)
+        val (psA, matchedA, cksum) = census(v2)
+        import s.implicits._
+        Seq((psB.filesRead + psB.filesSkipped, psB.filesRead,
+          psA.filesRead + psA.filesSkipped, psA.filesRead,
+          psA.filesSkipped, cs.rows, matchedB, matchedA, cksum))
+          .toDF("files_total_before", "files_read_before",
+            "files_total_after", "files_read_after",
+            "files_skipped_after", "rows_total",
+            "rows_matched_before", "rows_matched_after", "x_checksum")
+      } finally {
+        hfs.delete(new org.apache.hadoop.fs.Path(store), true); ()
+      }
+    }),
+
     // Triangle counting over the part co-purchase graph (parts
     // sharing an order) with DEGREE-ORDERED ORIENTATION (Schank &
     // Wagner 2005 / Suri-Vassilvitskii MapReduce form): every edge is
@@ -2151,6 +2207,46 @@ object ExtOps {
            CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR) AS d_max,
            CAST(1 AS BIGINT) AS metadata_only
          FROM orders""",
+    // before: per-h (scattered) min/max of x — every file intersects;
+    // after: xq22's Morton-tile arithmetic over 16384-wide z-buckets;
+    // rows/checksum prove the rewrite is layout-only
+    "xq30_optimize_cluster" ->
+      """WITH xy AS (SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y,
+             l_orderkey % 8 AS h FROM lineitem),
+         fb AS (SELECT h, min(x) AS mn, max(x) AS mx FROM xy GROUP BY 1),
+         clb AS (SELECT (NOT (mx < 100 OR mn > 299)) AS kept FROM fb),
+         z AS (SELECT x,
+             (x % 2) * 1 + ((x // 2) % 2) * 4 + ((x // 4) % 2) * 16
+           + ((x // 8) % 2) * 64 + ((x // 16) % 2) * 256
+           + ((x // 32) % 2) * 1024 + ((x // 64) % 2) * 4096
+           + ((x // 128) % 2) * 16384 + ((x // 256) % 2) * 65536
+           + ((x // 512) % 2) * 262144
+           + (y % 2) * 2 + ((y // 2) % 2) * 8 + ((y // 4) % 2) * 32
+           + ((y // 8) % 2) * 128 + ((y // 16) % 2) * 512
+           + ((y // 32) % 2) * 2048 + ((y // 64) % 2) * 8192
+           + ((y // 128) % 2) * 32768 + ((y // 256) % 2) * 131072
+           + ((y // 512) % 2) * 524288 AS zv
+           FROM xy),
+         fa AS (SELECT zv // 16384 AS zb, count(*) AS rows_in,
+             min(x) AS mn, max(x) AS mx FROM z GROUP BY 1),
+         cla AS (SELECT rows_in,
+             (NOT (mx < 100 OR mn > 299)) AS kept FROM fa)
+         SELECT
+           (SELECT count(*) FROM fb) AS files_total_before,
+           (SELECT CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+             FROM clb) AS files_read_before,
+           (SELECT count(*) FROM fa) AS files_total_after,
+           (SELECT CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+             FROM cla) AS files_read_after,
+           (SELECT CAST(sum(CASE WHEN NOT kept THEN 1 ELSE 0 END)
+             AS BIGINT) FROM cla) AS files_skipped_after,
+           (SELECT count(*) FROM xy) AS rows_total,
+           (SELECT count(*) FROM xy WHERE x BETWEEN 100 AND 299)
+             AS rows_matched_before,
+           (SELECT count(*) FROM xy WHERE x BETWEEN 100 AND 299)
+             AS rows_matched_after,
+           (SELECT CAST(coalesce(sum(x), 0) AS BIGINT) FROM xy
+             WHERE x BETWEEN 100 AND 299) AS x_checksum""",
     // id-ordered naive 3-way join — each triangle once as a < b < c;
     // the degree-oriented Spark plan must count identically
     "xg2_triangle_count" ->
