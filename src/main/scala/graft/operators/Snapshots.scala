@@ -239,9 +239,7 @@ object Snapshots {
     val f = fs(spark, dir)
     val head = latestVersion(spark, dir)
     val versions = existingVersions(f, dir)
-    val fence = versions.filter(_ <= head).sorted.reverseIterator
-      .map(v => (v, epochMarkers(f, dir, v)))
-      .collectFirst { case (v, ms) if ms.nonEmpty => (v, ms) }
+    val fence = newestMarked(f, dir, versions, head)
     fence match {
       case Some((v, ms)) if ms.contains(epochId) =>
         Left(s"epoch $epochId already published as v=$v")
@@ -281,6 +279,83 @@ object Snapshots {
             publish(spark, dir, v)
             Right(v)
         }
+    }
+  }
+
+  /** The newest PUBLISHED version carrying any `_epoch.*` marker,
+    * with its marker set — the fence [[commitWithEpoch]] checks and
+    * the offset [[mirrorAppends]] resumes from. */
+  private def newestMarked(f: org.apache.hadoop.fs.FileSystem,
+      dir: String, versions: Seq[Long], head: Long)
+      : Option[(Long, Set[Long])] =
+    versions.filter(_ <= head).sorted.reverseIterator
+      .map(v => (v, epochMarkers(f, dir, v)))
+      .collectFirst { case (v, ms) if ms.nonEmpty => (v, ms) }
+
+  /** The highest epoch id the table's fence records (None when no
+    * published version carries a marker) — a consumer's durable
+    * offset: for an epoch-fenced table the fence IS the progress
+    * marker, no separate offsets file to keep transactional with the
+    * data. */
+  def lastEpoch(spark: SparkSession, dir: String): Option[Long] = {
+    val f = fs(spark, dir)
+    val head = latestVersion(spark, dir)
+    newestMarked(f, dir, existingVersions(f, dir), head).map(_._2.max)
+  }
+
+  /** Exactly-once change-feed consumption: mirror every source
+    * version the destination has not seen yet into the destination
+    * as epoch-fenced commits, `transform` applied per batch. The
+    * DESTINATION'S OWN EPOCH FENCE is the consumer offset (epoch id =
+    * source version), so progress and data commit in the same atomic
+    * slot rename — there is no offsets file that can drift from the
+    * table, and every crash point replays safely:
+    *  - die before a batch's commit → the fence still names the
+    *    previous version; the rerun re-reads and re-commits it;
+    *  - die between the slot rename and the pointer publish → the
+    *    rerun's [[commitWithEpoch]] finds the complete orphan
+    *    carrying the epoch marker and ROLLS IT FORWARD;
+    *  - die after publish → the fence refuses the replayed epoch
+    *    (`Left`) and the loop moves to the next version.
+    * Source versions must still exist — a vacuumed gap throws loudly
+    * (the [[readAppendsSince]] contract: a silent hole is data loss).
+    * Batches are conformed to the source's LATEST schema before
+    * `transform` (the evolution contract), so a consumer written
+    * against the current shape replays old history uniformly. The
+    * destination belongs to this consumer (single-writer discipline,
+    * like any epoch-fenced table). Returns the destination versions
+    * committed this run.
+    *
+    * This is the Kafka-consumer/Delta-CDF pattern over the snapshot
+    * store: under `versionedSink` each source version is one
+    * micro-batch of appends, so mirroring version-by-version IS
+    * mirroring the stream — downstream tables (a filtered copy, a
+    * conformed silver table) stay exactly-once through arbitrary
+    * crash/retry, at any scale the underlying commits handle.
+    */
+  def mirrorAppends(spark: SparkSession, srcDir: String, dstDir: String,
+      transform: DataFrame => DataFrame = identity,
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Seq[Long] = {
+    val from = lastEpoch(spark, dstDir).getOrElse(0L)
+    val to = latestVersion(spark, srcDir)
+    if (to <= from) return Seq.empty
+    val f = fs(spark, srcDir)
+    val have = existingVersions(f, srcDir).toSet
+    val missing = ((from + 1) to to).filterNot(have)
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"mirror range ($from, $to] has vacuumed source versions: " +
+          s"${missing.mkString(",")} — a silent hole would be data " +
+          "loss; raise vacuum keepLast for log consumers")
+    val target = tableSchema(spark, srcDir)
+    ((from + 1) to to).flatMap { v =>
+      val batch = transform(conform(read(spark, srcDir, v), target))
+      commitWithEpoch(spark, batch, dstDir, epochId = v,
+        statsCols = statsCols, bloomCols = bloomCols) match {
+        case Right(nv) => Some(nv)
+        case Left(_) => None // already mirrored by a prior (crashed) run
+      }
     }
   }
 

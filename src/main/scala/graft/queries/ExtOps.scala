@@ -1211,6 +1211,50 @@ object ExtOps {
       }
     }),
 
+    // Change-feed mirroring end-to-end (Snapshots.mirrorAppends):
+    // the source is a 3-batch append log (one commit per k%3 class);
+    // the consumer mirrors it into a downstream table with a filter
+    // transform, exactly-once — the DESTINATION'S epoch fence is the
+    // consumer offset (epoch id = source version), so progress and
+    // data seal in the same atomic rename and a crashed consumer
+    // replays to the same state (MirrorSpec pins the crash points).
+    // The census replays the mirrored log per destination version
+    // through readAppendsSince — the DuckDB twin recomputes each
+    // batch's filtered census from the k%3 slicing directly. This is
+    // the Kafka-consumer / CDF-downstream pattern the snapshot store's
+    // streaming story composes into: source sink → fence → mirror →
+    // downstream table, exactly-once at every hop.
+    "xq31_change_feed_mirror" -> ((s, dir) => {
+      import graft.operators.Snapshots
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_orderstatus").as("status"))
+      val tmp = System.getProperty("java.io.tmpdir", "/tmp")
+      val tag = java.util.UUID.randomUUID()
+      val src = new java.io.File(tmp, s"graft-xq31s-$tag").getAbsolutePath
+      val dst = new java.io.File(tmp, s"graft-xq31d-$tag").getAbsolutePath
+      val hfs = new org.apache.hadoop.fs.Path(src)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      try {
+        (0 to 2).foreach(i => Snapshots.commit(s,
+          o.filter(pmod(col("k"), lit(3)) === i), src))
+        Snapshots.mirrorAppends(s, src, dst,
+          _.filter(col("status") === "O"))
+        val rows = Snapshots.readAppendsSince(s, dst, 0L)
+          .groupBy(col("_version"))
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(col("k")), lit(0L)).as("k_sum"))
+          .orderBy(col("_version"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSeq
+        import s.implicits._
+        rows.toDF("version", "n", "k_sum")
+      } finally {
+        hfs.delete(new org.apache.hadoop.fs.Path(src), true)
+        hfs.delete(new org.apache.hadoop.fs.Path(dst), true); ()
+      }
+    }),
+
     // Triangle counting over the part co-purchase graph (parts
     // sharing an order) with DEGREE-ORDERED ORIENTATION (Schank &
     // Wagner 2005 / Suri-Vassilvitskii MapReduce form): every edge is
@@ -2247,6 +2291,16 @@ object ExtOps {
              AS rows_matched_after,
            (SELECT CAST(coalesce(sum(x), 0) AS BIGINT) FROM xy
              WHERE x BETWEEN 100 AND 299) AS x_checksum""",
+    // each mirrored batch = one k%3 class filtered to status 'O';
+    // destination version v holds source version v's batch
+    "xq31_change_feed_mirror" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+             o_orderstatus AS status FROM orders)
+         SELECT CAST(k % 3 + 1 AS BIGINT) AS version,
+           count(*) AS n,
+           CAST(coalesce(sum(k), 0) AS BIGINT) AS k_sum
+         FROM o WHERE status = 'O'
+         GROUP BY 1 ORDER BY 1""",
     // id-ordered naive 3-way join — each triangle once as a < b < c;
     // the degree-oriented Spark plan must count identically
     "xg2_triangle_count" ->
