@@ -661,7 +661,11 @@ object Snapshots {
     * make cheap. Rows where the predicate is NULL are KEPT (SQL
     * DELETE semantics). Epoch markers carry forward (the deleted-from
     * state still includes those epochs — the fence stays O(1)).
-    * Flat (non-partitioned) layouts only, like [[compactVersion]].
+    * PARTITIONED layouts route additionally through the
+    * directory-encoded partition values (a predicate on a partition
+    * column rewrites only that partition's files), and rewritten rows
+    * re-route through `partitionBy` — an UPDATE that changes a
+    * partition column moves its rows to the right directory.
     * Returns the new version and the accounting; a provably-no-op
     * delete (every file skipped) publishes nothing and returns the
     * current version with zero stats. */
@@ -681,6 +685,45 @@ object Snapshots {
     rewriteWhere(spark, dir, pred, Some(sets))
   }
 
+  /** Recursive relative data-file listing of a version directory plus
+    * the partition column names in nesting order (empty for flat
+    * layouts) — the listing every copy-on-write op routes over. */
+  private def listDataRel(f: org.apache.hadoop.fs.FileSystem,
+      vPath: Path): (Seq[String], Seq[String]) = {
+    def walk(p: Path): Seq[Path] = f.listStatus(p).toSeq.flatMap { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+      else if (s.isDirectory) walk(s.getPath)
+      else Seq(s.getPath)
+    }
+    val rels = walk(vPath)
+      .map(p => vPath.toUri.relativize(p.toUri).getPath)
+    val pcols = rels.headOption.toSeq
+      .flatMap(_.split("/").dropRight(1).toSeq)
+      .map(seg => seg.substring(0, math.max(seg.indexOf('='), 0)))
+      .filter(_.nonEmpty)
+    (rels, pcols)
+  }
+
+  /** A file's partition values as synthetic point stats
+    * (min = max = the directory-encoded value): lets the SAME
+    * [[FileStats.prune]] machinery decide partition pruning for
+    * copy-on-write DML. The Hive null sentinel and escaped values
+    * (`%xx`) parse to None — kept conservatively. */
+  private def partStats(rel: String)
+      : Map[String, Option[(String, String)]] =
+    rel.split("/").dropRight(1).toSeq.flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i <= 0) None
+      else {
+        val c = seg.substring(0, i)
+        val value = seg.substring(i + 1)
+        if (value == "__HIVE_DEFAULT_PARTITION__" ||
+            value.contains("%")) Some(c -> None)
+        else Some(c -> Some((value, value)))
+      }
+    }.toMap
+
   private def rewriteWhere(spark: SparkSession, dir: String,
       pred: org.apache.spark.sql.Column,
       sets: Option[Map[String, org.apache.spark.sql.Column]])
@@ -690,11 +733,8 @@ object Snapshots {
     val v = latestVersion(spark, dir)
     require(v > 0, s"$dir has no committed version")
     val vDir = s"$dir/v=$v"
-    require(!f.listStatus(new Path(vDir)).exists(_.isDirectory),
-      s"rewriteWhere: $vDir has partition subdirectories — " +
-        "copy-on-write DML supports flat layouts")
-    val dataFiles = Compaction.listDataFiles(spark, vDir)
-      .map(p => new Path(p._1).getName)
+    val vPath = f.makeQualified(new Path(vDir))
+    val (dataFiles, pcols) = listDataRel(f, vPath)
     // resolve the predicate against the version's schema and extract
     // the range/equality conjuncts the sidecars can decide on — from
     // the OPTIMIZED plan: the analyzer leaves type-coercion casts on
@@ -722,13 +762,29 @@ object Snapshots {
         case (c, vals) => blooms.get(c).toSeq.flatMap(_.filter(fb =>
           !vals.exists(BloomStats.admits(fb, _))).map(_.relPath))
       }.toSet
+    // partition pruning for the rewrite: directory-encoded values are
+    // point stats, so a predicate on a partition column routes the
+    // rewrite to that partition's files only
+    val partSkipped: Set[String] =
+      if (pcols.isEmpty) Set.empty
+      else {
+        val pPreds = graft.plans.StatsFilters.extract(cond)
+          .filter(p => pcols.contains(p.column))
+        if (pPreds.isEmpty) Set.empty
+        else {
+          val synth = dataFiles.map(r =>
+            FileStats.FileStat(r, 0L, partStats(r)))
+          FileStats.prune(synth, pPreds)._2.map(_.relPath).toSet
+        }
+      }
     val untouched = dataFiles.filter(r =>
-      rangeSkipped(r) || bloomSkipped(r))
+      rangeSkipped(r) || bloomSkipped(r) || partSkipped(r))
     val affected = dataFiles.filterNot(untouched.toSet)
     if (affected.isEmpty)
       return (v, RewriteStats(0, 0, 0, 0))
     val hit = coalesce(pred, lit(false))
-    val affectedDf = spark.read
+    // basePath keeps directory-encoded partition columns in the frame
+    val affectedDf = spark.read.option("basePath", vDir)
       .parquet(affected.map(r => s"$vDir/$r"): _*)
     val rowsChanged = affectedDf.filter(hit).count()
     val rewritten = sets match {
@@ -740,16 +796,21 @@ object Snapshots {
         }: _*)
     }
     val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
-    rewritten.write.mode("overwrite").parquet(stage.toString)
+    val w = rewritten.write.mode("overwrite")
+    (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w)
+      .parquet(stage.toString)
+    // kept = everything the predicate did not hit (NULL keeps) — never
+    // read back from the stage, which is legitimately file-less when a
+    // partitioned delete empties every affected file
     val rowsKept = sets match {
-      case None => spark.read.parquet(stage.toString).count()
+      case None => affectedDf.count() - rowsChanged
       case Some(_) => affectedDf.count()
     }
     // splice sidecars: scan ONLY the new files, keep the untouched
     // files' existing entries verbatim (a fully-emptied rewrite may
     // leave zero new data files — then the splice is old entries only)
     val stagedEmpty =
-      Compaction.listDataFiles(spark, stage.toString).isEmpty
+      listDataRel(f, f.makeQualified(stage))._1.isEmpty
     if (hasStats) {
       val oldKept = stats.filter(e => untouched.contains(e.relPath))
       if (stagedEmpty) FileStats.writeEntries(spark, stage.toString,
@@ -799,8 +860,10 @@ object Snapshots {
     * scattered-key CDC batch against a clustered table still rewrites
     * only the hit files. The source is conformed to the table schema
     * first (schema evolution applies); the caller owns source-side
-    * key dedup (K5 last-write-wins upstream). Flat layouts, like the
-    * other copy-on-write ops; epoch markers carry forward. */
+    * key dedup (K5 last-write-wins upstream). PARTITIONED layouts
+    * route through directory-encoded partition values when the
+    * leading key IS a partition column, and rewritten+inserted rows
+    * re-route through `partitionBy`; epoch markers carry forward. */
   def mergeInto(spark: SparkSession, dir: String, source: DataFrame,
       keys: Seq[String], maxRoutedKeys: Int = 100000)
       : (Long, RewriteStats) = {
@@ -810,12 +873,9 @@ object Snapshots {
     val v = latestVersion(spark, dir)
     require(v > 0, s"$dir has no committed version")
     val vDir = s"$dir/v=$v"
-    require(!f.listStatus(new Path(vDir)).exists(_.isDirectory),
-      s"mergeInto: $vDir has partition subdirectories — " +
-        "copy-on-write DML supports flat layouts")
+    val vPath = f.makeQualified(new Path(vDir))
     val conformed = conform(source, tableSchema(spark, dir))
-    val dataFiles = Compaction.listDataFiles(spark, vDir)
-      .map(p => new Path(p._1).getName)
+    val (dataFiles, pcols) = listDataRel(f, vPath)
     val routeCol = keys.head
     val hasStats = f.exists(new Path(vDir, FileStats.ManifestName))
     val stats =
@@ -825,7 +885,7 @@ object Snapshots {
       .map(c => BloomStats.readManifest(spark, vDir, c)
         .map(b => b.relPath -> b).toMap)
     val routedKeys: Option[Seq[String]] =
-      if (stats.isEmpty) None
+      if (stats.isEmpty && !pcols.contains(routeCol)) None
       else {
         val ks = conformed.select(col(routeCol).cast("string"))
           .na.drop().distinct().limit(maxRoutedKeys + 1)
@@ -836,7 +896,10 @@ object Snapshots {
       case None => (dataFiles, Seq.empty[String])
       case Some(ks) =>
         dataFiles.partition { rel =>
+          // manifest stats first; a partition-encoded route column
+          // falls back to its directory value as point stats
           statsByRel.get(rel).flatMap(_.cols.get(routeCol).flatten)
+            .orElse(partStats(rel).get(routeCol).flatten)
             match {
             case None => true // no stats for the route column: keep
             case Some((mn, mx)) =>
@@ -847,16 +910,22 @@ object Snapshots {
         }
     }
     val rowsChanged = conformed.count()
+    // an empty source is a no-op merge: publish nothing (and never
+    // hand the parquet writer an empty frame to stage)
+    if (rowsChanged == 0L)
+      return (v, RewriteStats(0, dataFiles.size.toLong, 0, 0))
     val (newData, rowsKept) =
       if (affected.isEmpty) (conformed, 0L)
       else {
-        val base = spark.read
+        val base = spark.read.option("basePath", vDir)
           .parquet(affected.map(r => s"$vDir/$r"): _*)
         val anti = base.join(conformed, keys, "left_anti")
         (anti.unionByName(conformed), anti.count())
       }
     val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
-    newData.write.mode("overwrite").parquet(stage.toString)
+    val w = newData.write.mode("overwrite")
+    (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w)
+      .parquet(stage.toString)
     if (hasStats) {
       val oldKept = stats.filter(e => untouched.contains(e.relPath))
       val statsCols = stats.flatMap(_.cols.keys).distinct.sorted
