@@ -27,7 +27,11 @@ import graft.operators.FileStats
   * read and a full-table scan whose only output is one number.
   *
   * The rewrite fires ONLY when it is a proof, never a guess:
-  *  - the aggregate has no grouping and every output is count(*) /
+  *  - the aggregate is ungrouped, or grouped ONLY by bare partition
+  *    columns (the directory-encoded values are the group keys — the
+  *    per-partition census Spark's own OptimizeMetadataOnlyQuery
+  *    reserves for catalog tables, here for path stores and with
+  *    per-group min/max too); every aggregate output is count(*) /
   *    count(lit) / min / max over a bare column (no DISTINCT, no
   *    FILTER clause, no expressions);
   *  - the child is the relation itself (optionally through a
@@ -55,8 +59,7 @@ import graft.operators.FileStats
 object StatsAggRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case agg: Aggregate if agg.groupingExpressions.isEmpty =>
-      rewrite(agg).getOrElse(agg)
+    case agg: Aggregate => rewrite(agg).getOrElse(agg)
   }
 
   /** The relation under the aggregate, looking through column-pruning
@@ -84,9 +87,88 @@ object StatsAggRule extends Rule[LogicalPlan] {
       manifest <- StatsPruneRule.manifestFor(h.sparkSession, qualified)
         .map(_._1)
       if manifest.nonEmpty && covers(h, qualified, manifest)
-      values <- answers(agg.aggregateExpressions, manifest)
-    } yield LocalRelation(agg.output, Seq(InternalRow.fromSeq(values)))
+      rows <-
+        if (agg.groupingExpressions.isEmpty)
+          answers(agg.aggregateExpressions, manifest).map(Seq(_))
+        else groupedAnswers(agg, h, manifest)
+    } yield LocalRelation(agg.output, rows.map(InternalRow.fromSeq))
   }
+
+  /** GROUP BY over PARTITION COLUMNS only — the directory-encoded
+    * values are the group keys (one manifest pass groups the files),
+    * and every aggregate answers per group exactly like the global
+    * case. This is the metadata-only-query shape Spark reserves for
+    * catalog tables (OptimizeMetadataOnlyQuery), generalized to
+    * path-based stores AND to per-group min/max from the stats
+    * sidecar. Refused wholesale when any grouping expression is not a
+    * bare partition attribute, any partition value needs unescaping
+    * (`%xx` — the directory string is not the value), or the
+    * partition type is outside the provable set (int/long/string/
+    * date); the Hive null sentinel groups as NULL, matching the scan.
+    */
+  private def groupedAnswers(agg: Aggregate, h: HadoopFsRelation,
+      manifest: Seq[FileStats.FileStat]): Option[Seq[Seq[Any]]] = {
+    val pschema = h.location.partitionSchema
+    val groupCols: Option[Seq[AttributeReference]] =
+      Try(agg.groupingExpressions.map {
+        case a: AttributeReference
+            if pschema.fieldNames.contains(a.name) => a
+      }).toOption
+    groupCols.flatMap { gcols =>
+      // raw directory value per (file, partition col); None = the
+      // Hive null sentinel; an escaped value refuses the rewrite
+      val parsed: Option[Seq[(Map[String, Option[String]],
+          FileStats.FileStat)]] =
+        Try(manifest.map { e =>
+          val segs = e.relPath.split("/").dropRight(1).toSeq.map { s =>
+            val i = s.indexOf('=')
+            require(i > 0, s"not a partition segment: $s")
+            val v = s.substring(i + 1)
+            require(!v.contains("%"), s"escaped partition value: $v")
+            s.substring(0, i) ->
+              (if (v == "__HIVE_DEFAULT_PARTITION__") None else Some(v))
+          }.toMap
+          require(gcols.forall(g => segs.contains(g.name)),
+            s"ungrouped file: ${e.relPath}")
+          (segs, e)
+        }).toOption
+      parsed.flatMap { entries =>
+        val groups = entries.groupBy { case (segs, _) =>
+          gcols.map(g => segs(g.name))
+        }
+        val rows = groups.toSeq.map { case (key, members) =>
+          val byName = gcols.map(_.name).zip(key).toMap
+          val sub = members.map(_._2)
+          val vs = agg.aggregateExpressions.map {
+            case a: AttributeReference if byName.contains(a.name) =>
+              byName(a.name) match {
+                case None => Some(null: Any)
+                case Some(raw) => partitionValue(raw, a.dataType)
+              }
+            case e => answers(Seq(e).collect {
+                case n: NamedExpression => n
+              }, sub).map(_.head)
+          }
+          if (vs.exists(_.isEmpty)) None else Some(vs.map(_.get))
+        }
+        if (rows.exists(_.isEmpty)) None else Some(rows.map(_.get))
+      }
+    }
+  }
+
+  /** A directory-encoded partition value as a Catalyst-internal value
+    * of the inferred partition type — None refuses the rewrite. */
+  private def partitionValue(raw: String, dt: DataType): Option[Any] =
+    dt match {
+      case IntegerType => Try(raw.toInt: Any).toOption
+      case LongType => Try(raw.toLong: Any).toOption
+      case StringType =>
+        Some(org.apache.spark.unsafe.types.UTF8String.fromString(raw))
+      case DateType =>
+        Try(java.time.LocalDate.parse(raw).toEpochDay.toInt: Any)
+          .toOption
+      case _ => None
+    }
 
   /** The manifest file set must equal the listing's file set — a
     * data file the manifest doesn't know (or a manifest entry whose

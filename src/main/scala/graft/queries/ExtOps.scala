@@ -1211,6 +1211,46 @@ object ExtOps {
       }
     }),
 
+    // Partition-grouped metadata aggregates — xq29's GROUP BY
+    // extension: `GROUP BY <partition col>` with count/min/max
+    // answers per group from the manifest + the directory-encoded
+    // partition values, still with NO scan in the plan (Spark's own
+    // OptimizeMetadataOnlyQuery reserves this shape for catalog
+    // tables; here it works on path stores and adds per-group min/max
+    // from the stats sidecar). The per-partition census of a 100 TB
+    // table becomes one driver-side manifest pass.
+    "xq32_partition_stats_agg" -> ((s, dir) => {
+      import graft.operators.Snapshots
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        pmod(col("o_orderkey"), lit(5)).as("h"))
+        .repartition(col("h"))
+      val store = new java.io.File(
+        System.getProperty("java.io.tmpdir", "/tmp"),
+        s"graft-xq32-${java.util.UUID.randomUUID()}").getAbsolutePath
+      val hfs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      try {
+        Snapshots.commitWithStats(s, o, store, statsCols = Seq("k"),
+          partitionByCols = Seq("h"))
+        val q = Snapshots.table(s, store).groupBy(col("h"))
+          .agg(count(lit(1)).as("n"),
+            min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+        val meta = q.queryExecution.optimizedPlan.collectFirst {
+          case lr: org.apache.spark.sql.execution.datasources
+            .LogicalRelation => lr
+        }.isEmpty
+        val rows = q.collect()
+          .map(r => (r.getAs[Number](0).longValue, r.getLong(1),
+            r.getLong(2), r.getLong(3), if (meta) 1L else 0L))
+          .sortBy(_._1).toSeq
+        import s.implicits._
+        rows.toDF("h", "n", "k_min", "k_max", "metadata_only")
+      } finally {
+        hfs.delete(new org.apache.hadoop.fs.Path(store), true); ()
+      }
+    }),
+
     // Change-feed mirroring end-to-end (Snapshots.mirrorAppends):
     // the source is a 3-batch append log (one commit per k%3 class);
     // the consumer mirrors it into a downstream table with a filter
@@ -2291,6 +2331,14 @@ object ExtOps {
              AS rows_matched_after,
            (SELECT CAST(coalesce(sum(x), 0) AS BIGINT) FROM xy
              WHERE x BETWEEN 100 AND 299) AS x_checksum""",
+    // per-partition brute force; metadata_only pins the no-scan claim
+    "xq32_partition_stats_agg" ->
+      """SELECT CAST(o_orderkey % 5 AS BIGINT) AS h,
+           count(*) AS n,
+           CAST(min(o_orderkey) AS BIGINT) AS k_min,
+           CAST(max(o_orderkey) AS BIGINT) AS k_max,
+           CAST(1 AS BIGINT) AS metadata_only
+         FROM orders GROUP BY 1 ORDER BY 1""",
     // each mirrored batch = one k%3 class filtered to status 'O';
     // destination version v holds source version v's batch
     "xq31_change_feed_mirror" ->

@@ -112,6 +112,41 @@ class StatsAggSpec extends SparkSpec {
     assert(a.head().getLong(0) == 400L)
   }
 
+  test("GROUP BY a partition column answers per-group count/min/max " +
+    "from the manifest — no scan, values match the brute force") {
+    val dir = buildStore()
+    val q = Snapshots.table(spark, dir).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min("k").as("k_mn"),
+        max("k").as("k_mx"))
+    assert(metadataOnly(q), q.queryExecution.optimizedPlan.toString)
+    val got = q.collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1),
+        r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(got.toSeq == (0L to 3L).map(b =>
+      (b, 100L, b * 100, b * 100 + 99)))
+    // null partition value groups as NULL, matching the scan
+    val dir2 = freshDir("graft-aggnull")
+    Snapshots.commitWithStats(spark,
+      (0L until 90L).map(k => (k, if (k < 30) None else Some(k / 30)))
+        .toDF("k", "p").repartition(col("p")),
+      dir2, statsCols = Seq("k"), partitionByCols = Seq("p"))
+    val qn = Snapshots.table(spark, dir2).groupBy(col("p"))
+      .agg(count(lit(1)).as("n"))
+    assert(metadataOnly(qn), qn.queryExecution.optimizedPlan.toString)
+    val gotN = qn.collect()
+      .map(r => (if (r.isNullAt(0)) -1L
+        else r.getAs[Number](0).longValue, r.getLong(1))).sorted
+    assert(gotN.toSeq == Seq((-1L, 30L), (1L, 30L), (2L, 30L)))
+  }
+
+  test("GROUP BY a non-partition column falls back to the scan") {
+    val dir = buildStore()
+    val q = Snapshots.table(spark, dir).groupBy(col("d"))
+      .agg(count(lit(1)).as("n"))
+    assert(!metadataOnly(q))
+    assert(q.count() == 112L) // distinct d values
+  }
+
   test("a file outside the manifest disables the rewrite (coverage " +
     "guard) — the scan sees it, a manifest answer would not") {
     val dir = buildStore()
