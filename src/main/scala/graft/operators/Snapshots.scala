@@ -28,17 +28,35 @@ object Snapshots {
 
   private def pointer(dir: String) = new Path(dir, "_latest")
 
-  /** The committed version, 0 if the table has never been published. */
+  /** The committed version, 0 if the table has never been published.
+    *
+    * Retries on ChecksumException: the pointer is the ONE file the
+    * store overwrites in place, and a checksummed local/HDFS rename
+    * moves the data file and its `.crc` sidecar in two steps — a
+    * reader landing between them sees new bytes against the old
+    * checksum. The window is two metadata renames wide; a bounded
+    * backoff rereads past it (readers never see a torn VALUE — the
+    * data rename itself is atomic — only a transiently mismatched
+    * sidecar). */
   def latestVersion(spark: SparkSession, dir: String): Long = {
     val f = fs(spark, dir)
     val p = pointer(dir)
-    if (!f.exists(p)) 0L
-    else {
-      val in = f.open(p)
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-        "US-ASCII").trim.toLong
-      finally in.close()
+    var attempt = 0
+    while (true) {
+      if (!f.exists(p)) return 0L
+      try {
+        val in = f.open(p)
+        try return new String(org.apache.commons.io.IOUtils
+          .toByteArray(in), "US-ASCII").trim.toLong
+        finally in.close()
+      } catch {
+        case e: org.apache.hadoop.fs.ChecksumException =>
+          if (attempt >= 8) throw e
+          attempt += 1
+          Thread.sleep(2L << attempt)
+      }
     }
+    0L // unreachable
   }
 
   /** First unoccupied version slot: above the pointer, above every
@@ -1266,6 +1284,47 @@ object Snapshots {
     require(v > 0 && v <= latestVersion(spark, dir),
       s"cannot roll back to unpublished v=$v")
     publish(spark, dir, v)
+  }
+
+  /** RESTORE: reinstate an earlier committed version's content as a
+    * brand-new version — history stays LINEAR (unlike [[rollback]],
+    * which moves the pointer backwards and leaves the abandoned
+    * versions as forward history until vacuumed). Data files and the
+    * stats/bloom sidecars are byte-copied verbatim (their stats are
+    * layout-dependent and the layout is exactly the restored one);
+    * `_epoch.*` markers are deliberately NOT carried — a restore is a
+    * new administrative commit, not a replay of the old epoch, and
+    * re-marking it would teach the fence that the old epoch is the
+    * newest (epoch-fenced log tables should prefer [[rollback]]).
+    * The standard lakehouse undo: "yesterday's table, as today's
+    * commit", with the bad versions still time-travelable for
+    * forensics. Cost is a byte copy of one version (an object store
+    * serves it as server-side copies); at 100 TB prefer rollback when
+    * pointer semantics suffice.
+    */
+  def restore(spark: SparkSession, dir: String, version: Long): Long = {
+    val f = fs(spark, dir)
+    require(version > 0 && version <= latestVersion(spark, dir),
+      s"cannot restore unpublished v=$version")
+    val srcPath = f.makeQualified(new Path(dir, s"v=$version"))
+    require(f.exists(srcPath), s"v=$version was vacuumed")
+    val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
+    val conf = spark.sparkContext.hadoopConfiguration
+    def copyTree(p: Path): Unit = f.listStatus(p).toSeq.foreach { s =>
+      val n = s.getPath.getName
+      val keepFile = s.isFile && (!n.startsWith("_") ||
+        n == FileStats.ManifestName ||
+        (n.startsWith("_bloom_") && n.endsWith(".json")))
+      val rel = srcPath.toUri.relativize(s.getPath.toUri).getPath
+      if (keepFile && !n.startsWith("."))
+        FileUtil.copy(f, s.getPath, f, new Path(stage, rel), false, conf)
+      else if (s.isDirectory && !n.startsWith("_") && !n.startsWith("."))
+        copyTree(s.getPath)
+    }
+    copyTree(srcPath)
+    val nv = occupyNextFree(spark, f, dir, stage)
+    publish(spark, dir, nv)
+    nv
   }
 
   /** Write-audit-publish: stage `df` in a writer-unique temp

@@ -42,4 +42,14 @@ object GraftColumnBridge {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
+
+  /** Streaming-tagged variant — what a v1 streaming `Source` must
+    * return from `getBatch` (MicroBatchExecution asserts
+    * `isStreaming`; the standard custom-source idiom wraps the batch
+    * plan's `toRdd` this way, exactly like FileStreamSource). */
+  def internalCreateStreamingDataFrame(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
 }

@@ -84,6 +84,31 @@ class MirrorSpec extends SparkSpec {
     assert(e.getMessage.contains("vacuumed"))
   }
 
+  test("restore reinstates an old version as a NEW commit: linear " +
+    "history, sidecars carried, epoch markers dropped") {
+    val dir = freshDir("graft-restore")
+    Snapshots.commitWithStats(spark, batch(0, 10), dir,
+      statsCols = Seq("k"), bloomCols = Seq("k"))
+    Snapshots.commit(spark, batch(0, 3), dir)    // the "bad" overwrite
+    val nv = Snapshots.restore(spark, dir, 1L)
+    assert(nv == 3L && Snapshots.latestVersion(spark, dir) == 3L)
+    assert(Snapshots.read(spark, dir).count() == 10L)
+    // the bad version stays time-travelable
+    assert(Snapshots.read(spark, dir, 2L).count() == 3L)
+    // sidecars came along: pruning + point lookup work on v3
+    val (_, ps) = Snapshots.readPruned(spark, dir, "k", 0, 0, 3L)
+    assert(ps.filesRead + ps.filesSkipped > 0)
+    val (_, bl) = Snapshots.readPointLookup(spark, dir, "k", "5", 3L)
+    assert(bl.filesRead >= 1)
+    // restoring an epoch-marked version drops the marker: the fence
+    // must not see the restored commit as that epoch
+    val d2 = freshDir("graft-restep")
+    assert(Snapshots.commitWithEpoch(spark, batch(0, 4), d2, 1L).isRight)
+    assert(Snapshots.commitWithEpoch(spark, batch(4, 8), d2, 2L).isRight)
+    Snapshots.restore(spark, d2, 1L)
+    assert(Snapshots.lastEpoch(spark, d2).contains(2L))
+  }
+
   test("batches conform to the source's latest schema before the " +
     "transform — old versions replay with typed NULLs") {
     val src = freshDir("graft-messrc")

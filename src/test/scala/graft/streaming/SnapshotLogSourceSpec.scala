@@ -1,0 +1,101 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Snapshots
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+
+/** `spark.readStream.format("snapshot-log")`: the snapshot store's
+  * version log as a Structured Streaming source — offsets are version
+  * numbers, each version is one micro-batch, engine checkpointing +
+  * the epoch-fenced sink give store→stream→store exactly-once.
+  */
+class SnapshotLogSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  private def batch(lo: Long, hi: Long): DataFrame =
+    (lo until hi).map(k => (k, s"s$k")).toDF("k", "s")
+
+  test("each version streams as one batch with its _version tag; " +
+    "new commits are picked up by later triggers") {
+    val src = freshDir("graft-slog")
+    Snapshots.commit(spark, batch(0, 10), src)
+    Snapshots.commit(spark, batch(10, 25), src)
+    val q = spark.readStream.format("snapshot-log")
+      .option("path", src).load()
+      .writeStream.format("memory").queryName("snaplog").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("snaplog")
+        .select("k", "_version").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.length == 25)
+      assert(got.forall { case (k, v) => v == (if (k < 10) 1L else 2L) })
+      Snapshots.commit(spark, batch(25, 31), src)
+      q.processAllAvailable()
+      assert(spark.table("snaplog").count() == 31)
+      assert(spark.table("snaplog")
+        .filter(col("_version") === 3).count() == 6)
+    } finally q.stop()
+  }
+
+  test("startingVersion skips already-consumed history") {
+    val src = freshDir("graft-slogs")
+    Snapshots.commit(spark, batch(0, 5), src)
+    Snapshots.commit(spark, batch(5, 9), src)
+    Snapshots.commit(spark, batch(9, 12), src)
+    val q = spark.readStream.format("snapshot-log")
+      .option("path", src).option("startingVersion", "2").load()
+      .writeStream.format("memory").queryName("snaplogs").start()
+    try {
+      q.processAllAvailable()
+      val vs = spark.table("snaplogs").select("_version")
+        .distinct().collect().map(_.getLong(0)).sorted
+      assert(vs.toSeq == Seq(3L), s"expected only v3, got ${vs.toSeq}")
+    } finally q.stop()
+  }
+
+  test("store -> stream -> store: restart from the checkpoint is " +
+    "exactly-once into an epoch-fenced versionedSink") {
+    val src = freshDir("graft-slsrc")
+    val dst = freshDir("graft-sldst")
+    val ckpt = freshDir("graft-slck")
+    Snapshots.commit(spark, batch(0, 8), src)
+    Snapshots.commit(spark, batch(8, 14), src)
+    def pipeline() = EventStream.versionedSink(
+      spark.readStream.format("snapshot-log").option("path", src)
+        .load().drop("_version"),
+      dst, ckpt).start()
+    val q1 = pipeline()
+    q1.processAllAvailable(); q1.stop()
+    Snapshots.commit(spark, batch(14, 20), src)
+    Snapshots.commit(spark, batch(20, 23), src)
+    val q2 = pipeline()
+    q2.processAllAvailable(); q2.stop()
+    val ks = Snapshots.readAppendsSince(spark, dst, 0L)
+      .select("k").collect().map(_.getLong(0)).sorted
+    assert(ks.toSeq == (0L until 23L), "duplicate or lost rows")
+  }
+
+  test("a vacuumed gap fails the stream loudly, never silently") {
+    val src = freshDir("graft-slvac")
+    Snapshots.commit(spark, batch(0, 5), src)
+    Snapshots.commit(spark, batch(5, 9), src)
+    Snapshots.commit(spark, batch(9, 14), src)
+    Snapshots.vacuum(spark, src, keepLast = 1)
+    val q = spark.readStream.format("snapshot-log")
+      .option("path", src).load()
+      .writeStream.format("memory").queryName("snaplogv").start()
+    val e = intercept[StreamingQueryException] {
+      q.processAllAvailable()
+      q.awaitTermination()
+    }
+    assert(e.getMessage.contains("vacuumed") ||
+      Option(e.getCause).exists(_.getMessage.contains("vacuumed")), e)
+    q.stop()
+  }
+}
