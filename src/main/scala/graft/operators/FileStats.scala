@@ -45,10 +45,19 @@ object FileStats {
   val ManifestName = "_stats.json"
 
   /** One data file's stats: path relative to the version root, rows,
-    * and per-column (min, max) as strings (None when the file's
-    * column is all-null or its stats were untruncatable). */
+    * per-column (min, max) as strings (None when the file's column is
+    * all-null or its stats were untruncatable), and per-column
+    * NON-NULL counts (`nonNull` — Delta's nullCount analog; absent
+    * for manifests written before the field existed and for
+    * synthetic partition-value stats, and "absent" always means
+    * "unknown", never "zero"). Null counts are what make null-aware
+    * decisions PROOFS: `count(col)` from metadata, IS [NOT] NULL
+    * file skipping, and guaranteed-value counts for top-k pruning —
+    * min/max alone cannot distinguish "all null" from "untrackable".
+    */
   case class FileStat(relPath: String, rows: Long,
-      cols: Map[String, Option[(String, String)]])
+      cols: Map[String, Option[(String, String)]],
+      nonNull: Map[String, Long] = Map.empty)
 
   /** Pruning census — surfaced by readers so a skipped file is
     * always visible accounting, never silence. */
@@ -69,6 +78,13 @@ object FileStats {
       hi: Option[BigDecimal]) extends StatsPred
   final case class StrRange(column: String, lo: Option[String],
       hi: Option[String]) extends StatsPred
+  /** `col IS NOT NULL`: skips a file whose non-null count is KNOWN
+    * zero. Sound for every type — unlike "bounds absent", which for
+    * strings can also mean untruncatable stats. */
+  final case class NotNullPred(column: String) extends StatsPred
+  /** `col IS NULL`: skips a file whose non-null count is KNOWN equal
+    * to its row count (provably no nulls). */
+  final case class IsNullPred(column: String) extends StatsPred
 
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -188,7 +204,8 @@ object FileStats {
     val aggs = count(lit(1L)).as("__rows") +:
       statsCols.flatMap(c => Seq(
         min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c")))
+        max(col(c)).cast("string").as(s"__max_$c"),
+        count(col(c)).as(s"__nn_$c")))
     val perFile = src
       .select((input_file_name().as("__file") +:
         statsCols.map(col)): _*)
@@ -209,7 +226,8 @@ object FileStats {
           else Some((mn0, mx0))
         c -> bounds
       }.toMap
-      FileStat(rel, r.getAs[Long]("__rows"), cols)
+      val nn = statsCols.map(c => c -> r.getAs[Long](s"__nn_$c")).toMap
+      FileStat(rel, r.getAs[Long]("__rows"), cols, nn)
     }
     writeEntries(spark, dataDir, entries)
   }
@@ -223,8 +241,14 @@ object FileStats {
       }
       s""""${jsonEscape(c)}":$v"""
     }.mkString(",")
+    // nn BEFORE cols so the cols-blob extraction in readManifest (the
+    // substring after "cols":{ ) keeps working unchanged
+    val nnJson = e.nonNull.toSeq.sortBy(_._1).map { case (c, n) =>
+      s""""${jsonEscape(c)}":$n"""
+    }.mkString(",")
+    val nnPart = if (e.nonNull.isEmpty) "" else s""""nn":{$nnJson},"""
     s"""{"file":"${jsonEscape(e.relPath)}",""" +
-      s""""rows":${e.rows},"cols":{$colsJson}}"""
+      s""""rows":${e.rows},$nnPart"cols":{$colsJson}}"""
   }
 
   /** Write a manifest from pre-computed entries — the splice path for
@@ -261,6 +285,7 @@ object FileStats {
     val RowsR = """"rows":(\d+)""".r.unanchored
     val ColR = ("\"" + Str + "\":(?:null|\\[\"" + Str + "\",\"" +
       Str + "\"\\])").r
+    val NnR = ("\"" + Str + "\":(\\d+)").r
     text.split("\n").toSeq.filter(_.nonEmpty).map { line =>
       val rel = line match { case FileR(p) => jsonUnescape(p) }
       val rows = line match { case RowsR(n) => n.toLong }
@@ -269,7 +294,18 @@ object FileStats {
         jsonUnescape(m.group(1)) -> Option(m.group(2))
           .map(mn => (jsonUnescape(mn), jsonUnescape(m.group(3))))
       }.toMap
-      FileStat(rel, rows, cols)
+      // optional non-null counts (absent in pre-nn manifests = unknown)
+      val nnIdx = line.indexOf("\"nn\":{")
+      val nn =
+        if (nnIdx < 0) Map.empty[String, Long]
+        else {
+          val blob = line.substring(nnIdx + 6,
+            line.indexOf("},\"cols\"", nnIdx))
+          NnR.findAllMatchIn(blob).map { m =>
+            jsonUnescape(m.group(1)) -> m.group(2).toLong
+          }.toMap
+        }
+      FileStat(rel, rows, cols, nn)
     }
   }
 
@@ -295,21 +331,29 @@ object FileStats {
     def num(s: String): Option[BigDecimal] =
       try Some(BigDecimal(s)) catch { case _: NumberFormatException => None }
     manifest.partition { fstat =>
-      preds.forall { p =>
-        fstat.cols.get(p.column).flatten match {
-          case None => true
-          case Some((mn, mx)) => p match {
-            case NumRange(_, lo, hi) =>
-              (num(mn), num(mx)) match {
-                case (Some(nmn), Some(nmx)) =>
-                  !(hi.exists(h => nmn > h) || lo.exists(l => nmx < l))
-                case _ => true
-              }
-            case StrRange(_, lo, hi) =>
-              !(hi.exists(h => utf8Compare(mn, h) > 0) ||
-                lo.exists(l => utf8Compare(mx, l) < 0))
+      preds.forall {
+        // null predicates decide on the NON-NULL COUNT, not bounds —
+        // "bounds absent" can't distinguish all-null from
+        // untruncatable; an unknown count always keeps
+        case NotNullPred(c) => !fstat.nonNull.get(c).contains(0L)
+        case IsNullPred(c) =>
+          !fstat.nonNull.get(c).contains(fstat.rows)
+        case p =>
+          fstat.cols.get(p.column).flatten match {
+            case None => true
+            case Some((mn, mx)) => p match {
+              case NumRange(_, lo, hi) =>
+                (num(mn), num(mx)) match {
+                  case (Some(nmn), Some(nmx)) =>
+                    !(hi.exists(h => nmn > h) || lo.exists(l => nmx < l))
+                  case _ => true
+                }
+              case StrRange(_, lo, hi) =>
+                !(hi.exists(h => utf8Compare(mn, h) > 0) ||
+                  lo.exists(l => utf8Compare(mx, l) < 0))
+              case _ => true
+            }
           }
-        }
       }
     }
   }

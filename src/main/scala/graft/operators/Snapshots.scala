@@ -993,6 +993,64 @@ object Snapshots {
     FileStats.readRangesPruned(spark, s"$dir/v=$v", preds)
   }
 
+  /** Stats-driven TOP-K file pruning: read only the files that can
+    * possibly contribute to `ORDER BY column DESC|ASC LIMIT k`. A
+    * file is provably irrelevant when at least `k` NON-NULL values
+    * are guaranteed to beat everything in it — for descending order,
+    * when Σ nonNull(g) over files g with min(g) > max(f) reaches k
+    * (ascending mirrors with max(g) < min(f)). The guarantee NEEDS
+    * the manifest's non-null counts: row counts alone can't promise
+    * k beating values when nulls hide among them (nulls sort last
+    * and never beat anything). Files without parseable numeric
+    * bounds or without a non-null count keep conservatively and
+    * guarantee nothing. On a clustered layout this turns "top 100 of
+    * 100 TB" into reading the one tail file — the census says
+    * exactly what was skipped. The caller still applies
+    * `orderBy(...).limit(k)`; pruning is a superset guarantee.
+    * Numeric columns only (BigDecimal bound order).
+    */
+  def readTopK(spark: SparkSession, dir: String, column: String,
+      k: Int, desc: Boolean = true, version: Long = -1L)
+      : (DataFrame, FileStats.PruneStats) = {
+    require(k > 0, "k must be positive")
+    val v = if (version > 0) version else latestVersion(spark, dir)
+    require(v > 0, s"$dir has no committed version")
+    val vDir = s"$dir/v=$v"
+    val manifest = FileStats.readManifest(spark, vDir)
+    def num(s: String): Option[BigDecimal] =
+      try Some(BigDecimal(s))
+      catch { case _: NumberFormatException => None }
+    // (entry, Option[(lo, hi, guaranteedNonNull)])
+    val typed = manifest.map { e =>
+      val parsed = for {
+        (mn, mx) <- e.cols.get(column).flatten
+        lo <- num(mn); hi <- num(mx)
+        nn <- e.nonNull.get(column)
+      } yield (lo, hi, nn)
+      (e, parsed)
+    }
+    val skippedRel: Set[String] = typed.flatMap { case (e, p) =>
+      p.flatMap { case (_, hi, _) =>
+        val beat = typed.iterator.flatMap(_._2).collect {
+          case (lo2, hi2, nn2)
+              if (desc && lo2 > hi) || (!desc && hi2 < p.get._1) => nn2
+        }.sum
+        if (beat >= k) Some(e.relPath) else None
+      }
+    }.toSet
+    val (kept, skipped) = manifest.partition(e => !skippedRel(e.relPath))
+    val stats = FileStats.PruneStats(kept.size.toLong,
+      skipped.size.toLong, kept.map(_.rows).sum, skipped.map(_.rows).sum)
+    val df =
+      if (kept.isEmpty)
+        spark.read.parquet(vDir)
+          .filter(org.apache.spark.sql.functions.lit(false))
+      else
+        spark.read.option("basePath", vDir)
+          .parquet(kept.map(e => s"$vDir/${e.relPath}"): _*)
+    (df, stats)
+  }
+
   /** [[readPrunedMulti]] over TYPED predicates — the entry point for
     * string/date pruning ([[FileStats.StrRange]]: UTF-8 binary order,
     * truncated bounds stay sound) alongside numeric ranges. */

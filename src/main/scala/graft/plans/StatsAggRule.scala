@@ -32,8 +32,9 @@ import graft.operators.FileStats
   *    per-partition census Spark's own OptimizeMetadataOnlyQuery
   *    reserves for catalog tables, here for path stores and with
   *    per-group min/max too); every aggregate output is count(*) /
-  *    count(lit) / min / max over a bare column (no DISTINCT, no
-  *    FILTER clause, no expressions);
+  *    count(lit) / count(col) (non-null counts from the manifest) /
+  *    min / max over a bare column (no DISTINCT, no FILTER clause,
+  *    no expressions);
   *  - the child is the relation itself (optionally through a
   *    column-pruning Project of plain attributes) — any Filter in
   *    between breaks the pattern, so a filtered count never uses
@@ -193,6 +194,12 @@ object StatsAggRule extends Rule[LogicalPlan] {
         ae.aggregateFunction match {
           case Count(Seq(Literal(v, _))) if v != null =>
             Some(manifest.map(_.rows).sum: Any)
+          // count(col) = the manifest's non-null counts — answerable
+          // only when every entry tracks them (pre-nn manifests and
+          // untracked columns refuse)
+          case Count(Seq(a: AttributeReference))
+              if manifest.forall(_.nonNull.contains(a.name)) =>
+            Some(manifest.map(_.nonNull(a.name)).sum: Any)
           case Min(a: AttributeReference) => bound(a, manifest, isMin = true)
           case Max(a: AttributeReference) => bound(a, manifest, isMin = false)
           case _ => None

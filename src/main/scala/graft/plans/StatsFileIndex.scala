@@ -239,6 +239,14 @@ object StatsFilters {
       inBound(a, vs.map(_.asInstanceOf[Literal].value))
     case InSet(a: AttributeReference, vs) if vs.nonEmpty =>
       inBound(a, vs.toSeq)
+    // null predicates decide on the manifest's non-null counts —
+    // IsNotNull is injected by constraint propagation on virtually
+    // every filter, so all-null files skip for free on any filtered
+    // read; IsNull skips files provably null-free
+    case IsNotNull(a: AttributeReference) =>
+      Some(FileStats.NotNullPred(a.name))
+    case IsNull(a: AttributeReference) =>
+      Some(FileStats.IsNullPred(a.name))
     // LIKE 'p%' (the optimizer rewrites it to StartsWith): matches
     // live in [p, incremented-prefix) — the same bound shape as a
     // truncated max. Empty prefix matches everything: no predicate.

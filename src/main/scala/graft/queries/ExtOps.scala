@@ -1251,6 +1251,63 @@ object ExtOps {
       }
     }),
 
+    // Null-count statistics end-to-end — the manifest's per-column
+    // non-null counts (Delta's nullCount analog) and the three
+    // decisions they make PROVABLE: (a) count(col) answered
+    // metadata-only (no scan — the nv/metadata_only pair), (b) IS NOT
+    // NULL file skipping through the planner (an all-null file never
+    // enters the scan; constraint propagation injects isnotnull on
+    // virtually every filter, so this fires constantly for free),
+    // (c) top-k pruning (Snapshots.readTopK): a file is skipped only
+    // when ≥ k NON-NULL values provably beat its max — row counts
+    // alone cannot promise that when nulls hide among them. The store
+    // is quartile-bucketed on k with the lowest quartile's v ALL NULL;
+    // every census and the top-100 sum replay in DuckDB closed-form.
+    "xq33_null_stats" -> ((s, dir) => {
+      import graft.operators.Snapshots
+      val o0 = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"))
+      val total = o0.count()
+      val o = o0
+        .withColumn("b", call_function("div", col("k") * 4,
+          lit(total + 1)))
+        .withColumn("v", when(col("b") =!= 0, col("k")))
+        .repartition(col("b"))
+      val store = new java.io.File(
+        System.getProperty("java.io.tmpdir", "/tmp"),
+        s"graft-xq33-${java.util.UUID.randomUUID()}").getAbsolutePath
+      val hfs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      try {
+        Snapshots.commitWithStats(s, o, store,
+          statsCols = Seq("k", "v"), partitionByCols = Seq("b"))
+        val q = Snapshots.table(s, store).agg(
+          count(lit(1)).as("n"), count(col("v")).as("nv"))
+        val meta = q.queryExecution.optimizedPlan.collectFirst {
+          case lr: org.apache.spark.sql.execution.datasources
+            .LogicalRelation => lr
+        }.isEmpty
+        val m = q.head()
+        val qn = Snapshots.table(s, store).filter(col("v").isNotNull)
+        val notnullRows = qn.count()
+        val psN = graft.plans.StatsFileIndex.indexOf(qn)
+          .flatMap(_.lastPrune)
+          .getOrElse(sys.error("planner index recorded no census"))
+        val (tdf, psT) = Snapshots.readTopK(s, store, "v", 100)
+        val tsum = tdf.orderBy(col("v").desc_nulls_last).limit(100)
+          .agg(coalesce(sum(col("v")), lit(0L))).head().getLong(0)
+        import s.implicits._
+        Seq((m.getLong(0), m.getLong(1), if (meta) 1L else 0L,
+          notnullRows, psN.filesSkipped, psT.filesRead,
+          psT.filesSkipped, tsum))
+          .toDF("n", "nv", "metadata_only", "notnull_rows",
+            "notnull_files_skipped", "topk_files_read",
+            "topk_files_skipped", "topk_sum")
+      } finally {
+        hfs.delete(new org.apache.hadoop.fs.Path(store), true); ()
+      }
+    }),
+
     // Change-feed mirroring end-to-end (Snapshots.mirrorAppends):
     // the source is a 3-batch append log (one commit per k%3 class);
     // the consumer mirrors it into a downstream table with a filter
@@ -2339,6 +2396,35 @@ object ExtOps {
            CAST(max(o_orderkey) AS BIGINT) AS k_max,
            CAST(1 AS BIGINT) AS metadata_only
          FROM orders GROUP BY 1 ORDER BY 1""",
+    // quartile buckets on k (lowest quartile all-null in v); the
+    // IsNotNull census counts nn=0 files, the top-k census replays
+    // the guaranteed-beat rule, the top-100 sum is order-free
+    "xq33_null_stats" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),
+         tot AS (SELECT count(*) AS n FROM o),
+         bk AS (SELECT k, (k * 4) // (SELECT n + 1 FROM tot) AS b
+           FROM o),
+         vv AS (SELECT k, b, CASE WHEN b <> 0 THEN k END AS v FROM bk),
+         f AS (SELECT b, count(*) AS rows_in, count(v) AS nn,
+             min(v) AS mn, max(v) AS mx FROM vv GROUP BY 1),
+         topsel AS (SELECT f.b, f.nn, f.mx,
+             (SELECT coalesce(sum(g.nn), 0) FROM f g
+               WHERE g.mn > f.mx) AS beat FROM f)
+         SELECT
+           (SELECT count(*) FROM vv) AS n,
+           (SELECT count(v) FROM vv) AS nv,
+           CAST(1 AS BIGINT) AS metadata_only,
+           (SELECT count(*) FROM vv WHERE v IS NOT NULL)
+             AS notnull_rows,
+           (SELECT count(*) FROM f WHERE nn = 0)
+             AS notnull_files_skipped,
+           (SELECT count(*) FROM topsel WHERE beat < 100)
+             AS topk_files_read,
+           (SELECT count(*) FROM topsel WHERE beat >= 100)
+             AS topk_files_skipped,
+           (SELECT CAST(coalesce(sum(v), 0) AS BIGINT) FROM
+             (SELECT v FROM vv WHERE v IS NOT NULL
+               ORDER BY v DESC LIMIT 100)) AS topk_sum""",
     // each mirrored batch = one k%3 class filtered to status 'O';
     // destination version v holds source version v's batch
     "xq31_change_feed_mirror" ->

@@ -98,10 +98,14 @@ class StatsAggSpec extends SparkSpec {
     val s = tbl().agg(min("d").as("mn"))
     assert(!metadataOnly(s))
     assert(s.head().getString(0) == "2024-01-01")
-    // count(col) needs null counts the manifest doesn't track
+    // count(col) answers from the manifest's non-null counts — but
+    // count of an UNTRACKED column (the partition col) must refuse
     val c = tbl().agg(count(col("v")).as("n"))
-    assert(!metadataOnly(c))
+    assert(metadataOnly(c), "count(col) should answer from nn counts")
     assert(c.head().getLong(0) == 300L)
+    val cp = tbl().agg(count(col("bucket")).as("n"))
+    assert(!metadataOnly(cp))
+    assert(cp.head().getLong(0) == 400L)
     // partition column (read back as Int): no stats tracked for it
     val p = tbl().agg(max("bucket").as("mx"))
     assert(!metadataOnly(p))
