@@ -993,6 +993,66 @@ object Snapshots {
     FileStats.readRangesPruned(spark, s"$dir/v=$v", preds)
   }
 
+  /** Dynamic file pruning for a key equi-join (the API-level analog
+    * of Delta's dynamic file pruning): collect the BUILD side's
+    * distinct join keys (driver-bounded by `maxKeys` — the dimension
+    * side of a star join is small by definition; above the bound
+    * everything is read) and read only fact files whose stats bounds
+    * admit at least one key AND, when a bloom sidecar exists for the
+    * column, whose filter admits that key too. The caller joins the
+    * pruned frame as usual — pruning is a superset guarantee, the
+    * join still applies row-level. On a 100 TB fact table clustered
+    * on the join key this turns a selective dimension filter into
+    * reading a handful of fact files — the scan reduction a
+    * broadcast join alone cannot give (it still scans everything).
+    * `dimKeys`' FIRST column is the key, cast to its canonical
+    * string form (the sidecars' domain). */
+  def readJoinPruned(spark: SparkSession, dir: String, column: String,
+      dimKeys: DataFrame, maxKeys: Int = 100000, version: Long = -1L)
+      : (DataFrame, FileStats.PruneStats) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = if (version > 0) version else latestVersion(spark, dir)
+    require(v > 0, s"$dir has no committed version")
+    val vDir = s"$dir/v=$v"
+    val f = fs(spark, dir)
+    val vPath = f.makeQualified(new Path(vDir))
+    val (dataFiles, _) = listDataRel(f, vPath)
+    val stats =
+      if (f.exists(new Path(vDir, FileStats.ManifestName)))
+        FileStats.readManifest(spark, vDir) else Seq.empty
+    val statsByRel = stats.map(e => e.relPath -> e).toMap
+    val bloom = bloomColsOf(f, vDir).find(_ == column)
+      .map(c => BloomStats.readManifest(spark, vDir, c)
+        .map(b => b.relPath -> b).toMap)
+    val ks = dimKeys
+      .select(col(dimKeys.columns.head).cast("string"))
+      .na.drop().distinct().limit(maxKeys + 1)
+      .collect().map(_.getString(0)).toSeq
+    val (kept, skipped) =
+      if (ks.size > maxKeys || (stats.isEmpty && bloom.isEmpty))
+        (dataFiles, Seq.empty[String])
+      else dataFiles.partition { rel =>
+        val bounds = statsByRel.get(rel)
+          .flatMap(_.cols.get(column).flatten)
+          .orElse(partStats(rel).get(column).flatten)
+        ks.exists { k =>
+          bounds.forall { case (mn, mx) =>
+            FileStats.pointInRange(mn, mx, k) } &&
+            bloom.forall(bm => bm.get(rel)
+              .forall(BloomStats.admits(_, k)))
+        }
+      }
+    val rowsOf = (rels: Seq[String]) =>
+      rels.flatMap(statsByRel.get).map(_.rows).sum
+    val ps = FileStats.PruneStats(kept.size.toLong, skipped.size.toLong,
+      rowsOf(kept), rowsOf(skipped))
+    val df =
+      if (kept.isEmpty) spark.read.parquet(vDir).filter(lit(false))
+      else spark.read.option("basePath", vDir)
+        .parquet(kept.map(r => s"$vDir/$r"): _*)
+    (df, ps)
+  }
+
   /** Stats-driven TOP-K file pruning: read only the files that can
     * possibly contribute to `ORDER BY column DESC|ASC LIMIT k`. A
     * file is provably irrelevant when at least `k` NON-NULL values

@@ -1308,6 +1308,56 @@ object ExtOps {
       }
     }),
 
+    // Dynamic file pruning for a star join (Snapshots.readJoinPruned
+    // — Delta-DFP's shape at the API level): the dimension side's
+    // distinct keys route the FACT scan through the stats bounds AND
+    // the bloom sidecars, so a selective dimension filter reads a
+    // handful of fact files — the scan reduction a broadcast join
+    // alone never gives (it still scans the whole fact side). The
+    // DuckDB twin replays the full decision: per (bucket, key) the
+    // range test on the bucket's min/max AND the 4-seed md5-60 bloom
+    // admit (false positives included), kept iff ANY key passes both;
+    // the joined census pins superset-correctness.
+    "xq34_join_pruning" -> ((s, dir) => {
+      import graft.operators.{Snapshots, ZOrder}
+      val base = t(s, dir, "lineitem")
+        .select(pmod(col("l_partkey"), lit(1024)).as("x"),
+          pmod(col("l_suppkey"), lit(1024)).as("y"))
+        .withColumn("z",
+          ZOrder.interleave2(col("x"), col("y"), 10))
+        .withColumn("z_bucket",
+          call_function("div", col("z"), lit(16384L)))
+        .drop("z")
+        .repartition(col("z_bucket"))
+      val dim = t(s, dir, "part")
+        .filter(pmod(col("p_partkey"), lit(389)) === 0)
+        .select(pmod(col("p_partkey"), lit(1024)).as("x"))
+        .distinct()
+      val store = new java.io.File(
+        System.getProperty("java.io.tmpdir", "/tmp"),
+        s"graft-xq34-${java.util.UUID.randomUUID()}").getAbsolutePath
+      val hfs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      try {
+        Snapshots.commitWithStats(s, base, store,
+          statsCols = Seq("x"), partitionByCols = Seq("z_bucket"),
+          bloomCols = Seq("x"))
+        val (pruned, ps) = Snapshots.readJoinPruned(s, store, "x", dim)
+        val m = pruned.join(broadcast(dim), Seq("x"))
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(col("y")), lit(0L)).as("sy")).head()
+        import s.implicits._
+        Seq((ps.filesRead + ps.filesSkipped, ps.filesRead,
+          ps.filesSkipped, ps.rowsInRead, ps.rowsInSkipped,
+          m.getLong(0), m.getLong(1)))
+          .toDF("files_total", "files_read", "files_skipped",
+            "rows_in_read", "rows_in_skipped", "rows_matched",
+            "y_checksum")
+      } finally {
+        hfs.delete(new org.apache.hadoop.fs.Path(store), true); ()
+      }
+    }),
+
     // Change-feed mirroring end-to-end (Snapshots.mirrorAppends):
     // the source is a 3-batch append log (one commit per k%3 class);
     // the consumer mirrors it into a downstream table with a filter
@@ -2396,6 +2446,59 @@ object ExtOps {
            CAST(max(o_orderkey) AS BIGINT) AS k_max,
            CAST(1 AS BIGINT) AS metadata_only
          FROM orders GROUP BY 1 ORDER BY 1""",
+    // per (bucket, key): range test on bucket min/max AND 4-seed
+    // md5-60 bloom admit; bucket kept iff ANY dim key passes both
+    "xq34_join_pruning" ->
+      """WITH xy AS (SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y
+           FROM lineitem),
+         z AS (SELECT x, y,
+             (x % 2) * 1 + ((x // 2) % 2) * 4 + ((x // 4) % 2) * 16
+           + ((x // 8) % 2) * 64 + ((x // 16) % 2) * 256
+           + ((x // 32) % 2) * 1024 + ((x // 64) % 2) * 4096
+           + ((x // 128) % 2) * 16384 + ((x // 256) % 2) * 65536
+           + ((x // 512) % 2) * 262144
+           + (y % 2) * 2 + ((y // 2) % 2) * 8 + ((y // 4) % 2) * 32
+           + ((y // 8) % 2) * 128 + ((y // 16) % 2) * 512
+           + ((y // 32) % 2) * 2048 + ((y // 64) % 2) * 8192
+           + ((y // 128) % 2) * 32768 + ((y // 256) % 2) * 131072
+           + ((y // 512) % 2) * 524288 AS zv
+           FROM xy),
+         zb AS (SELECT x, y, zv // 16384 AS z_bucket FROM z),
+         dim AS (SELECT DISTINCT p_partkey % 1024 AS x FROM part
+           WHERE p_partkey % 389 = 0),
+         f AS (SELECT z_bucket, count(*) AS rows_in,
+             min(x) AS mn, max(x) AS mx FROM zb GROUP BY 1),
+         seeds(i) AS (VALUES (1), (2), (3), (4)),
+         probe AS (SELECT d.x AS kx, i,
+             (('0x' || substr(md5('bf' || CAST(i AS VARCHAR) || ':'
+               || CAST(d.x AS VARCHAR)), 1, 15))::BIGINT) % 1024 AS pb
+           FROM dim d, seeds),
+         hits AS (SELECT zb.z_bucket, p.kx, p.i
+           FROM zb JOIN probe p
+             ON (('0x' || substr(md5('bf' || CAST(p.i AS VARCHAR) || ':'
+               || CAST(zb.x AS VARCHAR)), 1, 15))::BIGINT) % 1024 = p.pb
+           GROUP BY 1, 2, 3),
+         admit AS (SELECT z_bucket, kx FROM hits
+           GROUP BY 1, 2 HAVING count(*) = 4),
+         keptb AS (SELECT DISTINCT a.z_bucket FROM admit a
+           JOIN f ON f.z_bucket = a.z_bucket
+           WHERE a.kx BETWEEN f.mn AND f.mx),
+         cls AS (SELECT f.rows_in,
+             f.z_bucket IN (SELECT z_bucket FROM keptb) AS kept FROM f)
+         SELECT count(*) AS files_total,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+             AS files_read,
+           CAST(sum(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS BIGINT)
+             AS files_skipped,
+           CAST(sum(CASE WHEN kept THEN rows_in ELSE 0 END) AS BIGINT)
+             AS rows_in_read,
+           CAST(sum(CASE WHEN NOT kept THEN rows_in ELSE 0 END)
+             AS BIGINT) AS rows_in_skipped,
+           (SELECT count(*) FROM zb JOIN dim USING (x))
+             AS rows_matched,
+           (SELECT CAST(coalesce(sum(y), 0) AS BIGINT)
+             FROM zb JOIN dim USING (x)) AS y_checksum
+         FROM cls""",
     // quartile buckets on k (lowest quartile all-null in v); the
     // IsNotNull census counts nn=0 files, the top-k census replays
     // the guaranteed-beat rule, the top-100 sum is order-free
