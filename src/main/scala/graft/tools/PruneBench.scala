@@ -69,13 +69,28 @@ object PruneBench {
         .filter(col("x").between(100, 299))
       q.count()
       val ps = graft.plans.StatsFileIndex.indexOf(q).get.lastPrune.get
+      // metadata-only aggregate arm: whole-table count/min/max through
+      // StatsAggRule (a LocalTableScan) vs the same aggregate forced
+      // through a real scan (the explicit multi-root read the rule
+      // cannot rewrite)
+      def metaAgg(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(count(lit(1)).as("n"), min(col("x")).as("mn"),
+          max(col("x")).as("mx")).head().getLong(0)
+      metaAgg(indexed); metaAgg(plain)
+      val (tMetaIdx, nMetaIdx) = median3(() => metaAgg(indexed))
+      val (tMetaScan, nMetaScan) = median3(() => metaAgg(plain))
+      require(nMetaIdx == nMetaScan,
+        s"metadata-agg mismatch: $nMetaIdx vs $nMetaScan")
       println(s"""{"bench":"planner_prune","sf_dir":"$sfDir",""" +
         s""""files_read":${ps.filesRead},""" +
         s""""files_skipped":${ps.filesSkipped},""" +
         s""""rows_in_read":${ps.rowsInRead},""" +
         s""""rows_in_skipped":${ps.rowsInSkipped},""" +
         s""""t_indexed_sec":${"%.3f".format(tIdx)},""" +
-        s""""t_plain_sec":${"%.3f".format(tPlain)},"rows":$nIdx}""")
+        s""""t_plain_sec":${"%.3f".format(tPlain)},""" +
+        s""""t_meta_agg_sec":${"%.3f".format(tMetaIdx)},""" +
+        s""""t_scan_agg_sec":${"%.3f".format(tMetaScan)},""" +
+        s""""rows":$nIdx}""")
     } finally {
       new Path(store).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
