@@ -611,10 +611,16 @@ object Snapshots {
     require(v > 0, s"$dir has no committed version to optimize")
     val vDir = s"$dir/v=$v"
     val vPath = f.makeQualified(new Path(vDir))
-    val df = read(spark, dir, v)
-    require(!df.columns.contains(bucketCol),
-      s"optimizeClustered: table already has a '$bucketCol' column — " +
-        "pass a different bucketCol")
+    // the bucket column is MANAGED by this op: a re-run (monthly
+    // OPTIMIZE is the documented usage) drops and recomputes it, so
+    // maintenance stays schema-stable instead of refusing or
+    // accreting a new column per cycle. It must not collide with a
+    // CLUSTERING column, which is user data.
+    require(bucketCol != xCol && bucketCol != yCol,
+      s"optimizeClustered: bucketCol '$bucketCol' is a cluster column")
+    val df0 = read(spark, dir, v)
+    val df = if (df0.columns.contains(bucketCol)) df0.drop(bucketCol)
+      else df0
     val zkey =
       if (!quantizeCols) ZOrder.interleave2(col(xCol), col(yCol), bits)
       else {
@@ -929,9 +935,11 @@ object Snapshots {
     }
     val rowsChanged = conformed.count()
     // an empty source is a no-op merge: publish nothing (and never
-    // hand the parquet writer an empty frame to stage)
+    // hand the parquet writer an empty frame to stage) — zero stats,
+    // matching deleteWhere's published-nothing contract (nothing was
+    // rewritten AND nothing was copied)
     if (rowsChanged == 0L)
-      return (v, RewriteStats(0, dataFiles.size.toLong, 0, 0))
+      return (v, RewriteStats(0, 0, 0, 0))
     val (newData, rowsKept) =
       if (affected.isEmpty) (conformed, 0L)
       else {
@@ -1016,7 +1024,7 @@ object Snapshots {
     val vDir = s"$dir/v=$v"
     val f = fs(spark, dir)
     val vPath = f.makeQualified(new Path(vDir))
-    val (dataFiles, _) = listDataRel(f, vPath)
+    val (dataFiles, pcols) = listDataRel(f, vPath)
     val stats =
       if (f.exists(new Path(vDir, FileStats.ManifestName)))
         FileStats.readManifest(spark, vDir) else Seq.empty
@@ -1028,18 +1036,50 @@ object Snapshots {
       .select(col(dimKeys.columns.head).cast("string"))
       .na.drop().distinct().limit(maxKeys + 1)
       .collect().map(_.getString(0)).toSeq
+    // keys pre-sorted numerically once: each file then range-scans the
+    // candidates inside its bounds instead of testing every key —
+    // O(files × log keys + candidates) driver work, not files × keys
+    def numOf(s: String): Option[BigDecimal] =
+      try Some(BigDecimal(s))
+      catch { case _: NumberFormatException => None }
+    val numKeys: Option[Array[(BigDecimal, String)]] = {
+      val parsed = ks.map(k => numOf(k).map(_ -> k))
+      if (parsed.exists(_.isEmpty)) None
+      else Some(parsed.flatten.sortBy(_._1).toArray)
+    }
+    def candidates(mn: String, mx: String): Iterator[String] =
+      (numOf(mn), numOf(mx), numKeys) match {
+        case (Some(lo), Some(hi), Some(sorted)) =>
+          // binary search the first key >= lo, scan to hi
+          var i = 0; var j = sorted.length
+          while (i < j) {
+            val m = (i + j) >>> 1
+            if (sorted(m)._1 < lo) i = m + 1 else j = m
+          }
+          sorted.iterator.drop(i).takeWhile(_._1 <= hi).map(_._2)
+        case _ =>
+          ks.iterator.filter(k => FileStats.pointInRange(mn, mx, k))
+      }
+    // a partition-encoded join column routes even with no sidecars
+    // (mergeInto's rule) — only a truly statless column reads all
+    val unroutable =
+      stats.isEmpty && bloom.isEmpty && !pcols.contains(column)
     val (kept, skipped) =
-      if (ks.size > maxKeys || (stats.isEmpty && bloom.isEmpty))
+      if (ks.size > maxKeys || unroutable)
         (dataFiles, Seq.empty[String])
       else dataFiles.partition { rel =>
-        val bounds = statsByRel.get(rel)
-          .flatMap(_.cols.get(column).flatten)
-          .orElse(partStats(rel).get(column).flatten)
-        ks.exists { k =>
-          bounds.forall { case (mn, mx) =>
-            FileStats.pointInRange(mn, mx, k) } &&
-            bloom.forall(bm => bm.get(rel)
-              .forall(BloomStats.admits(_, k)))
+        statsByRel.get(rel).flatMap(_.cols.get(column).flatten)
+          .orElse(partStats(rel).get(column).flatten) match {
+          case None =>
+            // no bounds: the bloom alone can still prove a miss
+            bloom.flatMap(_.get(rel)) match {
+              case Some(fb) => ks.exists(BloomStats.admits(fb, _))
+              case None => true
+            }
+          case Some((mn, mx)) =>
+            candidates(mn, mx).exists(k =>
+              bloom.forall(bm => bm.get(rel)
+                .forall(BloomStats.admits(_, k))))
         }
       }
     val rowsOf = (rels: Seq[String]) =>
@@ -1076,6 +1116,14 @@ object Snapshots {
     val v = if (version > 0) version else latestVersion(spark, dir)
     require(v > 0, s"$dir has no committed version")
     val vDir = s"$dir/v=$v"
+    val f = fs(spark, dir)
+    // no manifest: nothing is provable — keep everything, like the
+    // other pruned readers (row counts unknown without a scan)
+    if (!f.exists(new Path(vDir, FileStats.ManifestName))) {
+      val n = listDataRel(f, f.makeQualified(new Path(vDir)))._1.size
+      return (spark.read.parquet(vDir),
+        FileStats.PruneStats(n.toLong, 0L, 0L, 0L))
+    }
     val manifest = FileStats.readManifest(spark, vDir)
     def num(s: String): Option[BigDecimal] =
       try Some(BigDecimal(s))
@@ -1089,13 +1137,28 @@ object Snapshots {
       } yield (lo, hi, nn)
       (e, parsed)
     }
+    // beat(f) = Σ nn(g) over files g whose WHOLE range beats f's best
+    // value — computed in O(F log F): sort the guaranteed bounds once,
+    // prefix-sum the non-null counts, binary-search per file
+    val bounds = typed.flatMap(_._2)
+      .map { case (lo, hi, nn) => (if (desc) lo else -hi, nn) }
+      .sortBy(_._1)
+    val cum = bounds.scanLeft(0L)(_ + _._2).toArray // cum(i) = Σ nn(<i)
+    val keysArr = bounds.map(_._1).toArray
+    val totalNn = if (cum.isEmpty) 0L else cum.last
+    def beatAbove(x: BigDecimal): Long = {
+      // Σ nn over entries with key > x
+      var lo = 0; var hi = keysArr.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (keysArr(mid) <= x) lo = mid + 1 else hi = mid
+      }
+      totalNn - cum(lo)
+    }
     val skippedRel: Set[String] = typed.flatMap { case (e, p) =>
-      p.flatMap { case (_, hi, _) =>
-        val beat = typed.iterator.flatMap(_._2).collect {
-          case (lo2, hi2, nn2)
-              if (desc && lo2 > hi) || (!desc && hi2 < p.get._1) => nn2
-        }.sum
-        if (beat >= k) Some(e.relPath) else None
+      p.flatMap { case (lo, hi, _) =>
+        val best = if (desc) hi else -lo
+        if (beatAbove(best) >= k) Some(e.relPath) else None
       }
     }.toSet
     val (kept, skipped) = manifest.partition(e => !skippedRel(e.relPath))

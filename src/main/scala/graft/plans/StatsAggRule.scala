@@ -209,7 +209,10 @@ object StatsAggRule extends Rule[LogicalPlan] {
     if (vs.exists(_.isEmpty)) None else Some(vs.map(_.get))
   }
 
-  private val IsoDate = """-?\d{4}-\d{2}-\d{2}""".r
+  // CE years only: a leading '-' (BCE) breaks the lexicographic =
+  // chronological equivalence ('-0001' sorts above '-0002' but year
+  // -2 is earlier), so negative-year stats refuse the rewrite
+  private val IsoDate = """\d{4}-\d{2}-\d{2}""".r
 
   /** min/max of `a` from the manifest, as a Catalyst-internal value.
     * None (refuse the rewrite) when the column is untracked in any

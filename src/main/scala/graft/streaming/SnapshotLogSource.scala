@@ -90,10 +90,16 @@ private[streaming] class SnapshotLogStreamSource(spark: SparkSession,
   require(startingVersion >= 0,
     s"startingVersion must be non-negative, got $startingVersion")
 
-  // fixed at stream start: every batch conforms to this shape
+  // fixed at stream start: every batch conforms to this shape. The
+  // declared schema DERIVES from the same single read — a second
+  // tableSchema call could race a concurrent schema-evolving commit
+  // and declare a shape getBatch never produces
   private val fixed = Snapshots.tableSchema(spark, dir)
+  require(!fixed.fieldNames.contains(SnapshotLogSource.VersionColumn),
+    s"table already has a ${SnapshotLogSource.VersionColumn} column")
   override val schema: StructType =
-    SnapshotLogSource.streamSchema(spark, dir)
+    StructType(fixed.fields :+ org.apache.spark.sql.types.StructField(
+      SnapshotLogSource.VersionColumn, LongType, nullable = false))
 
   override def getOffset: Option[V1Offset] = {
     val latest = Snapshots.latestVersion(spark, dir)

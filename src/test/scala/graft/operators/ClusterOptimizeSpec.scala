@@ -92,15 +92,29 @@ class ClusterOptimizeSpec extends SparkSpec {
     assert(replay.isLeft, s"replayed epoch republished: $replay")
   }
 
-  test("a pre-existing bucket column name is refused loudly") {
+  test("OPTIMIZE is re-runnable: the managed bucket column is " +
+    "replaced, the schema stays stable, rows survive; a cluster-" +
+    "column collision is refused") {
     val dir = freshDir("graft-zoptc")
-    val df = (0L until 50L).map(k => (k, k % 5, k % 3, k % 2))
-      .toDF("k", "x", "y", "z_bucket")
-    Snapshots.commit(spark, df, dir)
+    val df = (0L until 200L).map(k => (k, k % 20, (k / 20) % 10, k % 4))
+      .toDF("k", "x", "y", "h").repartition(col("h"))
+    Snapshots.commitWithStats(spark, df, dir, statsCols = Seq("x"),
+      partitionByCols = Seq("h"))
+    Snapshots.optimizeClustered(spark, dir, "x", "y",
+      bits = 5, bucketWidth = 64L, quantizeCols = false)
+    val (v3, cs) = Snapshots.optimizeClustered(spark, dir, "x", "y",
+      bits = 5, bucketWidth = 64L, quantizeCols = false)
+    assert(v3 == 3L && cs.rows == 200L)
+    val after = Snapshots.read(spark, dir)
+    assert(after.columns.count(_ == "z_bucket") == 1,
+      after.columns.mkString(","))
+    assert(after.select("k").collect().map(_.getLong(0)).sorted.toSeq
+      == (0L until 200L))
     val e = intercept[IllegalArgumentException] {
       Snapshots.optimizeClustered(spark, dir, "x", "y",
-        bits = 4, bucketWidth = 16L, quantizeCols = false)
+        bits = 5, bucketWidth = 64L, bucketCol = "x",
+        quantizeCols = false)
     }
-    assert(e.getMessage.contains("z_bucket"))
+    assert(e.getMessage.contains("cluster column"))
   }
 }
