@@ -36,9 +36,14 @@ import graft.operators.FileStats
   *    min / max over a bare column (no DISTINCT, no FILTER clause,
   *    no expressions);
   *  - the child is the relation itself (optionally through a
-  *    column-pruning Project of plain attributes) — any Filter in
-  *    between breaks the pattern, so a filtered count never uses
-  *    whole-file row counts;
+  *    column-pruning Project of plain attributes), or a Filter whose
+  *    every reference is a PARTITION column — such a predicate is
+  *    EVALUATED against each file's directory-encoded values (all of
+  *    a file's rows share them, so files wholly pass or wholly
+  *    fail), which makes `count(*) WHERE p IN (...)` and friends
+  *    metadata-answerable; a filter touching any data column breaks
+  *    the pattern, so a data-filtered count never uses whole-file
+  *    row counts;
   *  - the manifest's file set is EXACTLY the listing's file set
   *    (a file added outside the commit protocol disables the
   *    rewrite rather than undercounting);
@@ -64,21 +69,76 @@ object StatsAggRule extends Rule[LogicalPlan] {
   }
 
   /** The relation under the aggregate, looking through column-pruning
-    * Projects of bare attributes (anything else — Filter, computed
-    * projections, joins — disqualifies the rewrite). */
-  private def relationOf(p: LogicalPlan): Option[LogicalRelation] =
-    p match {
-      case lr: LogicalRelation
-          if lr.relation.isInstanceOf[HadoopFsRelation] => Some(lr)
-      case Project(projList, child)
-          if projList.forall(_.isInstanceOf[AttributeReference]) =>
-        relationOf(child)
-      case _ => None
-    }
+    * Projects of bare attributes and collecting Filter conditions
+    * (anything else — computed projections, joins — disqualifies the
+    * rewrite; the collected condition must later prove to be a
+    * partition-only predicate or the whole rewrite refuses). */
+  private def unwrap(p: LogicalPlan)
+      : Option[(LogicalRelation, Option[Expression])] = p match {
+    case lr: LogicalRelation
+        if lr.relation.isInstanceOf[HadoopFsRelation] =>
+      Some((lr, None))
+    case Project(projList, child)
+        if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      unwrap(child)
+    case org.apache.spark.sql.catalyst.plans.logical
+        .Filter(cond, child) =>
+      unwrap(child).map { case (lr, prev) =>
+        (lr, Some(prev.map(And(_, cond)).getOrElse(cond)))
+      }
+    case _ => None
+  }
+
+  /** A filter whose every reference is a partition column is
+    * EVALUATED — the real Catalyst predicate, no approximation —
+    * against each file's directory-encoded partition values: all
+    * rows of a file share them, so the file either wholly passes or
+    * wholly fails, and every downstream count/min/max over the
+    * surviving entries stays exact. Refuses on data-column
+    * references, non-deterministic expressions, escaped partition
+    * values, or unconvertible types. */
+  private def filterEntries(h: HadoopFsRelation, cond: Expression,
+      manifest: Seq[FileStats.FileStat])
+      : Option[Seq[FileStats.FileStat]] = {
+    if (!cond.deterministic) return None
+    val pschema = h.location.partitionSchema
+    val attrs = cond.references.toSeq
+    if (attrs.isEmpty ||
+        !attrs.forall(a => pschema.fieldNames.contains(a.name)))
+      return None
+    Try {
+      val pred = Predicate.create(cond, attrs)
+      pred.initialize(0)
+      val kept = manifest.filter { e =>
+        val segs = e.relPath.split("/").dropRight(1).toSeq.map { s =>
+          val i = s.indexOf('=')
+          require(i > 0, s"not a partition segment: $s")
+          val v = s.substring(i + 1)
+          require(!v.contains("%"), s"escaped partition value: $v")
+          s.substring(0, i) ->
+            (if (v == "__HIVE_DEFAULT_PARTITION__") None else Some(v))
+        }.toMap
+        val values = attrs.map { a =>
+          segs.get(a.name) match {
+            case Some(None) => null
+            case Some(Some(raw)) =>
+              partitionValue(raw, a.dataType).getOrElse(
+                throw new IllegalArgumentException(
+                  s"unconvertible partition value: $raw"))
+            case None => throw new IllegalArgumentException(
+              s"unpartitioned file: ${e.relPath}")
+          }
+        }
+        pred.eval(InternalRow.fromSeq(values))
+      }
+      kept
+    }.toOption
+  }
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
     for {
-      lr <- relationOf(agg.child)
+      rel <- unwrap(agg.child)
+      (lr, condOpt) = rel
       h = lr.relation.asInstanceOf[HadoopFsRelation]
       if h.location.rootPaths.size == 1
       root = h.location.rootPaths.head
@@ -88,10 +148,14 @@ object StatsAggRule extends Rule[LogicalPlan] {
       manifest <- StatsPruneRule.manifestFor(h.sparkSession, qualified)
         .map(_._1)
       if manifest.nonEmpty && covers(h, qualified, manifest)
+      entries <- condOpt match {
+        case None => Some(manifest)
+        case Some(cond) => filterEntries(h, cond, manifest)
+      }
       rows <-
         if (agg.groupingExpressions.isEmpty)
-          answers(agg.aggregateExpressions, manifest).map(Seq(_))
-        else groupedAnswers(agg, h, manifest)
+          answers(agg.aggregateExpressions, entries).map(Seq(_))
+        else groupedAnswers(agg, h, entries)
     } yield LocalRelation(agg.output, rows.map(InternalRow.fromSeq))
   }
 

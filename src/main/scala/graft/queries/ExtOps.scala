@@ -1308,6 +1308,46 @@ object ExtOps {
       }
     }),
 
+    // Filtered metadata aggregates — StatsAggRule evaluating a
+    // PARTITION-ONLY predicate against each file's directory-encoded
+    // values (all of a file's rows share them, so files wholly pass
+    // or wholly fail): `count(*)/min/max WHERE h IN (...)` answers
+    // from the manifest with NO scan in the plan. The real Catalyst
+    // predicate is evaluated, not an approximation — arbitrary
+    // partition-column expressions qualify; one data-column reference
+    // refuses. metadata_only pins the mechanism as in xq29.
+    "xq35_filtered_meta" -> ((s, dir) => {
+      import graft.operators.Snapshots
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        pmod(col("o_orderkey"), lit(5)).as("h"))
+        .repartition(col("h"))
+      val store = new java.io.File(
+        System.getProperty("java.io.tmpdir", "/tmp"),
+        s"graft-xq35-${java.util.UUID.randomUUID()}").getAbsolutePath
+      val hfs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      try {
+        Snapshots.commitWithStats(s, o, store, statsCols = Seq("k"),
+          partitionByCols = Seq("h"))
+        val q = Snapshots.table(s, store)
+          .filter(col("h").isin(1, 3))
+          .agg(count(lit(1)).as("n"),
+            min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+        val meta = q.queryExecution.optimizedPlan.collectFirst {
+          case lr: org.apache.spark.sql.execution.datasources
+            .LogicalRelation => lr
+        }.isEmpty
+        val m = q.head()
+        import s.implicits._
+        Seq((m.getLong(0), m.getLong(1), m.getLong(2),
+          if (meta) 1L else 0L))
+          .toDF("n", "k_min", "k_max", "metadata_only")
+      } finally {
+        hfs.delete(new org.apache.hadoop.fs.Path(store), true); ()
+      }
+    }),
+
     // Dynamic file pruning for a star join (Snapshots.readJoinPruned
     // — Delta-DFP's shape at the API level): the dimension side's
     // distinct keys route the FACT scan through the stats bounds AND
@@ -2446,6 +2486,13 @@ object ExtOps {
            CAST(max(o_orderkey) AS BIGINT) AS k_max,
            CAST(1 AS BIGINT) AS metadata_only
          FROM orders GROUP BY 1 ORDER BY 1""",
+    // brute-force filtered count/min/max; metadata_only pins no-scan
+    "xq35_filtered_meta" ->
+      """SELECT count(*) AS n,
+           CAST(min(o_orderkey) AS BIGINT) AS k_min,
+           CAST(max(o_orderkey) AS BIGINT) AS k_max,
+           CAST(1 AS BIGINT) AS metadata_only
+         FROM orders WHERE o_orderkey % 5 IN (1, 3)""",
     // per (bucket, key): range test on bucket min/max AND 4-seed
     // md5-60 bloom admit; bucket kept iff ANY dim key passes both
     "xq34_join_pruning" ->

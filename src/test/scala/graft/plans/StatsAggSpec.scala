@@ -143,6 +143,37 @@ class StatsAggSpec extends SparkSpec {
     assert(gotN.toSeq == Seq((-1L, 30L), (1L, 30L), (2L, 30L)))
   }
 
+  test("a PARTITION-ONLY filter is evaluated per file: filtered " +
+    "count/min/max answer metadata-only, including the empty match") {
+    val dir = buildStore()
+    val q = Snapshots.table(spark, dir)
+      .filter(col("bucket").isin(1, 3) && col("bucket") =!= 0)
+      .agg(count(lit(1)).as("n"), min("k").as("mn"), max("k").as("mx"))
+    assert(metadataOnly(q), q.queryExecution.optimizedPlan.toString)
+    val r = q.head()
+    assert(r.getLong(0) == 200L && r.getLong(1) == 100L &&
+      r.getLong(2) == 399L)
+    // grouped + filtered
+    val qg = Snapshots.table(spark, dir).filter(col("bucket") >= 2)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    assert(metadataOnly(qg), qg.queryExecution.optimizedPlan.toString)
+    assert(qg.collect().map(r2 =>
+      (r2.getAs[Number](0).longValue, r2.getLong(1))).sorted.toSeq ==
+      Seq((2L, 100L), (3L, 100L)))
+    // nothing matches: one row, count 0, null bounds — still no scan
+    val qe = Snapshots.table(spark, dir).filter(col("bucket") === 99)
+      .agg(count(lit(1)).as("n"), max("k").as("mx"))
+    assert(metadataOnly(qe), qe.queryExecution.optimizedPlan.toString)
+    val re = qe.head()
+    assert(re.getLong(0) == 0L && re.isNullAt(1))
+    // a data-column reference in the filter falls back to the scan
+    val qd = Snapshots.table(spark, dir)
+      .filter(col("bucket") === 1 && col("k") < 150)
+      .agg(count(lit(1)).as("n"))
+    assert(!metadataOnly(qd))
+    assert(qd.head().getLong(0) == 50L)
+  }
+
   test("GROUP BY a non-partition column falls back to the scan") {
     val dir = buildStore()
     val q = Snapshots.table(spark, dir).groupBy(col("d"))
