@@ -109,15 +109,8 @@ object StatsAggRule extends Rule[LogicalPlan] {
     Try {
       val pred = Predicate.create(cond, attrs)
       pred.initialize(0)
-      val kept = manifest.filter { e =>
-        val segs = e.relPath.split("/").dropRight(1).toSeq.map { s =>
-          val i = s.indexOf('=')
-          require(i > 0, s"not a partition segment: $s")
-          val v = s.substring(i + 1)
-          require(!v.contains("%"), s"escaped partition value: $v")
-          s.substring(0, i) ->
-            (if (v == "__HIVE_DEFAULT_PARTITION__") None else Some(v))
-        }.toMap
+      manifest.filter { e =>
+        val segs = parseSegs(e.relPath)
         val values = attrs.map { a =>
           segs.get(a.name) match {
             case Some(None) => null
@@ -131,9 +124,26 @@ object StatsAggRule extends Rule[LogicalPlan] {
         }
         pred.eval(InternalRow.fromSeq(values))
       }
-      kept
     }.toOption
   }
+
+  /** A manifest path's `key=value` partition segments as raw
+    * directory strings (None = the Hive null sentinel). The ONE
+    * parser both the filter evaluator and the group-key extractor
+    * use — the two must never disagree about the same directory
+    * string. Throws (→ the caller's Try refuses the rewrite) on
+    * non-partition segments and on escaped values, where the
+    * directory string is not the value. */
+  private def parseSegs(relPath: String)
+      : Map[String, Option[String]] =
+    relPath.split("/").dropRight(1).toSeq.map { s =>
+      val i = s.indexOf('=')
+      require(i > 0, s"not a partition segment: $s")
+      val v = s.substring(i + 1)
+      require(!v.contains("%"), s"escaped partition value: $v")
+      s.substring(0, i) ->
+        (if (v == "__HIVE_DEFAULT_PARTITION__") None else Some(v))
+    }.toMap
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
     for {
@@ -185,14 +195,7 @@ object StatsAggRule extends Rule[LogicalPlan] {
       val parsed: Option[Seq[(Map[String, Option[String]],
           FileStats.FileStat)]] =
         Try(manifest.map { e =>
-          val segs = e.relPath.split("/").dropRight(1).toSeq.map { s =>
-            val i = s.indexOf('=')
-            require(i > 0, s"not a partition segment: $s")
-            val v = s.substring(i + 1)
-            require(!v.contains("%"), s"escaped partition value: $v")
-            s.substring(0, i) ->
-              (if (v == "__HIVE_DEFAULT_PARTITION__") None else Some(v))
-          }.toMap
+          val segs = parseSegs(e.relPath)
           require(gcols.forall(g => segs.contains(g.name)),
             s"ungrouped file: ${e.relPath}")
           (segs, e)

@@ -174,6 +174,40 @@ class StatsAggSpec extends SparkSpec {
     assert(qd.head().getLong(0) == 50L)
   }
 
+  test("filtered metadata evaluation covers null-sentinel and " +
+    "string/date partition values, not just ints") {
+    val dir = freshDir("graft-aggfs")
+    // string partition p (one null group), date partition d
+    Snapshots.commitWithStats(spark,
+      (0L until 120L).map { k =>
+        (k, if (k < 30) None else Some(s"s${k / 30}"),
+          f"2024-0${k % 3 + 1}-01")
+      }.toDF("k", "p", "d")
+        .withColumn("d", to_date(col("d")))
+        .repartition(col("p"), col("d")),
+      dir, statsCols = Seq("k"), partitionByCols = Seq("p", "d"))
+    val tbl = () => Snapshots.table(spark, dir)
+    // string equality on a partition value
+    val qs = tbl().filter(col("p") === "s2").agg(count(lit(1)).as("n"))
+    assert(metadataOnly(qs), qs.queryExecution.optimizedPlan.toString)
+    assert(qs.head().getLong(0) == 30L)
+    // the Hive null sentinel evaluates as SQL NULL
+    val qn = tbl().filter(col("p").isNull).agg(count(lit(1)).as("n"))
+    assert(metadataOnly(qn), qn.queryExecution.optimizedPlan.toString)
+    assert(qn.head().getLong(0) == 30L)
+    val qnn = tbl().filter(col("p").isNotNull)
+      .agg(count(lit(1)).as("n"))
+    assert(metadataOnly(qnn))
+    assert(qnn.head().getLong(0) == 90L)
+    // date-typed partition range
+    val qd = tbl().filter(col("d") >= java.sql.Date.valueOf("2024-02-01"))
+      .agg(count(lit(1)).as("n"))
+    assert(metadataOnly(qd), qd.queryExecution.optimizedPlan.toString)
+    assert(qd.head().getLong(0) ==
+      spark.read.parquet(s"$dir/v=1")
+        .filter(col("d") >= "2024-02-01").count())
+  }
+
   test("GROUP BY a non-partition column falls back to the scan") {
     val dir = buildStore()
     val q = Snapshots.table(spark, dir).groupBy(col("d"))
