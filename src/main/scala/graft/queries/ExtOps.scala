@@ -1308,6 +1308,33 @@ object ExtOps {
       }
     }),
 
+    // Deterministic shuffle-shard export (operators/ShuffleShards) —
+    // the step between a curated corpus and the data loader: every
+    // doc gets a pseudo-random shard (md5-60 mod N) and a
+    // pseudo-random within-shard position (md5-60 with an order
+    // salt), both pure hash arithmetic — the SAME corpus + salt
+    // yields the SAME shards at any parallelism, any engine (the
+    // loader-resume / loss-spike-forensics property). The census
+    // pins shard sizes, membership (id_sum), AND the within-shard
+    // ORDER: order_fp = Σ rn·(ord mod 997) over the rank-ordered
+    // rows — one transposition changes it. The per-shard window is
+    // bounded by shard size BY DESIGN (numShards is chosen so one
+    // shard = one loader file = one write task; fingerprinting a
+    // shard costs what writing it costs). DuckDB replays the hashes
+    // and the rank bit-for-bit.
+    "xq36_shuffle_shards" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val p = graft.operators.ShuffleShards.shardPlan(d, "doc_id", 8)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_shard")).orderBy(col("_ord"), col("doc_id"))
+      p.withColumn("rn", row_number().over(w))
+        .groupBy(col("_shard"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("rn") * pmod(col("_ord"), lit(997))).as("order_fp"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"))
+        .orderBy(col("_shard"))
+    }),
+
     // Filtered metadata aggregates — StatsAggRule evaluating a
     // PARTITION-ONLY predicate against each file's directory-encoded
     // values (all of a file's rows share them, so files wholly pass
@@ -2486,6 +2513,23 @@ object ExtOps {
            CAST(max(o_orderkey) AS BIGINT) AS k_max,
            CAST(1 AS BIGINT) AS metadata_only
          FROM orders GROUP BY 1 ORDER BY 1""",
+    // same md5-60 shard/order hashes, same rank, same fingerprint
+    "xq36_shuffle_shards" ->
+      """WITH d AS (SELECT doc_id,
+             (('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+               1, 15))::BIGINT) % 8 AS shard,
+             ('0x' || substr(md5('shard:o:' || CAST(doc_id AS VARCHAR)),
+               1, 15))::BIGINT AS ord
+           FROM documents),
+         r AS (SELECT doc_id, shard, ord,
+             row_number() OVER (PARTITION BY shard
+               ORDER BY ord, doc_id) AS rn
+           FROM d)
+         SELECT CAST(shard AS BIGINT) AS "_shard",
+           count(*) AS n,
+           CAST(sum(rn * (ord % 997)) AS BIGINT) AS order_fp,
+           CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum
+         FROM r GROUP BY 1 ORDER BY 1""",
     // brute-force filtered count/min/max; metadata_only pins no-scan
     "xq35_filtered_meta" ->
       """SELECT count(*) AS n,
