@@ -32,6 +32,25 @@ object ZOrder {
     }
   }
 
+  /** Three-way Morton interleave: x at bit positions 0,3,6…, y at
+    * 1,4,7…, z at 2,5,8… — the 3-column ZORDER BY. Each dimension
+    * gets ~cube-root pruning on conjunctive ranges; `bits ≤ 20`
+    * keeps the 3·bits-wide key in long range. Inputs must already be
+    * non-negative quantized longs < 2^bits (compose with
+    * [[quantize]]). */
+  def interleave3(x: Column, y: Column, z: Column, bits: Int): Column = {
+    require(bits > 0 && bits <= 20, s"bits must be in [1,20], got $bits")
+    (0 until bits).foldLeft(lit(0L)) { (acc, j) =>
+      acc +
+        shiftleft(shiftrightunsigned(x.cast("long"), j)
+          .bitwiseAND(lit(1L)), 3 * j) +
+        shiftleft(shiftrightunsigned(y.cast("long"), j)
+          .bitwiseAND(lit(1L)), 3 * j + 1) +
+        shiftleft(shiftrightunsigned(z.cast("long"), j)
+          .bitwiseAND(lit(1L)), 3 * j + 2)
+    }
+  }
+
   /** Linear min/max quantization of a numeric column to [0, 2^bits). */
   def quantize(c: Column, cMin: Double, cMax: Double, bits: Int): Column = {
     require(bits > 0 && bits <= 30, s"bits must be in [1,30], got $bits")

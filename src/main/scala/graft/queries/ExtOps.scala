@@ -872,6 +872,56 @@ object ExtOps {
       }
     }),
 
+    // THREE-dimension Morton pruning (ZOrder.interleave3 — the
+    // ZORDER BY (a,b,c) shape): x/y/w interleaved at bit strides of
+    // 3, 64 tiles tight on ALL THREE dimensions, so a 3-way
+    // conjunctive range prunes multiplicatively where any
+    // single-column sort gives one dimension only. The planner-path
+    // census (StatsFileIndex over stats on x, y AND w) and the
+    // triple checksum replay closed-form in DuckDB.
+    "xq37_file_pruning_3d" -> ((s, dir) => {
+      import graft.operators.{Snapshots, ZOrder}
+      val base = t(s, dir, "lineitem")
+        .select(pmod(col("l_partkey"), lit(128)).as("x"),
+          pmod(col("l_suppkey"), lit(128)).as("y"),
+          pmod(col("l_orderkey"), lit(128)).as("w"))
+        .withColumn("z",
+          ZOrder.interleave3(col("x"), col("y"), col("w"), 7))
+        .withColumn("z_bucket",
+          call_function("div", col("z"), lit(32768L)))
+        .drop("z")
+        .repartition(col("z_bucket"))
+      val store = new java.io.File(
+        System.getProperty("java.io.tmpdir", "/tmp"),
+        s"graft-xq37-${java.util.UUID.randomUUID()}").getAbsolutePath
+      val hfs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      try {
+        val v = Snapshots.commitWithStats(s, base, store,
+          statsCols = Seq("x", "y", "w"),
+          partitionByCols = Seq("z_bucket"))
+        val tbl = Snapshots.table(s, store, v)
+        val m = tbl.filter(col("x").between(10, 49) &&
+            col("y").between(30, 89) && col("w").between(0, 63))
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(col("x")), lit(0L)).as("sx"),
+            coalesce(sum(col("y")), lit(0L)).as("sy"),
+            coalesce(sum(col("w")), lit(0L)).as("sw")).head()
+        val ps = graft.plans.StatsFileIndex.indexOf(tbl)
+          .flatMap(_.lastPrune)
+          .getOrElse(sys.error("planner index recorded no census"))
+        import s.implicits._
+        Seq((ps.filesRead + ps.filesSkipped, ps.filesRead,
+          ps.filesSkipped, ps.rowsInRead, ps.rowsInSkipped,
+          m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3)))
+          .toDF("files_total", "files_read", "files_skipped",
+            "rows_in_read", "rows_in_skipped", "rows_matched",
+            "x_checksum", "y_checksum", "w_checksum")
+      } finally {
+        hfs.delete(new org.apache.hadoop.fs.Path(store), true); ()
+      }
+    }),
+
     // Planner-integrated pruning — the SAME census as xq22 but
     // decided by the READ PATH itself: Snapshots.table returns a
     // frame whose graft.plans.StatsFileIndex consults _stats.json at
@@ -2513,6 +2563,53 @@ object ExtOps {
            CAST(max(o_orderkey) AS BIGINT) AS k_max,
            CAST(1 AS BIGINT) AS metadata_only
          FROM orders GROUP BY 1 ORDER BY 1""",
+    // 3-D Morton tiles: per-bucket min/max on ALL THREE dims; kept
+    // iff every range intersects — the multiplicative 3-way prune
+    "xq37_file_pruning_3d" ->
+      """WITH xyw AS (SELECT l_partkey % 128 AS x, l_suppkey % 128 AS y,
+             l_orderkey % 128 AS w FROM lineitem),
+         z AS (SELECT x, y, w,
+             (x % 2) * 1 + ((x // 2) % 2) * 8 + ((x // 4) % 2) * 64
+           + ((x // 8) % 2) * 512 + ((x // 16) % 2) * 4096
+           + ((x // 32) % 2) * 32768 + ((x // 64) % 2) * 262144
+           + (y % 2) * 2 + ((y // 2) % 2) * 16 + ((y // 4) % 2) * 128
+           + ((y // 8) % 2) * 1024 + ((y // 16) % 2) * 8192
+           + ((y // 32) % 2) * 65536 + ((y // 64) % 2) * 524288
+           + (w % 2) * 4 + ((w // 2) % 2) * 32 + ((w // 4) % 2) * 256
+           + ((w // 8) % 2) * 2048 + ((w // 16) % 2) * 16384
+           + ((w // 32) % 2) * 131072 + ((w // 64) % 2) * 1048576
+           AS zv
+           FROM xyw),
+         f AS (SELECT zv // 32768 AS zb, count(*) AS rows_in,
+             min(x) AS mnx, max(x) AS mxx, min(y) AS mny,
+             max(y) AS mxy, min(w) AS mnw, max(w) AS mxw
+           FROM z GROUP BY 1),
+         cls AS (SELECT rows_in,
+             (NOT (mxx < 10 OR mnx > 49)) AND
+             (NOT (mxy < 30 OR mny > 89)) AND
+             (NOT (mxw < 0 OR mnw > 63)) AS kept FROM f)
+         SELECT count(*) AS files_total,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+             AS files_read,
+           CAST(sum(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS BIGINT)
+             AS files_skipped,
+           CAST(sum(CASE WHEN kept THEN rows_in ELSE 0 END) AS BIGINT)
+             AS rows_in_read,
+           CAST(sum(CASE WHEN NOT kept THEN rows_in ELSE 0 END)
+             AS BIGINT) AS rows_in_skipped,
+           (SELECT count(*) FROM z WHERE x BETWEEN 10 AND 49
+             AND y BETWEEN 30 AND 89 AND w BETWEEN 0 AND 63)
+             AS rows_matched,
+           (SELECT CAST(coalesce(sum(x), 0) AS BIGINT) FROM z
+             WHERE x BETWEEN 10 AND 49 AND y BETWEEN 30 AND 89
+             AND w BETWEEN 0 AND 63) AS x_checksum,
+           (SELECT CAST(coalesce(sum(y), 0) AS BIGINT) FROM z
+             WHERE x BETWEEN 10 AND 49 AND y BETWEEN 30 AND 89
+             AND w BETWEEN 0 AND 63) AS y_checksum,
+           (SELECT CAST(coalesce(sum(w), 0) AS BIGINT) FROM z
+             WHERE x BETWEEN 10 AND 49 AND y BETWEEN 30 AND 89
+             AND w BETWEEN 0 AND 63) AS w_checksum
+         FROM cls""",
     // same md5-60 shard/order hashes, same rank, same fingerprint
     "xq36_shuffle_shards" ->
       """WITH d AS (SELECT doc_id,

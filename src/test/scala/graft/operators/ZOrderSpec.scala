@@ -21,6 +21,26 @@ class ZOrderSpec extends SparkSpec {
     assert(rows.toSeq == Seq(0L, 1L, 2L, 3L, 27L))
   }
 
+  test("interleave3 matches hand-computed 3-way Morton codes and " +
+    "is a bijection on the cube") {
+    val rows = Seq((0L, 0L, 0L), (1L, 0L, 0L), (0L, 1L, 0L),
+      (0L, 0L, 1L), (1L, 1L, 1L), (5L, 3L, 2L))
+      .toDF("x", "y", "w")
+      .select(ZOrder.interleave3($"x", $"y", $"w", 4).as("z"))
+      .collect().map(_.getLong(0))
+    // (5,3,2): x bits 1,0,1,0 at 0,3,6,9 -> 1 + 64;
+    //          y bits 1,1,0,0 at 1,4,7,10 -> 2 + 16;
+    //          w bits 0,1,0,0 at 2,5,8,11 -> 32; z = 115
+    assert(rows.toSeq == Seq(0L, 1L, 2L, 4L, 7L, 115L))
+    // bijection over the full 8x8x8 cube
+    val n = spark.range(512)
+      .select(($"id" % 8).as("x"), (($"id" / 8) % 8).cast("long").as("y"),
+        ($"id" / 64).cast("long").as("w"))
+      .select(ZOrder.interleave3($"x", $"y", $"w", 3).as("z"))
+      .distinct().count()
+    assert(n == 512L)
+  }
+
   test("quantize clamps to [0, 2^bits)") {
     val q = Seq(-1.0, 0.0, 50.0, 100.0, 200.0).toDF("v")
       .select(ZOrder.quantize($"v", 0.0, 100.0, 4).as("q"))
