@@ -32,6 +32,14 @@ object ShuffleShards {
   def shardPlan(df: DataFrame, idCol: String, numShards: Int,
       salt: String = "shard"): DataFrame = {
     require(numShards > 0, "numShards must be positive")
+    // the two managed columns must not silently overwrite user data
+    // (mirrors SnapshotLogSource's _version guard): a corpus that
+    // already owns _shard/_ord would be corrupted by withColumn, and
+    // the determinism contract ("same corpus + salt ⇒ same shards")
+    // would silently change meaning
+    require(!df.columns.contains("_shard") && !df.columns.contains("_ord"),
+      "shardPlan: input already has a _shard or _ord column — " +
+        "these names are managed by the shard export; rename them")
     val id: Column = col(idCol).cast("string")
     df.withColumn("_shard",
         pmod(md5hash60(concat(lit(s"$salt:"), id)), lit(numShards)))

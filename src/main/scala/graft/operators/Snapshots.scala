@@ -383,11 +383,18 @@ object Snapshots {
     * when binning — without this copy, compacting a
     * `versionedSink`-fed table silently DROPPED the exactly-once
     * fence and a crash-replay of the last epoch published a
-    * duplicate version. */
+    * duplicate version. `_zcluster.*` markers (the managed-bucket
+    * provenance [[optimizeClustered]] writes) carry forward for the
+    * same reason: a DML or compaction between two OPTIMIZE runs must
+    * not erase the proof that the bucket column is store-managed, or
+    * the next OPTIMIZE would refuse (or worse, a marker-less design
+    * would silently drop user data that happens to share the name). */
   private def copyEpochMarkers(f: org.apache.hadoop.fs.FileSystem,
       srcVersionDir: Path, stage: Path): Unit =
     f.listStatus(srcVersionDir).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith("_epoch."))
+      .filter(s => s.isFile &&
+        (s.getPath.getName.startsWith("_epoch.") ||
+          s.getPath.getName.startsWith("_zcluster.")))
       .foreach { s =>
         f.create(new Path(stage, s.getPath.getName), true).close()
       }
@@ -618,9 +625,29 @@ object Snapshots {
     // CLUSTERING column, which is user data.
     require(bucketCol != xCol && bucketCol != yCol,
       s"optimizeClustered: bucketCol '$bucketCol' is a cluster column")
+    // marker-file names live in the version directory — keep them
+    // filesystem-safe
+    require(bucketCol.nonEmpty && bucketCol.forall(c =>
+        c.isLetterOrDigit || c == '_' || c == '-'),
+      s"optimizeClustered: bucketCol '$bucketCol' must be " +
+        "[A-Za-z0-9_-]+ (it names a marker file)")
     val df0 = read(spark, dir, v)
-    val df = if (df0.columns.contains(bucketCol)) df0.drop(bucketCol)
-      else df0
+    // managed-bucket provenance: the column is dropped ONLY when this
+    // version (or an ancestor, via marker carry-forward) proves a
+    // prior optimizeClustered produced it — `_zcluster.<bucketCol>`.
+    // A user table that legitimately OWNS a column with this name is
+    // refused loudly instead of silently destroyed: the require below
+    // is the difference between "recompute my own column" and
+    // "drop somebody's data because the default name collided".
+    val managed = f.exists(new Path(vDir, s"_zcluster.$bucketCol"))
+    val df = if (df0.columns.contains(bucketCol)) {
+      require(managed,
+        s"optimizeClustered: column '$bucketCol' exists but was not " +
+          s"produced by a prior optimizeClustered (no _zcluster" +
+          s".$bucketCol marker in v=$v) — it is user data; pass a " +
+          "different bucketCol")
+      df0.drop(bucketCol)
+    } else df0
     val zkey =
       if (!quantizeCols) ZOrder.interleave2(col(xCol), col(yCol), bits)
       else {
@@ -658,6 +685,11 @@ object Snapshots {
     bloomColsOf(f, vDir).foreach(c =>
       BloomStats.writeManifest(spark, stage.toString, c))
     copyEpochMarkers(f, vPath, stage)
+    // record the managed bucket column INSIDE the stage (sealed by the
+    // same atomic slot rename as the data): the next OPTIMIZE run —
+    // and any DML/compaction in between, which carry markers forward —
+    // can prove the column is store-managed before dropping it
+    f.create(new Path(stage, s"_zcluster.$bucketCol"), true).close()
     val filesBefore = countDataFiles(f, vPath)
     val filesAfter = countDataFiles(f, stage)
     val rows = FileStats.readManifest(spark, stage.toString)
@@ -1100,17 +1132,31 @@ object Snapshots {
     * when Σ nonNull(g) over files g with min(g) > max(f) reaches k
     * (ascending mirrors with max(g) < min(f)). The guarantee NEEDS
     * the manifest's non-null counts: row counts alone can't promise
-    * k beating values when nulls hide among them (nulls sort last
-    * and never beat anything). Files without parseable numeric
-    * bounds or without a non-null count keep conservatively and
-    * guarantee nothing. On a clustered layout this turns "top 100 of
-    * 100 TB" into reading the one tail file — the census says
-    * exactly what was skipped. The caller still applies
-    * `orderBy(...).limit(k)`; pruning is a superset guarantee.
-    * Numeric columns only (BigDecimal bound order).
+    * k beating values when nulls hide among them. Files without
+    * parseable numeric bounds or without a non-null count keep
+    * conservatively and guarantee nothing. On a clustered layout
+    * this turns "top 100 of 100 TB" into reading the one tail file —
+    * the census says exactly what was skipped. The caller still
+    * applies `orderBy(...).limit(k)`; pruning is a superset
+    * guarantee. Numeric columns only (BigDecimal bound order).
+    *
+    * NULL-ORDERING CONTRACT: `nullsFirst` must match the caller's
+    * ORDER BY. The default `false` is Spark's default for DESC
+    * (`NULLS LAST`) — nulls sort after every value and never beat
+    * anything, so the beat-count proof above is sound as stated.
+    * Note Spark's ASC default is NULLS FIRST, so an ascending caller
+    * using plain `asc(column)` needs `nullsFirst = true` (or
+    * `asc_nulls_last`). Under `nullsFirst = true` (`DESC NULLS
+    * FIRST` / plain ASC) a skipped file may NOT hide nulls — nulls
+    * head the result — so the proof tightens: a file is skipped only
+    * when it is provably null-free AND the guaranteed beaters
+    * (other files' PROVEN null rows, which all precede it, plus
+    * non-null values strictly beating its best) reach k. Files whose
+    * null count is unknown are never skipped in that mode.
     */
   def readTopK(spark: SparkSession, dir: String, column: String,
-      k: Int, desc: Boolean = true, version: Long = -1L)
+      k: Int, desc: Boolean = true, version: Long = -1L,
+      nullsFirst: Boolean = false)
       : (DataFrame, FileStats.PruneStats) = {
     require(k > 0, "k must be positive")
     val v = if (version > 0) version else latestVersion(spark, dir)
@@ -1155,10 +1201,26 @@ object Snapshots {
       }
       totalNn - cum(lo)
     }
+    // nulls-first mode: every PROVEN null row (rows − nonNull, both
+    // known) precedes every value, so they all count as beaters — but
+    // only a provably NULL-FREE file may be skipped (its own hidden
+    // nulls would otherwise belong at the head of the result)
+    val provenNulls: Long =
+      if (!nullsFirst) 0L
+      else typed.map { case (e, _) =>
+        e.nonNull.get(column).map(nn => math.max(0L, e.rows - nn))
+          .getOrElse(0L)
+      }.sum
     val skippedRel: Set[String] = typed.flatMap { case (e, p) =>
-      p.flatMap { case (lo, hi, _) =>
+      p.flatMap { case (lo, hi, nn) =>
         val best = if (desc) hi else -lo
-        if (beatAbove(best) >= k) Some(e.relPath) else None
+        val nullFree = nn == e.rows
+        val beaters =
+          if (nullsFirst) provenNulls + beatAbove(best)
+          else beatAbove(best)
+        if ((!nullsFirst || nullFree) && beaters >= k)
+          Some(e.relPath)
+        else None
       }
     }.toSet
     val (kept, skipped) = manifest.partition(e => !skippedRel(e.relPath))

@@ -201,25 +201,45 @@ object StatsAggRule extends Rule[LogicalPlan] {
           (segs, e)
         }).toOption
       parsed.flatMap { entries =>
-        val groups = entries.groupBy { case (segs, _) =>
-          gcols.map(g => segs(g.name))
-        }
-        val rows = groups.toSeq.map { case (key, members) =>
-          val byName = gcols.map(_.name).zip(key).toMap
-          val sub = members.map(_._2)
-          val vs = agg.aggregateExpressions.map {
-            case a: AttributeReference if byName.contains(a.name) =>
-              byName(a.name) match {
-                case None => Some(null: Any)
-                case Some(raw) => partitionValue(raw, a.dataType)
-              }
-            case e => answers(Seq(e).collect {
-                case n: NamedExpression => n
-              }, sub).map(_.head)
+        // group on the CONVERTED typed value, not the raw directory
+        // string: filterEntries/partitionValue compare typed values,
+        // and a non-canonical encoding in an externally-assembled
+        // tree (p=03 vs p=3) parses to the same value — raw-string
+        // grouping would emit duplicate group rows where the real
+        // scan returns one. An unconvertible value refuses the
+        // rewrite (the Try), keeping both code paths on one domain.
+        val typedEntries: Option[Seq[(Map[String, Option[Any]],
+            FileStats.FileStat)]] =
+          Try(entries.map { case (segs, e) =>
+            val tv = gcols.map { g =>
+              g.name -> (segs(g.name) match {
+                case None => None
+                case Some(raw) =>
+                  Some(partitionValue(raw, g.dataType).getOrElse(
+                    throw new IllegalArgumentException(
+                      s"unconvertible partition value: $raw")))
+              })
+            }.toMap
+            (tv, e)
+          }).toOption
+        typedEntries.flatMap { tentries =>
+          val groups = tentries.groupBy { case (tv, _) =>
+            gcols.map(g => tv(g.name))
           }
-          if (vs.exists(_.isEmpty)) None else Some(vs.map(_.get))
+          val rows = groups.toSeq.map { case (key, members) =>
+            val byName = gcols.map(_.name).zip(key).toMap
+            val sub = members.map(_._2)
+            val vs = agg.aggregateExpressions.map {
+              case a: AttributeReference if byName.contains(a.name) =>
+                Some(byName(a.name).orNull: Any)
+              case e => answers(Seq(e).collect {
+                  case n: NamedExpression => n
+                }, sub).map(_.head)
+            }
+            if (vs.exists(_.isEmpty)) None else Some(vs.map(_.get))
+          }
+          if (rows.exists(_.isEmpty)) None else Some(rows.map(_.get))
         }
-        if (rows.exists(_.isEmpty)) None else Some(rows.map(_.get))
       }
     }
   }

@@ -117,4 +117,40 @@ class ClusterOptimizeSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("cluster column"))
   }
+
+  test("a USER-owned column sharing the bucket name is refused, " +
+    "never dropped; the managed-bucket marker carries through DML " +
+    "so a later OPTIMIZE still recognizes its own column") {
+    val dir = freshDir("graft-zown")
+    // z_bucket here is USER DATA, not a prior OPTIMIZE's product
+    val df = (0L until 100L).map(k => (k, k % 10, k % 7, k % 3))
+      .toDF("k", "x", "y", "z_bucket")
+    Snapshots.commit(spark, df, dir)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.optimizeClustered(spark, dir, "x", "y",
+        bits = 4, bucketWidth = 16L, quantizeCols = false)
+    }
+    assert(e.getMessage.contains("user data"), e.getMessage)
+    // nothing was published, nothing destroyed
+    assert(Snapshots.latestVersion(spark, dir) == 1L)
+    val intact = Snapshots.read(spark, dir)
+    assert(intact.columns.contains("z_bucket") && intact.count() == 100L)
+    // a non-colliding bucket name proceeds and writes its marker
+    val (v2, _) = Snapshots.optimizeClustered(spark, dir, "x", "y",
+      bits = 4, bucketWidth = 16L, bucketCol = "zb",
+      quantizeCols = false)
+    assert(v2 == 2L)
+    // DML between OPTIMIZE runs must carry the marker forward...
+    Snapshots.deleteWhere(spark, dir, col("k") < 10L)
+    // ...so the re-run drops/recomputes ITS column (zb) and keeps the
+    // user's z_bucket untouched
+    val (v4, cs) = Snapshots.optimizeClustered(spark, dir, "x", "y",
+      bits = 4, bucketWidth = 16L, bucketCol = "zb",
+      quantizeCols = false)
+    assert(cs.rows == 90L, cs)
+    val after = Snapshots.read(spark, dir, v4)
+    assert(after.columns.count(_ == "zb") == 1)
+    assert(after.columns.contains("z_bucket"))
+    assert(after.select("z_bucket").distinct().count() == 3L)
+  }
 }

@@ -119,4 +119,41 @@ class NullStatsSpec extends SparkSpec {
     val (_, psBig) = Snapshots.readTopK(spark, dir, "v", 250)
     assert(psBig.filesSkipped == 0L, psBig)
   }
+
+  test("nullsFirst top-k: proven nulls count as beaters, files that " +
+    "may hide nulls never skip, and no top-k row is lost") {
+    val dir = store()
+    // DESC NULLS FIRST, k=10: b0's 100 proven nulls head the result
+    // and beat every null-free file — only b0 must be read
+    val (df, ps) = Snapshots.readTopK(spark, dir, "v", 10,
+      desc = true, nullsFirst = true)
+    assert(ps.filesRead == 1L && ps.filesSkipped == 3L, ps)
+    val got = df.orderBy(col("v").desc_nulls_first, col("k"))
+      .limit(10).select("k").collect().map(_.getLong(0)).toSeq
+    val want = Snapshots.read(spark, dir)
+      .orderBy(col("v").desc_nulls_first, col("k"))
+      .limit(10).select("k").collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+    // k=150 spills past the nulls into the value tail: b3 (the top
+    // value range) must also survive
+    val (df2, ps2) = Snapshots.readTopK(spark, dir, "v", 150,
+      desc = true, nullsFirst = true)
+    assert(ps2.filesRead == 2L && ps2.filesSkipped == 2L, ps2)
+    val got2 = df2.orderBy(col("v").desc_nulls_first, col("k"))
+      .limit(150).select("k").collect().map(_.getLong(0)).toSeq
+    val want2 = Snapshots.read(spark, dir)
+      .orderBy(col("v").desc_nulls_first, col("k"))
+      .limit(150).select("k").collect().map(_.getLong(0)).toSeq
+    assert(got2 == want2)
+    // plain ASC in Spark is NULLS FIRST — the mode this flag exists
+    // for: only the null-bearing file survives at k=10
+    val (dfA, psA) = Snapshots.readTopK(spark, dir, "v", 10,
+      desc = false, nullsFirst = true)
+    assert(psA.filesRead == 1L && psA.filesSkipped == 3L, psA)
+    assert(dfA.orderBy(col("v").asc_nulls_first, col("k")).limit(10)
+      .select("k").collect().map(_.getLong(0)).toSeq ==
+      Snapshots.read(spark, dir)
+        .orderBy(col("v").asc_nulls_first, col("k")).limit(10)
+        .select("k").collect().map(_.getLong(0)).toSeq)
+  }
 }

@@ -68,4 +68,19 @@ class ShuffleShardsSpec extends SparkSpec {
     }
     assert(seqs(dir) == seqs(dir2))
   }
+
+  test("an input corpus that already owns _shard or _ord is refused " +
+    "loudly — the managed columns never overwrite user data") {
+    import spark.implicits._
+    val withShard = Seq((1L, 9L)).toDF("doc_id", "_shard")
+    val e1 = intercept[IllegalArgumentException] {
+      ShuffleShards.shardPlan(withShard, "doc_id", 4)
+    }
+    assert(e1.getMessage.contains("_shard"))
+    val withOrd = Seq((1L, 9L)).toDF("doc_id", "_ord")
+    val e2 = intercept[IllegalArgumentException] {
+      ShuffleShards.shardPlan(withOrd, "doc_id", 4)
+    }
+    assert(e2.getMessage.contains("_ord"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.plans
 
 import graft.SparkSpec
-import graft.operators.Snapshots
+import graft.operators.{FileStats, Snapshots}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.functions._
@@ -214,6 +214,32 @@ class StatsAggSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"))
     assert(!metadataOnly(q))
     assert(q.count() == 112L) // distinct d values
+  }
+
+  test("non-canonical partition encodings group on the TYPED value: " +
+    "p=03 and p=3 are one group, exactly like the real scan") {
+    // externally-assembled tree — the commit protocol would never
+    // write p=03, but a manifest over such a tree must not emit
+    // duplicate group rows where the scan returns one
+    val dir = freshDir("graft-aggenc")
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v").coalesce(1)
+      .write.parquet(s"$dir/p=3")
+    Seq((3L, 30L), (4L, 40L)).toDF("k", "v").coalesce(1)
+      .write.parquet(s"$dir/p=03")
+    FileStats.writeManifest(spark, dir, Seq("k"))
+    val q = spark.read.parquet(dir).groupBy(col("p"))
+      .agg(count(lit(1)).as("n"), max(col("k")).as("mk"))
+    assert(metadataOnly(q), q.queryExecution.optimizedPlan.toString)
+    val rows = q.collect()
+    assert(rows.length == 1, rows.mkString(";"))
+    assert(rows.head.getInt(0) == 3 && rows.head.getLong(1) == 4L &&
+      rows.head.getLong(2) == 4L)
+    // and the metadata answer equals the scan's (rule disabled by a
+    // DATA-column filter, which refuses the rewrite but keeps all rows)
+    val scan = spark.read.parquet(dir).filter(col("k") >= Long.MinValue)
+      .groupBy(col("p")).agg(count(lit(1)).as("n"), max(col("k")).as("mk"))
+    assert(!metadataOnly(scan))
+    assert(scan.collect().toSeq == rows.toSeq)
   }
 
   test("a file outside the manifest disables the rewrite (coverage " +
