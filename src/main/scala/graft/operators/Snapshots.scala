@@ -433,6 +433,95 @@ object Snapshots {
     v
   }
 
+  /** APPEND as a snapshot commit: the next version = the current
+    * version's files (byte-copied through, names preserved, stats and
+    * bloom entries SPLICED — untouched files are never re-scanned)
+    * plus the new rows' files (scanned once for their sidecar
+    * entries). The input is conformed to the table schema (missing
+    * columns become typed NULLs; EXTRA columns are refused — evolving
+    * the schema is a full commit's job); partitioned layouts route
+    * new rows through the same `partitionBy`. At 100 TB the cost is
+    * the delta's write plus a metadata-speed copy of existing files —
+    * never a rescan of the table. On an empty table this is just
+    * [[commit]]. Epoch markers carry forward. */
+  def appendVersion(spark: SparkSession, df: DataFrame,
+      dir: String): Long = {
+    val f = fs(spark, dir)
+    val v = latestVersion(spark, dir)
+    if (v == 0L) return commit(spark, df, dir)
+    val vDir = s"$dir/v=$v"
+    val vPath = f.makeQualified(new Path(vDir))
+    val target = tableSchema(spark, dir)
+    val extra = df.columns.toSet -- target.fieldNames.toSet
+    require(extra.isEmpty,
+      s"appendVersion: columns not in the table schema: " +
+        s"${extra.toSeq.sorted.mkString(",")} — evolve the schema " +
+        "with a full commit first")
+    val conformed = conform(df, target)
+    // an MoR head appends WITHOUT folding: new rows land as this
+    // version's local files, every existing file carries by
+    // reference, and the tombstones (keyed on physical homes, which
+    // do not move) copy forward — still zero data-byte movement
+    if (isMorVersion(spark, dir, v)) {
+      val phys = physicalFiles(spark, f, dir, v)
+      val pcols = phys.headOption.toSeq.flatMap(_._2.split("/")
+        .dropRight(1).toSeq)
+        .map(seg => seg.substring(0, math.max(seg.indexOf('='), 0)))
+        .filter(_.nonEmpty)
+      val stage = new Path(dir,
+        s"_stage-${java.util.UUID.randomUUID()}")
+      val w = conformed.write.mode("overwrite")
+      (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w)
+        .parquet(stage.toString)
+      writeRefs(f, stage, phys)
+      val oldT = new Path(vDir, TombstoneName)
+      if (f.exists(oldT))
+        org.apache.hadoop.fs.FileUtil.copy(f, oldT, f,
+          new Path(stage, TombstoneName), false,
+          spark.sparkContext.hadoopConfiguration)
+      copyEpochMarkers(f, new Path(vDir), stage)
+      val nv = occupyNextFree(spark, f, dir, stage)
+      publish(spark, dir, nv)
+      return nv
+    }
+    val (dataFiles, pcols) = listDataRel(f, vPath)
+    val hasStats = f.exists(new Path(vDir, FileStats.ManifestName))
+    val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
+    val w = conformed.write.mode("overwrite")
+    (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w)
+      .parquet(stage.toString)
+    val stagedEmpty = listDataRel(f, f.makeQualified(stage))._1.isEmpty
+    if (hasStats) {
+      val old = FileStats.readManifest(spark, vDir)
+      if (stagedEmpty) FileStats.writeEntries(spark, stage.toString, old)
+      else {
+        val statsCols = old.flatMap(_.cols.keys).distinct.sorted
+        FileStats.writeManifest(spark, stage.toString, statsCols)
+        val fresh = FileStats.readManifest(spark, stage.toString)
+        FileStats.writeEntries(spark, stage.toString, fresh ++ old)
+      }
+    }
+    bloomColsOf(f, vDir).foreach { c =>
+      val old = BloomStats.readManifest(spark, vDir, c)
+      if (stagedEmpty)
+        BloomStats.writeEntries(spark, stage.toString, c, old)
+      else {
+        BloomStats.writeManifest(spark, stage.toString, c)
+        val fresh = BloomStats.readManifest(spark, stage.toString, c)
+        BloomStats.writeEntries(spark, stage.toString, c, fresh ++ old)
+      }
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    dataFiles.foreach { r =>
+      org.apache.hadoop.fs.FileUtil.copy(f, new Path(s"$vDir/$r"),
+        f, new Path(stage, r), false, conf)
+    }
+    copyEpochMarkers(f, new Path(vDir), stage)
+    val nv = occupyNextFree(spark, f, dir, stage)
+    publish(spark, dir, nv)
+    nv
+  }
+
   /** Columns that have `_bloom_<col>.json` sidecars in a version. */
   private def bloomColsOf(f: org.apache.hadoop.fs.FileSystem,
       vDir: String): Seq[String] =
@@ -472,6 +561,18 @@ object Snapshots {
     val f = fs(spark, dir)
     val v = latestVersion(spark, dir)
     require(v > 0, s"$dir has no committed version to compact")
+    // an MoR head compacts by FOLDING: the materializing rewrite IS
+    // the compaction (tombstones applied, references resolved);
+    // bin-packing applies to the folded output on the next run
+    if (isMorVersion(spark, dir, v)) {
+      val before = physicalFiles(spark, f, dir, v).size
+      val nv = foldMor(spark, dir, statsCols)
+      val rewritten = countDataFiles(f,
+        f.makeQualified(new Path(s"$dir/v=$nv")))
+      return (nv, Compaction.CompactStats(before, rewritten.toInt,
+        rewritten.toInt, f.getContentSummary(
+          new Path(s"$dir/v=$nv")).getLength, 0))
+    }
     val vDir = s"$dir/v=$v"
     // partitioned layouts (partitionByCols commits) keep data under
     // key=value subdirectories; Compaction's non-recursive listing
@@ -522,6 +623,9 @@ object Snapshots {
     val f = fs(spark, dir)
     val v = latestVersion(spark, dir)
     require(v > 0, s"$dir has no committed version to compact")
+    require(!isMorVersion(spark, dir, v),
+      "compactPartitionedVersion on a merge-on-read head — " +
+        "compactVersion folds it (or call foldMor), then bin-pack")
     val vDir = s"$dir/v=$v"
     val cols =
       if (statsCols.nonEmpty) statsCols
@@ -616,6 +720,9 @@ object Snapshots {
     val f = fs(spark, dir)
     val v = latestVersion(spark, dir)
     require(v > 0, s"$dir has no committed version to optimize")
+    require(!isMorVersion(spark, dir, v),
+      "optimizeClustered on a merge-on-read head — fold the " +
+        "tombstones first (foldMor), then recluster")
     val vDir = s"$dir/v=$v"
     val vPath = f.makeQualified(new Path(vDir))
     // the bucket column is MANAGED by this op: a re-run (monthly
@@ -788,6 +895,9 @@ object Snapshots {
     val f = fs(spark, dir)
     val v = latestVersion(spark, dir)
     require(v > 0, s"$dir has no committed version")
+    require(!isMorVersion(spark, dir, v),
+      "copy-on-write DML on a merge-on-read head — fold the " +
+        "tombstones first (foldMor), then rewrite")
     val vDir = s"$dir/v=$v"
     val vPath = f.makeQualified(new Path(vDir))
     val (dataFiles, pcols) = listDataRel(f, vPath)
@@ -928,6 +1038,9 @@ object Snapshots {
     val f = fs(spark, dir)
     val v = latestVersion(spark, dir)
     require(v > 0, s"$dir has no committed version")
+    require(!isMorVersion(spark, dir, v),
+      "mergeInto on a merge-on-read head — fold the tombstones " +
+        "first (foldMor), then merge")
     val vDir = s"$dir/v=$v"
     val vPath = f.makeQualified(new Path(vDir))
     val conformed = conform(source, tableSchema(spark, dir))
@@ -1008,6 +1121,264 @@ object Snapshots {
     publish(spark, dir, nv)
     (nv, RewriteStats(affected.size.toLong, untouched.size.toLong,
       rowsChanged, rowsKept))
+  }
+
+  // ---- merge-on-read row-level deletes --------------------------------
+  // Copy-on-write DML rewrites (or at least byte-copies) every live
+  // file per statement — correct, but a point delete against a 1 GB
+  // file moves 1 GB. Merge-on-read inverts the cost: a DELETE writes
+  // only a DELETION-VECTOR sidecar (file-position tombstones, the
+  // public Delta deletion-vectors / Iceberg positional-deletes
+  // design) plus a reference list carrying the existing files forward
+  // BY NAME — zero data bytes move at delete time; readers apply the
+  // tombstones as an anti-join; OPTIMIZE folds them back into a
+  // self-contained version when maintenance chooses to pay the
+  // rewrite. At 100 TB with routine GDPR-style point deletes this is
+  // the difference between O(tombstones) and O(table) per statement.
+  //
+  // Layout inside an MoR version directory:
+  //   _refs.json        — {"src":N,"file":"rel/path"} lines naming the
+  //                       PHYSICAL files (in their home version dirs)
+  //                       this version serves; depth-1 by
+  //                       construction (refs always point at the dir
+  //                       that physically holds the file, never at
+  //                       another ref)
+  //   _deletes.parquet  — (key, pos) tombstones; key =
+  //                       "srcVersion/relPath" AS RENDERED BY
+  //                       substring_index(input_file_name(),"/v=",-1)
+  //                       — both creation and read derive the key
+  //                       with the same expression over the same
+  //                       scan, so the match is exact by construction
+  //   (no _stats.json)  — deliberately: a stats manifest with stale
+  //                       row counts would let the metadata-aggregate
+  //                       rewrite overcount; with NO manifest the
+  //                       StatsAggRule/StatsPruneRule structurally
+  //                       refuse and every aggregate runs the real
+  //                       (tombstone-applying) plan. Exactness beats
+  //                       a shortcut here; folding restores both.
+  // Both sidecars are sealed by the same atomic stage→slot rename as
+  // every commit: a crash mid-delete leaves only a _stage-* orphan.
+
+  private[operators] val RefsName = "_refs.json"
+  private[operators] val TombstoneName = "_deletes.parquet"
+
+  /** Does `v=$v` carry merge-on-read sidecars? Such a version is
+    * served by [[read]]/[[table]] via reference assembly — a bare
+    * `spark.read.parquet(versionDir)` would see no data files. */
+  def isMorVersion(spark: SparkSession, dir: String, v: Long): Boolean = {
+    val f = fs(spark, dir)
+    val vp = new Path(dir, s"v=$v")
+    f.exists(new Path(vp, RefsName)) ||
+      f.exists(new Path(vp, TombstoneName))
+  }
+
+  private def writeRefs(f: org.apache.hadoop.fs.FileSystem,
+      stage: Path, refs: Seq[(Long, String)]): Unit = {
+    val lines = refs.map { case (src, rel) =>
+      s"""{"src":$src,"file":"${FileStats.jsonEscape(rel)}"}"""
+    }.sorted
+    val out = f.create(new Path(stage, RefsName), true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readRefs(f: org.apache.hadoop.fs.FileSystem,
+      vDir: String): Seq[(Long, String)] = {
+    val p = new Path(vDir, RefsName)
+    if (!f.exists(p)) return Seq.empty
+    val in = f.open(p)
+    val text =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        "UTF-8")
+      finally in.close()
+    val R = ("""\{"src":(\d+),"file":"((?:[^"\\]|\\.)*)"\}""").r
+    text.split("\n").toSeq.filter(_.nonEmpty).map {
+      case R(src, rel) => (src.toLong, FileStats.jsonUnescape(rel))
+      case line => throw new IllegalStateException(
+        s"corrupt $RefsName line: $line")
+    }
+  }
+
+  /** The PHYSICAL data files serving version `v`: carried references
+    * plus the version's own files, each as (home version, relPath). */
+  private def physicalFiles(spark: SparkSession,
+      f: org.apache.hadoop.fs.FileSystem, dir: String, v: Long)
+      : Seq[(Long, String)] = {
+    val vDir = s"$dir/v=$v"
+    val local = listDataRel(f, f.makeQualified(new Path(vDir)))._1
+      .map(r => (v, r))
+    readRefs(f, vDir) ++ local
+  }
+
+  /** Assemble an MoR version: per-home-version scans (basePath keeps
+    * directory-encoded partition columns), unioned by name (schema
+    * evolution across homes fills missing columns with NULLs), then
+    * the tombstone anti-join. `lineage = true` keeps the `__key`
+    * (srcVersion/relPath) and `__pos` (file row position) columns —
+    * the identity the tombstones are keyed on. */
+  private def readMorAssembled(spark: SparkSession, dir: String,
+      v: Long, lineage: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast => _, col,
+      input_file_name, substring_index}
+    val f = fs(spark, dir)
+    val vDir = s"$dir/v=$v"
+    val phys = physicalFiles(spark, f, dir, v)
+    require(phys.nonEmpty, s"MoR version v=$v references no files")
+    val groups = phys.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (src, fs0) =>
+        val srcDir = s"$dir/v=$src"
+        spark.read.option("basePath", srcDir)
+          .parquet(fs0.map(x => s"$srcDir/${x._2}"): _*)
+          .withColumn("__key",
+            substring_index(input_file_name(), "/v=", -1))
+          .withColumn("__pos", col("_metadata.row_index"))
+    }
+    val data = groups.reduce((a, b) =>
+      a.unionByName(b, allowMissingColumns = true))
+    val tPath = new Path(vDir, TombstoneName)
+    val alive =
+      if (!f.exists(tPath)) data
+      else {
+        val t = spark.read.parquet(tPath.toString)
+        // join keys renamed so user columns can never collide; the
+        // anti-join broadcasts while tombstones are small (the
+        // steady state — OPTIMIZE folds before they are not) and
+        // degrades to a shuffle join above the threshold, never to
+        // a wrong answer
+        data.join(t.withColumnRenamed("key", "__tkey")
+            .withColumnRenamed("pos", "__tpos"),
+          data("__key") === col("__tkey") &&
+            data("__pos") === col("__tpos"),
+          "left_anti")
+      }
+    if (lineage) alive else alive.drop("__key", "__pos")
+  }
+
+  /** Accounting for a merge-on-read delete: tombstones added by this
+    * statement / total now live, the files carried by reference, the
+    * sidecar bytes this statement wrote, and the data bytes a
+    * copy-on-write delete would have moved instead (rewritten +
+    * byte-copied — the whole live file set). */
+  final case class MorStats(tombstonesAdded: Long, tombstonesTotal: Long,
+      filesReferenced: Long, bytesWritten: Long, cowBytesAvoided: Long)
+
+  /** Row-level DELETE, merge-on-read: the new version carries every
+    * live file BY REFERENCE and materializes only the deletion
+    * vector — (file, row position) tombstones for the matching rows.
+    * Zero data bytes move; a reader of the new version applies the
+    * tombstones as an anti-join ([[read]]/[[table]] route through
+    * the assembly automatically). Rows where the predicate is NULL
+    * are KEPT (SQL DELETE semantics, same as [[deleteWhere]]).
+    * Tombstones accumulate across consecutive MoR deletes and are
+    * FOLDED into a self-contained version by [[foldMor]] (or
+    * [[compactVersion]], which delegates). A provably-no-op delete
+    * (no matching rows) publishes nothing and returns the current
+    * version with zero stats. Epoch markers carry forward.
+    *
+    * Refuses a layout with a partition column named `v` — the
+    * tombstone key is derived from the path after the LAST `/v=`
+    * segment, which such a layout would make ambiguous. */
+  def deleteWhereMor(spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column): (Long, MorStats) = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val f = fs(spark, dir)
+    val v = latestVersion(spark, dir)
+    require(v > 0, s"$dir has no committed version")
+    val vDir = s"$dir/v=$v"
+    val phys = physicalFiles(spark, f, dir, v)
+    require(phys.forall(!_._2.split("/").dropRight(1)
+        .exists(_.startsWith("v="))),
+      "deleteWhereMor: a partition column named 'v' shadows the " +
+        "store's version key — the tombstone file identity would be " +
+        "ambiguous; use copy-on-write deleteWhere for this layout")
+    val hit = coalesce(pred, lit(false))
+    // scan through the MoR assembly (already-deleted rows excluded),
+    // keeping lineage — the tombstone identity of each matching row
+    val lineage =
+      if (isMorVersion(spark, dir, v)) readMorAssembled(spark, dir, v,
+        lineage = true)
+      else readMorAssembled0(spark, dir, v)
+    val newTombs = lineage.filter(hit)
+      .select(col("__key").as("key"), col("__pos").as("pos"))
+    val added = newTombs.count()
+    if (added == 0L)
+      return (v, MorStats(0L, tombstoneCount(spark, f, vDir),
+        phys.size.toLong, 0L, 0L))
+    val oldT = new Path(vDir, TombstoneName)
+    val allTombs =
+      if (f.exists(oldT))
+        spark.read.parquet(oldT.toString).unionByName(newTombs)
+      else newTombs
+    val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
+    f.mkdirs(stage)
+    allTombs.coalesce(1).write.mode("overwrite")
+      .parquet(new Path(stage, TombstoneName).toString)
+    writeRefs(f, stage, phys)
+    copyEpochMarkers(f, new Path(vDir), stage)
+    val sidecarBytes = f.getContentSummary(stage).getLength
+    val cowBytes = phys.map { case (src, rel) =>
+      f.getFileStatus(new Path(s"$dir/v=$src/$rel")).getLen
+    }.sum
+    val total = allTombs.count()
+    val nv = occupyNextFree(spark, f, dir, stage)
+    publish(spark, dir, nv)
+    (nv, MorStats(added, total, phys.size.toLong, sidecarBytes,
+      cowBytes))
+  }
+
+  /** Lineage scan of a PLAIN (self-contained) version — the same
+    * `__key`/`__pos` identity [[readMorAssembled]] derives, for the
+    * first MoR delete on a copy-on-write table. */
+  private def readMorAssembled0(spark: SparkSession, dir: String,
+      v: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, input_file_name,
+      substring_index}
+    spark.read.parquet(s"$dir/v=$v")
+      .withColumn("__key",
+        substring_index(input_file_name(), "/v=", -1))
+      .withColumn("__pos", col("_metadata.row_index"))
+  }
+
+  private def tombstoneCount(spark: SparkSession,
+      f: org.apache.hadoop.fs.FileSystem, vDir: String): Long = {
+    val p = new Path(vDir, TombstoneName)
+    if (!f.exists(p)) 0L else spark.read.parquet(p.toString).count()
+  }
+
+  /** FOLD an MoR head back into a self-contained version: materialize
+    * the assembly (references resolved, tombstones applied), restore
+    * the partitioned layout, recompute stats/bloom sidecars when
+    * asked, and publish — the maintenance half of merge-on-read,
+    * paying the rewrite ONCE for any number of accumulated deletes.
+    * After folding, plain reads, manifest pruning, and metadata-only
+    * aggregates all apply again. */
+  def foldMor(spark: SparkSession, dir: String,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil)
+      : Long = {
+    val f = fs(spark, dir)
+    val v = latestVersion(spark, dir)
+    require(v > 0, s"$dir has no committed version")
+    require(isMorVersion(spark, dir, v),
+      s"foldMor: v=$v is already self-contained")
+    val vPath = f.makeQualified(new Path(s"$dir/v=$v"))
+    val phys = physicalFiles(spark, f, dir, v)
+    val pcols = phys.headOption.toSeq.flatMap(_._2.split("/")
+      .dropRight(1).toSeq)
+      .map(seg => seg.substring(0, math.max(seg.indexOf('='), 0)))
+      .filter(_.nonEmpty)
+    val folded = readMorAssembled(spark, dir, v, lineage = false)
+    val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
+    val w = folded.write.mode("overwrite")
+    (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w)
+      .parquet(stage.toString)
+    if (statsCols.nonEmpty)
+      FileStats.writeManifest(spark, stage.toString, statsCols)
+    bloomCols.foreach(c =>
+      BloomStats.writeManifest(spark, stage.toString, c))
+    copyEpochMarkers(f, vPath, stage)
+    val nv = occupyNextFree(spark, f, dir, stage)
+    publish(spark, dir, nv)
+    nv
   }
 
   /** Manifest-pruned range read of a committed version (default
@@ -1489,12 +1860,16 @@ object Snapshots {
     }.reduce(_ unionByName _)
   }
 
-  /** Read a specific version (default: the committed latest). */
+  /** Read a specific version (default: the committed latest).
+    * Merge-on-read versions ([[deleteWhereMor]]) are assembled
+    * transparently: referenced files resolved, tombstones applied. */
   def read(spark: SparkSession, dir: String,
       version: Long = -1L): DataFrame = {
     val v = if (version > 0) version else latestVersion(spark, dir)
     require(v > 0, s"$dir has no committed version")
-    spark.read.parquet(s"$dir/v=$v")
+    if (isMorVersion(spark, dir, v))
+      readMorAssembled(spark, dir, v, lineage = false)
+    else spark.read.parquet(s"$dir/v=$v")
   }
 
   /** [[read]] with PLANNER-INTEGRATED file skipping: when the version
@@ -1512,6 +1887,11 @@ object Snapshots {
     require(v > 0, s"$dir has no committed version")
     val vDir = s"$dir/v=$v"
     val f = fs(spark, dir)
+    // an MoR version has no manifest by design (stale counts would
+    // poison the metadata-aggregate rewrite) — serve the assembly;
+    // foldMor restores the stats-indexed path
+    if (isMorVersion(spark, dir, v))
+      return readMorAssembled(spark, dir, v, lineage = false)
     val plain = spark.read.parquet(vDir)
     if (!f.exists(new Path(vDir, FileStats.ManifestName))) plain
     else graft.plans.StatsFileIndex.attach(spark, plain,
@@ -1657,9 +2037,27 @@ object Snapshots {
           !s.getPath.getName.contains(".tmp.") =>
         scala.util.Try(readRefFile(f, s.getPath)._1).toOption.toSeq
     }.flatten.toSet
-    val doomed = versions.collect {
+    val candidates = versions.collect {
       case (v, _) if v <= latest - keepLast && !pinned(v) => v
       case (v, s) if v > latest && aged(s) && !pinned(v) => v
+    }
+    // merge-on-read versions serve files that PHYSICALLY live in
+    // older version directories (`_refs.json`) — deleting a
+    // referenced home is data loss, not cleanup. Shrink the doomed
+    // set to a fixpoint: every version referenced by any survivor
+    // survives too (a kept-alive home may itself carry refs, so one
+    // pass is not enough).
+    val doomed = {
+      var d = candidates.toSet
+      var changed = true
+      while (changed) {
+        val refPinned = versions.map(_._1).filterNot(d)
+          .flatMap(sv => readRefs(f, s"$dir/v=$sv").map(_._1)).toSet
+        val nd = d -- refPinned
+        changed = nd != d
+        d = nd
+      }
+      candidates.filter(d) // keep the original (sorted) order
     }
     doomed.foreach { v =>
       f.delete(new Path(dir, s"v=$v"), true)

@@ -972,6 +972,124 @@ object ExtOps {
       }
     }),
 
+    // The REGISTERED data source end-to-end: the same census as
+    // xq24, but both hops through the connector surface a SQL/BI
+    // user would touch — the store is CREATED by
+    // df.write.format("snapshot") (stats manifest + partitioned
+    // layout from options), the head then moves to a decoy version,
+    // and the read is spark.read.format("snapshot")
+    // .option("versionAsOf", 1): time travel must pin version 1 and
+    // the returned relation must carry the StatsFileIndex (files
+    // skipped = xq24's closed-form DuckDB replay, checksums from the
+    // pruned scan). Zero graft-API calls on the read side — the
+    // contract is that a pyspark/SQL user gets the whole pruning
+    // stack from the format name alone.
+    "xq38_snapshot_source" -> ((s, dir) => {
+      import graft.operators.ZOrder
+      val base = t(s, dir, "lineitem")
+        .select(pmod(col("l_partkey"), lit(1024)).as("x"),
+          pmod(col("l_suppkey"), lit(1024)).as("y"))
+        .withColumn("z",
+          ZOrder.interleave2(col("x"), col("y"), 10))
+        .withColumn("z_bucket",
+          call_function("div", col("z"), lit(16384L)))
+        .drop("z")
+        .repartition(col("z_bucket"))
+      val store = new java.io.File(
+        System.getProperty("java.io.tmpdir", "/tmp"),
+        s"graft-xq38-${java.util.UUID.randomUUID()}").getAbsolutePath
+      val hfs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      try {
+        base.write.format("snapshot")
+          .option("statsCols", "x")
+          .option("partitionBy", "z_bucket")
+          .mode("overwrite").save(store)
+        // decoy head: proves versionAsOf pins history, not the latest
+        base.limit(1).write.format("snapshot")
+          .mode("overwrite").save(store)
+        val tbl = s.read.format("snapshot")
+          .option("versionAsOf", "1").load(store)
+        val m = tbl.filter(col("x").between(100, 299))
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(col("x")), lit(0L)).as("sx")).head()
+        val ps = graft.plans.StatsFileIndex.indexOf(tbl)
+          .flatMap(_.lastPrune)
+          .getOrElse(sys.error("connector read carried no stats index"))
+        import s.implicits._
+        Seq((ps.filesRead + ps.filesSkipped, ps.filesRead,
+          ps.filesSkipped, ps.rowsInRead, ps.rowsInSkipped,
+          m.getLong(0), m.getLong(1)))
+          .toDF("files_total", "files_read", "files_skipped",
+            "rows_in_read", "rows_in_skipped", "rows_matched",
+            "x_checksum")
+      } finally {
+        hfs.delete(new org.apache.hadoop.fs.Path(store), true); ()
+      }
+    }),
+
+    // Merge-on-read DELETE end-to-end, against the copy-on-write
+    // twin: the same predicate runs as deleteWhereMor on one store
+    // (tombstone sidecar + references, ZERO data files written — the
+    // census pins mor_local_files = 0) and as deleteWhere on an
+    // identical store; both must serve the identical surviving rows
+    // (row counts + key checksums), and foldMor must materialize the
+    // same content again. DuckDB replays the survivors closed-form
+    // (DELETE is just NOT(pred)); files_referenced is the
+    // deterministic bucket count. At 100 TB this is the GDPR-delete
+    // path: O(tombstones) per statement instead of O(table).
+    "xq39_mor_delete" -> ((s, dir) => {
+      import graft.operators.Snapshots
+      val base = t(s, dir, "lineitem")
+        .select(col("l_orderkey").cast("long").as("k"),
+          pmod(col("l_orderkey"), lit(8)).cast("long").as("bucket"))
+        .repartition(col("bucket"))
+      val tmp = System.getProperty("java.io.tmpdir", "/tmp")
+      val tag = java.util.UUID.randomUUID()
+      val storeM = new java.io.File(tmp, s"graft-xq39m-$tag").getAbsolutePath
+      val storeC = new java.io.File(tmp, s"graft-xq39c-$tag").getAbsolutePath
+      val hfs = new org.apache.hadoop.fs.Path(storeM)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      try {
+        Snapshots.commitWithStats(s, base, storeM,
+          statsCols = Seq("k"), partitionByCols = Seq("bucket"))
+        Snapshots.commitWithStats(s, base, storeC,
+          statsCols = Seq("k"), partitionByCols = Seq("bucket"))
+        val pred = pmod(col("k"), lit(7)) === 2
+        val n1 = Snapshots.read(s, storeM).count()
+        val (v2, m) = Snapshots.deleteWhereMor(s, storeM, pred)
+        val mor = Snapshots.table(s, storeM)
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("ck")).head()
+        Snapshots.deleteWhere(s, storeC, pred)
+        val cow = Snapshots.read(s, storeC)
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("ck")).head()
+        Snapshots.foldMor(s, storeM, statsCols = Seq("k"))
+        val fold = Snapshots.read(s, storeM)
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("ck")).head()
+        // the MoR version directory must hold zero data files
+        def dataFiles(p: org.apache.hadoop.fs.Path): Long =
+          hfs.listStatus(p).toSeq.map { st =>
+            val nm = st.getPath.getName
+            if (nm.startsWith("_") || nm.startsWith(".")) 0L
+            else if (st.isDirectory) dataFiles(st.getPath)
+            else 1L
+          }.sum
+        val morLocal = dataFiles(
+          new org.apache.hadoop.fs.Path(s"$storeM/v=$v2"))
+        import s.implicits._
+        Seq((n1, m.tombstonesAdded, m.filesReferenced, morLocal,
+          mor.getLong(0), mor.getLong(1), cow.getLong(0),
+          cow.getLong(1), fold.getLong(0), fold.getLong(1)))
+          .toDF("n_v1", "tombstones_added", "files_referenced",
+            "mor_local_files", "rows_mor", "k_checksum_mor",
+            "rows_cow", "k_checksum_cow", "rows_fold",
+            "k_checksum_fold")
+      } finally {
+        hfs.delete(new org.apache.hadoop.fs.Path(storeM), true)
+        hfs.delete(new org.apache.hadoop.fs.Path(storeC), true); ()
+      }
+    }),
+
     // Snapshot schema evolution end-to-end: three commits with
     // add/widen/drop between them (v1 k+price, v2 +status, v3 drops
     // price and adds clerk), then every version TIME-TRAVELED
@@ -1866,6 +1984,45 @@ object ExtOps {
     })
   )
 
+  /** xq22's closed-form pruning replay, shared by xq24 (the
+    * planner-integrated index) and xq38 (the registered
+    * format("snapshot") connector): all three make the identical
+    * keep/skip decision from the same per-bucket min/max. */
+  private val plannerPruningOracle: String =
+    """WITH xy AS (SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y
+           FROM lineitem),
+         z AS (SELECT x,
+             (x % 2) * 1 + ((x // 2) % 2) * 4 + ((x // 4) % 2) * 16
+           + ((x // 8) % 2) * 64 + ((x // 16) % 2) * 256
+           + ((x // 32) % 2) * 1024 + ((x // 64) % 2) * 4096
+           + ((x // 128) % 2) * 16384 + ((x // 256) % 2) * 65536
+           + ((x // 512) % 2) * 262144
+           + (y % 2) * 2 + ((y // 2) % 2) * 8 + ((y // 4) % 2) * 32
+           + ((y // 8) % 2) * 128 + ((y // 16) % 2) * 512
+           + ((y // 32) % 2) * 2048 + ((y // 64) % 2) * 8192
+           + ((y // 128) % 2) * 32768 + ((y // 256) % 2) * 131072
+           + ((y // 512) % 2) * 524288 AS zv
+           FROM xy),
+         f AS (SELECT zv // 16384 AS z_bucket, count(*) AS rows_in,
+             min(x) AS mn, max(x) AS mx
+           FROM z GROUP BY 1),
+         cls AS (SELECT rows_in,
+             (NOT (mx < 100 OR mn > 299)) AS kept FROM f)
+         SELECT count(*) AS files_total,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+             AS files_read,
+           CAST(sum(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS BIGINT)
+             AS files_skipped,
+           CAST(sum(CASE WHEN kept THEN rows_in ELSE 0 END) AS BIGINT)
+             AS rows_in_read,
+           CAST(sum(CASE WHEN NOT kept THEN rows_in ELSE 0 END)
+             AS BIGINT) AS rows_in_skipped,
+           (SELECT count(*) FROM z WHERE x BETWEEN 100 AND 299)
+             AS rows_matched,
+           (SELECT CAST(coalesce(sum(x), 0) AS BIGINT) FROM z
+             WHERE x BETWEEN 100 AND 299) AS x_checksum
+         FROM cls"""
+
   val oracle: Map[String, String] = Map(
     // a correctly maintained view IS the view over the current
     // tables — the oracle computes that directly, no machinery
@@ -2364,40 +2521,27 @@ object ExtOps {
     // xq22's twin verbatim: the planner-integrated index makes the
     // SAME keep/skip decision from the same per-bucket min/max — only
     // the mechanism moved from the readPruned side API into listFiles
-    "xq24_planner_pruning" ->
-      """WITH xy AS (SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y
-           FROM lineitem),
-         z AS (SELECT x,
-             (x % 2) * 1 + ((x // 2) % 2) * 4 + ((x // 4) % 2) * 16
-           + ((x // 8) % 2) * 64 + ((x // 16) % 2) * 256
-           + ((x // 32) % 2) * 1024 + ((x // 64) % 2) * 4096
-           + ((x // 128) % 2) * 16384 + ((x // 256) % 2) * 65536
-           + ((x // 512) % 2) * 262144
-           + (y % 2) * 2 + ((y // 2) % 2) * 8 + ((y // 4) % 2) * 32
-           + ((y // 8) % 2) * 128 + ((y // 16) % 2) * 512
-           + ((y // 32) % 2) * 2048 + ((y // 64) % 2) * 8192
-           + ((y // 128) % 2) * 32768 + ((y // 256) % 2) * 131072
-           + ((y // 512) % 2) * 524288 AS zv
-           FROM xy),
-         f AS (SELECT zv // 16384 AS z_bucket, count(*) AS rows_in,
-             min(x) AS mn, max(x) AS mx
-           FROM z GROUP BY 1),
-         cls AS (SELECT rows_in,
-             (NOT (mx < 100 OR mn > 299)) AS kept FROM f)
-         SELECT count(*) AS files_total,
-           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
-             AS files_read,
-           CAST(sum(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS BIGINT)
-             AS files_skipped,
-           CAST(sum(CASE WHEN kept THEN rows_in ELSE 0 END) AS BIGINT)
-             AS rows_in_read,
-           CAST(sum(CASE WHEN NOT kept THEN rows_in ELSE 0 END)
-             AS BIGINT) AS rows_in_skipped,
-           (SELECT count(*) FROM z WHERE x BETWEEN 100 AND 299)
-             AS rows_matched,
-           (SELECT CAST(coalesce(sum(x), 0) AS BIGINT) FROM z
-             WHERE x BETWEEN 100 AND 299) AS x_checksum
-         FROM cls""",
+    "xq24_planner_pruning" -> plannerPruningOracle,
+    // the SAME decision again through the registered format("snapshot")
+    // connector (+ time travel past a decoy head, which by
+    // construction changes nothing the census can see)
+    "xq38_snapshot_source" -> plannerPruningOracle,
+    // merge-on-read vs copy-on-write DELETE: survivors replay
+    // closed-form (NOT pred); the MoR store writes zero data files
+    "xq39_mor_delete" ->
+      """WITH t AS (SELECT CAST(l_orderkey AS BIGINT) AS k,
+             l_orderkey % 8 AS bucket FROM lineitem),
+         d AS (SELECT k FROM t WHERE NOT (k % 7 = 2))
+         SELECT (SELECT count(*) FROM t) AS n_v1,
+           (SELECT count(*) FROM t WHERE k % 7 = 2) AS tombstones_added,
+           (SELECT count(DISTINCT bucket) FROM t) AS files_referenced,
+           CAST(0 AS BIGINT) AS mor_local_files,
+           (SELECT count(*) FROM d) AS rows_mor,
+           (SELECT CAST(sum(k) AS BIGINT) FROM d) AS k_checksum_mor,
+           (SELECT count(*) FROM d) AS rows_cow,
+           (SELECT CAST(sum(k) AS BIGINT) FROM d) AS k_checksum_cow,
+           (SELECT count(*) FROM d) AS rows_fold,
+           (SELECT CAST(sum(k) AS BIGINT) FROM d) AS k_checksum_fold""",
     // conformance replayed with explicit NULL projections: v1 never
     // had status/clerk, v2 never had clerk — the conformed reads must
     // census exactly these shapes

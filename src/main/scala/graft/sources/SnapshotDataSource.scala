@@ -1,0 +1,182 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SQLContext}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+  LogicalRelation}
+import org.apache.spark.sql.sources.{BaseRelation,
+  CreatableRelationProvider, DataSourceRegister, RelationProvider}
+
+import graft.operators.Snapshots
+
+/** `spark.read.format("snapshot").load(dir)` — the snapshot store as
+  * a REGISTERED Spark data source, so SQL / pyspark / BI users get
+  * the whole lakehouse stack (time travel, manifest+bloom file
+  * pruning, metadata-only aggregates) with ZERO Scala: a
+  * `CREATE TABLE t USING snapshot OPTIONS (path '…')` (or a temp
+  * view over a `load`) makes every plain `SELECT` prune. This is the
+  * batch twin of the `snapshot-log` streaming source, and the analog
+  * of the reference's whole consumption story — Excel/Power BI
+  * querying views over ODBC with no code
+  * (YayoiHabami/Jobcan-Data-Integrator README.md:3,
+  * jobcan_di/database/create_views.sql) — for the rebuilt store.
+  *
+  * Read options (mutually exclusive pins; default = latest committed):
+  *   - `versionAsOf` — time travel to a committed version
+  *   - `tag`         — an immutable [[Snapshots.tag]] name
+  *   - `branch`      — a [[Snapshots.createBranch]] head
+  *
+  * INTEGRATION POINT — V1 relation, deliberately: the provider
+  * returns the SAME `HadoopFsRelation` that [[Snapshots.table]]
+  * builds, whose [[graft.plans.StatsFileIndex]] consults the
+  * version's `_stats.json`/`_bloom_*.json` at listing time. Spark
+  * plans that relation through FileSourceStrategy — PushedFilters,
+  * whole-stage codegen, AQE, and the StatsAggRule metadata-aggregate
+  * rewrite all untouched. A DataSource-V2 `TableProvider` would NOT
+  * compose here: V2 file scans build their own `FileScan` around a
+  * `PartitioningAwareFileIndex` and route around both the custom
+  * FileIndex contract and the V1-relation rules this store's read
+  * path is built on. Returning the pruning-capable V1 relation from
+  * a registered provider is exactly how Delta Lake exposes
+  * `format("delta")` (public precedent: delta-io/delta's
+  * DeltaDataSource is a RelationProvider returning a
+  * HadoopFsRelation over its TahoeLogFileIndex).
+  *
+  * Write path (`df.write.format("snapshot").mode(…).save(dir)`):
+  *   - `Overwrite`      — [[Snapshots.commit]] (a NEW version; old
+  *     versions remain time-travelable — "overwrite" in a versioned
+  *     store replaces the head, never history)
+  *   - `Append`         — [[Snapshots.appendVersion]] (delta write +
+  *     metadata-speed carry of existing files, sidecars spliced)
+  *   - `ErrorIfExists`  — commit only onto an empty store
+  *   - `Ignore`         — commit only onto an empty store, else no-op
+  * Options `statsCols` / `bloomCols` / `partitionBy`
+  * (comma-separated) route the initial commit through
+  * [[Snapshots.commitWithStats]] so a table born through the
+  * connector prunes from version 1. Appends inherit the table's
+  * existing sidecar columns and ignore these options.
+  */
+class SnapshotDataSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "snapshot"
+
+  private def dirOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "snapshot requires a path: " +
+        "spark.read.format(\"snapshot\").load(<table dir>)"))
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val dir = dirOf(parameters)
+    val pins = Seq(
+      parameters.get("versionAsOf").map(_ => "versionAsOf"),
+      parameters.get("tag").map(_ => "tag"),
+      parameters.get("branch").map(_ => "branch")).flatten
+    require(pins.size <= 1,
+      s"snapshot: ${pins.mkString(" and ")} are mutually exclusive")
+    val version: Long = parameters.get("versionAsOf") match {
+      case Some(s) =>
+        val v = try s.toLong catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"snapshot: versionAsOf must be a version number, got '$s'")
+        }
+        require(v > 0, s"snapshot: versionAsOf must be positive, got $v")
+        v
+      case None => parameters.get("tag") match {
+        case Some(t) => Snapshots.tagVersion(spark, dir, t)
+        case None => parameters.get("branch") match {
+          case Some(b) => Snapshots.branchHead(spark, dir, b)._1
+          case None => -1L
+        }
+      }
+    }
+    // merge-on-read versions are an assembly (reference union +
+    // tombstone anti-join), not a single file relation — serve them
+    // through a column-pruning scan; folding (foldMor) restores the
+    // full pruning-capable relation below
+    val resolved =
+      if (version > 0) version else Snapshots.latestVersion(spark, dir)
+    if (Snapshots.isMorVersion(spark, dir, resolved))
+      return new SnapshotMorRelation(spark, dir, resolved)
+    val df = Snapshots.table(spark, dir, version)
+    df.queryExecution.analyzed.collectFirst {
+      case lr: LogicalRelation
+          if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        lr.relation.asInstanceOf[HadoopFsRelation]
+    }.getOrElse(throw new IllegalStateException(
+      "snapshot: version read did not resolve to a single file " +
+        "relation — use Snapshots.table for this version"))
+  }
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val dir = dirOf(parameters)
+    def csv(k: String): Seq[String] = parameters.get(k).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val statsCols = csv("statsCols")
+    val bloomCols = csv("bloomCols")
+    val partCols = csv("partitionBy")
+    require(statsCols.nonEmpty || (bloomCols.isEmpty && partCols.isEmpty),
+      "snapshot: bloomCols/partitionBy need statsCols too — a " +
+        "partitioned or bloom-indexed table without a stats manifest " +
+        "cannot serve the pruned read path")
+    def freshCommit(): Long =
+      if (statsCols.nonEmpty)
+        Snapshots.commitWithStats(spark, data, dir, statsCols,
+          partCols, bloomCols)
+      else Snapshots.commit(spark, data, dir)
+    val exists = Snapshots.latestVersion(spark, dir) > 0
+    mode match {
+      case SaveMode.Overwrite => freshCommit()
+      case SaveMode.Append =>
+        if (exists) Snapshots.appendVersion(spark, data, dir)
+        else freshCommit()
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"snapshot: $dir already has committed versions " +
+            "(SaveMode.ErrorIfExists)")
+        else freshCommit()
+      case SaveMode.Ignore => if (!exists) freshCommit()
+    }
+    createRelation(sqlContext,
+      // the post-write relation is the NEW head, whatever pin the
+      // caller had set for a preceding read
+      parameters - "versionAsOf" - "tag" - "branch")
+  }
+}
+
+/** Path sanity shared by specs/queries: the store directory itself —
+  * NOT a `v=N` subdirectory — is the address the connector takes. */
+object SnapshotDataSource {
+  def isVersionDir(p: String): Boolean =
+    new Path(p).getName.startsWith("v=")
+}
+
+/** Merge-on-read versions through the connector: the assembled plan
+  * (reference union + tombstone anti-join) behind a column-pruning
+  * scan. Filters still apply — Spark evaluates them above this
+  * relation — only FILE skipping is unavailable until the table is
+  * folded; correctness never depends on the fold. */
+private[sources] class SnapshotMorRelation(
+    spark: org.apache.spark.sql.SparkSession, dir: String, version: Long)
+    extends BaseRelation with org.apache.spark.sql.sources.PrunedScan {
+
+  private def assembled: org.apache.spark.sql.DataFrame =
+    Snapshots.read(spark, dir, version)
+
+  override def sqlContext: SQLContext = spark.sqlContext
+  override val schema: org.apache.spark.sql.types.StructType =
+    assembled.schema
+
+  override def buildScan(requiredColumns: Array[String])
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    // an empty projection (count(*)) contract-correctly yields
+    // zero-field rows
+    assembled.select(requiredColumns.toSeq.map(
+      org.apache.spark.sql.functions.col): _*).rdd
+  }
+}

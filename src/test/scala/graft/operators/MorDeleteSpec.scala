@@ -1,0 +1,200 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read deletes (Snapshots.deleteWhereMor): a DELETE must
+  * move ZERO data bytes — only a deletion-vector sidecar and a
+  * reference list — while every reader (read/table/connector/stream
+  * replay) serves exactly the copy-on-write answer; folding restores
+  * the self-contained, stats-indexed form; vacuum must never reclaim
+  * a version directory that still physically serves a survivor.
+  */
+class MorDeleteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  private def hfs =
+    new org.apache.hadoop.fs.Path("/tmp").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
+  /** 400 rows, 4 bucketed files, stats+partitioning — one store. */
+  private def build(dir: String): Unit = {
+    val df = (0L until 400L).map(i => (i, i / 100, s"d$i"))
+      .toDF("k", "b", "payload").repartition(col("b"))
+    Snapshots.commitWithStats(spark, df, dir, statsCols = Seq("k"),
+      partitionByCols = Seq("b"))
+  }
+
+  private def dataFilesIn(vDir: String): Seq[String] = {
+    def walk(p: org.apache.hadoop.fs.Path): Seq[String] =
+      hfs.listStatus(p).toSeq.flatMap { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+        else if (s.isDirectory) walk(s.getPath)
+        else Seq(s.getPath.toString)
+      }
+    walk(new org.apache.hadoop.fs.Path(vDir))
+  }
+
+  test("MoR delete equals CoW delete row-for-row, with zero data " +
+    "files written and sidecar bytes far below the CoW movement") {
+    val cowDir = freshDir("graft-morA")
+    val morDir = freshDir("graft-morB")
+    build(cowDir); build(morDir)
+    val pred = col("k") % 10 === 3 && col("k") < 200
+    val (_, cow) = Snapshots.deleteWhere(spark, cowDir, pred)
+    val (v2, mor) = Snapshots.deleteWhereMor(spark, morDir, pred)
+    assert(v2 == 2L)
+    assert(cow.rowsChanged == 20L && mor.tombstonesAdded == 20L)
+    // the MoR version directory holds NO data files at all
+    assert(dataFilesIn(s"$morDir/v=2").isEmpty)
+    assert(mor.filesReferenced == 4L)
+    assert(mor.bytesWritten < mor.cowBytesAvoided / 4,
+      s"sidecar ${mor.bytesWritten} vs cow ${mor.cowBytesAvoided}")
+    // identical table content, partition column included
+    val a = Snapshots.read(spark, cowDir)
+      .orderBy("k").collect().toSeq
+    val b = Snapshots.read(spark, morDir)
+      .select(a.headOption.map(_ => Snapshots.read(spark, cowDir)
+        .columns).getOrElse(Array("k")).toSeq.map(col): _*)
+      .orderBy("k").collect().toSeq
+    assert(a == b)
+    assert(Snapshots.read(spark, morDir).count() == 380L)
+    // time travel: v1 still serves the pre-delete table
+    assert(Snapshots.read(spark, morDir, 1L).count() == 400L)
+  }
+
+  test("consecutive MoR deletes accumulate tombstones; a no-op " +
+    "delete publishes nothing; NULL predicates keep rows") {
+    val dir = freshDir("graft-morC")
+    build(dir)
+    val (_, m1) = Snapshots.deleteWhereMor(spark, dir, col("k") < 50L)
+    val (v3, m2) = Snapshots.deleteWhereMor(spark, dir,
+      col("k").between(350, 500))
+    assert(m1.tombstonesAdded == 50L && m1.tombstonesTotal == 50L)
+    assert(m2.tombstonesAdded == 50L && m2.tombstonesTotal == 100L)
+    assert(v3 == 3L)
+    assert(Snapshots.read(spark, dir).count() == 300L)
+    assert(Snapshots.read(spark, dir).agg(min("k"), max("k")).head()
+      .toSeq == Seq(50L, 349L))
+    // re-deleting the same range: already-tombstoned rows are gone
+    // from the scan, so this is a no-op and publishes NOTHING
+    val (v3b, m3) = Snapshots.deleteWhereMor(spark, dir, col("k") < 50L)
+    assert(v3b == 3L && m3.tombstonesAdded == 0L &&
+      m3.tombstonesTotal == 100L)
+    // NULL predicate keeps (SQL DELETE): no payload is null here
+    val (v3c, m4) = Snapshots.deleteWhereMor(spark, dir,
+      when(col("payload").isNull, lit(true)))
+    assert(v3c == 3L && m4.tombstonesAdded == 0L)
+  }
+
+  test("a metadata aggregate over an MoR head runs the REAL plan — " +
+    "counts stay exact after deletes, never a stale-manifest answer") {
+    val dir = freshDir("graft-morM")
+    build(dir)
+    Snapshots.deleteWhereMor(spark, dir, col("k") < 25L)
+    val q = Snapshots.table(spark, dir)
+      .agg(count(lit(1)).as("n"), min(col("k")).as("mn"))
+    val r = q.head()
+    assert(r.getLong(0) == 375L && r.getLong(1) == 25L)
+  }
+
+  test("foldMor materializes a self-contained version: layout, " +
+    "stats index, and metadata aggregates all restored; " +
+    "compactVersion delegates to the fold") {
+    val dir = freshDir("graft-morF")
+    build(dir)
+    Snapshots.deleteWhereMor(spark, dir, col("k").between(100, 149))
+    val v3 = Snapshots.foldMor(spark, dir, statsCols = Seq("k"))
+    assert(v3 == 3L && !Snapshots.isMorVersion(spark, dir, 3L))
+    val folded = Snapshots.read(spark, dir)
+    assert(folded.count() == 350L)
+    assert(folded.filter(col("k").between(100, 149)).count() == 0L)
+    // partitioned layout restored
+    assert(hfs.exists(new org.apache.hadoop.fs.Path(s"$dir/v=3/b=0")))
+    // pruning works again through the planner index
+    val tbl = Snapshots.table(spark, dir)
+    assert(tbl.filter(col("k") < 50L).count() == 50L)
+    val ps = graft.plans.StatsFileIndex.indexOf(tbl)
+      .flatMap(_.lastPrune).getOrElse(fail("no stats index after fold"))
+    assert(ps.filesSkipped > 0L, ps)
+    // compactVersion on a fresh MoR head folds it
+    val dir2 = freshDir("graft-morF2")
+    build(dir2)
+    Snapshots.deleteWhereMor(spark, dir2, col("k") < 10L)
+    val (nv, cs) = Snapshots.compactVersion(spark, dir2, 1L << 20,
+      statsCols = Seq("k"))
+    assert(nv == 3L && !Snapshots.isMorVersion(spark, dir2, nv))
+    assert(cs.nInputFiles == 4 && cs.nRewrittenFiles > 0)
+    assert(Snapshots.read(spark, dir2).count() == 390L)
+  }
+
+  test("appendVersion on an MoR head keeps zero-copy semantics: new " +
+    "rows land locally, references and tombstones carry forward") {
+    val dir = freshDir("graft-morP")
+    build(dir)
+    Snapshots.deleteWhereMor(spark, dir, col("k") < 100L)
+    val nv = Snapshots.appendVersion(spark,
+      (1000L until 1050L).map(i => (i, 0L, s"d$i"))
+        .toDF("k", "b", "payload").coalesce(1), dir)
+    assert(nv == 3L && Snapshots.isMorVersion(spark, dir, 3L))
+    val t = Snapshots.read(spark, dir)
+    assert(t.count() == 350L)
+    assert(t.filter(col("k") >= 1000L).count() == 50L)
+    assert(t.filter(col("k") < 100L).count() == 0L)
+    // only the new rows' files are local to v=3
+    val local = dataFilesIn(s"$dir/v=3")
+    assert(local.nonEmpty && local.forall(_.contains("/v=3/")))
+    assert(spark.read.option("basePath", s"$dir/v=3")
+      .parquet(local: _*).count() == 50L)
+    // a further MoR delete spanning old and new rows works on the mix
+    val (_, m) = Snapshots.deleteWhereMor(spark, dir,
+      col("k").isin(150L, 1001L))
+    assert(m.tombstonesAdded == 2L)
+    assert(Snapshots.read(spark, dir).count() == 348L)
+  }
+
+  test("copy-on-write ops refuse an MoR head loudly; vacuum never " +
+    "reclaims a version that physically serves a survivor") {
+    val dir = freshDir("graft-morV")
+    build(dir)
+    Snapshots.deleteWhereMor(spark, dir, col("k") < 10L)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.deleteWhere(spark, dir, col("k") < 20L)
+    }
+    assert(e.getMessage.contains("foldMor"))
+    // keepLast=1 would doom v=1, but v=2 serves v=1's files
+    assert(Snapshots.vacuum(spark, dir, keepLast = 1).isEmpty)
+    assert(Snapshots.read(spark, dir).count() == 390L)
+    // after folding, nothing pins v1/v2 and both reclaim
+    Snapshots.foldMor(spark, dir, statsCols = Seq("k"))
+    assert(Snapshots.vacuum(spark, dir, keepLast = 1) == Seq(1L, 2L))
+    assert(Snapshots.read(spark, dir).count() == 390L)
+    // a failed delete (bad predicate) leaves the head untouched
+    val before = Snapshots.latestVersion(spark, dir)
+    intercept[Exception] {
+      Snapshots.deleteWhereMor(spark, dir, col("no_such_col") === 1L)
+    }
+    assert(Snapshots.latestVersion(spark, dir) == before)
+  }
+
+  test("the connector serves MoR versions correctly (assembled scan) " +
+    "and duplicates delete positionally, not by value") {
+    val dir = freshDir("graft-morX")
+    // duplicate rows: value-keyed deletes would be ambiguous;
+    // position-keyed tombstones are not
+    val df = (0L until 100L).map(i => (i % 10, "dup")).toDF("k", "p")
+      .coalesce(1)
+    Snapshots.commit(spark, df, dir)
+    val (_, m) = Snapshots.deleteWhereMor(spark, dir, col("k") === 3L)
+    assert(m.tombstonesAdded == 10L)
+    val viaConnector = spark.read.format("snapshot").load(dir)
+    assert(viaConnector.count() == 90L)
+    assert(viaConnector.filter(col("k") === 3L).count() == 0L)
+    assert(viaConnector.groupBy(col("k")).count()
+      .filter(col("count") =!= 10L).count() == 0L)
+  }
+}

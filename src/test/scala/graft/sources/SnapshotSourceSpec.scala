@@ -1,0 +1,146 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.operators.{FileStats, Snapshots}
+import graft.plans.StatsFileIndex
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions._
+
+/** The registered `format("snapshot")` batch connector: SQL/pyspark
+  * users must get the full lakehouse stack — time travel, manifest
+  * pruning, metadata-only aggregates, catalog tables — from the
+  * format name alone, and the write path must commit real versions.
+  */
+class SnapshotSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  /** v1 = 4 bucketed files with stats on v; v2 = a decoy head. */
+  private def store(): String = {
+    val dir = freshDir("graft-src")
+    val df = (0L until 400L).map(i => (i, i / 100))
+      .toDF("v", "b").repartition(col("b"))
+    Snapshots.commitWithStats(spark, df, dir, statsCols = Seq("v"),
+      partitionByCols = Seq("b"))
+    Snapshots.commit(spark, Seq((-1L, 9L)).toDF("v", "b"), dir)
+    dir
+  }
+
+  test("load() reads the latest head; versionAsOf/tag/branch pin " +
+    "history; the pins are mutually exclusive") {
+    val dir = store()
+    assert(spark.read.format("snapshot").load(dir).count() == 1L)
+    val v1 = spark.read.format("snapshot")
+      .option("versionAsOf", "1").load(dir)
+    assert(v1.count() == 400L)
+    Snapshots.tag(spark, dir, "audit", 1L)
+    assert(spark.read.format("snapshot").option("tag", "audit")
+      .load(dir).count() == 400L)
+    Snapshots.createBranch(spark, dir, "dev", 1L)
+    assert(spark.read.format("snapshot").option("branch", "dev")
+      .load(dir).count() == 400L)
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("snapshot").option("versionAsOf", "1")
+        .option("tag", "audit").load(dir)
+    }
+    assert(e.getMessage.contains("mutually exclusive"))
+  }
+
+  test("a filtered read through the connector prunes via the stats " +
+    "index, and an ungrouped aggregate answers metadata-only") {
+    val dir = store()
+    val tbl = spark.read.format("snapshot")
+      .option("versionAsOf", "1").load(dir)
+    val q = tbl.filter(col("v").between(0, 99))
+    assert(q.count() == 100L)
+    val ps = StatsFileIndex.indexOf(tbl).flatMap(_.lastPrune)
+      .getOrElse(fail("connector read carried no stats index"))
+    assert(ps.filesRead == 1L && ps.filesSkipped == 3L, ps)
+    // metadata-only count/min/max: no file relation left in the plan
+    val agg = spark.read.format("snapshot").option("versionAsOf", "1")
+      .load(dir).agg(count(lit(1)).as("n"), min(col("v")).as("mn"),
+        max(col("v")).as("mx"))
+    val metadataOnly = agg.queryExecution.optimizedPlan.collectFirst {
+      case lr: LogicalRelation => lr
+    }.isEmpty
+    assert(metadataOnly, agg.queryExecution.optimizedPlan.toString)
+    val r = agg.head()
+    assert(r.getLong(0) == 400L && r.getLong(1) == 0L &&
+      r.getLong(2) == 399L)
+  }
+
+  test("CREATE TABLE ... USING snapshot serves plain SQL, and " +
+    "refreshTable picks up a new head") {
+    val dir = store()
+    spark.sql("DROP TABLE IF EXISTS snap_spec_t")
+    spark.sql(
+      s"CREATE TABLE snap_spec_t USING snapshot OPTIONS (path '$dir')")
+    try {
+      assert(spark.sql("SELECT count(*) AS n FROM snap_spec_t")
+        .head().getLong(0) == 1L) // the decoy head
+      Snapshots.commit(spark,
+        (0L until 7L).map(i => (i, 0L)).toDF("v", "b"), dir)
+      spark.catalog.refreshTable("snap_spec_t")
+      assert(spark.sql("SELECT count(*) AS n FROM snap_spec_t")
+        .head().getLong(0) == 7L)
+    } finally spark.sql("DROP TABLE IF EXISTS snap_spec_t")
+  }
+
+  test("the write path commits real versions: overwrite starts a " +
+    "table with sidecars from options, append splices instead of " +
+    "rescanning, ErrorIfExists/Ignore honor existing stores") {
+    val dir = freshDir("graft-srcw")
+    val a = (0L until 200L).map(i => (i, i / 100)).toDF("v", "b")
+      .repartition(col("b"))
+    a.write.format("snapshot").option("statsCols", "v")
+      .option("partitionBy", "b").mode("overwrite").save(dir)
+    assert(Snapshots.latestVersion(spark, dir) == 1L)
+    val m1 = FileStats.readManifest(spark, s"$dir/v=1")
+    assert(m1.size == 2 && m1.map(_.rows).sum == 200L)
+    // append: old entries carried VERBATIM (same relPaths), new files
+    // scanned; missing columns conform to NULL
+    (200L until 250L).map(i => (i, 2L)).toDF("v", "b").coalesce(1)
+      .write.format("snapshot").mode("append").save(dir)
+    assert(Snapshots.latestVersion(spark, dir) == 2L)
+    val m2 = FileStats.readManifest(spark, s"$dir/v=2")
+    assert(m2.map(_.rows).sum == 250L)
+    assert(m1.map(_.relPath).toSet.subsetOf(m2.map(_.relPath).toSet))
+    val back = spark.read.format("snapshot").load(dir)
+    assert(back.count() == 250L)
+    assert(back.agg(max(col("v"))).head().getLong(0) == 249L)
+    // a column the table does not have is refused
+    val e = intercept[IllegalArgumentException] {
+      Seq((1L, 1L, "x")).toDF("v", "b", "zz")
+        .write.format("snapshot").mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("zz"))
+    // ErrorIfExists refuses a live store; Ignore leaves it untouched
+    intercept[IllegalStateException] {
+      a.write.format("snapshot").mode("errorifexists").save(dir)
+    }
+    a.write.format("snapshot").mode("ignore").save(dir)
+    assert(Snapshots.latestVersion(spark, dir) == 2L)
+    // time travel across connector-written versions
+    assert(spark.read.format("snapshot").option("versionAsOf", "1")
+      .load(dir).count() == 200L)
+  }
+
+  test("appended rows land in the right partition directories and " +
+    "prune alongside the originals") {
+    val dir = freshDir("graft-srcp")
+    (0L until 100L).map(i => (i, i / 50)).toDF("v", "b")
+      .repartition(col("b"))
+      .write.format("snapshot").option("statsCols", "v")
+      .option("partitionBy", "b").mode("overwrite").save(dir)
+    (100L until 150L).map(i => (i, 2L)).toDF("v", "b").coalesce(1)
+      .write.format("snapshot").mode("append").save(dir)
+    val tbl = spark.read.format("snapshot").load(dir)
+    assert(tbl.filter(col("v") >= 100L).count() == 50L)
+    val ps = StatsFileIndex.indexOf(tbl).flatMap(_.lastPrune)
+      .getOrElse(fail("no stats index after append"))
+    assert(ps.filesSkipped == 2L && ps.filesRead == 1L, ps)
+    assert(tbl.filter(col("b") === 2L).count() == 50L)
+  }
+}
