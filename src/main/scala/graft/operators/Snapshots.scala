@@ -887,17 +887,43 @@ object Snapshots {
       }
     }.toMap
 
+  /** Route every copy-on-write DML statement: stage the rewrite
+    * against the current head and publish into the next free slot
+    * (single-statement path — racing writers serialize on slot
+    * claims but do not cross-validate; use the Tx variants for
+    * that). */
   private def rewriteWhere(spark: SparkSession, dir: String,
       pred: org.apache.spark.sql.Column,
       sets: Option[Map[String, org.apache.spark.sql.Column]])
       : (Long, RewriteStats) = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     val f = fs(spark, dir)
     val v = latestVersion(spark, dir)
     require(v > 0, s"$dir has no committed version")
     require(!isMorVersion(spark, dir, v),
       "copy-on-write DML on a merge-on-read head — fold the " +
         "tombstones first (foldMor), then rewrite")
+    stageRewrite(spark, dir, v, pred, sets) match {
+      case None => (v, RewriteStats(0, 0, 0, 0))
+      case Some((stage, _, rs)) =>
+        val nv = occupyNextFree(spark, f, dir, stage)
+        publish(spark, dir, nv)
+        (nv, rs)
+    }
+  }
+
+  /** Build (but do NOT commit) a copy-on-write rewrite of version
+    * `v`: sidecar-routed admission, rewritten + byte-copied files
+    * staged with spliced manifests, epoch markers carried, and the
+    * statement's provenance sealed into the stage as `_dml.json`
+    * (base version + the files it rewrote — what commit-time
+    * conflict detection validates against). Returns None when every
+    * file is provably unaffected (the caller publishes nothing). */
+  private def stageRewrite(spark: SparkSession, dir: String, v: Long,
+      pred: org.apache.spark.sql.Column,
+      sets: Option[Map[String, org.apache.spark.sql.Column]])
+      : Option[(Path, Seq[String], RewriteStats)] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    val f = fs(spark, dir)
     val vDir = s"$dir/v=$v"
     val vPath = f.makeQualified(new Path(vDir))
     val (dataFiles, pcols) = listDataRel(f, vPath)
@@ -946,8 +972,7 @@ object Snapshots {
     val untouched = dataFiles.filter(r =>
       rangeSkipped(r) || bloomSkipped(r) || partSkipped(r))
     val affected = dataFiles.filterNot(untouched.toSet)
-    if (affected.isEmpty)
-      return (v, RewriteStats(0, 0, 0, 0))
+    if (affected.isEmpty) return None
     val hit = coalesce(pred, lit(false))
     // basePath keeps directory-encoded partition columns in the frame
     val affectedDf = spark.read.option("basePath", vDir)
@@ -1007,10 +1032,167 @@ object Snapshots {
         f, new Path(stage, r), false, conf)
     }
     copyEpochMarkers(f, new Path(vDir), stage)
-    val nv = occupyNextFree(spark, f, dir, stage)
-    publish(spark, dir, nv)
-    (nv, RewriteStats(affected.size.toLong, untouched.size.toLong,
-      rowsChanged, rowsKept))
+    writeDml(f, stage, v,
+      if (sets.isEmpty) "delete" else "update", affected)
+    Some((stage, affected,
+      RewriteStats(affected.size.toLong, untouched.size.toLong,
+        rowsChanged, rowsKept)))
+  }
+
+  // ---- commit-time conflict detection for concurrent DML -------------
+  // `commitCAS` guards the version ALLOCATOR, but two writers doing
+  // copy-on-write DML on disjoint files would still last-write-wins a
+  // whole version: each stages "my rewrite + byte-copies of
+  // everything else", so whichever publishes second silently reverts
+  // the first statement's effect. The Tx variants close that hole the
+  // way Delta's optimistic concurrency does: every DML version
+  // records its provenance (`_dml.json`: base version + the files it
+  // rewrote), a Tx committer claims EXACTLY slot head+1 (the CAS
+  // primitive), and on losing the race it re-validates — intervening
+  // versions that are all DML and touched DISJOINT files mean the
+  // statement simply re-executes on the new head (serializable:
+  // predicate DML recomputes); any overlap, or any interleaved
+  // non-DML commit (full rewrite — touched everything), aborts
+  // loudly with ConcurrentModificationException rather than guessing.
+
+  private val DmlName = "_dml.json"
+
+  private def writeDml(f: org.apache.hadoop.fs.FileSystem, stage: Path,
+      base: Long, op: String, touched: Seq[String]): Unit = {
+    val files = touched.sorted
+      .map(r => s""""${FileStats.jsonEscape(r)}"""").mkString(",")
+    val out = f.create(new Path(stage, DmlName), true)
+    try out.write(
+      s"""{"base":$base,"op":"$op","touched":[$files]}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** (base, op, touched files) of a version's DML provenance; None
+    * when the version was not produced by a DML statement. */
+  private[operators] def readDml(f: org.apache.hadoop.fs.FileSystem,
+      vDir: String): Option[(Long, String, Seq[String])] = {
+    val p = new Path(vDir, DmlName)
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    val text =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        "UTF-8")
+      finally in.close()
+    val Head = """\{"base":(\d+),"op":"(\w+)","touched":\[""".r.unanchored
+    val FileR = """"((?:[^"\\]|\\.)*)"""".r
+    val (base, op) = text match {
+      case Head(b, o) => (b.toLong, o)
+      case _ => throw new IllegalStateException(
+        s"corrupt $DmlName in $vDir: $text")
+    }
+    val blob = text.substring(text.indexOf("\"touched\":[") + 11)
+    val files = FileR.findAllMatchIn(blob)
+      .map(m => FileStats.jsonUnescape(m.group(1))).toSeq
+    Some((base, op, files))
+  }
+
+  /** [[deleteWhere]] with commit-time conflict detection — safe for
+    * CONCURRENT writers on the same table. See [[updateWhereTx]]. */
+  def deleteWhereTx(spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column, maxRetries: Int = 3,
+      publishWaitMs: Long = 30000L): (Long, RewriteStats) =
+    rewriteWhereTx(spark, dir, pred, None, maxRetries, publishWaitMs)
+
+  /** [[updateWhere]] with commit-time conflict detection. The
+    * statement stages against the head it read, then claims EXACTLY
+    * slot head+1 (exclusive-create, the commitCAS primitive). Losing
+    * the claim means another writer committed first; the statement
+    * then re-validates instead of clobbering:
+    *  - every intervening version carries `_dml.json` AND rewrote
+    *    files DISJOINT from this statement's admitted set → RETRY:
+    *    re-stage against the new head (predicate DML re-executes
+    *    serializably), up to `maxRetries` times;
+    *  - any intervening version overlaps this statement's files, or
+    *    is not a DML version (a full commit replaced the table) →
+    *    ABORT with ConcurrentModificationException — the caller must
+    *    re-reason, exactly like Delta's ConcurrentDeleteDelete /
+    *    ConcurrentWrite conflicts.
+    * A lost claim whose winner never publishes within
+    * `publishWaitMs` aborts with a crashed-committer diagnosis (the
+    * commitCAS `claimGraceMs` recovery is the unblocking tool). */
+  def updateWhereTx(spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column,
+      sets: Map[String, org.apache.spark.sql.Column],
+      maxRetries: Int = 3, publishWaitMs: Long = 30000L)
+      : (Long, RewriteStats) = {
+    require(sets.nonEmpty, "updateWhereTx needs at least one SET column")
+    rewriteWhereTx(spark, dir, pred, Some(sets), maxRetries,
+      publishWaitMs)
+  }
+
+  private def rewriteWhereTx(spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column,
+      sets: Option[Map[String, org.apache.spark.sql.Column]],
+      maxRetries: Int, publishWaitMs: Long): (Long, RewriteStats) = {
+    val f = fs(spark, dir)
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val h = latestVersion(spark, dir)
+      require(h > 0, s"$dir has no committed version")
+      require(!isMorVersion(spark, dir, h),
+        "copy-on-write DML on a merge-on-read head — fold the " +
+          "tombstones first (foldMor), then rewrite")
+      stageRewrite(spark, dir, h, pred, sets) match {
+        case None => return (h, RewriteStats(0, 0, 0, 0))
+        case Some((stage, affected, rs)) =>
+          if (tryClaimSlot(f, dir, h + 1)) {
+            if (occupySlot(f, dir, stage, h + 1)) {
+              publish(spark, dir, h + 1)
+              return (h + 1, rs)
+            }
+            // claim won but the slot was squatted (pre-claim-era
+            // leftover): surface it rather than publish a merge
+            f.delete(stage, true)
+            throw new IllegalStateException(
+              s"conflict: v=${h + 1} directory already exists in $dir")
+          }
+          // lost the claim — wait for the winner to publish, then
+          // validate what it touched
+          f.delete(stage, true)
+          val deadline = System.currentTimeMillis() + publishWaitMs
+          var h2 = latestVersion(spark, dir)
+          while (h2 == h && System.currentTimeMillis() < deadline) {
+            Thread.sleep(25L)
+            h2 = latestVersion(spark, dir)
+          }
+          if (h2 == h)
+            throw new IllegalStateException(
+              s"conflict: v=${h + 1} claimed but never published " +
+                s"within ${publishWaitMs}ms — crashed committer? " +
+                "recover with commitCAS claimGraceMs / vacuum")
+          val intervening = existingVersions(f, dir)
+            .filter(x => x > h && x <= h2).sorted
+          val provenance = intervening.map(x =>
+            x -> readDml(f, s"$dir/v=$x"))
+          provenance.find(_._2.isEmpty).foreach { case (x, _) =>
+            throw new java.util.ConcurrentModificationException(
+              s"conflict: concurrent NON-DML commit v=$x replaced " +
+                s"the table under this statement (base v=$h) — " +
+                "re-read and re-reason")
+          }
+          val touchedByOthers = provenance
+            .flatMap(_._2.toSeq.flatMap(_._3)).toSet
+          val overlap = affected.filter(touchedByOthers)
+          if (overlap.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"conflict: concurrent DML (v=${intervening.mkString(",")}) " +
+                s"rewrote files this statement (base v=$h) also " +
+                s"admits: ${overlap.take(4).mkString(", ")}" +
+                (if (overlap.size > 4) ", …" else "") +
+                " — re-read and re-reason")
+          // disjoint: serializable to re-execute on the new head
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"conflict: lost the commit race $maxRetries times in $dir — " +
+        "retry budget exhausted")
   }
 
   /** MERGE INTO as a copy-on-write snapshot commit — the K1 full-row
@@ -1672,14 +1854,17 @@ object Snapshots {
       defaults)
 
   /** Point `_latest` at `v` via write-temp-then-rename. The replace
-    * is a SINGLE atomic overwrite rename (`FileContext.rename` with
-    * `Options.Rename.OVERWRITE` — atomic on HDFS/posix; object
-    * stores substitute a conditional put): there is never a window
+    * is a SINGLE atomic overwrite rename: there is never a window
     * where the pointer is absent, so a concurrent `latestVersion()`
     * always observes either the old or the new version — never 0.
-    * (The previous delete-then-rename had exactly that window: a
-    * reader saw "no committed version" and a committer starting in
-    * it would restart version numbering.) */
+    * On HDFS that is `FileContext.rename(OVERWRITE)` (atomic rename2;
+    * object stores substitute a conditional put). On the LOCAL FS the
+    * FileContext default is check-delete-rename — which HAS an
+    * absence window (it lost a two-writer race in DmlConflictSpec
+    * about once in three runs) — so the local branch uses POSIX
+    * `rename(2)` via java.nio ATOMIC_MOVE instead, moving the
+    * checksum sidecar first (a reader between the two moves sees a
+    * retried ChecksumException, never absence). */
   private def publish(spark: SparkSession, dir: String, v: Long): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val f = fs(spark, dir)
@@ -1687,9 +1872,30 @@ object Snapshots {
     val tmp = f.makeQualified(new Path(dir, s"_latest.tmp.$v"))
     val out = f.create(tmp, true)
     try out.write(v.toString.getBytes("US-ASCII")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, conf)
-    fc.rename(tmp, f.makeQualified(pointer(dir)),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    val dst = f.makeQualified(pointer(dir))
+    if (f.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem]) {
+      // LOCAL FS: FileContext's OVERWRITE rename is check-delete-
+      // rename (AbstractFileSystem.renameInternal default) — a
+      // concurrent latestVersion() could observe the pointer ABSENT
+      // and report an empty table. POSIX rename(2) replaces the
+      // target atomically; move the checksum sidecar first so a
+      // reader landing between the two moves sees a transient
+      // ChecksumException (already retried) — never absence.
+      def nio(p: Path) = java.nio.file.Paths.get(p.toUri.getPath)
+      def crc(p: Path) =
+        new Path(p.getParent, s".${p.getName}.crc")
+      if (java.nio.file.Files.exists(nio(crc(tmp))))
+        java.nio.file.Files.move(nio(crc(tmp)), nio(crc(dst)),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      java.nio.file.Files.move(nio(tmp), nio(dst),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      // HDFS (and object-store FSs with atomic rename2): a single
+      // atomic overwrite rename — never an absence window
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        tmp.toUri, conf)
+      fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
   }
 
   /** Compare-and-swap commit for MULTI-writer tables: publishes

@@ -1,0 +1,150 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Commit-time conflict detection for concurrent copy-on-write DML
+  * (deleteWhereTx/updateWhereTx): two writers on DISJOINT files must
+  * BOTH land (the loser re-validates and re-executes); overlapping
+  * files or an interleaved non-DML commit must abort LOUDLY — never
+  * a silent lost update, which is exactly what the single-statement
+  * path would produce.
+  *
+  * The race is made deterministic by squatting the contended slot
+  * with a foreign `_claim` marker: the Tx writer always loses its
+  * claim of head+1 and must take the validation path, while the
+  * competing statement (on a worker thread) publishes into a later
+  * slot exactly like a real concurrent writer would.
+  */
+class DmlConflictSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  private def hfs =
+    new org.apache.hadoop.fs.Path("/tmp").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
+  /** v1 = 4 bucketed files with stats on k — DML routes per file. */
+  private def build(dir: String): Unit = {
+    val df = (0L until 400L).map(i => (i, i / 100))
+      .toDF("k", "b").repartition(col("b"))
+    Snapshots.commitWithStats(spark, df, dir, statsCols = Seq("k"),
+      partitionByCols = Seq("b"))
+  }
+
+  private def squatNextSlot(dir: String): Unit =
+    hfs.create(new org.apache.hadoop.fs.Path(dir, "_claim.2"),
+      false).close()
+
+  test("every DML version records its provenance: base version, op, " +
+    "and exactly the files it rewrote") {
+    val dir = freshDir("graft-txp")
+    build(dir)
+    Snapshots.deleteWhere(spark, dir, col("k") <= 99L)
+    val dml = Snapshots.readDml(hfs, s"$dir/v=2")
+      .getOrElse(fail("no _dml.json on a DML version"))
+    assert(dml._1 == 1L && dml._2 == "delete")
+    assert(dml._3.size == 1 && dml._3.head.startsWith("b=0/"), dml._3)
+    Snapshots.updateWhere(spark, dir, col("k") === 399L,
+      Map("k" -> lit(9999L)))
+    val up = Snapshots.readDml(hfs, s"$dir/v=3").get
+    assert(up._1 == 2L && up._2 == "update" &&
+      up._3.head.startsWith("b=3/"))
+    // non-DML versions carry none
+    assert(Snapshots.readDml(hfs, s"$dir/v=1").isEmpty)
+  }
+
+  test("two writers on DISJOINT files both land: the loser " +
+    "re-validates against the winner's provenance and re-executes") {
+    val dir = freshDir("graft-txd")
+    build(dir)
+    squatNextSlot(dir)
+    @volatile var workerV = -1L
+    val worker = new Thread(() => {
+      Thread.sleep(500)
+      workerV = Snapshots.deleteWhere(spark, dir, col("k") >= 350L)._1
+    })
+    worker.start()
+    // reads head v1, stages, loses the squatted claim of v2, waits
+    // for the worker's publish, validates disjointness, re-executes
+    val (vB, rsB) = Snapshots.deleteWhereTx(spark, dir, col("k") < 50L)
+    worker.join()
+    assert(workerV == 3L, s"worker landed at $workerV")
+    assert(vB == 4L, s"Tx writer landed at $vB")
+    assert(rsB.rowsChanged == 50L)
+    val t = Snapshots.read(spark, dir)
+    assert(t.count() == 300L) // BOTH deletes applied
+    assert(t.agg(min("k"), max("k")).head().toSeq == Seq(50L, 349L))
+  }
+
+  test("overlapping files abort loudly with " +
+    "ConcurrentModificationException — never a silent lost update") {
+    val dir = freshDir("graft-txo")
+    build(dir)
+    squatNextSlot(dir)
+    val worker = new Thread(() => {
+      Thread.sleep(500)
+      Snapshots.deleteWhere(spark, dir, col("k") === 10L); ()
+    })
+    worker.start()
+    val e = intercept[java.util.ConcurrentModificationException] {
+      // same bucket file (k<100 lives in b=0) as the worker's delete
+      Snapshots.deleteWhereTx(spark, dir, col("k") < 50L)
+    }
+    worker.join()
+    assert(e.getMessage.contains("conflict"), e.getMessage)
+    // the worker's statement alone is in effect
+    assert(Snapshots.read(spark, dir).count() == 399L)
+  }
+
+  test("an interleaved NON-DML commit aborts the transaction — a " +
+    "full rewrite invalidates any staged statement") {
+    val dir = freshDir("graft-txn")
+    build(dir)
+    squatNextSlot(dir)
+    val worker = new Thread(() => {
+      Thread.sleep(500)
+      Snapshots.commit(spark,
+        (0L until 10L).map(i => (i, 0L)).toDF("k", "b"), dir); ()
+    })
+    worker.start()
+    val e = intercept[java.util.ConcurrentModificationException] {
+      Snapshots.deleteWhereTx(spark, dir, col("k") < 50L)
+    }
+    worker.join()
+    assert(e.getMessage.contains("NON-DML"), e.getMessage)
+    assert(Snapshots.read(spark, dir).count() == 10L)
+  }
+
+  test("a claimed-but-never-published slot surfaces a crashed-" +
+    "committer diagnosis instead of waiting forever") {
+    val dir = freshDir("graft-txc")
+    build(dir)
+    squatNextSlot(dir)
+    val e = intercept[IllegalStateException] {
+      Snapshots.deleteWhereTx(spark, dir, col("k") < 50L,
+        publishWaitMs = 400L)
+    }
+    assert(e.getMessage.contains("never published"), e.getMessage)
+    // nothing published, nothing lost
+    assert(Snapshots.latestVersion(spark, dir) == 1L)
+    assert(Snapshots.read(spark, dir).count() == 400L)
+  }
+
+  test("with no contention the Tx path is just the plain path: " +
+    "lands at head+1, provenance recorded, no-ops publish nothing") {
+    val dir = freshDir("graft-txq")
+    build(dir)
+    val (v2, rs) = Snapshots.updateWhereTx(spark, dir,
+      col("k") === 5L, Map("k" -> lit(-5L)))
+    assert(v2 == 2L && rs.filesRewritten == 1L)
+    assert(Snapshots.read(spark, dir).filter(col("k") === -5L)
+      .count() == 1L)
+    // provably-no-op delete: nothing published
+    val (v2b, rs2) = Snapshots.deleteWhereTx(spark, dir,
+      col("k") === 777777L)
+    assert(v2b == 2L && rs2.filesRewritten == 0L)
+  }
+}
