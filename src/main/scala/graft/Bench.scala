@@ -143,6 +143,15 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+    // the previously committed record, for end-of-suite
+    // self-adjudication of movers (see below)
+    val committed: Map[String, Double] =
+      try {
+        val txt = Files.readString(Paths.get("bench_results.json"))
+        val qblob = txt.substring(txt.indexOf("\"queries\":{") + 11)
+        """"([A-Za-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(qblob)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Exception => Map.empty }
     val results = selected.map { case (name, fn) =>
       val first = onePass(fn)
       // extra passes only while under the deadline; median of what ran
@@ -155,6 +164,38 @@ object Bench {
       hygieneCheckpoint()
       name -> dt
     }.toMap
+    // SELF-ADJUDICATION (round 16): two rounds in a row, a >1.5×
+    // driver-run mover turned out to be co-tenant box load, proven
+    // only by a manual isolated rerun. The bench now adjudicates its
+    // own movers: any query whose suite median exceeds 1.5× its value
+    // in the COMMITTED bench_results.json is rerun at the END of the
+    // suite — after a hygiene checkpoint, median of 3, with the
+    // 1-minute load average recorded — and both numbers land in the
+    // JSON so the record explains itself. The suite median stays the
+    // recorded value (honesty); the isolated figure + load1m are the
+    // adjudication evidence.
+    val movers = results.toSeq
+      .filter { case (n, dt) => committed.get(n)
+        .exists(prev => dt > prev * 1.5 && dt > 0.5) }
+      .sortBy(-_._2).take(8)
+    val adjudications: Seq[(String, (Double, Double, Double))] =
+      if (movers.isEmpty || elapsedSec >= deadlineSec) Seq.empty
+      else {
+        spark.catalog.clearCache()
+        System.gc(); Thread.sleep(250)
+        movers.flatMap { case (name, suiteDt) =>
+          SparkEntry.queries.get(name).map { fn =>
+            val ps = (1 to 3).map(_ => onePass(fn)).sorted
+            val load = java.lang.management.ManagementFactory
+              .getOperatingSystemMXBean.getSystemLoadAverage
+            progress.foreach { p =>
+              p.println(f"[adjudicate] $name%-24s suite=$suiteDt%6.2fs " +
+                f"isolated=${ps(1)}%6.2fs load1m=$load%.1f"); p.flush()
+            }
+            name -> ((suiteDt, ps(1), load))
+          }
+        }
+      }
     progress.foreach(_.close())
     // 3-decimal timings keep the one-line JSON compact (millisecond
     // resolution is already below bench noise). Locale.ROOT so a
@@ -173,10 +214,16 @@ object Bench {
     // handful of queries. The FULL per-query vector goes to
     // bench_results.json (committed per round) — never to stdout.
     val slowest = results.toSeq.sortBy(-_._2).take(8).sortBy(_._1)
+    val adjJson = adjudications.sortBy(_._1).map {
+      case (n, (suite, iso, load)) =>
+        s""""$n":{"suite":${num(suite)},"isolated":${num(iso)},"load1m":${num(load)}}"""
+    }.mkString("{", ",", "}")
+    val adjPart =
+      if (adjudications.isEmpty) "" else s""","adjudications":$adjJson"""
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"passes":$passes,"queries":${qjson(slowest)},"sf":$sfNum}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"passes":$passes,"queries":${qjson(slowest)}$adjPart,"sf":$sfNum}"""
     val full =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","passes":$passes,"queries":${qjson(sorted)},"sf":$sfNum}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","passes":$passes,"queries":${qjson(sorted)}$adjPart,"sf":$sfNum}"""
     // a filtered dev run must not clobber the committed full vector
     if (only.isEmpty)
       try Files.writeString(Paths.get("bench_results.json"), full + "\n")

@@ -184,13 +184,36 @@ object FileStats {
     }
   }
 
+  /** The leaf type of a (possibly dotted NESTED) stats path against a
+    * schema: an exact top-level field name wins first (a column
+    * literally named "a.b" — discouraged for stats, but not
+    * misresolved), then dotted struct traversal
+    * (`detail.expense.total_amount`-shaped paths). None when the path
+    * resolves to nothing. */
+  private[graft] def leafType(schema: org.apache.spark.sql.types.StructType,
+      path: String): Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types.StructType
+    if (schema.fieldNames.contains(path))
+      return Some(schema(path).dataType)
+    path.split('.').toSeq.foldLeft(
+      Option(schema: org.apache.spark.sql.types.DataType)) {
+      case (Some(st: StructType), seg) if st.fieldNames.contains(seg) =>
+        Some(st(seg).dataType)
+      case _ => None
+    }
+  }
+
   /** Compute per-file stats for `statsCols` over the parquet files
     * under `dataDir` and write `_stats.json` there. One distributed
     * scan reading ONLY the stats columns (column-pruned at the
     * parquet footer), one file-keyed aggregate. String-typed columns
     * get truncated bounds (`maxStatLen` code points — long document
     * bodies must not bloat a 100k-line manifest); every other type is
-    * stored exactly as its cast-to-string rendering.
+    * stored exactly as its cast-to-string rendering. A stats column
+    * may be a NESTED struct path (`detail.total` — the
+    * document-shaped silver Dataset's fields), keyed in the manifest
+    * by the dotted path; nested non-null counts follow Spark's
+    * `count(col)` semantics (a NULL parent struct counts as null).
     */
   def writeManifest(spark: SparkSession, dataDir: String,
       statsCols: Seq[String], maxStatLen: Int = 64): Unit = {
@@ -199,16 +222,20 @@ object FileStats {
     val rootUri = fs(spark, dataDir)
       .makeQualified(new Path(dataDir)).toUri.getPath
     val src = spark.read.parquet(dataDir)
-    val stringCols = statsCols
-      .filter(c => src.schema(c).dataType == StringType).toSet
+    val stringCols = statsCols.filter(c =>
+      leafType(src.schema, c).contains(StringType)).toSet
+    // alias every stats path to its dotted name up front, then
+    // aggregate over the BACKTICKED alias — nested paths stay one
+    // column-pruned scan, and min/max/count see a flat column
+    def q(c: String) = col(s"`$c`")
     val aggs = count(lit(1L)).as("__rows") +:
       statsCols.flatMap(c => Seq(
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"),
-        count(col(c)).as(s"__nn_$c")))
+        min(q(c)).cast("string").as(s"__min_$c"),
+        max(q(c)).cast("string").as(s"__max_$c"),
+        count(q(c)).as(s"__nn_$c")))
     val perFile = src
       .select((input_file_name().as("__file") +:
-        statsCols.map(col)): _*)
+        statsCols.map(c => col(c).as(c))): _*)
       .groupBy(col("__file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()

@@ -283,12 +283,16 @@ object StatsAggRule extends Rule[LogicalPlan] {
             Some(manifest.map(_.rows).sum: Any)
           // count(col) = the manifest's non-null counts — answerable
           // only when every entry tracks them (pre-nn manifests and
-          // untracked columns refuse)
-          case Count(Seq(a: AttributeReference))
-              if manifest.forall(_.nonNull.contains(a.name)) =>
-            Some(manifest.map(_.nonNull(a.name)).sum: Any)
-          case Min(a: AttributeReference) => bound(a, manifest, isMin = true)
-          case Max(a: AttributeReference) => bound(a, manifest, isMin = false)
+          // untracked columns refuse). Bare attributes AND nested
+          // struct paths (the manifest keys them by dotted path; a
+          // NULL parent struct counted as null on both sides)
+          case Count(Seq(StatsFilters.PathRef(n, _)))
+              if manifest.forall(_.nonNull.contains(n)) =>
+            Some(manifest.map(_.nonNull(n)).sum: Any)
+          case Min(StatsFilters.PathRef(n, dt)) =>
+            bound(n, dt, manifest, isMin = true)
+          case Max(StatsFilters.PathRef(n, dt)) =>
+            bound(n, dt, manifest, isMin = false)
           case _ => None
         }
       case _ => None
@@ -301,23 +305,23 @@ object StatsAggRule extends Rule[LogicalPlan] {
   // -2 is earlier), so negative-year stats refuse the rewrite
   private val IsoDate = """\d{4}-\d{2}-\d{2}""".r
 
-  /** min/max of `a` from the manifest, as a Catalyst-internal value.
-    * None (refuse the rewrite) when the column is untracked in any
-    * entry or the type/rendering is not provably exact; Some(null)
-    * when every file is all-null in the column — the aggregate's own
-    * answer. */
-  private def bound(a: AttributeReference,
+  /** min/max of path `n` (leaf type `dt`) from the manifest, as a
+    * Catalyst-internal value. None (refuse the rewrite) when the
+    * column is untracked in any entry or the type/rendering is not
+    * provably exact; Some(null) when every file is all-null in the
+    * column — the aggregate's own answer. */
+  private def bound(n: String, dt: DataType,
       manifest: Seq[FileStats.FileStat], isMin: Boolean): Option[Any] = {
-    if (manifest.exists(m => !m.cols.contains(a.name))) return None
-    val stats = manifest.flatMap(_.cols(a.name))
+    if (manifest.exists(m => !m.cols.contains(n))) return None
+    val stats = manifest.flatMap(_.cols(n))
       .map(b => if (isMin) b._1 else b._2)
     if (stats.isEmpty) return Some(null)
-    a.dataType match {
+    dt match {
       case ByteType | ShortType | IntegerType | LongType =>
         Try {
           val vs = stats.map(BigDecimal(_))
           val v = if (isMin) vs.min else vs.max
-          a.dataType match {
+          dt match {
             case ByteType => v.toByteExact: Any
             case ShortType => v.toShortExact: Any
             case IntegerType => v.toIntExact: Any

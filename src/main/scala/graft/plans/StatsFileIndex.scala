@@ -151,6 +151,32 @@ object StatsFileIndex {
   */
 object StatsFilters {
 
+  /** A filter-side column reference as a dotted stats path: a bare
+    * attribute, or a GetStructField chain over one (nested predicate
+    * pushdown hands the planner `detail.amount`-shaped conjuncts as
+    * extraction expressions). The rendered path matches the manifest
+    * key [[graft.operators.FileStats.writeManifest]] writes for the
+    * same dotted statsCols entry. Anything else (array/map access,
+    * casts, functions) contributes no path — conservative, like every
+    * other refusal here. */
+  private[plans] def pathOf(e: Expression): Option[(String, DataType)] =
+    e match {
+      case a: AttributeReference => Some((a.name, a.dataType))
+      case g: GetStructField =>
+        pathOf(g.child).map { case (p, _) =>
+          (s"$p.${g.extractFieldName}", g.dataType)
+        }
+      case _ => None
+    }
+
+  /** Extractor sugar: matches a prunable column path + leaf type.
+    * Shared with [[StatsAggRule]] (metadata-only min/max/count over
+    * the same dotted manifest keys). */
+  private[plans] object PathRef {
+    def unapply(e: Expression): Option[(String, DataType)] = pathOf(e)
+  }
+  private val P = PathRef
+
   def extract(filters: Seq[Expression]): Seq[StatsPred] =
     filters.flatMap(splitConj).flatMap(toPred)
 
@@ -163,37 +189,37 @@ object StatsFilters {
   def extractEquals(filters: Seq[Expression])
       : Seq[(String, Seq[String])] =
     filters.flatMap(splitConj).flatMap {
-      case EqualTo(a: AttributeReference, l: Literal) =>
-        canon(a, l.value).map(v => (a.name, Seq(v)))
-      case EqualTo(l: Literal, a: AttributeReference) =>
-        canon(a, l.value).map(v => (a.name, Seq(v)))
-      case EqualNullSafe(a: AttributeReference, l: Literal)
+      case EqualTo(P(n, dt), l: Literal) =>
+        canon(dt, l.value).map(v => (n, Seq(v)))
+      case EqualTo(l: Literal, P(n, dt)) =>
+        canon(dt, l.value).map(v => (n, Seq(v)))
+      case EqualNullSafe(P(n, dt), l: Literal)
           if l.value != null =>
-        canon(a, l.value).map(v => (a.name, Seq(v)))
-      case EqualNullSafe(l: Literal, a: AttributeReference)
+        canon(dt, l.value).map(v => (n, Seq(v)))
+      case EqualNullSafe(l: Literal, P(n, dt))
           if l.value != null =>
-        canon(a, l.value).map(v => (a.name, Seq(v)))
-      case In(a: AttributeReference, vs)
+        canon(dt, l.value).map(v => (n, Seq(v)))
+      case In(P(n, dt), vs)
           if vs.nonEmpty && vs.size <= 64 &&
             vs.forall(_.isInstanceOf[Literal]) =>
         // NULLs can't equal anything and drop out; one unrenderable
         // NON-null value poisons the whole proof (all-or-nothing)
         val nn = vs.map(_.asInstanceOf[Literal].value).filter(_ != null)
-        val cs = nn.map(v => canon(a, v))
+        val cs = nn.map(v => canon(dt, v))
         if (nn.isEmpty || cs.exists(_.isEmpty)) None
-        else Some((a.name, cs.flatten))
-      case InSet(a: AttributeReference, vs)
+        else Some((n, cs.flatten))
+      case InSet(P(n, dt), vs)
           if vs.nonEmpty && vs.size <= 64 =>
         val nn = vs.toSeq.filter(_ != null)
-        val cs = nn.map(v => canon(a, v))
+        val cs = nn.map(v => canon(dt, v))
         if (nn.isEmpty || cs.exists(_.isEmpty)) None
-        else Some((a.name, cs.flatten))
+        else Some((n, cs.flatten))
       case _ => None
     }.filter(_._2.nonEmpty)
 
-  private def canon(a: AttributeReference, v: Any): Option[String] =
+  private def canon(dt: DataType, v: Any): Option[String] =
     if (v == null) None
-    else a.dataType match {
+    else dt match {
       case StringType => Some(v.toString)
       case LongType | IntegerType | ShortType | ByteType =>
         Some(v.toString)
@@ -207,55 +233,57 @@ object StatsFilters {
   }
 
   private def toPred(e: Expression): Option[StatsPred] = e match {
-    case GreaterThan(a: AttributeReference, l: Literal) =>
-      bound(a, Some(l), None)
-    case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
-      bound(a, Some(l), None)
-    case LessThan(a: AttributeReference, l: Literal) =>
-      bound(a, None, Some(l))
-    case LessThanOrEqual(a: AttributeReference, l: Literal) =>
-      bound(a, None, Some(l))
+    case GreaterThan(P(n, dt), l: Literal) =>
+      bound(n, dt, Some(l), None)
+    case GreaterThanOrEqual(P(n, dt), l: Literal) =>
+      bound(n, dt, Some(l), None)
+    case LessThan(P(n, dt), l: Literal) =>
+      bound(n, dt, None, Some(l))
+    case LessThanOrEqual(P(n, dt), l: Literal) =>
+      bound(n, dt, None, Some(l))
     // literal-first mirror: `5 < x` bounds x from below, etc.
-    case GreaterThan(l: Literal, a: AttributeReference) =>
-      bound(a, None, Some(l))
-    case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
-      bound(a, None, Some(l))
-    case LessThan(l: Literal, a: AttributeReference) =>
-      bound(a, Some(l), None)
-    case LessThanOrEqual(l: Literal, a: AttributeReference) =>
-      bound(a, Some(l), None)
-    case EqualTo(a: AttributeReference, l: Literal) =>
-      bound(a, Some(l), Some(l))
-    case EqualTo(l: Literal, a: AttributeReference) =>
-      bound(a, Some(l), Some(l))
-    case EqualNullSafe(a: AttributeReference, l: Literal)
+    case GreaterThan(l: Literal, P(n, dt)) =>
+      bound(n, dt, None, Some(l))
+    case GreaterThanOrEqual(l: Literal, P(n, dt)) =>
+      bound(n, dt, None, Some(l))
+    case LessThan(l: Literal, P(n, dt)) =>
+      bound(n, dt, Some(l), None)
+    case LessThanOrEqual(l: Literal, P(n, dt)) =>
+      bound(n, dt, Some(l), None)
+    case EqualTo(P(n, dt), l: Literal) =>
+      bound(n, dt, Some(l), Some(l))
+    case EqualTo(l: Literal, P(n, dt)) =>
+      bound(n, dt, Some(l), Some(l))
+    case EqualNullSafe(P(n, dt), l: Literal)
         if l.value != null =>
-      bound(a, Some(l), Some(l))
-    case EqualNullSafe(l: Literal, a: AttributeReference)
+      bound(n, dt, Some(l), Some(l))
+    case EqualNullSafe(l: Literal, P(n, dt))
         if l.value != null =>
-      bound(a, Some(l), Some(l))
-    case In(a: AttributeReference, vs)
+      bound(n, dt, Some(l), Some(l))
+    case In(P(n, dt), vs)
         if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
-      inBound(a, vs.map(_.asInstanceOf[Literal].value))
-    case InSet(a: AttributeReference, vs) if vs.nonEmpty =>
-      inBound(a, vs.toSeq)
+      inBound(n, dt, vs.map(_.asInstanceOf[Literal].value))
+    case InSet(P(n, dt), vs) if vs.nonEmpty =>
+      inBound(n, dt, vs.toSeq)
     // null predicates decide on the manifest's non-null counts —
     // IsNotNull is injected by constraint propagation on virtually
     // every filter, so all-null files skip for free on any filtered
-    // read; IsNull skips files provably null-free
-    case IsNotNull(a: AttributeReference) =>
-      Some(FileStats.NotNullPred(a.name))
-    case IsNull(a: AttributeReference) =>
-      Some(FileStats.IsNullPred(a.name))
+    // read; IsNull skips files provably null-free. Nested paths
+    // match Spark's count(col) semantics: a NULL parent struct is a
+    // NULL leaf, exactly what the manifest's nested nn counted.
+    case IsNotNull(P(n, _)) =>
+      Some(FileStats.NotNullPred(n))
+    case IsNull(P(n, _)) =>
+      Some(FileStats.IsNullPred(n))
     // LIKE 'p%' (the optimizer rewrites it to StartsWith): matches
     // live in [p, incremented-prefix) — the same bound shape as a
     // truncated max. Empty prefix matches everything: no predicate.
-    case StartsWith(a: AttributeReference, l: Literal)
-        if a.dataType == StringType && l.value != null &&
+    case StartsWith(P(n, dt), l: Literal)
+        if dt == StringType && l.value != null &&
           l.value.toString.nonEmpty =>
       val p = l.value.toString
-      Some(StrRange(a.name, Some(p),
-        FileStats.truncateUpper(p + " ",
+      Some(StrRange(n, Some(p),
+        FileStats.truncateUpper(p + " ",
           p.codePointCount(0, p.length))))
     case _ => None
   }
@@ -264,28 +292,28 @@ object StatsFilters {
     * NULLs in the list can never equal a row value — they drop out of
     * the bounds; an all-NULL list matches nothing but pruning still
     * conservatively keeps (Catalyst folds that case anyway). */
-  private def inBound(a: AttributeReference,
+  private def inBound(n: String, dt: DataType,
       vs0: Seq[Any]): Option[StatsPred] = {
     val vs = vs0.filter(_ != null)
     if (vs.isEmpty) None
-    else a.dataType match {
+    else dt match {
       case _: NumericType =>
         val bs = vs.map(toBig)
         if (bs.exists(_.isEmpty)) None
         else {
           val b = bs.flatten
-          Some(NumRange(a.name, Some(b.min), Some(b.max)))
+          Some(NumRange(n, Some(b.min), Some(b.max)))
         }
       case StringType =>
         val ss = vs.map(_.toString)
-        Some(StrRange(a.name,
+        Some(StrRange(n,
           Some(ss.min(strOrd)), Some(ss.max(strOrd))))
       case DateType =>
         val ds = vs.map(dateStr)
         if (ds.exists(_.isEmpty)) None
         else {
           val d = ds.flatten
-          Some(StrRange(a.name, Some(d.min), Some(d.max)))
+          Some(StrRange(n, Some(d.min), Some(d.max)))
         }
       case _ => None
     }
@@ -294,18 +322,18 @@ object StatsFilters {
   private val strOrd: Ordering[String] =
     (a, b) => FileStats.utf8Compare(a, b)
 
-  private def bound(a: AttributeReference, lo: Option[Literal],
+  private def bound(n: String, dt: DataType, lo: Option[Literal],
       hi: Option[Literal]): Option[StatsPred] = {
     if (lo.exists(_.value == null) || hi.exists(_.value == null)) None
-    else a.dataType match {
+    else dt match {
       case _: NumericType =>
         // an unconvertible requested bound (NaN/∞) drops to open —
         // wider range, still sound
-        Some(NumRange(a.name,
+        Some(NumRange(n,
           lo.flatMap(l => toBig(l.value)),
           hi.flatMap(l => toBig(l.value))))
       case StringType =>
-        Some(StrRange(a.name,
+        Some(StrRange(n,
           lo.map(_.value.toString), hi.map(_.value.toString)))
       case DateType =>
         // date stats were cast to ISO strings by the manifest writer;
@@ -316,7 +344,7 @@ object StatsFilters {
         val l = lo.map(x => dateStr(x.value))
         val h = hi.map(x => dateStr(x.value))
         if (l.exists(_.isEmpty) || h.exists(_.isEmpty)) None
-        else Some(StrRange(a.name, l.flatten, h.flatten))
+        else Some(StrRange(n, l.flatten, h.flatten))
       case _ => None
     }
   }

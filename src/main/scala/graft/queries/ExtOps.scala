@@ -1090,6 +1090,51 @@ object ExtOps {
       }
     }),
 
+    // NESTED-column statistics: the document-shaped silver Dataset
+    // keeps its facts inside structs (SURVEY §1.3), and file skipping
+    // must not stop at the first dot — the manifest keys stats by
+    // dotted path (detail.amount) and the planner extracts
+    // GetStructField chains from the pushed-down filter, so a range
+    // on a struct field prunes files exactly like a top-level
+    // column. Census + key checksum replay closed-form in DuckDB
+    // over the flat twin of the same struct.
+    "xq40_nested_pruning" -> ((s, dir) => {
+      import graft.operators.Snapshots
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          struct(col("o_totalprice").as("amount"),
+            col("o_orderpriority").as("prio")).as("detail"),
+          least(expr("CAST(o_totalprice AS BIGINT) DIV 50000"),
+            lit(7L)).as("bucket"))
+        .repartition(col("bucket"))
+      val store = new java.io.File(
+        System.getProperty("java.io.tmpdir", "/tmp"),
+        s"graft-xq40-${java.util.UUID.randomUUID()}").getAbsolutePath
+      val hfs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      try {
+        val v = Snapshots.commitWithStats(s, base, store,
+          statsCols = Seq("k", "detail.amount"),
+          partitionByCols = Seq("bucket"))
+        val tbl = Snapshots.table(s, store, v)
+        val m = tbl.filter(col("detail.amount").between(60000, 119999))
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(col("k")), lit(0L)).as("ck")).head()
+        val ps = graft.plans.StatsFileIndex.indexOf(tbl)
+          .flatMap(_.lastPrune)
+          .getOrElse(sys.error("nested read carried no stats index"))
+        import s.implicits._
+        Seq((ps.filesRead + ps.filesSkipped, ps.filesRead,
+          ps.filesSkipped, ps.rowsInRead, ps.rowsInSkipped,
+          m.getLong(0), m.getLong(1)))
+          .toDF("files_total", "files_read", "files_skipped",
+            "rows_in_read", "rows_in_skipped", "rows_matched",
+            "k_checksum")
+      } finally {
+        hfs.delete(new org.apache.hadoop.fs.Path(store), true); ()
+      }
+    }),
+
     // Snapshot schema evolution end-to-end: three commits with
     // add/widen/drop between them (v1 k+price, v2 +status, v3 drops
     // price and adds clerk), then every version TIME-TRAVELED
@@ -2526,6 +2571,33 @@ object ExtOps {
     // connector (+ time travel past a decoy head, which by
     // construction changes nothing the census can see)
     "xq38_snapshot_source" -> plannerPruningOracle,
+    // nested-field pruning replayed closed-form over the flat twin:
+    // per-bucket min/max of the struct field decide keep/skip exactly
+    // like a top-level column
+    "xq40_nested_pruning" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+             o_totalprice AS amount,
+             least(CAST(o_totalprice AS BIGINT) // 50000, 7) AS bucket
+           FROM orders),
+         f AS (SELECT bucket, count(*) AS rows_in,
+             min(amount) AS mn, max(amount) AS mx
+           FROM o GROUP BY 1),
+         cls AS (SELECT rows_in,
+             (NOT (mx < 60000 OR mn > 119999)) AS kept FROM f)
+         SELECT count(*) AS files_total,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+             AS files_read,
+           CAST(sum(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS BIGINT)
+             AS files_skipped,
+           CAST(sum(CASE WHEN kept THEN rows_in ELSE 0 END) AS BIGINT)
+             AS rows_in_read,
+           CAST(sum(CASE WHEN NOT kept THEN rows_in ELSE 0 END)
+             AS BIGINT) AS rows_in_skipped,
+           (SELECT count(*) FROM o
+             WHERE amount BETWEEN 60000 AND 119999) AS rows_matched,
+           (SELECT CAST(coalesce(sum(k), 0) AS BIGINT) FROM o
+             WHERE amount BETWEEN 60000 AND 119999) AS k_checksum
+         FROM cls""",
     // merge-on-read vs copy-on-write DELETE: survivors replay
     // closed-form (NOT pred); the MoR store writes zero data files
     "xq39_mor_delete" ->

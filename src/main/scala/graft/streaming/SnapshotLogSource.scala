@@ -22,8 +22,9 @@ import graft.operators.Snapshots
   * stream → store, exactly-once at every hop.
   *
   *   spark.readStream.format("snapshot-log")
-  *     .option("path", dir)                 // required
-  *     .option("startingVersion", "7")      // optional, default 0
+  *     .option("path", dir)                    // required
+  *     .option("startingVersion", "7")         // optional, default 0
+  *     .option("maxVersionsPerTrigger", "10")  // optional throttle
   *     .load()
   *
   * Rows carry a `_version` column naming the version that appended
@@ -40,11 +41,20 @@ import graft.operators.Snapshots
   * monotonicity (offsets are versions) — prefer RESTORE, which moves
   * history forward.
   *
-  * Deliberately no `maxVersionsPerTrigger`: the writer that committed
-  * each version already chose the batch size; re-batching here would
-  * add a rate-limit state machine whose restart semantics the v1 API
-  * cannot express safely (a capped offset below the checkpointed
-  * committed offset would regress the log).
+  * `maxVersionsPerTrigger` paces a BACKFILL: without it, a stream
+  * started against a long version history delivers the whole log as
+  * ONE micro-batch. The throttle caps each trigger at N versions.
+  * The restart hazard of rate limiting under the v1 API — a capped
+  * `getOffset` below the checkpointed committed offset would regress
+  * the log and REDELIVER versions — is closed by persisting the
+  * pacing base in the source's own checkpoint metadata directory
+  * (`metadataPath`, which travels with the query checkpoint): the
+  * base is monotone (it only ever grows, written before the offset
+  * is handed to the engine and bumped again by every `getBatch`), so
+  * a capped offset is always ≥ the engine's committed offset. A
+  * crash between the base write and the offset commit merely makes
+  * one later batch up to 2N versions wide — never a duplicate, never
+  * a hole.
   */
 class SnapshotLogSource extends StreamSourceProvider
     with DataSourceRegister {
@@ -63,10 +73,15 @@ class SnapshotLogSource extends StreamSourceProvider
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
+      parameters: Map[String, String]): Source = {
+    val maxPer = parameters.get("maxVersionsPerTrigger").map(_.toLong)
+    maxPer.foreach(m => require(m > 0,
+      s"maxVersionsPerTrigger must be positive, got $m"))
     new SnapshotLogStreamSource(sqlContext.sparkSession,
       dirOf(parameters),
-      parameters.get("startingVersion").map(_.toLong).getOrElse(0L))
+      parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
+      maxPer, metadataPath)
+  }
 }
 
 object SnapshotLogSource {
@@ -85,7 +100,9 @@ object SnapshotLogSource {
 
 /** The live source: offset = committed version number. */
 private[streaming] class SnapshotLogStreamSource(spark: SparkSession,
-    dir: String, startingVersion: Long) extends Source {
+    dir: String, startingVersion: Long,
+    maxVersionsPerTrigger: Option[Long] = None,
+    metadataPath: String = "") extends Source {
 
   require(startingVersion >= 0,
     s"startingVersion must be non-negative, got $startingVersion")
@@ -101,9 +118,48 @@ private[streaming] class SnapshotLogStreamSource(spark: SparkSession,
     StructType(fixed.fields :+ org.apache.spark.sql.types.StructField(
       SnapshotLogSource.VersionColumn, LongType, nullable = false))
 
+  // ---- pacing base (rate-limit state that must survive restarts) --
+  // The base is the highest offset this source has HANDED OUT or
+  // SERVED: monotone by construction, persisted in the query's own
+  // checkpoint (metadataPath), so a restarted throttled stream can
+  // never cap below the committed offset (= never regress the log).
+  private def baseFile = new org.apache.hadoop.fs.Path(
+    metadataPath, "graft-pacing-base")
+  private def mfs = baseFile.getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def readBase(): Long =
+    try {
+      val in = mfs.open(baseFile)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        "US-ASCII").trim.toLong
+      finally in.close()
+    } catch { case _: Exception => startingVersion }
+
+  private def writeBase(v: Long): Unit =
+    try {
+      mfs.mkdirs(new org.apache.hadoop.fs.Path(metadataPath))
+      val out = mfs.create(baseFile, true)
+      try out.write(v.toString.getBytes("US-ASCII"))
+      finally out.close()
+    } catch { case _: Exception => () } // pacing degrades, never fails
+
   override def getOffset: Option[V1Offset] = {
     val latest = Snapshots.latestVersion(spark, dir)
-    if (latest <= startingVersion) None else Some(LongOffset(latest))
+    if (latest <= startingVersion) return None
+    maxVersionsPerTrigger match {
+      case None => Some(LongOffset(latest))
+      case Some(m) if metadataPath.isEmpty => // un-checkpointed use
+        Some(LongOffset(math.min(latest, startingVersion + m)))
+      case Some(m) =>
+        val base = math.max(readBase(), startingVersion)
+        val capped = math.min(latest, base + m)
+        if (capped <= base) None
+        else {
+          writeBase(capped)
+          Some(LongOffset(capped))
+        }
+    }
   }
 
   private def versionOf(o: V1Offset): Long = o match {
@@ -117,6 +173,11 @@ private[streaming] class SnapshotLogStreamSource(spark: SparkSession,
     val s0 = math.max(start.map(versionOf).getOrElse(0L),
       startingVersion)
     val e = versionOf(end)
+    // every served range bumps the pacing base: a WAL-recovered batch
+    // after a crash restores the base even if getOffset never ran
+    if (maxVersionsPerTrigger.isDefined && metadataPath.nonEmpty &&
+        e > readBase())
+      writeBase(e)
     val batch =
       if (e <= s0)
         // an empty recovery range: schema-correct empty batch

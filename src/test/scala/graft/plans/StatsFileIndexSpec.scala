@@ -183,4 +183,54 @@ class StatsFileIndexSpec extends SparkSpec {
     val planner = StatsFileIndex.indexOf(q).get.lastPrune.get
     assert(planner == side, s"planner=$planner side=$side")
   }
+
+  test("NESTED stats prune through the planner: a struct-field range " +
+    "skips files, IS NULL uses nested null counts, and metadata-only " +
+    "min/max answer from the dotted manifest key") {
+    import graft.operators.Snapshots
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-nest").toString + "/t"
+    // 4 files by bucket; detail.amount spans [b*100, b*100+100);
+    // bucket 0 holds NULL structs only
+    val df = (0L until 400L).map { i =>
+      val b = i / 100
+      (i, b, if (b == 0) None else Some(b * 100 + i % 100))
+    }.toDF("k", "bucket", "amt")
+      .withColumn("detail",
+        when(col("amt").isNotNull,
+          struct(col("amt").as("amount"),
+            concat(lit("p"), col("amt")).as("note"))))
+      .drop("amt")
+      .repartition(col("bucket"))
+    Snapshots.commitWithStats(spark, df, dir,
+      statsCols = Seq("k", "detail.amount"),
+      partitionByCols = Seq("bucket"))
+    // manifest keys by the dotted path, null struct file tracked
+    val m = graft.operators.FileStats.readManifest(spark, s"$dir/v=1")
+    assert(m.forall(_.cols.contains("detail.amount")))
+    assert(m.map(_.nonNull("detail.amount")).sorted ==
+      Seq(0L, 100L, 100L, 100L))
+    // range on the NESTED field: [210, 290] lives only in bucket 2
+    val tbl = Snapshots.table(spark, dir)
+    assert(tbl.filter(col("detail.amount").between(210, 290))
+      .count() == 81L)
+    val ps = StatsFileIndex.indexOf(tbl).flatMap(_.lastPrune).get
+    assert(ps.filesRead == 1L && ps.filesSkipped == 3L, ps)
+    // IS NULL on the nested field skips the provably null-free files
+    val tbl2 = Snapshots.table(spark, dir)
+    assert(tbl2.filter(col("detail.amount").isNull).count() == 100L)
+    val ps2 = StatsFileIndex.indexOf(tbl2).flatMap(_.lastPrune).get
+    assert(ps2.filesRead == 1L && ps2.filesSkipped == 3L, ps2)
+    // metadata-only min/max/count(col) over the nested path
+    val agg = Snapshots.table(spark, dir).agg(
+      min(col("detail.amount")).as("mn"),
+      max(col("detail.amount")).as("mx"),
+      count(col("detail.amount")).as("nn"))
+    val metadataOnly = agg.queryExecution.optimizedPlan.collectFirst {
+      case lr: org.apache.spark.sql.execution.datasources
+        .LogicalRelation => lr
+    }.isEmpty
+    assert(metadataOnly, agg.queryExecution.optimizedPlan.toString)
+    assert(agg.head().toSeq == Seq(100L, 399L, 300L))
+  }
 }
