@@ -464,10 +464,7 @@ object Snapshots {
     // do not move) copy forward — still zero data-byte movement
     if (isMorVersion(spark, dir, v)) {
       val phys = physicalFiles(spark, f, dir, v)
-      val pcols = phys.headOption.toSeq.flatMap(_._2.split("/")
-        .dropRight(1).toSeq)
-        .map(seg => seg.substring(0, math.max(seg.indexOf('='), 0)))
-        .filter(_.nonEmpty)
+      val pcols = pcolsOf(phys)
       val stage = new Path(dir,
         s"_stage-${java.util.UUID.randomUUID()}")
       val w = conformed.write.mode("overwrite")
@@ -1126,6 +1123,20 @@ object Snapshots {
       publishWaitMs)
   }
 
+  /** Publish `v` only if the head is still `expected` — the guard
+    * that keeps a Tx committer from moving the pointer BACKWARDS over
+    * a non-claim-based writer (plain commit/append allocate the next
+    * FREE slot, skipping live claims, so they can land ABOVE a
+    * claimed-but-unpublished Tx slot and publish first). A residual
+    * check-to-rename window of one metadata read remains against
+    * such writers; Tx/CAS writers among themselves are fully
+    * serialized by the slot claims. */
+  private[operators] def publishIfHead(spark: SparkSession,
+      dir: String, expected: Long, v: Long): Boolean = {
+    if (latestVersion(spark, dir) != expected) false
+    else { publish(spark, dir, v); true }
+  }
+
   private def rewriteWhereTx(spark: SparkSession, dir: String,
       pred: org.apache.spark.sql.Column,
       sets: Option[Map[String, org.apache.spark.sql.Column]],
@@ -1138,56 +1149,73 @@ object Snapshots {
       require(!isMorVersion(spark, dir, h),
         "copy-on-write DML on a merge-on-read head — fold the " +
           "tombstones first (foldMor), then rewrite")
+      // intervening-commit validation, shared by the lost-claim path
+      // and the won-claim-but-head-moved path: aborts loudly on any
+      // overlap or non-DML interleave; returns normally when every
+      // intervening version is DML over disjoint files (safe retry)
+      def validateIntervening(h2: Long, affected: Seq[String]): Unit = {
+        val intervening = existingVersions(f, dir)
+          .filter(x => x > h && x <= h2).sorted
+        val provenance = intervening.map(x =>
+          x -> readDml(f, s"$dir/v=$x"))
+        provenance.find(_._2.isEmpty).foreach { case (x, _) =>
+          throw new java.util.ConcurrentModificationException(
+            s"conflict: concurrent NON-DML commit v=$x replaced " +
+              s"the table under this statement (base v=$h) — " +
+              "re-read and re-reason")
+        }
+        val touchedByOthers = provenance
+          .flatMap(_._2.toSeq.flatMap(_._3)).toSet
+        val overlap = affected.filter(touchedByOthers)
+        if (overlap.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"conflict: concurrent DML (v=${intervening.mkString(",")}) " +
+              s"rewrote files this statement (base v=$h) also " +
+              s"admits: ${overlap.take(4).mkString(", ")}" +
+              (if (overlap.size > 4) ", …" else "") +
+              " — re-read and re-reason")
+      }
       stageRewrite(spark, dir, h, pred, sets) match {
         case None => return (h, RewriteStats(0, 0, 0, 0))
         case Some((stage, affected, rs)) =>
           if (tryClaimSlot(f, dir, h + 1)) {
             if (occupySlot(f, dir, stage, h + 1)) {
-              publish(spark, dir, h + 1)
-              return (h + 1, rs)
+              if (publishIfHead(spark, dir, h, h + 1))
+                return (h + 1, rs)
+              // a non-claim committer landed ABOVE our claimed slot
+              // and already published — publishing h+1 now would
+              // regress the pointer over its commit. Withdraw ours
+              // and validate/retry exactly like a lost claim.
+              f.delete(new Path(dir, s"v=${h + 1}"), true)
+              retireClaim(f, dir, h + 1)
+              validateIntervening(latestVersion(spark, dir), affected)
+              attempt += 1
+            } else {
+              // claim won but the slot was squatted (pre-claim-era
+              // leftover): surface it rather than publish a merge
+              f.delete(stage, true)
+              throw new IllegalStateException(
+                s"conflict: v=${h + 1} directory already exists in $dir")
             }
-            // claim won but the slot was squatted (pre-claim-era
-            // leftover): surface it rather than publish a merge
+          } else {
+            // lost the claim — wait for the winner to publish, then
+            // validate what it touched
             f.delete(stage, true)
-            throw new IllegalStateException(
-              s"conflict: v=${h + 1} directory already exists in $dir")
+            val deadline = System.currentTimeMillis() + publishWaitMs
+            var h2 = latestVersion(spark, dir)
+            while (h2 == h && System.currentTimeMillis() < deadline) {
+              Thread.sleep(25L)
+              h2 = latestVersion(spark, dir)
+            }
+            if (h2 == h)
+              throw new IllegalStateException(
+                s"conflict: v=${h + 1} claimed but never published " +
+                  s"within ${publishWaitMs}ms — crashed committer? " +
+                  "recover with commitCAS claimGraceMs / vacuum")
+            validateIntervening(h2, affected)
+            // disjoint: serializable to re-execute on the new head
+            attempt += 1
           }
-          // lost the claim — wait for the winner to publish, then
-          // validate what it touched
-          f.delete(stage, true)
-          val deadline = System.currentTimeMillis() + publishWaitMs
-          var h2 = latestVersion(spark, dir)
-          while (h2 == h && System.currentTimeMillis() < deadline) {
-            Thread.sleep(25L)
-            h2 = latestVersion(spark, dir)
-          }
-          if (h2 == h)
-            throw new IllegalStateException(
-              s"conflict: v=${h + 1} claimed but never published " +
-                s"within ${publishWaitMs}ms — crashed committer? " +
-                "recover with commitCAS claimGraceMs / vacuum")
-          val intervening = existingVersions(f, dir)
-            .filter(x => x > h && x <= h2).sorted
-          val provenance = intervening.map(x =>
-            x -> readDml(f, s"$dir/v=$x"))
-          provenance.find(_._2.isEmpty).foreach { case (x, _) =>
-            throw new java.util.ConcurrentModificationException(
-              s"conflict: concurrent NON-DML commit v=$x replaced " +
-                s"the table under this statement (base v=$h) — " +
-                "re-read and re-reason")
-          }
-          val touchedByOthers = provenance
-            .flatMap(_._2.toSeq.flatMap(_._3)).toSet
-          val overlap = affected.filter(touchedByOthers)
-          if (overlap.nonEmpty)
-            throw new java.util.ConcurrentModificationException(
-              s"conflict: concurrent DML (v=${intervening.mkString(",")}) " +
-                s"rewrote files this statement (base v=$h) also " +
-                s"admits: ${overlap.take(4).mkString(", ")}" +
-                (if (overlap.size > 4) ", …" else "") +
-                " — re-read and re-reason")
-          // disjoint: serializable to re-execute on the new head
-          attempt += 1
       }
     }
     throw new IllegalStateException(
@@ -1392,6 +1420,14 @@ object Snapshots {
     readRefs(f, vDir) ++ local
   }
 
+  /** Partition column names (nesting order) recovered from a physical
+    * file's relative path — the one rule the MoR append and the fold
+    * must agree on. */
+  private def pcolsOf(phys: Seq[(Long, String)]): Seq[String] =
+    phys.headOption.toSeq.flatMap(_._2.split("/").dropRight(1).toSeq)
+      .map(seg => seg.substring(0, math.max(seg.indexOf('='), 0)))
+      .filter(_.nonEmpty)
+
   /** Assemble an MoR version: per-home-version scans (basePath keeps
     * directory-encoded partition columns), unioned by name (schema
     * evolution across homes fills missing columns with NULLs), then
@@ -1529,11 +1565,15 @@ object Snapshots {
 
   /** FOLD an MoR head back into a self-contained version: materialize
     * the assembly (references resolved, tombstones applied), restore
-    * the partitioned layout, recompute stats/bloom sidecars when
-    * asked, and publish — the maintenance half of merge-on-read,
-    * paying the rewrite ONCE for any number of accumulated deletes.
-    * After folding, plain reads, manifest pruning, and metadata-only
-    * aggregates all apply again. */
+    * the partitioned layout, recompute stats/bloom sidecars, and
+    * publish — the maintenance half of merge-on-read, paying the
+    * rewrite ONCE for any number of accumulated deletes. After
+    * folding, plain reads, manifest pruning, and metadata-only
+    * aggregates all apply again. `statsCols`/`bloomCols` default to
+    * the UNION of what the referenced home versions track — a
+    * stats-tracked table stays stats-tracked through the fold without
+    * the maintenance job knowing the schema, exactly like
+    * [[compactVersion]]'s inheritance on self-contained versions. */
   def foldMor(spark: SparkSession, dir: String,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil)
       : Long = {
@@ -1544,18 +1584,25 @@ object Snapshots {
       s"foldMor: v=$v is already self-contained")
     val vPath = f.makeQualified(new Path(s"$dir/v=$v"))
     val phys = physicalFiles(spark, f, dir, v)
-    val pcols = phys.headOption.toSeq.flatMap(_._2.split("/")
-      .dropRight(1).toSeq)
-      .map(seg => seg.substring(0, math.max(seg.indexOf('='), 0)))
-      .filter(_.nonEmpty)
+    val pcols = pcolsOf(phys)
+    val homes = phys.map(_._1).distinct.sorted.map(h => s"$dir/v=$h")
+    val sCols =
+      if (statsCols.nonEmpty) statsCols
+      else homes
+        .filter(h => f.exists(new Path(h, FileStats.ManifestName)))
+        .flatMap(h => FileStats.readManifest(spark, h)
+          .flatMap(_.cols.keys)).distinct.sorted
+    val bCols =
+      if (bloomCols.nonEmpty) bloomCols
+      else homes.flatMap(h => bloomColsOf(f, h)).distinct.sorted
     val folded = readMorAssembled(spark, dir, v, lineage = false)
     val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
     val w = folded.write.mode("overwrite")
     (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w)
       .parquet(stage.toString)
-    if (statsCols.nonEmpty)
-      FileStats.writeManifest(spark, stage.toString, statsCols)
-    bloomCols.foreach(c =>
+    if (sCols.nonEmpty)
+      FileStats.writeManifest(spark, stage.toString, sCols)
+    bCols.foreach(c =>
       BloomStats.writeManifest(spark, stage.toString, c))
     copyEpochMarkers(f, vPath, stage)
     val nv = occupyNextFree(spark, f, dir, stage)
@@ -1878,15 +1925,18 @@ object Snapshots {
       // rename (AbstractFileSystem.renameInternal default) — a
       // concurrent latestVersion() could observe the pointer ABSENT
       // and report an empty table. POSIX rename(2) replaces the
-      // target atomically; move the checksum sidecar first so a
-      // reader landing between the two moves sees a transient
-      // ChecksumException (already retried) — never absence.
+      // target atomically. The checksum sidecars are DELETED, not
+      // moved: a crash between a crc move and the data move would
+      // leave new-crc-against-old-bytes — a PERMANENT
+      // ChecksumException that bricks every read until manual
+      // repair. With no crc at all, ChecksumFileSystem falls back to
+      // a raw read; a crash at any point here leaves either the old
+      // pointer or the new one, both readable.
       def nio(p: Path) = java.nio.file.Paths.get(p.toUri.getPath)
       def crc(p: Path) =
         new Path(p.getParent, s".${p.getName}.crc")
-      if (java.nio.file.Files.exists(nio(crc(tmp))))
-        java.nio.file.Files.move(nio(crc(tmp)), nio(crc(dst)),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      java.nio.file.Files.deleteIfExists(nio(crc(tmp)))
+      java.nio.file.Files.deleteIfExists(nio(crc(dst)))
       java.nio.file.Files.move(nio(tmp), nio(dst),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     } else {
@@ -2141,13 +2191,24 @@ object Snapshots {
     val conf = spark.sparkContext.hadoopConfiguration
     def copyTree(p: Path): Unit = f.listStatus(p).toSeq.foreach { s =>
       val n = s.getPath.getName
+      // sidecars that ARE the version's content travel with it:
+      // stats/bloom manifests, the managed-cluster marker, and — for
+      // a merge-on-read version — the reference list and deletion
+      // vectors (both version-absolute, so a restored copy serves
+      // the identical assembly; without them a restore of an MoR
+      // version would silently drop every referenced row). Only
+      // `_epoch.*` is deliberately left behind (a restore is an
+      // administrative commit, not an epoch replay).
       val keepFile = s.isFile && (!n.startsWith("_") ||
         n == FileStats.ManifestName ||
+        n == RefsName ||
+        n.startsWith("_zcluster.") ||
         (n.startsWith("_bloom_") && n.endsWith(".json")))
       val rel = srcPath.toUri.relativize(s.getPath.toUri).getPath
       if (keepFile && !n.startsWith("."))
         FileUtil.copy(f, s.getPath, f, new Path(stage, rel), false, conf)
-      else if (s.isDirectory && !n.startsWith("_") && !n.startsWith("."))
+      else if (s.isDirectory && !n.startsWith(".") &&
+          (!n.startsWith("_") || n == TombstoneName))
         copyTree(s.getPath)
     }
     copyTree(srcPath)

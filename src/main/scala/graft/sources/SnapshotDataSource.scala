@@ -61,10 +61,18 @@ class SnapshotDataSource extends RelationProvider
 
   override def shortName(): String = "snapshot"
 
-  private def dirOf(parameters: Map[String, String]): String =
-    parameters.getOrElse("path", throw new IllegalArgumentException(
-      "snapshot requires a path: " +
-        "spark.read.format(\"snapshot\").load(<table dir>)"))
+  private def dirOf(parameters: Map[String, String]): String = {
+    val dir = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "snapshot requires a path: " +
+          "spark.read.format(\"snapshot\").load(<table dir>)"))
+    // the address is the STORE directory; a v=N subdirectory would
+    // "work" as a bare parquet path and silently bypass versioning
+    require(!SnapshotDataSource.isVersionDir(dir),
+      s"snapshot: '$dir' is a version directory — pass the store " +
+        "directory and pin with .option(\"versionAsOf\", …)")
+    dir
+  }
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
@@ -149,8 +157,9 @@ class SnapshotDataSource extends RelationProvider
   }
 }
 
-/** Path sanity shared by specs/queries: the store directory itself —
-  * NOT a `v=N` subdirectory — is the address the connector takes. */
+/** Path sanity enforced by [[SnapshotDataSource.dirOf]]: the store
+  * directory itself — NOT a `v=N` subdirectory — is the address the
+  * connector takes. */
 object SnapshotDataSource {
   def isVersionDir(p: String): Boolean =
     new Path(p).getName.startsWith("v=")
@@ -172,11 +181,19 @@ private[sources] class SnapshotMorRelation(
   override val schema: org.apache.spark.sql.types.StructType =
     assembled.schema
 
+  // rows stay in Tungsten format end to end: with needConversion =
+  // false the contract lets buildScan hand back InternalRows (the
+  // same idiom Spark's own relations use) — never the boxed
+  // deserialize/re-serialize round-trip
+  override def needConversion: Boolean = false
+
   override def buildScan(requiredColumns: Array[String])
       : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
     // an empty projection (count(*)) contract-correctly yields
     // zero-field rows
     assembled.select(requiredColumns.toSeq.map(
-      org.apache.spark.sql.functions.col): _*).rdd
+      org.apache.spark.sql.functions.col): _*)
+      .queryExecution.toRdd
+      .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
   }
 }

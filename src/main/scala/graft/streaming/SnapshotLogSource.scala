@@ -120,43 +120,56 @@ private[streaming] class SnapshotLogStreamSource(spark: SparkSession,
 
   // ---- pacing base (rate-limit state that must survive restarts) --
   // The base is the highest offset this source has HANDED OUT or
-  // SERVED: monotone by construction, persisted in the query's own
-  // checkpoint (metadataPath), so a restarted throttled stream can
-  // never cap below the committed offset (= never regress the log).
+  // SERVED: monotone by construction, held in memory for the life of
+  // the source AND persisted in the query's own checkpoint
+  // (metadataPath), so a restarted throttled stream can never cap
+  // below the committed offset (= never regress the log). The
+  // in-memory floor also means a TRANSIENT failure reading the base
+  // file mid-run can only widen one batch, never redeliver — the
+  // persisted value is consulted only at source construction time
+  // boundaries (restart), where it is authoritative.
+  @volatile private var memBase: Long = startingVersion
+
   private def baseFile = new org.apache.hadoop.fs.Path(
     metadataPath, "graft-pacing-base")
   private def mfs = baseFile.getFileSystem(
     spark.sparkContext.hadoopConfiguration)
 
-  private def readBase(): Long =
-    try {
-      val in = mfs.open(baseFile)
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-        "US-ASCII").trim.toLong
-      finally in.close()
-    } catch { case _: Exception => startingVersion }
+  private def pacingBase(): Long = {
+    val persisted =
+      if (metadataPath.isEmpty) startingVersion
+      else
+        try {
+          val in = mfs.open(baseFile)
+          try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+            "US-ASCII").trim.toLong
+          finally in.close()
+        } catch { case _: Exception => startingVersion }
+    math.max(memBase, persisted)
+  }
 
-  private def writeBase(v: Long): Unit =
-    try {
-      mfs.mkdirs(new org.apache.hadoop.fs.Path(metadataPath))
-      val out = mfs.create(baseFile, true)
-      try out.write(v.toString.getBytes("US-ASCII"))
-      finally out.close()
-    } catch { case _: Exception => () } // pacing degrades, never fails
+  private def bumpBase(v: Long): Unit = {
+    if (v > memBase) memBase = v
+    if (metadataPath.nonEmpty)
+      try {
+        mfs.mkdirs(new org.apache.hadoop.fs.Path(metadataPath))
+        val out = mfs.create(baseFile, true)
+        try out.write(v.toString.getBytes("US-ASCII"))
+        finally out.close()
+      } catch { case _: Exception => () } // degrades, never fails
+  }
 
   override def getOffset: Option[V1Offset] = {
     val latest = Snapshots.latestVersion(spark, dir)
     if (latest <= startingVersion) return None
     maxVersionsPerTrigger match {
       case None => Some(LongOffset(latest))
-      case Some(m) if metadataPath.isEmpty => // un-checkpointed use
-        Some(LongOffset(math.min(latest, startingVersion + m)))
       case Some(m) =>
-        val base = math.max(readBase(), startingVersion)
+        val base = pacingBase()
         val capped = math.min(latest, base + m)
         if (capped <= base) None
         else {
-          writeBase(capped)
+          bumpBase(capped)
           Some(LongOffset(capped))
         }
     }
@@ -175,9 +188,8 @@ private[streaming] class SnapshotLogStreamSource(spark: SparkSession,
     val e = versionOf(end)
     // every served range bumps the pacing base: a WAL-recovered batch
     // after a crash restores the base even if getOffset never ran
-    if (maxVersionsPerTrigger.isDefined && metadataPath.nonEmpty &&
-        e > readBase())
-      writeBase(e)
+    if (maxVersionsPerTrigger.isDefined && e > pacingBase())
+      bumpBase(e)
     val batch =
       if (e <= s0)
         // an empty recovery range: schema-correct empty batch

@@ -133,6 +133,21 @@ class DmlConflictSpec extends SparkSpec {
     assert(Snapshots.read(spark, dir).count() == 400L)
   }
 
+  test("publishIfHead never moves the pointer backwards: a Tx " +
+    "commit whose head moved while it held the claim is withdrawn, " +
+    "not published over the newer commit") {
+    val dir = freshDir("graft-txw")
+    build(dir)
+    Snapshots.deleteWhere(spark, dir, col("k") <= 99L) // head -> v2
+    // a committer that staged against v1 must NOT publish v? over v2
+    assert(!Snapshots.publishIfHead(spark, dir, expected = 1L, v = 3L))
+    assert(Snapshots.latestVersion(spark, dir) == 2L)
+    // and with the right expectation it publishes normally
+    Snapshots.commit(spark,
+      (0L until 5L).map(i => (i, 0L)).toDF("k", "b"), dir) // v3
+    assert(Snapshots.latestVersion(spark, dir) == 3L)
+  }
+
   test("with no contention the Tx path is just the plain path: " +
     "lands at head+1, provenance recorded, no-ops publish nothing") {
     val dir = freshDir("graft-txq")

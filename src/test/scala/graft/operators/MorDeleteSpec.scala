@@ -181,6 +181,57 @@ class MorDeleteSpec extends SparkSpec {
     assert(Snapshots.latestVersion(spark, dir) == before)
   }
 
+  test("RESTORE of an MoR version carries the reference list and " +
+    "deletion vectors — the restored head serves the identical " +
+    "assembly, never just the local files") {
+    val dir = freshDir("graft-morR")
+    build(dir)
+    Snapshots.deleteWhereMor(spark, dir, col("k") < 100L) // v2 (MoR)
+    // move the head past it, then restore the MoR state
+    Snapshots.appendVersion(spark,
+      (2000L until 2010L).map(i => (i, 0L, s"d$i"))
+        .toDF("k", "b", "payload").coalesce(1), dir)      // v3 (MoR)
+    val v4 = Snapshots.restore(spark, dir, 2L)
+    assert(v4 == 4L && Snapshots.isMorVersion(spark, dir, 4L))
+    val t = Snapshots.read(spark, dir)
+    assert(t.count() == 300L) // v2's exact content: 400 - 100 deleted
+    assert(t.filter(col("k") >= 2000L).count() == 0L)
+    assert(t.agg(min("k")).head().getLong(0) == 100L)
+    // a pure-delete MoR version has no local files; restore must not
+    // die on an empty stage either
+    assert(Snapshots.read(spark, dir, 4L).count() == 300L)
+  }
+
+  test("compactVersion on an MoR head INHERITS the homes' sidecar " +
+    "columns by default — the folded version prunes and answers " +
+    "metadata-only without the caller naming the schema") {
+    val dir = freshDir("graft-morS")
+    val df = (0L until 400L).map(i => (i, i / 100, s"d$i"))
+      .toDF("k", "b", "payload").repartition(col("b"))
+    Snapshots.commitWithStats(spark, df, dir, statsCols = Seq("k"),
+      partitionByCols = Seq("b"), bloomCols = Seq("payload"))
+    Snapshots.deleteWhereMor(spark, dir, col("k") < 50L)
+    // the common maintenance call: NO statsCols argument
+    val (nv, _) = Snapshots.compactVersion(spark, dir, 1L << 20)
+    assert(!Snapshots.isMorVersion(spark, dir, nv))
+    val vDir = s"$dir/v=$nv"
+    assert(hfs.exists(new org.apache.hadoop.fs.Path(vDir,
+      FileStats.ManifestName)), "stats manifest dropped by the fold")
+    assert(hfs.exists(new org.apache.hadoop.fs.Path(vDir,
+      "_bloom_payload.json")), "bloom sidecar dropped by the fold")
+    val m = FileStats.readManifest(spark, vDir)
+    assert(m.forall(_.cols.contains("k")) && m.map(_.rows).sum == 350L)
+    // and the metadata-only aggregate works again, with EXACT counts
+    val agg = Snapshots.table(spark, dir)
+      .agg(count(lit(1)).as("n"), min(col("k")).as("mn"))
+    val metadataOnly = agg.queryExecution.optimizedPlan.collectFirst {
+      case lr: org.apache.spark.sql.execution.datasources
+        .LogicalRelation => lr
+    }.isEmpty
+    assert(metadataOnly, agg.queryExecution.optimizedPlan.toString)
+    assert(agg.head().toSeq == Seq(350L, 50L))
+  }
+
   test("the connector serves MoR versions correctly (assembled scan) " +
     "and duplicates delete positionally, not by value") {
     val dir = freshDir("graft-morX")

@@ -46,6 +46,12 @@ class SnapshotSourceSpec extends SparkSpec {
         .option("tag", "audit").load(dir)
     }
     assert(e.getMessage.contains("mutually exclusive"))
+    // a v=N subdirectory would bypass versioning as a bare parquet
+    // path — refused with a pointer to versionAsOf
+    val e2 = intercept[IllegalArgumentException] {
+      spark.read.format("snapshot").load(s"$dir/v=1")
+    }
+    assert(e2.getMessage.contains("versionAsOf"), e2.getMessage)
   }
 
   test("a filtered read through the connector prunes via the stats " +

@@ -138,4 +138,24 @@ class SnapshotLogSourceSpec extends SparkSpec {
     assert(byBatch2.values.toSeq.flatMap(_.toSeq).sorted ==
       (1L to 9L), "duplicate or lost versions across restart")
   }
+
+  test("an un-checkpointed throttled source still paces FORWARD via " +
+    "the in-memory base — never stalls at startingVersion + m") {
+    val src = freshDir("graft-slmem")
+    (0 until 3).foreach(i =>
+      Snapshots.commit(spark, batch(i * 2L, i * 2L + 2L), src))
+    // direct construction, metadataPath empty (the pre-fix stall:
+    // every getOffset returned min(latest, 0 + 2) = 2 forever)
+    val s = new SnapshotLogStreamSource(spark, src, 0L, Some(2L), "")
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val o1 = s.getOffset
+    assert(o1.contains(LongOffset(2L)), o1)
+    // getBatch returns a streaming-tagged plan (the engine executes
+    // it); constructing it is what bumps the pacing base
+    s.getBatch(None, o1.get)
+    val o2 = s.getOffset
+    assert(o2.contains(LongOffset(3L)), s"stalled: $o2")
+    s.getBatch(o1, o2.get)
+    assert(s.getOffset.isEmpty) // caught up
+  }
 }
