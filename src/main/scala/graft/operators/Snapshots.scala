@@ -1544,6 +1544,71 @@ object Snapshots {
       cowBytes))
   }
 
+  /** Row-level UPDATE, merge-on-read: the matching rows are
+    * TOMBSTONED in place (same deletion-vector sidecar as
+    * [[deleteWhereMor]]) and their updated images land as this
+    * version's own data files — the standard DV+rewrite-rows MoR
+    * update. Bytes moved = the updated rows only, never the files
+    * that hold them; an update that changes a partition column
+    * re-routes its rows through `partitionBy` like the CoW path.
+    * Same no-op/NULL-keeps/layout contracts as deleteWhereMor. */
+  def updateWhereMor(spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column,
+      sets: Map[String, org.apache.spark.sql.Column])
+      : (Long, MorStats) = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    require(sets.nonEmpty, "updateWhereMor needs at least one SET column")
+    val f = fs(spark, dir)
+    val v = latestVersion(spark, dir)
+    require(v > 0, s"$dir has no committed version")
+    val vDir = s"$dir/v=$v"
+    val phys = physicalFiles(spark, f, dir, v)
+    require(phys.forall(!_._2.split("/").dropRight(1)
+        .exists(_.startsWith("v="))),
+      "updateWhereMor: a partition column named 'v' shadows the " +
+        "store's version key — use copy-on-write updateWhere")
+    val hit = coalesce(pred, lit(false))
+    val lineage =
+      if (isMorVersion(spark, dir, v)) readMorAssembled(spark, dir, v,
+        lineage = true)
+      else readMorAssembled0(spark, dir, v)
+    val matching = lineage.filter(hit)
+    val newTombs = matching
+      .select(col("__key").as("key"), col("__pos").as("pos"))
+    val added = newTombs.count()
+    if (added == 0L)
+      return (v, MorStats(0L, tombstoneCount(spark, f, vDir),
+        phys.size.toLong, 0L, 0L))
+    val dataCols = lineage.columns.toSeq
+      .filterNot(c => c == "__key" || c == "__pos")
+    val updated = matching.select(dataCols.map { c =>
+      sets.get(c).map(_.as(c)).getOrElse(col(c))
+    }: _*)
+    val pcols = pcolsOf(phys)
+    val oldT = new Path(vDir, TombstoneName)
+    val allTombs =
+      if (f.exists(oldT))
+        spark.read.parquet(oldT.toString).unionByName(newTombs)
+      else newTombs
+    val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
+    val w = updated.write.mode("overwrite")
+    (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w)
+      .parquet(stage.toString)
+    allTombs.coalesce(1).write.mode("overwrite")
+      .parquet(new Path(stage, TombstoneName).toString)
+    writeRefs(f, stage, phys)
+    copyEpochMarkers(f, new Path(vDir), stage)
+    val sidecarBytes = f.getContentSummary(stage).getLength
+    val cowBytes = phys.map { case (src, rel) =>
+      f.getFileStatus(new Path(s"$dir/v=$src/$rel")).getLen
+    }.sum
+    val total = allTombs.count()
+    val nv = occupyNextFree(spark, f, dir, stage)
+    publish(spark, dir, nv)
+    (nv, MorStats(added, total, phys.size.toLong, sidecarBytes,
+      cowBytes))
+  }
+
   /** Lineage scan of a PLAIN (self-contained) version — the same
     * `__key`/`__pos` identity [[readMorAssembled]] derives, for the
     * first MoR delete on a copy-on-write table. */

@@ -25,6 +25,13 @@ import graft.operators.Snapshots
   *   - `versionAsOf` — time travel to a committed version
   *   - `tag`         — an immutable [[Snapshots.tag]] name
   *   - `branch`      — a [[Snapshots.createBranch]] head
+  * plus `readChangeFeed=true` (+ `startingVersion`/`endingVersion`)
+  * for the version-ranged append replay as a batch DataFrame (rows
+  * tagged `_version` — [[Snapshots.readAppendsSince]] semantics), and
+  * `spark.readStream.format("snapshot")` for the continuous form
+  * (delegates to the `snapshot-log` source: offset = version,
+  * `maxVersionsPerTrigger` pacing included) — one format name serves
+  * batch, CDF, and streaming, the Delta convention.
   *
   * INTEGRATION POINT — V1 relation, deliberately: the provider
   * returns the SAME `HadoopFsRelation` that [[Snapshots.table]]
@@ -57,9 +64,32 @@ import graft.operators.Snapshots
   * existing sidecar columns and ignore these options.
   */
 class SnapshotDataSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "snapshot"
+
+  // ---- streaming: format("snapshot") readStream ≡ "snapshot-log" --
+  // One format name serves both directions (the Delta convention):
+  // spark.readStream.format("snapshot") delegates to the version-log
+  // source — offsets are versions, one micro-batch per version,
+  // maxVersionsPerTrigger pacing included.
+  private val logSource = new graft.streaming.SnapshotLogSource
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      providerName: String, parameters: Map[String, String])
+      : (String, org.apache.spark.sql.types.StructType) =
+    logSource.sourceSchema(sqlContext, schema, providerName, parameters)
+
+  override def createSource(sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      providerName: String, parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    logSource.createSource(sqlContext, metadataPath, schema,
+      providerName, parameters)
 
   private def dirOf(parameters: Map[String, String]): String = {
     val dir = parameters.getOrElse("path",
@@ -78,6 +108,17 @@ class SnapshotDataSource extends RelationProvider
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     val dir = dirOf(parameters)
+    // change-feed batch read: the version-ranged append replay
+    // (readAppendsSince semantics — rows tagged _version), for
+    // catch-up/backfill jobs that want the CDF as a plain DataFrame
+    if (parameters.get("readChangeFeed").exists(_.toBoolean)) {
+      val since = parameters.get("startingVersion").map(_.toLong)
+        .getOrElse(0L)
+      val end = parameters.get("endingVersion").map(_.toLong)
+        .getOrElse(-1L)
+      return new SnapshotPlanRelation(spark,
+        () => Snapshots.readAppendsSince(spark, dir, since, end))
+    }
     val pins = Seq(
       parameters.get("versionAsOf").map(_ => "versionAsOf"),
       parameters.get("tag").map(_ => "tag"),
@@ -108,7 +149,8 @@ class SnapshotDataSource extends RelationProvider
     val resolved =
       if (version > 0) version else Snapshots.latestVersion(spark, dir)
     if (Snapshots.isMorVersion(spark, dir, resolved))
-      return new SnapshotMorRelation(spark, dir, resolved)
+      return new SnapshotPlanRelation(spark,
+        () => Snapshots.read(spark, dir, resolved))
     val df = Snapshots.table(spark, dir, version)
     df.queryExecution.analyzed.collectFirst {
       case lr: LogicalRelation
@@ -165,17 +207,17 @@ object SnapshotDataSource {
     new Path(p).getName.startsWith("v=")
 }
 
-/** Merge-on-read versions through the connector: the assembled plan
-  * (reference union + tombstone anti-join) behind a column-pruning
-  * scan. Filters still apply — Spark evaluates them above this
-  * relation — only FILE skipping is unavailable until the table is
-  * folded; correctness never depends on the fold. */
-private[sources] class SnapshotMorRelation(
-    spark: org.apache.spark.sql.SparkSession, dir: String, version: Long)
+/** A composite plan (merge-on-read assembly, change-feed replay)
+  * through the connector, behind a column-pruning scan. Filters
+  * still apply — Spark evaluates them above this relation — only
+  * FILE skipping is unavailable on these plans; correctness never
+  * depends on it. */
+private[sources] class SnapshotPlanRelation(
+    spark: org.apache.spark.sql.SparkSession,
+    plan: () => org.apache.spark.sql.DataFrame)
     extends BaseRelation with org.apache.spark.sql.sources.PrunedScan {
 
-  private def assembled: org.apache.spark.sql.DataFrame =
-    Snapshots.read(spark, dir, version)
+  private def assembled: org.apache.spark.sql.DataFrame = plan()
 
   override def sqlContext: SQLContext = spark.sqlContext
   override val schema: org.apache.spark.sql.types.StructType =

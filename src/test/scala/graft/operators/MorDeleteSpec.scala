@@ -181,6 +181,42 @@ class MorDeleteSpec extends SparkSpec {
     assert(Snapshots.latestVersion(spark, dir) == before)
   }
 
+  test("MoR UPDATE tombstones the old images and lands the new ones " +
+    "as local files — equal to CoW updateWhere, zero untouched bytes " +
+    "moved, partition-column changes re-route") {
+    val cowDir = freshDir("graft-morUa")
+    val morDir = freshDir("graft-morUb")
+    build(cowDir); build(morDir)
+    val pred = col("k") % 25 === 7
+    val sets = Map("payload" -> concat(lit("upd:"), col("payload")),
+      "b" -> lit(9L)) // moves rows to a NEW partition directory
+    Snapshots.updateWhere(spark, cowDir, pred, sets)
+    val (v2, m) = Snapshots.updateWhereMor(spark, morDir, pred, sets)
+    assert(v2 == 2L && m.tombstonesAdded == 16L)
+    val a = Snapshots.read(spark, cowDir).orderBy("k", "payload")
+      .collect().toSeq
+    val cols = Snapshots.read(spark, cowDir).columns.toSeq
+    val b = Snapshots.read(spark, morDir).select(cols.map(col): _*)
+      .orderBy("k", "payload").collect().toSeq
+    assert(a == b)
+    // only the 16 updated rows are local; everything else is a ref
+    val local = dataFilesIn(s"$morDir/v=2")
+    assert(local.nonEmpty &&
+      local.forall(p => p.contains("/v=2/") && p.contains("b=9")))
+    assert(spark.read.option("basePath", s"$morDir/v=2")
+      .parquet(local: _*).count() == 16L)
+    // composes with MoR delete on the mixed (refs+local) head
+    val (_, d) = Snapshots.deleteWhereMor(spark, morDir,
+      col("payload").startsWith("upd:") && col("k") < 100L)
+    assert(d.tombstonesAdded == 4L)
+    assert(Snapshots.read(spark, morDir).count() == 396L)
+    // and folds back clean
+    Snapshots.foldMor(spark, morDir, statsCols = Seq("k"))
+    assert(Snapshots.read(spark, morDir).count() == 396L)
+    assert(Snapshots.read(spark, morDir)
+      .filter(col("b") === 9L).count() == 12L)
+  }
+
   test("RESTORE of an MoR version carries the reference list and " +
     "deletion vectors — the restored head serves the identical " +
     "assembly, never just the local files") {

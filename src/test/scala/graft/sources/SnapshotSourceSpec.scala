@@ -133,6 +133,34 @@ class SnapshotSourceSpec extends SparkSpec {
       .load(dir).count() == 200L)
   }
 
+  test("one format, three directions: readStream.format(\"snapshot\") " +
+    "streams the version log; readChangeFeed reads the ranged " +
+    "append replay as a batch frame") {
+    val dir = freshDir("graft-srcs")
+    (0 until 3).foreach(i => Snapshots.commit(spark,
+      (i * 10L until i * 10L + 10L).map(k => (k, s"s$k"))
+        .toDF("k", "s"), dir))
+    // streaming: same contract as snapshot-log, via the batch name
+    val q = spark.readStream.format("snapshot").option("path", dir)
+      .load()
+      .writeStream.format("memory").queryName("snapsrc_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("snapsrc_stream")
+      assert(got.count() == 30L)
+      assert(got.select("_version").distinct().count() == 3L)
+    } finally q.stop()
+    // change feed as a batch frame, version-ranged
+    val cdf = spark.read.format("snapshot")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1").load(dir)
+    assert(cdf.count() == 20L)
+    assert(cdf.select("_version").distinct().collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    assert(cdf.filter(col("_version") === 3L)
+      .agg(min("k")).head().getLong(0) == 20L)
+  }
+
   test("appended rows land in the right partition directories and " +
     "prune alongside the originals") {
     val dir = freshDir("graft-srcp")
