@@ -1135,6 +1135,54 @@ object ExtOps {
       }
     }),
 
+    // Merge-on-read UPDATE against the copy-on-write twin: the same
+    // SET runs as updateWhereMor (tombstone + updated images as the
+    // new version's own files — bytes moved = updated rows only) and
+    // as updateWhere on an identical store; both must serve identical
+    // content, and the fold must materialize it again. DuckDB replays
+    // the update closed-form (CASE WHEN pred THEN new ELSE old).
+    "xq41_mor_update" -> ((s, dir) => {
+      import graft.operators.Snapshots
+      val base = t(s, dir, "lineitem")
+        .select(col("l_orderkey").cast("long").as("k"),
+          (col("l_orderkey").cast("long") * 3L).as("v"),
+          pmod(col("l_orderkey"), lit(8)).cast("long").as("bucket"))
+        .repartition(col("bucket"))
+      val tmp = System.getProperty("java.io.tmpdir", "/tmp")
+      val tag = java.util.UUID.randomUUID()
+      val storeM = new java.io.File(tmp, s"graft-xq41m-$tag").getAbsolutePath
+      val storeC = new java.io.File(tmp, s"graft-xq41c-$tag").getAbsolutePath
+      val hfs = new org.apache.hadoop.fs.Path(storeM)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      try {
+        Snapshots.commitWithStats(s, base, storeM,
+          statsCols = Seq("k"), partitionByCols = Seq("bucket"))
+        Snapshots.commitWithStats(s, base, storeC,
+          statsCols = Seq("k"), partitionByCols = Seq("bucket"))
+        val pred = pmod(col("k"), lit(6)) === 1
+        val sets = Map("v" -> (col("v") + 1000L))
+        val (_, m) = Snapshots.updateWhereMor(s, storeM, pred, sets)
+        val mor = Snapshots.table(s, storeM)
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("cv")).head()
+        Snapshots.updateWhere(s, storeC, pred, sets)
+        val cow = Snapshots.read(s, storeC)
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("cv")).head()
+        Snapshots.foldMor(s, storeM, statsCols = Seq("k"))
+        val fold = Snapshots.read(s, storeM)
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("cv")).head()
+        import s.implicits._
+        Seq((m.tombstonesAdded, mor.getLong(0), mor.getLong(1),
+          cow.getLong(0), cow.getLong(1), fold.getLong(0),
+          fold.getLong(1)))
+          .toDF("rows_updated", "rows_mor", "v_checksum_mor",
+            "rows_cow", "v_checksum_cow", "rows_fold",
+            "v_checksum_fold")
+      } finally {
+        hfs.delete(new org.apache.hadoop.fs.Path(storeM), true)
+        hfs.delete(new org.apache.hadoop.fs.Path(storeC), true); ()
+      }
+    }),
+
     // Snapshot schema evolution end-to-end: three commits with
     // add/widen/drop between them (v1 k+price, v2 +status, v3 drops
     // price and adds clerk), then every version TIME-TRAVELED
@@ -2598,6 +2646,21 @@ object ExtOps {
            (SELECT CAST(coalesce(sum(k), 0) AS BIGINT) FROM o
              WHERE amount BETWEEN 60000 AND 119999) AS k_checksum
          FROM cls""",
+    // merge-on-read vs copy-on-write UPDATE: the post-update content
+    // replays closed-form (CASE WHEN pred THEN new ELSE old)
+    "xq41_mor_update" ->
+      """WITH t AS (SELECT CAST(l_orderkey AS BIGINT) AS k,
+             CAST(l_orderkey AS BIGINT) * 3 AS v FROM lineitem),
+         u AS (SELECT k,
+             CASE WHEN k % 6 = 1 THEN v + 1000 ELSE v END AS v FROM t)
+         SELECT
+           (SELECT count(*) FROM t WHERE k % 6 = 1) AS rows_updated,
+           (SELECT count(*) FROM u) AS rows_mor,
+           (SELECT CAST(sum(v) AS BIGINT) FROM u) AS v_checksum_mor,
+           (SELECT count(*) FROM u) AS rows_cow,
+           (SELECT CAST(sum(v) AS BIGINT) FROM u) AS v_checksum_cow,
+           (SELECT count(*) FROM u) AS rows_fold,
+           (SELECT CAST(sum(v) AS BIGINT) FROM u) AS v_checksum_fold""",
     // merge-on-read vs copy-on-write DELETE: survivors replay
     // closed-form (NOT pred); the MoR store writes zero data files
     "xq39_mor_delete" ->
