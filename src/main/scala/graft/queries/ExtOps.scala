@@ -1104,7 +1104,10 @@ object ExtOps {
         .select(col("o_orderkey").cast("long").as("k"),
           struct(col("o_totalprice").as("amount"),
             col("o_orderpriority").as("prio")).as("detail"),
-          least(expr("CAST(o_totalprice AS BIGINT) DIV 50000"),
+          // explicit floor(decimal/int): Spark's decimal→BIGINT cast
+          // TRUNCATES while DuckDB's ROUNDS — a boundary-adjacent
+          // amount must land in the same bucket on both engines
+          least(floor(col("o_totalprice") / 50000).cast("long"),
             lit(7L)).as("bucket"))
         .repartition(col("bucket"))
       val store = new java.io.File(
@@ -2625,7 +2628,8 @@ object ExtOps {
     "xq40_nested_pruning" ->
       """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
              o_totalprice AS amount,
-             least(CAST(o_totalprice AS BIGINT) // 50000, 7) AS bucket
+             least(CAST(floor(o_totalprice / 50000) AS BIGINT), 7)
+               AS bucket
            FROM orders),
          f AS (SELECT bucket, count(*) AS rows_in,
              min(amount) AS mn, max(amount) AS mx
