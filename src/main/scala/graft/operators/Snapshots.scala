@@ -2222,6 +2222,35 @@ object Snapshots {
         c -> BloomStats.readManifest(spark, vDir, c)).toMap)
   }
 
+  /** Time travel by TIMESTAMP: the newest PUBLISHED version whose
+    * commit time is at or before `epochMillis` — "the table as the
+    * training run saw it at 09:00". Commit time = the version
+    * directory's modification time, which the atomic stage→slot
+    * rename sets once and nothing afterwards legitimately touches
+    * (published versions are immutable). Vacuumed history narrows
+    * the window loudly: a timestamp older than the oldest retained
+    * version throws rather than silently serving a newer state. */
+  def versionAt(spark: SparkSession, dir: String,
+      epochMillis: Long): Long = {
+    val f = fs(spark, dir)
+    val head = latestVersion(spark, dir)
+    require(head > 0, s"$dir has no committed version")
+    val published = existingVersions(f, dir).filter(_ <= head)
+    val stamped = published.map(v =>
+      v -> f.getFileStatus(new Path(dir, s"v=$v")).getModificationTime)
+    val eligible = stamped.filter(_._2 <= epochMillis).map(_._1)
+    if (eligible.isEmpty) {
+      val oldest = stamped.sortBy(_._2).headOption
+      throw new IllegalArgumentException(
+        s"no version at or before timestamp $epochMillis in $dir — " +
+          oldest.map { case (v, t) =>
+            s"the oldest retained version is v=$v (committed $t); " +
+              "earlier history may have been vacuumed"
+          }.getOrElse("the table is empty"))
+    }
+    eligible.max
+  }
+
   /** Roll the table back to an earlier committed version — a pointer
     * move; later versions stay on disk (forensics) until vacuumed. */
   def rollback(spark: SparkSession, dir: String, v: Long): Unit = {

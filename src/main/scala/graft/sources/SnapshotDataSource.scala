@@ -22,9 +22,12 @@ import graft.operators.Snapshots
   * jobcan_di/database/create_views.sql) — for the rebuilt store.
   *
   * Read options (mutually exclusive pins; default = latest committed):
-  *   - `versionAsOf` — time travel to a committed version
-  *   - `tag`         — an immutable [[Snapshots.tag]] name
-  *   - `branch`      — a [[Snapshots.createBranch]] head
+  *   - `versionAsOf`   — time travel to a committed version
+  *   - `timestampAsOf` — time travel by commit time
+  *     ([[Snapshots.versionAt]]; epoch millis, ISO-8601, or
+  *     `yyyy-MM-dd HH:mm:ss` UTC)
+  *   - `tag`           — an immutable [[Snapshots.tag]] name
+  *   - `branch`        — a [[Snapshots.createBranch]] head
   * plus `readChangeFeed=true` (+ `startingVersion`/`endingVersion`)
   * for the version-ranged append replay as a batch DataFrame (rows
   * tagged `_version` — [[Snapshots.readAppendsSince]] semantics), and
@@ -121,6 +124,7 @@ class SnapshotDataSource extends RelationProvider
     }
     val pins = Seq(
       parameters.get("versionAsOf").map(_ => "versionAsOf"),
+      parameters.get("timestampAsOf").map(_ => "timestampAsOf"),
       parameters.get("tag").map(_ => "tag"),
       parameters.get("branch").map(_ => "branch")).flatten
     require(pins.size <= 1,
@@ -134,11 +138,15 @@ class SnapshotDataSource extends RelationProvider
         }
         require(v > 0, s"snapshot: versionAsOf must be positive, got $v")
         v
-      case None => parameters.get("tag") match {
-        case Some(t) => Snapshots.tagVersion(spark, dir, t)
-        case None => parameters.get("branch") match {
-          case Some(b) => Snapshots.branchHead(spark, dir, b)._1
-          case None => -1L
+      case None => parameters.get("timestampAsOf") match {
+        case Some(ts) =>
+          Snapshots.versionAt(spark, dir, parseTimestamp(ts))
+        case None => parameters.get("tag") match {
+          case Some(t) => Snapshots.tagVersion(spark, dir, t)
+          case None => parameters.get("branch") match {
+            case Some(b) => Snapshots.branchHead(spark, dir, b)._1
+            case None => -1L
+          }
         }
       }
     }
@@ -159,6 +167,30 @@ class SnapshotDataSource extends RelationProvider
     }.getOrElse(throw new IllegalStateException(
       "snapshot: version read did not resolve to a single file " +
         "relation — use Snapshots.table for this version"))
+  }
+
+  /** `timestampAsOf` accepts epoch millis, ISO-8601 instants
+    * (`2026-08-16T09:00:00Z`), or the SQL `yyyy-MM-dd HH:mm:ss`
+    * shape (interpreted as UTC — the store's commit times are
+    * filesystem clocks, not session-zoned values). */
+  private def parseTimestamp(s: String): Long = {
+    val t = s.trim
+    try t.toLong catch {
+      case _: NumberFormatException =>
+        try java.time.Instant.parse(t).toEpochMilli catch {
+          case _: java.time.format.DateTimeParseException =>
+            try java.time.LocalDateTime
+              .parse(t.replace(' ', 'T'))
+              .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+            catch {
+              case _: java.time.format.DateTimeParseException =>
+                throw new IllegalArgumentException(
+                  s"snapshot: cannot parse timestampAsOf '$s' — use " +
+                    "epoch millis, ISO-8601, or yyyy-MM-dd HH:mm:ss " +
+                    "(UTC)")
+            }
+        }
+    }
   }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
@@ -195,7 +227,7 @@ class SnapshotDataSource extends RelationProvider
     createRelation(sqlContext,
       // the post-write relation is the NEW head, whatever pin the
       // caller had set for a preceding read
-      parameters - "versionAsOf" - "tag" - "branch")
+      parameters - "versionAsOf" - "timestampAsOf" - "tag" - "branch")
   }
 }
 

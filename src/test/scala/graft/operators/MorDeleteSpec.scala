@@ -181,6 +181,22 @@ class MorDeleteSpec extends SparkSpec {
     assert(Snapshots.latestVersion(spark, dir) == before)
   }
 
+  test("plan shape: the tombstone application is a BROADCAST left-" +
+    "anti hash join — never a shuffled join while the deletion " +
+    "vector is sidecar-sized, and never a cartesian") {
+    val dir = freshDir("graft-morPlan")
+    build(dir)
+    Snapshots.deleteWhereMor(spark, dir, col("k") % 100 === 3L)
+    val q = Snapshots.read(spark, dir).filter(col("k") < 200L)
+    q.count() // finalize any AQE decisions
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"),
+      s"tombstone anti-join not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("MoR UPDATE tombstones the old images and lands the new ones " +
     "as local files — equal to CoW updateWhere, zero untouched bytes " +
     "moved, partition-column changes re-route") {

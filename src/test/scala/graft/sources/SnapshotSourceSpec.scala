@@ -54,6 +54,42 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(e2.getMessage.contains("versionAsOf"), e2.getMessage)
   }
 
+  test("timestampAsOf pins the newest version committed at or " +
+    "before the instant; pre-history timestamps fail loudly") {
+    val dir = freshDir("graft-srct")
+    Snapshots.commit(spark, Seq((1L, 1L)).toDF("v", "b"), dir)
+    Thread.sleep(30)
+    val between = System.currentTimeMillis()
+    Thread.sleep(30)
+    Snapshots.commit(spark, Seq((1L, 1L), (2L, 2L)).toDF("v", "b"), dir)
+    assert(Snapshots.versionAt(spark, dir, between) == 1L)
+    assert(Snapshots.versionAt(spark, dir,
+      System.currentTimeMillis()) == 2L)
+    // the connector route, epoch-millis form
+    assert(spark.read.format("snapshot")
+      .option("timestampAsOf", between.toString).load(dir)
+      .count() == 1L)
+    // ISO and SQL forms parse (future instant pins the head)
+    assert(spark.read.format("snapshot")
+      .option("timestampAsOf", "2099-01-01T00:00:00Z").load(dir)
+      .count() == 2L)
+    assert(spark.read.format("snapshot")
+      .option("timestampAsOf", "2099-01-01 00:00:00").load(dir)
+      .count() == 2L)
+    // a pre-history instant throws with a vacuum-aware message
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("snapshot").option("timestampAsOf", "1000")
+        .load(dir)
+    }
+    assert(e.getMessage.contains("oldest retained"), e.getMessage)
+    // mutually exclusive with versionAsOf
+    val e2 = intercept[IllegalArgumentException] {
+      spark.read.format("snapshot").option("timestampAsOf", "1000")
+        .option("versionAsOf", "1").load(dir)
+    }
+    assert(e2.getMessage.contains("mutually exclusive"))
+  }
+
   test("a filtered read through the connector prunes via the stats " +
     "index, and an ungrouped aggregate answers metadata-only") {
     val dir = store()
