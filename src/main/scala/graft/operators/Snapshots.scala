@@ -30,14 +30,14 @@ object Snapshots {
 
   /** The committed version, 0 if the table has never been published.
     *
-    * Retries on ChecksumException: the pointer is the ONE file the
-    * store overwrites in place, and a checksummed local/HDFS rename
-    * moves the data file and its `.crc` sidecar in two steps — a
-    * reader landing between them sees new bytes against the old
-    * checksum. The window is two metadata renames wide; a bounded
-    * backoff rereads past it (readers never see a torn VALUE — the
-    * data rename itself is atomic — only a transiently mismatched
-    * sidecar). */
+    * Retries on ChecksumException: on the local FS the new publish
+    * protocol deletes the pointer's crc sidecars (no mismatch is
+    * possible), but a STORE WRITTEN BEFORE that change may still
+    * carry a `._latest.crc` whose deletion races the first new-style
+    * publish, and checksummed remote FSs replace pointer and sidecar
+    * in two steps — the bounded backoff rereads past both transients
+    * (readers never see a torn VALUE — the pointer rename itself is
+    * atomic — only a transiently mismatched sidecar). */
   def latestVersion(spark: SparkSession, dir: String): Long = {
     val f = fs(spark, dir)
     val p = pointer(dir)
@@ -1179,7 +1179,20 @@ object Snapshots {
         case None => return (h, RewriteStats(0, 0, 0, 0))
         case Some((stage, affected, rs)) =>
           if (tryClaimSlot(f, dir, h + 1)) {
-            if (occupySlot(f, dir, stage, h + 1)) {
+            // re-check the head BEFORE occupying: once v=h+1 exists
+            // under a moved head, ranged readers (readAppendsSince,
+            // the snapshot-log source) would transiently see a
+            // version this statement is about to withdraw. Checking
+            // first keeps the never-published directory from
+            // materializing at all in the common race; the
+            // post-occupy publishIfHead below remains the backstop
+            // for the residual window.
+            if (latestVersion(spark, dir) != h) {
+              retireClaim(f, dir, h + 1)
+              f.delete(stage, true)
+              validateIntervening(latestVersion(spark, dir), affected)
+              attempt += 1
+            } else if (occupySlot(f, dir, stage, h + 1)) {
               if (publishIfHead(spark, dir, h, h + 1))
                 return (h + 1, rs)
               // a non-claim committer landed ABOVE our claimed slot
@@ -1516,32 +1529,38 @@ object Snapshots {
       if (isMorVersion(spark, dir, v)) readMorAssembled(spark, dir, v,
         lineage = true)
       else readMorAssembled0(spark, dir, v)
+    // cache the (small) tombstone projection: the expensive
+    // whole-assembly scan that produces it runs ONCE — the count and
+    // the sidecar write both read the cache; the total is arithmetic
+    // (old count + added), never a recount of the union
     val newTombs = lineage.filter(hit)
       .select(col("__key").as("key"), col("__pos").as("pos"))
-    val added = newTombs.count()
-    if (added == 0L)
-      return (v, MorStats(0L, tombstoneCount(spark, f, vDir),
-        phys.size.toLong, 0L, 0L))
-    val oldT = new Path(vDir, TombstoneName)
-    val allTombs =
-      if (f.exists(oldT))
-        spark.read.parquet(oldT.toString).unionByName(newTombs)
-      else newTombs
-    val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
-    f.mkdirs(stage)
-    allTombs.coalesce(1).write.mode("overwrite")
-      .parquet(new Path(stage, TombstoneName).toString)
-    writeRefs(f, stage, phys)
-    copyEpochMarkers(f, new Path(vDir), stage)
-    val sidecarBytes = f.getContentSummary(stage).getLength
-    val cowBytes = phys.map { case (src, rel) =>
-      f.getFileStatus(new Path(s"$dir/v=$src/$rel")).getLen
-    }.sum
-    val total = allTombs.count()
-    val nv = occupyNextFree(spark, f, dir, stage)
-    publish(spark, dir, nv)
-    (nv, MorStats(added, total, phys.size.toLong, sidecarBytes,
-      cowBytes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val oldCount = tombstoneCount(spark, f, vDir)
+      val added = newTombs.count()
+      if (added == 0L)
+        return (v, MorStats(0L, oldCount, phys.size.toLong, 0L, 0L))
+      val oldT = new Path(vDir, TombstoneName)
+      val allTombs =
+        if (f.exists(oldT))
+          spark.read.parquet(oldT.toString).unionByName(newTombs)
+        else newTombs
+      val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
+      f.mkdirs(stage)
+      allTombs.coalesce(1).write.mode("overwrite")
+        .parquet(new Path(stage, TombstoneName).toString)
+      writeRefs(f, stage, phys)
+      copyEpochMarkers(f, new Path(vDir), stage)
+      val sidecarBytes = f.getContentSummary(stage).getLength
+      val cowBytes = phys.map { case (src, rel) =>
+        f.getFileStatus(new Path(s"$dir/v=$src/$rel")).getLen
+      }.sum
+      val nv = occupyNextFree(spark, f, dir, stage)
+      publish(spark, dir, nv)
+      (nv, MorStats(added, oldCount + added, phys.size.toLong,
+        sidecarBytes, cowBytes))
+    } finally { newTombs.unpersist(); () }
   }
 
   /** Row-level UPDATE, merge-on-read: the matching rows are
@@ -1572,41 +1591,46 @@ object Snapshots {
       if (isMorVersion(spark, dir, v)) readMorAssembled(spark, dir, v,
         lineage = true)
       else readMorAssembled0(spark, dir, v)
+    // cache the matched rows: count, the updated-image write, and
+    // the tombstone write are three projections of the same
+    // whole-assembly scan — with the cache it runs once
     val matching = lineage.filter(hit)
-    val newTombs = matching
-      .select(col("__key").as("key"), col("__pos").as("pos"))
-    val added = newTombs.count()
-    if (added == 0L)
-      return (v, MorStats(0L, tombstoneCount(spark, f, vDir),
-        phys.size.toLong, 0L, 0L))
-    val dataCols = lineage.columns.toSeq
-      .filterNot(c => c == "__key" || c == "__pos")
-    val updated = matching.select(dataCols.map { c =>
-      sets.get(c).map(_.as(c)).getOrElse(col(c))
-    }: _*)
-    val pcols = pcolsOf(phys)
-    val oldT = new Path(vDir, TombstoneName)
-    val allTombs =
-      if (f.exists(oldT))
-        spark.read.parquet(oldT.toString).unionByName(newTombs)
-      else newTombs
-    val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
-    val w = updated.write.mode("overwrite")
-    (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w)
-      .parquet(stage.toString)
-    allTombs.coalesce(1).write.mode("overwrite")
-      .parquet(new Path(stage, TombstoneName).toString)
-    writeRefs(f, stage, phys)
-    copyEpochMarkers(f, new Path(vDir), stage)
-    val sidecarBytes = f.getContentSummary(stage).getLength
-    val cowBytes = phys.map { case (src, rel) =>
-      f.getFileStatus(new Path(s"$dir/v=$src/$rel")).getLen
-    }.sum
-    val total = allTombs.count()
-    val nv = occupyNextFree(spark, f, dir, stage)
-    publish(spark, dir, nv)
-    (nv, MorStats(added, total, phys.size.toLong, sidecarBytes,
-      cowBytes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val oldCount = tombstoneCount(spark, f, vDir)
+      val newTombs = matching
+        .select(col("__key").as("key"), col("__pos").as("pos"))
+      val added = newTombs.count()
+      if (added == 0L)
+        return (v, MorStats(0L, oldCount, phys.size.toLong, 0L, 0L))
+      val dataCols = lineage.columns.toSeq
+        .filterNot(c => c == "__key" || c == "__pos")
+      val updated = matching.select(dataCols.map { c =>
+        sets.get(c).map(_.as(c)).getOrElse(col(c))
+      }: _*)
+      val pcols = pcolsOf(phys)
+      val oldT = new Path(vDir, TombstoneName)
+      val allTombs =
+        if (f.exists(oldT))
+          spark.read.parquet(oldT.toString).unionByName(newTombs)
+        else newTombs
+      val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
+      val w = updated.write.mode("overwrite")
+      (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w)
+        .parquet(stage.toString)
+      allTombs.coalesce(1).write.mode("overwrite")
+        .parquet(new Path(stage, TombstoneName).toString)
+      writeRefs(f, stage, phys)
+      copyEpochMarkers(f, new Path(vDir), stage)
+      val sidecarBytes = f.getContentSummary(stage).getLength
+      val cowBytes = phys.map { case (src, rel) =>
+        f.getFileStatus(new Path(s"$dir/v=$src/$rel")).getLen
+      }.sum
+      val nv = occupyNextFree(spark, f, dir, stage)
+      publish(spark, dir, nv)
+      (nv, MorStats(added, oldCount + added, phys.size.toLong,
+        sidecarBytes, cowBytes))
+    } finally { matching.unpersist(); () }
   }
 
   /** Lineage scan of a PLAIN (self-contained) version — the same
@@ -1974,9 +1998,11 @@ object Snapshots {
     * FileContext default is check-delete-rename — which HAS an
     * absence window (it lost a two-writer race in DmlConflictSpec
     * about once in three runs) — so the local branch uses POSIX
-    * `rename(2)` via java.nio ATOMIC_MOVE instead, moving the
-    * checksum sidecar first (a reader between the two moves sees a
-    * retried ChecksumException, never absence). */
+    * `rename(2)` via java.nio ATOMIC_MOVE instead, with the pointer's
+    * checksum sidecars DELETED (ChecksumFileSystem falls back to a
+    * raw read): every crash point leaves either the old or the new
+    * pointer, both readable — never absence, never a stale-crc
+    * mismatch. */
   private def publish(spark: SparkSession, dir: String, v: Long): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val f = fs(spark, dir)
@@ -2011,6 +2037,17 @@ object Snapshots {
         tmp.toUri, conf)
       fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
+    // record the FIRST publication instant (create-exclusive: a
+    // rollback's re-publish never rewrites history) — the lineage
+    // fact [[versionAt]] answers timestamp time travel from. Best
+    // effort: a failure here degrades timestamp travel, never the
+    // publish itself.
+    try {
+      val out = f.create(new Path(dir, s"_pubtime.$v"), false)
+      try out.write(System.currentTimeMillis().toString
+        .getBytes("US-ASCII"))
+      finally out.close()
+    } catch { case _: java.io.IOException => () }
   }
 
   /** Compare-and-swap commit for MULTI-writer tables: publishes
@@ -2222,33 +2259,50 @@ object Snapshots {
         c -> BloomStats.readManifest(spark, vDir, c)).toMap)
   }
 
-  /** Time travel by TIMESTAMP: the newest PUBLISHED version whose
-    * commit time is at or before `epochMillis` — "the table as the
-    * training run saw it at 09:00". Commit time = the version
-    * directory's modification time, which the atomic stage→slot
-    * rename sets once and nothing afterwards legitimately touches
-    * (published versions are immutable). Vacuumed history narrows
-    * the window loudly: a timestamp older than the oldest retained
-    * version throws rather than silently serving a newer state. */
+  /** Time travel by TIMESTAMP: the newest version FIRST PUBLISHED at
+    * or before `epochMillis` — "the table as the training run saw it
+    * at 09:00". Publication times are EXPLICIT records
+    * (`_pubtime.$v`, written by [[publish]] with create-exclusive
+    * semantics, so a re-publish — rollback — never rewrites
+    * history): branch-only commits, crashed orphans, and WAP stages
+    * never receive one and can never be served as main-table
+    * history, and the recorded instant is the pointer move itself —
+    * not a directory mtime, which is set at STAGE time and can
+    * predate publication by however long the committer stalled.
+    * Vacuumed history narrows the window loudly: a timestamp older
+    * than the oldest retained publication throws rather than
+    * silently serving a newer state. */
   def versionAt(spark: SparkSession, dir: String,
       epochMillis: Long): Long = {
     val f = fs(spark, dir)
     val head = latestVersion(spark, dir)
     require(head > 0, s"$dir has no committed version")
-    val published = existingVersions(f, dir).filter(_ <= head)
-    val stamped = published.map(v =>
-      v -> f.getFileStatus(new Path(dir, s"v=$v")).getModificationTime)
-    val eligible = stamped.filter(_._2 <= epochMillis).map(_._1)
+    val live = existingVersions(f, dir).toSet
+    val stamped = f.listStatus(new Path(dir)).toSeq.flatMap { s =>
+      val n = s.getPath.getName
+      if (!s.isFile || !n.startsWith("_pubtime.")) None
+      else scala.util.Try {
+        val v = n.stripPrefix("_pubtime.").toLong
+        val in = f.open(s.getPath)
+        val t =
+          try new String(org.apache.commons.io.IOUtils
+            .toByteArray(in), "US-ASCII").trim.toLong
+          finally in.close()
+        (v, t)
+      }.toOption
+    }.filter { case (v, _) => live(v) && v <= head }
+    val eligible = stamped.filter(_._2 <= epochMillis)
     if (eligible.isEmpty) {
       val oldest = stamped.sortBy(_._2).headOption
       throw new IllegalArgumentException(
-        s"no version at or before timestamp $epochMillis in $dir — " +
-          oldest.map { case (v, t) =>
-            s"the oldest retained version is v=$v (committed $t); " +
+        s"no version published at or before timestamp $epochMillis " +
+          s"in $dir — " + oldest.map { case (v, t) =>
+            s"the oldest retained publication is v=$v (published $t); " +
               "earlier history may have been vacuumed"
-          }.getOrElse("the table is empty"))
+          }.getOrElse(
+            "no publication records (store predates versionAt?)"))
     }
-    eligible.max
+    eligible.maxBy { case (v, t) => (t, v) }._1
   }
 
   /** Roll the table back to an earlier committed version — a pointer
@@ -2423,6 +2477,7 @@ object Snapshots {
     doomed.foreach { v =>
       f.delete(new Path(dir, s"v=$v"), true)
       f.delete(new Path(dir, s"_claim.$v"), false)
+      f.delete(new Path(dir, s"_pubtime.$v"), false)
     }
     // stage dirs abandoned by crashed CAS losers/winners, plus claim
     // markers moved aside by crashed-winner recovery (dead by

@@ -115,12 +115,33 @@ class SnapshotDataSource extends RelationProvider
     // (readAppendsSince semantics — rows tagged _version), for
     // catch-up/backfill jobs that want the CDF as a plain DataFrame
     if (parameters.get("readChangeFeed").exists(_.toBoolean)) {
+      // a head pin makes no sense on a version-RANGED feed — refuse
+      // rather than silently ignore it (endingVersion is the bound)
+      val pinned = Seq("versionAsOf", "timestampAsOf", "tag", "branch")
+        .filter(parameters.contains)
+      require(pinned.isEmpty,
+        s"snapshot: ${pinned.mkString("/")} cannot combine with " +
+          "readChangeFeed — bound the feed with startingVersion/" +
+          "endingVersion")
       val since = parameters.get("startingVersion").map(_.toLong)
         .getOrElse(0L)
       val end = parameters.get("endingVersion").map(_.toLong)
         .getOrElse(-1L)
-      return new SnapshotPlanRelation(spark,
-        () => Snapshots.readAppendsSince(spark, dir, since, end))
+      return new SnapshotPlanRelation(spark, () => {
+        val head =
+          if (end > 0) end else Snapshots.latestVersion(spark, dir)
+        if (head <= since) {
+          // a caught-up consumer polls with since == head constantly:
+          // that is an EMPTY feed, not an error
+          val schema = org.apache.spark.sql.types.StructType(
+            Snapshots.tableSchema(spark, dir).fields :+
+              org.apache.spark.sql.types.StructField("_version",
+                org.apache.spark.sql.types.LongType, nullable = false))
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            schema)
+        } else Snapshots.readAppendsSince(spark, dir, since, end)
+      })
     }
     val pins = Seq(
       parameters.get("versionAsOf").map(_ => "versionAsOf"),
@@ -249,7 +270,13 @@ private[sources] class SnapshotPlanRelation(
     plan: () => org.apache.spark.sql.DataFrame)
     extends BaseRelation with org.apache.spark.sql.sources.PrunedScan {
 
-  private def assembled: org.apache.spark.sql.DataFrame = plan()
+  // evaluated ONCE: the declared schema and every buildScan must see
+  // the SAME resolved plan. Re-running the thunk per scan could race
+  // a concurrent schema-evolving commit — and with needConversion =
+  // false a schema drift would not fail loudly, it would misread
+  // Tungsten bytes. Freshness is preserved because the PROVIDER
+  // builds a new relation per query resolution.
+  private val assembled: org.apache.spark.sql.DataFrame = plan()
 
   override def sqlContext: SQLContext = spark.sqlContext
   override val schema: org.apache.spark.sql.types.StructType =

@@ -149,7 +149,11 @@ private[streaming] class SnapshotLogStreamSource(spark: SparkSession,
   }
 
   private def bumpBase(v: Long): Unit = {
-    if (v > memBase) memBase = v
+    // monotone on BOTH stores: a bump below the in-memory floor must
+    // not touch the persisted value either (it could overwrite a
+    // higher base with a lower one and redeliver after restart)
+    if (v <= memBase) return
+    memBase = v
     if (metadataPath.nonEmpty)
       try {
         mfs.mkdirs(new org.apache.hadoop.fs.Path(metadataPath))
@@ -186,9 +190,14 @@ private[streaming] class SnapshotLogStreamSource(spark: SparkSession,
     val s0 = math.max(start.map(versionOf).getOrElse(0L),
       startingVersion)
     val e = versionOf(end)
-    // every served range bumps the pacing base: a WAL-recovered batch
-    // after a crash restores the base even if getOffset never ran
-    if (maxVersionsPerTrigger.isDefined && e > pacingBase())
+    // every served range bumps the pacing base UNCONDITIONALLY: a
+    // WAL-recovered batch after a restart must seed the IN-MEMORY
+    // floor even when the persisted file already carries the value —
+    // otherwise a later transient base-file read failure would fall
+    // back below the committed offset and redeliver. (bumpBase
+    // no-ops below the floor, so this is also one fewer checkpoint
+    // read per batch than the previous pacingBase() comparison.)
+    if (maxVersionsPerTrigger.isDefined)
       bumpBase(e)
     val batch =
       if (e <= s0)

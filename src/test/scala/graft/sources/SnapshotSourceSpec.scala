@@ -90,6 +90,42 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(e2.getMessage.contains("mutually exclusive"))
   }
 
+  test("timestamp travel serves PUBLISHED main-line history only: a " +
+    "branch-only commit in the middle is never surfaced") {
+    val dir = freshDir("graft-srcb")
+    Snapshots.commit(spark, Seq((1L, 1L)).toDF("v", "b"), dir) // v1
+    Snapshots.createBranch(spark, dir, "dev")
+    // occupies v2 WITHOUT touching the main pointer
+    Snapshots.commitToBranch(spark,
+      (0L until 9L).map(i => (i, 0L)).toDF("v", "b"), dir, "dev")
+    Thread.sleep(30)
+    val afterBranch = System.currentTimeMillis()
+    Thread.sleep(30)
+    Snapshots.commit(spark, Seq((1L, 1L), (2L, 2L)).toDF("v", "b"),
+      dir) // v3, main head
+    // between the branch commit and the main commit, main WAS v1
+    assert(Snapshots.versionAt(spark, dir, afterBranch) == 1L)
+    assert(Snapshots.versionAt(spark, dir,
+      System.currentTimeMillis()) == 3L)
+  }
+
+  test("readChangeFeed: a caught-up consumer gets an EMPTY frame, " +
+    "not an error, and head pins are refused") {
+    val dir = freshDir("graft-srcc")
+    Snapshots.commit(spark, Seq((1L, 1L)).toDF("v", "b"), dir)
+    Snapshots.commit(spark, Seq((2L, 2L)).toDF("v", "b"), dir)
+    val caughtUp = spark.read.format("snapshot")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "2").load(dir)
+    assert(caughtUp.count() == 0L)
+    assert(caughtUp.columns.contains("_version"))
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("snapshot").option("readChangeFeed", "true")
+        .option("versionAsOf", "1").load(dir)
+    }
+    assert(e.getMessage.contains("readChangeFeed"), e.getMessage)
+  }
+
   test("a filtered read through the connector prunes via the stats " +
     "index, and an ungrouped aggregate answers metadata-only") {
     val dir = store()
