@@ -222,6 +222,19 @@ object FileStats {
     val rootUri = fs(spark, dataDir)
       .makeQualified(new Path(dataDir)).toUri.getPath
     val src = spark.read.parquet(dataDir)
+    // A TOP-LEVEL column literally named "a.b" would share its
+    // manifest key with the nested struct path a.b — and the filter
+    // side (StatsFilters.pathOf renders GetStructField chains dotted)
+    // could then prune nested predicates against the FLAT column's
+    // stats, skipping files that hold matching nested rows. Refuse
+    // the ambiguity at write time rather than mis-prune at read time.
+    statsCols.filter(_.contains('.')).foreach { c =>
+      require(!src.schema.fieldNames.contains(c),
+        s"statsCols: '$c' is a top-level column whose NAME contains " +
+          "a dot — its manifest key would alias the nested struct " +
+          "path of the same spelling on the pruning side; rename the " +
+          "column or drop it from statsCols")
+    }
     val stringCols = statsCols.filter(c =>
       leafType(src.schema, c).contains(StringType)).toSet
     // alias every stats path to its dotted name up front, then

@@ -1387,12 +1387,50 @@ object Snapshots {
 
   /** Does `v=$v` carry merge-on-read sidecars? Such a version is
     * served by [[read]]/[[table]] via reference assembly — a bare
-    * `spark.read.parquet(versionDir)` would see no data files. */
+    * `spark.read.parquet(versionDir)` would see no data files.
+    *
+    * Memoized per (qualified dir, version, dir mtime): a published
+    * version directory is immutable by design (sidecars land in the
+    * stage BEFORE the atomic slot rename), so MoR-ness never changes
+    * after publish — but on an object store every [[read]]/[[table]]
+    * was paying two metadata RPCs per call. The mtime in the key
+    * keeps the memo honest under directory REUSE (a test deleting
+    * and recreating a store at the same path gets a fresh answer,
+    * because the recreated `v=N` has a new mtime). A missing version
+    * dir is not memoized and answers false. */
   def isMorVersion(spark: SparkSession, dir: String, v: Long): Boolean = {
     val f = fs(spark, dir)
-    val vp = new Path(dir, s"v=$v")
-    f.exists(new Path(vp, RefsName)) ||
+    val vp = f.makeQualified(new Path(dir, s"v=$v"))
+    val mtime =
+      try f.getFileStatus(vp).getModificationTime
+      catch { case _: java.io.FileNotFoundException => return false }
+    val key = (vp.toString, mtime)
+    val cached = morMemo.get(key)
+    if (cached != null) return cached.booleanValue()
+    val ans = f.exists(new Path(vp, RefsName)) ||
       f.exists(new Path(vp, TombstoneName))
+    if (morMemo.size > 8192) morMemo.clear() // unbounded-growth backstop
+    morMemo.put(key, java.lang.Boolean.valueOf(ans))
+    ans
+  }
+
+  private val morMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long),
+      java.lang.Boolean]()
+
+  /** The sound degenerate read of a merge-on-read head for every
+    * stats-PRUNED reader: MoR versions carry no manifest (by design)
+    * and their local files are not the table, so a pruned reader
+    * serves the FULL assembly (references resolved, tombstones
+    * applied) with an everything-kept census — pruning is a superset
+    * guarantee, and zero pruning is the correct superset. [[foldMor]]
+    * restores real pruning. */
+  private def morUnprunedRead(spark: SparkSession, dir: String, v: Long)
+      : (DataFrame, FileStats.PruneStats) = {
+    val f = fs(spark, dir)
+    val n = physicalFiles(spark, f, dir, v).size.toLong
+    (readMorAssembled(spark, dir, v, lineage = false),
+      FileStats.PruneStats(n, 0L, 0L, 0L))
   }
 
   private def writeRefs(f: org.apache.hadoop.fs.FileSystem,
@@ -1719,6 +1757,8 @@ object Snapshots {
       version: Long = -1L): (DataFrame, FileStats.PruneStats) = {
     val v = if (version > 0) version else latestVersion(spark, dir)
     require(v > 0, s"$dir has no committed version")
+    if (isMorVersion(spark, dir, v))
+      return morUnprunedRead(spark, dir, v)
     FileStats.readRangesPruned(spark, s"$dir/v=$v", preds)
   }
 
@@ -1742,6 +1782,8 @@ object Snapshots {
     import org.apache.spark.sql.functions.{col, lit}
     val v = if (version > 0) version else latestVersion(spark, dir)
     require(v > 0, s"$dir has no committed version")
+    if (isMorVersion(spark, dir, v))
+      return morUnprunedRead(spark, dir, v)
     val vDir = s"$dir/v=$v"
     val f = fs(spark, dir)
     val vPath = f.makeQualified(new Path(vDir))
@@ -1850,6 +1892,11 @@ object Snapshots {
     require(k > 0, "k must be positive")
     val v = if (version > 0) version else latestVersion(spark, dir)
     require(v > 0, s"$dir has no committed version")
+    // a merge-on-read head first: its local files are NOT the table
+    // (references dropped, tombstones ignored) and a pure-delete MoR
+    // version has no local files at all — serve the full assembly
+    if (isMorVersion(spark, dir, v))
+      return morUnprunedRead(spark, dir, v)
     val vDir = s"$dir/v=$v"
     val f = fs(spark, dir)
     // no manifest: nothing is provable — keep everything, like the
@@ -1933,6 +1980,8 @@ object Snapshots {
       version: Long = -1L): (DataFrame, FileStats.PruneStats) = {
     val v = if (version > 0) version else latestVersion(spark, dir)
     require(v > 0, s"$dir has no committed version")
+    if (isMorVersion(spark, dir, v))
+      return morUnprunedRead(spark, dir, v)
     FileStats.readPredsPruned(spark, s"$dir/v=$v", preds)
   }
 

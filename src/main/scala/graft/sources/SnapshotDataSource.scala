@@ -125,8 +125,20 @@ class SnapshotDataSource extends RelationProvider
           "endingVersion")
       val since = parameters.get("startingVersion").map(_.toLong)
         .getOrElse(0L)
+      require(since >= 0,
+        s"snapshot: startingVersion must be non-negative, got $since")
       val end = parameters.get("endingVersion").map(_.toLong)
         .getOrElse(-1L)
+      // validated like every other option: 0/negative is never a
+      // committed version — reject loudly instead of silently
+      // treating it as "latest"
+      require(!parameters.contains("endingVersion") || end > 0,
+        s"snapshot: endingVersion must be a positive version, got $end")
+      // end == since is a caught-up consumer (empty feed, not an
+      // error); an INVERTED range is always a caller bug
+      require(end < 0 || end >= since,
+        s"snapshot: endingVersion ($end) must not precede " +
+          s"startingVersion ($since)")
       return new SnapshotPlanRelation(spark, () => {
         val head =
           if (end > 0) end else Snapshots.latestVersion(spark, dir)

@@ -54,7 +54,10 @@ import graft.operators.Snapshots
   * a capped offset is always ≥ the engine's committed offset. A
   * crash between the base write and the offset commit merely makes
   * one later batch up to 2N versions wide — never a duplicate, never
-  * a hole.
+  * a hole: when the base is ahead of the committed offset and no new
+  * commits arrive, `getOffset` keeps re-offering the base itself, so
+  * the restarted engine drains the pending range instead of stalling
+  * on a quiescent table.
   */
 class SnapshotLogSource extends StreamSourceProvider
     with DataSourceRegister {
@@ -171,8 +174,18 @@ private[streaming] class SnapshotLogStreamSource(spark: SparkSession,
       case Some(m) =>
         val base = pacingBase()
         val capped = math.min(latest, base + m)
-        if (capped <= base) None
-        else {
+        if (capped <= base) {
+          // nothing NEW past the base — but the base may be AHEAD of
+          // the engine's committed offset (a crash between the base
+          // persist below and the engine's offset WAL). Returning
+          // None here would stall a quiescent table forever: the
+          // engine only calls getBatch when getOffset moves past its
+          // committed offset. Re-offering the base is free — the
+          // engine no-ops when it equals the committed offset, and a
+          // restarted query with committed < base drains the pending
+          // (committed, base] range. Never a hole, even quiescent.
+          if (base > startingVersion) Some(LongOffset(base)) else None
+        } else {
           bumpBase(capped)
           Some(LongOffset(capped))
         }

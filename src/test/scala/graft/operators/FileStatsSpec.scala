@@ -308,6 +308,33 @@ class FileStatsSpec extends SparkSpec {
     assert(kept.size == 2)
   }
 
+  test("writeManifest refuses a TOP-LEVEL column whose name contains " +
+    "a dot — its manifest key would alias a nested struct path and " +
+    "mis-prune nested predicates") {
+    val dir = freshDir("graft-fsdot")
+    // both a flat column literally named "detail.amount" and a
+    // struct path detail.amount: the filter side renders
+    // GetStructField chains to the SAME dotted key
+    val df = (0L until 10L).map(i => (i, i * 2, i * 100))
+      .toDF("k", "flatAmt", "nestedAmt")
+      .withColumn("detail", struct(col("nestedAmt").as("amount")))
+      .withColumnRenamed("flatAmt", "detail.amount")
+      .drop("nestedAmt")
+    df.coalesce(1).write.parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      FileStats.writeManifest(spark, dir, Seq("detail.amount"))
+    }
+    assert(e.getMessage.contains("dot"), e.getMessage)
+    // the unambiguous nested-only shape still works
+    val dir2 = freshDir("graft-fsdot2")
+    (0L until 10L).map(i => (i, i * 100)).toDF("k", "amt")
+      .withColumn("detail", struct(col("amt").as("amount"))).drop("amt")
+      .coalesce(1).write.parquet(dir2)
+    FileStats.writeManifest(spark, dir2, Seq("detail.amount"))
+    val m = FileStats.readManifest(spark, dir2)
+    assert(m.nonEmpty && m.head.cols.contains("detail.amount"))
+  }
+
   test("JSON escape codec round-trips every metacharacter class") {
     val cases = Seq("plain", "\"q\"", "back\\slash", "n\nl", "r\rt\tx",
       "ctl", "mix\"\\\nend", "")

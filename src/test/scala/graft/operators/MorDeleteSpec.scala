@@ -300,4 +300,50 @@ class MorDeleteSpec extends SparkSpec {
     assert(viaConnector.groupBy(col("k")).count()
       .filter(col("count") =!= 10L).count() == 0L)
   }
+
+  test("every pruned reader serves an MoR head through the FULL " +
+    "assembly (everything-kept census) — references resolved, " +
+    "tombstones applied, never the bare local files") {
+    val dir = freshDir("graft-morPrune")
+    build(dir) // stats on k, partitioned by b
+    // pure-delete MoR head: v=2 has ZERO local data files — the old
+    // code path either misread (readTopK on an update head) or threw
+    Snapshots.deleteWhereMor(spark, dir, col("k") < 100L)
+    assert(Snapshots.isMorVersion(spark, dir, 2L))
+    // readTopK: must see the whole live table, not v=2's (empty)
+    // local files, and must NOT resurrect tombstoned rows
+    val (top, psT) = Snapshots.readTopK(spark, dir, "k", 5)
+    val topK = top.orderBy(col("k").desc).limit(5)
+      .collect().map(_.getAs[Long]("k")).toSeq
+    assert(topK == Seq(399L, 398L, 397L, 396L, 395L))
+    assert(psT.filesSkipped == 0L && psT.filesRead == 4L, psT)
+    val (bot, _) = Snapshots.readTopK(spark, dir, "k", 3,
+      desc = false, nullsFirst = true)
+    assert(bot.orderBy(col("k")).limit(3)
+      .collect().map(_.getAs[Long]("k")).toSeq == Seq(100L, 101L, 102L))
+    // readPrunedMulti / readPrunedPreds: superset guarantee holds
+    val (pm, psM) = Snapshots.readPrunedMulti(spark, dir,
+      Seq(("k", BigDecimal(0), BigDecimal(150))))
+    assert(pm.filter(col("k") <= 150L).count() == 51L) // 100..150
+    assert(psM.filesSkipped == 0L, psM)
+    val (pp, _) = Snapshots.readPrunedPreds(spark, dir,
+      Seq(FileStats.NumRange("k", Some(BigDecimal(0)),
+        Some(BigDecimal(99)))))
+    assert(pp.filter(col("k") < 100L).count() == 0L) // all tombstoned
+    // readJoinPruned: full assembly, join still row-level correct
+    val dim = Seq(50L, 150L, 250L).toDF("k")
+    val (jp, psJ) = Snapshots.readJoinPruned(spark, dir, "k", dim)
+    assert(jp.join(dim, "k").count() == 2L) // 50 deleted; 150/250 live
+    assert(psJ.filesSkipped == 0L, psJ)
+    // an UPDATE head (has local files too) through readTopK: the old
+    // no-manifest branch would read ONLY the local updated images
+    Snapshots.updateWhereMor(spark, dir, col("k") === 399L,
+      Map("k" -> lit(1000L)))
+    val (top2, _) = Snapshots.readTopK(spark, dir, "k", 2)
+    assert(top2.orderBy(col("k").desc).limit(2)
+      .collect().map(_.getAs[Long]("k")).toSeq == Seq(1000L, 398L))
+    // time travel through the guard: version pin still works
+    val (tv, _) = Snapshots.readTopK(spark, dir, "k", 1, version = 1L)
+    assert(tv.agg(max(col("k"))).head().getLong(0) == 399L)
+  }
 }

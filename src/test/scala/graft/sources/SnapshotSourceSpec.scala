@@ -124,6 +124,29 @@ class SnapshotSourceSpec extends SparkSpec {
         .option("versionAsOf", "1").load(dir)
     }
     assert(e.getMessage.contains("readChangeFeed"), e.getMessage)
+    // bound options are validated like every other option: zero /
+    // negative endingVersion and inverted ranges are loud errors,
+    // never silently "latest"
+    def cdf(opts: (String, String)*) = {
+      val r = spark.read.format("snapshot")
+        .option("readChangeFeed", "true")
+      opts.foreach { case (k, v) => r.option(k, v) }
+      r.load(dir)
+    }
+    val e0 = intercept[IllegalArgumentException] {
+      cdf("endingVersion" -> "0")
+    }
+    assert(e0.getMessage.contains("endingVersion"), e0.getMessage)
+    intercept[IllegalArgumentException] { cdf("endingVersion" -> "-3") }
+    intercept[IllegalArgumentException] {
+      cdf("startingVersion" -> "2", "endingVersion" -> "1")
+    }
+    intercept[IllegalArgumentException] {
+      cdf("startingVersion" -> "-1")
+    }
+    // equal bounds = a caught-up consumer: empty feed, not an error
+    assert(cdf("startingVersion" -> "2", "endingVersion" -> "2")
+      .count() == 0L)
   }
 
   test("a filtered read through the connector prunes via the stats " +

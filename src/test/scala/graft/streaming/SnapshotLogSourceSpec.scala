@@ -156,6 +156,31 @@ class SnapshotLogSourceSpec extends SparkSpec {
     val o2 = s.getOffset
     assert(o2.contains(LongOffset(3L)), s"stalled: $o2")
     s.getBatch(o1, o2.get)
-    assert(s.getOffset.isEmpty) // caught up
+    // caught up: the source keeps RE-OFFERING the base (the engine
+    // no-ops on an unchanged offset) — returning None here would
+    // strand a restarted query whose committed offset lags the base
+    assert(s.getOffset.contains(LongOffset(3L)))
+  }
+
+  test("a crash between the pacing-base persist and the engine's " +
+    "offset WAL never stalls a QUIESCENT table: the restarted source " +
+    "re-offers the persisted base so the pending range drains") {
+    val src = freshDir("graft-slcrash")
+    (0 until 2).foreach(i =>
+      Snapshots.commit(spark, batch(i * 2L, i * 2L + 2L), src))
+    val meta = freshDir("graft-slcrashm")
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val s1 = new SnapshotLogStreamSource(spark, src, 0L, Some(5L), meta)
+    val o1 = s1.getOffset
+    assert(o1.contains(LongOffset(2L)), o1)
+    // CRASH here: the base file says 2, the engine WALed nothing and
+    // getBatch never ran. No further commits arrive (quiescent).
+    val s2 = new SnapshotLogStreamSource(spark, src, 0L, Some(5L), meta)
+    val o2 = s2.getOffset
+    // pre-fix: capped(2) <= base(2) → None forever → versions 1..2
+    // permanently undelivered. Post-fix: the base itself is offered.
+    assert(o2.contains(LongOffset(2L)), s"quiescent stall: $o2")
+    val got = s2.getBatch(None, o2.get)
+    assert(got.schema.fieldNames.contains("_version"))
   }
 }
