@@ -59,6 +59,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // manifest-carrying directory answer from _stats.json as a
     // LocalRelation — no file scan at all
     ext.injectOptimizerRule(_ => graft.plans.StatsAggRule)
+    // per-query freshness for catalog snapshot tables: a cached
+    // relation whose served version lags the store head is rebuilt
+    // (runs BEFORE the DML rewrite so merge sources are fresh too)
+    ext.injectPostHocResolutionRule(s =>
+      graft.plans.SnapshotFreshnessRule(s))
+    // SQL DML on USING-snapshot tables: resolved DELETE/UPDATE/MERGE
+    // statements rewrite onto the conflict-detected library DML
+    // (post-hoc: the analyzer has already resolved the target through
+    // the connector relation by the time this runs)
+    ext.injectPostHocResolutionRule(s => graft.plans.SnapshotDmlRule(s))
   }
 }
 

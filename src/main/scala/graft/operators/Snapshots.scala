@@ -445,7 +445,13 @@ object Snapshots {
     * never a rescan of the table. On an empty table this is just
     * [[commit]]. Epoch markers carry forward. */
   def appendVersion(spark: SparkSession, df: DataFrame,
-      dir: String): Long = {
+      dir: String): Long = appendVersion0(spark, df, dir, None)
+
+  private def appendVersion0(spark: SparkSession, df: DataFrame,
+      dir: String, epoch: Option[Long]): Long = {
+    def mark(stage: Path, f: org.apache.hadoop.fs.FileSystem): Unit =
+      epoch.foreach(e =>
+        f.create(new Path(stage, s"_epoch.$e"), true).close())
     val f = fs(spark, dir)
     val v = latestVersion(spark, dir)
     if (v == 0L) return commit(spark, df, dir)
@@ -471,12 +477,12 @@ object Snapshots {
       (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w)
         .parquet(stage.toString)
       writeRefs(f, stage, phys)
-      val oldT = new Path(vDir, TombstoneName)
-      if (f.exists(oldT))
-        org.apache.hadoop.fs.FileUtil.copy(f, oldT, f,
-          new Path(stage, TombstoneName), false,
-          spark.sparkContext.hadoopConfiguration)
+      // deletion vectors carry BY REFERENCE, like the data files —
+      // an append copies no tombstone bytes either
+      writeDvLines(f, new Path(stage, DvRefsName),
+        carryDvLines(spark, f, dir, v))
       copyEpochMarkers(f, new Path(vDir), stage)
+      mark(stage, f)
       val nv = occupyNextFree(spark, f, dir, stage)
       publish(spark, dir, nv)
       return nv
@@ -514,9 +520,52 @@ object Snapshots {
         f, new Path(stage, r), false, conf)
     }
     copyEpochMarkers(f, new Path(vDir), stage)
+    mark(stage, f)
     val nv = occupyNextFree(spark, f, dir, stage)
     publish(spark, dir, nv)
     nv
+  }
+
+  /** [[appendVersion]] with the epoch fence — the streaming-sink
+    * write primitive behind `writeStream.format("snapshot")`: each
+    * micro-batch APPENDS to the table (the Delta streaming-sink
+    * semantics — the destination is the cumulative table, unlike
+    * [[commitWithEpoch]]'s one-version-per-batch log shape). An
+    * already-published epoch no-ops (`Left`) — the exactly-once
+    * replay contract; a crashed attempt that died between slot
+    * rename and pointer publish rolls forward. `statsCols`/
+    * `bloomCols` apply only to the FIRST commit of an empty store
+    * (appends inherit the table's sidecars by splicing). */
+  def appendWithEpoch(spark: SparkSession, df: DataFrame, dir: String,
+      epochId: Long, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Either[String, Long] = {
+    require(epochId >= 0, s"epoch ids are non-negative, got $epochId")
+    val f = fs(spark, dir)
+    val head = latestVersion(spark, dir)
+    // an empty store: the first batch IS a fresh epoch-fenced commit
+    if (head == 0L)
+      return commitWithEpoch(spark, df, dir, epochId, statsCols,
+        bloomCols)
+    val versions = existingVersions(f, dir)
+    newestMarked(f, dir, versions, head) match {
+      case Some((v, ms)) if ms.contains(epochId) =>
+        Left(s"epoch $epochId already published as v=$v")
+      case _ =>
+        val orphans = versions.filter(v => v > head &&
+          epochMarkers(f, dir, v).contains(epochId)).sorted
+        orphans.headOption match {
+          case Some(v) =>
+            orphans.tail.foreach { o =>
+              f.delete(new Path(dir, s"v=$o"), true)
+              retireClaim(f, dir, o)
+            }
+            publish(spark, dir, v)
+            retireClaim(f, dir, v)
+            Right(v)
+          case None =>
+            Right(appendVersion0(spark, df, dir, Some(epochId)))
+        }
+    }
   }
 
   /** Columns that have `_bloom_<col>.json` sidecars in a version. */
@@ -994,6 +1043,17 @@ object Snapshots {
       case None => affectedDf.count() - rowsChanged
       case Some(_) => affectedDf.count()
     }
+    // a statement that empties the WHOLE table (no rewritten rows, no
+    // untouched files) must still leave one schema-carrying zero-row
+    // data file: a file-less version is unreadable (parquet schema
+    // inference has nothing to open). Unpartitioned deliberately — a
+    // dynamic-partition write of an empty frame writes nothing, and
+    // an empty table's layout is degenerate anyway; subsequent
+    // appends simply start a fresh layout.
+    if (untouched.isEmpty &&
+        listDataRel(f, f.makeQualified(stage))._1.isEmpty)
+      rewritten.limit(0).coalesce(1).write.mode("overwrite")
+        .parquet(stage.toString)
     // splice sidecars: scan ONLY the new files, keep the untouched
     // files' existing entries verbatim (a fully-emptied rewrite may
     // leave zero new data files — then the splice is old entries only)
@@ -1366,12 +1426,33 @@ object Snapshots {
   //                       construction (refs always point at the dir
   //                       that physically holds the file, never at
   //                       another ref)
-  //   _deletes.parquet  — (key, pos) tombstones; key =
-  //                       "srcVersion/relPath" AS RENDERED BY
+  //   _dv/dv-<uuid>     — THIS statement's (key, pos) tombstones,
+  //                       parquet; key = "srcVersion/relPath" AS
+  //                       RENDERED BY
   //                       substring_index(input_file_name(),"/v=",-1)
   //                       — both creation and read derive the key
   //                       with the same expression over the same
   //                       scan, so the match is exact by construction
+  //   _dv/index.json    — {"file","rows","keys"} describing the LOCAL
+  //                       dv above: row count + the distinct data-file
+  //                       keys it tombstones (known for free at stage
+  //                       time), so readers and successor statements
+  //                       never re-scan it for metadata
+  //   _dvrefs.json      — {"src","file","rows","keys"} lines carrying
+  //                       PRIOR statements' dv files BY REFERENCE
+  //                       (they physically live in their own home
+  //                       version dirs, like _refs.json data files).
+  //                       A DML statement writes ONLY its own new
+  //                       tombstones + these metadata lines — cost is
+  //                       O(statement), never O(accumulated deletes):
+  //                       the per-file incremental-deletion-vector
+  //                       representation (Delta DVs / Iceberg
+  //                       positional deletes), not a monolithic
+  //                       union-rewrite
+  //   _deletes.parquet  — LEGACY (pre-r17) monolithic tombstone set;
+  //                       still read (conservatively: unknown keys =
+  //                       every file dirty) and carried forward by
+  //                       reference, never rewritten
   //   (no _stats.json)  — deliberately: a stats manifest with stale
   //                       row counts would let the metadata-aggregate
   //                       rewrite overcount; with NO manifest the
@@ -1379,11 +1460,137 @@ object Snapshots {
   //                       refuse and every aggregate runs the real
   //                       (tombstone-applying) plan. Exactness beats
   //                       a shortcut here; folding restores both.
-  // Both sidecars are sealed by the same atomic stage→slot rename as
+  // All sidecars are sealed by the same atomic stage→slot rename as
   // every commit: a crash mid-delete leaves only a _stage-* orphan.
+  //
+  // READ-PATH consequence of knowing each dv's touched keys: the
+  // assembly splits physical files into DIRTY (some dv touches them —
+  // lineage scan + anti-join) and CLEAN (no dv entry — plain
+  // vectorized scan, no input_file_name/row_index derivation, no join
+  // at all). After a point delete on a 100k-file table, 99.99% of the
+  // scan stays whole-stage-codegen scan-only.
 
   private[operators] val RefsName = "_refs.json"
   private[operators] val TombstoneName = "_deletes.parquet"
+  private[operators] val DvDirName = "_dv"
+  private[operators] val DvIndexName = "index.json"
+  private[operators] val DvRefsName = "_dvrefs.json"
+
+  /** One deletion-vector sidecar serving a version: the parquet's
+    * absolute path, its row count, and the data-file keys it
+    * tombstones (None = unknown — a legacy monolithic set — every
+    * file must be treated dirty). */
+  private[operators] final case class DvEntry(path: String, rows: Long,
+    keys: Option[Seq[String]])
+
+  private def renderDvLine(src: Option[Long], file: String, rows: Long,
+      keys: Option[Seq[String]]): String = {
+    val ks = keys match {
+      case None => "null"
+      case Some(s) => s.sorted
+        .map(k => s""""${FileStats.jsonEscape(k)}"""")
+        .mkString("[", ",", "]")
+    }
+    val head = src.map(v => s""""src":$v,""").getOrElse("")
+    s"""{$head"file":"${FileStats.jsonEscape(file)}","rows":$rows,""" +
+      s""""keys":$ks}"""
+  }
+
+  private def parseDvLine(line: String)
+      : (Option[Long], String, Long, Option[Seq[String]]) = {
+    val R = ("""\{(?:"src":(\d+),)?"file":"((?:[^"\\]|\\.)*)",""" +
+      """"rows":(\d+),"keys":(null|\[.*\])\}""").r
+    line match {
+      case R(src, file, rows, ks) =>
+        val keys =
+          if (ks == "null") None
+          else Some(("\"((?:[^\"\\\\]|\\\\.)*)\"".r)
+            .findAllMatchIn(ks)
+            .map(m => FileStats.jsonUnescape(m.group(1))).toSeq)
+        (Option(src).map(_.toLong), FileStats.jsonUnescape(file),
+          rows.toLong, keys)
+      case _ => throw new IllegalStateException(
+        s"corrupt deletion-vector metadata line: $line")
+    }
+  }
+
+  private def writeDvLines(f: org.apache.hadoop.fs.FileSystem,
+      target: Path, lines: Seq[String]): Unit = {
+    if (lines.isEmpty) return
+    val out = f.create(target, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readLines(f: org.apache.hadoop.fs.FileSystem,
+      p: Path): Seq[String] = {
+    if (!f.exists(p)) return Seq.empty
+    val in = f.open(p)
+    val text =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        "UTF-8")
+      finally in.close()
+    text.split("\n").toSeq.filter(_.nonEmpty)
+  }
+
+  /** (home version, sidecar-relative file, rows, keys) of the dv
+    * files a version carries BY REFERENCE. */
+  private[operators] def readDvRefs(f: org.apache.hadoop.fs.FileSystem,
+      vDir: String): Seq[(Long, String, Long, Option[Seq[String]])] =
+    readLines(f, new Path(vDir, DvRefsName)).map { l =>
+      val (src, file, rows, keys) = parseDvLine(l)
+      (src.getOrElse(throw new IllegalStateException(
+        s"$DvRefsName line missing src: $l")), file, rows, keys)
+    }
+
+  /** The LOCAL dv files of `vDir` (from `_dv/index.json`). */
+  private def readDvIndex(f: org.apache.hadoop.fs.FileSystem,
+      vDir: String): Seq[(String, Long, Option[Seq[String]])] =
+    readLines(f, new Path(s"$vDir/$DvDirName", DvIndexName)).map { l =>
+      val (_, file, rows, keys) = parseDvLine(l)
+      (file, rows, keys)
+    }
+
+  /** EVERY deletion-vector sidecar serving version `v`: carried refs,
+    * local dvs, and (legacy) the monolithic `_deletes.parquet`. */
+  private[operators] def dvEntries(spark: SparkSession, dir: String,
+      v: Long): Seq[DvEntry] = {
+    val f = fs(spark, dir)
+    val vDir = s"$dir/v=$v"
+    val carried = readDvRefs(f, vDir).map { case (src, file, rows, ks) =>
+      DvEntry(s"$dir/v=$src/$file", rows, ks)
+    }
+    val local = readDvIndex(f, vDir).map { case (file, rows, ks) =>
+      DvEntry(s"$vDir/$DvDirName/$file", rows, ks)
+    }
+    val legacyP = new Path(vDir, TombstoneName)
+    val legacy =
+      if (!f.exists(legacyP)) Seq.empty
+      else Seq(DvEntry(legacyP.toString,
+        spark.read.parquet(legacyP.toString).count(), None))
+    carried ++ local ++ legacy
+  }
+
+  /** The dv lines a SUCCESSOR staging from head `v` must carry: the
+    * head's own carried refs verbatim, plus its local dvs promoted to
+    * src = `v`, plus (legacy) its monolithic set by reference. */
+  private def carryDvLines(spark: SparkSession,
+      f: org.apache.hadoop.fs.FileSystem, dir: String, v: Long)
+      : Seq[String] = {
+    val vDir = s"$dir/v=$v"
+    val carried = readDvRefs(f, vDir).map { case (src, file, rows, ks) =>
+      renderDvLine(Some(src), file, rows, ks)
+    }
+    val local = readDvIndex(f, vDir).map { case (file, rows, ks) =>
+      renderDvLine(Some(v), s"$DvDirName/$file", rows, ks)
+    }
+    val legacyP = new Path(vDir, TombstoneName)
+    val legacy =
+      if (!f.exists(legacyP)) Seq.empty
+      else Seq(renderDvLine(Some(v), TombstoneName,
+        spark.read.parquet(legacyP.toString).count(), None))
+    carried ++ local ++ legacy
+  }
 
   /** Does `v=$v` carry merge-on-read sidecars? Such a version is
     * served by [[read]]/[[table]] via reference assembly — a bare
@@ -1484,43 +1691,76 @@ object Snapshots {
     * evolution across homes fills missing columns with NULLs), then
     * the tombstone anti-join. `lineage = true` keeps the `__key`
     * (srcVersion/relPath) and `__pos` (file row position) columns —
-    * the identity the tombstones are keyed on. */
+    * the identity the tombstones are keyed on.
+    *
+    * On the plain read path (`lineage = false`) the anti-join applies
+    * ONLY to rows from DIRTY files — files some deletion vector
+    * actually touches (known from the dv metadata, no data read);
+    * clean files scan plain, with no lineage derivation and no join
+    * above them. A point delete on a wide table keeps virtually the
+    * whole scan join-free. A dv with UNKNOWN keys (legacy monolithic
+    * set) conservatively makes every file dirty. */
   private def readMorAssembled(spark: SparkSession, dir: String,
       v: Long, lineage: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast => _, col,
       input_file_name, substring_index}
     val f = fs(spark, dir)
-    val vDir = s"$dir/v=$v"
     val phys = physicalFiles(spark, f, dir, v)
     require(phys.nonEmpty, s"MoR version v=$v references no files")
-    val groups = phys.groupBy(_._1).toSeq.sortBy(_._1).map {
-      case (src, fs0) =>
-        val srcDir = s"$dir/v=$src"
-        spark.read.option("basePath", srcDir)
-          .parquet(fs0.map(x => s"$srcDir/${x._2}"): _*)
-          .withColumn("__key",
-            substring_index(input_file_name(), "/v=", -1))
-          .withColumn("__pos", col("_metadata.row_index"))
+    val dvs = dvEntries(spark, dir, v)
+    val dirtyKeys: Option[Set[String]] =
+      if (dvs.exists(_.keys.isEmpty)) None // legacy: all dirty
+      else Some(dvs.flatMap(_.keys.get).toSet)
+    def keyOf(src: Long, rel: String) = s"$src/$rel"
+    val isDirty: ((Long, String)) => Boolean = {
+      case (src, rel) =>
+        dirtyKeys.forall(_.contains(keyOf(src, rel)))
     }
-    val data = groups.reduce((a, b) =>
-      a.unionByName(b, allowMissingColumns = true))
-    val tPath = new Path(vDir, TombstoneName)
-    val alive =
-      if (!f.exists(tPath)) data
-      else {
-        val t = spark.read.parquet(tPath.toString)
-        // join keys renamed so user columns can never collide; the
-        // anti-join broadcasts while tombstones are small (the
-        // steady state — OPTIMIZE folds before they are not) and
-        // degrades to a shuffle join above the threshold, never to
-        // a wrong answer
-        data.join(t.withColumnRenamed("key", "__tkey")
-            .withColumnRenamed("pos", "__tpos"),
-          data("__key") === col("__tkey") &&
-            data("__pos") === col("__tpos"),
-          "left_anti")
+    val (dirty, clean) =
+      if (dvs.isEmpty) (Seq.empty[(Long, String)], phys)
+      else if (lineage) (phys, Seq.empty[(Long, String)])
+      else phys.partition(isDirty)
+    def scanGroups(files: Seq[(Long, String)], withLineage: Boolean)
+        : Option[DataFrame] = {
+      if (files.isEmpty) return None
+      val groups = files.groupBy(_._1).toSeq.sortBy(_._1).map {
+        case (src, fs0) =>
+          val srcDir = s"$dir/v=$src"
+          val base = spark.read.option("basePath", srcDir)
+            .parquet(fs0.map(x => s"$srcDir/${x._2}"): _*)
+          if (!withLineage) base
+          else base
+            .withColumn("__key",
+              substring_index(input_file_name(), "/v=", -1))
+            .withColumn("__pos", col("_metadata.row_index"))
       }
-    if (lineage) alive else alive.drop("__key", "__pos")
+      Some(groups.reduce((a, b) =>
+        a.unionByName(b, allowMissingColumns = true)))
+    }
+    val survivors = scanGroups(dirty, withLineage = true).map { d =>
+      // join keys renamed so user columns can never collide; the
+      // anti-join broadcasts while the deletion vectors are
+      // sidecar-sized (the steady state — OPTIMIZE folds before they
+      // are not) and degrades to a shuffle join above the threshold,
+      // never to a wrong answer
+      val t = dvs.map(e => spark.read.parquet(e.path))
+        .reduce(_ unionByName _)
+      val alive = d.join(t.withColumnRenamed("key", "__tkey")
+          .withColumnRenamed("pos", "__tpos"),
+        d("__key") === col("__tkey") && d("__pos") === col("__tpos"),
+        "left_anti")
+      if (lineage) alive else alive.drop("__key", "__pos")
+    }
+    val cleanDf = scanGroups(clean, withLineage = lineage)
+    (survivors, cleanDf) match {
+      case (Some(a), Some(b)) =>
+        a.unionByName(b, allowMissingColumns = true)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) =>
+        throw new IllegalStateException(
+          s"MoR version v=$v assembled to no scans")
+    }
   }
 
   /** Accounting for a merge-on-read delete: tombstones added by this
@@ -1548,18 +1788,31 @@ object Snapshots {
     * tombstone key is derived from the path after the LAST `/v=`
     * segment, which such a layout would make ambiguous. */
   def deleteWhereMor(spark: SparkSession, dir: String,
-      pred: org.apache.spark.sql.Column): (Long, MorStats) = {
+      pred: org.apache.spark.sql.Column): (Long, MorStats) =
+    morDmlPublish(spark, dir, pred, None)
+
+  /** Stage one MoR DML statement (delete, or update when `sets` is
+    * set) against head `v`. Returns None on a provably-no-op
+    * statement; otherwise the READY stage directory — tombstone
+    * sidecar, reference list, updated images (update only), epoch
+    * markers, and `_dml.json` provenance (op `mor_delete`/
+    * `mor_update`, touched = the physical files whose rows this
+    * statement tombstoned) — plus the statement's accounting. The
+    * caller owns slot allocation and publication (plain vs Tx). */
+  private def stageMorDml(spark: SparkSession, dir: String, v: Long,
+      pred: org.apache.spark.sql.Column,
+      sets: Option[Map[String, org.apache.spark.sql.Column]])
+      : Option[(Path, MorStats)] = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val op = if (sets.isEmpty) "mor_delete" else "mor_update"
     val f = fs(spark, dir)
-    val v = latestVersion(spark, dir)
-    require(v > 0, s"$dir has no committed version")
     val vDir = s"$dir/v=$v"
     val phys = physicalFiles(spark, f, dir, v)
     require(phys.forall(!_._2.split("/").dropRight(1)
         .exists(_.startsWith("v="))),
-      "deleteWhereMor: a partition column named 'v' shadows the " +
-        "store's version key — the tombstone file identity would be " +
-        "ambiguous; use copy-on-write deleteWhere for this layout")
+      s"$op: a partition column named 'v' shadows the store's " +
+        "version key — the tombstone file identity would be " +
+        "ambiguous; use the copy-on-write path for this layout")
     val hit = coalesce(pred, lit(false))
     // scan through the MoR assembly (already-deleted rows excluded),
     // keeping lineage — the tombstone identity of each matching row
@@ -1567,38 +1820,170 @@ object Snapshots {
       if (isMorVersion(spark, dir, v)) readMorAssembled(spark, dir, v,
         lineage = true)
       else readMorAssembled0(spark, dir, v)
-    // cache the (small) tombstone projection: the expensive
-    // whole-assembly scan that produces it runs ONCE — the count and
-    // the sidecar write both read the cache; the total is arithmetic
-    // (old count + added), never a recount of the union
-    val newTombs = lineage.filter(hit)
-      .select(col("__key").as("key"), col("__pos").as("pos"))
+    // cache the matched rows: the expensive whole-assembly scan runs
+    // ONCE — the count, the tombstone write, the provenance key list,
+    // and (update) the image write all read the cache; the total is
+    // arithmetic (old count + added), never a recount of the union
+    val matching = lineage.filter(hit)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val oldCount = tombstoneCount(spark, f, vDir)
+      val oldCount = dvTotal(spark, dir, v)
+      val newTombs = matching
+        .select(col("__key").as("key"), col("__pos").as("pos"))
       val added = newTombs.count()
-      if (added == 0L)
-        return (v, MorStats(0L, oldCount, phys.size.toLong, 0L, 0L))
-      val oldT = new Path(vDir, TombstoneName)
-      val allTombs =
-        if (f.exists(oldT))
-          spark.read.parquet(oldT.toString).unionByName(newTombs)
-        else newTombs
+      if (added == 0L) return None
+      // the distinct data-file keys this statement tombstones — free
+      // at stage time, and what lets readers skip clean files
+      val rawTouched = newTombs.select(col("key")).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
       val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
       f.mkdirs(stage)
-      allTombs.coalesce(1).write.mode("overwrite")
-        .parquet(new Path(stage, TombstoneName).toString)
+      sets.foreach { s =>
+        // update: the matched rows' new images land as this version's
+        // own data files, re-routed through the partition layout
+        val dataCols = lineage.columns.toSeq
+          .filterNot(c => c == "__key" || c == "__pos")
+        val updated = matching.select(dataCols.map { c =>
+          s.get(c).map(_.as(c)).getOrElse(col(c))
+        }: _*)
+        val pcols = pcolsOf(phys)
+        val w = updated.write.mode("overwrite")
+        (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w)
+          .parquet(stage.toString)
+      }
+      // incremental deletion vector: ONLY this statement's tombstones
+      // are written; prior statements' dvs carry by reference in
+      // _dvrefs.json — statement cost is O(statement), independent of
+      // how many deletes accumulated before it
+      val dvFile = s"dv-${java.util.UUID.randomUUID()}"
+      newTombs.coalesce(1).write.mode("overwrite")
+        .parquet(new Path(stage, s"$DvDirName/$dvFile").toString)
+      writeDvLines(f, new Path(s"$stage/$DvDirName", DvIndexName),
+        Seq(renderDvLine(None, dvFile, added, Some(rawTouched))))
+      val carried = carryDvLines(spark, f, dir, v)
+      writeDvLines(f, new Path(stage, DvRefsName), carried)
       writeRefs(f, stage, phys)
       copyEpochMarkers(f, new Path(vDir), stage)
+      writeDml(f, stage, v, op, rawTouched.map(k => s"v=$k"))
       val sidecarBytes = f.getContentSummary(stage).getLength
       val cowBytes = phys.map { case (src, rel) =>
         f.getFileStatus(new Path(s"$dir/v=$src/$rel")).getLen
       }.sum
-      val nv = occupyNextFree(spark, f, dir, stage)
-      publish(spark, dir, nv)
-      (nv, MorStats(added, oldCount + added, phys.size.toLong,
-        sidecarBytes, cowBytes))
-    } finally { newTombs.unpersist(); () }
+      Some((stage, MorStats(added, oldCount + added, phys.size.toLong,
+        sidecarBytes, cowBytes)))
+    } finally { matching.unpersist(); () }
+  }
+
+  /** Shared publish path of [[deleteWhereMor]]/[[updateWhereMor]]:
+    * stage, occupy the next free slot, publish. Single-writer
+    * semantics (two concurrent statements from the same head would
+    * last-write-wins each other's tombstones) — concurrent writers
+    * use [[deleteWhereMorTx]]/[[updateWhereMorTx]]. */
+  private def morDmlPublish(spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column,
+      sets: Option[Map[String, org.apache.spark.sql.Column]])
+      : (Long, MorStats) = {
+    val f = fs(spark, dir)
+    val v = latestVersion(spark, dir)
+    require(v > 0, s"$dir has no committed version")
+    stageMorDml(spark, dir, v, pred, sets) match {
+      case None =>
+        (v, MorStats(0L, dvTotal(spark, dir, v),
+          physicalFiles(spark, f, dir, v).size.toLong, 0L, 0L))
+      case Some((stage, stats)) =>
+        val nv = occupyNextFree(spark, f, dir, stage)
+        publish(spark, dir, nv)
+        (nv, stats)
+    }
+  }
+
+  /** [[deleteWhereMor]] with commit-time conflict handling — safe for
+    * CONCURRENT writers. See [[updateWhereMorTx]]. */
+  def deleteWhereMorTx(spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column, maxRetries: Int = 3,
+      publishWaitMs: Long = 30000L): (Long, MorStats) =
+    morDmlTx(spark, dir, pred, None, maxRetries, publishWaitMs)
+
+  /** [[updateWhereMor]] with commit-time conflict handling. The
+    * statement stages against the head it read, claims EXACTLY slot
+    * head+1 (the commitCAS primitive, which serializes it against
+    * every other claiming writer), and publishes only if the head is
+    * still the one it staged from. Losing the claim or the head
+    * race means another writer committed first; unlike the
+    * copy-on-write [[updateWhereTx]], a merge-on-read statement NEVER
+    * needs an overlap abort — its stage carries the head's complete
+    * reference+tombstone state, so re-staging against the new head
+    * re-evaluates the predicate over the winner's committed result
+    * (serializable re-execution), whatever kind of commit the winner
+    * was. Retries are bounded by `maxRetries`; a lost claim whose
+    * winner never publishes within `publishWaitMs` aborts with the
+    * crashed-committer diagnosis. Tombstone-key provenance lands in
+    * `_dml.json` (`mor_delete`/`mor_update`) either way. */
+  def updateWhereMorTx(spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column,
+      sets: Map[String, org.apache.spark.sql.Column],
+      maxRetries: Int = 3, publishWaitMs: Long = 30000L)
+      : (Long, MorStats) = {
+    require(sets.nonEmpty, "updateWhereMorTx needs at least one SET column")
+    morDmlTx(spark, dir, pred, Some(sets), maxRetries, publishWaitMs)
+  }
+
+  private def morDmlTx(spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column,
+      sets: Option[Map[String, org.apache.spark.sql.Column]],
+      maxRetries: Int, publishWaitMs: Long): (Long, MorStats) = {
+    val f = fs(spark, dir)
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val h = latestVersion(spark, dir)
+      require(h > 0, s"$dir has no committed version")
+      stageMorDml(spark, dir, h, pred, sets) match {
+        case None =>
+          return (h, MorStats(0L, dvTotal(spark, dir, h),
+            physicalFiles(spark, f, dir, h).size.toLong, 0L, 0L))
+        case Some((stage, stats)) =>
+          if (tryClaimSlot(f, dir, h + 1)) {
+            if (latestVersion(spark, dir) != h) {
+              // head moved before we occupied: withdraw and re-stage
+              // (see rewriteWhereTx for why checking BEFORE occupying
+              // matters to ranged readers)
+              retireClaim(f, dir, h + 1)
+              f.delete(stage, true)
+              attempt += 1
+            } else if (occupySlot(f, dir, stage, h + 1)) {
+              if (publishIfHead(spark, dir, h, h + 1))
+                return (h + 1, stats)
+              // a non-claim committer published above our slot —
+              // withdraw and re-execute on the new head
+              f.delete(new Path(dir, s"v=${h + 1}"), true)
+              retireClaim(f, dir, h + 1)
+              attempt += 1
+            } else {
+              f.delete(stage, true)
+              throw new IllegalStateException(
+                s"conflict: v=${h + 1} directory already exists in $dir")
+            }
+          } else {
+            // lost the claim — wait for the winner, then re-execute
+            f.delete(stage, true)
+            val deadline = System.currentTimeMillis() + publishWaitMs
+            var h2 = latestVersion(spark, dir)
+            while (h2 == h && System.currentTimeMillis() < deadline) {
+              Thread.sleep(25L)
+              h2 = latestVersion(spark, dir)
+            }
+            if (h2 == h)
+              throw new IllegalStateException(
+                s"conflict: v=${h + 1} claimed but never published " +
+                  s"within ${publishWaitMs}ms — crashed committer? " +
+                  "recover with commitCAS claimGraceMs / vacuum")
+            attempt += 1
+          }
+      }
+    }
+    throw new IllegalStateException(
+      s"conflict: lost the commit race $maxRetries times in $dir — " +
+        "retry budget exhausted")
   }
 
   /** Row-level UPDATE, merge-on-read: the matching rows are
@@ -1613,62 +1998,8 @@ object Snapshots {
       pred: org.apache.spark.sql.Column,
       sets: Map[String, org.apache.spark.sql.Column])
       : (Long, MorStats) = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit}
     require(sets.nonEmpty, "updateWhereMor needs at least one SET column")
-    val f = fs(spark, dir)
-    val v = latestVersion(spark, dir)
-    require(v > 0, s"$dir has no committed version")
-    val vDir = s"$dir/v=$v"
-    val phys = physicalFiles(spark, f, dir, v)
-    require(phys.forall(!_._2.split("/").dropRight(1)
-        .exists(_.startsWith("v="))),
-      "updateWhereMor: a partition column named 'v' shadows the " +
-        "store's version key — use copy-on-write updateWhere")
-    val hit = coalesce(pred, lit(false))
-    val lineage =
-      if (isMorVersion(spark, dir, v)) readMorAssembled(spark, dir, v,
-        lineage = true)
-      else readMorAssembled0(spark, dir, v)
-    // cache the matched rows: count, the updated-image write, and
-    // the tombstone write are three projections of the same
-    // whole-assembly scan — with the cache it runs once
-    val matching = lineage.filter(hit)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val oldCount = tombstoneCount(spark, f, vDir)
-      val newTombs = matching
-        .select(col("__key").as("key"), col("__pos").as("pos"))
-      val added = newTombs.count()
-      if (added == 0L)
-        return (v, MorStats(0L, oldCount, phys.size.toLong, 0L, 0L))
-      val dataCols = lineage.columns.toSeq
-        .filterNot(c => c == "__key" || c == "__pos")
-      val updated = matching.select(dataCols.map { c =>
-        sets.get(c).map(_.as(c)).getOrElse(col(c))
-      }: _*)
-      val pcols = pcolsOf(phys)
-      val oldT = new Path(vDir, TombstoneName)
-      val allTombs =
-        if (f.exists(oldT))
-          spark.read.parquet(oldT.toString).unionByName(newTombs)
-        else newTombs
-      val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
-      val w = updated.write.mode("overwrite")
-      (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w)
-        .parquet(stage.toString)
-      allTombs.coalesce(1).write.mode("overwrite")
-        .parquet(new Path(stage, TombstoneName).toString)
-      writeRefs(f, stage, phys)
-      copyEpochMarkers(f, new Path(vDir), stage)
-      val sidecarBytes = f.getContentSummary(stage).getLength
-      val cowBytes = phys.map { case (src, rel) =>
-        f.getFileStatus(new Path(s"$dir/v=$src/$rel")).getLen
-      }.sum
-      val nv = occupyNextFree(spark, f, dir, stage)
-      publish(spark, dir, nv)
-      (nv, MorStats(added, oldCount + added, phys.size.toLong,
-        sidecarBytes, cowBytes))
-    } finally { matching.unpersist(); () }
+    morDmlPublish(spark, dir, pred, Some(sets))
   }
 
   /** Lineage scan of a PLAIN (self-contained) version — the same
@@ -1684,11 +2015,10 @@ object Snapshots {
       .withColumn("__pos", col("_metadata.row_index"))
   }
 
-  private def tombstoneCount(spark: SparkSession,
-      f: org.apache.hadoop.fs.FileSystem, vDir: String): Long = {
-    val p = new Path(vDir, TombstoneName)
-    if (!f.exists(p)) 0L else spark.read.parquet(p.toString).count()
-  }
+  /** Total live tombstones of version `v` — metadata arithmetic over
+    * the dv entries (one legacy monolithic set still pays a count). */
+  private def dvTotal(spark: SparkSession, dir: String, v: Long): Long =
+    dvEntries(spark, dir, v).map(_.rows).sum
 
   /** FOLD an MoR head back into a self-contained version: materialize
     * the assembly (references resolved, tombstones applied), restore
@@ -2354,6 +2684,38 @@ object Snapshots {
     eligible.maxBy { case (v, t) => (t, v) }._1
   }
 
+  /** One-shot backfill of `_pubtime.N` records for stores created
+    * BEFORE timestamp travel existed (such stores refuse
+    * [[versionAt]] with "no publication records"). Each PUBLISHED
+    * main-line version (v ≤ head) that lacks a record is stamped
+    * with its version directory's mtime — an APPROXIMATION: mtime is
+    * set at stage time and can predate the actual pointer move by
+    * however long the committer stalled, which is exactly why real
+    * records come from [[publish]]. Create-exclusive per version, so
+    * genuine publication records are never overwritten and the
+    * backfill is idempotent; versions above the head (branch
+    * commits, crashed orphans) stay structurally invisible. Returns
+    * the versions stamped. */
+  def backfillPubtimes(spark: SparkSession, dir: String): Seq[Long] = {
+    val f = fs(spark, dir)
+    val head = latestVersion(spark, dir)
+    require(head > 0, s"$dir has no committed version")
+    existingVersions(f, dir).filter(_ <= head).sorted.flatMap { v =>
+      val marker = new Path(dir, s"_pubtime.$v")
+      if (f.exists(marker)) None
+      else {
+        val mtime = f.getFileStatus(new Path(dir, s"v=$v"))
+          .getModificationTime
+        try {
+          val out = f.create(marker, false)
+          try out.write(mtime.toString.getBytes("US-ASCII"))
+          finally out.close()
+          Some(v)
+        } catch { case _: java.io.IOException => None }
+      }
+    }
+  }
+
   /** Roll the table back to an earlier committed version — a pointer
     * move; later versions stay on disk (forensics) until vacuumed. */
   def rollback(spark: SparkSession, dir: String, v: Long): Unit = {
@@ -2399,13 +2761,14 @@ object Snapshots {
       val keepFile = s.isFile && (!n.startsWith("_") ||
         n == FileStats.ManifestName ||
         n == RefsName ||
+        n == DvRefsName ||
         n.startsWith("_zcluster.") ||
         (n.startsWith("_bloom_") && n.endsWith(".json")))
       val rel = srcPath.toUri.relativize(s.getPath.toUri).getPath
       if (keepFile && !n.startsWith("."))
         FileUtil.copy(f, s.getPath, f, new Path(stage, rel), false, conf)
       else if (s.isDirectory && !n.startsWith(".") &&
-          (!n.startsWith("_") || n == TombstoneName))
+          (!n.startsWith("_") || n == TombstoneName || n == DvDirName))
         copyTree(s.getPath)
     }
     copyTree(srcPath)
@@ -2515,8 +2878,12 @@ object Snapshots {
       var d = candidates.toSet
       var changed = true
       while (changed) {
+        // data-file references AND deletion-vector references both
+        // pin: a survivor's dv may physically live in a doomed
+        // version's _dv directory
         val refPinned = versions.map(_._1).filterNot(d)
-          .flatMap(sv => readRefs(f, s"$dir/v=$sv").map(_._1)).toSet
+          .flatMap(sv => readRefs(f, s"$dir/v=$sv").map(_._1) ++
+            readDvRefs(f, s"$dir/v=$sv").map(_._1)).toSet
         val nd = d -- refPinned
         changed = nd != d
         d = nd

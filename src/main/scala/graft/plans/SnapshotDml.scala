@@ -1,0 +1,355 @@
+package graft.plans
+
+import org.apache.spark.sql.{GraftColumnBridge, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute,
+  AttributeReference, Cast, EqualTo, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment,
+  DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable,
+  SubqueryAlias, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.types.LongType
+
+import graft.operators.Snapshots
+
+/** SQL DML for `USING snapshot` tables — the write half of the
+  * zero-code SQL story (the read half is the registered
+  * `format("snapshot")` connector; the reference's whole consumption
+  * model is plain SQL over views —
+  * YayoiHabami/Jobcan-Data-Integrator README.md:3,
+  * jobcan_di/database/create_views.sql — and a BI user who can read
+  * a table must be able to correct it without Scala):
+  *
+  *   DELETE FROM t WHERE k < 100
+  *   UPDATE t SET s = 'x', n = n + 1 WHERE k = 7
+  *   MERGE INTO t USING src ON t.k = src.k
+  *     WHEN MATCHED THEN UPDATE SET *
+  *     WHEN NOT MATCHED THEN INSERT *
+  *
+  * INTEGRATION POINT — a post-hoc resolution rule, deliberately:
+  * Spark's parser already produces `DeleteFromTable` / `UpdateTable`
+  * / `MergeIntoTable` and the analyzer fully resolves them against
+  * the connector's V1 relation; only the EXECUTION check rejects
+  * non-v2 tables. This rule intercepts the resolved statements whose
+  * target is a snapshot catalog table and rewrites them into eagerly
+  * executed commands over the library DML — the same rewrite shape
+  * Delta's DeltaAnalysis uses (public precedent: delta-io/delta,
+  * DeleteFromTable → DeleteCommand). Statements over any OTHER table
+  * pass through untouched and fail exactly as before.
+  *
+  * CONCURRENCY: the SQL path always routes through the Tx entry
+  * points (`deleteWhereTx` / `updateWhereMorTx` / …) — a SQL user
+  * gets commit-time conflict detection by default, never the
+  * single-writer fast path. MoR vs CoW is a TABLE option: `CREATE
+  * TABLE t USING snapshot OPTIONS (path '…', dmlMode 'mor')` makes
+  * DELETE/UPDATE merge-on-read (tombstone sidecars, zero data bytes
+  * moved); the default 'cow' rewrites files. MERGE is always
+  * copy-on-write (its routing rewrites only key-admitting files).
+  *
+  * Each statement returns a single `affected_rows` row (the Delta
+  * convention), so `spark.sql("DELETE …").head.getLong(0)` is the
+  * statement's row count.
+  */
+/** Per-query FRESHNESS for catalog snapshot tables — the analog of
+  * Delta's per-query `DeltaLog.update`. Spark caches a data source
+  * table's resolved relation on first use (FindDataSourceTable's
+  * relation cache), which freezes a `USING snapshot` table at the
+  * version it was first queried: a session that SELECTs, commits (or
+  * runs SQL DML), then SELECTs again would silently read the OLD
+  * version. This rule compares the cached relation's served version
+  * (parsed from its `v=N` root path, or [[SnapshotPlanRelation]]'s
+  * `servedVersion`) against the store head — one pointer read — and
+  * on staleness drops the cache entry and rebuilds the relation at
+  * the current head, keeping the statement's resolved output
+  * attributes. Explicitly pinned tables (versionAsOf / timestampAsOf
+  * / tag / branch / endingVersion options) are never stale by
+  * definition. If the head's SCHEMA evolved, the in-flight statement
+  * keeps its resolved shape (this query runs at its old version) and
+  * only the cache is invalidated — the next statement re-resolves
+  * with the new schema. */
+case class SnapshotFreshnessRule(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  private val pins = Seq("versionasof", "timestampasof", "tag",
+    "branch", "endingversion")
+
+  private def servedVersion(lr: LogicalRelation): Long =
+    lr.relation match {
+      case h: org.apache.spark.sql.execution.datasources
+          .HadoopFsRelation =>
+        h.location.rootPaths.map(_.getName).collectFirst {
+          case n if n.startsWith("v=") =>
+            try n.stripPrefix("v=").toLong
+            catch { case _: NumberFormatException => -1L }
+        }.getOrElse(-1L)
+      case p: graft.sources.SnapshotPlanRelation => p.servedVersion
+      case _ => -1L
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperators {
+      case lr: LogicalRelation if lr.catalogTable.exists(
+          _.provider.exists(_.equalsIgnoreCase("snapshot"))) =>
+        refreshIfStale(lr).getOrElse(lr)
+    }
+
+  private def refreshIfStale(lr: LogicalRelation)
+      : Option[LogicalRelation] = {
+    val ct = lr.catalogTable.get
+    val props = ct.storage.properties
+      .map { case (k, v) => (k.toLowerCase, v) }
+    if (pins.exists(props.contains)) return None
+    val dir = props.get("path")
+      .orElse(ct.storage.locationUri.map(_.toString))
+      .getOrElse(return None)
+    val served = servedVersion(lr)
+    if (served <= 0) return None
+    val latest = Snapshots.latestVersion(spark, dir)
+    if (latest <= 0 || latest == served) return None
+    // stale: drop the cached plan (the next statement re-resolves and
+    // re-caches at the new head) and rebuild THIS statement's relation
+    spark.sessionState.catalog.refreshTable(ct.identifier)
+    val fresh = new graft.sources.SnapshotDataSource().createRelation(
+      spark.sqlContext,
+      org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(
+        ct.storage.properties + ("path" -> dir)))
+    val shape = (s: org.apache.spark.sql.types.StructType) =>
+      s.fields.toSeq.map(f => (f.name, f.dataType))
+    if (shape(fresh.schema) != shape(lr.relation.schema)) None
+    else Some(lr.copy(relation = fresh))
+  }
+}
+
+case class SnapshotDmlRule(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperators {
+      case d @ DeleteFromTable(SnapshotDml.Target(dir, mor), cond)
+          if d.resolved =>
+        SnapshotDml.refuseSubquery(Option(cond))
+        SnapshotDeleteCommand(dir, mor, Option(cond))
+      case u @ UpdateTable(SnapshotDml.Target(dir, mor), assigns, cond)
+          if u.resolved =>
+        SnapshotDml.refuseSubquery(cond ++ assigns.map(_.value))
+        SnapshotUpdateCommand(dir, mor,
+          SnapshotDml.namedAssignments(assigns, "UPDATE"), cond)
+      case m: MergeIntoTable if m.resolved &&
+          SnapshotDml.Target.unapply(m.targetTable).isDefined =>
+        val (dir, _) = SnapshotDml.Target.unapply(m.targetTable).get
+        SnapshotDml.toMergeCommand(dir, m)
+    }
+}
+
+object SnapshotDml {
+
+  /** Matches the RESOLVED target relation of a `USING snapshot`
+    * catalog table: (store dir, dmlMode == mor). Covers both relation
+    * shapes the connector serves (the pruning HadoopFsRelation and
+    * the MoR-head SnapshotPlanRelation) — the match is on the catalog
+    * table's provider, not the relation class. */
+  object Target {
+    def unapply(plan: LogicalPlan): Option[(String, Boolean)] =
+      plan match {
+        case SubqueryAlias(_, child) => unapply(child)
+        case lr: LogicalRelation =>
+          lr.catalogTable.flatMap { ct =>
+            if (!ct.provider.exists(_.equalsIgnoreCase("snapshot"))) None
+            else {
+              val props = ct.storage.properties
+                .map { case (k, v) => (k.toLowerCase, v) }
+              val mode = props.getOrElse("dmlmode", "cow")
+              require(mode.equalsIgnoreCase("cow") ||
+                  mode.equalsIgnoreCase("mor"),
+                s"snapshot: dmlMode must be 'cow' or 'mor', got '$mode'")
+              // the catalog promotes the `path` option to locationUri
+              // and drops it from the property map — check both
+              props.get("path")
+                .orElse(ct.storage.locationUri.map(_.toString))
+                .map(p => (p, mode.equalsIgnoreCase("mor")))
+            }
+          }
+        case _ => None
+      }
+  }
+
+  /** Subqueries in DELETE/UPDATE expressions are refused at REWRITE
+    * time (their plans are bound to the statement's relation instance
+    * and cannot re-resolve against the engine's fresh scan) — and
+    * refusing here, in the rule, puts THIS message in front of the
+    * user instead of checkAnalysis's generic subquery complaint. */
+  private[plans] def refuseSubquery(es: Iterable[Expression]): Unit =
+    if (es.exists(SubqueryExpression.hasSubquery))
+      throw new UnsupportedOperationException(
+        "snapshot DML: subqueries in DELETE/UPDATE are not " +
+          "supported — rewrite as MERGE INTO with the subquery as " +
+          "the source")
+
+  /** A resolved condition/value expression, rebuilt to apply against
+    * a FRESH scan of the table: the statement's attribute ids belong
+    * to the analyzer's relation instance, the DML engine reads its
+    * own — so references go back to unresolved by-name form and
+    * re-resolve inside the library call. Names round-trip exactly. */
+  private[plans] def rebind(e: Expression)
+      : org.apache.spark.sql.Column =
+    GraftColumnBridge.column(e.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    })
+
+  /** UPDATE/MERGE assignments keyed by TOP-LEVEL column name; nested
+    * field assignment is refused (a partial struct write is a
+    * different operation than the column replace the engine runs). */
+  private[plans] def namedAssignments(assigns: Seq[Assignment],
+      stmt: String): Seq[(String, Expression)] =
+    assigns.map { a =>
+      a.key match {
+        case ar: AttributeReference => ar.name -> a.value
+        case other => throw new UnsupportedOperationException(
+          s"snapshot $stmt: only top-level columns can be SET " +
+            s"(got ${other.sql}) — rewrite the struct column whole")
+      }
+    }
+
+  private def stripCasts(e: Expression): Expression = e match {
+    case c: Cast => stripCasts(c.child)
+    case a: Alias => stripCasts(a.child)
+    case x => x
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  /** Maps a resolved MERGE onto [[Snapshots.mergeInto]] (full-row
+    * upsert with stats/bloom file routing). The supported shape is
+    * the canonical CDC upsert — equi-join ON clause, `WHEN MATCHED
+    * THEN UPDATE SET *`, `WHEN NOT MATCHED THEN INSERT *`, no action
+    * conditions — refusing anything else loudly rather than running
+    * different semantics under the same syntax. */
+  private[plans] def toMergeCommand(dir: String,
+      m: MergeIntoTable): SnapshotMergeCommand = {
+    def unsupported(what: String): Nothing =
+      throw new UnsupportedOperationException(
+        s"snapshot MERGE supports the upsert shape (ON equi-join, " +
+          "WHEN MATCHED THEN UPDATE SET *, WHEN NOT MATCHED THEN " +
+          s"INSERT *) — $what")
+    val targetOut = m.targetTable.outputSet
+    val sourceOut = m.sourceTable.outputSet
+    // ON: a conjunction of target-column = source-column with equal
+    // names — the upsert KEYS, leading column first as written
+    val keys = conjuncts(m.mergeCondition).map { c =>
+      c match {
+        case EqualTo(l, r) =>
+          (stripCasts(l), stripCasts(r)) match {
+            case (a: AttributeReference, b: AttributeReference)
+                if targetOut.contains(a) && sourceOut.contains(b) &&
+                  a.name.equalsIgnoreCase(b.name) => a.name
+            case (b: AttributeReference, a: AttributeReference)
+                if targetOut.contains(a) && sourceOut.contains(b) &&
+                  a.name.equalsIgnoreCase(b.name) => a.name
+            case _ => unsupported(
+              s"ON clause term '${c.sql}' is not target.col = src.col " +
+                "with matching names")
+          }
+        case other =>
+          unsupported(s"ON clause term '${other.sql}' is not an equality")
+      }
+    }
+    // the star-expanded actions: every assignment must be
+    // target-col := (cast of) the same-named source col
+    def starShaped(assigns: Seq[Assignment], what: String): Unit =
+      assigns.foreach { a =>
+        (a.key, stripCasts(a.value)) match {
+          case (k: AttributeReference, v: AttributeReference)
+              if k.name.equalsIgnoreCase(v.name) &&
+                sourceOut.contains(v) => ()
+          case _ => unsupported(
+            s"$what assignment '${a.key.sql} = ${a.value.sql}' is not " +
+              "the SET * / INSERT * shape")
+        }
+      }
+    m.matchedActions match {
+      case Seq(u: UpdateAction) if u.condition.isEmpty =>
+        starShaped(u.assignments, "WHEN MATCHED")
+      case other => unsupported(
+        s"matched actions ${other.map(_.getClass.getSimpleName)}")
+    }
+    m.notMatchedActions match {
+      case Seq(i: InsertAction) if i.condition.isEmpty =>
+        starShaped(i.assignments, "WHEN NOT MATCHED")
+      case other => unsupported(
+        s"not-matched actions ${other.map(_.getClass.getSimpleName)}")
+    }
+    if (m.notMatchedBySourceActions.nonEmpty)
+      unsupported("WHEN NOT MATCHED BY SOURCE is not part of the shape")
+    SnapshotMergeCommand(dir, m.sourceTable, keys)
+  }
+}
+
+/** `DELETE FROM t [WHERE …]` on a snapshot table → the Tx library
+  * delete (conflict-detected); `dmlMode 'mor'` tombstones instead of
+  * rewriting. Returns the affected row count. */
+case class SnapshotDeleteCommand(dir: String, mor: Boolean,
+    cond: Option[Expression]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("affected_rows", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val pred = cond.map(SnapshotDml.rebind).getOrElse(lit(true))
+    val n =
+      if (mor) Snapshots.deleteWhereMorTx(spark, dir, pred)._2
+        .tombstonesAdded
+      else Snapshots.deleteWhereTx(spark, dir, pred)._2.rowsChanged
+    Seq(Row(n))
+  }
+}
+
+/** `UPDATE t SET … [WHERE …]` on a snapshot table → the Tx library
+  * update; `dmlMode 'mor'` writes tombstones + updated images only. */
+case class SnapshotUpdateCommand(dir: String, mor: Boolean,
+    assigns: Seq[(String, Expression)], cond: Option[Expression])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("affected_rows", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val pred = cond.map(SnapshotDml.rebind).getOrElse(lit(true))
+    val sets = assigns.map { case (k, v) =>
+      k -> SnapshotDml.rebind(v)
+    }.toMap
+    val n =
+      if (mor) Snapshots.updateWhereMorTx(spark, dir, pred, sets)._2
+        .tombstonesAdded
+      else Snapshots.updateWhereTx(spark, dir, pred, sets)._2.rowsChanged
+    Seq(Row(n))
+  }
+}
+
+/** `MERGE INTO t USING src ON … WHEN MATCHED THEN UPDATE SET * WHEN
+  * NOT MATCHED THEN INSERT *` → [[Snapshots.mergeInto]] (stats/bloom
+  * file routing: only key-admitting files rewrite). Returns the
+  * source row count (every source row either replaced or inserted —
+  * the upsert contract). */
+case class SnapshotMergeCommand(dir: String, source: LogicalPlan,
+    keys: Seq[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("affected_rows", LongType, nullable = false)())
+
+  // the source plan rides along for execution, but as a COMMAND this
+  // node is a leaf to the analyzer (already fully resolved)
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = GraftColumnBridge.ofRows(spark, source)
+    val n = src.count()
+    Snapshots.mergeInto(spark, dir, src, keys)
+    Seq(Row(n))
+  }
+}

@@ -1186,6 +1186,127 @@ object ExtOps {
       }
     }),
 
+    // SQL DML end to end (round 17): DELETE / UPDATE / MERGE typed at
+    // spark.sql over `CREATE TABLE … USING snapshot` catalog tables —
+    // the SnapshotDmlRule rewrite onto the conflict-detected library
+    // DML, plus SnapshotFreshnessRule (every SELECT between
+    // statements must see the new head, never the session-cached
+    // relation). A second table with `dmlMode 'mor'` proves the
+    // per-table merge-on-read routing: the same DELETE leaves a
+    // tombstone-sidecar head. The DuckDB twin replays the statement
+    // chain as set algebra over the same lineitem projection.
+    "xq42_sql_dml" -> ((s, dir) => {
+      import graft.operators.Snapshots
+      val base = t(s, dir, "lineitem")
+        .select(col("l_orderkey").cast("long").as("k"),
+          pmod(col("l_orderkey"), lit(8)).cast("long").as("bucket"),
+          col("l_quantity").cast("long").as("qty"))
+        .repartition(col("bucket"))
+      val tmp = System.getProperty("java.io.tmpdir", "/tmp")
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val store = new java.io.File(tmp, s"graft-xq42-$tag").getAbsolutePath
+      val storeM = new java.io.File(tmp, s"graft-xq42m-$tag").getAbsolutePath
+      val tbl = s"g_xq42_$tag"
+      val tblM = s"g_xq42m_$tag"
+      val hfs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      try {
+        Snapshots.commitWithStats(s, base, store,
+          statsCols = Seq("k"), partitionByCols = Seq("bucket"))
+        Snapshots.commitWithStats(s, base, storeM,
+          statsCols = Seq("k"), partitionByCols = Seq("bucket"))
+        s.sql(s"CREATE TABLE $tbl USING snapshot OPTIONS (path '$store')")
+        s.sql(s"CREATE TABLE $tblM USING snapshot " +
+          s"OPTIONS (path '$storeM', dmlMode 'mor')")
+        val delRows = s.sql(s"DELETE FROM $tbl WHERE k % 7 = 2")
+          .head.getLong(0)
+        val updRows = s.sql(
+          s"UPDATE $tbl SET qty = qty + 100 WHERE k % 5 = 0")
+          .head.getLong(0)
+        val sk = base.select(col("k"))
+          .where(pmod(col("k"), lit(11)) === 3).distinct()
+        val src = sk.select(col("k"),
+            pmod(col("k"), lit(8)).cast("long").as("bucket"),
+            lit(777L).as("qty"))
+          .unionByName(sk.select((col("k") + 10000000L).as("k"),
+            pmod(col("k") + 10000000L, lit(8)).cast("long").as("bucket"),
+            lit(777L).as("qty")))
+        src.createOrReplaceTempView(s"src_$tag")
+        val mrgRows = s.sql(
+          s"MERGE INTO $tbl USING src_$tag src ON $tbl.k = src.k " +
+            "WHEN MATCHED THEN UPDATE SET * " +
+            "WHEN NOT MATCHED THEN INSERT *").head.getLong(0)
+        val fin = s.sql(s"SELECT count(*) AS n, sum(qty) AS sq, " +
+          s"sum(k) AS sk, count(CASE WHEN qty = 777 THEN 1 END) " +
+          s"AS n7 FROM $tbl").head
+        val delM = s.sql(s"DELETE FROM $tblM WHERE k % 7 = 2")
+          .head.getLong(0)
+        val nM = s.sql(s"SELECT count(*) AS n FROM $tblM")
+          .head.getLong(0)
+        val morHead = if (Snapshots.isMorVersion(s, storeM,
+          Snapshots.latestVersion(s, storeM))) 1L else 0L
+        import s.implicits._
+        Seq((delRows, updRows, mrgRows, fin.getLong(0), fin.getLong(1),
+          fin.getLong(2), fin.getLong(3), delM, nM, morHead))
+          .toDF("del_rows", "upd_rows", "merge_rows", "n_final",
+            "qty_sum", "k_sum", "n_merged", "mor_del_rows", "n_mor",
+            "mor_head")
+      } finally {
+        scala.util.Try(s.sql(s"DROP TABLE IF EXISTS $tbl"))
+        scala.util.Try(s.sql(s"DROP TABLE IF EXISTS $tblM"))
+        scala.util.Try(s.catalog.dropTempView(s"src_$tag"))
+        hfs.delete(new org.apache.hadoop.fs.Path(store), true)
+        hfs.delete(new org.apache.hadoop.fs.Path(storeM), true); ()
+      }
+    }),
+
+    // Incremental deletion-vector census (round 17): one big MoR
+    // delete, then five point deletes — each statement writes ONLY
+    // its own tombstones (per-file dv + metadata carried by
+    // reference), so a point delete's sidecar bytes stay BELOW the
+    // big statement's regardless of how many tombstones accumulated
+    // before it (the pre-r17 union-rewrite made every statement pay
+    // for all prior tombstones — strictly more than the big one).
+    // The flatness invariant is pinned as cost_flat=1; every count
+    // is replayed closed-form by the DuckDB twin.
+    "xq43_dv_census" -> ((s, dir) => {
+      import graft.operators.Snapshots
+      val base = t(s, dir, "lineitem")
+        .select(col("l_orderkey").cast("long").as("k"),
+          pmod(col("l_orderkey"), lit(8)).cast("long").as("bucket"),
+          col("l_quantity").cast("long").as("qty"))
+        .repartition(col("bucket"))
+      val tmp = System.getProperty("java.io.tmpdir", "/tmp")
+      val store = new java.io.File(tmp,
+        s"graft-xq43-${java.util.UUID.randomUUID()}").getAbsolutePath
+      val hfs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      try {
+        Snapshots.commitWithStats(s, base, store,
+          statsCols = Seq("k"), partitionByCols = Seq("bucket"))
+        val (_, big) = Snapshots.deleteWhereMor(s, store,
+          pmod(col("k"), lit(3)) === 0)
+        val smalls = Seq(1L, 2L, 5L, 7L, 11L).map { kv =>
+          Snapshots.deleteWhereMor(s, store, col("k") === kv)._2
+        }
+        val maxSmall = smalls.map(_.bytesWritten).max
+        val costFlat = if (maxSmall < big.bytesWritten) 1L else 0L
+        val fin = Snapshots.read(s, store)
+          .agg(count(lit(1)).as("n"), sum(col("qty")).as("sq")).head()
+        val totalT = big.tombstonesAdded +
+          smalls.map(_.tombstonesAdded).sum
+        assert(smalls.last.tombstonesTotal == totalT)
+        import s.implicits._
+        Seq((big.tombstonesAdded,
+          smalls.map(_.tombstonesAdded).sum, totalT,
+          fin.getLong(0), fin.getLong(1), costFlat))
+          .toDF("big_rows", "small_rows", "tombstones_total",
+            "n_final", "qty_sum", "cost_flat")
+      } finally {
+        hfs.delete(new org.apache.hadoop.fs.Path(store), true); ()
+      }
+    }),
+
     // Snapshot schema evolution end-to-end: three commits with
     // add/widen/drop between them (v1 k+price, v2 +status, v3 drops
     // price and adds clerk), then every version TIME-TRAVELED
@@ -2667,6 +2788,56 @@ object ExtOps {
            (SELECT CAST(sum(v) AS BIGINT) FROM u) AS v_checksum_fold""",
     // merge-on-read vs copy-on-write DELETE: survivors replay
     // closed-form (NOT pred); the MoR store writes zero data files
+    // deletion-vector statement chain replayed closed-form; the
+    // flatness invariant (a point delete never pays for accumulated
+    // tombstones) is Spark-measured and pinned as the constant 1
+    "xq43_dv_census" ->
+      """WITH base AS (SELECT CAST(l_orderkey AS BIGINT) AS k,
+             CAST(l_quantity AS BIGINT) AS qty FROM lineitem),
+         afterbig AS (SELECT * FROM base WHERE NOT (k % 3 = 0)),
+         am AS (SELECT * FROM afterbig
+             WHERE k NOT IN (1, 2, 5, 7, 11))
+         SELECT
+           (SELECT count(*) FROM base WHERE k % 3 = 0) AS big_rows,
+           (SELECT count(*) FROM afterbig
+              WHERE k IN (1, 2, 5, 7, 11)) AS small_rows,
+           (SELECT count(*) FROM base WHERE k % 3 = 0) +
+             (SELECT count(*) FROM afterbig
+                WHERE k IN (1, 2, 5, 7, 11)) AS tombstones_total,
+           (SELECT count(*) FROM am) AS n_final,
+           (SELECT CAST(sum(qty) AS BIGINT) FROM am) AS qty_sum,
+           CAST(1 AS BIGINT) AS cost_flat""",
+    // the SQL-DML statement chain replayed as set algebra: delete →
+    // update → full-row upsert merge (matched keys replaced whole,
+    // unmatched inserted), plus the MoR twin's delete census
+    "xq42_sql_dml" ->
+      """WITH base AS (SELECT CAST(l_orderkey AS BIGINT) AS k,
+             CAST(l_orderkey % 8 AS BIGINT) AS bucket,
+             CAST(l_quantity AS BIGINT) AS qty FROM lineitem),
+         afterdel AS (SELECT * FROM base WHERE NOT (k % 7 = 2)),
+         afterupd AS (SELECT k, bucket,
+             CASE WHEN k % 5 = 0 THEN qty + 100 ELSE qty END AS qty
+           FROM afterdel),
+         sk AS (SELECT DISTINCT k FROM base WHERE k % 11 = 3),
+         src AS (SELECT k, CAST(k % 8 AS BIGINT) AS bucket,
+             CAST(777 AS BIGINT) AS qty FROM sk
+           UNION ALL
+           SELECT k + 10000000, CAST((k + 10000000) % 8 AS BIGINT),
+             CAST(777 AS BIGINT) FROM sk),
+         am AS (SELECT * FROM afterupd
+             WHERE k NOT IN (SELECT k FROM src)
+           UNION ALL SELECT * FROM src)
+         SELECT
+           (SELECT count(*) FROM base WHERE k % 7 = 2) AS del_rows,
+           (SELECT count(*) FROM afterdel WHERE k % 5 = 0) AS upd_rows,
+           (SELECT count(*) FROM src) AS merge_rows,
+           (SELECT count(*) FROM am) AS n_final,
+           (SELECT CAST(sum(qty) AS BIGINT) FROM am) AS qty_sum,
+           (SELECT CAST(sum(k) AS BIGINT) FROM am) AS k_sum,
+           (SELECT count(*) FROM am WHERE qty = 777) AS n_merged,
+           (SELECT count(*) FROM base WHERE k % 7 = 2) AS mor_del_rows,
+           (SELECT count(*) FROM afterdel) AS n_mor,
+           CAST(1 AS BIGINT) AS mor_head""",
     "xq39_mor_delete" ->
       """WITH t AS (SELECT CAST(l_orderkey AS BIGINT) AS k,
              l_orderkey % 8 AS bucket FROM lineitem),

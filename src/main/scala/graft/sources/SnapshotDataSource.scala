@@ -69,9 +69,37 @@ import graft.operators.Snapshots
 class SnapshotDataSource extends RelationProvider
     with CreatableRelationProvider
     with org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
     with DataSourceRegister {
 
   override def shortName(): String = "snapshot"
+
+  // ---- streaming WRITE: writeStream.format("snapshot") ------------
+  // The fourth direction of the one-format story: each micro-batch
+  // commits as one version with its epoch marker sealed by the same
+  // atomic slot rename as any commit, through the commitWithEpoch
+  // fence — a restarted query re-offering an already-published epoch
+  // no-ops (exactly-once), and a crashed attempt that died between
+  // slot rename and pointer publish rolls FORWARD instead of
+  // duplicating. `statsCols`/`bloomCols` options keep the streamed
+  // table pruning-capable. Append-only (a versioned log of appends);
+  // other output modes and partitionBy are refused loudly.
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "snapshot sink: partitionBy is not supported on the stream — " +
+        "fold/OPTIMIZE the table into a clustered layout instead")
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode
+        .Append(),
+      s"snapshot sink supports Append output mode only, got $outputMode")
+    val dir = dirOf(parameters)
+    def csv(k: String): Seq[String] = parameters.get(k).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    new SnapshotVersionedSink(sqlContext.sparkSession, dir,
+      csv("statsCols"), csv("bloomCols"))
+  }
 
   // ---- streaming: format("snapshot") readStream ≡ "snapshot-log" --
   // One format name serves both directions (the Delta convention):
@@ -139,9 +167,10 @@ class SnapshotDataSource extends RelationProvider
       require(end < 0 || end >= since,
         s"snapshot: endingVersion ($end) must not precede " +
           s"startingVersion ($since)")
+      val head0 =
+        if (end > 0) end else Snapshots.latestVersion(spark, dir)
       return new SnapshotPlanRelation(spark, () => {
-        val head =
-          if (end > 0) end else Snapshots.latestVersion(spark, dir)
+        val head = head0
         if (head <= since) {
           // a caught-up consumer polls with since == head constantly:
           // that is an EMPTY feed, not an error
@@ -153,7 +182,8 @@ class SnapshotDataSource extends RelationProvider
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             schema)
         } else Snapshots.readAppendsSince(spark, dir, since, end)
-      })
+      }, servedVersion = if (end > 0) -1L else head0)
+      // (an endingVersion pin is explicit — never considered stale)
     }
     val pins = Seq(
       parameters.get("versionAsOf").map(_ => "versionAsOf"),
@@ -191,7 +221,8 @@ class SnapshotDataSource extends RelationProvider
       if (version > 0) version else Snapshots.latestVersion(spark, dir)
     if (Snapshots.isMorVersion(spark, dir, resolved))
       return new SnapshotPlanRelation(spark,
-        () => Snapshots.read(spark, dir, resolved))
+        () => Snapshots.read(spark, dir, resolved),
+        servedVersion = if (version > 0) -1L else resolved)
     val df = Snapshots.table(spark, dir, version)
     df.queryExecution.analyzed.collectFirst {
       case lr: LogicalRelation
@@ -264,6 +295,32 @@ class SnapshotDataSource extends RelationProvider
   }
 }
 
+/** The v1 streaming sink behind `writeStream.format("snapshot")`:
+  * one committed version per micro-batch, `_epoch.<batchId>` fenced.
+  * The engine's `data` frame carries an incremental (streaming)
+  * plan; the ForeachBatchSink idiom — wrap its executed RDD in a
+  * batch-tagged frame — lets the library write path run on it. */
+private[sources] class SnapshotVersionedSink(
+    spark: org.apache.spark.sql.SparkSession, dir: String,
+    statsCols: Seq[String], bloomCols: Seq[String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val batch = org.apache.spark.sql.GraftColumnBridge
+      .internalCreateDataFrame(spark, data.queryExecution.toRdd,
+        data.schema)
+    // APPEND semantics (the Delta streaming-sink shape): the
+    // destination is the cumulative table. Left = this epoch already
+    // published (engine replay after a restart) — the exactly-once
+    // no-op, not an error
+    Snapshots.appendWithEpoch(spark, batch, dir, batchId, statsCols,
+      bloomCols)
+    ()
+  }
+
+  override def toString: String = s"SnapshotVersionedSink[$dir]"
+}
+
 /** Path sanity enforced by [[SnapshotDataSource.dirOf]]: the store
   * directory itself — NOT a `v=N` subdirectory — is the address the
   * connector takes. */
@@ -276,10 +333,15 @@ object SnapshotDataSource {
   * through the connector, behind a column-pruning scan. Filters
   * still apply — Spark evaluates them above this relation — only
   * FILE skipping is unavailable on these plans; correctness never
-  * depends on it. */
-private[sources] class SnapshotPlanRelation(
+  * depends on it. `servedVersion` is the store head this relation
+  * resolved against — the freshness rule
+  * ([[graft.plans.SnapshotFreshnessRule]]) compares it with the
+  * current head to decide whether a CACHED catalog relation must be
+  * rebuilt (-1 = not version-addressed, never considered stale). */
+private[graft] class SnapshotPlanRelation(
     spark: org.apache.spark.sql.SparkSession,
-    plan: () => org.apache.spark.sql.DataFrame)
+    plan: () => org.apache.spark.sql.DataFrame,
+    val servedVersion: Long = -1L)
     extends BaseRelation with org.apache.spark.sql.sources.PrunedScan {
 
   // evaluated ONCE: the declared schema and every buildScan must see

@@ -148,6 +148,79 @@ class DmlConflictSpec extends SparkSpec {
     assert(Snapshots.latestVersion(spark, dir) == 3L)
   }
 
+  test("merge-on-read DML records tombstone-key provenance too: op " +
+    "mor_delete/mor_update, touched = the files whose rows were " +
+    "tombstoned") {
+    val dir = freshDir("graft-txmp")
+    build(dir)
+    Snapshots.deleteWhereMor(spark, dir, col("k") <= 99L)
+    val dml = Snapshots.readDml(hfs, s"$dir/v=2")
+      .getOrElse(fail("no _dml.json on a MoR DML version"))
+    assert(dml._1 == 1L && dml._2 == "mor_delete")
+    assert(dml._3.size == 1 && dml._3.head.startsWith("v=1/b=0/"),
+      dml._3)
+    Snapshots.updateWhereMor(spark, dir, col("k") === 399L,
+      Map("k" -> lit(9999L)))
+    val up = Snapshots.readDml(hfs, s"$dir/v=3").get
+    assert(up._2 == "mor_update" && up._3.head.startsWith("v=1/b=3/"))
+  }
+
+  test("two concurrent MoR deletes: the Tx loser re-executes on the " +
+    "winner's head — BOTH tombstone sets apply, never last-write-wins") {
+    val dir = freshDir("graft-txmd")
+    build(dir)
+    squatNextSlot(dir)
+    @volatile var workerV = -1L
+    val worker = new Thread(() => {
+      Thread.sleep(500)
+      workerV = Snapshots.deleteWhereMor(spark, dir, col("k") >= 350L)._1
+    })
+    worker.start()
+    // reads head v1, stages refs+tombstones, loses the squatted claim
+    // of v2, waits for the worker's publish, re-stages on v3 — the
+    // re-staged version carries the WORKER's tombstones too
+    val (vB, msB) = Snapshots.deleteWhereMorTx(spark, dir,
+      col("k") < 50L)
+    worker.join()
+    assert(workerV == 3L, s"worker landed at $workerV")
+    assert(vB == 4L, s"Tx writer landed at $vB")
+    assert(msB.tombstonesAdded == 50L && msB.tombstonesTotal == 100L,
+      msB)
+    val t = Snapshots.read(spark, dir)
+    assert(t.count() == 300L) // BOTH deletes applied
+    assert(t.agg(min("k"), max("k")).head().toSeq == Seq(50L, 349L))
+    // the pre-fix single-statement hole, pinned the other way: the
+    // plain path from a COMMON head does lose the first statement —
+    // which is exactly why the SQL path routes through Tx
+  }
+
+  test("a MoR Tx statement racing a COPY-ON-WRITE commit re-executes " +
+    "on the new self-contained head and both land") {
+    val dir = freshDir("graft-txmx")
+    build(dir)
+    squatNextSlot(dir)
+    val worker = new Thread(() => {
+      Thread.sleep(500)
+      Snapshots.deleteWhere(spark, dir, col("k") >= 390L); ()
+    })
+    worker.start()
+    val (vB, msB) = Snapshots.deleteWhereMorTx(spark, dir,
+      col("k") < 10L)
+    worker.join()
+    assert(vB == 4L && msB.tombstonesAdded == 10L)
+    assert(Snapshots.read(spark, dir).count() == 380L)
+    // crashed-committer diagnosis on a never-published claim
+    val dir2 = freshDir("graft-txmc")
+    build(dir2)
+    squatNextSlot(dir2)
+    val e = intercept[IllegalStateException] {
+      Snapshots.deleteWhereMorTx(spark, dir2, col("k") < 50L,
+        publishWaitMs = 400L)
+    }
+    assert(e.getMessage.contains("never published"), e.getMessage)
+    assert(Snapshots.latestVersion(spark, dir2) == 1L)
+  }
+
   test("with no contention the Tx path is just the plain path: " +
     "lands at head+1, provenance recorded, no-ops publish nothing") {
     val dir = freshDir("graft-txq")

@@ -52,7 +52,10 @@ class MorDeleteSpec extends SparkSpec {
     // the MoR version directory holds NO data files at all
     assert(dataFilesIn(s"$morDir/v=2").isEmpty)
     assert(mor.filesReferenced == 4L)
-    assert(mor.bytesWritten < mor.cowBytesAvoided / 4,
+    // sidecar = tombstones + refs + _dml.json provenance; even on
+    // this 400-row fixture it is a small fraction of the CoW movement
+    // (at scale the ratio is bytes-vs-terabytes)
+    assert(mor.bytesWritten < mor.cowBytesAvoided / 3,
       s"sidecar ${mor.bytesWritten} vs cow ${mor.cowBytesAvoided}")
     // identical table content, partition column included
     val a = Snapshots.read(spark, cowDir)
@@ -345,5 +348,112 @@ class MorDeleteSpec extends SparkSpec {
     // time travel through the guard: version pin still works
     val (tv, _) = Snapshots.readTopK(spark, dir, "k", 1, version = 1L)
     assert(tv.agg(max(col("k"))).head().getLong(0) == 399L)
+  }
+
+  test("incremental deletion vectors: statement cost is O(statement)," +
+    " never O(accumulated deletes) — a 1-row delete after a 200-row " +
+    "delete writes a small fraction of the first statement's bytes") {
+    val dir = freshDir("graft-morDV")
+    // 40k rows so the first statement's deletion vector dwarfs fixed
+    // parquet overheads — the ratio below then actually measures the
+    // union-rewrite-vs-incremental difference
+    val df = (0L until 40000L).map(i => (i, i / 10000, s"d$i"))
+      .toDF("k", "b", "payload").repartition(col("b"))
+    Snapshots.commitWithStats(spark, df, dir, statsCols = Seq("k"),
+      partitionByCols = Seq("b"))
+    val (_, big) = Snapshots.deleteWhereMor(spark, dir,
+      col("k") < 30000L)
+    assert(big.tombstonesAdded == 30000L)
+    val (_, tiny) = Snapshots.deleteWhereMor(spark, dir,
+      col("k") === 35000L)
+    assert(tiny.tombstonesAdded == 1L && tiny.tombstonesTotal == 30001L)
+    // the old union-rewrite made every statement pay for ALL prior
+    // tombstones; the incremental dv writes only its own — the 1-row
+    // statement must cost a small fraction of the 30k-row one
+    assert(tiny.bytesWritten < big.bytesWritten / 4,
+      s"tiny ${tiny.bytesWritten} vs big ${big.bytesWritten}")
+    assert(Snapshots.read(spark, dir).count() == 9999L)
+    // dv metadata: v3 carries v2's dv by reference + its own locally
+    val head = Snapshots.latestVersion(spark, dir)
+    val entries = Snapshots.dvEntries(spark, dir, head)
+    assert(entries.size == 2, entries)
+    assert(entries.map(_.rows).sorted == Seq(1L, 30000L))
+    assert(entries.forall(_.keys.isDefined))
+    // fold clears them all
+    Snapshots.foldMor(spark, dir, statsCols = Seq("k"))
+    assert(Snapshots.read(spark, dir).count() == 9999L)
+    assert(Snapshots.dvEntries(spark, dir,
+      Snapshots.latestVersion(spark, dir)).isEmpty)
+  }
+
+  test("dirty/clean scan split: files untouched by every deletion " +
+    "vector scan PLAIN — no lineage derivation, no anti-join above " +
+    "them; only dirty files pay the join") {
+    val dir = freshDir("graft-morDS")
+    build(dir)
+    // delete rows living ONLY in bucket 0's file
+    Snapshots.deleteWhereMor(spark, dir, col("k") < 10L)
+    val head = Snapshots.latestVersion(spark, dir)
+    val keys = Snapshots.dvEntries(spark, dir, head)
+      .flatMap(_.keys.get)
+    assert(keys.size == 1 && keys.head.contains("b=0"), keys)
+    val q = Snapshots.read(spark, dir)
+    assert(q.count() == 390L)
+    val plan = q.queryExecution.executedPlan.toString
+    // one anti-join (the dirty branch) + a Union with the clean scans
+    assert("LeftAnti".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("Union"), plan)
+    // and the results are right file-by-file
+    assert(q.filter(col("b") === 0L).count() == 90L)
+    assert(q.filter(col("b") =!= 0L).count() == 300L)
+  }
+
+  test("vacuum pins versions whose _dv directory a survivor still " +
+    "references — a carried deletion vector is content, not cleanup") {
+    val dir = freshDir("graft-morDVp")
+    build(dir)
+    Snapshots.deleteWhereMor(spark, dir, col("k") < 25L) // v2: dv here
+    Snapshots.appendVersion(spark,
+      (500L until 510L).map(i => (i, 0L, s"d$i"))
+        .toDF("k", "b", "payload").coalesce(1), dir) // v3: carries dv ref
+    assert(Snapshots.read(spark, dir).count() == 385L)
+    // keepLast=1 dooms v1,v2 — but v3 references v1's data files AND
+    // v2's deletion vector: nothing may be reclaimed
+    assert(Snapshots.vacuum(spark, dir, keepLast = 1).isEmpty)
+    assert(Snapshots.read(spark, dir).count() == 385L)
+    assert(Snapshots.read(spark, dir).filter(col("k") < 25L)
+      .count() == 0L, "tombstones lost after vacuum")
+    // fold → self-contained head → everything older reclaims
+    Snapshots.foldMor(spark, dir, statsCols = Seq("k"))
+    assert(Snapshots.vacuum(spark, dir, keepLast = 1)
+      == Seq(1L, 2L, 3L))
+    assert(Snapshots.read(spark, dir).count() == 385L)
+  }
+
+  test("legacy monolithic _deletes.parquet stores still read, count, " +
+    "and accept further DML (carried by reference, all-dirty " +
+    "conservative scan)") {
+    val dir = freshDir("graft-morLeg")
+    build(dir)
+    Snapshots.deleteWhereMor(spark, dir, col("k") < 30L)
+    // surgically convert v2 to the pre-r17 layout: one monolithic
+    // _deletes.parquet, no _dv, no _dvrefs
+    val v2 = s"$dir/v=2"
+    val dv = Snapshots.dvEntries(spark, dir, 2L)
+    assert(dv.size == 1)
+    spark.read.parquet(dv.head.path).coalesce(1).write
+      .parquet(s"$v2/_deletes.parquet")
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$v2/_dv"), true)
+    assert(Snapshots.read(spark, dir).count() == 370L)
+    val legacy = Snapshots.dvEntries(spark, dir, 2L)
+    assert(legacy.size == 1 && legacy.head.keys.isEmpty &&
+      legacy.head.rows == 30L, legacy)
+    // a NEW statement on the legacy head carries the monolithic set
+    // by reference and adds its own incremental dv
+    val (_, m) = Snapshots.deleteWhereMor(spark, dir, col("k") === 100L)
+    assert(m.tombstonesAdded == 1L && m.tombstonesTotal == 31L)
+    assert(Snapshots.read(spark, dir).count() == 369L)
+    Snapshots.foldMor(spark, dir, statsCols = Seq("k"))
+    assert(Snapshots.read(spark, dir).count() == 369L)
   }
 }

@@ -1,0 +1,191 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.operators.Snapshots
+import org.apache.spark.sql.functions._
+
+/** SQL DML on `USING snapshot` tables (SnapshotDmlRule) and per-query
+  * catalog freshness (SnapshotFreshnessRule): a SQL/BI user must be
+  * able to DELETE/UPDATE/MERGE with zero Scala, get the Tx
+  * (conflict-detected) path by default, choose merge-on-read per
+  * table, and every statement — DML or SELECT — must see the store's
+  * CURRENT head, never a session-cached stale version. */
+class SnapshotSqlDmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  private var n = 0
+  /** A fresh catalog table over a fresh 400-row store. */
+  private def mkTable(opts: String = ""): (String, String) = {
+    n += 1
+    val dir = freshDir("graft-sqldml")
+    val df = (0L until 400L).map(i => (i, i / 100, s"p$i"))
+      .toDF("k", "b", "payload").repartition(col("b"))
+    Snapshots.commitWithStats(spark, df, dir, statsCols = Seq("k"),
+      partitionByCols = Seq("b"))
+    val t = s"sqldml_$n"
+    spark.sql(s"CREATE TABLE $t USING snapshot " +
+      s"OPTIONS (path '$dir'$opts)")
+    (t, dir)
+  }
+
+  test("DELETE FROM / UPDATE / MERGE INTO run end to end through " +
+    "spark.sql with affected-row counts, and history stays " +
+    "time-travelable") {
+    val (t, dir) = mkTable()
+    assert(spark.sql(s"DELETE FROM $t WHERE k < 100").head.getLong(0)
+      == 100L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t").head.getLong(0)
+      == 300L)
+    assert(spark.sql(
+      s"UPDATE $t SET payload = 'upd' WHERE k BETWEEN 100 AND 109")
+      .head.getLong(0) == 10L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t " +
+      "WHERE payload = 'upd'").head.getLong(0) == 10L)
+    // canonical upsert MERGE: keys 396..405 — 4 replace, 6 insert
+    assert(spark.sql(
+      s"""MERGE INTO $t USING (
+         |  SELECT id + 396 AS k, CAST(9 AS BIGINT) AS b,
+         |         'merged' AS payload FROM range(10)
+         |) src ON $t.k = src.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      .head.getLong(0) == 10L)
+    val after = spark.sql(
+      s"SELECT count(*) AS n FROM $t WHERE payload = 'merged'")
+    assert(after.head.getLong(0) == 10L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t").head.getLong(0)
+      == 306L) // 300 existing - 4 replaced in place + 6 inserted
+    // DML provenance recorded; v1 still serves the original table
+    assert(Snapshots.read(spark, dir, 1L).count() == 400L)
+    // DELETE without WHERE empties the table
+    assert(spark.sql(s"DELETE FROM $t").head.getLong(0) == 306L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t").head.getLong(0)
+      == 0L)
+  }
+
+  test("dmlMode 'mor' routes DELETE/UPDATE merge-on-read: tombstone " +
+    "sidecars, zero data files for a delete, SELECT serves the " +
+    "assembly") {
+    val (t, dir) = mkTable(", dmlMode 'mor'")
+    assert(spark.sql(s"DELETE FROM $t WHERE k < 50").head.getLong(0)
+      == 50L)
+    val head = Snapshots.latestVersion(spark, dir)
+    assert(Snapshots.isMorVersion(spark, dir, head))
+    // pure-delete MoR version: no data files of its own
+    val f = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val local = f.listStatus(new org.apache.hadoop.fs.Path(
+      s"$dir/v=$head")).map(_.getPath.getName)
+      .filterNot(x => x.startsWith("_") || x.startsWith("."))
+    assert(local.isEmpty, local.toSeq)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t").head.getLong(0)
+      == 350L)
+    assert(spark.sql(s"UPDATE $t SET payload = 'u' WHERE k = 399")
+      .head.getLong(0) == 1L)
+    assert(spark.sql(s"SELECT payload FROM $t WHERE k = 399")
+      .head.getString(0) == "u")
+    // an invalid mode is refused loudly at first DML/SELECT use
+    val dir2 = freshDir("graft-sqldmlbad")
+    Snapshots.commit(spark, Seq((1L, "x")).toDF("k", "s"), dir2)
+    spark.sql(s"CREATE TABLE sqldml_bad USING snapshot " +
+      s"OPTIONS (path '$dir2', dmlMode 'sideways')")
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM sqldml_bad WHERE k = 1").collect()
+    }
+    assert(e.getMessage.contains("dmlMode"), e.getMessage)
+  }
+
+  test("per-query freshness: SELECT sees library commits, SQL DML, " +
+    "and writes made through OTHER catalog aliases of the same store " +
+    "— never the session-cached version") {
+    val (t, dir) = mkTable()
+    // populate the relation cache
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t").head.getLong(0)
+      == 400L)
+    // library-side commit behind the catalog's back
+    Snapshots.appendVersion(spark,
+      Seq((9000L, 9L, "new")).toDF("k", "b", "payload"), dir)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t").head.getLong(0)
+      == 401L, "stale cached relation after a library commit")
+    // a second alias over the same store, then DML through it
+    spark.sql(s"CREATE TABLE ${t}_alias USING snapshot " +
+      s"OPTIONS (path '$dir')")
+    assert(spark.sql(s"SELECT count(*) AS n FROM ${t}_alias")
+      .head.getLong(0) == 401L)
+    spark.sql(s"DELETE FROM ${t}_alias WHERE k >= 9000")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t").head.getLong(0)
+      == 400L, "alias A stale after DML through alias B")
+    // an explicitly pinned table NEVER refreshes
+    spark.sql(s"CREATE TABLE ${t}_v1 USING snapshot " +
+      s"OPTIONS (path '$dir', versionAsOf '1')")
+    assert(spark.sql(s"SELECT count(*) AS n FROM ${t}_v1")
+      .head.getLong(0) == 400L)
+    Snapshots.appendVersion(spark,
+      Seq((9001L, 9L, "x")).toDF("k", "b", "payload"), dir)
+    assert(spark.sql(s"SELECT count(*) AS n FROM ${t}_v1")
+      .head.getLong(0) == 400L, "pinned table must not refresh")
+  }
+
+  test("the SQL path is the Tx path: a statement that loses the " +
+    "commit race re-validates like deleteWhereTx — disjoint DML " +
+    "re-executes, both land") {
+    val (t, dir) = mkTable()
+    // squat the contended slot so the SQL statement always loses its
+    // claim of head+1 (the DmlConflictSpec determinism trick)
+    val f = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    f.create(new org.apache.hadoop.fs.Path(dir, "_claim.2"),
+      false).close()
+    @volatile var workerV = -1L
+    val worker = new Thread(() => {
+      Thread.sleep(500)
+      workerV = Snapshots.deleteWhere(spark, dir, col("k") >= 350L)._1
+    })
+    worker.start()
+    val affected =
+      spark.sql(s"DELETE FROM $t WHERE k < 50").head.getLong(0)
+    worker.join()
+    assert(workerV == 3L && affected == 50L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t").head.getLong(0)
+      == 300L) // BOTH deletes applied — never last-write-wins
+    assert(spark.sql(s"SELECT min(k) AS mn, max(k) AS mx FROM $t")
+      .head.toSeq == Seq(50L, 349L))
+  }
+
+  test("unsupported statement shapes are refused loudly — never run " +
+    "with different semantics") {
+    val (t, _) = mkTable()
+    // subquery in WHERE
+    val e1 = intercept[UnsupportedOperationException] {
+      spark.sql(s"DELETE FROM $t WHERE k IN (SELECT id FROM range(3))")
+        .collect()
+    }
+    assert(e1.getMessage.contains("MERGE"), e1.getMessage)
+    // non-equi / non-key merge condition
+    val e2 = intercept[UnsupportedOperationException] {
+      spark.sql(s"MERGE INTO $t USING (SELECT 1 AS k, CAST(0 AS " +
+        s"BIGINT) AS b, 'z' AS payload) s ON $t.k > s.k " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *").collect()
+    }
+    assert(e2.getMessage.contains("equality"), e2.getMessage)
+    // partial SET in a merge (not the star shape)
+    val e3 = intercept[UnsupportedOperationException] {
+      spark.sql(s"MERGE INTO $t USING (SELECT 1 AS k, CAST(0 AS " +
+        s"BIGINT) AS b, 'z' AS payload) s ON $t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET payload = 'zz' " +
+        "WHEN NOT MATCHED THEN INSERT *").collect()
+    }
+    assert(e3.getMessage.contains("SET *"), e3.getMessage)
+    // statements on NON-snapshot tables pass through untouched and
+    // fail with Spark's own error, not ours
+    spark.sql("CREATE TABLE sqldml_plain (k BIGINT) USING parquet")
+    val e4 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("DELETE FROM sqldml_plain WHERE k = 1").collect()
+    }
+    assert(e4.getMessage.contains("does not support"), e4.getMessage)
+  }
+}

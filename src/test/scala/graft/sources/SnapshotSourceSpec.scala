@@ -90,6 +90,30 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(e2.getMessage.contains("mutually exclusive"))
   }
 
+  test("backfillPubtimes makes a pre-timestamp-travel store " +
+    "versionAt-able (mtime-approximate, create-exclusive, " +
+    "idempotent; genuine records never overwritten)") {
+    val dir = freshDir("graft-srcbf")
+    Snapshots.commit(spark, Seq((1L, 1L)).toDF("v", "b"), dir)
+    Thread.sleep(30)
+    Snapshots.commit(spark, Seq((1L, 1L), (2L, 2L)).toDF("v", "b"), dir)
+    // simulate a pre-r16 store: strip the publication records
+    val f = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    Seq(1L, 2L).foreach(v => f.delete(
+      new org.apache.hadoop.fs.Path(dir, s"_pubtime.$v"), false))
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.versionAt(spark, dir, System.currentTimeMillis())
+    }
+    assert(e.getMessage.contains("no publication records"), e.getMessage)
+    // backfill stamps both from directory mtimes; travel works again
+    assert(Snapshots.backfillPubtimes(spark, dir) == Seq(1L, 2L))
+    assert(Snapshots.versionAt(spark, dir,
+      System.currentTimeMillis()) == 2L)
+    // idempotent: a second run stamps nothing and overwrites nothing
+    assert(Snapshots.backfillPubtimes(spark, dir).isEmpty)
+  }
+
   test("timestamp travel serves PUBLISHED main-line history only: a " +
     "branch-only commit in the middle is never surfaced") {
     val dir = freshDir("graft-srcb")
@@ -254,6 +278,54 @@ class SnapshotSourceSpec extends SparkSpec {
       .map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
     assert(cdf.filter(col("_version") === 3L)
       .agg(min("k")).head().getLong(0) == 20L)
+  }
+
+  test("writeStream.format(\"snapshot\"): store -> stream -> store " +
+    "entirely through the one format name, exactly-once across a " +
+    "checkpoint restart, epoch-fenced versions on the sink side") {
+    val src = freshDir("graft-snksrc")
+    val dst = freshDir("graft-snkdst")
+    val ckpt = freshDir("graft-snkck")
+    (0 until 3).foreach(i => Snapshots.commit(spark,
+      (i * 10L until i * 10L + 10L).map(k => (k, s"s$k")).toDF("k", "s"),
+      src))
+    def run() = spark.readStream.format("snapshot")
+      .option("path", src).load()
+      .drop("_version")
+      .writeStream.format("snapshot")
+      .option("path", dst)
+      .option("checkpointLocation", ckpt)
+      .start()
+    val q = run()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.format("snapshot").load(dst)
+    assert(got.count() == 30L)
+    assert(got.select("k").distinct().count() == 30L)
+    // epoch markers seal each sink version (the exactly-once fence)
+    val f = new org.apache.hadoop.fs.Path(dst).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val v1Files = f.listStatus(new org.apache.hadoop.fs.Path(
+      s"$dst/v=1")).map(_.getPath.getName)
+    assert(v1Files.exists(_.startsWith("_epoch.")), v1Files.toSeq)
+    // new source commits + a RESTARTED query from the same
+    // checkpoint: only the new versions land, zero redelivery
+    (3 until 5).foreach(i => Snapshots.commit(spark,
+      (i * 10L until i * 10L + 10L).map(k => (k, s"s$k")).toDF("k", "s"),
+      src))
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
+    val got2 = spark.read.format("snapshot").load(dst)
+    assert(got2.count() == 50L, "redelivery or loss across restart")
+    assert(got2.select("k").distinct().count() == 50L)
+    // refused shapes: partitionBy and non-append output modes
+    val e = intercept[Exception] {
+      spark.readStream.format("snapshot").option("path", src).load()
+        .writeStream.format("snapshot").partitionBy("k")
+        .option("path", freshDir("graft-snkp"))
+        .option("checkpointLocation", freshDir("graft-snkpc"))
+        .start()
+    }
+    assert(e.getMessage.contains("partitionBy"), e.getMessage)
   }
 
   test("appended rows land in the right partition directories and " +
