@@ -50,6 +50,39 @@ object Bench {
         .filter(f => f.isDirectory && f.getName.startsWith("blockmgr-"))
         .toSet
     val preexistingDirs = blockMgrDirs()
+    // ---- LOAD CALIBRATION (round 17) --------------------------------
+    // Two rounds in a row the record was taken on a contended box and
+    // every judge paid an isolated rerun to prove it. The bench now
+    // measures a FIXED CPU probe — one single-thread pass and one
+    // all-cores-wide pass of the same deterministic loop — before and
+    // after the suite, stores the numbers in the JSON, and stamps the
+    // record "contended": true when any probe deviates >15% from the
+    // committed record's calibration. A probe, unlike load1m, measures
+    // what contention actually does to THIS process's threads.
+    def probeOnce(): Double = {
+      val t0 = System.nanoTime()
+      var h = 0x811c9dc5L
+      var i = 0L
+      while (i < 200000000L) { h = (h ^ i) * 0x01000193L; i += 1 }
+      if (h == 42L) print("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
+    def cpuProbe(): (Double, Double) = {
+      probeOnce() // JIT warmup, untimed
+      val single = (1 to 3).map(_ => probeOnce()).min
+      val n = math.max(2, Runtime.getRuntime.availableProcessors())
+      val t0 = System.nanoTime()
+      val ts = (1 to n).map { _ =>
+        val t = new Thread(() => { probeOnce(); () }); t.start(); t
+      }
+      ts.foreach(_.join())
+      val wide = (System.nanoTime() - t0) / 1e9
+      (single, wide)
+    }
+    def load1m(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val (preSingle, preWide) = cpuProbe()
+    val loadPre = load1m()
     val spark = graft.GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: absorb session/parquet-footer/codegen init so the first
@@ -196,6 +229,35 @@ object Bench {
           }
         }
       }
+    // post-suite calibration probe + contended verdict vs the
+    // committed record's PRE-probe (the committed baseline was taken
+    // in a verified-quiet window; >15% slower on any probe means this
+    // run shared the box and its absolute numbers need adjudication)
+    val (postSingle, postWide) = cpuProbe()
+    val loadPost = load1m()
+    val committedCal: Map[String, Double] =
+      try {
+        val txt = Files.readString(Paths.get("bench_results.json"))
+        val idx = txt.indexOf("\"calibration\":{")
+        if (idx < 0) Map.empty
+        else {
+          val blob = txt.substring(idx + 15, txt.indexOf("}", idx))
+          """"(\w+)":([0-9.]+)""".r.findAllMatchIn(blob)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } catch { case _: Exception => Map.empty }
+    val contended = {
+      def worse(mine: Double, key: String) =
+        committedCal.get(key).exists(base => mine > base * 1.15)
+      worse(preSingle, "pre_single") || worse(preWide, "pre_wide") ||
+        worse(postSingle, "pre_single") || worse(postWide, "pre_wide")
+    }
+    progress.foreach { p =>
+      p.println(f"[calibrate] pre: single=$preSingle%.3fs wide=$preWide%.3fs " +
+        f"load1m=$loadPre%.1f | post: single=$postSingle%.3fs " +
+        f"wide=$postWide%.3fs load1m=$loadPost%.1f contended=$contended")
+      p.flush()
+    }
     progress.foreach(_.close())
     // 3-decimal timings keep the one-line JSON compact (millisecond
     // resolution is already below bench noise). Locale.ROOT so a
@@ -220,10 +282,15 @@ object Bench {
     }.mkString("{", ",", "}")
     val adjPart =
       if (adjudications.isEmpty) "" else s""","adjudications":$adjJson"""
+    val calPart =
+      s""","calibration":{"pre_single":${num(preSingle)},""" +
+        s""""pre_wide":${num(preWide)},"post_single":${num(postSingle)},""" +
+        s""""post_wide":${num(postWide)},"load1m_pre":${num(loadPre)},""" +
+        s""""load1m_post":${num(loadPost)}},"contended":$contended"""
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"passes":$passes,"queries":${qjson(slowest)}$adjPart,"sf":$sfNum}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"passes":$passes,"queries":${qjson(slowest)}$adjPart$calPart,"sf":$sfNum}"""
     val full =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","passes":$passes,"queries":${qjson(sorted)}$adjPart,"sf":$sfNum}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","passes":$passes,"queries":${qjson(sorted)}$adjPart$calPart,"sf":$sfNum}"""
     // a filtered dev run must not clobber the committed full vector
     if (only.isEmpty)
       try Files.writeString(Paths.get("bench_results.json"), full + "\n")

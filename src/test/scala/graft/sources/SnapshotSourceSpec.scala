@@ -328,6 +328,36 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("partitionBy"), e.getMessage)
   }
 
+  test("catalog persistence: saveAsTable registers a snapshot table " +
+    "in the external catalog; a NEW session (fresh SessionState over " +
+    "the shared catalog) lists, queries, and DMLs it — and the " +
+    "original session sees that DML through the freshness rule") {
+    val dir = freshDir("graft-srcsat")
+    (0L until 20L).map(i => (i, s"s$i")).toDF("k", "s")
+      .write.format("snapshot").option("path", dir)
+      .saveAsTable("sat_persist")
+    assert(spark.catalog.tableExists("sat_persist"))
+    assert(Snapshots.latestVersion(spark, dir) == 1L)
+    // a fresh session: new SessionState (new analyzer, new relation
+    // cache), SAME external catalog — the session-restart shape the
+    // in-process harness can exercise. (Surviving a full JVM restart
+    // additionally needs a persistent metastore:
+    // spark.sql.catalogImplementation=hive — the table record is
+    // provider + path, nothing graft-specific.)
+    val s2 = spark.newSession()
+    assert(s2.catalog.tableExists("sat_persist"))
+    assert(s2.sql("SELECT count(*) AS n FROM sat_persist")
+      .head.getLong(0) == 20L)
+    // extensions travel with the session build: SQL DML works in the
+    // new session too
+    assert(s2.sql("DELETE FROM sat_persist WHERE k < 5")
+      .head.getLong(0) == 5L)
+    // and the ORIGINAL session's cached relation refreshes
+    assert(spark.sql("SELECT count(*) AS n FROM sat_persist")
+      .head.getLong(0) == 15L)
+    spark.sql("DROP TABLE sat_persist")
+  }
+
   test("appended rows land in the right partition directories and " +
     "prune alongside the originals") {
     val dir = freshDir("graft-srcp")
