@@ -277,6 +277,7 @@ object Snapshots {
             // publish the oldest complete one, reclaim the rest
             orphans.tail.foreach { o =>
               f.delete(new Path(dir, s"v=$o"), true)
+              morMemoInvalidate(f, dir, o)
               retireClaim(f, dir, o)
             }
             publish(spark, dir, v)
@@ -481,7 +482,13 @@ object Snapshots {
       // an append copies no tombstone bytes either
       writeDvLines(f, new Path(stage, DvRefsName),
         carryDvLines(spark, f, dir, v))
-      copyEpochMarkers(f, new Path(vDir), stage)
+      // an EPOCH-fenced append writes only ITS marker (the
+      // commitWithEpoch convention — the engine can only ever replay
+      // the newest epoch, and carrying the whole history would make a
+      // long-lived streaming sink O(batches) marker files per commit);
+      // a plain append carries markers forward so the fence survives
+      // interleaved maintenance commits
+      if (epoch.isEmpty) copyEpochMarkers(f, new Path(vDir), stage)
       mark(stage, f)
       val nv = occupyNextFree(spark, f, dir, stage)
       publish(spark, dir, nv)
@@ -519,7 +526,9 @@ object Snapshots {
       org.apache.hadoop.fs.FileUtil.copy(f, new Path(s"$vDir/$r"),
         f, new Path(stage, r), false, conf)
     }
-    copyEpochMarkers(f, new Path(vDir), stage)
+    // see the MoR branch above: epoch-fenced appends write only their
+    // own marker, plain appends carry the fence forward
+    if (epoch.isEmpty) copyEpochMarkers(f, new Path(vDir), stage)
     mark(stage, f)
     val nv = occupyNextFree(spark, f, dir, stage)
     publish(spark, dir, nv)
@@ -557,6 +566,7 @@ object Snapshots {
           case Some(v) =>
             orphans.tail.foreach { o =>
               f.delete(new Path(dir, s"v=$o"), true)
+              morMemoInvalidate(f, dir, o)
               retireClaim(f, dir, o)
             }
             publish(spark, dir, v)
@@ -585,6 +595,11 @@ object Snapshots {
       : (DataFrame, FileStats.PruneStats) = {
     val v = if (version > 0) version else latestVersion(spark, dir)
     require(v > 0, s"$dir has no committed version")
+    // merge-on-read heads have no bloom sidecars and their local
+    // files are not the table — full assembly, everything-kept census
+    // (same guard as every other pruned reader)
+    if (isMorVersion(spark, dir, v))
+      return morUnprunedRead(spark, dir, v)
     BloomStats.readEqualsPruned(spark, s"$dir/v=$v", column, value)
   }
 
@@ -1224,6 +1239,19 @@ object Snapshots {
               s"the table under this statement (base v=$h) — " +
               "re-read and re-reason")
         }
+        // a concurrent MERGE-ON-READ statement moved the head to an
+        // MoR version this copy-on-write statement cannot re-stage
+        // against (and its 'v=N/rel'-namespaced tombstone keys can
+        // never intersect CoW rel paths, so the overlap check below
+        // would misreport it as disjoint) — abort with the honest
+        // diagnosis instead of retrying into the fold-first require
+        provenance.find(_._2.exists(_._2.startsWith("mor_")))
+          .foreach { case (x, _) =>
+            throw new java.util.ConcurrentModificationException(
+              s"conflict: concurrent merge-on-read DML v=$x under " +
+                s"this copy-on-write statement (base v=$h) — fold " +
+                "the tombstones (foldMor), then re-run")
+          }
         val touchedByOthers = provenance
           .flatMap(_._2.toSeq.flatMap(_._3)).toSet
         val overlap = affected.filter(touchedByOthers)
@@ -1260,6 +1288,7 @@ object Snapshots {
               // regress the pointer over its commit. Withdraw ours
               // and validate/retry exactly like a lost claim.
               f.delete(new Path(dir, s"v=${h + 1}"), true)
+              morMemoInvalidate(f, dir, h + 1)
               retireClaim(f, dir, h + 1)
               validateIntervening(latestVersion(spark, dir), affected)
               attempt += 1
@@ -1477,11 +1506,37 @@ object Snapshots {
   private[operators] val DvRefsName = "_dvrefs.json"
 
   /** One deletion-vector sidecar serving a version: the parquet's
-    * absolute path, its row count, and the data-file keys it
-    * tombstones (None = unknown — a legacy monolithic set — every
-    * file must be treated dirty). */
+    * absolute path, its row count (-1 when the caller asked to skip
+    * the legacy count), and the data-file keys it tombstones (None =
+    * unknown — a legacy monolithic set — every file must be treated
+    * dirty). */
   private[operators] final case class DvEntry(path: String, rows: Long,
     keys: Option[Seq[String]])
+
+  /** Percent-decode the %XX escapes a URI-rendered path carries
+    * ('b=New%20York' → 'b=New York'); malformed escapes pass through
+    * verbatim. Used ONLY to canonicalize dv-key vs file-listing
+    * comparisons — tombstone anti-join keys stay in their original
+    * (input_file_name-derived) form on both sides. */
+  private def pctDecode(s: String): String = {
+    if (!s.contains('%')) return s
+    val bytes = new java.io.ByteArrayOutputStream
+    var i = 0
+    def hex(c: Char): Int = Character.digit(c, 16)
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length && hex(s.charAt(i + 1)) >= 0 &&
+          hex(s.charAt(i + 2)) >= 0) {
+        bytes.write(hex(s.charAt(i + 1)) * 16 + hex(s.charAt(i + 2)))
+        i += 3
+      } else {
+        val enc = c.toString.getBytes("UTF-8")
+        bytes.write(enc, 0, enc.length)
+        i += 1
+      }
+    }
+    new String(bytes.toByteArray, "UTF-8")
+  }
 
   private def renderDvLine(src: Option[Long], file: String, rows: Long,
       keys: Option[Seq[String]]): String = {
@@ -1552,9 +1607,13 @@ object Snapshots {
     }
 
   /** EVERY deletion-vector sidecar serving version `v`: carried refs,
-    * local dvs, and (legacy) the monolithic `_deletes.parquet`. */
+    * local dvs, and (legacy) the monolithic `_deletes.parquet`.
+    * `needRows = false` skips the legacy set's count job (its rows
+    * come back as -1) — the read path needs only paths + keys, and a
+    * count per SELECT on a legacy store would be a scan tax the old
+    * code never paid. */
   private[operators] def dvEntries(spark: SparkSession, dir: String,
-      v: Long): Seq[DvEntry] = {
+      v: Long, needRows: Boolean = true): Seq[DvEntry] = {
     val f = fs(spark, dir)
     val vDir = s"$dir/v=$v"
     val carried = readDvRefs(f, vDir).map { case (src, file, rows, ks) =>
@@ -1567,7 +1626,8 @@ object Snapshots {
     val legacy =
       if (!f.exists(legacyP)) Seq.empty
       else Seq(DvEntry(legacyP.toString,
-        spark.read.parquet(legacyP.toString).count(), None))
+        if (needRows) spark.read.parquet(legacyP.toString).count()
+        else -1L, None))
     carried ++ local ++ legacy
   }
 
@@ -1624,6 +1684,19 @@ object Snapshots {
   private val morMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, Long),
       java.lang.Boolean]()
+
+  /** Drop every memo entry for `v=$v` — called wherever THIS JVM
+    * deletes a version directory (Tx withdrawals, epoch-orphan
+    * reclaim, vacuum), so a later re-occupant of the same slot can
+    * never be answered from the deleted incarnation's cache even if
+    * the two directories land in the same mtime tick. External
+    * deletes are covered by the mtime in the key. */
+  private def morMemoInvalidate(f: org.apache.hadoop.fs.FileSystem,
+      dir: String, v: Long): Unit = {
+    val vp = f.makeQualified(new Path(dir, s"v=$v")).toString
+    morMemo.keySet.removeIf(_._1 == vp)
+    ()
+  }
 
   /** The sound degenerate read of a merge-on-read head for every
     * stats-PRUNED reader: MoR versions carry no manifest (by design)
@@ -1707,14 +1780,22 @@ object Snapshots {
     val f = fs(spark, dir)
     val phys = physicalFiles(spark, f, dir, v)
     require(phys.nonEmpty, s"MoR version v=$v references no files")
-    val dvs = dvEntries(spark, dir, v)
+    val dvs = dvEntries(spark, dir, v, needRows = false)
+    // dv keys come from input_file_name(), which renders the path
+    // URI-ENCODED ('b=New%20York/…'); the physical file list comes
+    // from FileSystem listings, which are DECODED ('b=New York/…').
+    // Classify against BOTH spellings of both sides — a false
+    // "dirty" merely anti-joins a clean file (harmless), a false
+    // "clean" would resurrect deleted rows (the failure this union
+    // makes impossible).
     val dirtyKeys: Option[Set[String]] =
       if (dvs.exists(_.keys.isEmpty)) None // legacy: all dirty
-      else Some(dvs.flatMap(_.keys.get).toSet)
-    def keyOf(src: Long, rel: String) = s"$src/$rel"
+      else Some(dvs.flatMap(_.keys.get)
+        .flatMap(k => Seq(k, pctDecode(k))).toSet)
     val isDirty: ((Long, String)) => Boolean = {
       case (src, rel) =>
-        dirtyKeys.forall(_.contains(keyOf(src, rel)))
+        dirtyKeys.forall(ks => ks.contains(s"$src/$rel") ||
+          ks.contains(pctDecode(s"$src/$rel")))
     }
     val (dirty, clean) =
       if (dvs.isEmpty) (Seq.empty[(Long, String)], phys)
@@ -1956,6 +2037,7 @@ object Snapshots {
               // a non-claim committer published above our slot —
               // withdraw and re-execute on the new head
               f.delete(new Path(dir, s"v=${h + 1}"), true)
+              morMemoInvalidate(f, dir, h + 1)
               retireClaim(f, dir, h + 1)
               attempt += 1
             } else {
@@ -2892,6 +2974,7 @@ object Snapshots {
     }
     doomed.foreach { v =>
       f.delete(new Path(dir, s"v=$v"), true)
+      morMemoInvalidate(f, dir, v)
       f.delete(new Path(dir, s"_claim.$v"), false)
       f.delete(new Path(dir, s"_pubtime.$v"), false)
     }

@@ -347,9 +347,16 @@ case class SnapshotMergeCommand(dir: String, source: LogicalPlan,
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
 
   override def run(spark: SparkSession): Seq[Row] = {
+    // persisted: the count here and mergeInto's key-routing +
+    // rewrite re-read the SAME materialized source — an expensive
+    // (or non-deterministic) source plan executes once, and the
+    // reported affected_rows always matches the rows merged
     val src = GraftColumnBridge.ofRows(spark, source)
-    val n = src.count()
-    Snapshots.mergeInto(spark, dir, src, keys)
-    Seq(Row(n))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = src.count()
+      Snapshots.mergeInto(spark, dir, src, keys)
+      Seq(Row(n))
+    } finally { src.unpersist(); () }
   }
 }

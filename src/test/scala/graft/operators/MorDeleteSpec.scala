@@ -430,6 +430,33 @@ class MorDeleteSpec extends SparkSpec {
     assert(Snapshots.read(spark, dir).count() == 385L)
   }
 
+  test("URI-encodable partition values never leak deleted rows " +
+    "through the dirty/clean split: dv keys are URL-encoded " +
+    "(input_file_name), file listings are decoded — both spellings " +
+    "classify dirty") {
+    val dir = freshDir("graft-morEnc")
+    // partition values with spaces: the directory is 'city=New York'
+    // in the listing but 'city=New%20York' in input_file_name
+    val df = (0L until 100L)
+      .map(i => (i, if (i < 50) "New York" else "Sao Paulo"))
+      .toDF("k", "city").repartition(col("city"))
+    Snapshots.commit(spark, df, dir)
+    val (_, m) = Snapshots.deleteWhereMor(spark, dir,
+      col("city") === "New York" && col("k") < 10L)
+    assert(m.tombstonesAdded == 10L)
+    val t = Snapshots.read(spark, dir)
+    assert(t.count() == 90L, "deleted rows resurrected — the dirty/" +
+      "clean split misclassified an encoded-key file as clean")
+    assert(t.filter(col("city") === "New York").count() == 40L)
+    assert(t.filter(col("k") < 10L).count() == 0L)
+    // and readPointLookup routes through the assembly on an MoR head
+    val (pl, ps) = Snapshots.readPointLookup(spark, dir, "k", "5")
+    assert(pl.filter(col("k") === 5L).count() == 0L)
+    assert(ps.filesSkipped == 0L, ps)
+    val (pl2, _) = Snapshots.readPointLookup(spark, dir, "k", "55")
+    assert(pl2.filter(col("k") === 55L).count() == 1L)
+  }
+
   test("legacy monolithic _deletes.parquet stores still read, count, " +
     "and accept further DML (carried by reference, all-dirty " +
     "conservative scan)") {
