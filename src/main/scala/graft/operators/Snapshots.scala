@@ -1212,22 +1212,99 @@ object Snapshots {
     else { publish(spark, dir, v); true }
   }
 
-  private def rewriteWhereTx(spark: SparkSession, dir: String,
-      pred: org.apache.spark.sql.Column,
-      sets: Option[Map[String, org.apache.spark.sql.Column]],
-      maxRetries: Int, publishWaitMs: Long): (Long, RewriteStats) = {
+  /** The ONE claim/occupy/publish commit-race loop every Tx DML
+    * statement runs, copy-on-write and merge-on-read alike.
+    * `prepare(head)` stages the statement against `head` and returns
+    * either `Left(result)` for a provable no-op (published nothing)
+    * or `Right((stage, result, onRace))` — the ready stage directory,
+    * the statement's result, and a validation callback invoked with
+    * the NEW head whenever another writer committed first: it throws
+    * to abort the statement, or returns to authorize re-staging on
+    * that head (one more `prepare` call, bounded by `maxRetries`).
+    * The loop owns every protocol invariant: claim EXACTLY head+1,
+    * re-check the head BEFORE occupying (once v=h+1 exists under a
+    * moved head, ranged readers — readAppendsSince, the snapshot-log
+    * source — would transiently see a version about to be
+    * withdrawn), publish through [[publishIfHead]] (never a
+    * backwards pointer move over a non-claim committer), withdraw +
+    * memo-invalidate on the residual race, surface squatted slots,
+    * and diagnose a claimed-but-never-published winner after a
+    * bounded wait. */
+  private def txCommitLoop[T](spark: SparkSession, dir: String,
+      maxRetries: Int, publishWaitMs: Long)(
+      prepare: Long => Either[T, (Path, T, Long => Unit)])
+      : (Long, T) = {
     val f = fs(spark, dir)
     var attempt = 0
     while (attempt <= maxRetries) {
       val h = latestVersion(spark, dir)
       require(h > 0, s"$dir has no committed version")
+      prepare(h) match {
+        case Left(result) => return (h, result)
+        case Right((stage, result, onRace)) =>
+          if (tryClaimSlot(f, dir, h + 1)) {
+            if (latestVersion(spark, dir) != h) {
+              retireClaim(f, dir, h + 1)
+              f.delete(stage, true)
+              onRace(latestVersion(spark, dir))
+              attempt += 1
+            } else if (occupySlot(f, dir, stage, h + 1)) {
+              if (publishIfHead(spark, dir, h, h + 1))
+                return (h + 1, result)
+              // a non-claim committer landed ABOVE our claimed slot
+              // and already published — publishing h+1 now would
+              // regress the pointer over its commit. Withdraw ours
+              // and validate/retry exactly like a lost claim.
+              f.delete(new Path(dir, s"v=${h + 1}"), true)
+              morMemoInvalidate(f, dir, h + 1)
+              retireClaim(f, dir, h + 1)
+              onRace(latestVersion(spark, dir))
+              attempt += 1
+            } else {
+              // claim won but the slot was squatted (pre-claim-era
+              // leftover): surface it rather than publish a merge
+              f.delete(stage, true)
+              throw new IllegalStateException(
+                s"conflict: v=${h + 1} directory already exists in $dir")
+            }
+          } else {
+            // lost the claim — wait for the winner to publish, then
+            // let the statement validate what it touched
+            f.delete(stage, true)
+            val deadline = System.currentTimeMillis() + publishWaitMs
+            var h2 = latestVersion(spark, dir)
+            while (h2 == h && System.currentTimeMillis() < deadline) {
+              Thread.sleep(25L)
+              h2 = latestVersion(spark, dir)
+            }
+            if (h2 == h)
+              throw new IllegalStateException(
+                s"conflict: v=${h + 1} claimed but never published " +
+                  s"within ${publishWaitMs}ms — crashed committer? " +
+                  "recover with commitCAS claimGraceMs / vacuum")
+            onRace(h2)
+            attempt += 1
+          }
+      }
+    }
+    throw new IllegalStateException(
+      s"conflict: lost the commit race $maxRetries times in $dir — " +
+        "retry budget exhausted")
+  }
+
+  private def rewriteWhereTx(spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column,
+      sets: Option[Map[String, org.apache.spark.sql.Column]],
+      maxRetries: Int, publishWaitMs: Long): (Long, RewriteStats) = {
+    val f = fs(spark, dir)
+    txCommitLoop(spark, dir, maxRetries, publishWaitMs) { h =>
       require(!isMorVersion(spark, dir, h),
         "copy-on-write DML on a merge-on-read head — fold the " +
           "tombstones first (foldMor), then rewrite")
-      // intervening-commit validation, shared by the lost-claim path
-      // and the won-claim-but-head-moved path: aborts loudly on any
-      // overlap or non-DML interleave; returns normally when every
-      // intervening version is DML over disjoint files (safe retry)
+      // intervening-commit validation, run on every commit race:
+      // aborts loudly on any overlap or non-DML interleave; returns
+      // normally when every intervening version is DML over disjoint
+      // files (safe retry — predicate DML re-executes serializably)
       def validateIntervening(h2: Long, affected: Seq[String]): Unit = {
         val intervening = existingVersions(f, dir)
           .filter(x => x > h && x <= h2).sorted
@@ -1264,65 +1341,12 @@ object Snapshots {
               " — re-read and re-reason")
       }
       stageRewrite(spark, dir, h, pred, sets) match {
-        case None => return (h, RewriteStats(0, 0, 0, 0))
+        case None => Left(RewriteStats(0, 0, 0, 0))
         case Some((stage, affected, rs)) =>
-          if (tryClaimSlot(f, dir, h + 1)) {
-            // re-check the head BEFORE occupying: once v=h+1 exists
-            // under a moved head, ranged readers (readAppendsSince,
-            // the snapshot-log source) would transiently see a
-            // version this statement is about to withdraw. Checking
-            // first keeps the never-published directory from
-            // materializing at all in the common race; the
-            // post-occupy publishIfHead below remains the backstop
-            // for the residual window.
-            if (latestVersion(spark, dir) != h) {
-              retireClaim(f, dir, h + 1)
-              f.delete(stage, true)
-              validateIntervening(latestVersion(spark, dir), affected)
-              attempt += 1
-            } else if (occupySlot(f, dir, stage, h + 1)) {
-              if (publishIfHead(spark, dir, h, h + 1))
-                return (h + 1, rs)
-              // a non-claim committer landed ABOVE our claimed slot
-              // and already published — publishing h+1 now would
-              // regress the pointer over its commit. Withdraw ours
-              // and validate/retry exactly like a lost claim.
-              f.delete(new Path(dir, s"v=${h + 1}"), true)
-              morMemoInvalidate(f, dir, h + 1)
-              retireClaim(f, dir, h + 1)
-              validateIntervening(latestVersion(spark, dir), affected)
-              attempt += 1
-            } else {
-              // claim won but the slot was squatted (pre-claim-era
-              // leftover): surface it rather than publish a merge
-              f.delete(stage, true)
-              throw new IllegalStateException(
-                s"conflict: v=${h + 1} directory already exists in $dir")
-            }
-          } else {
-            // lost the claim — wait for the winner to publish, then
-            // validate what it touched
-            f.delete(stage, true)
-            val deadline = System.currentTimeMillis() + publishWaitMs
-            var h2 = latestVersion(spark, dir)
-            while (h2 == h && System.currentTimeMillis() < deadline) {
-              Thread.sleep(25L)
-              h2 = latestVersion(spark, dir)
-            }
-            if (h2 == h)
-              throw new IllegalStateException(
-                s"conflict: v=${h + 1} claimed but never published " +
-                  s"within ${publishWaitMs}ms — crashed committer? " +
-                  "recover with commitCAS claimGraceMs / vacuum")
-            validateIntervening(h2, affected)
-            // disjoint: serializable to re-execute on the new head
-            attempt += 1
-          }
+          Right((stage, rs,
+            (h2: Long) => validateIntervening(h2, affected)))
       }
     }
-    throw new IllegalStateException(
-      s"conflict: lost the commit race $maxRetries times in $dir — " +
-        "retry budget exhausted")
   }
 
   /** MERGE INTO as a copy-on-write snapshot commit — the K1 full-row
@@ -2014,58 +2038,19 @@ object Snapshots {
       sets: Option[Map[String, org.apache.spark.sql.Column]],
       maxRetries: Int, publishWaitMs: Long): (Long, MorStats) = {
     val f = fs(spark, dir)
-    var attempt = 0
-    while (attempt <= maxRetries) {
-      val h = latestVersion(spark, dir)
-      require(h > 0, s"$dir has no committed version")
+    txCommitLoop(spark, dir, maxRetries, publishWaitMs) { h =>
       stageMorDml(spark, dir, h, pred, sets) match {
         case None =>
-          return (h, MorStats(0L, dvTotal(spark, dir, h),
+          Left(MorStats(0L, dvTotal(spark, dir, h),
             physicalFiles(spark, f, dir, h).size.toLong, 0L, 0L))
         case Some((stage, stats)) =>
-          if (tryClaimSlot(f, dir, h + 1)) {
-            if (latestVersion(spark, dir) != h) {
-              // head moved before we occupied: withdraw and re-stage
-              // (see rewriteWhereTx for why checking BEFORE occupying
-              // matters to ranged readers)
-              retireClaim(f, dir, h + 1)
-              f.delete(stage, true)
-              attempt += 1
-            } else if (occupySlot(f, dir, stage, h + 1)) {
-              if (publishIfHead(spark, dir, h, h + 1))
-                return (h + 1, stats)
-              // a non-claim committer published above our slot —
-              // withdraw and re-execute on the new head
-              f.delete(new Path(dir, s"v=${h + 1}"), true)
-              morMemoInvalidate(f, dir, h + 1)
-              retireClaim(f, dir, h + 1)
-              attempt += 1
-            } else {
-              f.delete(stage, true)
-              throw new IllegalStateException(
-                s"conflict: v=${h + 1} directory already exists in $dir")
-            }
-          } else {
-            // lost the claim — wait for the winner, then re-execute
-            f.delete(stage, true)
-            val deadline = System.currentTimeMillis() + publishWaitMs
-            var h2 = latestVersion(spark, dir)
-            while (h2 == h && System.currentTimeMillis() < deadline) {
-              Thread.sleep(25L)
-              h2 = latestVersion(spark, dir)
-            }
-            if (h2 == h)
-              throw new IllegalStateException(
-                s"conflict: v=${h + 1} claimed but never published " +
-                  s"within ${publishWaitMs}ms — crashed committer? " +
-                  "recover with commitCAS claimGraceMs / vacuum")
-            attempt += 1
-          }
+          // an MoR stage carries the head's COMPLETE reference +
+          // tombstone state, so re-staging against any winner's head
+          // is serializable re-execution — no overlap abort needed,
+          // the race callback authorizes every retry
+          Right((stage, stats, (_: Long) => ()))
       }
     }
-    throw new IllegalStateException(
-      s"conflict: lost the commit race $maxRetries times in $dir — " +
-        "retry budget exhausted")
   }
 
   /** Row-level UPDATE, merge-on-read: the matching rows are
