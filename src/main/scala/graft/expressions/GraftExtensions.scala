@@ -69,6 +69,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (post-hoc: the analyzer has already resolved the target through
     // the connector relation by the time this runs)
     ext.injectPostHocResolutionRule(s => graft.plans.SnapshotDmlRule(s))
+    // delegating SQL parser: VERSION/TIMESTAMP AS OF on snapshot
+    // tables (Spark's analyzer refuses them for V1 relations),
+    // VACUUM / OPTIMIZE [PURGE | ZORDER BY] / DESCRIBE HISTORY —
+    // everything else delegates verbatim
+    ext.injectParser((session, delegate) =>
+      new graft.plans.SnapshotSqlParser(session, delegate))
   }
 }
 

@@ -1722,6 +1722,33 @@ object Snapshots {
     ()
   }
 
+  /** Classify version `v`'s physical files into DIRTY (some deletion
+    * vector touches them) and CLEAN, plus the dv entries themselves.
+    * dv keys come from input_file_name(), which renders the path
+    * URI-ENCODED ('b=New%20York/…'); the physical file list comes
+    * from FileSystem listings, which are DECODED ('b=New York/…') —
+    * classification matches BOTH spellings of both sides: a false
+    * "dirty" merely anti-joins a clean file (harmless), a false
+    * "clean" would resurrect deleted rows (the failure the union
+    * makes impossible). A legacy monolithic set (unknown keys) makes
+    * every file dirty. */
+  private def morSplit(spark: SparkSession, dir: String, v: Long,
+      phys: Seq[(Long, String)])
+      : (Seq[(Long, String)], Seq[(Long, String)], Seq[DvEntry]) = {
+    val dvs = dvEntries(spark, dir, v, needRows = false)
+    if (dvs.isEmpty)
+      return (Seq.empty, phys, dvs)
+    val dirtyKeys: Option[Set[String]] =
+      if (dvs.exists(_.keys.isEmpty)) None // legacy: all dirty
+      else Some(dvs.flatMap(_.keys.get)
+        .flatMap(k => Seq(k, pctDecode(k))).toSet)
+    val (dirty, clean) = phys.partition { case (src, rel) =>
+      dirtyKeys.forall(ks => ks.contains(s"$src/$rel") ||
+        ks.contains(pctDecode(s"$src/$rel")))
+    }
+    (dirty, clean, dvs)
+  }
+
   /** The sound degenerate read of a merge-on-read head for every
     * stats-PRUNED reader: MoR versions carry no manifest (by design)
     * and their local files are not the table, so a pruned reader
@@ -1804,27 +1831,10 @@ object Snapshots {
     val f = fs(spark, dir)
     val phys = physicalFiles(spark, f, dir, v)
     require(phys.nonEmpty, s"MoR version v=$v references no files")
-    val dvs = dvEntries(spark, dir, v, needRows = false)
-    // dv keys come from input_file_name(), which renders the path
-    // URI-ENCODED ('b=New%20York/…'); the physical file list comes
-    // from FileSystem listings, which are DECODED ('b=New York/…').
-    // Classify against BOTH spellings of both sides — a false
-    // "dirty" merely anti-joins a clean file (harmless), a false
-    // "clean" would resurrect deleted rows (the failure this union
-    // makes impossible).
-    val dirtyKeys: Option[Set[String]] =
-      if (dvs.exists(_.keys.isEmpty)) None // legacy: all dirty
-      else Some(dvs.flatMap(_.keys.get)
-        .flatMap(k => Seq(k, pctDecode(k))).toSet)
-    val isDirty: ((Long, String)) => Boolean = {
-      case (src, rel) =>
-        dirtyKeys.forall(ks => ks.contains(s"$src/$rel") ||
-          ks.contains(pctDecode(s"$src/$rel")))
-    }
+    val (dirty0, clean0, dvs) = morSplit(spark, dir, v, phys)
     val (dirty, clean) =
-      if (dvs.isEmpty) (Seq.empty[(Long, String)], phys)
-      else if (lineage) (phys, Seq.empty[(Long, String)])
-      else phys.partition(isDirty)
+      if (lineage && dvs.nonEmpty) (phys, Seq.empty[(Long, String)])
+      else (dirty0, clean0)
     def scanGroups(files: Seq[(Long, String)], withLineage: Boolean)
         : Option[DataFrame] = {
       if (files.isEmpty) return None
@@ -2132,6 +2142,91 @@ object Snapshots {
     val nv = occupyNextFree(spark, f, dir, stage)
     publish(spark, dir, nv)
     nv
+  }
+
+  /** Accounting for a [[purgeMor]]: dirty files rewritten, clean
+    * files carried by reference, tombstones applied (now gone), and
+    * the data bytes each side held — `bytesSkipped` is what a full
+    * [[foldMor]] would have rewritten on top. */
+  final case class PurgeStats(filesRewritten: Long,
+    filesReferenced: Long, tombstonesApplied: Long,
+    bytesRewritten: Long, bytesSkipped: Long)
+
+  /** PURGE a merge-on-read head: rewrite ONLY the DIRTY files (those
+    * some deletion vector touches) with their tombstoned rows
+    * dropped, carry every CLEAN file by reference, and drop all
+    * deletion vectors — the targeted maintenance step between
+    * "leave the tombstones" and a full [[foldMor]] rewrite (Delta's
+    * REORG … APPLY (PURGE)). Cost is O(dirty bytes), not O(table):
+    * after a point delete on a 100 TB table, purge rewrites the one
+    * file that lost rows and references everything else. The result
+    * is still a reference-assembled (manifest-less) version — plain
+    * reads skip the anti-join entirely (no dvs left), and a later
+    * foldMor/compaction restores the self-contained stats-indexed
+    * form when maintenance chooses to pay for it. A legacy monolithic
+    * tombstone set (unknown keys) makes every file dirty — purge then
+    * costs what foldMor costs, but still drops the dvs. No-ops (head
+    * not MoR, or no dvs to apply) are refused loudly — the caller
+    * should know its maintenance call did nothing. */
+  def purgeMor(spark: SparkSession, dir: String): (Long, PurgeStats) = {
+    import org.apache.spark.sql.functions.col
+    val f = fs(spark, dir)
+    val v = latestVersion(spark, dir)
+    require(v > 0, s"$dir has no committed version")
+    require(isMorVersion(spark, dir, v),
+      s"purgeMor: v=$v is not a merge-on-read version")
+    val vPath = f.makeQualified(new Path(s"$dir/v=$v"))
+    val phys = physicalFiles(spark, f, dir, v)
+    val (dirty, clean, dvs) = morSplit(spark, dir, v, phys)
+    require(dvs.nonEmpty,
+      s"purgeMor: v=$v carries no deletion vectors — nothing to purge")
+    val pcols = pcolsOf(phys)
+    // rewrite = the dirty files' SURVIVORS: lineage scan + anti-join,
+    // exactly the read path's dirty branch, materialized
+    val tomb = dvs.map(e => spark.read.parquet(e.path))
+      .reduce(_ unionByName _)
+    val applied = tomb.count()
+    val groups = dirty.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (src, fs0) =>
+        val srcDir = s"$dir/v=$src"
+        spark.read.option("basePath", srcDir)
+          .parquet(fs0.map(x => s"$srcDir/${x._2}"): _*)
+          .withColumn("__key", org.apache.spark.sql.functions
+            .substring_index(org.apache.spark.sql.functions
+              .input_file_name(), "/v=", -1))
+          .withColumn("__pos", col("_metadata.row_index"))
+    }
+    val survivors = groups
+      .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+      .join(tomb.withColumnRenamed("key", "__tkey")
+          .withColumnRenamed("pos", "__tpos"),
+        col("__key") === col("__tkey") && col("__pos") === col("__tpos"),
+        "left_anti")
+      .drop("__key", "__pos")
+    val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
+    val w = survivors.write.mode("overwrite")
+    (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w)
+      .parquet(stage.toString)
+    // a purge that empties the whole table (tombstones covered every
+    // row, nothing clean) still needs one schema-carrying file — the
+    // same rule as a full-table delete
+    if (clean.isEmpty &&
+        listDataRel(f, f.makeQualified(stage))._1.isEmpty)
+      survivors.limit(0).coalesce(1).write.mode("overwrite")
+        .parquet(stage.toString)
+    // nothing left to reference → the purge IS a self-contained
+    // version (a plain read, no assembly at all)
+    if (clean.nonEmpty) writeRefs(f, stage, clean)
+    copyEpochMarkers(f, vPath, stage)
+    def bytesOf(files: Seq[(Long, String)]): Long = files.map {
+      case (src, rel) =>
+        f.getFileStatus(new Path(s"$dir/v=$src/$rel")).getLen
+    }.sum
+    val stats = PurgeStats(dirty.size.toLong, clean.size.toLong,
+      applied, bytesOf(dirty), bytesOf(clean))
+    val nv = occupyNextFree(spark, f, dir, stage)
+    publish(spark, dir, nv)
+    (nv, stats)
   }
 
   /** Manifest-pruned range read of a committed version (default

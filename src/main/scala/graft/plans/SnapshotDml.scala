@@ -89,12 +89,27 @@ case class SnapshotFreshnessRule(spark: SparkSession)
       case _ => -1L
     }
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.resolveOperators {
+  // NOT resolveOperators: a relation served from FindDataSourceTable's
+  // cache can arrive ALREADY marked analyzed (the cached instance is
+  // shared with the query that first resolved it), and resolve* prunes
+  // analyzed subtrees — the stale node would simply never be visited.
+  // collect has no such pruning, and the identity-based mapChildren
+  // rewrite below replaces the node wherever it sits, preserving its
+  // resolved output attributes.
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val stale: Seq[(LogicalRelation, LogicalRelation)] = plan.collect {
       case lr: LogicalRelation if lr.catalogTable.exists(
           _.provider.exists(_.equalsIgnoreCase("snapshot"))) =>
-        refreshIfStale(lr).getOrElse(lr)
+        refreshIfStale(lr).map(lr -> _)
+    }.flatten
+    if (stale.isEmpty) plan
+    else {
+      def replace(p: LogicalPlan): LogicalPlan =
+        stale.find(_._1 eq p).map(_._2)
+          .getOrElse(p.mapChildren(replace))
+      replace(plan)
     }
+  }
 
   private def refreshIfStale(lr: LogicalRelation)
       : Option[LogicalRelation] = {

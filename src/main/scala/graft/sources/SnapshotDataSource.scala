@@ -200,6 +200,11 @@ class SnapshotDataSource extends RelationProvider
               s"snapshot: versionAsOf must be a version number, got '$s'")
         }
         require(v > 0, s"snapshot: versionAsOf must be positive, got $v")
+        val vp = new Path(dir, s"v=$v")
+        require(vp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(vp),
+          s"snapshot: versionAsOf $v does not exist in $dir (latest " +
+            s"committed: ${Snapshots.latestVersion(spark, dir)})")
         v
       case None => parameters.get("timestampAsOf") match {
         case Some(ts) =>

@@ -457,6 +457,50 @@ class MorDeleteSpec extends SparkSpec {
     assert(pl2.filter(col("k") === 55L).count() == 1L)
   }
 
+  test("purgeMor rewrites ONLY dirty files (clean files carry by " +
+    "reference), drops every deletion vector, and reads skip the " +
+    "anti-join afterwards — O(dirty bytes), not O(table)") {
+    val dir = freshDir("graft-morPurge")
+    build(dir) // 400 rows, 4 files, b=0..3
+    // dirty exactly bucket 0's file
+    Snapshots.deleteWhereMor(spark, dir, col("k") < 10L)
+    val (nv, ps) = Snapshots.purgeMor(spark, dir)
+    assert(ps.filesRewritten == 1L && ps.filesReferenced == 3L, ps)
+    assert(ps.tombstonesApplied == 10L)
+    assert(ps.bytesRewritten < ps.bytesSkipped,
+      s"purge cost not proportional to dirty bytes: $ps")
+    // still reference-assembled, but dv-free: NO anti-join in the plan
+    assert(Snapshots.isMorVersion(spark, dir, nv))
+    assert(Snapshots.dvEntries(spark, dir, nv).isEmpty)
+    val q = Snapshots.read(spark, dir)
+    assert(q.count() == 390L)
+    assert(q.filter(col("k") < 10L).count() == 0L)
+    assert(!q.queryExecution.executedPlan.toString.contains("LeftAnti"),
+      "purged version still anti-joins")
+    // partition layout preserved for the rewritten file's rows
+    assert(q.filter(col("b") === 0L).count() == 90L)
+    // a further MoR delete on the purged head composes
+    val (_, m2) = Snapshots.deleteWhereMor(spark, dir, col("k") === 200L)
+    assert(m2.tombstonesAdded == 1L && m2.tombstonesTotal == 1L,
+      "purge did not reset the tombstone count")
+    assert(Snapshots.read(spark, dir).count() == 389L)
+    // no-op purges are refused loudly
+    Snapshots.foldMor(spark, dir, statsCols = Seq("k"))
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.purgeMor(spark, dir)
+    }
+    assert(e.getMessage.contains("purgeMor"), e.getMessage)
+    // vacuum keeps the homes a purged version references
+    val dir2 = freshDir("graft-morPurge2")
+    build(dir2)
+    Snapshots.deleteWhereMor(spark, dir2, col("k") < 10L)
+    Snapshots.purgeMor(spark, dir2) // v3 references v1's clean files
+    // v1 is pinned by v3's refs; v2 (which held only the now-dropped
+    // deletion vector) is legitimately reclaimable
+    assert(Snapshots.vacuum(spark, dir2, keepLast = 1) == Seq(2L))
+    assert(Snapshots.read(spark, dir2).count() == 390L)
+  }
+
   test("legacy monolithic _deletes.parquet stores still read, count, " +
     "and accept further DML (carried by reference, all-dirty " +
     "conservative scan)") {

@@ -1,0 +1,138 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.operators.Snapshots
+import org.apache.spark.sql.functions._
+
+/** The delegating SQL parser (SnapshotSqlParser): time travel
+  * (`VERSION AS OF` / `TIMESTAMP AS OF`) on `USING snapshot` tables,
+  * `VACUUM` / `OPTIMIZE [PURGE | ZORDER BY]` / `DESCRIBE HISTORY`
+  * statements, strict delegation for everything else — and the
+  * freshness contract across maintenance (a vacuumed store must
+  * never serve a stale cached plan into FILE_NOT_EXIST). */
+class SnapshotSqlParserSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  private var n = 0
+  private def mkTable(): (String, String) = {
+    n += 1
+    val dir = freshDir("graft-sqlp")
+    val df = (0L until 400L).map(i => (i, i / 100, s"p$i"))
+      .toDF("k", "b", "payload").repartition(col("b"))
+    Snapshots.commitWithStats(spark, df, dir, statsCols = Seq("k"),
+      partitionByCols = Seq("b"))
+    val t = s"sqlp_$n"
+    spark.sql(s"CREATE TABLE $t USING snapshot OPTIONS (path '$dir')")
+    (t, dir)
+  }
+
+  test("VERSION AS OF / TIMESTAMP AS OF serve pinned history " +
+    "through plain SQL; non-snapshot tables keep Spark's own error") {
+    val (t, dir) = mkTable()
+    Thread.sleep(30); val mid = System.currentTimeMillis()
+    Thread.sleep(30)
+    spark.sql(s"DELETE FROM $t WHERE k < 100")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t").head.getLong(0)
+      == 300L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t VERSION AS OF 1")
+      .head.getLong(0) == 400L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t TIMESTAMP AS OF " +
+      s"'${java.time.Instant.ofEpochMilli(mid)}'").head.getLong(0)
+      == 400L)
+    // time-travel relations still prune through the stats index
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM $t VERSION AS OF 1 WHERE k < 50")
+      .head.getLong(0) == 50L)
+    // an invalid version fails with the library's own message
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $t VERSION AS OF 99").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("version"), e.getMessage)
+    // a parquet table keeps Spark's UNSUPPORTED_FEATURE error
+    spark.sql("CREATE TABLE sqlp_plain (k BIGINT) USING parquet")
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM sqlp_plain VERSION AS OF 1").collect()
+    }
+    assert(e2.getMessage.contains("not supported"), e2.getMessage)
+  }
+
+  test("DESCRIBE HISTORY lists the version log; OPTIMIZE compacts " +
+    "(folding MoR heads); OPTIMIZE PURGE applies deletion vectors; " +
+    "OPTIMIZE ZORDER BY clusters") {
+    val (t, dir) = mkTable()
+    spark.sql(s"CREATE TABLE ${t}_m USING snapshot " +
+      s"OPTIONS (path '$dir', dmlMode 'mor')")
+    spark.sql(s"DELETE FROM ${t}_m WHERE k < 10")
+    val hist = spark.sql(s"DESCRIBE HISTORY $t").collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(hist.forall(_.getBoolean(1))) // both published
+    // PURGE: v3 rewrites only the dirty file, references the rest
+    val p = spark.sql(s"OPTIMIZE $t PURGE").head
+    assert(p.getLong(0) == 3L && p.getString(1) == "purge")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t").head.getLong(0)
+      == 390L)
+    // plain OPTIMIZE folds the reference-assembled head self-contained
+    val o = spark.sql(s"OPTIMIZE $t").head
+    assert(o.getString(1) == "compact")
+    assert(!Snapshots.isMorVersion(spark, dir,
+      Snapshots.latestVersion(spark, dir)))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t").head.getLong(0)
+      == 390L)
+    // ZORDER BY takes exactly two columns
+    val z = spark.sql(s"OPTIMIZE $t ZORDER BY (k, b)").head
+    assert(z.getString(1) == "zorder")
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"OPTIMIZE $t ZORDER BY (k)").collect()
+    }
+    assert(e.getMessage.contains("two columns"), e.getMessage)
+  }
+
+  test("VACUUM reclaims through SQL with the library's ref/dv " +
+    "pinning, and SELECT after maintenance+vacuum serves the CURRENT " +
+    "head — never a stale cached plan into FILE_NOT_EXIST") {
+    val (t, dir) = mkTable()
+    // cache the relation at the MoR head, then maintain + vacuum
+    spark.sql(s"CREATE TABLE ${t}_m USING snapshot " +
+      s"OPTIONS (path '$dir', dmlMode 'mor')")
+    spark.sql(s"DELETE FROM ${t}_m WHERE k < 10")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t").head.getLong(0)
+      == 390L) // caches the v2 assembly plan
+    spark.sql(s"OPTIMIZE $t") // folds -> v3 self-contained
+    val reclaimed = spark.sql(s"VACUUM $t RETAIN 1 VERSIONS")
+      .collect().map(_.getLong(0)).toSeq
+    assert(reclaimed == Seq(1L, 2L), reclaimed)
+    // the probe-caught regression: a stale cached v2 plan would now
+    // throw FILE_NOT_EXIST reading the vacuumed deletion vector
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t").head.getLong(0)
+      == 390L)
+    // the DataFrame API route must be fresh too (spark.table bypasses
+    // the parser — the rule's identity rewrite covers it)
+    assert(spark.table(t).count() == 390L)
+    // default retention
+    val (t2, _) = mkTable()
+    spark.sql(s"DELETE FROM $t2 WHERE k < 5")
+    spark.sql(s"DELETE FROM $t2 WHERE k < 10")
+    assert(spark.sql(s"VACUUM $t2").collect().map(_.getLong(0)).toSeq
+      == Seq(1L)) // keepLast defaults to 2
+  }
+
+  test("strict delegation: VACUUM/OPTIMIZE against unknown or " +
+    "non-snapshot targets fall through to Spark's parser, and the " +
+    "keywords inside ordinary statements are untouched") {
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql("VACUUM no_such_table_xyz")
+    }
+    spark.sql("CREATE TABLE sqlp_plain2 (optimize BIGINT) USING parquet")
+    // a column named 'optimize' parses and queries normally
+    assert(spark.sql(
+      "SELECT optimize FROM sqlp_plain2 WHERE optimize > 0")
+      .count() == 0L)
+    // DESCRIBE HISTORY of a parquet table is not ours: Spark errors
+    intercept[Exception] {
+      spark.sql("DESCRIBE HISTORY sqlp_plain2").collect()
+    }
+  }
+}
