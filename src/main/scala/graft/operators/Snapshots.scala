@@ -1835,38 +1835,12 @@ object Snapshots {
     val (dirty, clean) =
       if (lineage && dvs.nonEmpty) (phys, Seq.empty[(Long, String)])
       else (dirty0, clean0)
-    def scanGroups(files: Seq[(Long, String)], withLineage: Boolean)
-        : Option[DataFrame] = {
-      if (files.isEmpty) return None
-      val groups = files.groupBy(_._1).toSeq.sortBy(_._1).map {
-        case (src, fs0) =>
-          val srcDir = s"$dir/v=$src"
-          val base = spark.read.option("basePath", srcDir)
-            .parquet(fs0.map(x => s"$srcDir/${x._2}"): _*)
-          if (!withLineage) base
-          else base
-            .withColumn("__key",
-              substring_index(input_file_name(), "/v=", -1))
-            .withColumn("__pos", col("_metadata.row_index"))
+    val survivors = morScan(spark, dir, dirty, withLineage = true)
+      .map { d =>
+        val alive = applyDvs(spark, d, dvs)
+        if (lineage) alive else alive.drop("__key", "__pos")
       }
-      Some(groups.reduce((a, b) =>
-        a.unionByName(b, allowMissingColumns = true)))
-    }
-    val survivors = scanGroups(dirty, withLineage = true).map { d =>
-      // join keys renamed so user columns can never collide; the
-      // anti-join broadcasts while the deletion vectors are
-      // sidecar-sized (the steady state — OPTIMIZE folds before they
-      // are not) and degrades to a shuffle join above the threshold,
-      // never to a wrong answer
-      val t = dvs.map(e => spark.read.parquet(e.path))
-        .reduce(_ unionByName _)
-      val alive = d.join(t.withColumnRenamed("key", "__tkey")
-          .withColumnRenamed("pos", "__tpos"),
-        d("__key") === col("__tkey") && d("__pos") === col("__tpos"),
-        "left_anti")
-      if (lineage) alive else alive.drop("__key", "__pos")
-    }
-    val cleanDf = scanGroups(clean, withLineage = lineage)
+    val cleanDf = morScan(spark, dir, clean, withLineage = lineage)
     (survivors, cleanDf) match {
       case (Some(a), Some(b)) =>
         a.unionByName(b, allowMissingColumns = true)
@@ -1876,6 +1850,50 @@ object Snapshots {
         throw new IllegalStateException(
           s"MoR version v=$v assembled to no scans")
     }
+  }
+
+  /** Grouped-by-home scan of physical files (basePath keeps the
+    * directory-encoded partition columns; unionByName fills evolved
+    * schemas), optionally deriving the `__key`/`__pos` tombstone
+    * identity — THE one place the key-derivation rule
+    * (`substring_index(input_file_name(), "/v=", -1)`) lives for
+    * readers. None when `files` is empty. */
+  private def morScan(spark: SparkSession, dir: String,
+      files: Seq[(Long, String)], withLineage: Boolean)
+      : Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{col, input_file_name,
+      substring_index}
+    if (files.isEmpty) return None
+    val groups = files.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (src, fs0) =>
+        val srcDir = s"$dir/v=$src"
+        val base = spark.read.option("basePath", srcDir)
+          .parquet(fs0.map(x => s"$srcDir/${x._2}"): _*)
+        if (!withLineage) base
+        else base
+          .withColumn("__key",
+            substring_index(input_file_name(), "/v=", -1))
+          .withColumn("__pos", col("_metadata.row_index"))
+    }
+    Some(groups.reduce((a, b) =>
+      a.unionByName(b, allowMissingColumns = true)))
+  }
+
+  /** Anti-join a lineage-scanned frame against the union of the
+    * deletion vectors. Join keys renamed so user columns can never
+    * collide; the anti-join broadcasts while the deletion vectors
+    * are sidecar-sized (the steady state — OPTIMIZE folds before
+    * they are not) and degrades to a shuffle join above the
+    * threshold, never to a wrong answer. */
+  private def applyDvs(spark: SparkSession, d: DataFrame,
+      dvs: Seq[DvEntry]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val t = dvs.map(e => spark.read.parquet(e.path))
+      .reduce(_ unionByName _)
+    d.join(t.withColumnRenamed("key", "__tkey")
+        .withColumnRenamed("pos", "__tpos"),
+      d("__key") === col("__tkey") && d("__pos") === col("__tpos"),
+      "left_anti")
   }
 
   /** Accounting for a merge-on-read delete: tombstones added by this
@@ -2140,7 +2158,9 @@ object Snapshots {
       BloomStats.writeManifest(spark, stage.toString, c))
     copyEpochMarkers(f, vPath, stage)
     val nv = occupyNextFree(spark, f, dir, stage)
-    publish(spark, dir, nv)
+    // the fold was assembled from head v: a DML statement that
+    // committed during the rewrite must not be silently reverted
+    publishMaintenance(spark, f, dir, v, nv, "foldMor")
     nv
   }
 
@@ -2181,28 +2201,16 @@ object Snapshots {
     require(dvs.nonEmpty,
       s"purgeMor: v=$v carries no deletion vectors — nothing to purge")
     val pcols = pcolsOf(phys)
-    // rewrite = the dirty files' SURVIVORS: lineage scan + anti-join,
-    // exactly the read path's dirty branch, materialized
-    val tomb = dvs.map(e => spark.read.parquet(e.path))
-      .reduce(_ unionByName _)
-    val applied = tomb.count()
-    val groups = dirty.groupBy(_._1).toSeq.sortBy(_._1).map {
-      case (src, fs0) =>
-        val srcDir = s"$dir/v=$src"
-        spark.read.option("basePath", srcDir)
-          .parquet(fs0.map(x => s"$srcDir/${x._2}"): _*)
-          .withColumn("__key", org.apache.spark.sql.functions
-            .substring_index(org.apache.spark.sql.functions
-              .input_file_name(), "/v=", -1))
-          .withColumn("__pos", col("_metadata.row_index"))
-    }
-    val survivors = groups
-      .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
-      .join(tomb.withColumnRenamed("key", "__tkey")
-          .withColumnRenamed("pos", "__tpos"),
-        col("__key") === col("__tkey") && col("__pos") === col("__tpos"),
-        "left_anti")
-      .drop("__key", "__pos")
+    // rewrite = the dirty files' SURVIVORS: the read path's dirty
+    // branch (shared morScan/applyDvs — ONE key-derivation rule),
+    // materialized
+    val applied = dvs.map(e => spark.read.parquet(e.path))
+      .reduce(_ unionByName _).count()
+    val survivors = applyDvs(spark,
+      morScan(spark, dir, dirty, withLineage = true).getOrElse(
+        throw new IllegalStateException(
+          s"purgeMor: v=$v has deletion vectors but no dirty files")),
+      dvs).drop("__key", "__pos")
     val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
     val w = survivors.write.mode("overwrite")
     (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w)
@@ -2225,8 +2233,29 @@ object Snapshots {
     val stats = PurgeStats(dirty.size.toLong, clean.size.toLong,
       applied, bytesOf(dirty), bytesOf(clean))
     val nv = occupyNextFree(spark, f, dir, stage)
-    publish(spark, dir, nv)
+    publishMaintenance(spark, f, dir, v, nv, "purgeMor")
     (nv, stats)
+  }
+
+  /** Publish a maintenance rewrite (fold/purge) built FROM head
+    * `base` — only if the head is still `base`. A DML statement that
+    * committed during the (long) maintenance job would otherwise be
+    * silently reverted: the staged rewrite was assembled WITHOUT its
+    * tombstones/rows. On a moved head the staged version is
+    * withdrawn and the caller told to re-run — maintenance is always
+    * safe to retry. */
+  private def publishMaintenance(spark: SparkSession,
+      f: org.apache.hadoop.fs.FileSystem, dir: String, base: Long,
+      nv: Long, op: String): Unit = {
+    if (!publishIfHead(spark, dir, base, nv)) {
+      f.delete(new Path(dir, s"v=$nv"), true)
+      morMemoInvalidate(f, dir, nv)
+      retireClaim(f, dir, nv)
+      throw new java.util.ConcurrentModificationException(
+        s"conflict: the head moved past v=$base while $op was " +
+          s"rewriting — re-run $op on the new head (nothing was " +
+          "published)")
+    }
   }
 
   /** Manifest-pruned range read of a committed version (default

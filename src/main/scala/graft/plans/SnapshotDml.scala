@@ -97,10 +97,15 @@ case class SnapshotFreshnessRule(spark: SparkSession)
   // rewrite below replaces the node wherever it sits, preserving its
   // resolved output attributes.
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    // one refresh per DIR per statement: a self-join over a stale
+    // table has two relation instances — both get the SAME rebuilt
+    // BaseRelation (each keeps its own resolved output attributes)
+    val freshByDir = scala.collection.mutable.Map
+      .empty[String, Option[org.apache.spark.sql.sources.BaseRelation]]
     val stale: Seq[(LogicalRelation, LogicalRelation)] = plan.collect {
       case lr: LogicalRelation if lr.catalogTable.exists(
           _.provider.exists(_.equalsIgnoreCase("snapshot"))) =>
-        refreshIfStale(lr).map(lr -> _)
+        refreshIfStale(lr, freshByDir).map(lr -> _)
     }.flatten
     if (stale.isEmpty) plan
     else {
@@ -111,7 +116,9 @@ case class SnapshotFreshnessRule(spark: SparkSession)
     }
   }
 
-  private def refreshIfStale(lr: LogicalRelation)
+  private def refreshIfStale(lr: LogicalRelation,
+      freshByDir: scala.collection.mutable.Map[String,
+        Option[org.apache.spark.sql.sources.BaseRelation]])
       : Option[LogicalRelation] = {
     val ct = lr.catalogTable.get
     val props = ct.storage.properties
@@ -122,19 +129,25 @@ case class SnapshotFreshnessRule(spark: SparkSession)
       .getOrElse(return None)
     val served = servedVersion(lr)
     if (served <= 0) return None
-    val latest = Snapshots.latestVersion(spark, dir)
-    if (latest <= 0 || latest == served) return None
-    // stale: drop the cached plan (the next statement re-resolves and
-    // re-caches at the new head) and rebuild THIS statement's relation
-    spark.sessionState.catalog.refreshTable(ct.identifier)
-    val fresh = new graft.sources.SnapshotDataSource().createRelation(
-      spark.sqlContext,
-      org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(
-        ct.storage.properties + ("path" -> dir)))
-    val shape = (s: org.apache.spark.sql.types.StructType) =>
-      s.fields.toSeq.map(f => (f.name, f.dataType))
-    if (shape(fresh.schema) != shape(lr.relation.schema)) None
-    else Some(lr.copy(relation = fresh))
+    val freshOpt = freshByDir.getOrElseUpdate(dir, {
+      val latest = Snapshots.latestVersion(spark, dir)
+      if (latest <= 0 || latest == served) None
+      else {
+        // stale: drop the cached plan (the next statement re-resolves
+        // and re-caches at the new head) and rebuild the relation ONCE
+        spark.sessionState.catalog.refreshTable(ct.identifier)
+        Some(new graft.sources.SnapshotDataSource().createRelation(
+          spark.sqlContext,
+          org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(
+            ct.storage.properties + ("path" -> dir))))
+      }
+    })
+    freshOpt.flatMap { fresh =>
+      val shape = (s: org.apache.spark.sql.types.StructType) =>
+        s.fields.toSeq.map(f => (f.name, f.dataType))
+      if (shape(fresh.schema) != shape(lr.relation.schema)) None
+      else Some(lr.copy(relation = fresh))
+    }
   }
 }
 

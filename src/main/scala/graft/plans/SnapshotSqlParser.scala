@@ -77,6 +77,10 @@ object SnapshotSqlParser {
       ident: Seq[String]): Option[String] =
     try {
       val cat = spark.sessionState.catalog
+      // a TEMP VIEW shadows any catalog table of the same name — the
+      // statement must resolve (or error) against the view exactly as
+      // unadorned SQL would, never against the shadowed table
+      if (cat.isTempView(ident)) return None
       val ti = ident match {
         case Seq(t) => TableIdentifier(t)
         case Seq(db, t) => TableIdentifier(t, Some(db))
@@ -108,9 +112,23 @@ object SnapshotSqlParser {
         dir <- snapshotDir(spark, u.multipartIdentifier)
         opt <- (tt.version, tt.timestamp) match {
           case (Some(v), _) => Some("versionAsOf" -> v)
-          case (_, Some(Literal(ts, StringType))) =>
-            Some("timestampAsOf" -> ts.toString)
-          case _ => None // non-literal timestamp: Spark's error stands
+          case (_, Some(l: Literal)) =>
+            // string, TIMESTAMP '…', and DATE '…' literal forms all
+            // pin; anything non-literal keeps Spark's own error
+            l.dataType match {
+              case StringType =>
+                Some("timestampAsOf" -> l.value.toString)
+              case org.apache.spark.sql.types.TimestampType =>
+                // micros since epoch → millis (UTC, the store's clock)
+                Some("timestampAsOf" ->
+                  (l.value.asInstanceOf[Long] / 1000L).toString)
+              case org.apache.spark.sql.types.DateType =>
+                Some("timestampAsOf" ->
+                  (l.value.asInstanceOf[Int].toLong * 86400000L)
+                    .toString)
+              case _ => None
+            }
+          case _ => None
         }
       } yield {
         val df = spark.read.format("snapshot")
@@ -123,7 +141,10 @@ object SnapshotSqlParser {
 
   // ---- maintenance statements ---------------------------------------
 
-  private val Ident = """((?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+)*)*)"""
+  // one identifier segment, then \.segment repeats — NO nested star
+  // (a starred alternation inside a starred group backtracks
+  // exponentially on malformed tails: measured >60 s at 36 chars)
+  private val Ident = """((?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))*)"""
   private val VacuumR =
     ("""(?is)\s*VACUUM\s+""" + Ident +
       """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""").r
@@ -133,8 +154,12 @@ object SnapshotSqlParser {
   private val HistoryR =
     ("""(?is)\s*DESCRIBE\s+HISTORY\s+""" + Ident + """\s*;?\s*""").r
 
+  /** Backtick-aware tokenization — `String.split('.')` would cut a
+    * quoted name with an embedded dot (`` `a.b` ``) into db a /
+    * table b and run maintenance against the WRONG table. */
   private def parts(ident: String): Seq[String] =
-    ident.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
+    """`[^`]+`|\w+""".r.findAllIn(ident).toSeq
+      .map(_.stripPrefix("`").stripSuffix("`"))
 
   /** The whole statement as one of ours — or None to delegate. A
     * matching statement whose target is NOT a snapshot table also
@@ -151,6 +176,9 @@ object SnapshotSqlParser {
         val zcols = Option(zorder).toSeq.flatMap(
           _.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
             .filter(_.nonEmpty))
+        // ZORDER BY () must not silently degrade to plain compaction
+        require(zorder == null || zcols.nonEmpty,
+          "OPTIMIZE ZORDER BY needs column names, got an empty list")
         OptimizeSnapshotCommand(dir, purge != null, zcols)
       }
     case HistoryR(ident) =>

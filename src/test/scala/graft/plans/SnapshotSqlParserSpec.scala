@@ -119,6 +119,48 @@ class SnapshotSqlParserSpec extends SparkSpec {
       == Seq(1L)) // keepLast defaults to 2
   }
 
+  test("review hardening: no regex blow-up on malformed statements, " +
+    "temp views shadow catalog tables, typed TIMESTAMP/DATE literals " +
+    "pin, ZORDER BY () and trailing-dot identifiers refuse") {
+    val (t, dir) = mkTable()
+    // catastrophic-backtracking guard: a malformed OPTIMIZE with a
+    // long identifier must fail fast, not hang the parse thread
+    val t0 = System.nanoTime()
+    intercept[Exception] {
+      spark.sql("OPTIMIZE db.user_events_daily_aggregates_long_name " +
+        "WHERE date > '2026-01-01'").collect()
+    }
+    assert((System.nanoTime() - t0) / 1e9 < 5.0, "parser hung")
+    // a TEMP VIEW shadowing the catalog table: maintenance and time
+    // travel must NOT silently target the shadowed snapshot table
+    spark.sql(s"CREATE TEMPORARY VIEW shadow_$n AS SELECT 1 AS k")
+    spark.sql(s"CREATE TABLE shadow_$n" + "_backing USING snapshot " +
+      s"OPTIONS (path '$dir')")
+    // (same-name shadowing: make a temp view named exactly like t)
+    spark.sql(s"CREATE TEMPORARY VIEW $t" + "_tv AS SELECT 1 AS k")
+    intercept[Exception] {
+      spark.sql(s"VACUUM $t" + "_tv").collect() // view: Spark's error
+    }
+    // typed literal forms pin like the string form
+    Thread.sleep(30)
+    spark.sql(s"DELETE FROM $t WHERE k < 100")
+    val iso = java.time.Instant.now().toString
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t TIMESTAMP AS OF " +
+      s"TIMESTAMP '${iso.replace("T", " ").stripSuffix("Z")}'")
+      .head.getLong(0) == 300L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t TIMESTAMP AS OF " +
+      "DATE '2099-01-01'").head.getLong(0) == 300L)
+    // empty ZORDER refuses instead of silently compacting
+    val e = intercept[Exception] {
+      spark.sql(s"OPTIMIZE $t ZORDER BY ()").collect()
+    }
+    assert(e.getMessage.contains("column"), e.getMessage)
+    // a trailing-dot identifier is malformed — Spark's parse error,
+    // never a vacuum of the prefix table
+    intercept[Exception] { spark.sql(s"VACUUM $t.").collect() }
+    assert(Snapshots.latestVersion(spark, dir) >= 2L) // t untouched
+  }
+
   test("strict delegation: VACUUM/OPTIMIZE against unknown or " +
     "non-snapshot targets fall through to Spark's parser, and the " +
     "keywords inside ordinary statements are untouched") {
