@@ -1307,6 +1307,53 @@ object ExtOps {
       }
     }),
 
+    // SQL maintenance end-to-end (round 17): the parser-injected
+    // statements — DELETE on a dmlMode-mor table, OPTIMIZE PURGE
+    // (apply deletion vectors, clean files by reference), plain
+    // OPTIMIZE (fold self-contained), DESCRIBE HISTORY, VACUUM
+    // RETAIN — run as a chain whose version/row census the DuckDB
+    // twin replays closed-form. Pins: purge reports op 'purge',
+    // post-vacuum reads serve the current head (the freshness rule
+    // across maintenance), and vacuum reclaims exactly the
+    // non-referenced history.
+    "xq44_sql_maintenance" -> ((s, dir) => {
+      import graft.operators.Snapshots
+      val base = t(s, dir, "lineitem")
+        .select(col("l_orderkey").cast("long").as("k"),
+          pmod(col("l_orderkey"), lit(8)).cast("long").as("bucket"),
+          col("l_quantity").cast("long").as("qty"))
+        .repartition(col("bucket"))
+      val tmp = System.getProperty("java.io.tmpdir", "/tmp")
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val store = new java.io.File(tmp, s"graft-xq44-$tag").getAbsolutePath
+      val tbl = s"g_xq44_$tag"
+      val hfs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      try {
+        Snapshots.commitWithStats(s, base, store,
+          statsCols = Seq("k"), partitionByCols = Seq("bucket"))
+        s.sql(s"CREATE TABLE $tbl USING snapshot " +
+          s"OPTIONS (path '$store', dmlMode 'mor')")
+        val delRows = s.sql(s"DELETE FROM $tbl WHERE k % 7 = 1")
+          .head.getLong(0) // v2: MoR tombstones
+        val purge = s.sql(s"OPTIMIZE $tbl PURGE").head // v3
+        val purgeOk = if (purge.getString(1) == "purge") 1L else 0L
+        s.sql(s"OPTIMIZE $tbl") // v4: fold self-contained
+        val histN = s.sql(s"DESCRIBE HISTORY $tbl").count()
+        val reclaimed = s.sql(s"VACUUM $tbl RETAIN 1 VERSIONS").count()
+        val fin = s.sql(s"SELECT count(*) AS n, sum(qty) AS sq " +
+          s"FROM $tbl").head
+        import s.implicits._
+        Seq((delRows, purgeOk, histN, reclaimed,
+          fin.getLong(0), fin.getLong(1)))
+          .toDF("del_rows", "purge_ok", "hist_versions", "reclaimed",
+            "n_final", "qty_sum")
+      } finally {
+        scala.util.Try(s.sql(s"DROP TABLE IF EXISTS $tbl"))
+        hfs.delete(new org.apache.hadoop.fs.Path(store), true); ()
+      }
+    }),
+
     // Snapshot schema evolution end-to-end: three commits with
     // add/widen/drop between them (v1 k+price, v2 +status, v3 drops
     // price and adds clerk), then every version TIME-TRAVELED
@@ -2788,6 +2835,22 @@ object ExtOps {
            (SELECT CAST(sum(v) AS BIGINT) FROM u) AS v_checksum_fold""",
     // merge-on-read vs copy-on-write DELETE: survivors replay
     // closed-form (NOT pred); the MoR store writes zero data files
+    // the SQL maintenance chain replayed closed-form: delete census
+    // from the data, version/vacuum counts from the chain's shape
+    // (commit → MoR delete → purge → fold = 4 versions, keepLast 1
+    // reclaims 3), purge_ok pinned as the constant the statement
+    // must report
+    "xq44_sql_maintenance" ->
+      """WITH base AS (SELECT CAST(l_orderkey AS BIGINT) AS k,
+             CAST(l_quantity AS BIGINT) AS qty FROM lineitem),
+         live AS (SELECT * FROM base WHERE NOT (k % 7 = 1))
+         SELECT
+           (SELECT count(*) FROM base WHERE k % 7 = 1) AS del_rows,
+           CAST(1 AS BIGINT) AS purge_ok,
+           CAST(4 AS BIGINT) AS hist_versions,
+           CAST(3 AS BIGINT) AS reclaimed,
+           (SELECT count(*) FROM live) AS n_final,
+           (SELECT CAST(sum(qty) AS BIGINT) FROM live) AS qty_sum""",
     // deletion-vector statement chain replayed closed-form; the
     // flatness invariant (a point delete never pays for accumulated
     // tombstones) is Spark-measured and pinned as the constant 1
