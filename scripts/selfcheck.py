@@ -4,7 +4,10 @@ reads each <out>/<name> parquet produced by graft.Verify, runs the
 corresponding SQL from oracle_sql.json in DuckDB over the same sf dir,
 and compares (columns sorted by name, rows sorted by all columns).
 
-Usage: selfcheck.py <sfDir> <verifyOutDir>
+Usage: selfcheck.py <sfDir> <verifyOutDir> [onlyCsv]
+onlyCsv (dev-only) mirrors graft.Verify's subset arg — without it the
+check covers the UNION of oracle keys and output dirs, so a query that
+threw (and wrote nothing) is a FAIL, not silently absent.
 NOT part of the Scala library — dev tooling only.
 """
 import json
@@ -48,10 +51,23 @@ def main():
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    names = sorted(d for d in os.listdir(out_dir)
-                   if os.path.isdir(os.path.join(out_dir, d)))
+    # Iterate the UNION of registered oracle keys and written output
+    # dirs: a query that THREW inside graft.Verify writes no dir, and
+    # iterating only what exists silently shrank the pass count (the
+    # r17 xq44 blind spot). A registered key with no output is a FAIL.
+    dirs = set(d for d in os.listdir(out_dir)
+               if os.path.isdir(os.path.join(out_dir, d)))
+    expected = set(oracle.keys())
+    if len(sys.argv) > 3:  # dev subset run — mirror Verify's filter
+        expected &= set(sys.argv[3].split(","))
+    names = sorted(dirs | expected)
     n_pass = n_fail = n_noracle = 0
     for name in names:
+        if name not in dirs:
+            print(f"FAIL {name}: registered oracle but no verify output "
+                  "(query threw?)")
+            n_fail += 1
+            continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no parquet written")

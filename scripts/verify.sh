@@ -2,6 +2,9 @@
 # Dev loop: compile, run graft.Verify at a small SF, self-check vs DuckDB.
 # Usage: scripts/verify.sh [sfDir] [outDir]
 set -e
+# pipefail: graft.Verify now exits non-zero when any query throws —
+# without this the `| grep | tail` pipeline would swallow that signal
+set -o pipefail
 cd "$(dirname "$0")/.."
 SF=${1:-/root/testdata/sf0.001}
 OUT=${2:-/tmp/verify_out}

@@ -665,6 +665,31 @@ object Snapshots {
     (nv, stats)
   }
 
+  /** Layout-dispatching compaction — what SQL `OPTIMIZE t` means:
+    * an MoR head folds (compactVersion's contract), a flat layout
+    * bin-packs via [[compactVersion]], and a partitioned layout
+    * (`key=value` subdirectories) bins per partition via
+    * [[compactPartitionedVersion]]. Callers that know their layout
+    * keep calling the specific entry point; this exists so a generic
+    * maintenance surface never has to guess — compactVersion REFUSES
+    * partitioned trees (its non-recursive listing would publish an
+    * empty version), and that refusal must stay a programming-error
+    * signal, not something SQL users can hit. */
+  def compactAuto(spark: SparkSession, dir: String,
+      targetBytes: Long, statsCols: Seq[String] = Nil)
+      : (Long, Compaction.CompactStats) = {
+    val f = fs(spark, dir)
+    val v = latestVersion(spark, dir)
+    require(v > 0, s"$dir has no committed version to compact")
+    val partitioned = !isMorVersion(spark, dir, v) &&
+      f.listStatus(new Path(s"$dir/v=$v")).exists(s =>
+        s.isDirectory && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+    if (partitioned)
+      compactPartitionedVersion(spark, dir, targetBytes, statsCols)
+    else compactVersion(spark, dir, targetBytes, statsCols)
+  }
+
   /** [[compactVersion]] for PARTITIONED version layouts
     * (`commitWithStats(partitionByCols = …)`): every partition
     * directory is bin-packed INDEPENDENTLY (files are never merged
@@ -2185,7 +2210,11 @@ object Snapshots {
     * foldMor/compaction restores the self-contained stats-indexed
     * form when maintenance chooses to pay for it. A legacy monolithic
     * tombstone set (unknown keys) makes every file dirty — purge then
-    * costs what foldMor costs, but still drops the dvs. No-ops (head
+    * costs what foldMor costs, but still drops the dvs. When EVERY
+    * file was dirty the output carries no refs (the head stops being
+    * MoR, so no later fold would ever run) — that one case recomputes
+    * the stats manifest and bloom sidecars here, foldMor-style, so a
+    * stats-tracked table never loses pruning to a purge. No-ops (head
     * not MoR, or no dvs to apply) are refused loudly — the caller
     * should know its maintenance call did nothing. */
   def purgeMor(spark: SparkSession, dir: String): (Long, PurgeStats) = {
@@ -2225,6 +2254,24 @@ object Snapshots {
     // nothing left to reference → the purge IS a self-contained
     // version (a plain read, no assembly at all)
     if (clean.nonEmpty) writeRefs(f, stage, clean)
+    else {
+      // fully-rewritten output: the head is no longer MoR, so the
+      // "a later foldMor restores the stats-indexed form" contract
+      // can never fire — restore it HERE (same home-manifest
+      // derivation as foldMor), or a stats-tracked table silently
+      // stops pruning after the one purge that happened to dirty
+      // every file
+      val homes = phys.map(_._1).distinct.sorted.map(h => s"$dir/v=$h")
+      val sCols = homes
+        .filter(h => f.exists(new Path(h, FileStats.ManifestName)))
+        .flatMap(h => FileStats.readManifest(spark, h)
+          .flatMap(_.cols.keys)).distinct.sorted
+      val bCols = homes.flatMap(h => bloomColsOf(f, h)).distinct.sorted
+      if (sCols.nonEmpty)
+        FileStats.writeManifest(spark, stage.toString, sCols)
+      bCols.foreach(c =>
+        BloomStats.writeManifest(spark, stage.toString, c))
+    }
     copyEpochMarkers(f, vPath, stage)
     def bytesOf(files: Seq[(Long, String)]): Long = files.map {
       case (src, rel) =>

@@ -201,7 +201,8 @@ case class VacuumSnapshotCommand(dir: String, keepLast: Int)
 }
 
 /** `OPTIMIZE t [PURGE | ZORDER BY (x, y)]`: plain = bin-pack
-  * compaction (folds an MoR head first — compactVersion's contract);
+  * compaction via [[Snapshots.compactAuto]] (folds an MoR head,
+  * bins a partitioned layout per partition directory);
   * PURGE = apply deletion vectors only ([[Snapshots.purgeMor]]);
   * ZORDER BY = 2-D Morton clustering ([[Snapshots.optimizeClustered]],
   * exactly two columns). */
@@ -225,7 +226,10 @@ case class OptimizeSnapshotCommand(dir: String, purge: Boolean,
         zorderCols.head, zorderCols(1))
       Seq(Row(v, "zorder"))
     } else {
-      val (v, _) = Snapshots.compactVersion(spark, dir, targetBytes)
+      // layout-dispatching: MoR head folds, flat layout bin-packs,
+      // partitioned layout bins per partition directory — SQL users
+      // must never hit compactVersion's partitioned-tree refusal
+      val (v, _) = Snapshots.compactAuto(spark, dir, targetBytes)
       Seq(Row(v, "compact"))
     }
   }

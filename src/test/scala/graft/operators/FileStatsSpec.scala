@@ -146,6 +146,11 @@ class FileStatsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Snapshots.compactVersion(spark, pdir, 1L << 30)
     }
+    // compactAuto dispatches the partitioned layout that
+    // compactVersion just refused (what SQL OPTIMIZE runs)
+    val (av, _) = Snapshots.compactAuto(spark, pdir, 1L << 30)
+    assert(av == 2L)
+    assert(Snapshots.read(spark, pdir).count() == 2L)
   }
 
   test("compactPartitionedVersion: each partition directory bins " +

@@ -527,4 +527,35 @@ class MorDeleteSpec extends SparkSpec {
     Snapshots.foldMor(spark, dir, statsCols = Seq("k"))
     assert(Snapshots.read(spark, dir).count() == 369L)
   }
+
+  test("a purge that dirties EVERY file restores the stats manifest " +
+    "itself (no refs → head stops being MoR → no later fold would) — " +
+    "and compactAuto carries it through the partitioned layout") {
+    val dir = freshDir("graft-morPurgeAll")
+    build(dir) // 400 rows, 4 files, b = k/100 → k-ranges are disjoint
+    // k % 4 == 0 hits every bucket: all 4 files dirty
+    Snapshots.deleteWhereMor(spark, dir, pmod(col("k"), lit(4L)) === 0L)
+    val (nv, ps) = Snapshots.purgeMor(spark, dir)
+    assert(ps.filesRewritten == 4L && ps.filesReferenced == 0L, ps)
+    assert(!Snapshots.isMorVersion(spark, dir, nv),
+      "all-dirty purge should be self-contained")
+    // the manifest was recomputed foldMor-style from the homes
+    val ms = FileStats.readManifest(spark, s"$dir/v=$nv")
+    assert(ms.nonEmpty && ms.forall(_.cols.contains("k")),
+      s"purge lost the stats manifest: $ms")
+    // ...and it actually prunes: k in [0,50] lives only in b=0's file
+    val (pr, pst) = Snapshots.readPruned(spark, dir, "k",
+      BigDecimal(0), BigDecimal(50))
+    assert(pst.filesSkipped == 3L && pst.filesRead == 1L, pst.toString)
+    assert(pr.filter(col("k") <= 50L).count() == 38L) // 51 - 13 purged
+    // SQL OPTIMIZE's dispatcher routes the partitioned layout where
+    // compactVersion would refuse, and keeps the manifest again
+    val (cv, _) = Snapshots.compactAuto(spark, dir, 1L << 30)
+    assert(cv == nv + 1)
+    assert(FileStats.readManifest(spark, s"$dir/v=$cv").nonEmpty)
+    val (_, pst2) = Snapshots.readPruned(spark, dir, "k",
+      BigDecimal(0), BigDecimal(50))
+    assert(pst2.filesSkipped == 3L, pst2.toString)
+    assert(Snapshots.read(spark, dir).count() == 300L)
+  }
 }
