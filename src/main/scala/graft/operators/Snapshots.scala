@@ -1326,52 +1326,58 @@ object Snapshots {
       require(!isMorVersion(spark, dir, h),
         "copy-on-write DML on a merge-on-read head — fold the " +
           "tombstones first (foldMor), then rewrite")
-      // intervening-commit validation, run on every commit race:
-      // aborts loudly on any overlap or non-DML interleave; returns
-      // normally when every intervening version is DML over disjoint
-      // files (safe retry — predicate DML re-executes serializably)
-      def validateIntervening(h2: Long, affected: Seq[String]): Unit = {
-        val intervening = existingVersions(f, dir)
-          .filter(x => x > h && x <= h2).sorted
-        val provenance = intervening.map(x =>
-          x -> readDml(f, s"$dir/v=$x"))
-        provenance.find(_._2.isEmpty).foreach { case (x, _) =>
-          throw new java.util.ConcurrentModificationException(
-            s"conflict: concurrent NON-DML commit v=$x replaced " +
-              s"the table under this statement (base v=$h) — " +
-              "re-read and re-reason")
-        }
-        // a concurrent MERGE-ON-READ statement moved the head to an
-        // MoR version this copy-on-write statement cannot re-stage
-        // against (and its 'v=N/rel'-namespaced tombstone keys can
-        // never intersect CoW rel paths, so the overlap check below
-        // would misreport it as disjoint) — abort with the honest
-        // diagnosis instead of retrying into the fold-first require
-        provenance.find(_._2.exists(_._2.startsWith("mor_")))
-          .foreach { case (x, _) =>
-            throw new java.util.ConcurrentModificationException(
-              s"conflict: concurrent merge-on-read DML v=$x under " +
-                s"this copy-on-write statement (base v=$h) — fold " +
-                "the tombstones (foldMor), then re-run")
-          }
-        val touchedByOthers = provenance
-          .flatMap(_._2.toSeq.flatMap(_._3)).toSet
-        val overlap = affected.filter(touchedByOthers)
-        if (overlap.nonEmpty)
-          throw new java.util.ConcurrentModificationException(
-            s"conflict: concurrent DML (v=${intervening.mkString(",")}) " +
-              s"rewrote files this statement (base v=$h) also " +
-              s"admits: ${overlap.take(4).mkString(", ")}" +
-              (if (overlap.size > 4) ", …" else "") +
-              " — re-read and re-reason")
-      }
       stageRewrite(spark, dir, h, pred, sets) match {
         case None => Left(RewriteStats(0, 0, 0, 0))
         case Some((stage, affected, rs)) =>
           Right((stage, rs,
-            (h2: Long) => validateIntervening(h2, affected)))
+            (h2: Long) => validateIntervening(f, dir, h, h2, affected)))
       }
     }
+  }
+
+  /** Intervening-commit validation every copy-on-write Tx statement
+    * runs when another writer committed first: aborts loudly on any
+    * overlap or non-DML interleave; returns normally when every
+    * intervening version is DML over DISJOINT files (safe retry —
+    * predicate/keyed DML re-executes serializably against the new
+    * head). Shared by delete/update ([[rewriteWhereTx]]) and MERGE
+    * ([[mergeInto]]) — one conflict taxonomy for the whole CoW DML
+    * surface. */
+  private def validateIntervening(f: org.apache.hadoop.fs.FileSystem,
+      dir: String, h: Long, h2: Long, affected: Seq[String]): Unit = {
+    val intervening = existingVersions(f, dir)
+      .filter(x => x > h && x <= h2).sorted
+    val provenance = intervening.map(x =>
+      x -> readDml(f, s"$dir/v=$x"))
+    provenance.find(_._2.isEmpty).foreach { case (x, _) =>
+      throw new java.util.ConcurrentModificationException(
+        s"conflict: concurrent NON-DML commit v=$x replaced " +
+          s"the table under this statement (base v=$h) — " +
+          "re-read and re-reason")
+    }
+    // a concurrent MERGE-ON-READ statement moved the head to an
+    // MoR version this copy-on-write statement cannot re-stage
+    // against (and its 'v=N/rel'-namespaced tombstone keys can
+    // never intersect CoW rel paths, so the overlap check below
+    // would misreport it as disjoint) — abort with the honest
+    // diagnosis instead of retrying into the fold-first require
+    provenance.find(_._2.exists(_._2.startsWith("mor_")))
+      .foreach { case (x, _) =>
+        throw new java.util.ConcurrentModificationException(
+          s"conflict: concurrent merge-on-read DML v=$x under " +
+            s"this copy-on-write statement (base v=$h) — fold " +
+            "the tombstones (foldMor), then re-run")
+      }
+    val touchedByOthers = provenance
+      .flatMap(_._2.toSeq.flatMap(_._3)).toSet
+    val overlap = affected.filter(touchedByOthers)
+    if (overlap.nonEmpty)
+      throw new java.util.ConcurrentModificationException(
+        s"conflict: concurrent DML (v=${intervening.mkString(",")}) " +
+          s"rewrote files this statement (base v=$h) also " +
+          s"admits: ${overlap.take(4).mkString(", ")}" +
+          (if (overlap.size > 4) ", …" else "") +
+          " — re-read and re-reason")
   }
 
   /** MERGE INTO as a copy-on-write snapshot commit — the K1 full-row
@@ -1392,16 +1398,41 @@ object Snapshots {
     * leading key IS a partition column, and rewritten+inserted rows
     * re-route through `partitionBy`; epoch markers carry forward. */
   def mergeInto(spark: SparkSession, dir: String, source: DataFrame,
-      keys: Seq[String], maxRoutedKeys: Int = 100000)
+      keys: Seq[String], maxRoutedKeys: Int = 100000,
+      maxRetries: Int = 3, publishWaitMs: Long = 30000L)
       : (Long, RewriteStats) = {
-    import org.apache.spark.sql.functions.col
     require(keys.nonEmpty, "mergeInto needs at least one key column")
     val f = fs(spark, dir)
-    val v = latestVersion(spark, dir)
-    require(v > 0, s"$dir has no committed version")
-    require(!isMorVersion(spark, dir, v),
-      "mergeInto on a merge-on-read head — fold the tombstones " +
-        "first (foldMor), then merge")
+    // the same claim/occupy/publish race loop as every Tx DML
+    // statement: a commit landing during the (potentially long)
+    // merge rewrite is never silently reverted — the stage is
+    // withdrawn, intervening versions are validated (disjoint DML →
+    // re-stage on the new head; overlap or non-DML → loud abort),
+    // and the version publishes with _dml.json provenance so
+    // CONCURRENT Tx statements validate against this merge too
+    txCommitLoop(spark, dir, maxRetries, publishWaitMs) { h =>
+      require(!isMorVersion(spark, dir, h),
+        "mergeInto on a merge-on-read head — fold the tombstones " +
+          "first (foldMor), then merge")
+      stageMerge(spark, dir, h, source, keys, maxRoutedKeys) match {
+        case None => Left(RewriteStats(0, 0, 0, 0))
+        case Some((stage, affected, rs)) =>
+          Right((stage, rs,
+            (h2: Long) => validateIntervening(f, dir, h, h2, affected)))
+      }
+    }
+  }
+
+  /** Build (but do NOT commit) the [[mergeInto]] rewrite of version
+    * `v`: key-routed admission, anti-join + union of the affected
+    * files, spliced sidecars, byte-copied untouched files, and
+    * `_dml.json` provenance sealed into the stage. Returns None for
+    * an empty source (a no-op merge publishes nothing). */
+  private def stageMerge(spark: SparkSession, dir: String, v: Long,
+      source: DataFrame, keys: Seq[String], maxRoutedKeys: Int)
+      : Option[(Path, Seq[String], RewriteStats)] = {
+    import org.apache.spark.sql.functions.col
+    val f = fs(spark, dir)
     val vDir = s"$dir/v=$v"
     val vPath = f.makeQualified(new Path(vDir))
     val conformed = conform(source, tableSchema(spark, dir))
@@ -1444,8 +1475,7 @@ object Snapshots {
     // hand the parquet writer an empty frame to stage) — zero stats,
     // matching deleteWhere's published-nothing contract (nothing was
     // rewritten AND nothing was copied)
-    if (rowsChanged == 0L)
-      return (v, RewriteStats(0, 0, 0, 0))
+    if (rowsChanged == 0L) return None
     val (newData, rowsKept) =
       if (affected.isEmpty) (conformed, 0L)
       else {
@@ -1478,10 +1508,10 @@ object Snapshots {
         f, new Path(stage, r), false, conf)
     }
     copyEpochMarkers(f, new Path(vDir), stage)
-    val nv = occupyNextFree(spark, f, dir, stage)
-    publish(spark, dir, nv)
-    (nv, RewriteStats(affected.size.toLong, untouched.size.toLong,
-      rowsChanged, rowsKept))
+    writeDml(f, stage, v, "merge", affected)
+    Some((stage, affected,
+      RewriteStats(affected.size.toLong, untouched.size.toLong,
+        rowsChanged, rowsKept)))
   }
 
   // ---- merge-on-read row-level deletes --------------------------------

@@ -102,17 +102,36 @@ case class SnapshotFreshnessRule(spark: SparkSession)
     // BaseRelation (each keeps its own resolved output attributes)
     val freshByDir = scala.collection.mutable.Map
       .empty[String, Option[org.apache.spark.sql.sources.BaseRelation]]
+    rewrite(plan, freshByDir)
+  }
+
+  private def rewrite(plan: LogicalPlan,
+      freshByDir: scala.collection.mutable.Map[String,
+        Option[org.apache.spark.sql.sources.BaseRelation]])
+      : LogicalPlan = {
     val stale: Seq[(LogicalRelation, LogicalRelation)] = plan.collect {
       case lr: LogicalRelation if lr.catalogTable.exists(
           _.provider.exists(_.equalsIgnoreCase("snapshot"))) =>
         refreshIfStale(lr, freshByDir).map(lr -> _)
     }.flatten
-    if (stale.isEmpty) plan
-    else {
-      def replace(p: LogicalPlan): LogicalPlan =
-        stale.find(_._1 eq p).map(_._2)
-          .getOrElse(p.mapChildren(replace))
-      replace(plan)
+    val replaced =
+      if (stale.isEmpty) plan
+      else {
+        def replace(p: LogicalPlan): LogicalPlan =
+          stale.find(_._1 eq p).map(_._2)
+            .getOrElse(p.mapChildren(replace))
+        replace(plan)
+      }
+    // collect/mapChildren never descend into EXPRESSION plans, so a
+    // stale cached relation inside a scalar/IN/EXISTS subquery would
+    // keep serving the old version while the main scan refreshed —
+    // one statement mixing two versions of the same table. Recurse
+    // explicitly; freshByDir still rebuilds each dir once per
+    // statement, so main scan and subquery get the SAME fresh head.
+    replaced.transformAllExpressions {
+      case sq: SubqueryExpression =>
+        val r = rewrite(sq.plan, freshByDir)
+        if (r eq sq.plan) sq else sq.withNewPlan(r)
     }
   }
 

@@ -235,4 +235,56 @@ class DmlConflictSpec extends SparkSpec {
       col("k") === 777777L)
     assert(v2b == 2L && rs2.filesRewritten == 0L)
   }
+
+  test("MERGE runs the same commit-race protocol: provenance " +
+    "recorded, a disjoint concurrent writer re-validates and both " +
+    "land, an overlapping one aborts — never a silent revert") {
+    val dir = freshDir("graft-txm2")
+    build(dir)
+    // provenance: merge on keys 0..4 routes to b=0's file only
+    val src = (0L to 4L).map(i => (i, 0L)).toDF("k", "b")
+    val (v2, _) = Snapshots.mergeInto(spark, dir, src, Seq("k"))
+    assert(v2 == 2L)
+    val dml = Snapshots.readDml(hfs, s"$dir/v=2")
+      .getOrElse(fail("merge published no _dml.json"))
+    assert(dml._1 == 1L && dml._2 == "merge", dml)
+    assert(dml._3.size == 1 && dml._3.head.startsWith("b=0/"), dml._3)
+    // disjoint race: worker deletes in b=3 while the merge (routed
+    // to b=0) loses its claim — the merge re-validates and re-stages
+    // (head is v2 now, so the contended slot is 3)
+    hfs.create(new org.apache.hadoop.fs.Path(dir, "_claim.3"),
+      false).close()
+    @volatile var workerV = -1L
+    val worker = new Thread(() => {
+      Thread.sleep(500)
+      workerV = Snapshots.deleteWhere(spark, dir, col("k") >= 350L)._1
+    })
+    worker.start()
+    val upd = (0L to 4L).map(i => (i, 0L)).toDF("k", "b")
+    val (vM, rsM) = Snapshots.mergeInto(spark, dir,
+      upd.withColumn("k", col("k") + 1000L), Seq("k"))
+    worker.join()
+    assert(workerV == 4L && vM == 5L, s"worker=$workerV merge=$vM")
+    assert(rsM.rowsChanged == 5L)
+    // both landed: 400 - 50 deleted + 5 inserted (keys 1000..1004)
+    assert(Snapshots.read(spark, dir).count() == 355L)
+    // overlap: worker deletes in b=0, merge also routed to b=0 → CME
+    val dir2 = freshDir("graft-txm3")
+    build(dir2)
+    val sq = new org.apache.hadoop.fs.Path(dir2, "_claim.2")
+    hfs.create(sq, false).close()
+    val worker2 = new Thread(() => {
+      Thread.sleep(500)
+      Snapshots.deleteWhere(spark, dir2, col("k") === 10L); ()
+    })
+    worker2.start()
+    val e = intercept[java.util.ConcurrentModificationException] {
+      Snapshots.mergeInto(spark, dir2,
+        (0L to 4L).map(i => (i, 0L)).toDF("k", "b"), Seq("k"))
+    }
+    worker2.join()
+    assert(e.getMessage.contains("conflict"), e.getMessage)
+    // the worker's statement alone is in effect
+    assert(Snapshots.read(spark, dir2).count() == 399L)
+  }
 }

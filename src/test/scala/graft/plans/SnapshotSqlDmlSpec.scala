@@ -129,6 +129,28 @@ class SnapshotSqlDmlSpec extends SparkSpec {
       .head.getLong(0) == 400L, "pinned table must not refresh")
   }
 
+  test("freshness descends into subquery plans: after a commit, a " +
+    "scalar or IN subquery over the same table serves the new head — " +
+    "one statement never mixes two versions") {
+    val (t, dir) = mkTable()
+    // cache the relation via a statement that reads the table BOTH as
+    // the main scan and inside a scalar subquery
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t " +
+      s"WHERE k < (SELECT max(k) FROM $t)").head.getLong(0) == 399L)
+    Snapshots.appendVersion(spark,
+      Seq((9000L, 9L, "new")).toDF("k", "b", "payload"), dir)
+    // stale subquery would keep max(k)=399 → 399 rows; fresh → 400
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t " +
+      s"WHERE k < (SELECT max(k) FROM $t)").head.getLong(0) == 400L,
+      "scalar subquery served a stale cached version")
+    // IN-subquery: the appended row is only visible if the predicate
+    // subquery refreshed too (stale → empty set → 0 rows)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t " +
+      s"WHERE b IN (SELECT b FROM $t WHERE k >= 9000)")
+      .head.getLong(0) == 1L,
+      "IN subquery served a stale cached version")
+  }
+
   test("the SQL path is the Tx path: a statement that loses the " +
     "commit race re-validates like deleteWhereTx — disjoint DML " +
     "re-executes, both land") {
