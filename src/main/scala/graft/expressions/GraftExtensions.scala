@@ -59,6 +59,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // manifest-carrying directory answer from _stats.json as a
     // LocalRelation — no file scan at all
     ext.injectOptimizerRule(_ => graft.plans.StatsAggRule)
+    // SQL INSERT INTO / INSERT OVERWRITE on USING-snapshot tables —
+    // MAIN resolution batch, deliberately: DataSourceAnalysis (which
+    // runs before any injected post-hoc rule) would otherwise lower
+    // the statement into a write INTO the published version directory
+    ext.injectResolutionRule(s => graft.plans.SnapshotInsertRule(s))
     // per-query freshness for catalog snapshot tables: a cached
     // relation whose served version lags the store head is rebuilt
     // (runs BEFORE the DML rewrite so merge sources are fresh too)

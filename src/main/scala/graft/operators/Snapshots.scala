@@ -448,14 +448,96 @@ object Snapshots {
   def appendVersion(spark: SparkSession, df: DataFrame,
       dir: String): Long = appendVersion0(spark, df, dir, None)
 
+  /** [[appendVersion]] with commit-time race safety — what SQL
+    * `INSERT INTO` runs: the append stages against the head it read
+    * and publishes through the same claim/occupy/publish loop as
+    * every Tx DML statement. An append COMMUTES with any concurrent
+    * commit (it rewrites nothing — its carry is re-staged against
+    * whatever the new head holds), so a lost race always re-stages
+    * and retries; the published version carries `_dml.json` op
+    * `append` with an empty touched set, so concurrent Tx DML
+    * statements validate it as disjoint and retry instead of
+    * aborting. */
+  def appendVersionTx(spark: SparkSession, df: DataFrame,
+      dir: String, maxRetries: Int = 3, publishWaitMs: Long = 30000L)
+      : Long = {
+    val f = fs(spark, dir)
+    if (latestVersion(spark, dir) == 0L) return commit(spark, df, dir)
+    txCommitLoop(spark, dir, maxRetries, publishWaitMs) { h =>
+      Right((stageAppend(spark, f, dir, h, df, None), (),
+        (_: Long) => ()))
+    }._1
+  }
+
+  /** Versioned OVERWRITE with commit-time race safety — what SQL
+    * `INSERT OVERWRITE` runs: replace the HEAD (old versions stay
+    * time-travelable) while carrying the table's sidecar
+    * configuration forward — statsCols from the head's manifest,
+    * bloom columns, and the partition layout — so an overwrite never
+    * silently strips a table of its pruning. Publishes via the Tx
+    * loop; a lost race re-stages and retries (replace-the-head
+    * semantics hold against any interleaving). NO `_dml.json` is
+    * written: a concurrent Tx DML statement racing an overwrite must
+    * abort (its base rows were replaced wholesale), which is exactly
+    * how validateIntervening treats a provenance-less version. */
+  def overwriteVersionTx(spark: SparkSession, df: DataFrame,
+      dir: String, maxRetries: Int = 3, publishWaitMs: Long = 30000L)
+      : Long = {
+    val f = fs(spark, dir)
+    if (latestVersion(spark, dir) == 0L) return commit(spark, df, dir)
+    txCommitLoop(spark, dir, maxRetries, publishWaitMs) { h =>
+      val vDir = s"$dir/v=$h"
+      val statsCols =
+        if (f.exists(new Path(vDir, FileStats.ManifestName)))
+          FileStats.readManifest(spark, vDir)
+            .flatMap(_.cols.keys).distinct.sorted
+        else Seq.empty
+      val bloomCols = bloomColsOf(f, vDir)
+      val pcols =
+        if (isMorVersion(spark, dir, h))
+          pcolsOf(physicalFiles(spark, f, dir, h))
+        else listDataRel(f, f.makeQualified(new Path(vDir)))._2
+      val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
+      val w = df.write.mode("overwrite")
+      (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w)
+        .parquet(stage.toString)
+      // an overwrite to EMPTY still needs one schema-carrying file
+      if (listDataRel(f, f.makeQualified(stage))._1.isEmpty)
+        df.limit(0).coalesce(1).write.mode("overwrite")
+          .parquet(stage.toString)
+      else {
+        if (statsCols.nonEmpty)
+          FileStats.writeManifest(spark, stage.toString, statsCols)
+        bloomCols.foreach(c =>
+          BloomStats.writeManifest(spark, stage.toString, c))
+      }
+      Right((stage, (), (_: Long) => ()))
+    }._1
+  }
+
   private def appendVersion0(spark: SparkSession, df: DataFrame,
       dir: String, epoch: Option[Long]): Long = {
-    def mark(stage: Path, f: org.apache.hadoop.fs.FileSystem): Unit =
-      epoch.foreach(e =>
-        f.create(new Path(stage, s"_epoch.$e"), true).close())
     val f = fs(spark, dir)
     val v = latestVersion(spark, dir)
     if (v == 0L) return commit(spark, df, dir)
+    val stage = stageAppend(spark, f, dir, v, df, epoch)
+    val nv = occupyNextFree(spark, f, dir, stage)
+    publish(spark, dir, nv)
+    nv
+  }
+
+  /** Build (but do NOT commit) the append of `df` onto version `v`:
+    * the delta's files staged (partition layout preserved), existing
+    * files carried — byte-copied on a plain head, by reference on an
+    * MoR head — sidecars spliced, epoch markers handled, and
+    * `_dml.json` op `append` (empty touched set) sealed in so
+    * concurrent Tx DML validates an interleaved append as disjoint. */
+  private def stageAppend(spark: SparkSession,
+      f: org.apache.hadoop.fs.FileSystem, dir: String, v: Long,
+      df: DataFrame, epoch: Option[Long]): Path = {
+    def mark(stage: Path): Unit =
+      epoch.foreach(e =>
+        f.create(new Path(stage, s"_epoch.$e"), true).close())
     val vDir = s"$dir/v=$v"
     val vPath = f.makeQualified(new Path(vDir))
     val target = tableSchema(spark, dir)
@@ -489,10 +571,9 @@ object Snapshots {
       // a plain append carries markers forward so the fence survives
       // interleaved maintenance commits
       if (epoch.isEmpty) copyEpochMarkers(f, new Path(vDir), stage)
-      mark(stage, f)
-      val nv = occupyNextFree(spark, f, dir, stage)
-      publish(spark, dir, nv)
-      return nv
+      mark(stage)
+      writeDml(f, stage, v, "append", Nil)
+      return stage
     }
     val (dataFiles, pcols) = listDataRel(f, vPath)
     val hasStats = f.exists(new Path(vDir, FileStats.ManifestName))
@@ -529,10 +610,9 @@ object Snapshots {
     // see the MoR branch above: epoch-fenced appends write only their
     // own marker, plain appends carry the fence forward
     if (epoch.isEmpty) copyEpochMarkers(f, new Path(vDir), stage)
-    mark(stage, f)
-    val nv = occupyNextFree(spark, f, dir, stage)
-    publish(spark, dir, nv)
-    nv
+    mark(stage)
+    writeDml(f, stage, v, "append", Nil)
+    stage
   }
 
   /** [[appendVersion]] with the epoch fence — the streaming-sink

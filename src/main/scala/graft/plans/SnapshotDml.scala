@@ -5,11 +5,12 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute,
   AttributeReference, Cast, EqualTo, Expression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment,
-  DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable,
-  SubqueryAlias, UpdateAction, UpdateTable}
+  DeleteFromTable, InsertAction, InsertIntoStatement, LogicalPlan,
+  MergeIntoTable, SubqueryAlias, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.{
+  InsertIntoHadoopFsRelationCommand, LogicalRelation}
 import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.types.LongType
 
@@ -188,10 +189,69 @@ case class SnapshotDmlRule(spark: SparkSession)
           SnapshotDml.Target.unapply(m.targetTable).isDefined =>
         val (dir, _) = SnapshotDml.Target.unapply(m.targetTable).get
         SnapshotDml.toMergeCommand(dir, m)
+      // backstop only — SnapshotInsertRule (main resolution batch)
+      // intercepts INSERT before DataSourceAnalysis can lower it.
+      // If this shape ever appears anyway, executing it would write
+      // parquet STRAIGHT INTO the published v=N directory (history
+      // mutated in place, no new version) — route it, never run it.
+      case i: InsertIntoHadoopFsRelationCommand
+          if i.catalogTable.exists(
+            _.provider.exists(_.equalsIgnoreCase("snapshot"))) =>
+        require(i.staticPartitions.isEmpty,
+          "snapshot INSERT: static PARTITION specs are not " +
+            "supported — include the partition columns in the data")
+        SnapshotInsertCommand(SnapshotDml.dirOf(i.catalogTable.get),
+          i.query,
+          overwrite = i.mode == org.apache.spark.sql.SaveMode.Overwrite)
+    }
+}
+
+/** SQL `INSERT INTO` / `INSERT OVERWRITE` on `USING snapshot`
+  * tables — the most common SQL write, and the one statement that
+  * CANNOT wait for the post-hoc batch: DataSourceAnalysis (a
+  * post-hoc rule that runs before any injected one) lowers the
+  * statement over the connector's V1 file relation into a command
+  * whose output path is the CURRENT VERSION DIRECTORY — executing
+  * that writes parquet straight into a published `v=N`, silently
+  * mutating history in place — and its `verifyNotReadPath` refuses
+  * the perfectly-versioned `INSERT OVERWRITE t SELECT … FROM t`.
+  * This rule runs in the MAIN resolution batch and rewrites the
+  * resolved statement onto the versioned Tx write path first. The
+  * source plan gets the same per-query freshness treatment a
+  * standalone SELECT would (the post-hoc freshness rule never sees
+  * it — commands hide their query in innerChildren). */
+case class SnapshotInsertRule(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  private lazy val freshness = SnapshotFreshnessRule(spark)
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperators {
+      case ins @ InsertIntoStatement(SnapshotDml.Target(dir, _),
+          partSpec, userCols, query, overwrite, _, _)
+          if query.resolved =>
+        require(partSpec.isEmpty,
+          "snapshot INSERT: static PARTITION specs are not " +
+            "supported — include the partition columns in the data")
+        require(!ins.ifPartitionNotExists,
+          "snapshot INSERT: IF NOT EXISTS partitions are not " +
+            "supported")
+        SnapshotInsertCommand(dir, freshness(query), overwrite,
+          userCols, ins.byName)
     }
 }
 
 object SnapshotDml {
+
+  /** Store dir of a snapshot catalog table — the catalog promotes
+    * the `path` OPTION to storage.locationUri and drops it from the
+    * property map, so both spellings are checked. */
+  private[plans] def dirOf(
+      ct: org.apache.spark.sql.catalyst.catalog.CatalogTable): String =
+    ct.storage.properties.map { case (k, v) => (k.toLowerCase, v) }
+      .get("path").orElse(ct.storage.locationUri.map(_.toString))
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot table ${ct.identifier} has no path"))
 
   /** Matches the RESOLVED target relation of a `USING snapshot`
     * catalog table: (store dir, dmlMode == mor). Covers both relation
@@ -403,6 +463,80 @@ case class SnapshotMergeCommand(dir: String, source: LogicalPlan,
     try {
       val n = src.count()
       Snapshots.mergeInto(spark, dir, src, keys)
+      Seq(Row(n))
+    } finally { src.unpersist(); () }
+  }
+}
+
+/** `INSERT INTO t …` / `INSERT OVERWRITE t …` on a snapshot table —
+  * the most common SQL write: append publishes a NEW version through
+  * [[Snapshots.appendVersionTx]] (delta write + metadata-speed carry,
+  * commit-race safe); overwrite replaces the HEAD through
+  * [[Snapshots.overwriteVersionTx]] (old versions stay
+  * time-travelable, sidecar configuration carried forward). Column
+  * mapping follows SQL semantics: positional by default (with casts
+  * to the table types), `INSERT INTO t (a, b)` routes through the
+  * column list with unlisted columns NULL, and `BY NAME` matches the
+  * query's output names. Returns the inserted row count. */
+case class SnapshotInsertCommand(dir: String, query: LogicalPlan,
+    overwrite: Boolean, userCols: Seq[String] = Nil,
+    byName: Boolean = false) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("affected_rows", LongType, nullable = false)())
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val schema = Snapshots.tableSchema(spark, dir)
+    val src0 = GraftColumnBridge.ofRows(spark, query)
+    val srcNames = src0.columns.toSeq
+    // positional handles — duplicate output names in the source
+    // (SELECT a.x, b.x …) must not break the mapping
+    val tmp = src0.toDF(srcNames.indices.map(i => s"__ins_c$i"): _*)
+    def pick(i: Int) = col(s"__ins_c$i")
+    // the names the i-th query column claims to fill: BY NAME = its
+    // own output name, a column list = the list, positional = the
+    // table schema in order
+    val claims: Seq[String] =
+      if (byName) srcNames
+      else if (userCols.nonEmpty) {
+        require(userCols.size == srcNames.size,
+          s"snapshot INSERT: column list has ${userCols.size} " +
+            s"names but the query produces ${srcNames.size} columns")
+        userCols
+      } else {
+        require(srcNames.size == schema.size,
+          s"snapshot INSERT: query produces ${srcNames.size} " +
+            s"columns, table has ${schema.size} " +
+            s"(${schema.fieldNames.mkString(", ")})")
+        schema.fieldNames.toSeq
+      }
+    claims.filterNot(c =>
+      schema.fieldNames.exists(_.equalsIgnoreCase(c))).toList match {
+      case Nil => ()
+      case unknown => throw new IllegalArgumentException(
+        s"snapshot INSERT: ${unknown.mkString(", ")} " +
+          s"not in the table schema " +
+          s"(${schema.fieldNames.mkString(", ")})")
+    }
+    val mapped = tmp.select(schema.fields.toSeq.map { fd =>
+      claims.indexWhere(_.equalsIgnoreCase(fd.name)) match {
+        case -1 => lit(null).cast(fd.dataType).as(fd.name)
+        case i => pick(i).cast(fd.dataType).as(fd.name)
+      }
+    }: _*)
+    // persisted: the count and the versioned write read ONE
+    // materialization — an expensive or non-deterministic source
+    // executes once, and affected_rows always matches what landed
+    val src = mapped
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = src.count()
+      if (overwrite) Snapshots.overwriteVersionTx(spark, dir = dir,
+        df = src)
+      else Snapshots.appendVersionTx(spark, src, dir)
       Seq(Row(n))
     } finally { src.unpersist(); () }
   }

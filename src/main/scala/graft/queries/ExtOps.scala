@@ -1354,6 +1354,50 @@ object ExtOps {
       }
     }),
 
+    // SQL INSERT end-to-end (round 18): the most common SQL write —
+    // plain INSERT INTO (a versioned append: new version, v1
+    // untouched), a column-list INSERT (unlisted columns land as
+    // typed NULLs), and a SELF-REFERENCING INSERT OVERWRITE (replace
+    // the head while reading it — Spark's own FS-relation path both
+    // corrupts the version dir in place AND refuses the
+    // self-reference; the snapshot path stages a new version). The
+    // DuckDB twin replays the statement chain as set algebra;
+    // DESCRIBE HISTORY pins the version ledger.
+    "xq45_sql_insert" -> ((s, dir) => {
+      import graft.operators.Snapshots
+      val base = t(s, dir, "lineitem")
+        .select(col("l_orderkey").cast("long").as("k"),
+          col("l_quantity").cast("long").as("qty"))
+      val tmp = System.getProperty("java.io.tmpdir", "/tmp")
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val store = new java.io.File(tmp, s"graft-xq45-$tag").getAbsolutePath
+      val tbl = s"g_xq45_$tag"
+      val hfs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      try {
+        Snapshots.commitWithStats(s, base, store, statsCols = Seq("k"))
+        s.sql(s"CREATE TABLE $tbl USING snapshot " +
+          s"OPTIONS (path '$store')")
+        val ins1 = s.sql(s"INSERT INTO $tbl SELECT k + 10000000, " +
+          s"qty + 1 FROM $tbl WHERE k % 9 = 4").head.getLong(0) // v2
+        val ins2 = s.sql(s"INSERT INTO $tbl (qty) VALUES (777), (778)")
+          .head.getLong(0) // v3: k lands NULL
+        val ovr = s.sql(s"INSERT OVERWRITE $tbl SELECT k, qty " +
+          s"FROM $tbl WHERE qty % 2 = 0 AND k IS NOT NULL")
+          .head.getLong(0) // v4: self-referencing head replace
+        val hist = s.sql(s"DESCRIBE HISTORY $tbl").count()
+        val fin = s.sql(s"SELECT count(*) AS n, sum(qty) AS sq " +
+          s"FROM $tbl").head
+        import s.implicits._
+        Seq((ins1, ins2, ovr, hist, fin.getLong(0), fin.getLong(1)))
+          .toDF("ins_rows", "collist_rows", "ovr_rows",
+            "hist_versions", "n_final", "qty_sum")
+      } finally {
+        scala.util.Try(s.sql(s"DROP TABLE IF EXISTS $tbl"))
+        hfs.delete(new org.apache.hadoop.fs.Path(store), true); ()
+      }
+    }),
+
     // Snapshot schema evolution end-to-end: three commits with
     // add/widen/drop between them (v1 k+price, v2 +status, v3 drops
     // price and adds clerk), then every version TIME-TRAVELED
@@ -2851,6 +2895,28 @@ object ExtOps {
            CAST(3 AS BIGINT) AS reclaimed,
            (SELECT count(*) FROM live) AS n_final,
            (SELECT CAST(sum(qty) AS BIGINT) FROM live) AS qty_sum""",
+    // the SQL INSERT chain replayed as set algebra: append ∪
+    // column-list append (NULL-filled) → overwrite filter
+    "xq45_sql_insert" ->
+      """WITH base AS (SELECT CAST(l_orderkey AS BIGINT) AS k,
+             CAST(l_quantity AS BIGINT) AS qty FROM lineitem),
+         ins1 AS (SELECT k + 10000000 AS k, qty + 1 AS qty
+             FROM base WHERE k % 9 = 4),
+         ins2 AS (SELECT CAST(NULL AS BIGINT) AS k,
+               CAST(777 AS BIGINT) AS qty
+             UNION ALL SELECT CAST(NULL AS BIGINT),
+               CAST(778 AS BIGINT)),
+         t3 AS (SELECT * FROM base UNION ALL SELECT * FROM ins1
+             UNION ALL SELECT * FROM ins2),
+         fin AS (SELECT * FROM t3
+             WHERE qty % 2 = 0 AND k IS NOT NULL)
+         SELECT
+           (SELECT count(*) FROM ins1) AS ins_rows,
+           CAST(2 AS BIGINT) AS collist_rows,
+           (SELECT count(*) FROM fin) AS ovr_rows,
+           CAST(4 AS BIGINT) AS hist_versions,
+           (SELECT count(*) FROM fin) AS n_final,
+           (SELECT CAST(sum(qty) AS BIGINT) FROM fin) AS qty_sum""",
     // deletion-vector statement chain replayed closed-form; the
     // flatness invariant (a point delete never pays for accumulated
     // tombstones) is Spark-measured and pinned as the constant 1

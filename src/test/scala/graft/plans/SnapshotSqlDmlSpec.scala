@@ -210,4 +210,76 @@ class SnapshotSqlDmlSpec extends SparkSpec {
     }
     assert(e4.getMessage.contains("does not support"), e4.getMessage)
   }
+
+  test("INSERT INTO / INSERT OVERWRITE are versioned, race-safe " +
+    "writes: append publishes a NEW version with provenance and " +
+    "spliced stats, self-referencing overwrite works, a lost claim " +
+    "retries — never Spark's in-place write into v=N") {
+    val (t, dir) = mkTable() // (k, payload, b-partitioned), stats k
+    val hfs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // plain INSERT appends a NEW version; v1 is untouched history
+    assert(spark.sql(s"INSERT INTO $t (k, b, payload) " +
+      "VALUES (9000, 9, 'ins')").head.getLong(0) == 1L)
+    assert(Snapshots.latestVersion(spark, dir) == 2L)
+    assert(Snapshots.read(spark, dir, 1L).count() == 400L,
+      "INSERT mutated the published v=1 in place")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t").head.getLong(0)
+      == 401L)
+    val provPath = new org.apache.hadoop.fs.Path(s"$dir/v=2/_dml.json")
+    assert(hfs.exists(provPath), "append published no provenance")
+    val provText = {
+      val in = hfs.open(provPath)
+      try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    }
+    assert(provText.contains("\"op\":\"append\"") &&
+      provText.contains("\"touched\":[]"), provText)
+    assert(graft.operators.FileStats
+      .readManifest(spark, s"$dir/v=2").nonEmpty,
+      "append dropped the stats manifest")
+    // column list: unlisted columns land as typed NULLs
+    assert(spark.sql(s"INSERT INTO $t (k, b) VALUES (9001, 9)")
+      .head.getLong(0) == 1L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t " +
+      "WHERE payload IS NULL").head.getLong(0) == 1L)
+    // self-referencing INSERT OVERWRITE — Spark's own path refuses
+    // this (UNSUPPORTED_OVERWRITE); a versioned store stages the new
+    // head while reading the old one
+    assert(spark.sql(s"INSERT OVERWRITE $t " +
+      s"SELECT k, payload, b FROM $t WHERE k < 100")
+      .head.getLong(0) == 100L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t").head.getLong(0)
+      == 100L)
+    val head = Snapshots.latestVersion(spark, dir)
+    assert(Snapshots.read(spark, dir, head - 1).count() == 402L,
+      "overwrite destroyed history")
+    assert(graft.operators.FileStats
+      .readManifest(spark, s"$dir/v=$head").nonEmpty,
+      "overwrite dropped the stats manifest")
+    // race: the INSERT loses its claim to a squatter, a worker lands
+    // a delete, the INSERT re-stages and BOTH land (append commutes)
+    hfs.create(new org.apache.hadoop.fs.Path(dir,
+      s"_claim.${head + 1}"), false).close()
+    @volatile var workerV = -1L
+    val worker = new Thread(() => {
+      Thread.sleep(500)
+      workerV = Snapshots.deleteWhere(spark, dir, col("k") < 10L)._1
+    })
+    worker.start()
+    assert(spark.sql(s"INSERT INTO $t (k, b, payload) " +
+      "VALUES (9100, 9, 'race')").head.getLong(0) == 1L)
+    worker.join()
+    assert(workerV == head + 2, s"worker landed at $workerV")
+    assert(Snapshots.latestVersion(spark, dir) == head + 3)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t").head.getLong(0)
+      == 91L) // 100 - 10 deleted + 1 inserted
+    // static PARTITION specs are refused loudly
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"INSERT INTO $t PARTITION (b=1) VALUES (1, 'x')")
+        .collect()
+    }
+    assert(e.getMessage.contains("PARTITION"), e.getMessage)
+  }
 }
