@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.{FileUtil, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Versioned snapshot tables — the minimal transaction protocol a
   * parquet lake needs before a real table format arrives: every
@@ -1592,6 +1592,281 @@ object Snapshots {
     Some((stage, affected,
       RewriteStats(affected.size.toLong, untouched.size.toLong,
         rowsChanged, rowsKept)))
+  }
+
+  // ---- generalized MERGE (the full Delta clause surface) -------------
+
+  /** One WHEN clause of a generalized [[mergeApply]]. Conditions and
+    * SET/VALUES expressions are Columns over the JOINED row — target
+    * columns resolve through [[tcol]], source columns through
+    * [[scol]]. Clauses apply IN ORDER: the first whose condition
+    * holds wins (SQL MERGE semantics); a row matching no clause is
+    * kept (target side) or dropped (source side). */
+  sealed trait MergeClause { def condition: Option[Column] }
+  /** WHEN [NOT] MATCHED [BY SOURCE] [AND cond] THEN UPDATE SET … */
+  final case class MergeUpdate(condition: Option[Column],
+      sets: Map[String, Column]) extends MergeClause
+  /** WHEN [NOT] MATCHED [BY SOURCE] [AND cond] THEN DELETE */
+  final case class MergeDelete(condition: Option[Column])
+      extends MergeClause
+  /** WHEN NOT MATCHED [AND cond] THEN INSERT … — table columns
+    * absent from `values` land as typed NULLs. */
+  final case class MergeInsert(condition: Option[Column],
+      values: Map[String, Column]) extends MergeClause
+
+  /** Target-side column reference inside a [[MergeClause]]. */
+  def tcol(name: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.col(s"__t.`$name`")
+  /** Source-side column reference inside a [[MergeClause]]. */
+  def scol(name: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.col(s"__s.`$name`")
+
+  /** Accounting for [[mergeApply]] — the Delta num_affected_rows
+    * decomposition plus the file-routing census. */
+  final case class MergeApplyStats(filesRewritten: Long,
+      filesCopied: Long, rowsUpdated: Long, rowsDeleted: Long,
+      rowsInserted: Long) {
+    def rowsAffected: Long = rowsUpdated + rowsDeleted + rowsInserted
+  }
+
+  /** MERGE with the FULL clause surface — conditional and multiple
+    * `WHEN MATCHED [AND …] THEN UPDATE/DELETE`, `WHEN NOT MATCHED
+    * THEN INSERT`, and `WHEN NOT MATCHED BY SOURCE THEN
+    * UPDATE/DELETE` — as a copy-on-write snapshot commit through the
+    * same claim/occupy/publish Tx loop as every DML statement
+    * (provenance recorded, disjoint concurrent DML retries, overlap
+    * aborts). [[mergeInto]] remains the fast path for the canonical
+    * full-row upsert (anti-join, no wide outer join).
+    *
+    * `on` is the equi-join pair list ((targetCol, sourceCol), …);
+    * the leading target column routes file admission through the
+    * stats/bloom sidecars exactly like [[mergeInto]] — UNLESS a
+    * `WHEN NOT MATCHED BY SOURCE` clause is present, which can touch
+    * ANY target row, so every file is admitted (the inherent cost of
+    * that clause, same as Delta). Execution is one full-outer join
+    * of the admitted files against the source with per-clause CASE
+    * routing — pure Column algebra, fully codegen. The caller owns
+    * source-side key dedup (multiple source rows hitting one target
+    * row produce one output row PER source row, the join semantics).
+    */
+  def mergeApply(spark: SparkSession, dir: String, source: DataFrame,
+      on: Seq[(String, String)], matched: Seq[MergeClause] = Nil,
+      notMatched: Seq[MergeClause] = Nil,
+      notMatchedBySource: Seq[MergeClause] = Nil,
+      maxRoutedKeys: Int = 100000, maxRetries: Int = 3,
+      publishWaitMs: Long = 30000L): (Long, MergeApplyStats) = {
+    require(on.nonEmpty, "mergeApply needs at least one ON pair")
+    require(matched.nonEmpty || notMatched.nonEmpty ||
+      notMatchedBySource.nonEmpty, "mergeApply needs a WHEN clause")
+    matched.foreach {
+      case _: MergeInsert => throw new IllegalArgumentException(
+        "WHEN MATCHED supports UPDATE and DELETE, not INSERT")
+      case _ => ()
+    }
+    notMatched.foreach {
+      case _: MergeInsert => ()
+      case c => throw new IllegalArgumentException(
+        s"WHEN NOT MATCHED supports INSERT only, got $c")
+    }
+    notMatchedBySource.foreach {
+      case _: MergeInsert => throw new IllegalArgumentException(
+        "WHEN NOT MATCHED BY SOURCE supports UPDATE and DELETE, " +
+          "not INSERT")
+      case _ => ()
+    }
+    val f = fs(spark, dir)
+    txCommitLoop(spark, dir, maxRetries, publishWaitMs) { h =>
+      require(!isMorVersion(spark, dir, h),
+        "mergeApply on a merge-on-read head — fold the tombstones " +
+          "first (foldMor), then merge")
+      stageMergeApply(spark, dir, h, source, on, matched, notMatched,
+        notMatchedBySource, maxRoutedKeys) match {
+        case None => Left(MergeApplyStats(0, 0, 0, 0, 0))
+        case Some((stage, affected, st)) =>
+          Right((stage, st,
+            (h2: Long) => validateIntervening(f, dir, h, h2, affected)))
+      }
+    }
+  }
+
+  private def stageMergeApply(spark: SparkSession, dir: String,
+      v: Long, source: DataFrame, on: Seq[(String, String)],
+      matched: Seq[MergeClause], notMatched: Seq[MergeClause],
+      notMatchedBySource: Seq[MergeClause], maxRoutedKeys: Int)
+      : Option[(Path, Seq[String], MergeApplyStats)] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, sum,
+      when}
+    val f = fs(spark, dir)
+    val vDir = s"$dir/v=$v"
+    val vPath = f.makeQualified(new Path(vDir))
+    val schema = tableSchema(spark, dir)
+    val (dataFiles, pcols) = listDataRel(f, vPath)
+    // file admission: NOT-MATCHED-BY-SOURCE reads everything; else
+    // the leading ON pair routes through sidecars like mergeInto
+    val (routeT, routeS) = on.head
+    val hasStats = f.exists(new Path(vDir, FileStats.ManifestName))
+    val stats =
+      if (hasStats) FileStats.readManifest(spark, vDir) else Seq.empty
+    val statsByRel = stats.map(e => e.relPath -> e).toMap
+    val bloom = bloomColsOf(f, vDir).find(_ == routeT)
+      .map(c => BloomStats.readManifest(spark, vDir, c)
+        .map(b => b.relPath -> b).toMap)
+    val routedKeys: Option[Seq[String]] =
+      if (notMatchedBySource.nonEmpty ||
+          (stats.isEmpty && !pcols.contains(routeT))) None
+      else {
+        val ks = source.select(col(s"`$routeS`").cast("string"))
+          .na.drop().distinct().limit(maxRoutedKeys + 1)
+          .collect().map(_.getString(0)).toSeq
+        if (ks.size > maxRoutedKeys) None else Some(ks)
+      }
+    val (affected, untouched) = routedKeys match {
+      case None => (dataFiles, Seq.empty[String])
+      case Some(ks) =>
+        dataFiles.partition { rel =>
+          statsByRel.get(rel).flatMap(_.cols.get(routeT).flatten)
+            .orElse(partStats(rel).get(routeT).flatten) match {
+            case None => true
+            case Some((mn, mx)) =>
+              ks.exists(k => FileStats.pointInRange(mn, mx, k) &&
+                bloom.forall(bm => bm.get(rel)
+                  .forall(BloomStats.admits(_, k))))
+          }
+        }
+    }
+    // the joined frame: admitted target rows × source, full outer on
+    // the ON pairs, presence flags deciding matched / target-only /
+    // source-only (null join keys never match — SQL semantics)
+    val base =
+      if (affected.isEmpty)
+        spark.read.option("basePath", vDir).parquet(vDir).limit(0)
+      else spark.read.option("basePath", vDir)
+        .parquet(affected.map(r => s"$vDir/$r"): _*)
+    val tA = base.withColumn("__t_present", lit(true)).alias("__t")
+    val sA = source.withColumn("__s_present", lit(true)).alias("__s")
+    val joinCond = on.map { case (tc, sc) =>
+      col(s"__t.`$tc`") === col(s"__s.`$sc`")
+    }.reduce(_ && _)
+    val joined = tA.join(sA, joinCond, "full_outer")
+    val tPresent = coalesce(col("__t.__t_present"), lit(false))
+    val sPresent = coalesce(col("__s.__s_present"), lit(false))
+    val isMatched = tPresent && sPresent
+    val tOnly = tPresent && !sPresent
+    val sOnly = !tPresent && sPresent
+    def cOf(cl: MergeClause): Column =
+      cl.condition.map(c => coalesce(c, lit(false)))
+        .getOrElse(lit(true))
+    // clause discriminators — first matching clause wins, 0 = none.
+    // matched clauses take ids 1.., NOT-MATCHED-BY-SOURCE 101..
+    val targetClauses: Seq[(Int, MergeClause)] =
+      matched.zipWithIndex.map { case (c, i) => (i + 1, c) } ++
+        notMatchedBySource.zipWithIndex.map { case (c, i) =>
+          (101 + i, c)
+        }
+    val act = targetClauses.foldLeft(when(lit(false), 0)) {
+      case (acc, (id, cl)) =>
+        val guard = if (id > 100) tOnly else isMatched
+        acc.when(guard && cOf(cl), id)
+    }.otherwise(0)
+    val ins = notMatched.zipWithIndex
+      .foldLeft(when(lit(false), 0)) { case (acc, (cl, i)) =>
+        acc.when(sOnly && cOf(cl), i + 1)
+      }.otherwise(0)
+    val updateIds = targetClauses.collect {
+      case (id, _: MergeUpdate) => id
+    }
+    val deleteIds = targetClauses.collect {
+      case (id, _: MergeDelete) => id
+    }
+    val withAct = joined
+      .withColumn("__act", act).withColumn("__ins", ins)
+    // accounting pass (the Delta num_affected_rows decomposition) —
+    // same extra-pass cost class as mergeInto's anti.count()
+    def hits(c: Column): Column =
+      coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
+    val acctRow = withAct.agg(
+      hits(col("__act").isInCollection(updateIds.map(Int.box))),
+      hits(col("__act").isInCollection(deleteIds.map(Int.box))),
+      hits(col("__ins") =!= 0)).head()
+    val (nUpd, nDel, nIns) =
+      (acctRow.getLong(0), acctRow.getLong(1), acctRow.getLong(2))
+    if (nUpd == 0L && nDel == 0L && nIns == 0L) return None
+    // target-side survivors: per-column CASE over the winning clause
+    def setsOf(id: Int): Map[String, Column] = targetClauses
+      .collectFirst { case (`id`, u: MergeUpdate) => u.sets }
+      .getOrElse(Map.empty)
+    val targetOut = withAct.filter(tPresent)
+      .filter(!col("__act").isInCollection(deleteIds.map(Int.box)))
+      .select(schema.fields.toSeq.map { fd =>
+        val base0: Column = col(s"__t.`${fd.name}`")
+        updateIds.foldLeft(when(lit(false), base0)) { (acc, id) =>
+          setsOf(id).collectFirst {
+            case (k, e) if k.equalsIgnoreCase(fd.name) => e
+          } match {
+            case Some(e) => acc.when(col("__act") === id, e)
+            case None => acc
+          }
+        }.otherwise(base0).cast(fd.dataType).as(fd.name)
+      }: _*)
+    def valuesOf(id: Int): Map[String, Column] = notMatched
+      .lift(id - 1).collect { case i: MergeInsert => i.values }
+      .getOrElse(Map.empty)
+    val insertOut = withAct.filter(col("__ins") =!= 0)
+      .select(schema.fields.toSeq.map { fd =>
+        notMatched.indices.map(_ + 1)
+          .foldLeft(when(lit(false), lit(null))) { (acc, id) =>
+            valuesOf(id).collectFirst {
+              case (k, e) if k.equalsIgnoreCase(fd.name) => e
+            } match {
+              case Some(e) => acc.when(col("__ins") === id, e)
+              case None => acc
+            }
+          }.otherwise(lit(null)).cast(fd.dataType).as(fd.name)
+      }: _*)
+    val newData = targetOut.unionByName(insertOut)
+    val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
+    val w = newData.write.mode("overwrite")
+    (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w)
+      .parquet(stage.toString)
+    // a merge that empties the table still needs one schema-carrying
+    // file (same rule as a full-table delete)
+    if (untouched.isEmpty &&
+        listDataRel(f, f.makeQualified(stage))._1.isEmpty)
+      newData.limit(0).coalesce(1).write.mode("overwrite")
+        .parquet(stage.toString)
+    val stagedEmpty =
+      listDataRel(f, f.makeQualified(stage))._1.isEmpty
+    if (hasStats) {
+      val oldKept = stats.filter(e => untouched.contains(e.relPath))
+      if (stagedEmpty)
+        FileStats.writeEntries(spark, stage.toString, oldKept)
+      else {
+        val statsCols = stats.flatMap(_.cols.keys).distinct.sorted
+        FileStats.writeManifest(spark, stage.toString, statsCols)
+        val fresh = FileStats.readManifest(spark, stage.toString)
+        FileStats.writeEntries(spark, stage.toString, fresh ++ oldKept)
+      }
+    }
+    bloomColsOf(f, vDir).foreach { c =>
+      val old = BloomStats.readManifest(spark, vDir, c)
+        .filter(e => untouched.contains(e.relPath))
+      if (stagedEmpty)
+        BloomStats.writeEntries(spark, stage.toString, c, old)
+      else {
+        BloomStats.writeManifest(spark, stage.toString, c)
+        val fresh = BloomStats.readManifest(spark, stage.toString, c)
+        BloomStats.writeEntries(spark, stage.toString, c, fresh ++ old)
+      }
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    untouched.foreach { r =>
+      org.apache.hadoop.fs.FileUtil.copy(f, new Path(s"$vDir/$r"),
+        f, new Path(stage, r), false, conf)
+    }
+    copyEpochMarkers(f, new Path(vDir), stage)
+    writeDml(f, stage, v, "merge", affected)
+    Some((stage, affected, MergeApplyStats(affected.size.toLong,
+      untouched.size.toLong, nUpd, nDel, nIns)))
   }
 
   // ---- merge-on-read row-level deletes --------------------------------

@@ -331,71 +331,116 @@ object SnapshotDml {
     case x => Seq(x)
   }
 
-  /** Maps a resolved MERGE onto [[Snapshots.mergeInto]] (full-row
-    * upsert with stats/bloom file routing). The supported shape is
-    * the canonical CDC upsert — equi-join ON clause, `WHEN MATCHED
-    * THEN UPDATE SET *`, `WHEN NOT MATCHED THEN INSERT *`, no action
-    * conditions — refusing anything else loudly rather than running
-    * different semantics under the same syntax. */
+  /** Maps a resolved MERGE onto the library merge engines. The
+    * canonical CDC upsert — equi-join on SAME-named columns, single
+    * unconditional `WHEN MATCHED THEN UPDATE SET *` + `WHEN NOT
+    * MATCHED THEN INSERT *` — takes the [[Snapshots.mergeInto]] fast
+    * path (anti-join, no wide outer join). Everything else in the
+    * full Delta clause surface — conditional and multiple matched
+    * actions, `WHEN MATCHED THEN DELETE`, partial SET lists,
+    * conditional INSERT, `WHEN NOT MATCHED BY SOURCE` — lowers onto
+    * [[Snapshots.mergeApply]]. Only a non-equi ON clause and
+    * subqueries inside clause expressions are refused. */
   private[plans] def toMergeCommand(dir: String,
-      m: MergeIntoTable): SnapshotMergeCommand = {
+      m: MergeIntoTable): LeafRunnableCommand = {
     def unsupported(what: String): Nothing =
       throw new UnsupportedOperationException(
-        s"snapshot MERGE supports the upsert shape (ON equi-join, " +
-          "WHEN MATCHED THEN UPDATE SET *, WHEN NOT MATCHED THEN " +
-          s"INSERT *) — $what")
+        s"snapshot MERGE: $what")
     val targetOut = m.targetTable.outputSet
     val sourceOut = m.sourceTable.outputSet
-    // ON: a conjunction of target-column = source-column with equal
-    // names — the upsert KEYS, leading column first as written
-    val keys = conjuncts(m.mergeCondition).map { c =>
-      c match {
-        case EqualTo(l, r) =>
+    // ON: a conjunction of target-column = source-column equalities —
+    // the routing/join keys, leading pair first as written
+    val pairs: Seq[(String, String)] = conjuncts(m.mergeCondition)
+      .map {
+        case c @ EqualTo(l, r) =>
           (stripCasts(l), stripCasts(r)) match {
             case (a: AttributeReference, b: AttributeReference)
-                if targetOut.contains(a) && sourceOut.contains(b) &&
-                  a.name.equalsIgnoreCase(b.name) => a.name
+                if targetOut.contains(a) && sourceOut.contains(b) =>
+              (a.name, b.name)
             case (b: AttributeReference, a: AttributeReference)
-                if targetOut.contains(a) && sourceOut.contains(b) &&
-                  a.name.equalsIgnoreCase(b.name) => a.name
+                if targetOut.contains(a) && sourceOut.contains(b) =>
+              (a.name, b.name)
             case _ => unsupported(
-              s"ON clause term '${c.sql}' is not target.col = src.col " +
-                "with matching names")
+              s"ON clause term '${c.sql}' is not target.col = src.col")
           }
         case other =>
-          unsupported(s"ON clause term '${other.sql}' is not an equality")
+          unsupported(s"ON clause term '${other.sql}' is not an " +
+            "equality — non-equi merges have no keyed routing")
       }
-    }
-    // the star-expanded actions: every assignment must be
-    // target-col := (cast of) the same-named source col
-    def starShaped(assigns: Seq[Assignment], what: String): Unit =
-      assigns.foreach { a =>
+    // canonical upsert → the fast path
+    def isStar(assigns: Seq[Assignment]): Boolean =
+      assigns.forall { a =>
         (a.key, stripCasts(a.value)) match {
-          case (k: AttributeReference, v: AttributeReference)
-              if k.name.equalsIgnoreCase(v.name) &&
-                sourceOut.contains(v) => ()
-          case _ => unsupported(
-            s"$what assignment '${a.key.sql} = ${a.value.sql}' is not " +
-              "the SET * / INSERT * shape")
+          case (k: AttributeReference, v: AttributeReference) =>
+            k.name.equalsIgnoreCase(v.name) && sourceOut.contains(v)
+          case _ => false
         }
       }
-    m.matchedActions match {
-      case Seq(u: UpdateAction) if u.condition.isEmpty =>
-        starShaped(u.assignments, "WHEN MATCHED")
-      case other => unsupported(
-        s"matched actions ${other.map(_.getClass.getSimpleName)}")
+    val canonical = pairs.forall(p => p._1.equalsIgnoreCase(p._2)) &&
+      m.notMatchedBySourceActions.isEmpty &&
+      (m.matchedActions match {
+        case Seq(u: UpdateAction) =>
+          u.condition.isEmpty && isStar(u.assignments)
+        case _ => false
+      }) &&
+      (m.notMatchedActions match {
+        case Seq(i: InsertAction) =>
+          i.condition.isEmpty && isStar(i.assignments)
+        case _ => false
+      })
+    if (canonical)
+      return SnapshotMergeCommand(dir, m.sourceTable, pairs.map(_._1))
+    // general path: lower every clause; expressions are rebound to
+    // the __t/__s aliases mergeApply's joined frame exposes
+    def qualify(e: Expression): Expression = {
+      SnapshotDml.refuseSubquery(Seq(e))
+      e.transform {
+        case a: AttributeReference if targetOut.contains(a) =>
+          UnresolvedAttribute(Seq("__t", a.name))
+        case a: AttributeReference if sourceOut.contains(a) =>
+          UnresolvedAttribute(Seq("__s", a.name))
+      }
     }
-    m.notMatchedActions match {
-      case Seq(i: InsertAction) if i.condition.isEmpty =>
-        starShaped(i.assignments, "WHEN NOT MATCHED")
+    def assigns(as: Seq[Assignment], what: String)
+        : Seq[(String, Expression)] =
+      namedAssignments(as, what).map { case (k, v) => k -> qualify(v) }
+    def target(cl: Seq[org.apache.spark.sql.catalyst.plans.logical
+        .MergeAction], what: String): Seq[SqlMergeClause] =
+      cl.map {
+        case u: UpdateAction =>
+          SqlMergeUpdate(u.condition.map(qualify),
+            assigns(u.assignments, what))
+        case d: org.apache.spark.sql.catalyst.plans.logical
+            .DeleteAction =>
+          SqlMergeDelete(d.condition.map(qualify))
+        case other => unsupported(
+          s"$what action ${other.getClass.getSimpleName}")
+      }
+    val notMatched: Seq[SqlMergeClause] = m.notMatchedActions.map {
+      case i: InsertAction =>
+        SqlMergeInsert(i.condition.map(qualify),
+          assigns(i.assignments, "WHEN NOT MATCHED"))
       case other => unsupported(
-        s"not-matched actions ${other.map(_.getClass.getSimpleName)}")
+        s"not-matched action ${other.getClass.getSimpleName}")
     }
-    if (m.notMatchedBySourceActions.nonEmpty)
-      unsupported("WHEN NOT MATCHED BY SOURCE is not part of the shape")
-    SnapshotMergeCommand(dir, m.sourceTable, keys)
+    SnapshotMergeApplyCommand(dir, m.sourceTable, pairs,
+      target(m.matchedActions, "WHEN MATCHED"), notMatched,
+      target(m.notMatchedBySourceActions,
+        "WHEN NOT MATCHED BY SOURCE"))
   }
 }
+
+/** A lowered MERGE clause carried inside
+  * [[SnapshotMergeApplyCommand]] — expressions already rebound to
+  * the `__t`/`__s` aliases of [[Snapshots.mergeApply]]'s joined
+  * frame. */
+sealed trait SqlMergeClause
+final case class SqlMergeUpdate(cond: Option[Expression],
+    sets: Seq[(String, Expression)]) extends SqlMergeClause
+final case class SqlMergeDelete(cond: Option[Expression])
+    extends SqlMergeClause
+final case class SqlMergeInsert(cond: Option[Expression],
+    values: Seq[(String, Expression)]) extends SqlMergeClause
 
 /** `DELETE FROM t [WHERE …]` on a snapshot table → the Tx library
   * delete (conflict-detected); `dmlMode 'mor'` tombstones instead of
@@ -464,6 +509,48 @@ case class SnapshotMergeCommand(dir: String, source: LogicalPlan,
       val n = src.count()
       Snapshots.mergeInto(spark, dir, src, keys)
       Seq(Row(n))
+    } finally { src.unpersist(); () }
+  }
+}
+
+/** The general MERGE (beyond the canonical upsert): conditional /
+  * multiple matched actions, `WHEN MATCHED THEN DELETE`, partial SET
+  * lists, conditional INSERT, `WHEN NOT MATCHED BY SOURCE` — lowered
+  * onto [[Snapshots.mergeApply]] (key-routed full-outer join with
+  * per-clause CASE routing, Tx commit loop). Returns the Delta
+  * num_affected_rows (updated + deleted + inserted). */
+case class SnapshotMergeApplyCommand(dir: String, source: LogicalPlan,
+    on: Seq[(String, String)], matched: Seq[SqlMergeClause],
+    notMatched: Seq[SqlMergeClause],
+    notMatchedBySource: Seq[SqlMergeClause])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("affected_rows", LongType, nullable = false)())
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  private def toLib(cl: SqlMergeClause): Snapshots.MergeClause = {
+    def c(e: Expression) = GraftColumnBridge.column(e)
+    cl match {
+      case SqlMergeUpdate(cond, sets) => Snapshots.MergeUpdate(
+        cond.map(c), sets.map { case (k, v) => k -> c(v) }.toMap)
+      case SqlMergeDelete(cond) => Snapshots.MergeDelete(cond.map(c))
+      case SqlMergeInsert(cond, values) => Snapshots.MergeInsert(
+        cond.map(c), values.map { case (k, v) => k -> c(v) }.toMap)
+    }
+  }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    // persisted: routing (distinct source keys), accounting, and the
+    // rewrite all read ONE materialization of the source
+    val src = GraftColumnBridge.ofRows(spark, source)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (_, st) = Snapshots.mergeApply(spark, dir, src, on,
+        matched.map(toLib), notMatched.map(toLib),
+        notMatchedBySource.map(toLib))
+      Seq(Row(st.rowsAffected))
     } finally { src.unpersist(); () }
   }
 }

@@ -1398,6 +1398,66 @@ object ExtOps {
       }
     }),
 
+    // General SQL MERGE end-to-end (round 18) — the full Delta
+    // clause surface beyond the canonical upsert: conditional
+    // MATCHED DELETE and UPDATE with first-match-wins ordering, a
+    // conditional partial-column INSERT (unlisted columns NULL), and
+    // a second statement's WHEN NOT MATCHED BY SOURCE conditional
+    // DELETE (the sync-to-source shape that admits every file). The
+    // DuckDB twin replays both statements as joins + set algebra.
+    "xq46_sql_merge_full" -> ((s, dir) => {
+      import graft.operators.Snapshots
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          col("o_custkey").cast("long").as("qty"))
+      val tmp = System.getProperty("java.io.tmpdir", "/tmp")
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val store = new java.io.File(tmp, s"graft-xq46-$tag").getAbsolutePath
+      val tbl = s"g_xq46_$tag"
+      val hfs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      try {
+        Snapshots.commitWithStats(s, base, store, statsCols = Seq("k"))
+        s.sql(s"CREATE TABLE $tbl USING snapshot " +
+          s"OPTIONS (path '$store')")
+        // the MERGE sources read the raw orders parquet through a
+        // session view (the Verify session has no catalog tables)
+        t(s, dir, "orders").createOrReplaceTempView(s"${tbl}_orders")
+        val m1 = s.sql(
+          s"""MERGE INTO $tbl USING (
+             |  SELECT CAST(o_orderkey AS BIGINT) AS id,
+             |         CAST(o_orderkey % 10 AS BIGINT) AS amt
+             |  FROM ${tbl}_orders WHERE o_orderkey % 7 = 0
+             |  UNION ALL
+             |  SELECT CAST(o_orderkey + 900000000 AS BIGINT),
+             |         CAST(o_orderkey % 10 AS BIGINT)
+             |  FROM ${tbl}_orders WHERE o_orderkey % 13 = 0
+             |) src ON $tbl.k = src.id
+             |WHEN MATCHED AND src.amt < 3 THEN DELETE
+             |WHEN MATCHED AND src.amt < 8 THEN
+             |  UPDATE SET qty = $tbl.qty + src.amt
+             |WHEN NOT MATCHED AND src.amt >= 5 THEN
+             |  INSERT (k, qty) VALUES (src.id, src.amt)"""
+            .stripMargin).head.getLong(0)
+        val m2 = s.sql(
+          s"""MERGE INTO $tbl USING (
+             |  SELECT CAST(o_orderkey AS BIGINT) AS id
+             |  FROM ${tbl}_orders WHERE o_orderkey % 2 = 0
+             |) src ON $tbl.k = src.id
+             |WHEN NOT MATCHED BY SOURCE AND $tbl.k < 900000000
+             |  THEN DELETE""".stripMargin).head.getLong(0)
+        val fin = s.sql(s"SELECT count(*) AS n, sum(qty) AS sq " +
+          s"FROM $tbl").head
+        import s.implicits._
+        Seq((m1, m2, fin.getLong(0), fin.getLong(1)))
+          .toDF("m1_rows", "m2_rows", "n_final", "qty_sum")
+      } finally {
+        scala.util.Try(s.sql(s"DROP TABLE IF EXISTS $tbl"))
+        scala.util.Try(s.catalog.dropTempView(s"${tbl}_orders"))
+        hfs.delete(new org.apache.hadoop.fs.Path(store), true); ()
+      }
+    }),
+
     // Snapshot schema evolution end-to-end: three commits with
     // add/widen/drop between them (v1 k+price, v2 +status, v3 drops
     // price and adds clerk), then every version TIME-TRAVELED
@@ -2917,6 +2977,47 @@ object ExtOps {
            CAST(4 AS BIGINT) AS hist_versions,
            (SELECT count(*) FROM fin) AS n_final,
            (SELECT CAST(sum(qty) AS BIGINT) FROM fin) AS qty_sum""",
+    // the general-MERGE chain replayed as joins + set algebra:
+    // first-match-wins clause routing (delete beats update), a
+    // conditional partial INSERT, then a NOT-MATCHED-BY-SOURCE
+    // conditional delete
+    "xq46_sql_merge_full" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+             CAST(o_custkey AS BIGINT) AS qty FROM orders),
+         src1 AS (SELECT CAST(o_orderkey AS BIGINT) AS id,
+               CAST(o_orderkey % 10 AS BIGINT) AS amt
+             FROM orders WHERE o_orderkey % 7 = 0
+           UNION ALL
+           SELECT CAST(o_orderkey + 900000000 AS BIGINT),
+               CAST(o_orderkey % 10 AS BIGINT)
+             FROM orders WHERE o_orderkey % 13 = 0),
+         del1 AS (SELECT b.k FROM base b JOIN src1 s ON b.k = s.id
+             WHERE s.amt < 3),
+         upd1 AS (SELECT b.k, s.amt FROM base b
+             JOIN src1 s ON b.k = s.id
+             WHERE s.amt >= 3 AND s.amt < 8),
+         ins1 AS (SELECT s.id AS k, s.amt AS qty FROM src1 s
+             LEFT JOIN base b ON b.k = s.id
+             WHERE b.k IS NULL AND s.amt >= 5),
+         t1 AS (SELECT b.k,
+               CASE WHEN u.k IS NOT NULL THEN b.qty + u.amt
+                    ELSE b.qty END AS qty
+             FROM base b LEFT JOIN upd1 u ON b.k = u.k
+             WHERE b.k NOT IN (SELECT k FROM del1)
+           UNION ALL SELECT k, qty FROM ins1),
+         m2src AS (SELECT CAST(o_orderkey AS BIGINT) AS id
+             FROM orders WHERE o_orderkey % 2 = 0),
+         del2 AS (SELECT t.k FROM t1 t
+             LEFT JOIN m2src s ON t.k = s.id
+             WHERE s.id IS NULL AND t.k < 900000000),
+         t2 AS (SELECT * FROM t1
+             WHERE k NOT IN (SELECT k FROM del2))
+         SELECT
+           (SELECT count(*) FROM del1) + (SELECT count(*) FROM upd1)
+             + (SELECT count(*) FROM ins1) AS m1_rows,
+           (SELECT count(*) FROM del2) AS m2_rows,
+           (SELECT count(*) FROM t2) AS n_final,
+           (SELECT CAST(sum(qty) AS BIGINT) FROM t2) AS qty_sum""",
     // deletion-vector statement chain replayed closed-form; the
     // flatness invariant (a point delete never pays for accumulated
     // tombstones) is Spark-measured and pinned as the constant 1

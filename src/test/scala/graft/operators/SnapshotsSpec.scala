@@ -714,6 +714,71 @@ class SnapshotsSpec extends SparkSpec {
     assert(h.forall(_.nDataFiles >= 1))
   }
 
+  test("mergeApply: the full clause surface — matched delete before " +
+    "conditional update (first match wins), conditional insert with " +
+    "NULL fill, NOT MATCHED BY SOURCE sync — keyed routing intact") {
+    import org.apache.spark.sql.functions.col
+    import Snapshots.{MergeDelete, MergeInsert, MergeUpdate, scol, tcol}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-mapply").toString + "/t"
+    val base = (0L until 400L).map(i => (i, i, s"u-$i"))
+      .toDF("k", "qty", "uid").repartitionByRange(4, col("k"))
+    Snapshots.commitWithStats(spark, base, dir, statsCols = Seq("k"))
+    // source keys 10/20/30 match (quartile 1), 1000/2000 do not
+    val src = Seq((10L, 5L), (20L, 5L), (30L, 999L), (1000L, 1L),
+      (2000L, 999L)).toDF("id", "amt")
+    val (v2, st) = Snapshots.mergeApply(spark, dir, src,
+      on = Seq(("k", "id")),
+      matched = Seq(
+        // delete listed FIRST: for k=20 both conditions hold — the
+        // first clause must win (k=10 falls through to the update)
+        MergeDelete(Some(scol("amt") === 5L && tcol("k") === 20L)),
+        MergeUpdate(Some(scol("amt") < 10L),
+          Map("qty" -> (tcol("qty") + scol("amt"))))),
+      notMatched = Seq(
+        MergeInsert(Some(scol("amt") < 10L),
+          Map("k" -> scol("id"), "qty" -> scol("amt")))))
+    assert(v2 == 2L)
+    assert(st.rowsUpdated == 1L && st.rowsDeleted == 1L &&
+      st.rowsInserted == 1L, st.toString)
+    // keyed routing: only quartile 1's file admits 10/20/30 —
+    // 1000/2000 admit nothing, so three files byte-copy through
+    assert(st.filesRewritten == 1L && st.filesCopied == 3L,
+      st.toString)
+    val after = Snapshots.read(spark, dir)
+    assert(after.count() == 400L) // -1 deleted, +1 inserted
+    assert(after.filter(col("k") === 10L).head.getLong(1) == 15L)
+    assert(after.filter(col("k") === 20L).count() == 0L)
+    assert(after.filter(col("k") === 30L).head.getLong(1) == 30L,
+      "999-amt row must fall through every clause and stay")
+    val ins = after.filter(col("k") === 1000L).head
+    assert(ins.getLong(1) == 1L && ins.isNullAt(2),
+      "unlisted insert column must land NULL")
+    assert(after.filter(col("k") === 2000L).count() == 0L,
+      "insert whose condition fails must drop")
+    // NOT MATCHED BY SOURCE: sync-to-source (update matched, delete
+    // the rest) — admission must be EVERY file
+    val src2 = (0L until 50L).map(i => (i, 7L)).toDF("id", "amt")
+    val (v3, st2) = Snapshots.mergeApply(spark, dir, src2,
+      on = Seq(("k", "id")),
+      matched = Seq(MergeUpdate(None, Map("qty" -> scol("amt")))),
+      notMatchedBySource = Seq(MergeDelete(None)))
+    assert(v3 == 3L)
+    assert(st2.filesCopied == 0L,
+      "NOT MATCHED BY SOURCE must admit every file")
+    assert(st2.rowsUpdated == 49L, st2.toString) // 0..49 minus 20
+    assert(st2.rowsDeleted == 400L - 49L, st2.toString)
+    val fin = Snapshots.read(spark, dir)
+    assert(fin.count() == 49L)
+    assert(fin.filter(col("qty") === 7L).count() == 49L)
+    // manifest recomputed: the table still prunes
+    assert(FileStats.readManifest(spark, s"$dir/v=3").nonEmpty)
+    // provenance: concurrent Tx DML sees the merge
+    val hfs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(Snapshots.readDml(hfs, s"$dir/v=2").exists(_._2 == "merge"))
+  }
+
   test("readAppendsSince replays an epoch-fenced append log: ranged " +
     "batches conformed to the latest schema, vacuumed gaps throw") {
     import org.apache.spark.sql.functions.col

@@ -194,14 +194,15 @@ class SnapshotSqlDmlSpec extends SparkSpec {
         "WHEN NOT MATCHED THEN INSERT *").collect()
     }
     assert(e2.getMessage.contains("equality"), e2.getMessage)
-    // partial SET in a merge (not the star shape)
-    val e3 = intercept[UnsupportedOperationException] {
-      spark.sql(s"MERGE INTO $t USING (SELECT 1 AS k, CAST(0 AS " +
-        s"BIGINT) AS b, 'z' AS payload) s ON $t.k = s.k " +
-        "WHEN MATCHED THEN UPDATE SET payload = 'zz' " +
-        "WHEN NOT MATCHED THEN INSERT *").collect()
-    }
-    assert(e3.getMessage.contains("SET *"), e3.getMessage)
+    // partial SET lowers onto the GENERAL merge engine (round 18) —
+    // it must run, not be refused
+    assert(spark.sql(s"MERGE INTO $t USING (SELECT CAST(1 AS " +
+      s"BIGINT) AS k, CAST(0 AS BIGINT) AS b, 'z' AS payload) s " +
+      s"ON $t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET payload = 'zz' " +
+      "WHEN NOT MATCHED THEN INSERT *").head.getLong(0) == 1L)
+    assert(spark.sql(s"SELECT payload FROM $t WHERE k = 1")
+      .head.getString(0) == "zz")
     // statements on NON-snapshot tables pass through untouched and
     // fail with Spark's own error, not ours
     spark.sql("CREATE TABLE sqldml_plain (k BIGINT) USING parquet")
@@ -281,5 +282,63 @@ class SnapshotSqlDmlSpec extends SparkSpec {
         .collect()
     }
     assert(e.getMessage.contains("PARTITION"), e.getMessage)
+  }
+
+  test("MERGE beyond the upsert: conditional MATCHED DELETE/UPDATE " +
+    "(first match wins), partial-column conditional INSERT, and " +
+    "WHEN NOT MATCHED BY SOURCE lower onto the general engine") {
+    val (t, dir) = mkTable() // 400 rows: k 0..399, payload p<k>, b
+    val m1 = spark.sql(
+      s"""MERGE INTO $t USING (
+         |  SELECT id * 10 AS mk, CAST(id AS BIGINT) AS amt
+         |  FROM range(12)
+         |  UNION ALL SELECT 9000, CAST(50 AS BIGINT)
+         |  UNION ALL SELECT 9100, CAST(2 AS BIGINT)
+         |) src ON $t.k = src.mk
+         |WHEN MATCHED AND src.amt < 3 THEN DELETE
+         |WHEN MATCHED AND src.amt < 8 THEN
+         |  UPDATE SET payload = concat('m-', CAST(src.amt AS STRING))
+         |WHEN NOT MATCHED AND src.amt >= 40 THEN
+         |  INSERT (k, b, payload) VALUES (src.mk, 9, 'ins')"""
+        .stripMargin).head.getLong(0)
+    // matched mk 0..110: amt<3 deletes 0/10/20; amt<8 updates
+    // 30..70; 80..110 fall through. 9000 (amt 50) inserts; 9100
+    // (amt 2) fails the insert condition and drops.
+    assert(m1 == 3L + 5L + 1L, s"affected_rows $m1")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t").head.getLong(0)
+      == 398L) // 400 - 3 + 1
+    assert(spark.sql(s"SELECT payload FROM $t WHERE k = 30")
+      .head.getString(0) == "m-3")
+    assert(spark.sql(s"SELECT payload FROM $t WHERE k = 80")
+      .head.getString(0) == "p80", "fall-through row must be kept")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t WHERE k = 0")
+      .head.getLong(0) == 0L)
+    assert(spark.sql(
+      s"SELECT payload IS NULL AS pn FROM $t WHERE k = 9000")
+      .head.getBoolean(0) == false)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t WHERE k = 9100")
+      .head.getLong(0) == 0L)
+    // NOT MATCHED BY SOURCE with a condition + different-name ON
+    val m2 = spark.sql(
+      s"""MERGE INTO $t USING (
+         |  SELECT CAST(id AS BIGINT) AS k2 FROM range(100)
+         |) s ON $t.k = s.k2
+         |WHEN NOT MATCHED BY SOURCE AND $t.k >= 300 THEN DELETE"""
+        .stripMargin).head.getLong(0)
+    assert(m2 == 101L, s"m2 $m2") // k 300..399 (100 rows) + 9000
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t").head.getLong(0)
+      == 297L) // 398 - 101
+    // the canonical upsert still routes through the fast path and
+    // both paths interleave on one table
+    assert(spark.sql(
+      s"""MERGE INTO $t USING (
+         |  SELECT CAST(1 AS BIGINT) AS k, CAST(0 AS BIGINT) AS b,
+         |         'up' AS payload
+         |) s ON $t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      .head.getLong(0) == 1L)
+    assert(spark.sql(s"SELECT payload FROM $t WHERE k = 1")
+      .head.getString(0) == "up")
   }
 }
