@@ -1077,6 +1077,65 @@ object Snapshots {
     }
   }
 
+  /** The predicate's sidecar-decidable condition: resolve `pred`
+    * against `frame` and take the OPTIMIZED plan's filter — the
+    * analyzer leaves type-coercion casts on literals (`k >= cast(0
+    * as bigint)`) that only constant folding collapses back to the
+    * literals the stats extractors match. */
+  private def dmlCond(spark: SparkSession, frame: DataFrame,
+      pred: org.apache.spark.sql.Column)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    frame.filter(pred).queryExecution.optimizedPlan.collectFirst {
+      case flt: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        flt.condition
+    }.toSeq
+
+  /** Sidecar admission for a predicate DML statement over ONE
+    * version directory's data files: a file is skipped when the
+    * manifest range, a bloom sidecar, or its directory-encoded
+    * partition values refute the predicate. Superset guarantee —
+    * files with no deciding sidecar stay admitted. Returns
+    * (affected, untouched). Shared by copy-on-write rewrites and the
+    * merge-on-read matching scan, so both route the same way. */
+  private def dmlAdmission(spark: SparkSession,
+      f: org.apache.hadoop.fs.FileSystem, vDir: String,
+      dataFiles: Seq[String], pcols: Seq[String],
+      cond: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : (Seq[String], Seq[String]) = {
+    val hasStats = f.exists(new Path(vDir, FileStats.ManifestName))
+    val stats =
+      if (hasStats) FileStats.readManifest(spark, vDir) else Seq.empty
+    val rangeSkipped: Set[String] = {
+      val preds = graft.plans.StatsFilters.extract(cond)
+      if (preds.isEmpty || stats.isEmpty) Set.empty
+      else FileStats.prune(stats, preds)._2.map(_.relPath).toSet
+    }
+    val bloomSkipped: Set[String] =
+      graft.plans.StatsFilters.extractEquals(cond).flatMap {
+        case (c, vals) => bloomColsOf(f, vDir).filter(_ == c)
+          .flatMap(bc => BloomStats.readManifest(spark, vDir, bc)
+            .filter(fb => !vals.exists(BloomStats.admits(fb, _)))
+            .map(_.relPath))
+      }.toSet
+    // directory-encoded values are point stats, so a predicate on a
+    // partition column routes to that partition's files only
+    val partSkipped: Set[String] =
+      if (pcols.isEmpty) Set.empty
+      else {
+        val pPreds = graft.plans.StatsFilters.extract(cond)
+          .filter(p => pcols.contains(p.column))
+        if (pPreds.isEmpty) Set.empty
+        else {
+          val synth = dataFiles.map(r =>
+            FileStats.FileStat(r, 0L, partStats(r)))
+          FileStats.prune(synth, pPreds)._2.map(_.relPath).toSet
+        }
+      }
+    val untouched = dataFiles.filter(r =>
+      rangeSkipped(r) || bloomSkipped(r) || partSkipped(r))
+    (dataFiles.filterNot(untouched.toSet), untouched)
+  }
+
   /** Build (but do NOT commit) a copy-on-write rewrite of version
     * `v`: sidecar-routed admission, rewritten + byte-copied files
     * staged with spliced manifests, epoch markers carried, and the
@@ -1094,50 +1153,13 @@ object Snapshots {
     val vPath = f.makeQualified(new Path(vDir))
     val (dataFiles, pcols) = listDataRel(f, vPath)
     // resolve the predicate against the version's schema and extract
-    // the range/equality conjuncts the sidecars can decide on — from
-    // the OPTIMIZED plan: the analyzer leaves type-coercion casts on
-    // literals (`k >= cast(0 as bigint)`) that only constant folding
-    // collapses back to the literals the extractors match
-    val plainDf = spark.read.parquet(vDir)
-    val cond = plainDf.filter(pred).queryExecution.optimizedPlan
-      .collectFirst {
-        case flt: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-          flt.condition
-      }.toSeq
+    // the range/equality conjuncts the sidecars can decide on
+    val cond = dmlCond(spark, spark.read.parquet(vDir), pred)
     val hasStats = f.exists(new Path(vDir, FileStats.ManifestName))
     val stats =
       if (hasStats) FileStats.readManifest(spark, vDir) else Seq.empty
-    val rangeSkipped: Set[String] = {
-      val preds = graft.plans.StatsFilters.extract(cond)
-      if (preds.isEmpty || stats.isEmpty) Set.empty
-      else FileStats.prune(stats, preds)._2.map(_.relPath).toSet
-    }
-    val bloomCols = bloomColsOf(f, vDir)
-    val blooms = bloomCols
-      .map(c => c -> BloomStats.readManifest(spark, vDir, c)).toMap
-    val bloomSkipped: Set[String] =
-      graft.plans.StatsFilters.extractEquals(cond).flatMap {
-        case (c, vals) => blooms.get(c).toSeq.flatMap(_.filter(fb =>
-          !vals.exists(BloomStats.admits(fb, _))).map(_.relPath))
-      }.toSet
-    // partition pruning for the rewrite: directory-encoded values are
-    // point stats, so a predicate on a partition column routes the
-    // rewrite to that partition's files only
-    val partSkipped: Set[String] =
-      if (pcols.isEmpty) Set.empty
-      else {
-        val pPreds = graft.plans.StatsFilters.extract(cond)
-          .filter(p => pcols.contains(p.column))
-        if (pPreds.isEmpty) Set.empty
-        else {
-          val synth = dataFiles.map(r =>
-            FileStats.FileStat(r, 0L, partStats(r)))
-          FileStats.prune(synth, pPreds)._2.map(_.relPath).toSet
-        }
-      }
-    val untouched = dataFiles.filter(r =>
-      rangeSkipped(r) || bloomSkipped(r) || partSkipped(r))
-    val affected = dataFiles.filterNot(untouched.toSet)
+    val (affected, untouched) =
+      dmlAdmission(spark, f, vDir, dataFiles, pcols, cond)
     if (affected.isEmpty) return None
     val hit = coalesce(pred, lit(false))
     // basePath keeps directory-encoded partition columns in the frame
@@ -1190,8 +1212,9 @@ object Snapshots {
         FileStats.writeEntries(spark, stage.toString, fresh ++ oldKept)
       }
     }
-    bloomCols.foreach { c =>
-      val oldKept = blooms(c).filter(e => untouched.contains(e.relPath))
+    bloomColsOf(f, vDir).foreach { c =>
+      val oldKept = BloomStats.readManifest(spark, vDir, c)
+        .filter(e => untouched.contains(e.relPath))
       if (stagedEmpty) BloomStats.writeEntries(spark, stage.toString,
         c, oldKept)
       else {
@@ -2212,6 +2235,28 @@ object Snapshots {
     readRefs(f, vDir) ++ local
   }
 
+  /** Byte lengths of a physical-file set, ONE directory walk per
+    * home version — accounting helpers must never degenerate into a
+    * per-file getFileStatus RPC loop on an object store. A file
+    * missing from its home's listing (concurrently vacuumed)
+    * accounts as 0 rather than throwing. */
+  private def physLengths(f: org.apache.hadoop.fs.FileSystem,
+      dir: String, phys: Seq[(Long, String)])
+      : Map[(Long, String), Long] =
+    phys.groupBy(_._1).flatMap { case (src, files) =>
+      val vp = f.makeQualified(new Path(s"$dir/v=$src"))
+      def walk(p: Path): Seq[(String, Long)] =
+        f.listStatus(p).toSeq.flatMap { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+          else if (st.isDirectory) walk(st.getPath)
+          else Seq(
+            (vp.toUri.relativize(st.getPath.toUri).getPath, st.getLen))
+        }
+      val lens = walk(vp).toMap
+      files.map(x => x -> lens.getOrElse(x._2, 0L))
+    }
+
   /** Partition column names (nesting order) recovered from a physical
     * file's relative path — the one rule the MoR append and the fold
     * must agree on. */
@@ -2312,7 +2357,8 @@ object Snapshots {
     * copy-on-write delete would have moved instead (rewritten +
     * byte-copied — the whole live file set). */
   final case class MorStats(tombstonesAdded: Long, tombstonesTotal: Long,
-      filesReferenced: Long, bytesWritten: Long, cowBytesAvoided: Long)
+      filesReferenced: Long, bytesWritten: Long, cowBytesAvoided: Long,
+      filesScanned: Long = -1L)
 
   /** Row-level DELETE, merge-on-read: the new version carries every
     * live file BY REFERENCE and materializes only the deletion
@@ -2357,12 +2403,45 @@ object Snapshots {
         "version key — the tombstone file identity would be " +
         "ambiguous; use the copy-on-write path for this layout")
     val hit = coalesce(pred, lit(false))
-    // scan through the MoR assembly (already-deleted rows excluded),
-    // keeping lineage — the tombstone identity of each matching row
-    val lineage =
-      if (isMorVersion(spark, dir, v)) readMorAssembled(spark, dir, v,
-        lineage = true)
-      else readMorAssembled0(spark, dir, v)
+    // SIDECAR-ROUTED matching scan: the WRITE side of MoR DML is
+    // O(statement) by design (incremental dvs), but the
+    // find-matching-rows scan used to read the whole assembly. Every
+    // physical file routes through its HOME version's sidecars —
+    // manifest ranges, blooms, directory-encoded partitions — via
+    // the same dmlAdmission the copy-on-write path uses: a file the
+    // predicate provably cannot hit holds no row needing a
+    // tombstone, so skipping it is the same superset guarantee. At
+    // 100 TB this turns a point MoR delete from O(table) into
+    // O(admitted files). Deletion vectors still anti-join below, so
+    // an already-deleted row never re-tombstones.
+    val byHome = phys.groupBy(_._1).toSeq.sortBy(_._1)
+    val newestHome = s"$dir/v=${byHome.last._1}"
+    val cond = dmlCond(spark,
+      spark.read.option("basePath", newestHome).parquet(newestHome),
+      pred)
+    val admitted: Seq[(Long, String)] = byHome.flatMap {
+      case (src, files) =>
+        val hDir = s"$dir/v=$src"
+        val (aff, _) = dmlAdmission(spark, f, hDir, files.map(_._2),
+          pcolsOf(files), cond)
+        aff.map(r => (src, r))
+    }
+    // no admitted file → no row can match → publish nothing
+    if (admitted.isEmpty) return None
+    val dvs = dvEntries(spark, dir, v, needRows = false)
+    val scanned = morScan(spark, dir, admitted, withLineage = true)
+      .getOrElse(return None)
+    // conform to the table schema (NULL-fill) — an admitted old-home
+    // file may predate a column the predicate references, and the
+    // pruned union must still resolve it exactly like the full
+    // assembly's allowMissingColumns union would
+    val tschema = tableSchema(spark, dir)
+    val lineage = tschema.fields.foldLeft(
+      if (dvs.nonEmpty) applyDvs(spark, scanned, dvs) else scanned) {
+      (d, fd) =>
+        if (d.columns.exists(_.equalsIgnoreCase(fd.name))) d
+        else d.withColumn(fd.name, lit(null).cast(fd.dataType))
+    }
     // cache the matched rows: the expensive whole-assembly scan runs
     // ONCE — the count, the tombstone write, the provenance key list,
     // and (update) the image write all read the cache; the total is
@@ -2409,11 +2488,11 @@ object Snapshots {
       copyEpochMarkers(f, new Path(vDir), stage)
       writeDml(f, stage, v, op, rawTouched.map(k => s"v=$k"))
       val sidecarBytes = f.getContentSummary(stage).getLength
-      val cowBytes = phys.map { case (src, rel) =>
-        f.getFileStatus(new Path(s"$dir/v=$src/$rel")).getLen
-      }.sum
+      // accounting only: one directory walk per HOME version, never
+      // a per-file getFileStatus RPC loop
+      val cowBytes = physLengths(f, dir, phys).values.sum
       Some((stage, MorStats(added, oldCount + added, phys.size.toLong,
-        sidecarBytes, cowBytes)))
+        sidecarBytes, cowBytes, admitted.size.toLong)))
     } finally { matching.unpersist(); () }
   }
 
@@ -2658,10 +2737,10 @@ object Snapshots {
         BloomStats.writeManifest(spark, stage.toString, c))
     }
     copyEpochMarkers(f, vPath, stage)
-    def bytesOf(files: Seq[(Long, String)]): Long = files.map {
-      case (src, rel) =>
-        f.getFileStatus(new Path(s"$dir/v=$src/$rel")).getLen
-    }.sum
+    // accounting: one walk per home version, no per-file RPC loop
+    val lens = physLengths(f, dir, phys)
+    def bytesOf(files: Seq[(Long, String)]): Long =
+      files.map(lens.getOrElse(_, 0L)).sum
     val stats = PurgeStats(dirty.size.toLong, clean.size.toLong,
       applied, bytesOf(dirty), bytesOf(clean))
     val nv = occupyNextFree(spark, f, dir, stage)

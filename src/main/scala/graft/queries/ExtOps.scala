@@ -1286,11 +1286,21 @@ object ExtOps {
           statsCols = Seq("k"), partitionByCols = Seq("bucket"))
         val (_, big) = Snapshots.deleteWhereMor(s, store,
           pmod(col("k"), lit(3)) === 0)
+        // partition-qualified point deletes (the natural shape on a
+        // bucketed table): bucket admission prunes to ONE partition,
+        // and the k-range refutes most of the rest — the sidecar-
+        // routed matching scan (round 18) must admit < all files
         val smalls = Seq(1L, 2L, 5L, 7L, 11L).map { kv =>
-          Snapshots.deleteWhereMor(s, store, col("k") === kv)._2
+          Snapshots.deleteWhereMor(s, store,
+            col("k") === kv && col("bucket") === kv % 8)._2
         }
         val maxSmall = smalls.map(_.bytesWritten).max
         val costFlat = if (maxSmall < big.bytesWritten) 1L else 0L
+        // round 18: the matching scan is sidecar-routed — every
+        // point delete must admit strictly fewer files than the
+        // version references (partition dirs + k-ranges decide)
+        val routed = if (smalls.forall(m =>
+          m.filesScanned < m.filesReferenced)) 1L else 0L
         val fin = Snapshots.read(s, store)
           .agg(count(lit(1)).as("n"), sum(col("qty")).as("sq")).head()
         val totalT = big.tombstonesAdded +
@@ -1299,9 +1309,9 @@ object ExtOps {
         import s.implicits._
         Seq((big.tombstonesAdded,
           smalls.map(_.tombstonesAdded).sum, totalT,
-          fin.getLong(0), fin.getLong(1), costFlat))
+          fin.getLong(0), fin.getLong(1), costFlat, routed))
           .toDF("big_rows", "small_rows", "tombstones_total",
-            "n_final", "qty_sum", "cost_flat")
+            "n_final", "qty_sum", "cost_flat", "routed")
       } finally {
         hfs.delete(new org.apache.hadoop.fs.Path(store), true); ()
       }
@@ -3036,7 +3046,8 @@ object ExtOps {
                 WHERE k IN (1, 2, 5, 7, 11)) AS tombstones_total,
            (SELECT count(*) FROM am) AS n_final,
            (SELECT CAST(sum(qty) AS BIGINT) FROM am) AS qty_sum,
-           CAST(1 AS BIGINT) AS cost_flat""",
+           CAST(1 AS BIGINT) AS cost_flat,
+           CAST(1 AS BIGINT) AS routed""",
     // the SQL-DML statement chain replayed as set algebra: delete →
     // update → full-row upsert merge (matched keys replaced whole,
     // unmatched inserted), plus the MoR twin's delete census

@@ -528,6 +528,36 @@ class MorDeleteSpec extends SparkSpec {
     assert(Snapshots.read(spark, dir).count() == 369L)
   }
 
+  test("MoR DML's matching scan is sidecar-routed: a point delete " +
+    "on a stats-tracked store admits fewer files than it references " +
+    "— and a predicate with no route still reads everything") {
+    val dir = freshDir("graft-morRoute")
+    build(dir) // 4 files (b=0..3, k-quartiles), stats on k
+    val (_, st) = Snapshots.deleteWhereMor(spark, dir, col("k") === 55L)
+    assert(st.tombstonesAdded == 1L)
+    assert(st.filesScanned == 1L && st.filesReferenced == 4L,
+      st.toString)
+    assert(Snapshots.read(spark, dir).count() == 399L)
+    // second statement routes through the HOME version's sidecars
+    // (the MoR head's refs point at v1's files)
+    val (_, st2) = Snapshots.deleteWhereMor(spark, dir,
+      col("k") === 250L)
+    assert(st2.filesScanned == 1L, st2.toString)
+    assert(Snapshots.read(spark, dir).count() == 398L)
+    // no sidecar decides a payload predicate — conservative full scan
+    val (_, st3) = Snapshots.deleteWhereMor(spark, dir,
+      col("payload") === "d300")
+    assert(st3.filesScanned == 4L, st3.toString)
+    assert(Snapshots.read(spark, dir).count() == 397L)
+    // MoR UPDATE routes the same way and its images stay correct
+    val (_, st4) = Snapshots.updateWhereMor(spark, dir,
+      col("k") === 10L, Map("payload" -> lit("u10")))
+    assert(st4.filesScanned == 1L, st4.toString)
+    val t = Snapshots.read(spark, dir)
+    assert(t.filter(col("payload") === "u10").count() == 1L)
+    assert(t.count() == 397L)
+  }
+
   test("a purge that dirties EVERY file restores the stats manifest " +
     "itself (no refs → head stops being MoR → no later fold would) — " +
     "and compactAuto carries it through the partitioned layout") {
