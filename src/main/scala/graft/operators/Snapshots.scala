@@ -879,9 +879,27 @@ object Snapshots {
       xCol: String, yCol: String, bits: Int = 10,
       bucketWidth: Long = 16384L, bucketCol: String = "z_bucket",
       statsCols: Seq[String] = Nil, quantizeCols: Boolean = true)
+      : (Long, ClusterStats) =
+    optimizeClusteredCols(spark, dir, Seq(xCol, yCol), bits,
+      bucketWidth, bucketCol, statsCols, quantizeCols)
+
+  /** [[optimizeClustered]] generalized to 2 OR 3 clustering columns:
+    * 3-D interleaves through [[ZOrder.interleave3]] (the xq37 Morton
+    * path), so `OPTIMIZE t ZORDER BY (x, y, z)` clusters all three
+    * dimensions instead of under-exposing the library capability. */
+  def optimizeClusteredCols(spark: SparkSession, dir: String,
+      clusterCols: Seq[String], bits: Int = 10,
+      bucketWidth: Long = 16384L, bucketCol: String = "z_bucket",
+      statsCols: Seq[String] = Nil, quantizeCols: Boolean = true)
       : (Long, ClusterStats) = {
     import org.apache.spark.sql.functions.{call_function, col, lit,
       max => fmax, min => fmin}
+    require(clusterCols.size == 2 || clusterCols.size == 3,
+      s"optimizeClusteredCols takes 2 or 3 columns, got " +
+        clusterCols.mkString(", "))
+    require(clusterCols.distinct.size == clusterCols.size,
+      s"optimizeClusteredCols: duplicate cluster column in " +
+        clusterCols.mkString(", "))
     require(bucketWidth > 0, "bucketWidth must be positive")
     val f = fs(spark, dir)
     val v = latestVersion(spark, dir)
@@ -896,7 +914,7 @@ object Snapshots {
     // maintenance stays schema-stable instead of refusing or
     // accreting a new column per cycle. It must not collide with a
     // CLUSTERING column, which is user data.
-    require(bucketCol != xCol && bucketCol != yCol,
+    require(!clusterCols.contains(bucketCol),
       s"optimizeClustered: bucketCol '$bucketCol' is a cluster column")
     // marker-file names live in the version directory — keep them
     // filesystem-safe
@@ -921,19 +939,24 @@ object Snapshots {
           "different bucketCol")
       df0.drop(bucketCol)
     } else df0
+    def interleave(cs: Seq[Column]): Column = cs match {
+      case Seq(x, y) => ZOrder.interleave2(x, y, bits)
+      case Seq(x, y, z) => ZOrder.interleave3(x, y, z, bits)
+      case _ => throw new IllegalStateException("unreachable arity")
+    }
     val zkey =
-      if (!quantizeCols) ZOrder.interleave2(col(xCol), col(yCol), bits)
+      if (!quantizeCols) interleave(clusterCols.map(col))
       else {
-        val b = df.agg(fmin(col(xCol)).cast("double"),
-          fmax(col(xCol)).cast("double"),
-          fmin(col(yCol)).cast("double"),
-          fmax(col(yCol)).cast("double")).head()
-        require(!b.isNullAt(0) && !b.isNullAt(2),
-          s"optimizeClustered: $xCol/$yCol entirely NULL — cannot cluster")
-        ZOrder.interleave2(
-          ZOrder.quantize(col(xCol), b.getDouble(0), b.getDouble(1), bits),
-          ZOrder.quantize(col(yCol), b.getDouble(2), b.getDouble(3), bits),
-          bits)
+        val aggs = clusterCols.flatMap(c => Seq(
+          fmin(col(c)).cast("double"), fmax(col(c)).cast("double")))
+        val b = df.agg(aggs.head, aggs.tail: _*).head()
+        clusterCols.indices.foreach(i => require(!b.isNullAt(2 * i),
+          s"optimizeClustered: ${clusterCols(i)} entirely NULL — " +
+            "cannot cluster"))
+        interleave(clusterCols.zipWithIndex.map { case (c, i) =>
+          ZOrder.quantize(col(c), b.getDouble(2 * i),
+            b.getDouble(2 * i + 1), bits)
+        })
       }
     val clustered = df
       .withColumn("__z", zkey)
@@ -949,7 +972,7 @@ object Snapshots {
           FileStats.readManifest(spark, vDir)
             .flatMap(_.cols.keys).distinct
         else Seq.empty
-      (carried ++ Seq(xCol, yCol)).distinct.sorted
+      (carried ++ clusterCols).distinct.sorted
     }
     val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
     clustered.write.mode("overwrite").partitionBy(bucketCol)

@@ -26,7 +26,7 @@ import graft.operators.Snapshots
   *     relation itself for USING-snapshot targets)
   *   VACUUM t [RETAIN 5 VERSIONS]             -- returns reclaimed
   *   OPTIMIZE t                               -- compact (folds MoR)
-  *   OPTIMIZE t ZORDER BY (x, y)              -- 2-D Morton cluster
+  *   OPTIMIZE t ZORDER BY (x, y[, z])         -- 2-/3-D Morton cluster
   *   OPTIMIZE t PURGE                         -- apply deletion
   *                                               vectors only (dirty
   *                                               files rewrite, clean
@@ -164,6 +164,34 @@ object SnapshotSqlParser {
   /** The whole statement as one of ours — or None to delegate. A
     * matching statement whose target is NOT a snapshot table also
     * delegates (Spark then produces its own error/behavior). */
+  /** Re-read the store's CURRENT schema and update the catalog
+    * entry when maintenance evolved it (ZORDER materializes its
+    * bucket column): a catalog data source table re-resolves with
+    * its SAVED schema as the user-specified one, and a mismatch is a
+    * hard AnalysisException on the very next SELECT. Best-effort —
+    * an unknown/temp/path-only target is simply left alone. */
+  private[plans] def syncCatalogSchema(spark: SparkSession,
+      ident: Seq[String], dir: String): Unit = try {
+    val cat = spark.sessionState.catalog
+    if (ident.isEmpty || cat.isTempView(ident)) return
+    val ti = ident match {
+      case Seq(t) => TableIdentifier(t)
+      case Seq(db, t) => TableIdentifier(t, Some(db))
+      case Seq(c, db, t) if c.equalsIgnoreCase("spark_catalog") =>
+        TableIdentifier(t, Some(db))
+      case _ => return
+    }
+    if (!cat.tableExists(ti)) return
+    val actual = Snapshots.tableSchema(spark, dir)
+    val meta = cat.getTableMetadata(ti)
+    def shape(st: org.apache.spark.sql.types.StructType) =
+      st.fields.toSeq.map(f => (f.name, f.dataType))
+    if (shape(meta.schema) != shape(actual)) {
+      cat.alterTableDataSchema(ti, actual)
+      cat.refreshTable(ti)
+    }
+  } catch { case _: Exception => () }
+
   private def maintenancePlan(spark: SparkSession,
       sqlText: String): Option[LogicalPlan] = sqlText match {
     case VacuumR(ident, retain) =>
@@ -179,7 +207,8 @@ object SnapshotSqlParser {
         // ZORDER BY () must not silently degrade to plain compaction
         require(zorder == null || zcols.nonEmpty,
           "OPTIMIZE ZORDER BY needs column names, got an empty list")
-        OptimizeSnapshotCommand(dir, purge != null, zcols)
+        OptimizeSnapshotCommand(dir, purge != null, zcols,
+          ident = parts(ident))
       }
     case HistoryR(ident) =>
       snapshotDir(spark, parts(ident))
@@ -200,14 +229,15 @@ case class VacuumSnapshotCommand(dir: String, keepLast: Int)
     Snapshots.vacuum(spark, dir, keepLast).map(Row(_))
 }
 
-/** `OPTIMIZE t [PURGE | ZORDER BY (x, y)]`: plain = bin-pack
+/** `OPTIMIZE t [PURGE | ZORDER BY (x, y[, z])]`: plain = bin-pack
   * compaction via [[Snapshots.compactAuto]] (folds an MoR head,
   * bins a partitioned layout per partition directory);
   * PURGE = apply deletion vectors only ([[Snapshots.purgeMor]]);
-  * ZORDER BY = 2-D Morton clustering ([[Snapshots.optimizeClustered]],
-  * exactly two columns). */
+  * ZORDER BY = Morton clustering, 2-D or 3-D
+  * ([[Snapshots.optimizeClusteredCols]]). */
 case class OptimizeSnapshotCommand(dir: String, purge: Boolean,
-    zorderCols: Seq[String], targetBytes: Long = 128L << 20)
+    zorderCols: Seq[String], targetBytes: Long = 128L << 20,
+    ident: Seq[String] = Nil)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
@@ -219,11 +249,15 @@ case class OptimizeSnapshotCommand(dir: String, purge: Boolean,
       val (v, _) = Snapshots.purgeMor(spark, dir)
       Seq(Row(v, "purge"))
     } else if (zorderCols.nonEmpty) {
-      require(zorderCols.size == 2,
-        "OPTIMIZE ZORDER BY takes exactly two columns " +
+      require(zorderCols.size == 2 || zorderCols.size == 3,
+        "OPTIMIZE ZORDER BY takes two or three columns " +
           s"(got ${zorderCols.mkString(", ")})")
-      val (v, _) = Snapshots.optimizeClustered(spark, dir,
-        zorderCols.head, zorderCols(1))
+      val (v, _) = Snapshots.optimizeClusteredCols(spark, dir,
+        zorderCols)
+      // the cluster id MATERIALIZES as a table column — keep the
+      // catalog's stored schema in sync, or the table's next
+      // resolution fails Spark's user-specified-schema check
+      SnapshotSqlParser.syncCatalogSchema(spark, ident, dir)
       Seq(Row(v, "zorder"))
     } else {
       // layout-dispatching: MoR head folds, flat layout bin-packs,

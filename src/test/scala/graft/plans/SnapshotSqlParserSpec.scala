@@ -81,13 +81,33 @@ class SnapshotSqlParserSpec extends SparkSpec {
       Snapshots.latestVersion(spark, dir)))
     assert(spark.sql(s"SELECT count(*) AS n FROM $t").head.getLong(0)
       == 390L)
-    // ZORDER BY takes exactly two columns
+    // ZORDER BY takes two or three columns
     val z = spark.sql(s"OPTIMIZE $t ZORDER BY (k, b)").head
     assert(z.getString(1) == "zorder")
+    // 3-D Morton (interleave3): reclusters, rows invariant, and the
+    // recomputed manifest tracks the THIRD column too
+    val dir3 = freshDir("graft-sqlp-z3")
+    val df3 = (0L until 400L).map(i => (i, i % 20, (i * 7) % 31))
+      .toDF("x", "y", "w")
+    Snapshots.commitWithStats(spark, df3, dir3, statsCols = Seq("x"))
+    spark.sql(s"CREATE TABLE ${t}_z3 USING snapshot " +
+      s"OPTIONS (path '$dir3')")
+    val z3 = spark.sql(s"OPTIMIZE ${t}_z3 ZORDER BY (x, y, w)").head
+    assert(z3.getString(1) == "zorder")
+    assert(spark.sql(s"SELECT count(*) AS n FROM ${t}_z3")
+      .head.getLong(0) == 400L)
+    assert(spark.sql(s"SELECT sum(x) AS s FROM ${t}_z3")
+      .head.getLong(0) == (0L until 400L).sum)
+    val head3 = Snapshots.latestVersion(spark, dir3)
+    val ms = graft.operators.FileStats
+      .readManifest(spark, s"$dir3/v=$head3")
+    assert(ms.nonEmpty && ms.forall(e => e.cols.contains("w") &&
+      e.cols.contains("y")),
+      "3-col ZORDER must track all three columns' stats")
     val e = intercept[IllegalArgumentException] {
       spark.sql(s"OPTIMIZE $t ZORDER BY (k)").collect()
     }
-    assert(e.getMessage.contains("two columns"), e.getMessage)
+    assert(e.getMessage.contains("three columns"), e.getMessage)
   }
 
   test("VACUUM reclaims through SQL with the library's ref/dv " +
