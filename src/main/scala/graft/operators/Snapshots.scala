@@ -487,30 +487,43 @@ object Snapshots {
     if (latestVersion(spark, dir) == 0L) return commit(spark, df, dir)
     txCommitLoop(spark, dir, maxRetries, publishWaitMs) { h =>
       val vDir = s"$dir/v=$h"
-      val statsCols =
-        if (f.exists(new Path(vDir, FileStats.ManifestName)))
-          FileStats.readManifest(spark, vDir)
-            .flatMap(_.cols.keys).distinct.sorted
-        else Seq.empty
-      val bloomCols = bloomColsOf(f, vDir)
+      // sidecar configuration survives the overwrite even on an MoR
+      // head (whose version dir carries no manifests of its own):
+      // derive from the HOME versions, foldMor-style
+      val mor = isMorVersion(spark, dir, h)
+      val homes =
+        if (mor) physicalFiles(spark, f, dir, h).map(_._1)
+          .distinct.sorted.map(x => s"$dir/v=$x")
+        else Seq(vDir)
+      // an overwrite may CHANGE the schema — carry only the sidecar
+      // columns the new data still has (root segment for nested
+      // manifest paths), or the manifest write would fail to resolve
+      def inNewSchema(c: String): Boolean =
+        df.columns.exists(_.equalsIgnoreCase(c.takeWhile(_ != '.')))
+      val statsCols = homes
+        .filter(x => f.exists(new Path(x, FileStats.ManifestName)))
+        .flatMap(x => FileStats.readManifest(spark, x)
+          .flatMap(_.cols.keys)).distinct.sorted.filter(inNewSchema)
+      val bloomCols = homes.flatMap(x => bloomColsOf(f, x))
+        .distinct.sorted.filter(inNewSchema)
       val pcols =
-        if (isMorVersion(spark, dir, h))
-          pcolsOf(physicalFiles(spark, f, dir, h))
+        if (mor) pcolsOf(physicalFiles(spark, f, dir, h))
         else listDataRel(f, f.makeQualified(new Path(vDir)))._2
       val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
       val w = df.write.mode("overwrite")
       (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w)
         .parquet(stage.toString)
-      // an overwrite to EMPTY still needs one schema-carrying file
+      // an overwrite to EMPTY still needs one schema-carrying file —
+      // and it keeps its manifests too (splice-safe null bounds), so
+      // the table stays stats-tracked through INSERT OVERWRITE ...
+      // WHERE false just like through any other statement
       if (listDataRel(f, f.makeQualified(stage))._1.isEmpty)
         df.limit(0).coalesce(1).write.mode("overwrite")
           .parquet(stage.toString)
-      else {
-        if (statsCols.nonEmpty)
-          FileStats.writeManifest(spark, stage.toString, statsCols)
-        bloomCols.foreach(c =>
-          BloomStats.writeManifest(spark, stage.toString, c))
-      }
+      if (statsCols.nonEmpty)
+        FileStats.writeManifest(spark, stage.toString, statsCols)
+      bloomCols.foreach(c =>
+        BloomStats.writeManifest(spark, stage.toString, c))
       Right((stage, (), (_: Long) => ()))
     }._1
   }
@@ -1123,11 +1136,21 @@ object Snapshots {
   private def dmlAdmission(spark: SparkSession,
       f: org.apache.hadoop.fs.FileSystem, vDir: String,
       dataFiles: Seq[String], pcols: Seq[String],
-      cond: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      cond: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      statsOpt: Option[Seq[FileStats.FileStat]] = None,
+      bloomsOpt: Option[Map[String, Seq[BloomStats.FileBloom]]] = None)
       : (Seq[String], Seq[String]) = {
-    val hasStats = f.exists(new Path(vDir, FileStats.ManifestName))
-    val stats =
-      if (hasStats) FileStats.readManifest(spark, vDir) else Seq.empty
+    val stats = statsOpt.getOrElse {
+      if (f.exists(new Path(vDir, FileStats.ManifestName)))
+        FileStats.readManifest(spark, vDir)
+      else Seq.empty
+    }
+    // sidecars read ONCE per statement: callers that already hold
+    // the manifests for splicing pass them in, and the bloom listing
+    // never repeats per equality column
+    lazy val blooms: Map[String, Seq[BloomStats.FileBloom]] =
+      bloomsOpt.getOrElse(bloomColsOf(f, vDir)
+        .map(c => c -> BloomStats.readManifest(spark, vDir, c)).toMap)
     val rangeSkipped: Set[String] = {
       val preds = graft.plans.StatsFilters.extract(cond)
       if (preds.isEmpty || stats.isEmpty) Set.empty
@@ -1135,10 +1158,9 @@ object Snapshots {
     }
     val bloomSkipped: Set[String] =
       graft.plans.StatsFilters.extractEquals(cond).flatMap {
-        case (c, vals) => bloomColsOf(f, vDir).filter(_ == c)
-          .flatMap(bc => BloomStats.readManifest(spark, vDir, bc)
-            .filter(fb => !vals.exists(BloomStats.admits(fb, _)))
-            .map(_.relPath))
+        case (c, vals) => blooms.getOrElse(c, Seq.empty)
+          .filter(fb => !vals.exists(BloomStats.admits(fb, _)))
+          .map(_.relPath)
       }.toSet
     // directory-encoded values are point stats, so a predicate on a
     // partition column routes to that partition's files only
@@ -1181,8 +1203,10 @@ object Snapshots {
     val hasStats = f.exists(new Path(vDir, FileStats.ManifestName))
     val stats =
       if (hasStats) FileStats.readManifest(spark, vDir) else Seq.empty
-    val (affected, untouched) =
-      dmlAdmission(spark, f, vDir, dataFiles, pcols, cond)
+    val blooms = bloomColsOf(f, vDir)
+      .map(c => c -> BloomStats.readManifest(spark, vDir, c)).toMap
+    val (affected, untouched) = dmlAdmission(spark, f, vDir,
+      dataFiles, pcols, cond, Some(stats), Some(blooms))
     if (affected.isEmpty) return None
     val hit = coalesce(pred, lit(false))
     // basePath keeps directory-encoded partition columns in the frame
@@ -1235,9 +1259,8 @@ object Snapshots {
         FileStats.writeEntries(spark, stage.toString, fresh ++ oldKept)
       }
     }
-    bloomColsOf(f, vDir).foreach { c =>
-      val oldKept = BloomStats.readManifest(spark, vDir, c)
-        .filter(e => untouched.contains(e.relPath))
+    blooms.foreach { case (c, entries) =>
+      val oldKept = entries.filter(e => untouched.contains(e.relPath))
       if (stagedEmpty) BloomStats.writeEntries(spark, stage.toString,
         c, oldKept)
       else {
@@ -1691,9 +1714,9 @@ object Snapshots {
     * ANY target row, so every file is admitted (the inherent cost of
     * that clause, same as Delta). Execution is one full-outer join
     * of the admitted files against the source with per-clause CASE
-    * routing — pure Column algebra, fully codegen. The caller owns
-    * source-side key dedup (multiple source rows hitting one target
-    * row produce one output row PER source row, the join semantics).
+    * routing — pure Column algebra, fully codegen. A target row matched
+    * by MORE than one source row refuses with the SQL-standard MERGE
+    * cardinality error (never silent duplication).
     */
   def mergeApply(spark: SparkSession, dir: String, source: DataFrame,
       on: Seq[(String, String)], matched: Seq[MergeClause] = Nil,
@@ -1718,6 +1741,26 @@ object Snapshots {
       case _: MergeInsert => throw new IllegalArgumentException(
         "WHEN NOT MATCHED BY SOURCE supports UPDATE and DELETE, " +
           "not INSERT")
+      case _ => ()
+    }
+    // a typo'd SET/VALUES key would otherwise become a silent no-op
+    // that still counts as an affected row (the SQL path is guarded
+    // by the analyzer; the library API must refuse too)
+    val schemaNames = tableSchema(spark, dir).fieldNames.toSeq
+    def knownCols(m: Map[String, Column], what: String): Unit =
+      m.keys.filterNot(k =>
+        schemaNames.exists(_.equalsIgnoreCase(k))).toList match {
+        case Nil => ()
+        case bad => throw new IllegalArgumentException(
+          s"mergeApply: $what columns ${bad.mkString(", ")} not in " +
+            s"the table schema (${schemaNames.mkString(", ")})")
+      }
+    (matched ++ notMatchedBySource).foreach {
+      case u: MergeUpdate => knownCols(u.sets, "UPDATE SET")
+      case _ => ()
+    }
+    notMatched.foreach {
+      case i: MergeInsert => knownCols(i.values, "INSERT")
       case _ => ()
     }
     val f = fs(spark, dir)
@@ -1788,7 +1831,10 @@ object Snapshots {
         spark.read.option("basePath", vDir).parquet(vDir).limit(0)
       else spark.read.option("basePath", vDir)
         .parquet(affected.map(r => s"$vDir/$r"): _*)
-    val tA = base.withColumn("__t_present", lit(true)).alias("__t")
+    val tA = base.withColumn("__t_present", lit(true))
+      .withColumn("__tid",
+        org.apache.spark.sql.functions.monotonically_increasing_id())
+      .alias("__t")
     val sA = source.withColumn("__s_present", lit(true)).alias("__s")
     val joinCond = on.map { case (tc, sc) =>
       col(s"__t.`$tc`") === col(s"__s.`$sc`")
@@ -1833,9 +1879,23 @@ object Snapshots {
     val acctRow = withAct.agg(
       hits(col("__act").isInCollection(updateIds.map(Int.box))),
       hits(col("__act").isInCollection(deleteIds.map(Int.box))),
-      hits(col("__ins") =!= 0)).head()
+      hits(col("__ins") =!= 0),
+      hits(isMatched),
+      org.apache.spark.sql.functions.countDistinct(
+        when(isMatched, col("__t.__tid")))).head()
     val (nUpd, nDel, nIns) =
       (acctRow.getLong(0), acctRow.getLong(1), acctRow.getLong(2))
+    // MERGE cardinality (the Delta/SQL-standard error): a target row
+    // matched by MORE than one source row would be emitted once per
+    // pair — silent duplication under legal-looking SQL. Refuse.
+    val (matchedPairs, matchedRows) =
+      (acctRow.getLong(3), acctRow.getLong(4))
+    if (matchedPairs > matchedRows)
+      throw new IllegalStateException(
+        s"MERGE: ${matchedPairs - matchedRows} source rows matched " +
+          "already-matched target rows — the ON clause must match " +
+          "each target row to at most one source row; dedupe the " +
+          "source")
     if (nUpd == 0L && nDel == 0L && nIns == 0L) return None
     // target-side survivors: per-column CASE over the winning clause
     def setsOf(id: Int): Map[String, Column] = targetClauses
@@ -2607,19 +2667,6 @@ object Snapshots {
       : (Long, MorStats) = {
     require(sets.nonEmpty, "updateWhereMor needs at least one SET column")
     morDmlPublish(spark, dir, pred, Some(sets))
-  }
-
-  /** Lineage scan of a PLAIN (self-contained) version — the same
-    * `__key`/`__pos` identity [[readMorAssembled]] derives, for the
-    * first MoR delete on a copy-on-write table. */
-  private def readMorAssembled0(spark: SparkSession, dir: String,
-      v: Long): DataFrame = {
-    import org.apache.spark.sql.functions.{col, input_file_name,
-      substring_index}
-    spark.read.parquet(s"$dir/v=$v")
-      .withColumn("__key",
-        substring_index(input_file_name(), "/v=", -1))
-      .withColumn("__pos", col("_metadata.row_index"))
   }
 
   /** Total live tombstones of version `v` — metadata arithmetic over

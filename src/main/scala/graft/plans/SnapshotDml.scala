@@ -608,6 +608,15 @@ case class SnapshotInsertCommand(dir: String, query: LogicalPlan,
           s"not in the table schema " +
           s"(${schema.fieldNames.mkString(", ")})")
     }
+    // a duplicate claimant would silently win by list position and
+    // DROP the other value — Spark rejects duplicate column lists,
+    // and so do we
+    val dup = claims.groupBy(_.toLowerCase).collect {
+      case (_, v) if v.size > 1 => v.head
+    }
+    require(dup.isEmpty,
+      s"snapshot INSERT: duplicate column ${dup.mkString(", ")} in " +
+        (if (byName) "the query's output names" else "the column list"))
     val mapped = tmp.select(schema.fields.toSeq.map { fd =>
       claims.indexWhere(_.equalsIgnoreCase(fd.name)) match {
         case -1 => lit(null).cast(fd.dataType).as(fd.name)

@@ -777,6 +777,24 @@ class SnapshotsSpec extends SparkSpec {
     val hfs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     assert(Snapshots.readDml(hfs, s"$dir/v=2").exists(_._2 == "merge"))
+    // MERGE cardinality: two source rows matching ONE target row
+    // refuse with the SQL-standard error, never silent duplication
+    val dupSrc = Seq((5L, 1L), (5L, 2L)).toDF("id", "amt")
+    val e = intercept[IllegalStateException] {
+      Snapshots.mergeApply(spark, dir, dupSrc, on = Seq(("k", "id")),
+        matched = Seq(MergeUpdate(None, Map("qty" -> scol("amt")))))
+    }
+    assert(e.getMessage.contains("at most one source row"),
+      e.getMessage)
+    assert(Snapshots.read(spark, dir).count() == 49L,
+      "refused merge must publish nothing")
+    // a typo'd SET column refuses instead of no-op'ing N rows
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshots.mergeApply(spark, dir,
+        Seq((5L, 1L)).toDF("id", "amt"), on = Seq(("k", "id")),
+        matched = Seq(MergeUpdate(None, Map("qtyy" -> scol("amt")))))
+    }
+    assert(e2.getMessage.contains("qtyy"), e2.getMessage)
   }
 
   test("readAppendsSince replays an epoch-fenced append log: ranged " +

@@ -282,6 +282,25 @@ class SnapshotSqlDmlSpec extends SparkSpec {
         .collect()
     }
     assert(e.getMessage.contains("PARTITION"), e.getMessage)
+    // duplicate column lists refuse — never first-claimant-wins
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql(s"INSERT INTO $t (k, k) VALUES (1, 2)").collect()
+    }
+    assert(e2.getMessage.contains("duplicate column"), e2.getMessage)
+    // INSERT OVERWRITE on a MERGE-ON-READ head: the MoR version dir
+    // carries no manifests of its own — sidecar config must derive
+    // from the home versions, or the table silently stops pruning
+    val (tm, dirM) = mkTable(", dmlMode 'mor'")
+    spark.sql(s"DELETE FROM $tm WHERE k < 10")
+    assert(spark.sql(s"INSERT OVERWRITE $tm " +
+      s"SELECT k, payload, b FROM $tm WHERE k < 200")
+      .head.getLong(0) == 190L)
+    val headM = Snapshots.latestVersion(spark, dirM)
+    assert(graft.operators.FileStats
+      .readManifest(spark, s"$dirM/v=$headM").nonEmpty,
+      "overwrite on an MoR head dropped the stats manifest")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $tm")
+      .head.getLong(0) == 190L)
   }
 
   test("MERGE beyond the upsert: conditional MATCHED DELETE/UPDATE " +
