@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Scan fan-out for compute-heavy paths over unsplittable inputs.
+  *
+  * A parquet file is splittable only at row-group boundaries; a table
+  * that arrives as a handful of single-row-group files scans as a
+  * handful of tasks no matter what `maxPartitionBytes` says — and any
+  * expensive per-row work fused into that scan stage (similarity
+  * scoring, sketching, tokenization) runs at file parallelism, not
+  * cluster parallelism. The classic symptom is a broadcast join whose
+  * streamed side is a one-file scan: the entire pair-generation +
+  * verification pipeline executes in ONE task while every other core
+  * idles (guide §2.5 "input skew: one huge unsplittable file …
+  * repartition immediately after the read").
+  *
+  * [[fanOut]] inserts that repartition ONLY when the plan would
+  * otherwise run narrower than the session's parallelism — at scale,
+  * where the table is many files wide, it is an exact no-op and costs
+  * nothing; on a narrow input it pays one small exchange to unlock
+  * every core for the expensive stage above it. The partition count
+  * is never a constant: it derives from `defaultParallelism` (the
+  * core count locally, the executor-slot count on a cluster).
+  *
+  * Prefer the keyed form when the downstream operation shuffles by a
+  * key anyway: `fanOut(df, col(k))` hash-partitions by that key into
+  * `spark.sql.shuffle.partitions`, so a sort-merge/shuffled-hash plan
+  * at scale REUSES the exchange (guide §2.4) instead of adding one.
+  * The keyless form round-robins (perfectly even, deterministic under
+  * retry thanks to sortBeforeRepartition) for purely per-row work.
+  *
+  * Never use below `input_file_name()` / `spark_partition_id()`
+  * consumers — the exchange changes both.
+  */
+object Parallelism {
+
+  /** Partition count the frame would execute with — resolved from the
+    * physical plan, no job runs. */
+  def planParts(df: DataFrame): Int = df.rdd.getNumPartitions
+
+  def fanOut(df: DataFrame, by: Column*): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (planParts(df) >= target) df
+    // the partition count must be EXPLICIT: a keyed repartition that
+    // lets the planner pick defers to AQE partition coalescing, which
+    // sizes partitions by shuffle BYTES (advisory 64 MB / min 1 MB) —
+    // a 1 MB exchange feeding millions of generated join pairs
+    // coalesces straight back to one task, re-creating the very
+    // bottleneck the fan-out exists to break. An explicit count is
+    // honored by AQE; it still derives from the session, never a
+    // constant.
+    else if (by.nonEmpty) df.repartition(target, by: _*)
+    else df.repartition(target)
+  }
+}

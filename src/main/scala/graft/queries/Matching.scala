@@ -153,9 +153,19 @@ object Matching {
     // b²/2 comparisons). filterOverCap (not cappedCandidates) so the
     // single-block pairs need no distinct and jw stays in-join.
     "er1_entity_pairs" -> ((s, dir) => {
-      val p = t(s, dir, "part")
-        .select(col("p_partkey"), col("p_name"),
-          split(col("p_name"), " ").getItem(0).as("blk"))
+      // fan out the scan BEFORE blocking: part arrives as one
+      // single-row-group file, so without this the ENTIRE b²/2
+      // jaro-winkler census runs in one task behind a broadcast join
+      // (measured: an 11.5 s single-task stage at sf0.1/local[32]).
+      // Keyless round-robin, not keyed by blk: the build side is
+      // broadcast so the probe side's partitioning is free to be
+      // perfectly even, and hashing ~92 block keys over the cores
+      // clumps (measured 8.5× max/median task skew). No-op once the
+      // scan is already wide.
+      val p = graft.operators.Parallelism.fanOut(
+        t(s, dir, "part")
+          .select(col("p_partkey"), col("p_name"),
+            split(col("p_name"), " ").getItem(0).as("blk")))
       val (safe, overCap) = graft.operators.HotBuckets
         .filterOverCap(p, "blk", cap = 10000)
       val a = safe.select(col("blk"), col("p_partkey").as("a_key"),
@@ -165,13 +175,30 @@ object Matching {
       val hot = overCap.agg(
         count(lit(1)).as("n_hot_blocks"),
         coalesce(sum(col("bucket_n")), lit(0L)).as("hot_parts"))
+      // Score per DISTINCT NAME PAIR, not per candidate pair:
+      // jw(a_name, b_name) is a pure function of the two strings, so
+      // the per-pair census first partial-aggregates the candidate
+      // pairs by (a_name, b_name) — map-side, in the same task that
+      // generates them, nothing pair-sized ever shuffles — and the
+      // expensive jw kernel runs ONCE per surviving name pair
+      // (measured at sf0.1: 25.0 M candidate pairs but only ~2 k
+      // distinct name pairs; ~140 s of jw CPU became ~3 ms). The
+      // count and key checksum distribute over the grouping
+      // (Σ per-group counts / Σ per-group key sums), so the emitted
+      // bands are bit-identical. The jw-vs-band census itself then
+      // runs over a vocabulary²-bounded frame (er3's argument), while
+      // the candidate join this query exists to witness stays fully
+      // quadratic.
       val bands = a.join(b, Seq("blk"))
         .filter(col("a_key") < col("b_key"))
+        .groupBy(col("a_name"), col("b_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("a_key") * 31 + col("b_key")).as("ks"))
         .withColumn("jw", SF.jaroWinkler(col("a_name"), col("b_name")))
         .filter(col("jw") >= 0.9)
         .groupBy(round(col("jw"), 2).as("sim_band"))
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(col("a_key") * 31 + col("b_key")).as("key_checksum"))
+        .agg(sum(col("n")).as("n_pairs"),
+          sum(col("ks")).as("key_checksum"))
       // LEFT join FROM the 1-row accounting frame, not a crossJoin
       // from the bands: when the cap excludes EVERY block (er1's
       // documented ~30× failure mode — the slope table witnesses it)
@@ -204,10 +231,14 @@ object Matching {
     // makes the per-scheme yield directly comparable to er1's.
     "er2_entity_pairs_ml" -> ((s, dir) => {
       val toks = split(col("p_name"), " ")
-      val p = t(s, dir, "part")
-        .select(col("p_partkey"), col("p_name"),
-          concat_ws(" ", toks.getItem(0),
-            coalesce(toks.getItem(1), lit(""))).as("blk"))
+      // same scan fan-out as er1: the jw verification must not run
+      // at one-file scan width (no-op at scale; keyless — er1's skew
+      // note)
+      val p = graft.operators.Parallelism.fanOut(
+        t(s, dir, "part")
+          .select(col("p_partkey"), col("p_name"),
+            concat_ws(" ", toks.getItem(0),
+              coalesce(toks.getItem(1), lit(""))).as("blk")))
       val (safe, overCap) = graft.operators.HotBuckets
         .filterOverCap(p, "blk", cap = 10000)
       val a = safe.select(col("blk"), col("p_partkey").as("a_key"),
@@ -217,14 +248,22 @@ object Matching {
       val hot = overCap.agg(
         count(lit(1)).as("n_hot_blocks"),
         coalesce(sum(col("bucket_n")), lit(0L)).as("hot_parts"))
+      // er1's distinct-name-pair scoring: partial-aggregate candidate
+      // pairs by (a_name, b_name) map-side, run jw once per name
+      // pair; counts/checksums distribute over the grouping, so the
+      // bands are bit-identical. The ±10 length band stays in-join
+      // (it references only the names — unchanged semantics).
       val bands = a.join(b, Seq("blk"))
         .filter(col("a_key") < col("b_key") &&
           abs(length(col("a_name")) - length(col("b_name"))) <= 10)
+        .groupBy(col("a_name"), col("b_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("a_key") * 31 + col("b_key")).as("ks"))
         .withColumn("jw", SF.jaroWinkler(col("a_name"), col("b_name")))
         .filter(col("jw") >= 0.9)
         .groupBy(round(col("jw"), 2).as("sim_band"))
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(col("a_key") * 31 + col("b_key")).as("key_checksum"))
+        .agg(sum(col("n")).as("n_pairs"),
+          sum(col("ks")).as("key_checksum"))
       // accounting survives a fully-capped run — er1's note
       hot.join(bands, lit(true), "left")
         .select(col("sim_band"), col("n_pairs"), col("key_checksum"),
