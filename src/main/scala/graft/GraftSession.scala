@@ -32,6 +32,18 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE sizes post-shuffle partitions by BYTES
+      // (parallelismFirst targets bytes/parallelism but floors at
+      // minPartitionSize = 1 MB), which is blind to compute density:
+      // a 1-2 MB exchange of candidate-pair ids feeding an
+      // array-intersect verification join coalesces to ONE task and
+      // serializes seconds of per-row compute (measured in
+      // dd10/dd20). 64 KB keeps such compute-dense small shuffles at
+      // session parallelism; at scale shuffles are GB-sized and the
+      // floor never binds, so this is not a local-only tuning — it
+      // only moves stages whose bytes are trivial either way.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        "64k")
       // 128 MB scan splits: parquet row-group sized, keeps task count
       // proportional to data volume
       .config("spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024L)

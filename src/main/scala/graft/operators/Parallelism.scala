@@ -39,6 +39,24 @@ object Parallelism {
     * physical plan, no job runs. */
   def planParts(df: DataFrame): Int = df.rdd.getNumPartitions
 
+  /** True when `df` plans narrower than the session's parallelism —
+    * the condition under which [[fanOut]] repartitions and
+    * [[broadcastIfNarrow]] hints. Evaluate it on the RAW scan (before
+    * joins) so the probe itself triggers no subquery/broadcast jobs. */
+  def isNarrow(df: DataFrame): Boolean =
+    planParts(df) < df.sparkSession.sparkContext.defaultParallelism
+
+  /** Broadcast hint gated on input narrowness. A self-join whose one
+    * side was fanned out ties the planner's size estimates, and WHICH
+    * side AQE broadcasts then flaps run to run — broadcasting the
+    * fanned side silently re-serializes the probe to the narrow
+    * side's one-task width (measured: the same query 2.1 s / 16.8 s
+    * pass to pass). Hint only when the input is provably narrow
+    * (broadcast-sized by construction); at scale the input plans wide
+    * and the planner keeps its own choice. */
+  def broadcastIfNarrow(df: DataFrame, narrow: Boolean): DataFrame =
+    if (narrow) org.apache.spark.sql.functions.broadcast(df) else df
+
   def fanOut(df: DataFrame, by: Column*): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (planParts(df) >= target) df

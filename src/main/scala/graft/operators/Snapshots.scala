@@ -186,6 +186,41 @@ object Snapshots {
     * both); a crash between the slot rename and the pointer replace
     * leaves a complete v=N that recovery may legitimately publish.
     */
+  /** Observation result, or None when Spark's observation manager
+    * delivered the EMPTY row: an eagerly-executed write command spawns
+    * a wrapper QueryExecution whose logical plan still contains the
+    * CollectMetrics node but whose executed plan never runs it, and
+    * the manager completes a registered observation with Row.empty
+    * for exactly that shape — whether the real write's end-event or
+    * the wrapper's reaches the listener bus first is a race. Callers
+    * fall back to recounting (two extra cheap jobs) on the unlucky
+    * order; the blocking get cannot hang because both events always
+    * fire. (Row.empty also surfaces as a null schema inside get —
+    * hence the Try.) */
+  private def observedOrNone(obs: org.apache.spark.sql.Observation)
+      : Option[Map[String, Any]] =
+    scala.util.Try(obs.get).toOption.filter(_.nonEmpty)
+
+  /** Stage-write `df` clustered to the table's partition layout: an
+    * AQE REBALANCE keyed on the partition columns (size-aware — hot
+    * partitions split, small ones coalesce) so each writer task owns
+    * whole partition values. Without it a stage write from an
+    * unclustered frame (a merge's anti-join ∪ source, a fold's
+    * assembly) opens one file per (task × partition value) — measured
+    * 520 files / 4.5 s where the clustered write stages 8 files in
+    * 0.6 s — and every LATER statement pays the small files again at
+    * scan time (guide §6: REBALANCE before the write). Flat layouts
+    * rebalance keyless for advisory-sized output files. */
+  private def clusteredWriter(df: DataFrame, pcols: Seq[String])
+      : org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions.col
+    val balanced =
+      if (pcols.nonEmpty) df.hint("rebalance", pcols.map(col): _*)
+      else df.hint("rebalance")
+    val w = balanced.write.mode("overwrite")
+    if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w
+  }
+
   def commit(spark: SparkSession, df: DataFrame, dir: String): Long = {
     val f = fs(spark, dir)
     val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
@@ -510,9 +545,7 @@ object Snapshots {
         if (mor) pcolsOf(physicalFiles(spark, f, dir, h))
         else listDataRel(f, f.makeQualified(new Path(vDir)))._2
       val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
-      val w = df.write.mode("overwrite")
-      (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w)
-        .parquet(stage.toString)
+      clusteredWriter(df, pcols).parquet(stage.toString)
       // an overwrite to EMPTY still needs one schema-carrying file —
       // and it keeps its manifests too (splice-safe null bounds), so
       // the table stays stats-tracked through INSERT OVERWRITE ...
@@ -569,9 +602,7 @@ object Snapshots {
       val pcols = pcolsOf(phys)
       val stage = new Path(dir,
         s"_stage-${java.util.UUID.randomUUID()}")
-      val w = conformed.write.mode("overwrite")
-      (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w)
-        .parquet(stage.toString)
+      clusteredWriter(conformed, pcols).parquet(stage.toString)
       writeRefs(f, stage, phys)
       // deletion vectors carry BY REFERENCE, like the data files —
       // an append copies no tombstone bytes either
@@ -591,9 +622,7 @@ object Snapshots {
     val (dataFiles, pcols) = listDataRel(f, vPath)
     val hasStats = f.exists(new Path(vDir, FileStats.ManifestName))
     val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
-    val w = conformed.write.mode("overwrite")
-    (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w)
-      .parquet(stage.toString)
+    clusteredWriter(conformed, pcols).parquet(stage.toString)
     val stagedEmpty = listDataRel(f, f.makeQualified(stage))._1.isEmpty
     if (hasStats) {
       val old = FileStats.readManifest(spark, vDir)
@@ -1212,11 +1241,29 @@ object Snapshots {
     // basePath keeps directory-encoded partition columns in the frame
     val affectedDf = spark.read.option("basePath", vDir)
       .parquet(affected.map(r => s"$vDir/$r"): _*)
-    val rowsChanged = affectedDf.filter(hit).count()
+    // row accounting rides the WRITE as an Observation instead of two
+    // extra jobs (a predicate-filter count plus a full recount): the
+    // affected files are scanned ONCE per statement — at 100 TB the
+    // admitted-file scan is the statement's dominant cost and this
+    // halves it. EXCEPT for a constant predicate (DELETE without
+    // WHERE): the optimizer folds `filter(NOT true)` to an empty
+    // LocalRelation, dropping the CollectMetrics node with it, and
+    // the observation would never resolve — for a constant predicate
+    // the two counting jobs fold to metadata reads anyway, so that
+    // path keeps them. Sums over zero rows observe as null → 0.
+    val constPred =
+      org.apache.spark.sql.GraftColumnBridge.expression(hit).foldable
+    val obs = new org.apache.spark.sql.Observation()
+    val affectedObs =
+      if (constPred) affectedDf
+      else affectedDf.observe(obs,
+        org.apache.spark.sql.functions.sum(hit.cast("long"))
+          .as("__changed"),
+        org.apache.spark.sql.functions.count(lit(1)).as("__total"))
     val rewritten = sets match {
-      case None => affectedDf.filter(!hit)
+      case None => affectedObs.filter(!hit)
       case Some(ss) =>
-        affectedDf.select(affectedDf.columns.toSeq.map { c =>
+        affectedObs.select(affectedObs.columns.toSeq.map { c =>
           ss.get(c).map(e => when(hit, e).otherwise(col(c)).as(c))
             .getOrElse(col(c))
         }: _*)
@@ -1225,12 +1272,20 @@ object Snapshots {
     val w = rewritten.write.mode("overwrite")
     (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w)
       .parquet(stage.toString)
+    val (rowsChanged, totalRows) =
+      (if (constPred) None else observedOrNone(obs)) match {
+        case Some(metrics) =>
+          (Option(metrics("__changed")).map(_.asInstanceOf[Long])
+            .getOrElse(0L), metrics("__total").asInstanceOf[Long])
+        case None =>
+          (affectedDf.filter(hit).count(), affectedDf.count())
+      }
     // kept = everything the predicate did not hit (NULL keeps) — never
     // read back from the stage, which is legitimately file-less when a
     // partitioned delete empties every affected file
     val rowsKept = sets match {
-      case None => affectedDf.count() - rowsChanged
-      case Some(_) => affectedDf.count()
+      case None => totalRows - rowsChanged
+      case Some(_) => totalRows
     }
     // a statement that empties the WHOLE table (no rewritten rows, no
     // untouched files) must still leave one schema-carrying zero-row
@@ -1625,18 +1680,31 @@ object Snapshots {
     // matching deleteWhere's published-nothing contract (nothing was
     // rewritten AND nothing was copied)
     if (rowsChanged == 0L) return None
-    val (newData, rowsKept) =
-      if (affected.isEmpty) (conformed, 0L)
+    // the kept-row count rides the WRITE as an Observation: counting
+    // the anti-join separately evaluated the whole join TWICE (once
+    // for the count, once inside the union write) — the join of the
+    // affected files is the merge's dominant cost at scale
+    val obs = new org.apache.spark.sql.Observation()
+    val (newData, observedKept) =
+      if (affected.isEmpty) (conformed, false)
       else {
         val base = spark.read.option("basePath", vDir)
           .parquet(affected.map(r => s"$vDir/$r"): _*)
         val anti = base.join(conformed, keys, "left_anti")
-        (anti.unionByName(conformed), anti.count())
+          .observe(obs,
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("__kept"))
+        (anti.unionByName(conformed), true)
       }
     val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
-    val w = newData.write.mode("overwrite")
-    (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w)
-      .parquet(stage.toString)
+    clusteredWriter(newData, pcols).parquet(stage.toString)
+    val rowsKept =
+      if (!observedKept) 0L
+      else observedOrNone(obs)
+        .map(_("__kept").asInstanceOf[Long])
+        .getOrElse(spark.read.option("basePath", vDir)
+          .parquet(affected.map(r => s"$vDir/$r"): _*)
+          .join(conformed, keys, "left_anti").count())
     if (hasStats) {
       val oldKept = stats.filter(e => untouched.contains(e.relPath))
       val statsCols = stats.flatMap(_.cols.keys).distinct.sorted
@@ -1931,9 +1999,7 @@ object Snapshots {
       }: _*)
     val newData = targetOut.unionByName(insertOut)
     val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
-    val w = newData.write.mode("overwrite")
-    (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w)
-      .parquet(stage.toString)
+    clusteredWriter(newData, pcols).parquet(stage.toString)
     // a merge that empties the table still needs one schema-carrying
     // file (same rule as a full-table delete)
     if (untouched.isEmpty &&
@@ -2552,9 +2618,7 @@ object Snapshots {
           s.get(c).map(_.as(c)).getOrElse(col(c))
         }: _*)
         val pcols = pcolsOf(phys)
-        val w = updated.write.mode("overwrite")
-        (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w)
-          .parquet(stage.toString)
+        clusteredWriter(updated, pcols).parquet(stage.toString)
       }
       // incremental deletion vector: ONLY this statement's tombstones
       // are written; prior statements' dvs carry by reference in
@@ -2708,9 +2772,7 @@ object Snapshots {
       else homes.flatMap(h => bloomColsOf(f, h)).distinct.sorted
     val folded = readMorAssembled(spark, dir, v, lineage = false)
     val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
-    val w = folded.write.mode("overwrite")
-    (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w)
-      .parquet(stage.toString)
+    clusteredWriter(folded, pcols).parquet(stage.toString)
     if (sCols.nonEmpty)
       FileStats.writeManifest(spark, stage.toString, sCols)
     bCols.foreach(c =>
@@ -2775,9 +2837,7 @@ object Snapshots {
           s"purgeMor: v=$v has deletion vectors but no dirty files")),
       dvs).drop("__key", "__pos")
     val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
-    val w = survivors.write.mode("overwrite")
-    (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w)
-      .parquet(stage.toString)
+    clusteredWriter(survivors, pcols).parquet(stage.toString)
     // a purge that empties the whole table (tombstones covered every
     // row, nothing clean) still needs one schema-carrying file — the
     // same rule as a full-table delete

@@ -162,16 +162,23 @@ object Matching {
       // perfectly even, and hashing ~92 block keys over the cores
       // clumps (measured 8.5× max/median task skew). No-op once the
       // scan is already wide.
-      val p = graft.operators.Parallelism.fanOut(
-        t(s, dir, "part")
-          .select(col("p_partkey"), col("p_name"),
-            split(col("p_name"), " ").getItem(0).as("blk")))
+      val raw = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"),
+          split(col("p_name"), " ").getItem(0).as("blk"))
+      val narrow = graft.operators.Parallelism.isNarrow(raw)
+      val p = graft.operators.Parallelism.fanOut(raw)
       val (safe, overCap) = graft.operators.HotBuckets
         .filterOverCap(p, "blk", cap = 10000)
       val a = safe.select(col("blk"), col("p_partkey").as("a_key"),
         col("p_name").as("a_name"))
-      val b = safe.select(col("blk"), col("p_partkey").as("b_key"),
-        col("p_name").as("b_name"))
+      // the build side must be the UN-fanned one: AQE's own choice
+      // flaps between the two equal-sized sides, and broadcasting the
+      // fanned side re-serializes the census (2.1 s vs 16.8 s pass to
+      // pass) — hint gated on narrowness so a wide input keeps the
+      // planner's choice
+      val b = graft.operators.Parallelism.broadcastIfNarrow(
+        safe.select(col("blk"), col("p_partkey").as("b_key"),
+          col("p_name").as("b_name")), narrow)
       val hot = overCap.agg(
         count(lit(1)).as("n_hot_blocks"),
         coalesce(sum(col("bucket_n")), lit(0L)).as("hot_parts"))
@@ -234,17 +241,20 @@ object Matching {
       // same scan fan-out as er1: the jw verification must not run
       // at one-file scan width (no-op at scale; keyless — er1's skew
       // note)
-      val p = graft.operators.Parallelism.fanOut(
-        t(s, dir, "part")
-          .select(col("p_partkey"), col("p_name"),
-            concat_ws(" ", toks.getItem(0),
-              coalesce(toks.getItem(1), lit(""))).as("blk")))
+      val raw = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"),
+          concat_ws(" ", toks.getItem(0),
+            coalesce(toks.getItem(1), lit(""))).as("blk"))
+      val narrow = graft.operators.Parallelism.isNarrow(raw)
+      val p = graft.operators.Parallelism.fanOut(raw)
       val (safe, overCap) = graft.operators.HotBuckets
         .filterOverCap(p, "blk", cap = 10000)
       val a = safe.select(col("blk"), col("p_partkey").as("a_key"),
         col("p_name").as("a_name"))
-      val b = safe.select(col("blk"), col("p_partkey").as("b_key"),
-        col("p_name").as("b_name"))
+      // build side pinned to the un-fanned one (er1's note)
+      val b = graft.operators.Parallelism.broadcastIfNarrow(
+        safe.select(col("blk"), col("p_partkey").as("b_key"),
+          col("p_name").as("b_name")), narrow)
       val hot = overCap.agg(
         count(lit(1)).as("n_hot_blocks"),
         coalesce(sum(col("bucket_n")), lit(0L)).as("hot_parts"))

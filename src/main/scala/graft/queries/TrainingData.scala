@@ -78,8 +78,11 @@ object TrainingData {
     */
   private def lshVerifiedPairsWithStats(s: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
+    // fanOut: the shingle+minhash sketch pass must not run at
+    // one-file scan width (measured 2.0-2.6 s single-task stages in
+    // dd10/dd11 at sf0.1/local[32]); no-op at scale
     val docs = ManagedCache.persist(
-      t(s, dir, "documents")
+      graft.operators.Parallelism.fanOut(t(s, dir, "documents"))
         .select(col("doc_id"), TF.wordShingles(col("text"), 2).as("sh"))
         .filter(size(col("sh")) > 0))
     // the banded frame is scanned THREE times (bucket sizes, join
@@ -165,7 +168,10 @@ object TrainingData {
       // from 5k docs is statistically equivalent and keeps the explode
       // bounded at any SF (full-corpus: drop the filter, the plan is
       // identical)
-      val d = t(s, dir, "documents").filter(col("doc_id") < 5000)
+      // fanOut: the trigram explode otherwise runs in the single
+      // scan task (measured 2.1 s at sf0.1/local[32]); no-op at scale
+      val d = graft.operators.Parallelism.fanOut(
+        t(s, dir, "documents").filter(col("doc_id") < 5000))
       val grams = d.select(col("lang"),
         explode(TF.shingles(col("text"), 3)).as("gram"))
       val counts = grams.groupBy(col("lang"), col("gram"))
@@ -364,7 +370,10 @@ object TrainingData {
       // a pathological block bucket; the accounting is oracle-pinned
       // to zero like dd10's (the oracle is the exact brute twin — a
       // biting cap fails the compare twice).
-      val docs = t(s, dir, "documents")
+      // fanOut: the md5-simhash sketch otherwise runs in the single
+      // scan task (measured 6.1 s at sf0.1/local[32]); no-op at scale
+      val docs = graft.operators.Parallelism
+        .fanOut(t(s, dir, "documents"))
         .select(col("doc_id"), TF.wordShingles(col("text"), 2).as("sh"))
         .filter(size(col("sh")) > 0)
         .select(col("doc_id"),
@@ -431,8 +440,10 @@ object TrainingData {
     // (n_pairs_routed / routed_key_sum).
     "dd20_minhash_capped" -> ((s, dir) => {
       val k = 8; val r = 2
+      // fanOut: the shingle pass + 8-slot md5 minhash below run at
+      // scan width otherwise (measured 4.1 s single-task stages)
       val docs = ManagedCache.persist(
-        t(s, dir, "documents")
+        graft.operators.Parallelism.fanOut(t(s, dir, "documents"))
           .select(col("doc_id"),
             array_distinct(TF.wordShingles(col("text"), 2)).as("sh"))
           .filter(size(col("sh")) > 0))

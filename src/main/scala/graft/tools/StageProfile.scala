@@ -37,9 +37,12 @@ object StageProfile {
           a <- si.completionTime; b <- si.submissionTime
         } yield a - b).getOrElse(0L)
         val ts = taskMs.getOrElse(si.stageId, mutable.ArrayBuffer(0L))
+        // the scheduler-level stage name is always the collect
+        // callsite; the RDD scopes name the OPERATORS the stage runs
+        val ops = si.rddInfos.sortBy(_.id).flatMap(_.scope)
+          .map(_.name).distinct.mkString(">")
         stages += ((si.stageId,
-          si.name.takeWhile(_ != '\n').take(70), si.numTasks, wall,
-          ts.max, ts.sum))
+          ops.take(90), si.numTasks, wall, ts.max, ts.sum))
       }
     }
     spark.sparkContext.addSparkListener(listener)
