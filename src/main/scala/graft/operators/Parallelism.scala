@@ -25,8 +25,11 @@ import org.apache.spark.sql.{Column, DataFrame}
   *
   * Prefer the keyed form when the downstream operation shuffles by a
   * key anyway: `fanOut(df, col(k))` hash-partitions by that key into
-  * `spark.sql.shuffle.partitions`, so a sort-merge/shuffled-hash plan
-  * at scale REUSES the exchange (guide §2.4) instead of adding one.
+  * `defaultParallelism` partitions — a downstream sort-merge /
+  * shuffled-hash join reuses the exchange (guide §2.4) only when
+  * `spark.sql.shuffle.partitions` equals that count (GraftSession
+  * sizes it so by default; a session that overrides shuffle
+  * partitions pays one extra exchange instead).
   * The keyless form round-robins (perfectly even, deterministic under
   * retry thanks to sortBeforeRepartition) for purely per-row work.
   *
@@ -36,8 +39,27 @@ import org.apache.spark.sql.{Column, DataFrame}
 object Parallelism {
 
   /** Partition count the frame would execute with — resolved from the
-    * physical plan, no job runs. */
-  def planParts(df: DataFrame): Int = df.rdd.getNumPartitions
+    * physical plan via the unboxed internal RDD (`df.rdd` would plan a
+    * deserialize-to-Row projection on top; `toRdd` is the sanctioned
+    * bridge). No job runs for scan-shaped input: FileScanRDD partitions
+    * come from the driver-side file listing. Callers must keep this on
+    * RAW scans — on a plan with exchanges, materializing the RDD under
+    * AQE executes the upstream stages ([[scanShaped]] is the guard). */
+  def planParts(df: DataFrame): Int =
+    df.queryExecution.toRdd.getNumPartitions
+
+  /** True when the analyzed plan is scan-shaped — leaves plus
+    * Project/Filter/SubqueryAlias only. The narrowness probe and
+    * fan-out are only safe (and only meaningful) on such plans:
+    * anything with joins/aggregates/exchanges would execute its
+    * upstream stages just to be *counted* (see [[planParts]]). */
+  def scanShaped(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    df.queryExecution.analyzed.collectFirst {
+      case n if !n.isInstanceOf[LeafNode] && !n.isInstanceOf[Project] &&
+        !n.isInstanceOf[Filter] && !n.isInstanceOf[SubqueryAlias] => n
+    }.isEmpty
+  }
 
   /** True when `df` plans narrower than the session's parallelism —
     * the condition under which [[fanOut]] repartitions and
@@ -46,16 +68,37 @@ object Parallelism {
   def isNarrow(df: DataFrame): Boolean =
     planParts(df) < df.sparkSession.sparkContext.defaultParallelism
 
-  /** Broadcast hint gated on input narrowness. A self-join whose one
-    * side was fanned out ties the planner's size estimates, and WHICH
-    * side AQE broadcasts then flaps run to run — broadcasting the
-    * fanned side silently re-serializes the probe to the narrow
-    * side's one-task width (measured: the same query 2.1 s / 16.8 s
-    * pass to pass). Hint only when the input is provably narrow
-    * (broadcast-sized by construction); at scale the input plans wide
-    * and the planner keeps its own choice. */
+  /** Broadcast hint gated on input narrowness AND estimated size. A
+    * self-join whose one side was fanned out ties the planner's size
+    * estimates, and WHICH side AQE broadcasts then flaps run to run —
+    * broadcasting the fanned side silently re-serializes the probe to
+    * the narrow side's one-task width (measured: the same query
+    * 2.1 s / 16.8 s pass to pass). Hint only when the input is
+    * provably narrow; at scale the input plans wide and the planner
+    * keeps its own choice. Narrowness alone is NOT broadcast-sized —
+    * one multi-GB single-row-group file is "narrow" but the explicit
+    * hint would bypass autoBroadcastJoinThreshold and OOM the driver —
+    * so the hint additionally requires the plan's size estimate to
+    * fit the session's broadcast threshold. */
   def broadcastIfNarrow(df: DataFrame, narrow: Boolean): DataFrame =
-    if (narrow) org.apache.spark.sql.functions.broadcast(df) else df
+    if (narrow && fitsBroadcast(df))
+      org.apache.spark.sql.functions.broadcast(df)
+    else df
+
+  /** Plan-estimate gate for explicit broadcast hints: optimized-plan
+    * sizeInBytes vs `spark.sql.autoBroadcastJoinThreshold` (driver-side
+    * estimation only — no job). Conservative on purpose: a disabled
+    * threshold (-1/0) or an unparsable value means "never hint". */
+  private[graft] def fitsBroadcast(df: DataFrame): Boolean = {
+    val thresholdBytes =
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        df.sparkSession.conf
+          .get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+      catch { case _: Exception => -1L }
+    thresholdBytes > 0 &&
+      df.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        BigInt(thresholdBytes)
+  }
 
   def fanOut(df: DataFrame, by: Column*): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism

@@ -45,9 +45,15 @@ object Profile {
     // (measured: one 6.1 s task carrying a 4-column lineitem profile
     // at sf0.1/local[32]). Fan out first — projected to the profiled
     // columns so the exchange carries only what the census needs —
-    // a no-op at scale where the scan is already wide.
-    val fanned = Parallelism.fanOut(
-      df.select(cols.map(col): _*))
+    // a no-op at scale where the scan is already wide. Only when the
+    // caller's frame IS a scan: probing the width of a joined/
+    // aggregated frame would execute its upstream stages just to be
+    // counted (and such frames exit their last exchange at session
+    // parallelism already).
+    val projected = df.select(cols.map(col): _*)
+    val fanned =
+      if (Parallelism.scanShaped(projected)) Parallelism.fanOut(projected)
+      else projected
     val row = fanned.agg(aggs.head, aggs.tail: _*).collect()(0)
     val total = row.getAs[Long]("__total")
     val out = cols.map { c =>

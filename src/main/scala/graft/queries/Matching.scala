@@ -189,19 +189,25 @@ object Matching {
       // generates them, nothing pair-sized ever shuffles — and the
       // expensive jw kernel runs ONCE per surviving name pair
       // (measured at sf0.1: 25.0 M candidate pairs but only ~2 k
-      // distinct name pairs; ~140 s of jw CPU became ~3 ms). The
-      // count and key checksum distribute over the grouping
-      // (Σ per-group counts / Σ per-group key sums), so the emitted
-      // bands are bit-identical. The jw-vs-band census itself then
-      // runs over a vocabulary²-bounded frame (er3's argument), while
-      // the candidate join this query exists to witness stays fully
-      // quadratic.
+      // distinct name pairs). The count and key checksum distribute
+      // over the grouping (Σ per-group counts / Σ per-group key
+      // sums), so the emitted bands are bit-identical. The jw-vs-band
+      // census itself then runs over a vocabulary²-bounded frame
+      // (er3's argument), while the candidate join this query exists
+      // to witness stays fully quadratic. jw is wrapped in
+      // OptimizerBarrier: `jw >= 0.9` is a deterministic predicate
+      // over the grouping columns, so Catalyst would otherwise push
+      // it back through the aggregate into the join condition and
+      // re-evaluate jw per candidate pair — exactly the quadratic
+      // term the dedup exists to bound (r18's plan showed the defeat:
+      // jaro_winkler in the join condition despite the aggregate).
       val bands = a.join(b, Seq("blk"))
         .filter(col("a_key") < col("b_key"))
         .groupBy(col("a_name"), col("b_name"))
         .agg(count(lit(1)).as("n"),
           sum(col("a_key") * 31 + col("b_key")).as("ks"))
-        .withColumn("jw", SF.jaroWinkler(col("a_name"), col("b_name")))
+        .withColumn("jw", graft.expressions.OptimizerBarrier(
+          SF.jaroWinkler(col("a_name"), col("b_name"))))
         .filter(col("jw") >= 0.9)
         .groupBy(round(col("jw"), 2).as("sim_band"))
         .agg(sum(col("n")).as("n_pairs"),
@@ -262,14 +268,19 @@ object Matching {
       // pairs by (a_name, b_name) map-side, run jw once per name
       // pair; counts/checksums distribute over the grouping, so the
       // bands are bit-identical. The ±10 length band stays in-join
-      // (it references only the names — unchanged semantics).
+      // (it references only the names — unchanged semantics, and it
+      // is CHEAP, so in-join placement is right). jw is barrier-
+      // wrapped like er1's: without it Catalyst pushes `jw >= 0.9`
+      // back through the aggregate into the join condition and the
+      // per-distinct-pair dedup is defeated.
       val bands = a.join(b, Seq("blk"))
         .filter(col("a_key") < col("b_key") &&
           abs(length(col("a_name")) - length(col("b_name"))) <= 10)
         .groupBy(col("a_name"), col("b_name"))
         .agg(count(lit(1)).as("n"),
           sum(col("a_key") * 31 + col("b_key")).as("ks"))
-        .withColumn("jw", SF.jaroWinkler(col("a_name"), col("b_name")))
+        .withColumn("jw", graft.expressions.OptimizerBarrier(
+          SF.jaroWinkler(col("a_name"), col("b_name"))))
         .filter(col("jw") >= 0.9)
         .groupBy(round(col("jw"), 2).as("sim_band"))
         .agg(sum(col("n")).as("n_pairs"),
