@@ -2483,6 +2483,21 @@ object Snapshots {
       a.unionByName(b, allowMissingColumns = true)))
   }
 
+  /** The one deletion-vector file schema: (key STRING, pos BIGINT) —
+    * key is the `/v=`-relative file identity, pos the row position.
+    * Every dv reader supplies it EXPLICITLY: schema inference on a
+    * parquet path costs one footer-reading Spark job per dv file, and
+    * a statement on a k-dv MoR chain was paying k tiny jobs of pure
+    * inference for a schema that is fixed by construction. */
+  private val DvSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("key",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("pos",
+      org.apache.spark.sql.types.LongType)))
+
+  private def readDv(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(DvSchema).parquet(path)
+
   /** Anti-join a lineage-scanned frame against the union of the
     * deletion vectors. Join keys renamed so user columns can never
     * collide; the anti-join broadcasts while the deletion vectors
@@ -2492,7 +2507,7 @@ object Snapshots {
   private def applyDvs(spark: SparkSession, d: DataFrame,
       dvs: Seq[DvEntry]): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val t = dvs.map(e => spark.read.parquet(e.path))
+    val t = dvs.map(e => readDv(spark, e.path))
       .reduce(_ unionByName _)
     d.join(t.withColumnRenamed("key", "__tkey")
         .withColumnRenamed("pos", "__tpos"),
@@ -2565,8 +2580,14 @@ object Snapshots {
     // an already-deleted row never re-tombstones.
     val byHome = phys.groupBy(_._1).toSeq.sortBy(_._1)
     val newestHome = s"$dir/v=${byHome.last._1}"
+    // ONE schema resolution per statement: the table schema (needed
+    // below for the NULL-fill anyway) also types the predicate-
+    // resolution frame — supplying it to the read skips the footer-
+    // inference job the bare parquet() read paid per statement
+    val tschema = tableSchema(spark, dir)
     val cond = dmlCond(spark,
-      spark.read.option("basePath", newestHome).parquet(newestHome),
+      spark.read.schema(tschema).option("basePath", newestHome)
+        .parquet(newestHome),
       pred)
     val admitted: Seq[(Long, String)] = byHome.flatMap {
       case (src, files) =>
@@ -2577,56 +2598,40 @@ object Snapshots {
     }
     // no admitted file → no row can match → publish nothing
     if (admitted.isEmpty) return None
+    // Prune the tombstone anti-join to the dvs that can TOUCH an
+    // admitted file (each dv's index line records the file keys it
+    // tombstones — same canonicalization as morSplit). A point
+    // statement on a long MoR chain otherwise anti-joins EVERY prior
+    // statement's dv — O(history) plan width and one sidecar read per
+    // dv — where only the admitted files' tombstones can matter: a dv
+    // whose key set misses every admitted file contributes no matching
+    // tombstone, so dropping it from the join is an identity. Legacy
+    // entries with unknown keys (None) are conservatively kept.
+    val admittedKeys = admitted.flatMap { case (src, rel) =>
+      Seq(s"$src/$rel", pctDecode(s"$src/$rel")) }.toSet
     val dvs = dvEntries(spark, dir, v, needRows = false)
+      .filter(_.keys.forall(_.exists(k =>
+        admittedKeys.contains(k) || admittedKeys.contains(pctDecode(k)))))
     val scanned = morScan(spark, dir, admitted, withLineage = true)
       .getOrElse(return None)
     // conform to the table schema (NULL-fill) — an admitted old-home
     // file may predate a column the predicate references, and the
     // pruned union must still resolve it exactly like the full
     // assembly's allowMissingColumns union would
-    val tschema = tableSchema(spark, dir)
     val lineage = tschema.fields.foldLeft(
       if (dvs.nonEmpty) applyDvs(spark, scanned, dvs) else scanned) {
       (d, fd) =>
         if (d.columns.exists(_.equalsIgnoreCase(fd.name))) d
         else d.withColumn(fd.name, lit(null).cast(fd.dataType))
     }
-    // cache the matched rows: the expensive whole-assembly scan runs
-    // ONCE — the count, the tombstone write, the provenance key list,
-    // and (update) the image write all read the cache; the total is
-    // arithmetic (old count + added), never a recount of the union
-    val matching = lineage.filter(hit)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val oldCount = dvTotal(spark, dir, v)
-      val newTombs = matching
-        .select(col("__key").as("key"), col("__pos").as("pos"))
-      val added = newTombs.count()
-      if (added == 0L) return None
-      // the distinct data-file keys this statement tombstones — free
-      // at stage time, and what lets readers skip clean files
-      val rawTouched = newTombs.select(col("key")).distinct()
-        .collect().map(_.getString(0)).toSeq.sorted
-      val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
-      f.mkdirs(stage)
-      sets.foreach { s =>
-        // update: the matched rows' new images land as this version's
-        // own data files, re-routed through the partition layout
-        val dataCols = lineage.columns.toSeq
-          .filterNot(c => c == "__key" || c == "__pos")
-        val updated = matching.select(dataCols.map { c =>
-          s.get(c).map(_.as(c)).getOrElse(col(c))
-        }: _*)
-        val pcols = pcolsOf(phys)
-        clusteredWriter(updated, pcols).parquet(stage.toString)
-      }
-      // incremental deletion vector: ONLY this statement's tombstones
-      // are written; prior statements' dvs carry by reference in
-      // _dvrefs.json — statement cost is O(statement), independent of
-      // how many deletes accumulated before it
-      val dvFile = s"dv-${java.util.UUID.randomUUID()}"
-      newTombs.coalesce(1).write.mode("overwrite")
-        .parquet(new Path(stage, s"$DvDirName/$dvFile").toString)
+    val oldCount = dvTotal(spark, dir, v)
+    val stage = new Path(dir, s"_stage-${java.util.UUID.randomUUID()}")
+    val dvFile = s"dv-${java.util.UUID.randomUUID()}"
+    val dvPath = new Path(stage, s"$DvDirName/$dvFile").toString
+    // sidecars + accounting shared by both statement kinds, written
+    // once the statement is known non-no-op
+    def finishStage(added: Long, rawTouched: Seq[String])
+        : Option[(Path, MorStats)] = {
       writeDvLines(f, new Path(s"$stage/$DvDirName", DvIndexName),
         Seq(renderDvLine(None, dvFile, added, Some(rawTouched))))
       val carried = carryDvLines(spark, f, dir, v)
@@ -2640,7 +2645,83 @@ object Snapshots {
       val cowBytes = physLengths(f, dir, phys).values.sum
       Some((stage, MorStats(added, oldCount + added, phys.size.toLong,
         sidecarBytes, cowBytes, admitted.size.toLong)))
-    } finally { matching.unpersist(); () }
+    }
+    sets match {
+      case None =>
+        // DELETE: the admitted-file scan runs ONCE — the tombstone
+        // count and the distinct touched-file keys ride the dv write
+        // as an Observation (stageRewrite's pattern) instead of a
+        // persist + count + distinct-collect trio; at 100 TB the
+        // matching scan is the statement's dominant cost and this
+        // collapses three jobs over it into one. Same foldable-
+        // predicate guard as stageRewrite: a constant predicate can
+        // fold the CollectMetrics node away, so that path (and the
+        // Row.empty race) falls back to re-reading the one written
+        // sidecar file — tombstone-sized, never the table.
+        val newTombs = lineage.filter(hit)
+          .select(col("__key").as("key"), col("__pos").as("pos"))
+        val constPred =
+          org.apache.spark.sql.GraftColumnBridge.expression(hit).foldable
+        val obs = new org.apache.spark.sql.Observation()
+        val tombsObs =
+          if (constPred) newTombs
+          else newTombs.observe(obs,
+            org.apache.spark.sql.functions.count(lit(1)).as("__added"),
+            org.apache.spark.sql.functions.collect_set(col("key"))
+              .as("__touched"))
+        f.mkdirs(stage)
+        tombsObs.coalesce(1).write.mode("overwrite").parquet(dvPath)
+        val (added, rawTouched) =
+          (if (constPred) None else observedOrNone(obs)) match {
+            case Some(m) =>
+              (m("__added").asInstanceOf[Long],
+                Option(m("__touched"))
+                  .map(_.asInstanceOf[scala.collection.Seq[String]]
+                    .toSeq.sorted).getOrElse(Seq.empty))
+            case None =>
+              val written = readDv(spark, dvPath)
+              val r = written.agg(
+                org.apache.spark.sql.functions.count(lit(1)),
+                org.apache.spark.sql.functions.collect_set(col("key")))
+                .head()
+              (r.getLong(0), r.getSeq[String](1).toSeq.sorted)
+          }
+        // a provably-no-op delete publishes nothing — discard the
+        // staged sidecar (nothing was renamed into a version slot)
+        if (added == 0L) { f.delete(stage, true); return None }
+        finishStage(added, rawTouched)
+      case Some(s) =>
+        // UPDATE: two consumers (dv write + image write) read the
+        // matched rows, so the scan is cached once
+        val matching = lineage.filter(hit)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val newTombs = matching
+            .select(col("__key").as("key"), col("__pos").as("pos"))
+          val added = newTombs.count()
+          if (added == 0L) return None
+          // the distinct data-file keys this statement tombstones —
+          // free at stage time, what lets readers skip clean files
+          val rawTouched = newTombs.select(col("key")).distinct()
+            .collect().map(_.getString(0)).toSeq.sorted
+          f.mkdirs(stage)
+          // the matched rows' new images land as this version's own
+          // data files, re-routed through the partition layout
+          val dataCols = lineage.columns.toSeq
+            .filterNot(c => c == "__key" || c == "__pos")
+          val updated = matching.select(dataCols.map { c =>
+            s.get(c).map(_.as(c)).getOrElse(col(c))
+          }: _*)
+          val pcols = pcolsOf(phys)
+          clusteredWriter(updated, pcols).parquet(stage.toString)
+          // incremental deletion vector: ONLY this statement's
+          // tombstones are written; prior statements' dvs carry by
+          // reference in _dvrefs.json — statement cost is
+          // O(statement), independent of accumulated deletes
+          newTombs.coalesce(1).write.mode("overwrite").parquet(dvPath)
+          finishStage(added, rawTouched)
+        } finally { matching.unpersist(); () }
+    }
   }
 
   /** Shared publish path of [[deleteWhereMor]]/[[updateWhereMor]]:
@@ -2829,7 +2910,7 @@ object Snapshots {
     // rewrite = the dirty files' SURVIVORS: the read path's dirty
     // branch (shared morScan/applyDvs — ONE key-derivation rule),
     // materialized
-    val applied = dvs.map(e => spark.read.parquet(e.path))
+    val applied = dvs.map(e => readDv(spark, e.path))
       .reduce(_ unionByName _).count()
     val survivors = applyDvs(spark,
       morScan(spark, dir, dirty, withLineage = true).getOrElse(
