@@ -470,9 +470,17 @@ object ExtOps {
       val l = t(s, dir, "lineitem")
       val fwd = l.select((col("l_partkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
-      // one lineitem scan for both orientations (see GraphEdges)
+      // one lineitem scan for both orientations (see GraphEdges).
+      // repartition(src) BEFORE the dedup: hash(src) satisfies the
+      // clustered distribution of every src-keyed consumer — the
+      // distinct (clustering (src, dst) ⊇ src), the degree aggregate,
+      // the deg join, and EACH power-iteration step's rank join — so
+      // the edge frame is shuffled exactly once here and every
+      // per-round edges-side exchange disappears (guide §2.4: two
+      // operations keyed the same way share one exchange).
       val edges = graft.operators.GraphEdges
-        .symmetrize(fwd, "src", "dst").distinct()
+        .symmetrize(fwd, "src", "dst")
+        .repartition(col("src")).distinct()
       // deg is read by withDeg, the r0 node spine, AND (via nn) all
       // three rank updates — persist it or the edge-dedup shuffle
       // reruns per consumer
@@ -523,9 +531,12 @@ object ExtOps {
       val l = t(s, dir, "lineitem")
       val fwd = l.select((col("l_partkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
-      // one lineitem scan for both orientations (see GraphEdges)
+      // one lineitem scan for both orientations (see GraphEdges);
+      // repartition(src) before the dedup — xg1's one-shuffle edge
+      // working set (every src-keyed consumer reuses the exchange)
       val edges = graft.operators.GraphEdges
-        .symmetrize(fwd, "src", "dst").distinct()
+        .symmetrize(fwd, "src", "dst")
+        .repartition(col("src")).distinct()
       val deg = graft.operators.ManagedCache.persist(
         edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
       val withDeg = graft.operators.ManagedCache.persist(
@@ -579,14 +590,27 @@ object ExtOps {
       val l = t(s, dir, "lineitem")
       val fwd = l.select((col("l_partkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
-      // one lineitem scan for both orientations (see GraphEdges)
+      // one lineitem scan for both orientations (see GraphEdges);
+      // the cached edge frame is PINNED to hash(src) — repartition
+      // before the dedup (hash(src) satisfies the distinct's
+      // (src, dst) clustering), so every round's edge⋈label join
+      // reads the cache exchange-free instead of re-shuffling the
+      // edge frame per round (guide §2.4). The label side is
+      // exchange-free too: each round's output exits partitioned by
+      // dst, which the rename carries back to the next round's src.
       val edges = graft.operators.ManagedCache.persist(
         graft.operators.GraphEdges.symmetrize(fwd, "src", "dst")
-          .distinct())
+          .repartition(col("src")).distinct())
       val l0 = edges.select(col("src").as("node")).distinct()
         .select(col("node"), col("node").as("lbl"))
       def step(labels: DataFrame): DataFrame =
         edges.join(labels.withColumnRenamed("node", "src"), Seq("src"))
+          // ONE dst exchange feeds BOTH aggregates: hash(dst)
+          // satisfies the (dst, lbl) clustering of the count and the
+          // dst clustering of the argmax, where the unhinted plan
+          // paid an exchange per aggregate — per round the edge-sized
+          // frame now crosses the wire once (guide §2.4)
+          .repartition(col("dst"))
           .groupBy(col("dst"), col("lbl"))
           .agg(count(lit(1)).as("n"))
           .groupBy(col("dst"))
