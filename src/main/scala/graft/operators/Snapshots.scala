@@ -1228,7 +1228,11 @@ object Snapshots {
     val (dataFiles, pcols) = listDataRel(f, vPath)
     // resolve the predicate against the version's schema and extract
     // the range/equality conjuncts the sidecars can decide on
-    val cond = dmlCond(spark, spark.read.parquet(vDir), pred)
+    // (readFileSet: the memoized-schema read — a DML chain re-reads
+    // the same version file set per statement, and the bare read's
+    // footer-inference job was a fixed per-statement tax)
+    val cond = dmlCond(spark,
+      readFileSet(spark, vDir, dataFiles.map(r => s"$vDir/$r")), pred)
     val hasStats = f.exists(new Path(vDir, FileStats.ManifestName))
     val stats =
       if (hasStats) FileStats.readManifest(spark, vDir) else Seq.empty
@@ -1239,8 +1243,8 @@ object Snapshots {
     if (affected.isEmpty) return None
     val hit = coalesce(pred, lit(false))
     // basePath keeps directory-encoded partition columns in the frame
-    val affectedDf = spark.read.option("basePath", vDir)
-      .parquet(affected.map(r => s"$vDir/$r"): _*)
+    val affectedDf = readFileSet(spark, vDir,
+      affected.map(r => s"$vDir/$r"))
     // row accounting rides the WRITE as an Observation instead of two
     // extra jobs (a predicate-filter count plus a full recount): the
     // affected files are scanned ONCE per statement — at 100 TB the
@@ -1688,8 +1692,8 @@ object Snapshots {
     val (newData, observedKept) =
       if (affected.isEmpty) (conformed, false)
       else {
-        val base = spark.read.option("basePath", vDir)
-          .parquet(affected.map(r => s"$vDir/$r"): _*)
+        val base = readFileSet(spark, vDir,
+          affected.map(r => s"$vDir/$r"))
         val anti = base.join(conformed, keys, "left_anti")
           .observe(obs,
             org.apache.spark.sql.functions.count(
@@ -1702,8 +1706,8 @@ object Snapshots {
       if (!observedKept) 0L
       else observedOrNone(obs)
         .map(_("__kept").asInstanceOf[Long])
-        .getOrElse(spark.read.option("basePath", vDir)
-          .parquet(affected.map(r => s"$vDir/$r"): _*)
+        .getOrElse(readFileSet(spark, vDir,
+          affected.map(r => s"$vDir/$r"))
           .join(conformed, keys, "left_anti").count())
     if (hasStats) {
       val oldKept = stats.filter(e => untouched.contains(e.relPath))
@@ -1897,8 +1901,7 @@ object Snapshots {
     val base =
       if (affected.isEmpty)
         spark.read.option("basePath", vDir).parquet(vDir).limit(0)
-      else spark.read.option("basePath", vDir)
-        .parquet(affected.map(r => s"$vDir/$r"): _*)
+      else readFileSet(spark, vDir, affected.map(r => s"$vDir/$r"))
     val tA = base.withColumn("__t_present", lit(true))
       .withColumn("__tid",
         org.apache.spark.sql.functions.monotonically_increasing_id())
@@ -2456,6 +2459,33 @@ object Snapshots {
     }
   }
 
+  /** Memoized parquet schema per EXACT file set (newline-joined
+    * sorted absolute paths — Spark part-file names carry a write
+    * UUID, so an identical path list implies identical immutable
+    * files). A bare `spark.read.parquet(paths)` pays one footer-
+    * inference Spark job per construction; a multi-statement DML
+    * chain re-reads the same home-version file set once per
+    * statement (matching scan, table schema, final read), so the
+    * inference was the dominant per-statement job count. The cache
+    * holds schemas only — never data, never results — and is
+    * cleared wholesale when it grows past a bound. */
+  private val fileSetSchemas = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  /** Read an exact parquet file list with its (memoized) inferred
+    * schema supplied explicitly — same frame as the bare read, minus
+    * the per-construction footer-inference job. */
+  private def readFileSet(spark: SparkSession, basePath: String,
+      paths: Seq[String]): DataFrame = {
+    val key = paths.sorted.mkString("\n")
+    if (fileSetSchemas.size > 512) fileSetSchemas.clear()
+    val schema = fileSetSchemas.computeIfAbsent(key,
+      _ => spark.read.option("basePath", basePath)
+        .parquet(paths: _*).schema)
+    spark.read.schema(schema).option("basePath", basePath)
+      .parquet(paths: _*)
+  }
+
   /** Grouped-by-home scan of physical files (basePath keeps the
     * directory-encoded partition columns; unionByName fills evolved
     * schemas), optionally deriving the `__key`/`__pos` tombstone
@@ -2471,8 +2501,8 @@ object Snapshots {
     val groups = files.groupBy(_._1).toSeq.sortBy(_._1).map {
       case (src, fs0) =>
         val srcDir = s"$dir/v=$src"
-        val base = spark.read.option("basePath", srcDir)
-          .parquet(fs0.map(x => s"$srcDir/${x._2}"): _*)
+        val base = readFileSet(spark, srcDir,
+          fs0.map(x => s"$srcDir/${x._2}"))
         if (!withLineage) base
         else base
           .withColumn("__key",
