@@ -32,12 +32,23 @@ object Profile {
     val distinctAgg: String => org.apache.spark.sql.Column =
       if (approx) c => approx_count_distinct(col(c), rsd)
       else c => countDistinct(col(c))
-    val aggs = count(lit(1)).as("__total") +: cols.flatMap { c =>
+    // The census is TWO global aggregates over ONE shared exchange
+    // (ReuseExchange collapses the identical fan-out subtrees, so the
+    // input is still scanned once), not one fused aggregate: fusing
+    // them rides the plain aggs' buffers on the multi-distinct
+    // Expand's partial aggregate, and a string column's min/max
+    // buffer is not UnsafeRow-mutable — the whole partial aggregate
+    // (over the #cols×-expanded frame) degrades to SortAggregate
+    // (measured: 27 s of CPU sorting the 5×-expanded lineitem census
+    // at sf0.1). Split, the distinct branch's buffers are pure counts
+    // (HashAggregate, no sort) and the plain branch is a single-group
+    // fold (grouping-free SortAggregate sorts nothing).
+    val plainAggs = count(lit(1)).as("__total") +: cols.flatMap { c =>
       Seq(count(col(c)).as(s"__nn_$c"),
-        distinctAgg(c).as(s"__nd_$c"),
         min(col(c)).cast("string").as(s"__mn_$c"),
         max(col(c)).cast("string").as(s"__mx_$c"))
     }
+    val distinctAggs = cols.map(c => distinctAgg(c).as(s"__nd_$c"))
     // The multi-distinct plan Expands every row once per counted
     // column BEFORE the partial aggregate, and that Expand fuses into
     // the scan stage — over a narrow (few single-row-group files)
@@ -54,7 +65,9 @@ object Profile {
     val fanned =
       if (Parallelism.scanShaped(projected)) Parallelism.fanOut(projected)
       else projected
-    val row = fanned.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val row = fanned.agg(plainAggs.head, plainAggs.tail: _*)
+      .crossJoin(fanned.agg(distinctAggs.head, distinctAggs.tail: _*))
+      .collect()(0)
     val total = row.getAs[Long]("__total")
     val out = cols.map { c =>
       (c, total, total - row.getAs[Long](s"__nn_$c"),
