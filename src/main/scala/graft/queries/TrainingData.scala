@@ -871,7 +871,12 @@ object TrainingData {
     // each count frame shrinking as merges fuse tokens.
     "tx13_bpe_merges" -> ((s, dir) => {
       import s.implicits._
-      val words = t(s, dir, "documents")
+      // fanOut: the corpus cache inherits the scan's partitioning, so
+      // an un-fanned one-file scan makes EVERY merge round a
+      // single-task pass over the cached corpus (explode + pair count
+      // fused into one partition); no-op at scale
+      val words = graft.operators.Parallelism
+        .fanOut(t(s, dir, "documents"))
         .select(explode(split(trim(regexp_replace(lower(col("text")),
           "[^a-z0-9]+", " ")), " ")).as("word"))
         .filter(length(col("word")) > 0)
@@ -912,7 +917,10 @@ object TrainingData {
     // doc_id. n_merged counts tokens that ARE one of the trained
     // symbols — the compression the merges actually bought.
     "tx16_bpe_encode" -> ((s, dir) => {
-      val docsW = t(s, dir, "documents")
+      // fanOut: tx13's note — the corpus cache and the final encode
+      // otherwise run at one-file scan width; no-op at scale
+      val docsW = graft.operators.Parallelism
+        .fanOut(t(s, dir, "documents"))
         .select(col("doc_id"), explode(split(trim(regexp_replace(
           lower(col("text")), "[^a-z0-9]+", " ")), " ")).as("word"))
         .filter(length(col("word")) > 0)
