@@ -8,7 +8,8 @@ package graft
 object RunOne {
   def main(args: Array[String]): Unit = {
     val name = args(0)
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val sfDir = (if (args.length > 1) Some(args(1)) else sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse(sys.error("pass <sfDir> or set SPARK_GRAFT_SF_DIR"))
     val passes = if (args.length > 2) args(2).toInt else 3
     val explain = args.contains("explain")
     val spark = graft.GraftSession.builder().getOrCreate()

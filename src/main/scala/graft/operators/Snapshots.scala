@@ -23,6 +23,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object Snapshots {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -1282,6 +1284,12 @@ object Snapshots {
           (Option(metrics("__changed")).map(_.asInstanceOf[Long])
             .getOrElse(0L), metrics("__total").asInstanceOf[Long])
         case None =>
+          // Row.empty race (or constant predicate): re-pays the
+          // admitted-file scan twice — log it so an unexpectedly
+          // recurring fallback is diagnosable from the logs alone
+          if (!constPred) log.warn(
+            "stageRewrite: write observation unavailable — falling " +
+              "back to recounting the affected files")
           (affectedDf.filter(hit).count(), affectedDf.count())
       }
     // kept = everything the predicate did not hit (NULL keeps) — never
@@ -1706,9 +1714,18 @@ object Snapshots {
       if (!observedKept) 0L
       else observedOrNone(obs)
         .map(_("__kept").asInstanceOf[Long])
-        .getOrElse(readFileSet(spark, vDir,
-          affected.map(r => s"$vDir/$r"))
-          .join(conformed, keys, "left_anti").count())
+        .getOrElse {
+          // re-runs the merge's dominant anti-join (and re-evaluates
+          // `conformed`) — rare by construction (Row.empty race), but
+          // when it fires it must be visible, and a non-deterministic
+          // source could make the recount disagree with what was
+          // written; surface both facts in the log
+          log.warn("stageMerge: kept-count observation unavailable — " +
+            "falling back to re-running the anti-join count")
+          readFileSet(spark, vDir,
+            affected.map(r => s"$vDir/$r"))
+            .join(conformed, keys, "left_anti").count()
+        }
     if (hasStats) {
       val oldKept = stats.filter(e => untouched.contains(e.relPath))
       val statsCols = stats.flatMap(_.cols.keys).distinct.sorted
@@ -2709,6 +2726,9 @@ object Snapshots {
                   .map(_.asInstanceOf[scala.collection.Seq[String]]
                     .toSeq.sorted).getOrElse(Seq.empty))
             case None =>
+              if (!constPred) log.warn(
+                "stageMorDml: dv-write observation unavailable — " +
+                  "falling back to re-reading the written sidecar")
               val written = readDv(spark, dvPath)
               val r = written.agg(
                 org.apache.spark.sql.functions.count(lit(1)),

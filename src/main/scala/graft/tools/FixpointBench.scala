@@ -15,7 +15,8 @@ import graft.operators.{GraphIterations, ManagedCache}
   */
 object FixpointBench {
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val sfDir = args.headOption.orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse(sys.error("pass <sfDir> or set SPARK_GRAFT_SF_DIR"))
     val passes = if (args.length > 1) args(1).toInt else 3
     val spark = graft.GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -15,7 +15,7 @@ object PlanAudit {
     val spark = graft.GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
-      "/root/testdata/sf0.01")
+      sys.error("set SPARK_GRAFT_SF_DIR"))
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "flagship_report", "p3_eq_filter", "j1_left_join_dim",
       "a1_pivot_max_case", "a5_first_per_key", "w4_topk_limit",

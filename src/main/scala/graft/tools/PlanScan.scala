@@ -12,7 +12,8 @@ object PlanScan {
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val dir = args.headOption.orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse(sys.error("pass <sfDir> or set SPARK_GRAFT_SF_DIR"))
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach {
       case (name, fn) =>
         try {

@@ -17,7 +17,7 @@ import graft.operators.{FileStats, Snapshots, ZOrder}
 object PruneBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
-      "/root/testdata/sf0.1")
+      sys.error("set SPARK_GRAFT_SF_DIR"))
     // z-bucket divisor: 16384 → 64 files (xq22's shape); 1024 → 1024
     // files — the regime where per-file open/footer/scheduling cost
     // (what manifests remove) dominates over raw scan bytes

@@ -14,7 +14,8 @@ import scala.collection.mutable
 object StageProfile {
   def main(args: Array[String]): Unit = {
     val name = args(0)
-    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val dir = (if (args.length > 1) Some(args(1)) else sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse(sys.error("pass <sfDir> or set SPARK_GRAFT_SF_DIR"))
     val spark = graft.GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.Tables.names.foreach(n =>
