@@ -1075,10 +1075,16 @@ object ExtOps {
       val hfs = new org.apache.hadoop.fs.Path(storeM)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       try {
-        Snapshots.commitWithStats(s, base, storeM,
-          statsCols = Seq("k"), partitionByCols = Seq("bucket"))
-        Snapshots.commitWithStats(s, base, storeC,
-          statsCols = Seq("k"), partitionByCols = Seq("bucket"))
+        // independent table setups run from two driver threads —
+        // xq41's note (guide §2.6); results unaffected
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val setup = Seq(storeM, storeC).map(st => Future {
+          Snapshots.commitWithStats(s, base, st,
+            statsCols = Seq("k"), partitionByCols = Seq("bucket"))
+        })
+        setup.foreach(Await.result(_, Duration.Inf))
         val pred = pmod(col("k"), lit(7)) === 2
         val n1 = Snapshots.read(s, storeM).count()
         val (v2, m) = Snapshots.deleteWhereMor(s, storeM, pred)
@@ -1182,10 +1188,19 @@ object ExtOps {
       val hfs = new org.apache.hadoop.fs.Path(storeM)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       try {
-        Snapshots.commitWithStats(s, base, storeM,
-          statsCols = Seq("k"), partitionByCols = Seq("bucket"))
-        Snapshots.commitWithStats(s, base, storeC,
-          statsCols = Seq("k"), partitionByCols = Seq("bucket"))
+        // the two table setups are independent — submit them from two
+        // driver threads so the second commit's jobs back-fill the
+        // executor slots the first one's tail leaves idle (guide
+        // §2.6 "overlap independent jobs"); results are unaffected
+        // (separate stores, separate version slots)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val setup = Seq(storeM, storeC).map(st => Future {
+          Snapshots.commitWithStats(s, base, st,
+            statsCols = Seq("k"), partitionByCols = Seq("bucket"))
+        })
+        setup.foreach(Await.result(_, Duration.Inf))
         val pred = pmod(col("k"), lit(6)) === 1
         val sets = Map("v" -> (col("v") + 1000L))
         val (_, m) = Snapshots.updateWhereMor(s, storeM, pred, sets)
@@ -1235,10 +1250,16 @@ object ExtOps {
       val hfs = new org.apache.hadoop.fs.Path(store)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       try {
-        Snapshots.commitWithStats(s, base, store,
-          statsCols = Seq("k"), partitionByCols = Seq("bucket"))
-        Snapshots.commitWithStats(s, base, storeM,
-          statsCols = Seq("k"), partitionByCols = Seq("bucket"))
+        // independent table setups run from two driver threads —
+        // xq41's note (guide §2.6); results unaffected
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val setup = Seq(store, storeM).map(st => Future {
+          Snapshots.commitWithStats(s, base, st,
+            statsCols = Seq("k"), partitionByCols = Seq("bucket"))
+        })
+        setup.foreach(Await.result(_, Duration.Inf))
         s.sql(s"CREATE TABLE $tbl USING snapshot OPTIONS (path '$store')")
         s.sql(s"CREATE TABLE $tblM USING snapshot " +
           s"OPTIONS (path '$storeM', dmlMode 'mor')")
